@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the LLM-pipeline operators (dedup, quality, lang-id,
+  * fingerprinting). All built-ins (codegen'd); the cross-engine hash is
+  * `md5` — identical in Spark and DuckDB, which keeps every hash-based
+  * operator (minhash, simhash, winnowing) oracle-checkable.
+  */
+object TextFns {
+
+  /** Lowercased word tokens (non-empty). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** BPE-ish sub-word split: letter runs, digit runs, single punctuation.
+    * A cheap stand-in for tokenizer-true counts at 100 TB scan cost.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  /** Word n-gram shingles: n consecutive tokens joined by a space. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)))
+    .otherwise(array().cast("array<string>"))
+
+  /** One minhash value: lexicographic min of `md5(seed || '|' || shingle)`
+    * over the shingle set. Min-of-md5-hex is a valid minwise hash family
+    * and is bit-identical across engines.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(seed + "|"), sh))))
+
+  /** Full minhash signature (k values). */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map(minhash(shingles, _)): _*)
+}

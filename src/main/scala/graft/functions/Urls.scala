@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL operators (reference X3/X4, SURVEY.md §2.1/§4.3).
+  *
+  * `urlResolve` mirrors Python's `urllib.parse.urljoin`
+  * (`data_downloader.py:92,163`) via `java.net.URI.resolve` — the one true
+  * semantic gap vs. Spark built-ins, shipped as a deterministic null-safe
+  * Scala UDF (SURVEY.md §4.3).
+  */
+object Urls {
+
+  /** RFC-3986-style resolution of `rel` against `base`. Deterministic and
+    * pure — safe for Catalyst to reorder/duplicate. Returns null on null
+    * input, and the raw `rel` if either side is unparseable (urljoin-ish
+    * permissiveness).
+    */
+  def resolve(base: String, rel: String): String = {
+    if (base == null || rel == null) return null
+    if (rel.isEmpty) return base
+    try {
+      val b = new java.net.URI(base)
+      // java.net.URI.resolve deviates from RFC 3986 when base has an
+      // authority but empty path (e.g. "http://h" + "x"): merge should be
+      // "/x". Normalize the base first.
+      val nb =
+        if (b.getAuthority != null && (b.getPath == null || b.getPath.isEmpty))
+          new java.net.URI(b.getScheme, b.getAuthority, "/", b.getQuery, b.getFragment)
+        else b
+      nb.resolve(rel).toString
+    } catch {
+      case _: Exception =>
+        try new java.net.URI(rel).toString catch { case _: Exception => rel }
+    }
+  }
+
+  /** Column form of [[resolve]]. */
+  val urlResolve: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((base: String, rel: String) => resolve(base, rel))
+
+  /** Basename: last `/` segment of a URL (`data_downloader.py:93`). Empty
+    * string for directory links — callers filter those (F2).
+    */
+  def basename(url: Column): Column = element_at(split(url, "/"), -1)
+}

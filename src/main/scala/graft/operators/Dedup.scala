@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for the LLM-data-pipeline surface (EX3/EX10 +
+  * north-star dedup set): exact, minhash-LSH, simhash, n-gram Jaccard.
+  *
+  * Scale posture (100 TB): exact dedup is one hash-shuffle on the content
+  * digest (not the content); minhash-LSH shuffles (band_id, band_hash)
+  * pairs — candidate generation never compares all pairs, and the
+  * verification join only touches LSH candidates. All hashes are md5 so
+  * the DuckDB oracle can replay them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest, deterministic survivor (lowest id).
+    * Shuffles 32-byte digests instead of document bodies.
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy("content_md5").orderBy(col(idCol))
+    docs.withColumn("content_md5", md5(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Minhash signatures: k md5-minima over word n-gram shingles. */
+  def minhashSignatures(docs: DataFrame, n: Int, k: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), n).as("shingles"))
+      .withColumn("sig", TextFns.minhashSignature(col("shingles"), k))
+
+  /** LSH candidate pairs: docs sharing ≥1 band (bands × rowsPerBand = k).
+    * Self-join on (band_id, band_hash) — the only shuffle key; hot buckets
+    * stay bounded because band hashes are near-uniform.
+    */
+  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val banded = signatures.select(
+      col(idCol),
+      posexplode(
+        array((0 until bands).map(b =>
+          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col(idCol).as("a"), col("band_id"), col("band_hash"))
+    val b = banded.select(col(idCol).as("b"), col("band_id"), col("band_hash"))
+    a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  def jaccardVerify(candidates: DataFrame, shingleSets: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sa = shingleSets.select(col(idCol).as("a"), array_distinct(col("shingles")).as("sh_a"))
+    val sb = shingleSets.select(col(idCol).as("b"), array_distinct(col("shingles")).as("sh_b"))
+    candidates.join(sa, "a").join(sb, "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification → pairs with jaccard ≥ threshold.
+    */
+  def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docs, n, k).cache()
+    val cands = lshCandidates(sigs, bands, k / bands)
+    jaccardVerify(cands, sigs.select(col("doc_id"), col("shingles")))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
+    * token votes ±1 per position by that nibble's high bit; the sign of
+    * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.
+    * Emitted as a 16-char '0'/'1' string (cross-engine-safe).
+    */
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val votes = toks.select(col(idCol),
+      posexplode(transform(sequence(lit(1), lit(16)),
+        p => when(col("h").substr(p, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)))
+        .as(Seq("pos", "vote")))
+    votes
+      .groupBy(col(idCol), col("pos"))
+      .agg(sum(col("vote")).as("v"))
+      .withColumn("bit", when(col("v") >= 0, lit("1")).otherwise(lit("0")))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("bit")))),
+          x => x.getField("bit")), "").as("simhash16"))
+  }
+}

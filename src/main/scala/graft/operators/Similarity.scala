@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Similarity search over embedding columns (EX6 + north-star ANN).
+  *
+  * Brute-force cosine top-k is the correctness baseline (one scan, no
+  * shuffle until the final TakeOrdered). The scale path is LSH bucketing
+  * with deterministic random-hyperplane signatures: vectors hash to
+  * sign-pattern buckets, the probe only scans its own bucket — at 100 TB
+  * the bucket join replaces an all-pairs scan with a hash-shuffle on
+  * (signature) whose fan-in is |bucket| ≈ N / 2^planes.
+  *
+  * Hyperplane components are ±1 derived from md5(plane:dim) — fully
+  * deterministic and replayable in the DuckDB oracle (no RNG state).
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplanes: sign = parity of the first hex nibble
+    * of md5("p:d").
+    */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = digest.digest(s"$p:$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Sign-pattern signature of an embedding against the given planes,
+    * as a '0'/'1' string (bucket key).
+    */
+  def signature(emb: Column, ps: Seq[Seq[Int]]): Column =
+    concat(ps.map { plane =>
+      val planeLit = typedLit(plane.map(_.toDouble))
+      when(VectorFns.dot(planeLit, emb) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** Brute-force cosine top-k against one query vector (vec_id = queryId).
+    * The query side is a 1-row broadcast; the scan stays narrow and the
+    * top-k is TakeOrderedAndProject (no full sort).
+    */
+  def topKCosine(embeddings: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN: probe scans only the query's bucket. */
+  def lshTopK(embeddings: DataFrame, queryId: Long, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val signed = embeddings.withColumn("sig", signature(col("embedding"), ps))
+    val q = signed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    signed.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("sig") === col("q_sig"))
+      .select(col("vec_id"), col("sig"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-dup: each vector's nearest neighbour within its
+    * label block (blocking bounds the pair count; at scale the block key
+    * would be an LSH bucket instead of a label).
+    */
+  def nearestWithinLabel(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("label"), col("vec_id"), col("embedding"))
+    val b = embeddings.select(col("label"), col("vec_id").as("nn_vec_id"),
+      col("embedding").as("nn_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_vec_id"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_id") =!= col("nn_vec_id"))
+      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("nn_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("nn_vec_id"), col("cosine"))
+  }
+}

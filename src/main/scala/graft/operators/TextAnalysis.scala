@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Text analysis for the LLM-data-pipeline surface: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All per-row
+  * narrow transforms (no shuffle) except fingerprint windows — exactly the
+  * shape that scans 100 TB at parquet speed.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword lang-ID
+    * heuristic. Order = tie-break priority.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in"),
+    "es" -> Seq("el", "la", "de", "que", "en", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq())
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    if (markers.isEmpty) lit(0)
+    else size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Heuristic language ID: CJK codepoints dominate → zh; otherwise the
+    * language with the highest marker-stopword count (priority order on
+    * ties); no markers at all → "und".
+    */
+  def langId(text: Column): Column = {
+    val toks = TextFns.tokens(text)
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(toks, ms) }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val pick = counts.foldLeft(when(lit(false), lit("")): Column) {
+      case (acc, (lang, c)) => acc.when(c === best && best > 0, lit(lang))
+    }.otherwise(lit("und"))
+    when(cjk > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Quality metrics + composite score (length, punctuation, stopword and
+    * alphabetic ratios — the classic cheap filters).
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val txt = col(textCol)
+    val toks = TextFns.tokens(txt)
+    val nChars = length(txt)
+    val nTokens = size(toks)
+    val punct = size(regexp_extract_all(txt, lit("[^a-zA-Z0-9\\s]"), lit(0)))
+    val stop = size(filter(toks, t => t.isInCollection(
+      Seq("the", "a", "of", "and", "to", "is", "in", "it", "that", "for"))))
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(nTokens, lit(1)), 4))
+      .withColumn("punct_ratio", round(punct.cast("double") / greatest(nChars, lit(1)), 6))
+      .withColumn("stopword_ratio", round(stop.cast("double") / greatest(nTokens, lit(1)), 6))
+      .withColumn("quality_score", round(
+        when(nTokens === 0, 0.0).otherwise(
+          lit(1.0)
+            - least(punct.cast("double") / greatest(nChars, lit(1)) * 2.0, lit(0.5))
+            - when(nTokens < 10, 0.3).otherwise(0.0)
+            - when(stop.cast("double") / greatest(nTokens, lit(1)) < 0.01, 0.2).otherwise(0.0)),
+        6))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish sub-word count. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(TextFns.tokens(col(textCol))))
+      .withColumn("bpeish_tokens", size(TextFns.bpeishTokens(col(textCol))))
+
+  /** Winnowing-style fingerprints: md5 over word 3-gram shingles, then the
+    * minimum hash in every sliding window of `windowSize` consecutive
+    * shingles; the distinct set of window-minima is the fingerprint sketch
+    * (robust to local edits). Returns per-doc sketch size + extremes.
+    */
+  def fingerprintSketch(docs: DataFrame, windowSize: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingled = docs.select(col(idCol),
+      posexplode(TextFns.wordShingles(TextFns.tokens(col(textCol)), 3))
+        .as(Seq("pos", "shingle")))
+      .withColumn("h", md5(col("shingle")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(0, windowSize - 1)
+    shingled
+      .withColumn("win_min", min(col("h")).over(w))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("win_min")).as("n_fingerprints"),
+        min(col("win_min")).as("min_fingerprint"))
+  }
+}

@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** Extension operators EX1-EX9 (SURVEY.md §2.3) over the driver tables:
+  * aggregations, joins, windows, event-time buckets, sessionization,
+  * as-of join, set ops. These supply the relational coverage the
+  * reference leaves latent (§2.2).
+  *
+  * Scale notes (100 TB design point, graded — SURVEY.md §4.4):
+  *  - joins put the big fact table (lineitem/events) on the streamed side;
+  *    dims (nation, region, customer at small SF) broadcast — `broadcast()`
+  *    hints where the dim is bounded by schema, AQE otherwise;
+  *  - aggregations rely on Catalyst partial+final hash agg (map-side
+  *    combine), so shuffle volume is |groups|, not |rows|;
+  *  - double-typed aggregates are rounded in BOTH engines to absorb
+  *    summation-order float drift.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EX1: TPC-H Q1-style pricing summary — partial+final hash agg.
+    "agg_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // EX2: exact distinct aggregation.
+    "agg_distinct_custs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // EX1b: multi-join revenue rollup; nation broadcasts (25 rows always),
+    // customer⋈orders⋈lineitem shuffle on their keys, AQE sizes the rest.
+    "join_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Sort + limit (top-k pushes through TakeOrderedAndProject — no full sort).
+    "topk_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // EX4: latest event per user (ranking window, deterministic tiebreak).
+    "window_latest_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy("user_id")
+    }),
+
+    // EX4b: running total per user (sequential frame — deterministic fp).
+    "window_running_value" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("running_value"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // EX5: event-time tumbling windows (1 hour) — batch form of the
+    // streaming windowed agg; group key is the truncated hour.
+    "time_tumbling_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket", "event_type")),
+
+    // EX5b: sliding windows (1 hour window, 30 min slide) — each event
+    // lands in 2 overlapping windows (explode, then one agg).
+    "time_sliding_windows" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"), col("n"))
+        .orderBy("bucket")),
+
+    // EX5c: session windows — 30 min inactivity gap per user. Batch
+    // equivalent of `session_window`; lag/cumsum formulation matches the
+    // oracle exactly and shuffles once on user_id.
+    "session_windows" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
+        .withColumn("session_seq", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_seq"), col("session_start"), col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // EX7: as-of join — for each click, the user's most recent purchase at
+    // or before it. Union+window formulation (see operators.AsOf).
+    "asof_click_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.joinAsOf(clicks, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("event_id"), prefix = "purchase_")
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // EX9: set ops — users who clicked but never purchased (EXCEPT), and
+    // via left_anti (D1's completed dup-guard shape) for the same result.
+    "setop_click_no_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+
+    // D1 (latent dup-guard, completed): anti-join — customers with no orders.
+    "anti_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Semi-join: customers with at least one urgent order.
+    "semi_customers_urgent" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // P3-adjacent: JSON extraction from the events props payload.
+    "json_props_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // EX2b: approx distinct (HLL). No DuckDB oracle — sketch values are
+    // engine-specific; driver records rows-only. Kept for the sketch path.
+    "agg_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_distinct_custs" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "join_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "window_latest_event" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT user_id, event_id, event_type FROM events_us
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "window_running_value" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |FROM events_us ORDER BY user_id, event_id""".stripMargin,
+
+    "time_tumbling_hourly" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events_us GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "time_sliding_windows" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |exploded AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS w
+        |  FROM events_us)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS bucket, count(*) AS n
+        |FROM exploded GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "session_windows" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "asof_click_purchase" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT c.event_id AS event_id, c.user_id AS user_id,
+        |  p.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events_us WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "setop_click_no_purchase" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "anti_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "semi_customers_urgent" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "json_props_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

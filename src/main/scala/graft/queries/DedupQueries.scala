@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication registrations (EX3/EX10 + north-star dedup set) over the
+  * `documents` table, each replayed exactly by the DuckDB oracle (md5 is
+  * the shared hash family — see operators.Dedup).
+  */
+object DedupQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val K = 16      // minhash signature length
+  private val BANDS = 4   // LSH bands (4 rows per band)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EX3: exact dedup by content digest, deterministic survivor.
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir))
+        .select(col("doc_id"), col("content_md5"))
+        .orderBy("doc_id")),
+
+    // EX10a: minhash signatures (16 md5-minima over word 3-gram shingles).
+    "dedup_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(docs(s, dir), n = 3, k = K)
+        .select(col("doc_id"), array_join(col("sig"), ",").as("sig"))
+        .orderBy("doc_id")),
+
+    // EX10b: full minhash-LSH near-dup pipeline (bands → candidates →
+    // exact-Jaccard verify). Threshold 0.5; unit tests cover recall on
+    // constructed near-dups, this checks the pipeline end-to-end.
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(docs(s, dir), n = 3, k = K, bands = BANDS, threshold = 0.5)
+        .orderBy("a", "b")),
+
+    // SimHash fingerprints (16-bit, md5-nibble votes).
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard near-dup, blocked by (lang, source): top-20
+    // most-similar pairs. Blocking bounds the pair count (at 100 TB the
+    // block key becomes an LSH band instead).
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = Dedup.minhashSignatures(docs(s, dir), n = 3, k = 1)
+        .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
+      val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      val d = sh.join(meta, "doc_id")
+      val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
+      val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b"))
+        .limit(20)
+    })
+  )
+
+  private val toksSql = DuckSql.tokens("text")
+  private val shinglesSql = DuckSql.shingles3("toks")
+
+  private def sigsCte: String = {
+    val mins = (0 until K).map(i => DuckSql.minhash("shingles", i)).mkString(",\n    ")
+    s"""shingled AS (
+       |  SELECT doc_id, $shinglesSql AS shingles
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |sigs AS (
+       |  SELECT doc_id, shingles, [
+       |    $mins] AS sig
+       |  FROM shingled)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_md5 FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_sigs" ->
+      s"""WITH $sigsCte
+         |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sigs ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_pairs" -> {
+      val bandHashes = (0 until BANDS).map { b =>
+        val parts = (0 until K / BANDS).map(r => s"sig[${b * (K / BANDS) + r + 1}]")
+        s"md5(${parts.mkString(" || '|' || ")})"
+      }.mkString(",\n    ")
+      s"""WITH $sigsCte,
+         |banded AS (
+         |  SELECT doc_id, generate_subscripts(bh, 1) - 1 AS band_id, unnest(bh) AS band_hash
+         |  FROM (SELECT doc_id, [
+         |    $bandHashes] AS bh FROM sigs)),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+         |  WHERE x.doc_id < y.doc_id),
+         |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs)
+         |SELECT c.a, c.b,
+         |  round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+         |FROM cands c JOIN dsets sa ON c.a = sa.doc_id JOIN dsets sb ON c.b = sb.doc_id
+         |WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+         |    (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |votes AS (
+         |  SELECT doc_id, p.range AS pos,
+         |    sum(CASE WHEN regexp_matches(substr(md5(tok), CAST(p.range AS INTEGER), 1), '[89a-f]')
+         |      THEN 1 ELSE -1 END) AS v
+         |  FROM toks, range(1, 17) p
+         |  GROUP BY doc_id, p.range)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash16
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, source, $toksSql AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter,
+         |    len(x.sh) + len(y.sh) - len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS uni
+         |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         |FROM pairs
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+  )
+}

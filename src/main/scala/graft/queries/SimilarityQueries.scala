@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search registrations (EX6 + ANN scale path) over the
+  * `embeddings` table. The LSH oracle replays the deterministic
+  * md5-derived hyperplanes (Similarity.planes) as SQL literals.
+  */
+object SimilarityQueries extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private val QUERY_ID = 0L
+  private val TOP_K = 10
+  private val N_PLANES = 4
+  private val DIM = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EX6: brute-force cosine top-k vs the vec_id=0 query vector.
+    "sim_topk_cosine" -> ((s, dir) =>
+      Similarity.topKCosine(emb(s, dir), QUERY_ID, TOP_K)),
+
+    // ANN scale path: LSH sign-bucket probe (scans 1/2^4 of the data).
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(emb(s, dir), QUERY_ID, TOP_K, N_PLANES, DIM)),
+
+    // Embedding-cosine near-dup: nearest neighbour within label block.
+    "sim_nn_within_label" -> ((s, dir) =>
+      Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id"))
+  )
+
+  private def cosSql(a: String, b: String) = DuckSql.cosine(a, b)
+
+  private val embsCte =
+    s"""embs AS (SELECT vec_id, label, ${DuckSql.vecDouble("embedding")} AS de
+       |  FROM embeddings)""".stripMargin
+
+  private def sigSql(deExpr: String): String =
+    Similarity.planes(N_PLANES, DIM).map { plane =>
+      val lit = DuckSql.doubleList(plane.map(_.toDouble))
+      s"(CASE WHEN list_dot_product($deExpr, $lit) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_cosine" ->
+      s"""WITH $embsCte,
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID)
+         |SELECT vec_id, label, round(${cosSql("de", "qe")}, 6) AS cosine
+         |FROM embs, q WHERE vec_id <> $QUERY_ID
+         |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_lsh_topk" ->
+      s"""WITH $embsCte,
+         |signed AS (SELECT vec_id, de, ${sigSql("de")} AS sig FROM embs),
+         |q AS (SELECT de AS qe, sig AS q_sig FROM signed WHERE vec_id = $QUERY_ID)
+         |SELECT vec_id, sig, round(${cosSql("de", "qe")}, 6) AS cosine
+         |FROM signed, q WHERE vec_id <> $QUERY_ID AND sig = q_sig
+         |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_nn_within_label" ->
+      s"""WITH $embsCte
+         |SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
+         |  round(${cosSql("a.de", "b.de")}, 6) AS cosine
+         |FROM embs a JOIN embs b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY a.vec_id
+         |  ORDER BY round(${cosSql("a.de", "b.de")}, 6) DESC, b.vec_id) = 1
+         |ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis registrations (EX8 + north-star text ops) over the
+  * `documents` table: language breakdown, heuristic lang-ID, quality
+  * metrics, token counts, winnowing fingerprints, top terms.
+  */
+object TextQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EX8: language/source breakdown.
+    "text_lang_breakdown" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    // Heuristic language-ID (marker stopwords + CJK detection).
+    "text_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Quality scoring (length/punct/stopword ratio composite).
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace + alnum + BPE-ish subword counts.
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir))
+        .withColumn("raw_ws_tokens", size(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), col("raw_ws_tokens"), col("ws_tokens"), col("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprint sketch (md5 shingles, window minima).
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprintSketch(docs(s, dir), windowSize = 4)
+        .orderBy("doc_id")),
+
+    // EX8b: corpus top-20 terms.
+    "text_top_terms" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20))
+  )
+
+  private val toksSql = DuckSql.tokens("text")
+
+  /** Oracle twin of TextAnalysis.langId. */
+  private val langIdSql: String = {
+    val counts = TextAnalysis.langMarkers.map { case (lang, ms) =>
+      val c =
+        if (ms.isEmpty) "0"
+        else s"len(list_filter(toks, t -> t IN (${ms.map(m => s"'$m'").mkString(",")})))"
+      lang -> c
+    }
+    val best = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val cases = counts.map { case (lang, c) =>
+      s"WHEN $c = best AND best > 0 THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |scored AS (SELECT doc_id, text, toks, $best AS best FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) > 0 THEN 'zh'
+       |    ELSE CASE $cases ELSE 'und' END END AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_lang_breakdown" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_lang_id" -> langIdSql,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |    length(text) AS n_chars_s,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         |    len(list_filter($toksSql, t -> t IN
+         |      ('the','a','of','and','to','is','in','it','that','for'))) AS stop
+         |  FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+         |    / greatest(len(toks), 1), 4) AS avg_token_len,
+         |  round(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1), 6) AS punct_ratio,
+         |  round(CAST(stop AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
+         |        - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
+         |        - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
+         |            THEN 0.2 ELSE 0.0 END
+         |    END, 6) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |  len(string_split_regex(trim(text), '\\s+')) AS raw_ws_tokens,
+         |  len($toksSql) AS ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, generate_subscripts(s, 1) AS pos, md5(unnest(s)) AS h
+         |  FROM (SELECT doc_id, ${DuckSql.shingles3("toks")} AS s
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+         |wins AS (
+         |  SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min
+         |  FROM sh)
+         |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
+         |  min(win_min) AS min_fingerprint
+         |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_top_terms" ->
+      s"""SELECT term, count(*) AS n
+         |FROM (SELECT unnest($toksSql) AS term FROM documents)
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.model.Schemas
+
+/** Source-catalog reader/writer (reference S1-S3 + E1, SURVEY.md §2.1).
+  *
+  * One quote-aware CSV parser with a declared schema replaces the
+  * reference's two inconsistent parsers (naive `split(',')` at
+  * `data_harvester.py:28` vs. the `csv` module at `data_downloader.py:42`)
+  * — decision recorded in SURVEY.md §1.3. Rows are `\r\n`-separated
+  * (`data_harvester.py:27`); the header row is consumed by the parser
+  * instead of leaking through the Active filter.
+  */
+object Catalog {
+
+  /** The default fixture shipped with the repo (FIXTURES.md §1). */
+  val fixturePath = "/root/repo/fixtures/sources.csv"
+
+  def read(spark: SparkSession, path: String = fixturePath): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("lineSep", "\r\n")
+      .option("quote", "\"")
+      .schema(Schemas.catalog)
+      .csv(path)
+
+  /** Overwrite the catalog (E1 read-modify-overwrite). Single-writer by
+    * contract — the reference has the same lost-update exposure
+    * (SURVEY.md §7.3). Coalesce(1): the catalog is broadcast-sized by
+    * design (thousands of rows), never a distributed dataset.
+    */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .mode("overwrite")
+      .option("header", "true")
+      .option("lineSep", "\r\n")
+      .csv(path)
+}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run graft.Verify
+(sbt) to dump each SparkEntry query to parquet + oracle_sql.json, then run
+each oracle in DuckDB over the same parquet tables and value-compare.
+
+Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
+"""
+import json, math, sys, subprocess, os
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
+OUT = '/tmp/graft_verify'
+args = [a for a in sys.argv[2:]]
+skip = '--skip-verify' in args
+only = [a for a in args if not a.startswith('-')]
+
+if not skip:
+    r = subprocess.run(['sbt', '-batch', f'runMain graft.Verify {SF} {OUT}'],
+                       cwd='/root/repo', capture_output=True, text=True)
+    if 'failed' in r.stdout or r.returncode != 0:
+        for ln in r.stdout.splitlines():
+            if 'failed' in ln or 'error' in ln.lower():
+                print('[verify]', ln)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-2000:]); sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem',
+          'events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f'{OUT}/oracle_sql.json'))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return 'NaN'
+        return round(v, 9)
+    if hasattr(v, 'isoformat'): return v.isoformat()
+    return v
+
+ok = fail = 0
+names = only if only else sorted(oracle.keys())
+for name in names:
+    sql = oracle[name]
+    pdir = f'{OUT}/{name}'
+    if not os.path.isdir(pdir):
+        print(f'FAIL {name}: spark dump missing'); fail += 1; continue
+    try:
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f'FAIL {name}: oracle error: {e}'); fail += 1; continue
+    got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf()
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(exp.columns) != list(got.columns):
+        print(f'FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}'); fail += 1; continue
+    es = sorted([tuple(norm(v) for v in row) for row in exp.itertuples(index=False)])
+    gs = sorted([tuple(norm(v) for v in row) for row in got.itertuples(index=False)])
+    if es == gs:
+        print(f'ok   {name} ({len(gs)} rows)'); ok += 1
+    else:
+        print(f'FAIL {name}: rows exp={len(es)} got={len(gs)}')
+        diffs = [(a, b) for a, b in zip(es, gs) if a != b][:3]
+        for a, b in diffs:
+            print(f'   exp {a}\n   got {b}')
+        if len(es) != len(gs):
+            eset, gset = set(es), set(gs)
+            print('   only-exp:', list(eset - gset)[:2])
+            print('   only-got:', list(gset - eset)[:2])
+        fail += 1
+print(f'== {ok} ok, {fail} fail')
+sys.exit(1 if fail else 0)

@@ -1,0 +1,33 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 10:00:00")),
+      (102L, 1L, ts("2024-01-01 12:00:00")),
+      (103L, 2L, ts("2024-01-01 09:00:00")),
+      (104L, 3L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (201L, 1L, ts("2024-01-01 09:30:00")),
+      (202L, 1L, ts("2024-01-01 11:00:00")),
+      (203L, 2L, ts("2024-01-01 09:00:00")),  // equal ts → inclusive match
+      (204L, 2L, ts("2024-01-01 10:00:00"))   // after the click → ignored
+    ).toDF("event_id", "user_id", "ts")
+
+    val got = AsOf.joinAsOf(clicks, purchases, "user_id", "ts", "ts",
+        Seq("event_id"), prefix = "p_")
+      .select("event_id", "p_event_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got === Map(101L -> 201L, 102L -> 202L, 103L -> 203L, 104L -> -1L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup-operator behavior on constructed near-duplicates (the driver
+  * documents table has no real dups, so recall is proven here).
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docsDF = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark forest tonight"
+    Seq(
+      (1L, base),
+      (2L, base),                                     // exact dup of 1
+      (3L, base.replace("quick", "swift")),           // near-dup of 1
+      (4L, "completely different content about spark catalyst optimizer rules and physical planning strategies for large scale joins"),
+      (5L, "yet another unrelated document mentioning parquet files partition pruning and adaptive query execution at runtime today")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest-id survivor per content digest") {
+    val survivors = Dedup.exact(docsDF).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash-LSH finds the exact and near dup, not the unrelated docs") {
+    val pairs = Dedup.nearDupPairs(docsDF, n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup pair missing: ${keys.mkString(",")}")
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L).get
+    assert(dup._3 === 1.0)
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("LSH candidates are a superset of high-jaccard pairs (recall)") {
+    val sigs = Dedup.minhashSignatures(docsDF, n = 3, k = 16)
+    val cands = Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),
+      s"near-dup shares no band: $cands")
+  }
+
+  test("simhash: identical docs agree, unrelated docs differ") {
+    val fp = Dedup.simhash(docsDF).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L).length === 16)
+    assert(fp(1L).forall(c => c == '0' || c == '1'))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)),
+      s"near-dup should be closer than unrelated: ${fp.toSeq.sortBy(_._1)}")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Golden end-to-end downloader tests (SURVEY.md §5.2.4): every strategy
+  * branch + error path + DLQ + dup-guard, driven entirely over `file://`
+  * URLs — no network.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def write(p: Path, s: String): Path = {
+    Files.createDirectories(p.getParent); Files.writeString(p, s)
+  }
+  private def read(p: Path): String = Files.readString(p)
+
+  private def setupSource(src: Path): Unit = {
+    write(src.resolve("a.csv"), "alpha,1")
+    write(src.resolve("b.zip"), "zip-bytes")
+    write(src.resolve("page.html"),
+      """<html><a href="a.csv">a</a><a href="b.zip">b</a><a href="sub/">d</a></html>""")
+    write(src.resolve("c.txt"), "c-v1")
+    write(src.resolve("page2.html"), """<a href="c.txt">c</a>""")
+    write(src.resolve("direct.bin"), "direct-payload")
+    write(src.resolve("ftpfile.bin"), "ftp-payload")
+    write(src.resolve("data_1.zip"), "d1")
+    write(src.resolve("data_2.zip"), "d2")
+    write(src.resolve("readme.txt"), "no")
+    write(src.resolve("listing.txt"),
+      "-rw-r--r-- 1 f f 2 Aug 12 04:00 data_1.zip\r\n" +
+      "-rw-r--r-- 1 f f 2 Aug 12 04:00 data_2.zip\r\n" +
+      "-rw-r--r-- 1 f f 2 Aug 12 04:00 readme.txt\r\n")
+  }
+
+  private def tasksDF(src: Path): DataFrame = {
+    import spark.implicits._
+    val u = src.toUri.toString  // file:///...src/
+    Seq(
+      ("s-links", s"${u}page.html", "LINKS", "ignore", "0", 0),
+      ("s-over", s"${u}page2.html", "LINKS_OVERWRITE", "ignore", "0", 0),
+      ("s-direct", s"${u}direct.bin", "DIRECT", "direct_out.bin", "0", 0),
+      ("s-dftp", s"${u}ftpfile.bin", "DIRECT_FTP", "ftp_out.bin", "0", 0),
+      ("s-ftp", s"${u}listing.txt", "FTP_FILES", "data_*.zip", "0", 0),
+      ("s-broken", s"${u}missing.html", "LINKS", "ignore", "0", 0),
+      ("s-bogus", s"${u}page.html", "BOGUS_TYPE", "ignore", "0", 0),
+      ("s-dead", s"${u}page.html", "LINKS", "ignore", "0", 5)
+    ).toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
+  }
+
+  test("processBatch: all strategies, dup-guard, error path, DLQ") {
+    val tmp = Files.createTempDirectory("graft-pipe")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+
+    val report = DownloadPipeline.processBatch(tasksDF(src), root)
+
+    // K3 sink layout per strategy (data_downloader.py:104-107,132,170,195)
+    assert(read(Paths.get(root, "out/LINK/a.csv")) === "alpha,1")
+    assert(read(Paths.get(root, "out/LINK/b.zip")) === "zip-bytes")
+    assert(read(Paths.get(root, "out/LINKS_OVER/c.txt")) === "c-v1")
+    assert(read(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")) === "direct-payload")
+    assert(read(Paths.get(root, "out/FTP_FILE/ftp_out.bin")) === "ftp-payload")
+    assert(read(Paths.get(root, "out/FTP_FILES/data_1.zip")) === "d1")
+    assert(read(Paths.get(root, "out/FTP_FILES/data_2.zip")) === "d2")
+    // glob filtered readme.txt out; dir link dropped by empty basename
+    assert(!Files.exists(Paths.get(root, "out/FTP_FILES/readme.txt")))
+
+    // E2 alerts: one for the unreadable page, one for the unknown type
+    val alerts = spark.read.text(s"$root/alerts").collect().map(_.getString(0))
+    assert(alerts.length === 2, alerts.mkString("\n"))
+    assert(alerts.exists(a => a.contains("s-broken")))
+    assert(alerts.exists(a => a.contains("s-bogus") && a.contains("Unknown source type")))
+
+    // E4: exhausted task dead-lettered, not fetched
+    val dead = spark.read.text(s"$root/dead_letter").collect().map(_.getString(0))
+    assert(dead.length === 1 && dead.head.contains("s-dead"))
+    assert(report.deadLettered === 1)
+    assert(report.errors === 2)
+    assert(report.downloaded === 7)
+
+    // D1 dup-guard: change upstream content; LINKS must keep the old file
+    // (no overwrite), LINKS_OVERWRITE must replace it.
+    write(src.resolve("a.csv"), "alpha,CHANGED")
+    write(src.resolve("c.txt"), "c-v2")
+    DownloadPipeline.processBatch(tasksDF(src), root)
+    assert(read(Paths.get(root, "out/LINK/a.csv")) === "alpha,1")
+    assert(read(Paths.get(root, "out/LINKS_OVER/c.txt")) === "c-v2")
+  }
+
+  test("E1: failed source flags Active:=2 in the rewritten catalog") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-e1")
+    val root = tmp.resolve("ws").toString
+    Workspace.provision(root)
+    // private catalog copy (never touch the repo fixture)
+    val catPath = tmp.resolve("sources.csv").toString
+    Files.copy(Paths.get(graft.sources.Catalog.fixturePath), Paths.get(catPath))
+
+    val tasks = Seq(
+      ("src-003", tmp.resolve("nope.txt").toUri.toString, "FTP_FILES", "*", "0", 0)
+    ).toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
+    DownloadPipeline.processBatch(tasks, root, Some(catPath))
+
+    val updated = graft.sources.Catalog.read(spark, catPath + ".updated")
+      .select("id", "active").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(updated("src-003") === 2)
+    assert(updated("src-001") === 1)
+  }
+
+  test("streaming: harvest → queue → AvailableNow drain; checkpoint acks") {
+    val tmp = Files.createTempDirectory("graft-stream")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    val queueDir = s"$root/queue"
+    val checkpoint = s"$root/checkpoint"
+
+    import spark.implicits._
+    val u = src.toUri.toString
+    graft.sources.Queue.enqueue(
+      Seq(("s-direct", s"${u}direct.bin", "DIRECT", "direct_out.bin", "0", 0))
+        .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts"),
+      queueDir)
+
+    DownloadPipeline.runStream(spark, queueDir, root, checkpoint)
+    assert(read(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")) === "direct-payload")
+
+    // E3 ack: a second drain re-processes nothing (checkpoint committed) —
+    // prove by deleting the sink object and the upstream source: a retry
+    // would either fail (alert) or rewrite the object.
+    Files.delete(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin"))
+    Files.delete(src.resolve("direct.bin"))
+    DownloadPipeline.runStream(spark, queueDir, root, checkpoint)
+    assert(!Files.exists(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")))
+    assert(!Files.exists(Paths.get(root, "alerts")) ||
+      spark.read.text(s"$root/alerts").isEmpty)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Task
+
+/** Structured Streaming operators over event streams (EX5 streaming forms
+  * + the online E4 retry ledger).
+  *
+  * Watermarks bound state: late rows beyond the watermark are dropped and
+  * window state is evicted — the property that keeps these aggregations
+  * running indefinitely at 100 TB/day ingest.
+  */
+object EventStreams {
+
+  /** Tumbling event-time counts with late-data handling. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (gap-based) per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Online E4 retry ledger via mapGroupsWithState: tracks per-task
+    * delivery attempts across micro-batches; emits (task, attempts,
+    * dead) rows, `dead=true` once attempts reach `maxAttempts` —
+    * the stateful-streaming form of the redrive policy
+    * (`cloudformation/lambda.cfn.yaml:28-36`).
+    */
+  case class AttemptState(attempts: Int)
+  case class AttemptUpdate(ID: String, attempts: Int, dead: Boolean)
+
+  def attemptLedger(failures: Dataset[Task], maxAttempts: Int = 5)
+      : Dataset[AttemptUpdate] = {
+    val spark = failures.sparkSession
+    import spark.implicits._
+    failures
+      .groupByKey(_.ID)
+      .mapGroupsWithState[AttemptState, AttemptUpdate](
+        GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[Task], state: GroupState[AttemptState]) =>
+          val prior = state.getOption.map(_.attempts).getOrElse(0)
+          val now = prior + rows.size
+          state.update(AttemptState(now))
+          AttemptUpdate(id, now, now >= maxAttempts)
+      }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.model.Task
+
+/** Streaming semantics tests: watermarked event-time windows (late-row
+  * drop, state eviction) and the stateful attempt ledger.
+  */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling counts with watermark drop late rows after eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val q = EventStreams.tumblingCounts(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0))
+    q.processAllAvailable()
+    // advance watermark far past the 10:00 window → it finalizes
+    input.addData((ts("2024-01-01 13:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    // this row is older than the watermark → dropped, not re-opened
+    input.addData((ts("2024-01-01 10:10:00"), "click", 99.0))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 15:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)),
+      rows.mkString("; "))
+    assert(!rows.exists(_._4 == 99.0 + 3.0), "late row must not reopen the window")
+  }
+
+  test("attempt ledger accumulates across micro-batches and flags dead at 5") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Task]
+    val q = EventStreams.attemptLedger(input.toDS(), maxAttempts = 5)
+      .writeStream.format("memory").queryName("ledger")
+      .outputMode(OutputMode.Update).start()
+
+    def fail(id: String, n: Int) =
+      input.addData(Seq.fill(n)(Task(id, s"http://x/$id", "LINKS", "p", "0")): _*)
+
+    fail("s1", 2); q.processAllAvailable()
+    fail("s1", 2); fail("s2", 1); q.processAllAvailable()
+    fail("s1", 1); q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("ledger").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2)))
+      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+    assert(last("s1") === ("s1", 5, true))
+    assert(last("s2") === ("s2", 1, false))
+  }
+
+  test("session windows group by inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionCounts(events, "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L),
+      (ts("2024-01-01 11:30:00"), 1L),  // > 30 min gap → new session
+      (ts("2024-01-01 10:00:00"), 2L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 20:00:00"), 9L))  // advance watermark → emit
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).toString, r.getLong(2)))
+    assert(sessions.count(_._1 == 1L) === 2)
+    assert(sessions.contains((1L, "2024-01-01 10:00:00.0", 2L)))
+    assert(sessions.contains((1L, "2024-01-01 11:30:00.0", 1L)))
+  }
+}

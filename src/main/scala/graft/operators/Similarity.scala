@@ -79,12 +79,18 @@ object Similarity {
     val a = embeddings.select(col("label"), col("vec_id"), col("embedding"))
     val b = embeddings.select(col("label"), col("vec_id").as("nn_vec_id"),
       col("embedding").as("nn_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nn_vec_id"))
-    a.join(b, Seq("label"))
+    // The label join has ~10 distinct keys: a shuffle join would pile all
+    // pairs on ≤10 tasks. Broadcast the right side (embeddings are MBs)
+    // so the pair generation parallelizes over the left's partitions, and
+    // take the arg-max with a partial-aggregable struct-max (ties → lowest
+    // nn_vec_id via the negated-id field) instead of a window sort.
+    a.join(broadcast(b), Seq("label"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("nn_emb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("nn_vec_id"), col("cosine"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("cosine"), (-col("nn_vec_id")).as("neg_id"),
+        col("nn_vec_id"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.nn_vec_id").as("nn_vec_id"), col("best.cosine").as("cosine"))
   }
 }

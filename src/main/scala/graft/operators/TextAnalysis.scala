@@ -82,16 +82,26 @@ object TextAnalysis {
     */
   def fingerprintSketch(docs: DataFrame, windowSize: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingled = docs.select(col(idCol),
-      posexplode(TextFns.wordShingles(TextFns.tokens(col(textCol)), 3))
-        .as(Seq("pos", "shingle")))
-      .withColumn("h", md5(col("shingle")))
-    val w = Window.partitionBy(idCol).orderBy("pos")
-      .rowsBetween(0, windowSize - 1)
-    shingled
-      .withColumn("win_min", min(col("h")).over(w))
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("win_min")).as("n_fingerprints"),
-        min(col("win_min")).as("min_fingerprint"))
+    // Entirely narrow: per-doc array expressions (no explode, no window
+    // shuffle+sort — the exploded/windowed form benched ~10× slower).
+    // wins[i] = min(h[i..i+w-1]); the sketch is the distinct win set.
+    //
+    // PLAN HAZARD (learned from a multi-minute single-core stall): a
+    // post-hoc `filter(size(wins) > 0)` gets predicate-pushed below every
+    // exchange with the whole shingle+md5 expression tree inlined, then
+    // evaluated interpreted per row on the (often 1-partition) scan side.
+    // Filter EARLY on the cheap equivalent predicate instead: a doc has
+    // shingles iff it has ≥ 3 tokens.
+    val hashes = transform(
+      TextFns.wordShingles(TextFns.tokens(col(textCol)), 3), sh => md5(sh))
+    docs
+      .filter(size(TextFns.tokens(col(textCol))) >= 3)
+      .select(col(idCol), hashes.as("h"))
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("h"))),
+          i => array_min(slice(col("h"), i, lit(windowSize)))).as("wins"))
+      .select(col(idCol),
+        size(array_distinct(col("wins"))).cast("long").as("n_fingerprints"),
+        array_min(col("wins")).as("min_fingerprint"))
   }
 }

@@ -11,8 +11,12 @@ import graft.operators.Dedup
   */
 object DedupQueries extends QueryPack {
 
+  // Single-file parquet tables scan as ONE partition; repartition so the
+  // narrow per-document work parallelizes (at real scale the table is
+  // many files and this is a no-op cost).
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val K = 16      // minhash signature length
   private val BANDS = 4   // LSH bands (4 rows per band)
@@ -53,11 +57,14 @@ object DedupQueries extends QueryPack {
       val d = sh.join(meta, "doc_id")
       val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
-      a.join(b, Seq("lang", "source"))
+      // (lang, source) has ~25 distinct values: a shuffle join would put
+      // every pair on ≤25 tasks. Broadcast one side; |A∪B| is derived from
+      // |A∩B| so the intersection is computed once per pair.
+      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+      a.join(broadcast(b), Seq("lang", "source"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+          round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(20)
     })

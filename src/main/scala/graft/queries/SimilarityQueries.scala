@@ -11,8 +11,12 @@ import graft.operators.Similarity
   */
 object SimilarityQueries extends QueryPack {
 
+  // Single-file parquet tables scan as ONE partition; repartition so the
+  // narrow per-document work parallelizes (at real scale the table is
+  // many files and this is a no-op cost).
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val QUERY_ID = 0L
   private val TOP_K = 10

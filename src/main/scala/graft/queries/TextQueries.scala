@@ -11,8 +11,12 @@ import graft.operators.TextAnalysis
   */
 object TextQueries extends QueryPack {
 
+  // Single-file parquet tables scan as ONE partition; repartition so the
+  // narrow per-document work parallelizes (at real scale the table is
+  // many files and this is a no-op cost).
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

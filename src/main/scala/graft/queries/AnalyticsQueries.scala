@@ -183,6 +183,18 @@ object AnalyticsQueries extends QueryPack {
         .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Grouping sets: rollup subtotals (beyond the survey's minimum —
+    // free via Catalyst's Expand). Subtotal rows labeled 'ALL' instead of
+    // null so cross-engine row sorting is total.
+    "agg_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     // EX2b: approx distinct (HLL). No DuckDB oracle — sketch values are
     // engine-specific; driver records rows-only. Kept for the sketch path.
     "agg_approx_distinct" -> ((s, dir) =>
@@ -203,6 +215,13 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_distinct_custs" ->
@@ -260,8 +279,8 @@ object AnalyticsQueries extends QueryPack {
         |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
         |  FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
-        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM flagged)
         |SELECT user_id, session_seq,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,

@@ -37,7 +37,7 @@ object TextQueries extends QueryPack {
     // Quality scoring (length/punct/stopword ratio composite).
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir))
-        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), col("avg_token_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
         .orderBy("doc_id")),
 
@@ -45,7 +45,9 @@ object TextQueries extends QueryPack {
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir))
         .withColumn("raw_ws_tokens", size(split(trim(col("text")), "\\s+")))
-        .select(col("doc_id"), col("raw_ws_tokens"), col("ws_tokens"), col("bpeish_tokens"))
+        .select(col("doc_id"), col("raw_ws_tokens").cast("long").as("raw_ws_tokens"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("bpeish_tokens").cast("long").as("bpeish_tokens"))
         .orderBy("doc_id")),
 
     // Winnowing fingerprint sketch (md5 shingles, window minima).

@@ -90,7 +90,7 @@ object ReferenceQueries extends QueryPack {
       val page = s.range(1).select(
         lit(Fixtures.htmlBase).as("base"), lit(Fixtures.htmlPage).as("html"))
       page.select(col("base"), explode(Extract.anchorHrefs(col("html"))).as("href"))
-        .select(Urls.urlResolve(col("base"), col("href")).as("file_url"))
+        .select(graft.functions.expressions.UrlResolveExpr.urlResolveNative(col("base"), col("href")).as("file_url"))
         .withColumn("file_name", Urls.basename(col("file_url")))
         .filter(length(col("file_name")) > 0)
         .orderBy("file_url")
@@ -101,7 +101,7 @@ object ReferenceQueries extends QueryPack {
       val listing = s.range(1).select(lit(Fixtures.ftpListing).as("listing"))
       listing.select(explode(Extract.listingNames(col("listing"))).as("file_name"))
         .filter(col("file_name").rlike(Globs.globToRegex(Fixtures.ftpGlob)))
-        .withColumn("file_url", Urls.urlResolve(lit(Fixtures.ftpBase), col("file_name")))
+        .withColumn("file_url", graft.functions.expressions.UrlResolveExpr.urlResolveNative(lit(Fixtures.ftpBase), col("file_name")))
         .orderBy("file_name")
     }),
 

@@ -84,7 +84,7 @@ object DownloadPipeline {
       val candidates = pages.filter(_.error == null)
         .select(col("task.ID").as("ID"), col("task.URL").as("base"),
           explode(Extract.anchorHrefs(col("text"))).as("href"))
-        .withColumn("file_url", Urls.urlResolve(col("base"), col("href")))
+        .withColumn("file_url", graft.functions.expressions.UrlResolveExpr.urlResolveNative(col("base"), col("href")))
         .withColumn("name", Urls.basename(col("file_url")))
         .filter(length(col("name")) > 0)
         .select(col("ID"), col("file_url").as("URL"),
@@ -117,7 +117,7 @@ object DownloadPipeline {
           col("task.PATTERN").as("pattern"),
           explode(Extract.listingNames(col("text"))).as("name"))
         .filter(regexp_like(col("name"), globRegex(col("pattern"))))
-        .withColumn("file_url", Urls.urlResolve(col("base"), col("name")))
+        .withColumn("file_url", graft.functions.expressions.UrlResolveExpr.urlResolveNative(col("base"), col("name")))
         .select(col("ID"), col("file_url").as("URL"),
           concat(lit(prefix + "/"), col("name")).as("key"), col("name"))
       (tracked(fetchDedupWrite(candidates, root, prefix, overwrite = false)), listErrors)

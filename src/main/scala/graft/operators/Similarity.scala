@@ -71,6 +71,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nCells` deterministic centroids
+    * (the lowest-vec_id vectors — data-derived, reproducible, no RNG),
+    * each vector assigned to its nearest centroid cell; a probe scans only
+    * the query's cell. At 100 TB: centroids broadcast (K rows), assignment
+    * is one narrow pass, and the probe reads 1/K of the data — the same
+    * contract as IVF-Flat. `assignCells` is reusable for cell-partitioned
+    * storage layout (write.partitionBy("cell")).
+    */
+  def assignCells(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    embeddings
+      .crossJoin(broadcast(cents))
+      // round(6) before the argmax so the oracle's independently-computed
+      // doubles order identically (ties broken by lowest cell id)
+      .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nCells: Int): DataFrame = {
+    val cells = assignCells(embeddings, nCells)
+    val q = cells.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("cell").as("q_cell"))
+    cells.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), col("cell") === col("q_cell"))
+      .select(col("vec_id"), col("cell"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label block (blocking bounds the pair count; at scale the block key
     * would be an LSH bucket instead of a label).

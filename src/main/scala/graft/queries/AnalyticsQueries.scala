@@ -41,6 +41,16 @@ object AnalyticsQueries extends QueryPack {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // EX1c: TPC-H Q6-shaped selective scan — every predicate reaches the
+    // parquet scan (PushedFilters), the agg is a single partial+final.
+    "agg_filtered_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     // EX2: exact distinct aggregation.
     "agg_distinct_custs" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -223,6 +233,14 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_filtered_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
 
     "agg_distinct_custs" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,

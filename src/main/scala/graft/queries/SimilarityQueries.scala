@@ -35,8 +35,15 @@ object SimilarityQueries extends QueryPack {
 
     // Embedding-cosine near-dup: nearest neighbour within label block.
     "sim_nn_within_label" -> ((s, dir) =>
-      Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id"))
+      Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id")),
+
+    // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
+    // cells), probe scans only the query's cell.
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(emb(s, dir), QUERY_ID, TOP_K, nCells = N_CELLS))
   )
+
+  private val N_CELLS = 16
 
   private def cosSql(a: String, b: String) = DuckSql.cosine(a, b)
 
@@ -65,6 +72,20 @@ object SimilarityQueries extends QueryPack {
          |SELECT vec_id, sig, round(${cosSql("de", "qe")}, 6) AS cosine
          |FROM signed, q WHERE vec_id <> $QUERY_ID AND sig = q_sig
          |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_ivf_topk" ->
+      s"""WITH $embsCte,
+         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
+         |assigned AS (
+         |  SELECT e.vec_id, e.de, c.cell,
+         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
+         |  FROM embs e CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |q AS (SELECT de AS qe, cell AS q_cell FROM assigned WHERE vec_id = $QUERY_ID)
+         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |FROM assigned a, q WHERE a.vec_id <> $QUERY_ID AND a.cell = q_cell
+         |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte

@@ -35,6 +35,28 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream join: each click joined to the same user's purchases
+    * within `horizon` BEFORE the click (time-range condition). Watermarks
+    * on both sides bound the join state — without them Spark would buffer
+    * both streams forever.
+    */
+  def clickPurchaseJoin(events: DataFrame, horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Online E4 retry ledger via mapGroupsWithState: tracks per-task
     * delivery attempts across micro-batches; emits (task, attempts,
     * dead) rows, `dead=true` once attempts reach `maxAttempts` —

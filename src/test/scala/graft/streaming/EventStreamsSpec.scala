@@ -69,6 +69,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(last("s2") === ("s2", 1, false))
   }
 
+  test("stream-stream join matches purchases within the horizon before each click") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.clickPurchaseJoin(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "purchase"),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click"),     // joins purchase 1
+      (3L, ts("2024-01-01 08:00:00"), 1L, "purchase"),  // > 1h before click 2
+      (4L, ts("2024-01-01 10:20:00"), 2L, "click"))     // no purchase
+    q.processAllAvailable()
+    input.addData((9L, ts("2024-01-01 20:00:00"), 9L, "view"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSet === Set((2L, 1L)))
+  }
+
   test("session windows group by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -193,6 +193,16 @@ object AnalyticsQueries extends QueryPack {
         .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Skew-safe aggregation: two-phase salted sum per user (identical
+    // result to a plain groupBy; hot keys fan out over 16 salt buckets
+    // in the first shuffle). Doubles rounded AFTER full summation.
+    "agg_salted_user_value" -> ((s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          t(s, dir, "events"), key = "user_id", valueCol = "value",
+          saltFrom = "event_id")
+        .select(col("user_id"), round(col("sum_value"), 2).as("sum_value"), col("n"))
+        .orderBy("user_id")),
+
     // Grouping sets: rollup subtotals (beyond the survey's minimum —
     // free via Catalyst's Expand). Subtotal rows labeled 'ALL' instead of
     // null so cross-engine row sorting is total.
@@ -226,6 +236,10 @@ object AnalyticsQueries extends QueryPack {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_salted_user_value" ->
+      """SELECT user_id, round(sum(value), 2) AS sum_value, count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -17,6 +17,8 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -40,7 +40,22 @@ object SimilarityQueries extends QueryPack {
     // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
     // cells), probe scans only the query's cell.
     "sim_ivf_topk" -> ((s, dir) =>
-      Similarity.ivfTopK(emb(s, dir), QUERY_ID, TOP_K, nCells = N_CELLS))
+      Similarity.ivfTopK(emb(s, dir), QUERY_ID, TOP_K, nCells = N_CELLS)),
+
+    // Custom typed Aggregator: per-label embedding centroids, emitted as
+    // (label, dim, value) rows for exact cross-engine comparison.
+    "sim_label_centroids" -> ((s, dir) => {
+      import s.implicits._
+      // untyped groupBy needs the udaf() wrapper (toColumn is for typed
+      // KeyValueGroupedDataset aggregation)
+      val centroid = udaf(graft.functions.CentroidAgg)
+      emb(s, dir)
+        .groupBy(col("label"))
+        .agg(centroid(col("embedding")).as("centroid"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
+        .select(col("label"), col("dim"), round(col("v"), 6).as("v"))
+        .orderBy("label", "dim")
+    })
   )
 
   private val N_CELLS = 16
@@ -86,6 +101,14 @@ object SimilarityQueries extends QueryPack {
          |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
          |FROM assigned a, q WHERE a.vec_id <> $QUERY_ID AND a.cell = q_cell
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_label_centroids" ->
+      """WITH flat AS (
+        |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS e
+        |  FROM embeddings)
+        |SELECT label, dim, round(avg(e), 6) AS v
+        |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
 
-import graft.streaming.{DownloadPipeline, HarvestJob, Workspace}
+import graft.streaming.{BatchHandler, DownloadPipeline, HarvestJob, Workspace}
 
 /** Runnable end-to-end demo of the full reference dataflow (SURVEY.md §3):
   * provision workspace → harvest a catalog (template expansion) → queue →
@@ -59,8 +59,17 @@ object PipelineDemo {
       Timestamp.valueOf("2026-08-12 09:30:00"), "hourly", s"$root/queue")
     println(s"harvested $n tasks into queue/")
 
-    DownloadPipeline.runStream(spark, s"$root/queue", root,
-      s"$root/checkpoint", catalogPath = Some(catalog.toString))
+    if (args.contains("--batch")) {
+      // reference-style polling loop: claim ≤5, process, ack to done/
+      var report = DownloadPipeline.BatchReport(1, 0, 0, 0, 0)
+      while (report.attempted > 0) {
+        report = BatchHandler.runOnce(spark, root, Some(catalog.toString))
+        if (report.attempted > 0) println(s"batch: $report")
+      }
+    } else {
+      DownloadPipeline.runStream(spark, s"$root/queue", root,
+        s"$root/checkpoint", catalogPath = Some(catalog.toString))
+    }
 
     println(s"workspace: $root")
     Files.walk(Paths.get(root)).iterator().forEachRemaining { p =>

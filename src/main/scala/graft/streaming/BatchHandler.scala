@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Queue
+
+/** Batch-mode downloader handler — the direct analog of the reference's
+  * `data_downloader.handler` loop (`data_downloader.py:204-228`): take up
+  * to `pollCap` queued task files, process them, then ack by moving the
+  * consumed queue files to `done/` (batch E3; the streaming form acks via
+  * checkpoint instead — SURVEY.md §2.1 E3).
+  *
+  * File-level claim/ack (move to `processing/` first, `done/` after)
+  * mirrors the reference's visibility-timeout semantics: a crash between
+  * claim and ack leaves files in `processing/` for a sweeper to re-queue
+  * — at-least-once, made effectively-once by the idempotent object sink.
+  */
+object BatchHandler {
+
+  def runOnce(spark: SparkSession, root: String,
+      catalogPath: Option[String] = None, pollCap: Int = 5): DownloadPipeline.BatchReport = {
+    val queueDir = Paths.get(root, "queue")
+    val processing = Paths.get(root, "processing")
+    val done = Paths.get(root, "done")
+    Files.createDirectories(processing); Files.createDirectories(done)
+
+    // claim: move up to pollCap task files queue/ → processing/
+    val claimed = {
+      val s = Files.list(queueDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          .filterNot(_.getFileName.toString.startsWith("_"))
+          .take(pollCap).toList
+          .map { p =>
+            val t = processing.resolve(p.getFileName)
+            Files.move(p, t, StandardCopyOption.ATOMIC_MOVE); t
+          }
+      } finally s.close()
+    }
+    if (claimed.isEmpty)
+      return DownloadPipeline.BatchReport(0, 0, 0, 0, 0)
+
+    val tasks = spark.read.schema(graft.model.Schemas.task)
+      .json(claimed.map(_.toString): _*)
+    val report = DownloadPipeline.processBatch(tasks, root, catalogPath)
+
+    // ack: processing/ → done/ (the delete_message analog)
+    claimed.foreach { p =>
+      Files.move(p, done.resolve(p.getFileName), StandardCopyOption.ATOMIC_MOVE)
+    }
+    report
+  }
+}

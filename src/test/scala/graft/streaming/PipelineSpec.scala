@@ -113,6 +113,28 @@ class PipelineSpec extends SparkSpec {
     assert(updated("src-001") === 1)
   }
 
+  test("batch handler: claim/process/ack moves queue files to done/") {
+    val tmp = Files.createTempDirectory("graft-batch")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    import spark.implicits._
+    val u = src.toUri.toString
+    graft.sources.Queue.enqueue(
+      Seq(("s-direct", s"${u}direct.bin", "DIRECT", "direct_out.bin", "0", 0))
+        .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts"),
+      s"$root/queue")
+
+    val report = BatchHandler.runOnce(spark, root)
+    assert(report.downloaded === 1)
+    assert(read(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")) === "direct-payload")
+    // queue drained, files acked into done/
+    assert(BatchHandler.runOnce(spark, root).attempted === 0)
+    val doneFiles = Files.list(Paths.get(root, "done"))
+    try assert(doneFiles.count() > 0) finally doneFiles.close()
+  }
+
   test("streaming: harvest → queue → AvailableNow drain; checkpoint acks") {
     val tmp = Files.createTempDirectory("graft-stream")
     val src = tmp.resolve("src")

@@ -33,7 +33,7 @@ object TextFns {
     * and is bit-identical across engines.
     */
   def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, sh => md5(concat(lit(seed + "|"), sh))))
+    array_min(transform(shingles, sh => md5(concat(lit(s"$seed|"), sh))))
 
   /** Sorts above every md5 hex char — the "no shingles seen" sentinel. */
   private val minhashSentinel = "￿"

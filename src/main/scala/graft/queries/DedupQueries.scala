@@ -51,10 +51,11 @@ object DedupQueries extends QueryPack {
     // most-similar pairs. Blocking bounds the pair count (at 100 TB the
     // block key becomes an LSH band instead).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = Dedup.minhashSignatures(docs(s, dir), n = 3, k = 1)
-        .select(col("doc_id"), array_distinct(col("shingles")).as("sh"))
-      val meta = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
-      val d = sh.join(meta, "doc_id")
+      import graft.functions.TextFns
+      // shingle sets directly (no minhash fold — halves the codegen'd
+      // expression tree; this query only needs exact sets)
+      val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
       val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
       val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
       // (lang, source) has ~25 distinct values: a shuffle join would put

@@ -75,6 +75,46 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // Exact interpolated percentiles (median/p90) per group.
+    "agg_percentiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .orderBy("event_type")),
+
+    // TPC-H Q3-shaped shipping-priority query: selective dim filters,
+    // two shuffle joins on scaling keys, top-10 via TakeOrdered.
+    "join_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q4-shaped: orders with at least one late-shipped item
+    // (correlated EXISTS → left_semi with a non-equi condition).
+    "semi_late_shipments" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Sort + limit (top-k pushes through TakeOrderedAndProject — no full sort).
     "topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -270,6 +310,32 @@ object AnalyticsQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "agg_percentiles" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events_us GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_shipping_priority" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "semi_late_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice

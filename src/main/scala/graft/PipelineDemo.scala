@@ -77,9 +77,8 @@ object PipelineDemo {
           && !p.toString.contains("queue"))
         println(s"  ${Paths.get(root).relativize(p)}  (${Files.size(p)} bytes)")
     }
-    val updated = Files.readString(Paths.get(catalog.toString + ".updated")
-      .resolve(Files.list(Paths.get(catalog.toString + ".updated"))
-        .filter(_.toString.endsWith(".csv")).findFirst().get().getFileName))
+    // E1 rewrites the live catalog file in place
+    val updated = Files.readString(catalog)
     println("updated catalog rows flagged Active=2:")
     updated.split("\r\n").filter(_.contains(",2,")).foreach(l => println(s"  $l"))
     spark.stop()

@@ -36,8 +36,12 @@ object AsOf {
       struct(rightCols.map(col): _*).as("_r"))
 
     // Right rows sort before left rows at equal timestamps (side 0 < 1), so
-    // the join is inclusive: right.time == left.time matches.
-    val w = Window.partitionBy("_k").orderBy("_t", "_side")
+    // the join is inclusive: right.time == left.time matches. The carried
+    // right struct is the FINAL tiebreak: when multiple right rows share
+    // (key, timestamp), `last(_r)` deterministically carries the greatest
+    // carried-column tuple regardless of partitioning/run (left rows have
+    // _r null, which sorts first and never reorders across sides).
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val out: Seq[Column] =

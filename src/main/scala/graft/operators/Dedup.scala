@@ -31,8 +31,7 @@ object Dedup {
   /** Minhash signatures: k md5-minima over word n-gram shingles. */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), n).as("shingles"))
+    docs.select(col(idCol), TextFns.textShingles(col(textCol), n).as("shingles"))
       .withColumn("sig", TextFns.minhashSignature(col("shingles"), k))
 
   /** LSH candidate pairs: docs sharing ≥1 band (bands × rowsPerBand = k).
@@ -55,26 +54,50 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
-  /** Exact Jaccard over distinct shingle sets for given candidate pairs. */
+  /** Exact Jaccard over distinct shingle sets for given candidate pairs.
+    * Empty∪empty would be 0/0 = NaN — and Spark orders NaN above every
+    * number, so an unguarded `>= threshold` would pass; emit null instead
+    * (the DuckDB oracle emits nothing for such pairs, and callers filter
+    * with a comparison that null fails).
+    */
   def jaccardVerify(candidates: DataFrame, shingleSets: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val sa = shingleSets.select(col(idCol).as("a"), array_distinct(col("shingles")).as("sh_a"))
     val sb = shingleSets.select(col(idCol).as("b"), array_distinct(col("shingles")).as("sh_b"))
+    val uni = size(array_union(col("sh_a"), col("sh_b")))
     candidates.join(sa, "a").join(sb, "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", when(uni === 0, lit(null)).otherwise(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / uni))
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    * exact-Jaccard verification → pairs with jaccard ≥ threshold.
+  /** MinHash-LSH near-dup pipeline: fused shingle→minhash→band hashing
+    * (one native expression per side, computed once per document) →
+    * banded candidate self-join → exact-Jaccard verification → pairs with
+    * jaccard ≥ threshold.
+    *
+    * Documents with no shingles (fewer than n tokens) generate no banded
+    * rows (LshBandsExpr emits an empty band array), so they can never
+    * pair — the round-1 failure mode where all such docs md5'd to one
+    * O(m²) NaN-jaccard bucket is structurally gone. No cache: each side
+    * evaluates its native expression exactly once, and a cached plan here
+    * would leak blocks into long-lived sessions (Verify/Bench run every
+    * query in one session).
     */
   def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docs, n, k).cache()
-    val cands = lshCandidates(sigs, bands, k / bands)
-    jaccardVerify(cands, sigs.select(col("doc_id"), col("shingles")))
+    import graft.functions.expressions.LshBandsExpr
+    val shingled = docs.select(col("doc_id"),
+      TextFns.textShingles(col("text"), n).as("shingles"))
+    val banded = shingled.select(col("doc_id"),
+      posexplode(LshBandsExpr.lshBandsNative(col("shingles"), k, bands))
+        .as(Seq("band_id", "band_hash")))
+    val a = banded.select(col("doc_id").as("a"), col("band_id"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("b"), col("band_id"), col("band_hash"))
+    val cands = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    jaccardVerify(cands, shingled)
       .filter(col("jaccard") >= threshold)
   }
 

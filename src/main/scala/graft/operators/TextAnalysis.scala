@@ -92,8 +92,7 @@ object TextAnalysis {
     // evaluated interpreted per row on the (often 1-partition) scan side.
     // Filter EARLY on the cheap equivalent predicate instead: a doc has
     // shingles iff it has ≥ 3 tokens.
-    val hashes = transform(
-      TextFns.wordShingles(TextFns.tokens(col(textCol)), 3), sh => md5(sh))
+    val hashes = transform(TextFns.textShingles(col(textCol), 3), sh => md5(sh))
     docs
       .filter(size(TextFns.tokens(col(textCol))) >= 3)
       .select(col(idCol), hashes.as("h"))

@@ -48,24 +48,33 @@ object DedupQueries extends QueryPack {
         .orderBy("doc_id")),
 
     // Exact n-gram Jaccard near-dup, blocked by (lang, source): top-20
-    // most-similar pairs. Blocking bounds the pair count (at 100 TB the
-    // block key becomes an LSH band instead).
+    // most-similar pairs, via an inverted-index join — explode distinct
+    // shingles, self-join on (lang, source, shingle), so |A∩B| is the
+    // per-pair match count and only pairs sharing ≥1 shingle are ever
+    // materialized (the block cross-product never exists; the earlier
+    // broadcast-cross form intersected 159k full pairs at sf0.1). |A∪B| =
+    // |A|+|B|−|A∩B| from a broadcast per-doc size table. At 100 TB this
+    // is the scalable form: the shuffle key is the shingle (near-uniform),
+    // fan-out is bounded by shingle frequency, and zero-overlap pairs are
+    // never enumerated — sound for top-k as long as ≥k overlapping pairs
+    // exist (150 at sf0.01, 14.5k at sf0.1).
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import graft.functions.TextFns
-      // shingle sets directly (no minhash fold — halves the codegen'd
-      // expression tree; this query only needs exact sets)
       val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(TextFns.wordShingles(TextFns.tokens(col("text")), 3)).as("sh"))
-      val a = d.select(col("lang"), col("source"), col("doc_id").as("a"), col("sh").as("sh_a"))
-      val b = d.select(col("lang"), col("source"), col("doc_id").as("b"), col("sh").as("sh_b"))
-      // (lang, source) has ~25 distinct values: a shuffle join would put
-      // every pair on ≤25 tasks. Broadcast one side; |A∪B| is derived from
-      // |A∩B| so the intersection is computed once per pair.
-      val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-      a.join(broadcast(b), Seq("lang", "source"))
+        array_distinct(TextFns.textShingles(col("text"), 3)).as("sh"))
+      val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+      val ex = d.select(col("lang"), col("source"), col("doc_id"),
+        explode(col("sh")).as("shingle"))
+      val a = ex.select(col("lang"), col("source"), col("doc_id").as("a"), col("shingle"))
+      val b = ex.select(col("lang"), col("source"), col("doc_id").as("b"), col("shingle"))
+      a.join(b, Seq("lang", "source", "shingle"))
         .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), "a")
+        .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), "b")
         .select(col("a"), col("b"),
-          round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter), 6).as("jaccard"))
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(20)
     })

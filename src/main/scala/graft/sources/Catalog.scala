@@ -36,4 +36,26 @@ object Catalog {
       .option("header", "true")
       .option("lineSep", "\r\n")
       .csv(path)
+
+  /** E1 applied to the LIVE catalog file: materialize the updated catalog
+    * to a temp dir FIRST (the update plan lazily reads `path` — writing
+    * in place before materializing would read-through-truncate), then
+    * swap the single part file over `path`. Single-writer by contract
+    * (SURVEY.md §7.3); later batches re-read the swapped file, so flags
+    * from earlier batches accumulate instead of being recomputed from the
+    * original catalog.
+    */
+  def replaceInPlace(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(path + ".tmp-rewrite")
+    overwrite(df, tmp.toString)
+    val fs = tmp.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val target = new Path(path)
+    fs.delete(target, true)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+  }
 }

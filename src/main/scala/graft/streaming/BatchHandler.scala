@@ -55,4 +55,46 @@ object BatchHandler {
     }
     report
   }
+
+  private val attemptsField = "\"attempts\"\\s*:\\s*(\\d+)".r
+
+  /** Visibility-timeout redelivery sweeper (E4,
+    * `cloudformation/lambda.cfn.yaml:28-36`): a crash between claim and
+    * ack strands task files in `processing/`; re-enqueue them with
+    * `attempts+1` so redeliveries count toward the DLQ threshold —
+    * `processBatch` dead-letters tasks arriving with attempts >=
+    * maxAttempts. (Handled errors never come back here: they are acked
+    * after flag+alert, matching the reference's poison-pill ack.)
+    * Returns the number of files re-enqueued.
+    */
+  def recoverStale(root: String): Int = {
+    val processing = Paths.get(root, "processing")
+    val queueDir = Paths.get(root, "queue")
+    if (!Files.isDirectory(processing)) return 0
+    Files.createDirectories(queueDir)
+    val stale = {
+      val s = Files.list(processing)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+          .filterNot(_.getFileName.toString.startsWith("_")).toList
+      } finally s.close()
+    }
+    stale.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      val bumped = Files.readAllLines(p).asScala.map { line =>
+        if (attemptsField.findFirstIn(line).isDefined)
+          attemptsField.replaceAllIn(line,
+            m => "\"attempts\":" + (m.group(1).toInt + 1))
+        else if (line.endsWith("}"))
+          line.dropRight(1) + ",\"attempts\":1}"
+        else line
+      }
+      val out = queueDir.resolve(p.getFileName.toString + ".retry")
+      Files.write(out, bumped.asJava)
+      Files.delete(p)
+    }
+    stale.size
+  }
 }

@@ -21,9 +21,13 @@ import graft.sources.{Catalog, Queue}
   *                             ID-as-URL bug corrected, SURVEY §7.0)
   *   FTP_FILES               : fetch listing → last-token names → glob →
   *                             resolve → dup-guard → fetch → sink
-  * errors → catalog Active:=2 (E1) + alert sink (E2) + handled-error ack;
-  * uncaught-style task failures re-enqueue with attempts+1 until the DLQ
-  * threshold (E4).
+  * errors → catalog Active:=2 applied to the live catalog (E1) + alert
+  * sink (E2) + handled-error ack (the reference's poison-pill ack,
+  * data_downloader.py:58: flagged sources are NOT retried). Uncaught
+  * batch failures leave their claimed files in processing/;
+  * [[BatchHandler.recoverStale]] re-enqueues those with attempts+1 —
+  * the visibility-timeout redelivery analog — and tasks arriving with
+  * attempts >= maxAttempts dead-letter here (E4).
   *
   * All fetch I/O is inside mapPartitions (never a Catalyst expression);
   * the deterministic transform chain around it is plain DataFrame code so
@@ -142,11 +146,14 @@ object DownloadPipeline {
     if (errCount > 0) {
       ErrorPath.alertJson(allErrors).select(col("alert_json"))
         .write.mode("append").text(s"$root/alerts")
+      // E1: flags apply to the LIVE catalog (the reference's write-to-
+      // side-path bug, data_downloader.py:48, is NOT reproduced): read the
+      // latest state — accumulating flags from earlier batches — and swap
+      // the updated file in place.
       catalogPath.foreach { path =>
         val updated = ErrorPath.flagBroken(Catalog.read(spark, path),
           allErrors.select(col("ID").as("id")))
-        val tmp = s"$path.updated"
-        Catalog.overwrite(updated, tmp)
+        Catalog.replaceInPlace(updated, path)
       }
     }
 

@@ -1,0 +1,124 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.expressions.{DotProductExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr}
+
+/** Parity of the native hot-path expressions (ShinglesExpr, MinhashSigExpr,
+  * LshBandsExpr, DotProductExpr) with the declarative built-in chains they
+  * replaced — same values on seeded-random inputs, plus the edge cases the
+  * declarative forms got wrong or left nondeterministic.
+  */
+class TextVectorNativeSpec extends SparkSpec {
+
+  private val rnd = new Random(20260812)
+  private def randText(): String = {
+    val words = Seq("alpha", "beta", "Gamma42", "δélta", "e", "", "ZIP-9",
+      "the", "quick", "brown", "über", "123", "x_y", "..", "tok")
+    (0 until rnd.nextInt(60)).map(_ => words(rnd.nextInt(words.size)))
+      .mkString(Seq(" ", ", ", "\n", "  ")(rnd.nextInt(4)))
+  }
+
+  test("ShinglesExpr == wordShingles(tokens(text), n) on random text") {
+    import spark.implicits._
+    val texts = (0 until 200).map(_ => randText()) :+ "" :+ "one two" :+ "!!!"
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = texts.toDF("text")
+        .select(
+          ShinglesExpr.shinglesNative(col("text"), n).as("native"),
+          TextFns.wordShingles(TextFns.tokens(col("text")), n).as("declarative"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
+
+  test("MinhashSigExpr == per-seed array_min(transform(md5)) formula") {
+    import spark.implicits._
+    val k = 8
+    val texts = (0 until 100).map(_ => randText()) :+ "a b c d e" :+ "xy"
+    val naive = array((0 until k).map(i => TextFns.minhash(col("shingles"), i)): _*)
+    val rows = texts.toDF("text")
+      .select(ShinglesExpr.shinglesNative(col("text"), 3).as("shingles"))
+      .select(
+        MinhashSigExpr.minhashSigNative(col("shingles"), k).as("native"),
+        naive.as("declarative"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("LshBandsExpr == md5(concat_ws('|', element_at(sig, ...))) per band") {
+    import spark.implicits._
+    val k = 16; val bands = 4; val r0 = k / bands
+    val texts = (0 until 100).map(_ => randText()).filter(_.trim.nonEmpty)
+    val declared = array((0 until bands).map(b =>
+      md5(concat_ws("|", (0 until r0).map(i =>
+        element_at(col("sig"), b * r0 + i + 1)): _*))): _*)
+    val rows = texts.toDF("text")
+      .select(ShinglesExpr.shinglesNative(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(
+        LshBandsExpr.lshBandsNative(col("shingles"), k, bands).as("native"),
+        MinhashSigExpr.minhashSigNative(col("shingles"), k).as("sig"))
+      .select(col("native"), declared.as("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
+  test("LshBandsExpr: empty shingle set yields an EMPTY band array (no shared bucket)") {
+    import spark.implicits._
+    val rows = Seq("", "!!", "a b").toDF("text")
+      .select(LshBandsExpr.lshBandsNative(
+        ShinglesExpr.shinglesNative(col("text"), 3), 16, 4).as("bands"))
+      .collect()
+    assert(rows.forall(_.getSeq[String](0).isEmpty))
+    // so token-poor docs generate no banded rows and can never pair
+  }
+
+  test("DotProductExpr == HOF fold; null on length mismatch / null element") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { _ =>
+      val d = 1 + rnd.nextInt(8)
+      (Seq.fill(d)(rnd.nextDouble() * 2 - 1), Seq.fill(d)(rnd.nextDouble() * 2 - 1))
+    }
+    val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val rows = vecs.toDF("a", "b")
+      .select(
+        DotProductExpr.dotNative(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("declarative"))
+      .collect()
+    rows.foreach { r =>
+      // exact: same summation order, same doubles
+      assert(r.getDouble(0) === r.getDouble(1))
+    }
+    val edge = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),           // length mismatch
+      (Seq.empty[Double], Seq.empty[Double])) // empty == 0.0
+      .toDF("a", "b")
+      .select(DotProductExpr.dotNative(col("a"), col("b")))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getDouble(0) === 0.0)
+  }
+
+  test("native expressions keep the plan UDF-free and support codegen") {
+    import spark.implicits._
+    val plan = Seq(("a b c d", Seq(1.0, 2.0)))
+      .toDF("text", "v")
+      .select(
+        MinhashSigExpr.minhashSigNative(ShinglesExpr.shinglesNative(col("text"), 3), 4),
+        DotProductExpr.dotNative(col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+}

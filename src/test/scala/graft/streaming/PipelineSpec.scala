@@ -101,16 +101,48 @@ class PipelineSpec extends SparkSpec {
     val catPath = tmp.resolve("sources.csv").toString
     Files.copy(Paths.get(graft.sources.Catalog.fixturePath), Paths.get(catPath))
 
-    val tasks = Seq(
-      ("src-003", tmp.resolve("nope.txt").toUri.toString, "FTP_FILES", "*", "0", 0)
+    def failTask(id: String) = Seq(
+      (id, tmp.resolve("nope.txt").toUri.toString, "FTP_FILES", "*", "0", 0)
     ).toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
-    DownloadPipeline.processBatch(tasks, root, Some(catPath))
-
-    val updated = graft.sources.Catalog.read(spark, catPath + ".updated")
+    def activeById = graft.sources.Catalog.read(spark, catPath)
       .select("id", "active").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
-    assert(updated("src-003") === 2)
-    assert(updated("src-001") === 1)
+
+    // flags land in the LIVE catalog (reference's side-path bug not
+    // reproduced), and accumulate across batches
+    DownloadPipeline.processBatch(failTask("src-003"), root, Some(catPath))
+    assert(activeById("src-003") === 2)
+    assert(activeById("src-001") === 1)
+    DownloadPipeline.processBatch(failTask("src-001"), root, Some(catPath))
+    val after = activeById
+    assert(after("src-001") === 2)
+    assert(after("src-003") === 2, "flag from the earlier batch was lost")
+  }
+
+  test("E4: recoverStale re-enqueues stranded tasks with attempts+1 → DLQ") {
+    val tmp = Files.createTempDirectory("graft-e4")
+    val root = tmp.resolve("ws").toString
+    Workspace.provision(root)
+    // a crashed batch left a claimed task file in processing/
+    write(Paths.get(root, "processing", "t1.json"),
+      """{"ID":"s-x","URL":"file:///nope","TYPE":"DIRECT","PATTERN":"p","UTC":"0","attempts":3}""")
+    assert(BatchHandler.recoverStale(root) === 1)
+    assert(!Files.exists(Paths.get(root, "processing", "t1.json")))
+    val requeued = spark.read.schema(graft.model.Schemas.task)
+      .json(s"$root/queue").collect()
+    assert(requeued.length === 1)
+    assert(requeued.head.getAs[Int]("attempts") === 4)
+    // one more crash+sweep exhausts it: attempts reaches 5 → dead-letter
+    val f = {
+      val s = Files.list(Paths.get(root, "queue"))
+      try { val l = s.iterator().next(); l } finally s.close()
+    }
+    Files.move(f, Paths.get(root, "processing", f.getFileName.toString))
+    assert(BatchHandler.recoverStale(root) === 1)
+    val report = BatchHandler.runOnce(spark, root)
+    assert(report.deadLettered === 1 && report.attempted === 1)
+    val dead = spark.read.text(s"$root/dead_letter").collect().map(_.getString(0))
+    assert(dead.length === 1 && dead.head.contains("s-x"))
   }
 
   test("batch handler: claim/process/ack moves queue files to done/") {

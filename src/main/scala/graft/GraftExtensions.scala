@@ -1,8 +1,10 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductExpr, MinhashSigExpr, UrlResolveExpr}
+import graft.functions.expressions.{DotProductExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr, UrlResolveExpr}
 
 /** Session extension registering the engine's custom SQL functions
   * (SURVEY.md §4.3). Use either:
@@ -11,24 +13,24 @@ import graft.functions.expressions.{DotProductExpr, MinhashSigExpr, UrlResolveEx
   *   - [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((UrlResolveExpr.identifier, UrlResolveExpr.info,
-      UrlResolveExpr.builder _))
-    ext.injectFunction((MinhashSigExpr.identifier, MinhashSigExpr.info,
-      MinhashSigExpr.builder _))
-    ext.injectFunction((DotProductExpr.identifier, DotProductExpr.info,
-      DotProductExpr.builder _))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+
+  private[graft] val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (UrlResolveExpr.identifier, UrlResolveExpr.info, UrlResolveExpr.builder _),
+      (ShinglesExpr.identifier, ShinglesExpr.info, ShinglesExpr.builder _),
+      (MinhashSigExpr.identifier, MinhashSigExpr.info, MinhashSigExpr.builder _),
+      (LshBandsExpr.identifier, LshBandsExpr.info, LshBandsExpr.builder _),
+      (DotProductExpr.identifier, DotProductExpr.info, DotProductExpr.builder _))
+
   /** Imperative registration for an already-built session. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      UrlResolveExpr.identifier.funcName, UrlResolveExpr.builder _, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MinhashSigExpr.identifier.funcName, MinhashSigExpr.builder _, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotProductExpr.identifier.funcName, DotProductExpr.builder _, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "scala_udf")
+    }
 }

@@ -17,7 +17,8 @@ object SparkEntry {
     AnalyticsQueries,
     DedupQueries,
     SimilarityQueries,
-    TextQueries)
+    TextQueries,
+    MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

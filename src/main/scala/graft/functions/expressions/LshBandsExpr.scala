@@ -84,4 +84,19 @@ object LshBandsExpr {
   /** Column-API form backed by the native expression. */
   def lshBandsNative(shingles: Column, k: Int, bands: Int): Column =
     GraftBridge.column(LshBandsExpr(GraftBridge.expression(shingles), k, bands))
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[LshBandsExpr].getName, null, "lsh_bands",
+    "_FUNC_(shingles, k, bands) - per-band md5 of the k-minima minhash signature; empty input -> empty array.",
+    "", "", "", "", "", "", "scala_udf")
+
+  val identifier = org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bands")
+
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(sh, k, b) if k.foldable && b.foldable =>
+      LshBandsExpr(sh, k.eval().asInstanceOf[Number].intValue(),
+        b.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "lsh_bands expects (shingles, k, bands) with literal k and bands")
+  }
 }

@@ -71,4 +71,18 @@ object ShinglesExpr {
   /** Column-API form backed by the native expression. */
   def shinglesNative(text: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), n))
+
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[ShinglesExpr].getName, null, "word_shingles",
+    "_FUNC_(text, n) - lowercase, split on [^a-z0-9]+, space-joined word n-grams.",
+    "", "", "", "", "", "", "scala_udf")
+
+  val identifier = org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")
+
+  def builder(children: Seq[Expression]): Expression = children match {
+    case Seq(t, n) if n.foldable =>
+      ShinglesExpr(t, n.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "word_shingles expects (text, n) with a literal n")
+  }
 }

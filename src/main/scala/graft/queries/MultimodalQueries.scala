@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal-column registrations (north-star set): binary blobs with
+  * typed metadata, the per-partition decode kernel, and the 1:N
+  * frame-sampling kernel — driven end-to-end through the driver's DuckDB
+  * gate on their codec-independent outputs.
+  *
+  * The "media" table is synthesized from `documents` (media_id = doc_id,
+  * bytes = UTF-8 of text) so the oracle can reason about the same blobs:
+  * the corpus is pure ASCII at every SF, so DuckDB VARCHAR substrings and
+  * md5(VARCHAR) replay Spark's binary slices and md5(BINARY) exactly.
+  * Stub-codec-derived values (fake width/height/format) are deliberately
+  * NOT emitted — only fields a real codec would agree on (sizes, slices,
+  * digests, counts) are oracle-checked; MultimodalSpec covers the rest.
+  */
+object MultimodalQueries extends QueryPack {
+
+  /** Opaque-binary media table synthesized from `documents`. */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("doc_id").as("media_id"), col("lang"),
+        col("text").cast("binary").as("bytes"))
+
+  private val FRAMES = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Binary-column handling + aggregation: per-lang blob stats over the
+    // opaque bytes (no decode). One hash-shuffle on lang.
+    "mm_blob_stats" -> ((s, dir) =>
+      media(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_blobs"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        countDistinct(md5(col("bytes"))).as("distinct_digests"))
+        .orderBy("lang")),
+
+    // The mapPartitions decode kernel end-to-end (StubCodec), checked on
+    // its codec-independent fields.
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decode(media(s, dir), kind = "image").toDF()
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.sizeBytes").as("size_bytes"))
+        .orderBy("media_id")),
+
+    // The 1:N frame-sampling generator kernel: deterministic byte slices,
+    // verified by per-frame length + digest.
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), FRAMES).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_blob_stats" ->
+      """SELECT lang, count(*) AS n_blobs,
+        |  sum(length(text))::BIGINT AS total_bytes,
+        |  count(DISTINCT md5(text)) AS distinct_digests
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  length(text) AS size_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // step = max(1, len/4); frame i = bytes[i*step, min(i*step+step, len));
+    // ASCII corpus → VARCHAR substring == byte slice.
+    "mm_frame_sample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS len,
+         |    greatest(1, length(text) // $FRAMES) AS step
+         |  FROM documents),
+         |f AS (
+         |  SELECT media_id, i.range AS frame_idx,
+         |    substring(text, (i.range * step)::INTEGER + 1, step::INTEGER) AS frame
+         |  FROM m, range(0, $FRAMES) i
+         |  WHERE i.range < least($FRAMES, len))
+         |SELECT media_id, frame_idx::INTEGER AS frame_idx,
+         |  length(frame) AS frame_bytes, md5(frame) AS frame_md5
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

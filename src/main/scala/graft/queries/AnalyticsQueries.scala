@@ -261,7 +261,71 @@ object AnalyticsQueries extends QueryPack {
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Grouping sets, cube form: all 4 subtotal combinations in ONE pass
+    // (Catalyst Expand ×4 then a single partial+final agg — no re-scan
+    // per grouping set).
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+          col("n"), col("sum_price"))
+        .orderBy("o_orderpriority", "o_orderstatus")),
+
+    // EX4c: lag/lead analytics — per-user value delta between consecutive
+    // events. First-of-user rows (no predecessor) are dropped rather than
+    // emitted as null: a null in a double column sorts engine-dependently
+    // in the hash-compare.
+    "window_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+        .filter(col("delta").isNotNull)
+        .orderBy("user_id", "event_id")
+    }),
+
+    // EX4d/top-k per group: rank <= 3 within each order priority. Spark 4
+    // plans this as WindowGroupLimit — per-partition top-k pushed below
+    // the shuffle, no full per-group sort materialization.
+    "window_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(round(col("o_totalprice"), 2).desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // TPC-H Q7-shaped volume shipping: 4 joins around the fact table, a
+    // symmetric two-nation filter, year rollup. Both nation joins
+    // broadcast (25 rows); lineitem never shuffles until the final agg.
+    "join_volume_shipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -416,6 +480,43 @@ object AnalyticsQueries extends QueryPack {
       """SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "window_lag_delta" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT user_id, event_id,
+        |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+        |FROM events_us
+        |QUALIFY delta IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "window_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "join_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

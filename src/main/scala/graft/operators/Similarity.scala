@@ -105,6 +105,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe IVF: scan the `nProbe` cells whose centroids are nearest
+    * the QUERY vector (not just the query's own cell) — the standard
+    * recall/latency dial: nProbe/nCells of the data is read instead of
+    * 1/nCells. Probe-cell selection is a K-row broadcast-side sort; the
+    * scan side still prunes to the probed cells before any distance work.
+    */
+  def ivfTopKProbe(embeddings: DataFrame, queryId: Long, k: Int,
+      nCells: Int, nProbe: Int): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell"))
+    assignCells(embeddings, nCells)
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(probed), Seq("cell"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label block (blocking bounds the pair count; at scale the block key
     * would be an LSH bucket instead of a label).

@@ -42,6 +42,12 @@ object SimilarityQueries extends QueryPack {
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(emb(s, dir), QUERY_ID, TOP_K, nCells = N_CELLS)),
 
+    // ANN scale path #3: multi-probe IVF — scan the 2 cells nearest the
+    // query vector (recall/latency dial: nProbe/nCells of the data read).
+    "sim_ivf_nprobe_topk" -> ((s, dir) =>
+      Similarity.ivfTopKProbe(emb(s, dir), QUERY_ID, TOP_K,
+        nCells = N_CELLS, nProbe = 2)),
+
     // Custom typed Aggregator: per-label embedding centroids, emitted as
     // (label, dim, value) rows for exact cross-engine comparison.
     "sim_label_centroids" -> ((s, dir) => {
@@ -100,6 +106,23 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT de AS qe, cell AS q_cell FROM assigned WHERE vec_id = $QUERY_ID)
          |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
          |FROM assigned a, q WHERE a.vec_id <> $QUERY_ID AND a.cell = q_cell
+         |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_ivf_nprobe_topk" ->
+      s"""WITH $embsCte,
+         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
+         |probed AS (
+         |  SELECT cell FROM cents, q
+         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2),
+         |assigned AS (
+         |  SELECT e.vec_id, e.de, c.cell
+         |  FROM embs e CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)
+         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |FROM assigned a JOIN probed p ON a.cell = p.cell, q
+         |WHERE a.vec_id <> $QUERY_ID
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_label_centroids" ->

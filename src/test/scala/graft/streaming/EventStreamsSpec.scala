@@ -46,6 +46,31 @@ class EventStreamsSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 99.0 + 3.0), "late row must not reopen the window")
   }
 
+  test("streaming exact dedup drops duplicate digests across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+
+    val q = EventStreams.dedupStream(docs, watermark = "1 hour")
+      .select($"doc_id", $"content_md5")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData((ts("2024-01-01 10:00:00"), 1L, "alpha beta"),
+      (ts("2024-01-01 10:01:00"), 2L, "gamma delta"))
+    q.processAllAvailable()
+    // same content again in a LATER micro-batch, inside the watermark
+    // horizon → dropped by digest state; fresh content passes
+    input.addData((ts("2024-01-01 10:30:00"), 3L, "alpha beta"),
+      (ts("2024-01-01 10:31:00"), 4L, "epsilon"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 4L), ids.mkString(","))
+  }
+
   test("attempt ledger accumulates across micro-batches and flags dead at 5") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr, UrlResolveExpr}
+import graft.functions.expressions.{DotProductExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr, SimhashExpr, UrlResolveExpr}
 
 /** Session extension registering the engine's custom SQL functions
   * (SURVEY.md §4.3). Use either:
@@ -25,6 +25,7 @@ object GraftExtensions {
       (ShinglesExpr.identifier, ShinglesExpr.info, ShinglesExpr.builder _),
       (MinhashSigExpr.identifier, MinhashSigExpr.info, MinhashSigExpr.builder _),
       (LshBandsExpr.identifier, LshBandsExpr.info, LshBandsExpr.builder _),
+      (SimhashExpr.identifier, SimhashExpr.info, SimhashExpr.builder _),
       (DotProductExpr.identifier, DotProductExpr.info, DotProductExpr.builder _))
 
   /** Imperative registration for an already-built session. */

@@ -105,30 +105,16 @@ object Dedup {
     * token votes ±1 per position by that nibble's high bit; the sign of
     * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.
     * Emitted as a 16-char '0'/'1' string (cross-engine-safe).
+    *
+    * Fully narrow: one native expression per doc (no explode, no shuffle;
+    * the exploded+grouped forms benched 5-10× slower, and the HOF fold
+    * this replaces was interpreted — see PLANS.md). Docs with no tokens
+    * emit no row (null fingerprint filtered), matching the oracle.
     */
-  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // Fully narrow: per-doc fold of token md5s into a 16-vector of ±1
-    // votes — no explode, no shuffle (the exploded + grouped forms
-    // benched 5-10× slower). md5 is computed once per token (bound as
-    // the fold lambda variable). Docs with no tokens emit no row
-    // (parity with the exploded form and the oracle) via the CHEAP
-    // early filter — an expensive post-filter would be predicate-pushed
-    // below exchanges and re-evaluated interpreted (see
-    // TextAnalysis.fingerprintSketch).
-    val hashes = transform(TextFns.tokens(col(textCol)), t => md5(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 16),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(1), lit(16)),
-          p => when(h.substr(p, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)),
-        (a, b) => a + b))
+  def simhash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs
-      .filter(size(TextFns.tokens(col(textCol))) > 0)
-      .select(col(idCol), votes.as("votes"))
       .select(col(idCol),
-        concat((1 to 16).map(p =>
-          when(element_at(col("votes"), p) >= 0, lit("1")).otherwise(lit("0"))): _*)
-          .as("simhash16"))
-  }
+        graft.functions.expressions.SimhashExpr.simhashNative(
+          TextFns.textShingles(col(textCol), 1)).as("simhash16"))
+      .filter(col("simhash16").isNotNull)
 }

@@ -84,6 +84,36 @@ class TextVectorNativeSpec extends SparkSpec {
     // so token-poor docs generate no banded rows and can never pair
   }
 
+  test("SimhashExpr == declarative md5-nibble-vote formula; null on no tokens") {
+    import spark.implicits._
+    import graft.functions.expressions.SimhashExpr
+    val texts = (0 until 150).map(_ => randText()).filter(_.trim.nonEmpty)
+    // declarative reference: fold token md5s into 16 nibble votes
+    val hashes = transform(TextFns.tokens(col("text")), t => md5(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 16),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(1), lit(16)),
+          p => when(h.substr(p, lit(1)).rlike("[89a-f]"), 1).otherwise(-1)),
+        (a, b) => a + b))
+    val declared = concat((1 to 16).map(p =>
+      when(element_at(votes, p) >= 0, lit("1")).otherwise(lit("0"))): _*)
+    val rows = texts.toDF("text")
+      .filter(size(TextFns.tokens(col("text"))) > 0)
+      .select(
+        SimhashExpr.simhashNative(ShinglesExpr.shinglesNative(col("text"), 1)).as("native"),
+        declared.as("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+
+    val empties = Seq("", "  ", "!!!").toDF("text")
+      .select(SimhashExpr.simhashNative(ShinglesExpr.shinglesNative(col("text"), 1)))
+      .collect()
+    assert(empties.forall(_.isNullAt(0)))
+  }
+
   test("DotProductExpr == HOF fold; null on length mismatch / null element") {
     import spark.implicits._
     val vecs = (0 until 50).map { _ =>
@@ -109,6 +139,21 @@ class TextVectorNativeSpec extends SparkSpec {
       .collect()
     assert(edge(0).isNullAt(0))
     assert(edge(1).getDouble(0) === 0.0)
+  }
+
+  test("SQL registration: word_shingles/minhash_sig/lsh_bands/simhash16/dot_product callable") {
+    graft.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  minhash_sig(word_shingles('a b c d', 2), 4) AS sig,
+        |  size(lsh_bands(word_shingles('a b c d', 2), 4, 2)) AS n_bands,
+        |  simhash16(word_shingles('a b c d', 1)) AS sh,
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |""".stripMargin).head()
+    assert(r.getSeq[String](0).size === 4)
+    assert(r.getInt(1) === 2)
+    assert(r.getString(2).length === 16)
+    assert(r.getDouble(3) === 11.0)
   }
 
   test("native expressions keep the plan UDF-free and support codegen") {

@@ -13,6 +13,24 @@ import graft.functions.TextFns
   */
 object TextAnalysis {
 
+  /** Deterministic train/eval split — the standard training-data-pipeline
+    * op: each row gets a stable bucket in [0, 100) from the md5 of its id
+    * (first 8 hex digits as an integer, mod 100), then `bucket < trainPct
+    * → train`. Reproducible across runs, engines and cluster sizes (no
+    * RNG state, no sampling seed coupling to partition layout), and a
+    * row's assignment never changes as the corpus grows — unlike
+    * `randomSplit`, whose per-partition seeding reshuffles assignments
+    * when the input layout changes.
+    */
+  def hashSplit(docs: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 90): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train")).otherwise(lit("eval")))
+  }
+
   /** Marker stopwords per language for the n-gram/stopword lang-ID
     * heuristic. Order = tie-break priority.
     */

@@ -55,6 +55,13 @@ object TextQueries extends QueryPack {
       TextAnalysis.fingerprintSketch(docs(s, dir), windowSize = 4)
         .orderBy("doc_id")),
 
+    // Deterministic train/eval split (hash-bucket, not randomSplit —
+    // stable across runs/engines/partitionings).
+    "text_train_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(docs(s, dir), trainPct = 90)
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")),
+
     // EX8b: corpus top-20 terms.
     "text_top_terms" -> ((s, dir) =>
       docs(s, dir)
@@ -134,6 +141,13 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
          |  min(win_min) AS min_fingerprint
          |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_train_split" ->
+      """SELECT doc_id,
+        |  (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT AS bucket,
+        |  CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 < 90
+        |    THEN 'train' ELSE 'eval' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_top_terms" ->
       s"""SELECT term, count(*) AS n

@@ -101,6 +101,43 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs — the step that turns pairs
+    * into "keep one document per duplicate cluster": every doc appearing
+    * in a pair is labeled with the minimum doc id reachable through the
+    * pair graph (its cluster representative).
+    *
+    * Iterative min-label propagation: each round is one shuffle join
+    * (edges ⋈ labels) + a min-aggregate, converging in O(cluster
+    * diameter) rounds — near-dup clusters are shallow, so a handful of
+    * rounds; this is the standard scalable formulation (no driver-side
+    * graph). Lineage is truncated per round (`localCheckpoint`), or the
+    * plan would double every iteration.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("v").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("nbr_comp")).as("min_nbr"))
+      val next = labels
+        .join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("old_comp")).count()
+      labels = next.select(col("v"), col("comp"))
+      i += 1
+    }
+    labels.select(col("v").as("doc_id"), col("comp").as("cluster_rep"))
+  }
+
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
     * token votes ±1 per position by that nibble's high bit; the sign of
     * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.

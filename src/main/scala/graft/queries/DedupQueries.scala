@@ -42,6 +42,15 @@ object DedupQueries extends QueryPack {
       Dedup.nearDupPairs(docs(s, dir), n = 3, k = K, bands = BANDS, threshold = 0.5)
         .orderBy("a", "b")),
 
+    // EX10c: near-dup cluster assignment — connected components over the
+    // LSH pairs (iterative min-label propagation), giving each paired doc
+    // its cluster representative (min reachable doc_id). The oracle walks
+    // the same pair graph with a recursive CTE.
+    "dedup_near_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.nearDupPairs(docs(s, dir), n = 3, k = K, bands = BANDS, threshold = 0.5))
+        .orderBy("doc_id")),
+
     // SimHash fingerprints (16-bit, md5-nibble votes).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir))
@@ -94,6 +103,36 @@ object DedupQueries extends QueryPack {
        |  FROM shingled)""".stripMargin
   }
 
+  /** Shared oracle chain: shingles → sigs → bands → candidate pairs →
+    * rounded exact-Jaccard (`verified`). The threshold is applied to the
+    * ROUNDED jaccard, matching the Spark side exactly (jaccardVerify
+    * rounds before the >= filter). Empty-shingle docs produce all-NULL
+    * band hashes here, which the equality self-join drops — the same
+    * "token-poor docs never pair" outcome as LshBandsExpr's empty array.
+    */
+  private val lshChainCtes: String = {
+    val bandHashes = (0 until BANDS).map { b =>
+      val parts = (0 until K / BANDS).map(r => s"sig[${b * (K / BANDS) + r + 1}]")
+      s"md5(${parts.mkString(" || '|' || ")})"
+    }.mkString(",\n    ")
+    s"""$sigsCte,
+       |banded AS (
+       |  SELECT doc_id, generate_subscripts(bh, 1) - 1 AS band_id, unnest(bh) AS band_hash
+       |  FROM (SELECT doc_id, [
+       |    $bandHashes] AS bh FROM sigs)),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+       |  WHERE x.doc_id < y.doc_id),
+       |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs),
+       |verified AS (
+       |  SELECT c.a, c.b,
+       |    round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+       |  FROM cands c JOIN dsets sa ON c.a = sa.doc_id JOIN dsets sb ON c.b = sb.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_md5 FROM documents
@@ -104,30 +143,23 @@ object DedupQueries extends QueryPack {
       s"""WITH $sigsCte
          |SELECT doc_id, array_to_string(sig, ',') AS sig FROM sigs ORDER BY doc_id""".stripMargin,
 
-    "dedup_lsh_pairs" -> {
-      val bandHashes = (0 until BANDS).map { b =>
-        val parts = (0 until K / BANDS).map(r => s"sig[${b * (K / BANDS) + r + 1}]")
-        s"md5(${parts.mkString(" || '|' || ")})"
-      }.mkString(",\n    ")
-      s"""WITH $sigsCte,
-         |banded AS (
-         |  SELECT doc_id, generate_subscripts(bh, 1) - 1 AS band_id, unnest(bh) AS band_hash
-         |  FROM (SELECT doc_id, [
-         |    $bandHashes] AS bh FROM sigs)),
-         |cands AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM banded x JOIN banded y
-         |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-         |  WHERE x.doc_id < y.doc_id),
-         |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs)
-         |SELECT c.a, c.b,
-         |  round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-         |    (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
-         |FROM cands c JOIN dsets sa ON c.a = sa.doc_id JOIN dsets sb ON c.b = sb.doc_id
-         |WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-         |    (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.5
-         |ORDER BY a, b""".stripMargin
-    },
+    "dedup_lsh_pairs" ->
+      s"""WITH $lshChainCtes
+         |SELECT a, b, jaccard FROM verified
+         |WHERE jaccard >= 0.5
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_near_clusters" ->
+      s"""WITH RECURSIVE $lshChainCtes,
+         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |          UNION ALL SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
+         |SELECT v AS doc_id, min(l) AS cluster_rep
+         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

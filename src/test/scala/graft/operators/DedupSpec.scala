@@ -35,6 +35,25 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("connected components label transitive clusters with the min doc id") {
+    import spark.implicits._
+    // two clusters: {1,2,3} connected only transitively (1-2, 2-3), {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connected components converge on a long chain (propagation, not one hop)") {
+    import spark.implicits._
+    // path graph 10-11-12-...-17: min label must travel the full diameter
+    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(10L))
+    assert(comps.keySet === (10L to 17L).toSet)
+  }
+
   test("LSH candidates are a superset of high-jaccard pairs (recall)") {
     val sigs = Dedup.minhashSignatures(docsDF, n = 3, k = 16)
     val cands = Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 4)

@@ -17,11 +17,16 @@ object Bench {
     // steady-state work instead of charging ~5 s of first-use class
     // loading to whichever query sorts first.
     SparkEntry.queries("agg_distinct_custs")(spark, sfDir).count()
-    // deterministic name order: stable attribution across rounds
+    // deterministic name order: stable attribution across rounds.
+    // Two reps per query, report the min: steady-state throughput,
+    // robust to one-off GC/IO spikes on a shared machine.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val reps = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> reps.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -138,6 +138,19 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
+  /** End-to-end near-dup dedup: drop every document whose cluster
+    * representative is another document (keep cluster reps and all
+    * unpaired docs). The non-representative set is a broadcast-sized
+    * anti-join side relative to the corpus (only clustered duplicates).
+    */
+  def nearDupSurvivors(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    val dropped = connectedComponents(nearDupPairs(docs, n, k, bands, threshold))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("_drop_id"))
+    docs.join(broadcast(dropped), col(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
     * token votes ±1 per position by that nibble's high bit; the sign of
     * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.

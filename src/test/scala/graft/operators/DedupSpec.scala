@@ -35,6 +35,13 @@ class DedupSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("nearDupSurvivors keeps one doc per cluster plus all unpaired docs") {
+    val survivors = Dedup.nearDupSurvivors(docsDF)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2,3} cluster → keep 1; 4 and 5 unpaired → kept
+    assert(survivors === Set(1L, 4L, 5L))
+  }
+
   test("connected components label transitive clusters with the min doc id") {
     import spark.implicits._
     // two clusters: {1,2,3} connected only transitively (1-2, 2-3), {7,9}

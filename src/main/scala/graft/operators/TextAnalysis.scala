@@ -100,25 +100,24 @@ object TextAnalysis {
     */
   def fingerprintSketch(docs: DataFrame, windowSize: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    // Entirely narrow: per-doc array expressions (no explode, no window
-    // shuffle+sort — the exploded/windowed form benched ~10× slower).
-    // wins[i] = min(h[i..i+w-1]); the sketch is the distinct win set.
+    // Entirely narrow: ONE native expression per doc (no explode, no
+    // window shuffle+sort — the exploded/windowed form benched ~10×
+    // slower; the declarative array-expression form was interpreted,
+    // see PLANS.md). wins[i] = min(md5(sh[i..i+w-1])); the sketch is the
+    // distinct win set, from which both emitted stats derive.
     //
     // PLAN HAZARD (learned from a multi-minute single-core stall): a
     // post-hoc `filter(size(wins) > 0)` gets predicate-pushed below every
-    // exchange with the whole shingle+md5 expression tree inlined, then
-    // evaluated interpreted per row on the (often 1-partition) scan side.
-    // Filter EARLY on the cheap equivalent predicate instead: a doc has
-    // shingles iff it has ≥ 3 tokens.
-    val hashes = transform(TextFns.textShingles(col(textCol), 3), sh => md5(sh))
+    // exchange with the whole expression tree inlined; filter EARLY on
+    // the cheap equivalent predicate instead (a doc has shingles iff it
+    // has ≥ 3 tokens).
+    val wins = graft.functions.expressions.WinnowExpr.winnowNative(
+      TextFns.textShingles(col(textCol), 3), windowSize)
     docs
       .filter(size(TextFns.tokens(col(textCol))) >= 3)
-      .select(col(idCol), hashes.as("h"))
+      .select(col(idCol), wins.as("wins"))
       .select(col(idCol),
-        transform(sequence(lit(1), size(col("h"))),
-          i => array_min(slice(col("h"), i, lit(windowSize)))).as("wins"))
-      .select(col(idCol),
-        size(array_distinct(col("wins"))).cast("long").as("n_fingerprints"),
+        size(col("wins")).cast("long").as("n_fingerprints"),
         array_min(col("wins")).as("min_fingerprint"))
   }
 }

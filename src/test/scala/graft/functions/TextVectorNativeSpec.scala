@@ -141,6 +141,28 @@ class TextVectorNativeSpec extends SparkSpec {
     assert(edge(1).getDouble(0) === 0.0)
   }
 
+  test("WinnowExpr == declarative sliding-window-minima formula") {
+    import spark.implicits._
+    import graft.functions.expressions.WinnowExpr
+    val w = 4
+    val texts = (0 until 150).map(_ => randText())
+    val h = transform(ShinglesExpr.shinglesNative(col("text"), 3), sh => md5(sh))
+    val declaredWins = transform(sequence(lit(1), size(col("h"))),
+      i => array_min(slice(col("h"), i, lit(w))))
+    val rows = texts.toDF("text")
+      .select(col("text"), h.as("h"))
+      .filter(size(col("h")) > 0) // declarative sequence(1, 0) errors on empty
+      .select(
+        WinnowExpr.winnowNative(ShinglesExpr.shinglesNative(col("text"), 3), w).as("native"),
+        array_distinct(declaredWins).as("declarative"))
+      .collect()
+    rows.foreach { r =>
+      // distinct sets equal; native preserves first-seen order, compare sorted
+      assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted)
+      assert(r.getSeq[String](0).size === r.getSeq[String](1).size)
+    }
+  }
+
   test("SQL registration: word_shingles/minhash_sig/lsh_bands/simhash16/dot_product callable") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** Lowercased word tokens (non-empty). */
+  /** Lowercased word tokens (non-empty). Backed by the native
+    * [[graft.functions.expressions.ShinglesExpr]] with n = 1, which is
+    * exactly this formula (`filter(split(lower(text), "[^a-z0-9]+"),
+    * length > 0)` — parity-tested in TextVectorNativeSpec) without the
+    * interpreted `filter` HOF per row.
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+    graft.functions.expressions.ShinglesExpr.shinglesNative(text, 1)
 
   /** BPE-ish sub-word split: letter runs, digit runs, single punctuation.
     * A cheap stand-in for tokenizer-true counts at 100 TB scan cost.

@@ -24,12 +24,15 @@ class TextVectorNativeSpec extends SparkSpec {
 
   test("ShinglesExpr == wordShingles(tokens(text), n) on random text") {
     import spark.implicits._
+    // declarative tokens built inline — TextFns.tokens is itself
+    // native-backed now, so the reference must not go through it
+    val declTokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
     val texts = (0 until 200).map(_ => randText()) :+ "" :+ "one two" :+ "!!!"
     for (n <- Seq(1, 2, 3, 5)) {
       val rows = texts.toDF("text")
         .select(
           ShinglesExpr.shinglesNative(col("text"), n).as("native"),
-          TextFns.wordShingles(TextFns.tokens(col("text")), n).as("declarative"))
+          TextFns.wordShingles(declTokens, n).as("declarative"))
         .collect()
       rows.foreach { r =>
         assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n")

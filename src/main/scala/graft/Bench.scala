@@ -16,7 +16,10 @@ object Bench {
     // reader + codegen + shuffle paths, so per-query numbers measure
     // steady-state work instead of charging ~5 s of first-use class
     // loading to whichever query sorts first.
-    SparkEntry.queries("agg_distinct_custs")(spark, sfDir).count()
+    // same failure tolerance as the timed loop: a broken warmup query
+    // must not abort the whole report
+    try SparkEntry.queries("agg_distinct_custs")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // deterministic name order: stable attribution across rounds.
     // Two reps per query, report the min: steady-state throughput,
     // robust to one-off GC/IO spikes on a shared machine.

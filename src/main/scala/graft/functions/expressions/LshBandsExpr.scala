@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class LshBandsExpr(child: Expression, k: Int, bands: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
-  require(bands >= 1 && k % bands == 0,
+  require(k >= 1 && bands >= 1 && k % bands == 0,
     s"k ($k) must be a positive multiple of bands ($bands)")
 
   override def inputTypes: Seq[GraftBridge.AbstractDataType] =

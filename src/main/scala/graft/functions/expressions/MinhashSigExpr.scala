@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinhashSigExpr(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 
+  require(k >= 1, s"signature length k must be >= 1, got $k")
+
   override def inputTypes: Seq[GraftBridge.AbstractDataType] =
     Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -59,8 +61,9 @@ object MinhashSigExpr {
     val n = shingles.numElements()
     val mins = new Array[Array[Byte]](k)
     val digest = md5.get()
-    // seed prefixes "0|", "1|", ... as UTF-8 bytes, computed per call
-    // (k is tiny); shingle bytes fetched once per element.
+    // seed prefixes "0|", "1|", ... hoisted out of the per-shingle loop —
+    // k × |shingles| digest.update calls must not each re-encode.
+    val prefixes = Array.tabulate(k)(s => (s.toString + "|").getBytes("UTF-8"))
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) { // null shingles ignored (least() skips nulls)
@@ -68,8 +71,7 @@ object MinhashSigExpr {
         var s = 0
         while (s < k) {
           digest.reset()
-          digest.update(String.valueOf(s).getBytes("UTF-8"))
-          digest.update('|'.toByte)
+          digest.update(prefixes(s))
           digest.update(sh)
           val d = digest.digest()
           if (mins(s) == null || unsignedLess(d, mins(s))) mins(s) = d

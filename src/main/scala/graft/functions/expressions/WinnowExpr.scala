@@ -57,28 +57,34 @@ object WinnowExpr {
     val n = shingles.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val digest = md5.get()
-    val h = new Array[String](n)
+    // ShinglesExpr never emits nulls (containsNull=false), but the SQL
+    // surface accepts arbitrary array<string> — skip null slots like the
+    // sibling expressions do instead of NPE-ing the task.
+    val h = new scala.collection.mutable.ArrayBuffer[String](n)
     var i = 0
     while (i < n) {
-      // null shingles cannot occur from ShinglesExpr (containsNull=false)
-      digest.reset()
-      val d = digest.digest(shingles.getUTF8String(i).getBytes)
-      val sb = new Array[Char](32)
-      var j = 0
-      while (j < 16) {
-        sb(j * 2) = hex((d(j) >> 4) & 0xf)
-        sb(j * 2 + 1) = hex(d(j) & 0xf)
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        digest.reset()
+        val d = digest.digest(shingles.getUTF8String(i).getBytes)
+        val sb = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          sb(j * 2) = hex((d(j) >> 4) & 0xf)
+          sb(j * 2 + 1) = hex(d(j) & 0xf)
+          j += 1
+        }
+        h += new String(sb)
       }
-      h(i) = new String(sb)
       i += 1
     }
+    val m = h.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
     i = 0
-    while (i < n) {
+    while (i < m) {
       var min = h(i)
       var j = i + 1
-      val end = math.min(i + w, n)
+      val end = math.min(i + w, m)
       while (j < end) {
         if (h(j).compareTo(min) < 0) min = h(j)
         j += 1

@@ -85,10 +85,11 @@ object Dedup {
     * query in one session).
     */
   def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import graft.functions.expressions.LshBandsExpr
-    val shingled = docs.select(col("doc_id"),
-      TextFns.textShingles(col("text"), n).as("shingles"))
+    val shingled = docs.select(col(idCol).as("doc_id"),
+      TextFns.textShingles(col(textCol), n).as("shingles"))
     val banded = shingled.select(col("doc_id"),
       posexplode(LshBandsExpr.lshBandsNative(col("shingles"), k, bands))
         .as(Seq("band_id", "band_hash")))
@@ -106,12 +107,15 @@ object Dedup {
     * in a pair is labeled with the minimum doc id reachable through the
     * pair graph (its cluster representative).
     *
-    * Iterative min-label propagation: each round is one shuffle join
-    * (edges ⋈ labels) + a min-aggregate, converging in O(cluster
-    * diameter) rounds — near-dup clusters are shallow, so a handful of
-    * rounds; this is the standard scalable formulation (no driver-side
-    * graph). Lineage is truncated per round (`localCheckpoint`), or the
-    * plan would double every iteration.
+    * Iterative min-label propagation with pointer jumping: each round
+    * takes the min over {own label, the label's label (doubling), the
+    * neighbors' labels} — two shuffle joins + a min-aggregate per round,
+    * converging in O(log diameter) rounds even on path-shaped clusters
+    * (plain one-hop propagation needs O(diameter)); this is the standard
+    * scalable formulation (no driver-side graph). Lineage is truncated
+    * per round (`localCheckpoint`), or the plan would double every
+    * iteration. Throws if maxIter rounds don't converge — silently
+    * returning partial labels would make survivors keep duplicates.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -126,15 +130,24 @@ object Dedup {
         .join(labels.select(col("v").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src"))
         .agg(min(col("nbr_comp")).as("min_nbr"))
-      val next = labels
+      val jumped = labels
+        .join(labels.select(col("v").as("rv"), col("comp").as("rep_comp")),
+          col("comp") === col("rv"), "left")
+        .select(col("v"), col("comp"),
+          coalesce(col("rep_comp"), col("comp")).as("jump_comp"))
+      val next = jumped
         .join(nbrMin, col("v") === col("src"), "left")
         .select(col("v"), col("comp").as("old_comp"),
-          least(col("comp"), coalesce(col("min_nbr"), col("comp"))).as("comp"))
+          least(col("comp"), col("jump_comp"),
+            coalesce(col("min_nbr"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = next.filter(col("comp") < col("old_comp")).count()
       labels = next.select(col("v"), col("comp"))
       i += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(cluster diameter > 2^maxIter is not plausible — check the pair input)")
     labels.select(col("v").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
@@ -144,8 +157,10 @@ object Dedup {
     * anti-join side relative to the corpus (only clustered duplicates).
     */
   def nearDupSurvivors(docs: DataFrame, n: Int = 3, k: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
-    val dropped = connectedComponents(nearDupPairs(docs, n, k, bands, threshold))
+      bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dropped = connectedComponents(
+        nearDupPairs(docs, n, k, bands, threshold, textCol, idCol))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("_drop_id"))
     docs.join(broadcast(dropped), col(idCol) === col("_drop_id"), "left_anti")

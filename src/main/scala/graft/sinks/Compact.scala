@@ -11,10 +11,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Rewrite-and-swap: read the directory, `repartition` to
   * ceil(total_bytes / targetBytes) partitions, write to a temp dir, then
-  * atomically swap directories. Readers see either the old or the new
-  * layout, never a mix; the data is byte-identical modulo row order
-  * (parquet re-encode). Partitioned layouts (`col=value` subdirs) are
-  * compacted per-partition so pruning survives.
+  * swap directories. The temp and set-aside dirs use a leading-dot
+  * sibling name, which Spark's file listing and partition discovery
+  * ignore — so a crash mid-swap can never surface duplicate or phantom
+  * partitions; the worst case is a transiently missing partition whose
+  * data survives in the hidden set-aside dir. Data is byte-identical
+  * modulo row order (parquet re-encode). Partitioned layouts
+  * (`col=value` subdirs) are compacted per-partition so pruning
+  * survives. Single-writer per directory by contract.
   */
 object Compact {
 
@@ -33,10 +37,13 @@ object Compact {
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     if (parts >= before) return (before, before) // already at/under target
 
-    val tmp = new Path(dir + ".compact-tmp")
+    // hidden sibling names (leading dot): invisible to Spark's partition
+    // discovery and file listing for the whole swap window
+    val tmp = new Path(path.getParent, "." + path.getName + ".compact-tmp")
     spark.read.parquet(dir).repartition(parts)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(dir + ".compact-old")
+    val old = new Path(path.getParent, "." + path.getName + ".compact-old")
+    fs.delete(old, true)
     fs.rename(path, old)
     fs.rename(tmp, path)
     fs.delete(old, true)
@@ -55,7 +62,8 @@ object Compact {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(path)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("=") &&
+        !s.getPath.getName.startsWith("."))
       .toSeq.map { p =>
         val (b, a) = compactParquet(spark, p.getPath.toString, targetBytes)
         (p.getPath.getName, b, a)

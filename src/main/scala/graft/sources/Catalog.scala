@@ -54,8 +54,15 @@ object Catalog {
       .find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
     val target = new Path(path)
-    fs.delete(target, true)
+    // Crash-safe swap: the old catalog moves ASIDE (not deleted) before
+    // the new one moves in, so at every instant at least one complete
+    // catalog exists on disk (`path` or `path.bak`) — a kill between the
+    // renames is recoverable from .bak, never a total loss.
+    val bak = new Path(path + ".bak")
+    fs.delete(bak, true)
+    if (fs.exists(target)) fs.rename(target, bak)
     fs.rename(part, target)
+    fs.delete(bak, true)
     fs.delete(tmp, true)
   }
 }

@@ -18,7 +18,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    CurationQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** The flagship LLM-pipeline composition: quality gate → exact dedup →
+  * near-dup cluster removal → deterministic split, end-to-end as ONE
+  * oracle-checked query — the DuckDB twin rebuilds the whole chain
+  * (quality formula, digest QUALIFY, LSH CTEs, recursive components,
+  * anti-join, hash split) over the same table.
+  */
+object CurationQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  private val K = 16
+  private val BANDS = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus" -> ((s, dir) =>
+      Curation.curate(docs(s, dir), minTokens = 10, minQuality = 0.5,
+        n = 3, k = K, bands = BANDS, threshold = 0.5, trainPct = 90)
+        .select(col("doc_id"), col("lang"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("quality_score"), col("bucket"), col("split"))
+        .orderBy("doc_id"))
+  )
+
+  private val toksSql = DuckSql.tokens("text")
+
+  val oracles: Map[String, String] = Map(
+    "curate_corpus" -> {
+      val bucketExpr =
+        "(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT"
+      s"""WITH RECURSIVE graded AS (
+         |  SELECT doc_id, lang, text, len(toks) AS n_tokens,
+         |    round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
+         |          - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
+         |          - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
+         |              THEN 0.2 ELSE 0.0 END
+         |      END, 6) AS quality_score
+         |  FROM (
+         |    SELECT doc_id, lang, text, $toksSql AS toks,
+         |      length(text) AS n_chars_s,
+         |      len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         |      len(list_filter($toksSql, t -> t IN
+         |        ('the','a','of','and','to','is','in','it','that','for'))) AS stop
+         |    FROM documents)),
+         |kept AS (
+         |  SELECT * FROM graded WHERE n_tokens >= 10 AND quality_score >= 0.5),
+         |exact_kept AS (
+         |  SELECT * FROM kept
+         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+         |${DuckSql.lshChain("exact_kept", K, BANDS)},
+         |${DuckSql.componentCtes(0.5)}
+         |SELECT e.doc_id, e.lang, e.n_tokens, e.quality_score,
+         |  $bucketExpr AS bucket,
+         |  CASE WHEN $bucketExpr < 90 THEN 'train' ELSE 'eval' END AS split
+         |FROM exact_kept e
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM comp c
+         |  WHERE c.doc_id = e.doc_id AND c.doc_id <> c.cluster_rep)
+         |ORDER BY e.doc_id""".stripMargin
+    }
+  )
+}

@@ -103,35 +103,9 @@ object DedupQueries extends QueryPack {
        |  FROM shingled)""".stripMargin
   }
 
-  /** Shared oracle chain: shingles → sigs → bands → candidate pairs →
-    * rounded exact-Jaccard (`verified`). The threshold is applied to the
-    * ROUNDED jaccard, matching the Spark side exactly (jaccardVerify
-    * rounds before the >= filter). Empty-shingle docs produce all-NULL
-    * band hashes here, which the equality self-join drops — the same
-    * "token-poor docs never pair" outcome as LshBandsExpr's empty array.
-    */
-  private val lshChainCtes: String = {
-    val bandHashes = (0 until BANDS).map { b =>
-      val parts = (0 until K / BANDS).map(r => s"sig[${b * (K / BANDS) + r + 1}]")
-      s"md5(${parts.mkString(" || '|' || ")})"
-    }.mkString(",\n    ")
-    s"""$sigsCte,
-       |banded AS (
-       |  SELECT doc_id, generate_subscripts(bh, 1) - 1 AS band_id, unnest(bh) AS band_hash
-       |  FROM (SELECT doc_id, [
-       |    $bandHashes] AS bh FROM sigs)),
-       |cands AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-       |  FROM banded x JOIN banded y
-       |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-       |  WHERE x.doc_id < y.doc_id),
-       |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs),
-       |verified AS (
-       |  SELECT c.a, c.b,
-       |    round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-       |      (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
-       |  FROM cands c JOIN dsets sa ON c.a = sa.doc_id JOIN dsets sb ON c.b = sb.doc_id)""".stripMargin
-  }
+  // Shared oracle chain (DuckSql.lshChain): shingles → sigs → bands →
+  // candidate pairs → rounded exact-Jaccard (`verified`), over documents.
+  private val lshChainCtes: String = DuckSql.lshChain("documents", K, BANDS)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -151,15 +125,8 @@ object DedupQueries extends QueryPack {
 
     "dedup_near_clusters" ->
       s"""WITH RECURSIVE $lshChainCtes,
-         |pairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.5),
-         |edges AS (SELECT a AS src, b AS dst FROM pairs
-         |          UNION ALL SELECT b, a FROM pairs),
-         |reach AS (
-         |  SELECT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.v)
-         |SELECT v AS doc_id, min(l) AS cluster_rep
-         |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin,
+         |${DuckSql.componentCtes(0.5)}
+         |SELECT doc_id, cluster_rep FROM comp ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (

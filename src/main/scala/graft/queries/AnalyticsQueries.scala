@@ -302,6 +302,51 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("o_orderpriority", "rk")
     }),
 
+    // TPC-H Q13-shaped: LEFT OUTER join coverage — orders per customer
+    // including zero-order customers, then the distribution histogram.
+    // count(o_orderkey) skips nulls, so outer-joined no-order customers
+    // land in the c_count=0 bucket.
+    "join_order_count_histogram" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q5-flavored: revenue rolled up to REGION — both dims chain-
+    // broadcast (nation 25 rows, region 5), the fact table never builds.
+    "join_revenue_by_region" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // Part-dimension revenue: top-10 brands by discounted revenue.
+    "join_part_brand_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("p_brand"))
+        .limit(10)
+    }),
+
     // TPC-H Q7-shaped volume shipping: 4 joins around the fact table, a
     // symmetric two-nation filter, year rollup. Both nation joins
     // broadcast (25 rows); lineitem never shuffles until the final agg.
@@ -504,6 +549,32 @@ object AnalyticsQueries extends QueryPack {
         |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "join_order_count_histogram" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "join_revenue_by_region" ->
+      """SELECT r_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "join_part_brand_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
 
     "join_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -22,12 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** @param materializeStages snapshot the exact-deduped corpus before
+    *        the near-dup stage (default true). The near-dup stage
+    *        references it twice (pair generation + survivor anti-join);
+    *        without a boundary the whole quality+exact lineage recomputes
+    *        per reference. In a real 100 TB pipeline this boundary is a
+    *        parquet write between stages — localCheckpoint is the
+    *        in-session equivalent.
+    */
   def curate(docs: DataFrame, minTokens: Int = 10, minQuality: Double = 0.5,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      trainPct: Int = 90): DataFrame = {
+      trainPct: Int = 90, materializeStages: Boolean = true): DataFrame = {
     val graded = TextAnalysis.qualityMetrics(docs)
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
-    val exactKept = Dedup.exact(graded)
+    val exact = Dedup.exact(graded)
+    val exactKept = if (materializeStages) exact.localCheckpoint() else exact
     val nearKept = Dedup.nearDupSurvivors(exactKept, n, k, bands, threshold)
     TextAnalysis.hashSplit(nearKept, trainPct = trainPct)
   }

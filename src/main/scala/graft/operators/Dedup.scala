@@ -118,10 +118,18 @@ object Dedup {
     * returning partial labels would make survivors keep duplicates.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edgesRaw = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    // Size the iteration frames to the ACTUAL edge count (known after the
+    // checkpoint) instead of inheriting spark.sql.shuffle.partitions: the
+    // pair graph is usually minuscule relative to the corpus, and paying
+    // dozens of near-empty tasks per round × per join × per round
+    // dominated the loop (~1 s/round at 508 edges / 32 partitions).
+    val parts = math.max(1, (edgesRaw.count() / 2000000L).toInt)
+    val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
+      .repartition(parts, col("v"))
       .withColumn("comp", col("v")).localCheckpoint()
     var changed = 1L
     var i = 0

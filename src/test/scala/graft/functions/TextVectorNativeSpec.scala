@@ -58,23 +58,37 @@ class TextVectorNativeSpec extends SparkSpec {
 
   test("LshBandsExpr == md5(concat_ws('|', element_at(sig, ...))) per band") {
     import spark.implicits._
-    val k = 16; val bands = 4; val r0 = k / bands
     val texts = (0 until 100).map(_ => randText()).filter(_.trim.nonEmpty)
-    val declared = array((0 until bands).map(b =>
-      md5(concat_ws("|", (0 until r0).map(i =>
-        element_at(col("sig"), b * r0 + i + 1)): _*))): _*)
-    val rows = texts.toDF("text")
-      .select(ShinglesExpr.shinglesNative(col("text"), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(
-        LshBandsExpr.lshBandsNative(col("shingles"), k, bands).as("native"),
-        MinhashSigExpr.minhashSigNative(col("shingles"), k).as("sig"))
-      .select(col("native"), declared.as("declarative"))
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    for ((k, bands) <- Seq((16, 4), (8, 2), (12, 3), (4, 4))) {
+      val r0 = k / bands
+      val declared = array((0 until bands).map(b =>
+        md5(concat_ws("|", (0 until r0).map(i =>
+          element_at(col("sig"), b * r0 + i + 1)): _*))): _*)
+      val rows = texts.toDF("text")
+        .select(ShinglesExpr.shinglesNative(col("text"), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .select(
+          LshBandsExpr.lshBandsNative(col("shingles"), k, bands).as("native"),
+          MinhashSigExpr.minhashSigNative(col("shingles"), k).as("sig"))
+        .select(col("native"), declared.as("declarative"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"k=$k bands=$bands")
+      }
     }
+  }
+
+  test("ShinglesExpr lowercases like the lower() builtin on non-ASCII text") {
+    import spark.implicits._
+    val declTokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    val rows = Seq("ÜBER Straße ÇA VA", "ЯЗЫК Test MIXED δΕλΤα", "İstanbul Iİ")
+      .toDF("text")
+      .select(
+        ShinglesExpr.shinglesNative(col("text"), 1).as("native"),
+        TextFns.wordShingles(declTokens, 1).as("declarative"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
   test("LshBandsExpr: empty shingle set yields an EMPTY band array (no shared bucket)") {

@@ -159,6 +159,27 @@ object Dedup {
     labels.select(col("v").as("doc_id"), col("comp").as("cluster_rep"))
   }
 
+  /** Sketch-accelerated duplicate guard (the 100 TB form of D1's
+    * anti-join): when the "existing keys" side is too large to broadcast
+    * exactly, build a Bloom filter over it (~1.2 GB per 10⁹ keys at 1%
+    * fpp vs. the keys themselves), route the definite-new keys around the
+    * join entirely, and anti-join ONLY the might-contain subset — false
+    * positives cost a join lookup, never a wrong drop, so the result is
+    * exactly `candidates ANTI JOIN existing` (property-tested).
+    */
+  def bloomDupGuard(candidates: DataFrame, existing: DataFrame,
+      keyCol: String, expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val spark = candidates.sparkSession
+    val bf = existing.stat.bloomFilter(keyCol, math.max(expectedKeys, 1L), fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bcast.value.mightContainString(s))
+    val definiteNew = candidates.filter(!mightContain(col(keyCol)))
+    val maybeDup = candidates.filter(mightContain(col(keyCol)))
+      .join(existing.select(col(keyCol).as("_ex_key")),
+        col(keyCol) === col("_ex_key"), "left_anti")
+    definiteNew.unionByName(maybeDup)
+  }
+
   /** End-to-end near-dup dedup: drop every document whose cluster
     * representative is another document (keep cluster reps and all
     * unpaired docs). The non-representative set is a broadcast-sized

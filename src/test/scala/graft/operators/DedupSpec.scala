@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 4L, 5L))
   }
 
+  test("bloomDupGuard == plain anti-join on random overlapping key sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val existing = (0 until 2000).map(_ => s"k${rnd.nextInt(3000)}").distinct.toDF("key")
+    val candidates = (0 until 1000).map(_ => s"k${rnd.nextInt(4000)}").toDF("key")
+    val viaBloom = Dedup.bloomDupGuard(candidates, existing, "key",
+        expectedKeys = 2000, fpp = 0.05)
+      .collect().map(_.getString(0)).sorted
+    val viaAnti = candidates
+      .join(existing.withColumnRenamed("key", "k2"), $"key" === $"k2", "left_anti")
+      .collect().map(_.getString(0)).sorted
+    assert(viaBloom.toSeq === viaAnti.toSeq)
+  }
+
   test("connected components label transitive clusters with the min doc id") {
     import spark.implicits._
     // two clusters: {1,2,3} connected only transitively (1-2, 2-3), {7,9}

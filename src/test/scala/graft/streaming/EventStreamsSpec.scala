@@ -46,6 +46,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(!rows.exists(_._4 == 99.0 + 3.0), "late row must not reopen the window")
   }
 
+  test("E5 fanout: two independent consumers of one queue each see every message") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fanout")
+    val queueDir = root.resolve("queue").toString
+    graft.sources.Queue.enqueue(
+      Seq(("s-1", "u1", "DIRECT", "p1", "0", 0), ("s-2", "u2", "DIRECT", "p2", "0", 0))
+        .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts"),
+      queueDir)
+    // SNS→SQS fanout analog: each subscriber reads the whole topic with
+    // its OWN checkpoint — consumption is not destructive
+    def drain(name: String): Seq[String] = {
+      val q = graft.sources.Queue.dequeueStream(spark, queueDir)
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", root.resolve(s"cp-$name").toString)
+        .outputMode(OutputMode.Append).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).collect().map(_.getAs[String]("ID")).sorted.toSeq
+    }
+    assert(drain("consumer_a") === Seq("s-1", "s-2"))
+    assert(drain("consumer_b") === Seq("s-1", "s-2"))
+  }
+
   test("streaming exact dedup drops duplicate digests across micro-batches, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -31,6 +31,37 @@ object TextAnalysis {
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("eval")))
   }
 
+  /** Deterministic data-mixture resampling — the corpus-mixing step of a
+    * training-data pipeline: each stratum (source, language, ...) gets a
+    * weight w; every row is emitted floor(w) times, plus once more for
+    * the stable hash-bucket fraction of rows selected by the fractional
+    * part (1% granularity via the same md5 bucket as [[hashSplit]]).
+    * w = 2.5 → every row twice, half the rows (by stable bucket) a third
+    * time; w = 0.25 → a quarter of the rows, once. No RNG: re-runs,
+    * engines and partitionings agree row-for-row.
+    */
+  def mixtureCopies(docs: DataFrame, weights: Map[String, Double],
+      stratumCol: String = "lang", idCol: String = "doc_id",
+      defaultWeight: Double = 1.0): DataFrame = {
+    val w = coalesce(
+      element_at(typedLit(weights), col(stratumCol)), lit(defaultWeight))
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+    docs.withColumn("copies",
+      (floor(w) + when(bucket < round((w - floor(w)) * 100), 1).otherwise(0))
+        .cast("int"))
+  }
+
+  /** The resampled corpus: one output row per copy (copy_idx 1..copies);
+    * zero-weight rows drop out. */
+  def resampleMixture(docs: DataFrame, weights: Map[String, Double],
+      stratumCol: String = "lang", idCol: String = "doc_id",
+      defaultWeight: Double = 1.0): DataFrame =
+    mixtureCopies(docs, weights, stratumCol, idCol, defaultWeight)
+      .filter(col("copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("copies"))))
+      .drop("copies")
+
   /** Marker stopwords per language for the n-gram/stopword lang-ID
     * heuristic. Order = tie-break priority.
     */

@@ -62,6 +62,15 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    // Deterministic data-mixture weights: en upsampled 2.5×, fr
+    // downsampled to 25%, es dropped, others kept — per-doc copy counts
+    // (hash-bucket fractional selection, no RNG).
+    "text_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureCopies(docs(s, dir),
+        weights = Map("en" -> 2.5, "fr" -> 0.25, "es" -> 0.0))
+        .select(col("doc_id"), col("lang"), col("copies"))
+        .orderBy("doc_id")),
+
     // EX8b: corpus top-20 terms.
     "text_top_terms" -> ((s, dir) =>
       docs(s, dir)
@@ -141,6 +150,17 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
          |  min(win_min) AS min_fingerprint
          |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 2.5 WHEN 'fr' THEN 0.25
+        |      WHEN 'es' THEN 0.0 ELSE 1.0 END AS wt,
+        |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  (floor(wt) + CASE WHEN bucket < round((wt - floor(wt)) * 100) THEN 1 ELSE 0 END)::INTEGER AS copies
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "text_train_split" ->
       """SELECT doc_id,

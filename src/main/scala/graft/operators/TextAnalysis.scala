@@ -31,6 +31,38 @@ object TextAnalysis {
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("eval")))
   }
 
+  /** Text normalization for ingest cleanup: drop URLs and e-mail
+    * addresses, strip control characters, collapse whitespace runs, trim.
+    * Patterns use only RE2-and-Java-common syntax (explicit control-char
+    * class, no lookarounds) so the DuckDB oracle replays them verbatim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      "https?://[^\\s]+|www\\.[^\\s]+", " "),
+      "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+", " "),
+      "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
+  /** Eval-set decontamination signal: for each corpus document, the
+    * number of distinct word n-grams it shares with ANY probe (benchmark/
+    * eval) document. Inverted-index join on the n-gram — probe grams are
+    * deduplicated and the shuffle key is the gram, so the corpus is
+    * scanned once and zero-overlap documents never materialize a pair
+    * (same scale shape as the ngram-jaccard join). Downstream: drop or
+    * flag docs with n_contaminated_grams above a threshold.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame, n: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cg = corpus.select(col(idCol),
+      explode(array_distinct(TextFns.textShingles(col(textCol), n))).as("gram"))
+    val pg = probes.select(
+      explode(array_distinct(TextFns.textShingles(col(textCol), n))).as("gram"))
+      .distinct()
+    cg.join(pg, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+  }
+
   /** Deterministic data-mixture resampling — the corpus-mixing step of a
     * training-data pipeline: each stratum (source, language, ...) gets a
     * weight w; every row is emitted floor(w) times, plus once more for

@@ -12,11 +12,16 @@ object DuckSql {
     s"list_filter(string_split_regex(lower($textExpr), '[^a-z0-9]+'), t -> len(t) > 0)"
 
   /** Mirrors TextFns.wordShingles(n=3) over a token-list expression. */
-  def shingles3(toksExpr: String): String =
-    s"""CASE WHEN len($toksExpr) >= 3
-       | THEN list_transform(range(1, len($toksExpr) - 1),
-       |   i -> ($toksExpr)[i] || ' ' || ($toksExpr)[i+1] || ' ' || ($toksExpr)[i+2])
+  def shingles3(toksExpr: String): String = shingles(toksExpr, 3)
+
+  /** Mirrors TextFns.wordShingles(n) / ShinglesExpr for any n. */
+  def shingles(toksExpr: String, n: Int): String = {
+    val joined = (0 until n).map(j => s"($toksExpr)[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($toksExpr) >= $n
+       | THEN list_transform(range(1, len($toksExpr) - ${n - 2}),
+       |   i -> $joined)
        | ELSE [] END""".stripMargin
+  }
 
   /** Mirrors TextFns.minhash(seed). */
   def minhash(shinglesExpr: String, seed: Int): String =

@@ -62,6 +62,24 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    // Ingest normalization: URL/email strip, control-char removal,
+    // whitespace collapse — verified per doc by digest of the result.
+    "text_normalize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          length(TextAnalysis.normalizeText(col("text"))).cast("long").as("norm_len"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"))
+        .orderBy("doc_id")),
+
+    // Eval-set decontamination: distinct 4-grams each corpus doc shares
+    // with the probe set (doc_id < 20 stands in for a benchmark suite).
+    "text_contamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.contamination(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20), n = 4)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic data-mixture weights: en upsampled 2.5×, fr
     // downsampled to 25%, es dropped, others kept — per-doc copy counts
     // (hash-bucket fractional selection, no RNG).
@@ -150,6 +168,32 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
          |  min(win_min) AS min_fingerprint
          |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+|www\.[^\s]+', ' ', 'g'),
+        |    '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
+        |    '[\x00-\x1F\x7F]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_len,
+        |  md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+|www\.[^\s]+', ' ', 'g'),
+        |    '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
+        |    '[\x00-\x1F\x7F]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_contamination" -> {
+      val sh4 = DuckSql.shingles("toks", 4)
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($sh4) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |probe AS (SELECT DISTINCT unnest(sh) AS gram FROM d WHERE doc_id < 20),
+         |cg AS (SELECT doc_id, unnest(sh) AS gram FROM d WHERE doc_id >= 20)
+         |SELECT doc_id, count(DISTINCT gram) AS n_contaminated_grams
+         |FROM cg WHERE gram IN (SELECT gram FROM probe)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_mixture" ->
       """WITH w AS (

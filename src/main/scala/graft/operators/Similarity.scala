@@ -133,6 +133,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding preprocessing for ANN storage: L2-normalize (so dot ==
+    * cosine downstream) and symmetric int8 quantization (x/‖x‖ × 127) —
+    * 4× smaller vectors with bounded error. The norm is computed ONCE
+    * into a column and referenced inside the per-element transform (a
+    * lambda that recomputed it would be inlined per element —
+    * CollapseProject hazard, PLANS.md).
+    */
+  def normalizeQuantize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .withColumn("q8", transform(col("embedding"),
+        x => round(x.cast("double") / col("nrm") * 127).cast("int")))
+      .drop("nrm")
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label block (blocking bounds the pair count; at scale the block key
     * would be an LSH bucket instead of a label).

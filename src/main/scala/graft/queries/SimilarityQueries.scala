@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFns
 import graft.operators.Similarity
 
 /** Similarity-search registrations (EX6 + ANN scale path) over the
@@ -47,6 +48,14 @@ object SimilarityQueries extends QueryPack {
     "sim_ivf_nprobe_topk" -> ((s, dir) =>
       Similarity.ivfTopKProbe(emb(s, dir), QUERY_ID, TOP_K,
         nCells = N_CELLS, nProbe = 2)),
+
+    // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
+    "sim_normalize_quantize" -> ((s, dir) =>
+      Similarity.normalizeQuantize(emb(s, dir))
+        .select(col("vec_id"),
+          round(VectorFns.norm(col("embedding")), 6).as("norm"),
+          array_join(col("q8"), ",").as("q8"))
+        .orderBy("vec_id")),
 
     // Custom typed Aggregator: per-label embedding centroids, emitted as
     // (label, dim, value) rows for exact cross-engine comparison.
@@ -124,6 +133,13 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |WHERE a.vec_id <> $QUERY_ID
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_normalize_quantize" ->
+      s"""WITH $embsCte
+         |SELECT vec_id, round(sqrt(list_dot_product(de, de)), 6) AS norm,
+         |  array_to_string(list_transform(de,
+         |    x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',') AS q8
+         |FROM embs ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH flat AS (

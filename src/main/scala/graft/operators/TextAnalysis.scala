@@ -150,6 +150,22 @@ object TextAnalysis {
         6))
   }
 
+  /** Repetition metrics (Gopher-style quality rule): the most frequent
+    * word n-gram's share of all n-grams — templated/spammy text scores
+    * high. Exact integer counts (explode → two-level agg, partial
+    * map-side combine), so the ratio is the same rational in every
+    * engine. Docs with fewer than n tokens emit no row.
+    */
+  def repetitionMetrics(docs: DataFrame, n: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFns.textShingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_gram_n"))
+      .withColumn("top_gram_frac",
+        round(col("top_gram_n").cast("double") / col("n_grams"), 6))
+
   /** Token counting: whitespace tokens + BPE-ish sub-word count. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

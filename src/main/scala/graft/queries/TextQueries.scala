@@ -62,6 +62,11 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition quality rule: top bigram share per doc.
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir), n = 2)
+        .orderBy("doc_id")),
+
     // Ingest normalization: URL/email strip, control-char removal,
     // whitespace collapse — verified per doc by digest of the result.
     "text_normalize" -> ((s, dir) =>
@@ -168,6 +173,17 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(DISTINCT win_min) AS n_fingerprints,
          |  min(win_min) AS min_fingerprint
          |FROM wins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" -> {
+      val sh2 = DuckSql.shingles("toks", 2)
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest($sh2) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id, sum(cnt)::BIGINT AS n_grams, max(cnt) AS top_gram_n,
+         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_gram_frac
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_normalize" ->
       """SELECT doc_id,

@@ -135,16 +135,23 @@ object Similarity {
 
   /** Embedding preprocessing for ANN storage: L2-normalize (so dot ==
     * cosine downstream) and symmetric int8 quantization (x/‖x‖ × 127) —
-    * 4× smaller vectors with bounded error. The norm is computed ONCE
-    * into a column and referenced inside the per-element transform (a
-    * lambda that recomputed it would be inlined per element —
-    * CollapseProject hazard, PLANS.md).
+    * 4× smaller vectors with bounded error.
+    *
+    * The zero-norm guard is load-bearing twice over: (a) semantics — an
+    * all-zero vector quantizes to an empty array instead of NaN → int
+    * (Spark casts NaN to 0; DuckDB errors, so the unguarded form
+    * diverges cross-engine); (b) plan shape — the guard makes the q8
+    * projection reference `nrm` MORE THAN ONCE, which stops
+    * CollapseProject from inlining the O(d) norm into the per-element
+    * lambda (a single reference gets inlined → O(d²) per row — observed
+    * in the plan; PLANS.md hazard #2).
     */
   def normalizeQuantize(embeddings: DataFrame): DataFrame =
     embeddings
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .withColumn("q8", transform(col("embedding"),
-        x => round(x.cast("double") / col("nrm") * 127).cast("int")))
+      .withColumn("q8", when(col("nrm") === 0, array().cast("array<int>"))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("nrm") * 127).cast("int"))))
       .drop("nrm")
 
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its

@@ -33,15 +33,20 @@ object TextAnalysis {
 
   /** Text normalization for ingest cleanup: drop URLs and e-mail
     * addresses, strip control characters, collapse whitespace runs, trim.
-    * Patterns use only RE2-and-Java-common syntax (explicit control-char
-    * class, no lookarounds) so the DuckDB oracle replays them verbatim.
+    * Whitespace is an EXPLICIT class, never `\s`: Java's `\s` includes
+    * vertical tab (\x0B) but RE2's (DuckDB's) does not, so `\s`-based
+    * patterns silently diverge cross-engine. Only RE2-and-Java-common
+    * syntax (explicit classes, no lookarounds) appears here so the
+    * oracle replays the patterns verbatim; NormalizeSpec pins the
+    * behavior on inputs that exercise every branch (the driver corpus
+    * contains none of them).
     */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-      "https?://[^\\s]+|www\\.[^\\s]+", " "),
+      "https?://[^ \\t\\n\\x0B\\f\\r]+|www\\.[^ \\t\\n\\x0B\\f\\r]+", " "),
       "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+", " "),
       "[\\x00-\\x1F\\x7F]", " "),
-      "\\s+", " "))
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Eval-set decontamination signal: for each corpus document, the
     * number of distinct word n-grams it shares with ANY probe (benchmark/

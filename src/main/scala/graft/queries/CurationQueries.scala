@@ -56,7 +56,7 @@ object CurationQueries extends QueryPack {
          |exact_kept AS (
          |  SELECT * FROM kept
          |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-         |${DuckSql.lshChain("exact_kept", K, BANDS)},
+         |${DuckSql.lshChain("exact_kept", 3, K, BANDS)},
          |${DuckSql.componentCtes(0.5)}
          |SELECT e.doc_id, e.lang, e.n_tokens, e.quality_score,
          |  $bucketExpr AS bucket,

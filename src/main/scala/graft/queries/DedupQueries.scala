@@ -105,7 +105,7 @@ object DedupQueries extends QueryPack {
 
   // Shared oracle chain (DuckSql.lshChain): shingles → sigs → bands →
   // candidate pairs → rounded exact-Jaccard (`verified`), over documents.
-  private val lshChainCtes: String = DuckSql.lshChain("documents", K, BANDS)
+  private val lshChainCtes: String = DuckSql.lshChain("documents", 3, K, BANDS)
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->

@@ -46,14 +46,14 @@ object DuckSql {
     * all-NULL band hashes, which the equality self-join drops — the same
     * "token-poor docs never pair" outcome as LshBandsExpr's empty array.
     */
-  def lshChain(src: String, k: Int, bands: Int): String = {
+  def lshChain(src: String, n: Int, k: Int, bands: Int): String = {
     val mins = (0 until k).map(i => minhash("shingles", i)).mkString(",\n    ")
     val bandHashes = (0 until bands).map { b =>
       val parts = (0 until k / bands).map(r => s"sig[${b * (k / bands) + r + 1}]")
       s"md5(${parts.mkString(" || '|' || ")})"
     }.mkString(",\n    ")
     s"""shingled AS (
-       |  SELECT doc_id, ${shingles3("toks")} AS shingles
+       |  SELECT doc_id, ${shingles("toks", n)} AS shingles
        |  FROM (SELECT doc_id, ${tokens("text")} AS toks FROM $src)),
        |sigs AS (
        |  SELECT doc_id, shingles, [

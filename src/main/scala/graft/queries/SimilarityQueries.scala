@@ -137,8 +137,10 @@ object SimilarityQueries extends QueryPack {
     "sim_normalize_quantize" ->
       s"""WITH $embsCte
          |SELECT vec_id, round(sqrt(list_dot_product(de, de)), 6) AS norm,
-         |  array_to_string(list_transform(de,
-         |    x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',') AS q8
+         |  CASE WHEN list_dot_product(de, de) = 0 THEN ''
+         |    ELSE array_to_string(list_transform(de,
+         |      x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',')
+         |  END AS q8
          |FROM embs ORDER BY vec_id""".stripMargin,
 
     "sim_label_centroids" ->

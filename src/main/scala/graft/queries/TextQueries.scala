@@ -188,15 +188,15 @@ object TextQueries extends QueryPack {
     "text_normalize" ->
       """SELECT doc_id,
         |  length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^\s]+|www\.[^\s]+', ' ', 'g'),
+        |    'https?://[^ \t\n\x0B\f\r]+|www\.[^ \t\n\x0B\f\r]+', ' ', 'g'),
         |    '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
         |    '[\x00-\x1F\x7F]', ' ', 'g'),
-        |    '\s+', ' ', 'g'))) AS norm_len,
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_len,
         |  md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^\s]+|www\.[^\s]+', ' ', 'g'),
+        |    'https?://[^ \t\n\x0B\f\r]+|www\.[^ \t\n\x0B\f\r]+', ' ', 'g'),
         |    '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+', ' ', 'g'),
         |    '[\x00-\x1F\x7F]', ' ', 'g'),
-        |    '\s+', ' ', 'g'))) AS norm_md5
+        |    '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_contamination" -> {

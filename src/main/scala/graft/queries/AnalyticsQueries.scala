@@ -347,6 +347,26 @@ object AnalyticsQueries extends QueryPack {
         .limit(10)
     }),
 
+    // TPC-H Q18-shaped: HAVING/aggregate-subquery semi-join — orders
+    // whose total quantity exceeds a threshold, with customer context.
+    // The qualifying-keys side is an aggregate (map-side combine) and
+    // joins semi, so the fact table is scanned once and never built.
+    "join_big_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // TPC-H Q7-shaped volume shipping: 4 joins around the fact table, a
     // symmetric two-nation filter, year rollup. Both nation joins
     // broadcast (25 rows); lineitem never shuffles until the final agg.
@@ -575,6 +595,16 @@ object AnalyticsQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY revenue DESC, p_brand LIMIT 10""".stripMargin,
+
+    "join_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING round(sum(l_quantity), 2) > 150) ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "join_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -23,6 +23,7 @@ object Fixtures {
       |<a href="/abs/path/vol_20260812.zip">volume</a>
       |<a href="http://other.example/x/rates.json">rates</a>
       |<a href="subdir/">dir-link, empty basename, skipped</a>
+      |<a href=raw_20260812.txt>unquoted href, valid HTML</a>
       |<a>no href</a>
       |</body></html>""".stripMargin
 

@@ -12,18 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Extract {
 
-  /** All `href` values of `<a>` anchors in an HTML string, document order.
-    * Covers double- and single-quoted attributes; anchors without href are
-    * naturally absent (BeautifulSoup's `f.get('href')` yields None → urljoin
-    * would throw; reference behavior is "skip via empty basename" for
-    * directory links and error for None — we simply don't emit them).
+  /** All `href` values of `<a>` anchors in an HTML string, grouped by
+    * quoting style (double, single, unquoted), document order within each
+    * group. Unquoted values (`<a href=file.csv>`, valid HTML that
+    * BeautifulSoup accepts — `data_downloader.py:84-92`) run to the first
+    * whitespace or `>`. Anchors without href are naturally absent
+    * (BeautifulSoup's `f.get('href')` yields None → urljoin would throw;
+    * reference behavior is "skip via empty basename" for directory links
+    * and error for None — we simply don't emit them).
     */
   def anchorHrefs(html: Column): Column = {
     val dq = regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1))
     val sq = regexp_extract_all(html,
       lit("(?is)<a\\b[^>]*?href\\s*=\\s*'([^']*)'"), lit(1))
-    concat(dq, sq)
+    val uq = regexp_extract_all(html,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\"'\\s>][^\\s>]*)"), lit(1))
+    concat(dq, sq, uq)
   }
 
   /** FTP listing → file names: split on CRLF, drop empty lines, take the

@@ -1,11 +1,16 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join (extension EX7, SURVEY.md §2.3): for each left row, the most
-  * recent right row with `right.time <= left.time` on the same key.
+/** As-of join (extension EX7, SURVEY.md §2.3): for each left row, the
+  * nearest right row on the same key — by default the most recent right
+  * row with `right.time <= left.time` (backward inclusive, the DuckDB
+  * `ASOF JOIN ... ON r.t <= l.t` semantic); `strict` drops the equality,
+  * `forward` flips the direction to "earliest right row at-or-after"
+  * (DuckDB `>=` / strict `>`).
   *
   * Implemented with the scalable union+window trick instead of a range
   * join: tag each side, union, single hash-shuffle on the key, sort by
@@ -13,17 +18,24 @@ import org.apache.spark.sql.functions._
   * unbounded-preceding frame carries the latest right row forward to every
   * left row. Cost is one shuffle + sort of |L|+|R| rows — no quadratic
   * key-range explosion, survives 100 TB where a `BETWEEN` join would
-  * cross-product hot keys.
+  * cross-product hot keys. Direction/strictness are pure sort-order
+  * changes: forward scans time descending, strict orders left rows ahead
+  * of equal-timestamp right rows so the frame excludes them.
   */
 object AsOf {
 
   /** @param rightCols right columns to carry (emitted as `<prefix><name>`,
-    *                   null when no right row is at-or-before the left row)
+    *                   null when no right row matches)
+    * @param strict  exclude right rows at exactly the left timestamp
+    *                (`<` / `>` instead of `<=` / `>=`)
+    * @param forward match the earliest right row at-or-after (after, if
+    *                strict) the left row instead of the latest at-or-before
     */
   def joinAsOf(
       left: DataFrame, right: DataFrame,
       key: String, leftTime: String, rightTime: String,
-      rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+      rightCols: Seq[String], prefix: String = "asof_",
+      strict: Boolean = false, forward: Boolean = false): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val l = left.select(
@@ -35,13 +47,24 @@ object AsOf {
       lit(null).cast(structType(left, leftCols)).as("_l"),
       struct(rightCols.map(col): _*).as("_r"))
 
-    // Right rows sort before left rows at equal timestamps (side 0 < 1), so
-    // the join is inclusive: right.time == left.time matches. The carried
-    // right struct is the FINAL tiebreak: when multiple right rows share
-    // (key, timestamp), `last(_r)` deterministically carries the greatest
-    // carried-column tuple regardless of partitioning/run (left rows have
-    // _r null, which sorts first and never reorders across sides).
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"), col("_r"))
+    // Time axis ascending for backward, descending for forward — the same
+    // "carry the last right row seen" frame then yields latest-at-or-
+    // before or earliest-at-or-after respectively.
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
+    // Inclusive: right rows (side 0) sort before left rows (side 1) at
+    // equal timestamps, so the frame sees them; strict: left first, so
+    // equal-timestamp right rows fall outside the frame.
+    val sideOrd = if (strict) col("_side").desc else col("_side").asc
+    // Deterministic FINAL tiebreak when multiple right rows share
+    // (key, timestamp): the greatest orderable carried tuple wins,
+    // independent of direction. Unorderable carried columns (e.g.
+    // MapType) are excluded from the ordering rather than failing
+    // analysis; ties on the orderable subset then resolve arbitrarily.
+    val tieOrd = rightCols
+      .filter(c => RowOrdering.isOrderable(right.schema(c).dataType))
+      .map(c => col("_r").getField(c).asc)
+
+    val w = Window.partitionBy("_k").orderBy(Seq(tOrd, sideOrd) ++ tieOrd: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val out: Seq[Column] =

@@ -196,6 +196,62 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // EX7b: strict as-of — most recent purchase strictly BEFORE the click
+    // (`<` instead of `<=`), matching DuckDB's `ON p.ts < c.ts`.
+    "asof_strict_before" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.joinAsOf(clicks, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("event_id"), prefix = "purchase_", strict = true)
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // EX7c: forward as-of — the EARLIEST purchase at or after each click
+    // (DuckDB `ON p.ts >= c.ts`); same union+window plan, time axis
+    // reversed.
+    "asof_next_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.joinAsOf(clicks, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("event_id"), prefix = "purchase_", forward = true)
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // EX5d: watermark late-data drop, batch-equivalent oracle form — the
+    // streaming session query drops rows older than (max event time −
+    // delay); replay that final state by filtering to the watermark
+    // before sessionizing. The streaming twin (EventStreams) is
+    // spec-covered; this pins the drop semantics against DuckDB.
+    "session_late_drop" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val wm = ev.agg((max(unix_micros(col("ts"))) - 86400000000L).as("_wm"))
+      val fresh = ev.crossJoin(broadcast(wm))
+        .filter(unix_micros(col("ts")) > col("_wm"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      fresh
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L).cast("int"))
+        .withColumn("session_seq", sum(col("new_session")).over(cum))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_seq"), col("session_start"), col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
     // EX9: set ops — users who clicked but never purchased (EXCEPT), and
     // via left_anti (D1's completed dup-guard shape) for the same result.
     "setop_click_no_purchase" -> ((s, dir) => {
@@ -255,12 +311,21 @@ object AnalyticsQueries extends QueryPack {
           col("n"), col("sum_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // EX2b: approx distinct (HLL). No DuckDB oracle — sketch values are
-    // engine-specific; driver records rows-only. Kept for the sketch path.
+    // EX2b: approx distinct (HLL). Sketch estimates are engine-specific,
+    // so the oracle-checkable contract is the HLL accuracy GUARANTEE, not
+    // the estimate: emit the exact count plus a tolerance boolean
+    // (|approx − exact| / exact ≤ 5%); DuckDB recomputes the exact count
+    // and asserts the boolean true. rsd=0.02 keeps 5% at ~2.5σ, and small
+    // groups use HLL's linear-counting range (near-exact), so the check
+    // is stable across SFs.
     "agg_approx_distinct" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("approx_ok"))
         .orderBy("event_type")),
 
     // Grouping sets, cube form: all 4 subtotal combinations in ONE pass
@@ -430,6 +495,14 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // The oracle asserts the tolerance boolean from the exact side: a
+    // Spark HLL estimate drifting past 5% of exact flips approx_ok false
+    // and fails the hash compare.
+    "agg_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "join_revenue_by_nation" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -523,6 +596,44 @@ object AnalyticsQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts <= c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "asof_strict_before" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT c.event_id AS event_id, c.user_id AS user_id,
+        |  p.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events_us WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts < c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "asof_next_purchase" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT c.event_id AS event_id, c.user_id AS user_id,
+        |  p.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events_us WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts >= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "session_late_drop" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |fresh AS (
+        |  SELECT * FROM events_us
+        |  WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) - 86400000000 FROM events_us)),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM fresh WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "setop_click_no_purchase" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

@@ -154,6 +154,7 @@ object DedupQueries extends QueryPack {
          |  WHERE x.doc_id < y.doc_id)
          |SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
          |FROM pairs
+         |WHERE inter > 0
          |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
   )
 }

@@ -156,9 +156,10 @@ object ReferenceQueries extends QueryPack {
       s"""WITH page AS (SELECT ${Fixtures.sqlLit(Fixtures.htmlBase)} AS base,
          |  ${Fixtures.sqlLit(Fixtures.htmlPage)} AS html),
          |hrefs AS (
-         |  SELECT base, unnest(list_concat(
+         |  SELECT base, unnest(list_concat(list_concat(
          |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1),
-         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*''([^'']*)''', 1))) AS href
+         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*''([^'']*)''', 1)),
+         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*([^"''\\s>][^\\s>]*)', 1))) AS href
          |  FROM page),
          |resolved AS (
          |  SELECT CASE

@@ -7,14 +7,15 @@ import graft.{Fixtures, SparkSpec}
 /** X2/X6/X7 extraction fidelity over the FIXTURES.md corpora. */
 class ExtractSpec extends SparkSpec {
 
-  test("anchor hrefs: double/single quotes, no-href dropped") {
+  test("anchor hrefs: double/single/unquoted, no-href dropped") {
     import spark.implicits._
     val html = Fixtures.htmlPage + """<a href='single_quoted.bin'>sq</a>"""
     val got = Seq(html).toDF("html")
       .select(explode(Extract.anchorHrefs(col("html"))).as("href"))
       .as[String].collect().toSet
     assert(got === Set("prices_20260812.csv", "/abs/path/vol_20260812.zip",
-      "http://other.example/x/rates.json", "subdir/", "single_quoted.bin"))
+      "http://other.example/x/rates.json", "subdir/", "single_quoted.bin",
+      "raw_20260812.txt"))
   }
 
   test("html_links pipeline drops directory links via empty basename (F2)") {
@@ -25,7 +26,8 @@ class ExtractSpec extends SparkSpec {
       .withColumn("name", Urls.basename(col("u")))
       .filter(length(col("name")) > 0)
       .select("name").as[String].collect().toSet
-    assert(got === Set("prices_20260812.csv", "vol_20260812.zip", "rates.json"))
+    assert(got === Set("prices_20260812.csv", "vol_20260812.zip", "rates.json",
+      "raw_20260812.txt"))
   }
 
   test("ftp listing names: CRLF split, trailing empty dropped, last token") {

@@ -31,10 +31,16 @@ object Bench {
       }
       name -> reps.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Two lines: the full per-query map first, then a compact total-only
+    // line LAST — the driver's bounded tail capture truncated the r2
+    // single-line report from the front, losing the total; the final
+    // short line always survives a tail cut. Values rounded to ms to
+    // keep the map line small.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = f"${results.map(_._2).sum}%.3f"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,12 +50,15 @@ case class LshBandsExpr(child: Expression, k: Int, bands: Int)
 
 object LshBandsExpr {
 
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(shingles: ArrayData, k: Int, bands: Int): ArrayData = {
     val sig = MinhashSigExpr.compute(shingles, k)
     if (sig.isNullAt(0)) return new GenericArrayData(Array.empty[Any])
     val r = k / bands
-    val digest = java.security.MessageDigest.getInstance("MD5")
+    val digest = md5.get()
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

@@ -37,7 +37,14 @@ object Curation {
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
     val exact = Dedup.exact(graded)
     val exactKept = if (materializeStages) exact.localCheckpoint() else exact
-    val nearKept = Dedup.nearDupSurvivors(exactKept, n, k, bands, threshold)
+    // Shingle ONCE per surviving doc: the near-dup stage references the
+    // shingled frame four times (banded self-join a/b + Jaccard verify
+    // a/b); without this boundary each reference re-tokenizes the corpus.
+    val shingled = exactKept.select(col("doc_id"),
+      graft.functions.TextFns.textShingles(col("text"), n).as("shingles"))
+    val shingledKept = if (materializeStages) shingled.localCheckpoint() else shingled
+    val nearKept = Dedup.nearDupSurvivors(exactKept, n, k, bands, threshold,
+      shingled = Some(shingledKept))
     TextAnalysis.hashSplit(nearKept, trainPct = trainPct)
   }
 }

@@ -28,31 +28,16 @@ object Dedup {
       .drop("rn")
   }
 
-  /** Minhash signatures: k md5-minima over word n-gram shingles. */
+  /** Minhash signatures: k md5-minima over word n-gram shingles, via the
+    * native [[graft.functions.expressions.MinhashSigExpr]] (the same
+    * signature path the LSH pipeline's fused band expression uses — one
+    * tight-loop traversal per document, not an interpreted HOF fold).
+    */
   def minhashSignatures(docs: DataFrame, n: Int, k: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol), TextFns.textShingles(col(textCol), n).as("shingles"))
-      .withColumn("sig", TextFns.minhashSignature(col("shingles"), k))
-
-  /** LSH candidate pairs: docs sharing ≥1 band (bands × rowsPerBand = k).
-    * Self-join on (band_id, band_hash) — the only shuffle key; hot buckets
-    * stay bounded because band hashes are near-uniform.
-    */
-  def lshCandidates(signatures: DataFrame, bands: Int, rowsPerBand: Int,
-      idCol: String = "doc_id"): DataFrame = {
-    val banded = signatures.select(
-      col(idCol),
-      posexplode(
-        array((0 until bands).map(b =>
-          md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*))): _*))
-        .as(Seq("band_id", "band_hash")))
-    val a = banded.select(col(idCol).as("a"), col("band_id"), col("band_hash"))
-    val b = banded.select(col(idCol).as("b"), col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
-  }
+      .withColumn("sig",
+        graft.functions.expressions.MinhashSigExpr.minhashSigNative(col("shingles"), k))
 
   /** Exact Jaccard over distinct shingle sets for given candidate pairs.
     * Empty∪empty would be 0/0 = NaN — and Spark orders NaN above every
@@ -86,10 +71,20 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    nearDupPairsFromShingles(
+      docs.select(col(idCol).as("doc_id"),
+        TextFns.textShingles(col(textCol), n).as("shingles")),
+      k, bands, threshold)
+
+  /** [[nearDupPairs]] over a precomputed `(doc_id, shingles)` frame — use
+    * when the caller already has (or wants to materialize) the shingle
+    * column so it isn't recomputed per plan branch (the self-join + verify
+    * reference the shingled frame four times; Curation checkpoints it).
+    */
+  def nearDupPairsFromShingles(shingled: DataFrame, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     import graft.functions.expressions.LshBandsExpr
-    val shingled = docs.select(col(idCol).as("doc_id"),
-      TextFns.textShingles(col(textCol), n).as("shingles"))
     val banded = shingled.select(col("doc_id"),
       posexplode(LshBandsExpr.lshBandsNative(col("shingles"), k, bands))
         .as(Seq("band_id", "band_hash")))
@@ -185,11 +180,19 @@ object Dedup {
     * unpaired docs). The non-representative set is a broadcast-sized
     * anti-join side relative to the corpus (only clustered duplicates).
     */
+  /** @param shingled optional precomputed `(doc_id, shingles)` frame
+    *                  (e.g. checkpointed by Curation) so pair generation
+    *                  doesn't re-shingle `docs` per plan branch
+    */
   def nearDupSurvivors(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      shingled: Option[DataFrame] = None): DataFrame = {
+    val sh = shingled.getOrElse(
+      docs.select(col(idCol).as("doc_id"),
+        TextFns.textShingles(col(textCol), n).as("shingles")))
     val dropped = connectedComponents(
-        nearDupPairs(docs, n, k, bands, threshold, textCol, idCol))
+        nearDupPairsFromShingles(sh, k, bands, threshold))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("_drop_id"))
     docs.join(broadcast(dropped), col(idCol) === col("_drop_id"), "left_anti")

@@ -66,19 +66,29 @@ object BatchHandler {
     * maxAttempts. (Handled errors never come back here: they are acked
     * after flag+alert, matching the reference's poison-pill ack.)
     * Returns the number of files re-enqueued.
+    *
+    * @param visibilityTimeoutMs only re-enqueue files whose mtime is at
+    *        least this old — the SQS visibility-timeout analog. With the
+    *        default 0 EVERY in-flight file is re-enqueued, which
+    *        double-processes tasks a live batch is still working on:
+    *        callers that can't guarantee no batch is active (single
+    *        writer) MUST pass a timeout longer than a batch run.
     */
-  def recoverStale(root: String): Int = {
+  def recoverStale(root: String, visibilityTimeoutMs: Long = 0L): Int = {
     val processing = Paths.get(root, "processing")
     val queueDir = Paths.get(root, "queue")
     if (!Files.isDirectory(processing)) return 0
     Files.createDirectories(queueDir)
+    val cutoff = System.currentTimeMillis() - visibilityTimeoutMs
     val stale = {
       val s = Files.list(processing)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala
           .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-          .filterNot(_.getFileName.toString.startsWith("_")).toList
+          .filterNot(_.getFileName.toString.startsWith("_"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          .toList
       } finally s.close()
     }
     stale.foreach { p =>

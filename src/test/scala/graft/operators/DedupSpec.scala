@@ -76,8 +76,12 @@ class DedupSpec extends SparkSpec {
   }
 
   test("LSH candidates are a superset of high-jaccard pairs (recall)") {
-    val sigs = Dedup.minhashSignatures(docsDF, n = 3, k = 16)
-    val cands = Dedup.lshCandidates(sigs, bands = 4, rowsPerBand = 4)
+    import org.apache.spark.sql.functions.col
+    val shingled = docsDF.select(col("doc_id"),
+      graft.functions.TextFns.textShingles(col("text"), 3).as("shingles"))
+    // threshold 0 keeps every banded candidate that survives verification
+    val cands = Dedup.nearDupPairsFromShingles(shingled, k = 16, bands = 4,
+        threshold = 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cands.contains((1L, 2L)))
     assert(cands.contains((1L, 3L)) || cands.contains((2L, 3L)),

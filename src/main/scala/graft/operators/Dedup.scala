@@ -198,6 +198,38 @@ object Dedup {
     docs.join(broadcast(dropped), col(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** Corpus-wide sentence-level exact dedup (the CCNet/RefinedWeb "line
+    * dedup" rule): a sentence appearing in many documents survives only in
+    * its first occurrence (lowest (doc_id, position)); every document is
+    * reassembled from its surviving sentences in original order.
+    * Documents whose every sentence is owned elsewhere vanish — that IS
+    * the boilerplate-removal semantic.
+    *
+    * Scale shape: explode to (sentence, doc_id, pos), ONE shuffle on the
+    * sentence text for the first-occurrence window, one shuffle back on
+    * doc_id for reassembly. At 100 TB the sentence key is near-unique
+    * (boilerplate keys are the skewed minority and bounded by their
+    * occurrence count); reassembly arrays are per-document small, so the
+    * collect_list + sort is bounded. Emitted as a digest of the rebuilt
+    * text for cross-engine compare.
+    */
+  def dedupSentences(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", sep: String = ". "): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val sent = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), sepRe)).as(Seq("pos", "sentence")))
+    val w = Window.partitionBy("sentence").orderBy("doc_id", "pos")
+    sent.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("sentence")))),
+            x => x.getField("sentence")),
+          sep).as("rebuilt"))
+      .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
+  }
+
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
     * token votes ±1 per position by that nibble's high bit; the sign of
     * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.

@@ -154,6 +154,26 @@ object Similarity {
           x => round(x.cast("double") / col("nrm") * 127).cast("int"))))
       .drop("nrm")
 
+  /** One Lloyd (k-means) refinement step over the IVF coarse quantizer:
+    * assign every vector to its nearest deterministic seed centroid
+    * (cosine, same assignment as [[assignCells]]), then recompute each
+    * cell's centroid as the member mean — the building block of a
+    * semantic-dedup / clustering pass over a 100 TB embedding corpus.
+    *
+    * Scale shape: seeds broadcast (K rows), assignment is one narrow
+    * pass, and the mean is a typed Aggregator (array-valued partial
+    * aggregation — per-partition sums shuffle, never member vectors).
+    * Emitted per (cell, dim) for exact cross-engine comparison.
+    */
+  def kmeansRefine(embeddings: DataFrame, nCells: Int): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    assignCells(embeddings, nCells)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), centroid(col("embedding")).as("centroid"))
+      .select(col("cell"), col("n"), posexplode(col("centroid")).as(Seq("dim", "v")))
+      .select(col("cell"), col("n"), col("dim"), round(col("v"), 6).as("v"))
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label block (blocking bounds the pair count; at scale the block key
     * would be an LSH bucket instead of a label).

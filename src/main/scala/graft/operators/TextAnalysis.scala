@@ -204,4 +204,73 @@ object TextAnalysis {
         size(col("wins")).cast("long").as("n_fingerprints"),
         array_min(col("wins")).as("min_fingerprint"))
   }
+
+  /** PII patterns, shared verbatim with the DuckDB oracle. Restricted to
+    * RE2∩Java syntax (explicit classes, no lookarounds, no `\b`-free
+    * ambiguity) like normalizeText — see that Scaladoc for why `\s` is
+    * banned. Deliberately conservative/simple: e-mail, dotted-quad IPv4,
+    * and two phone shapes (E.164 `+digits`, US dashed); real deployments
+    * extend the list, the plumbing doesn't change.
+    */
+  val piiEmailRe = "[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+"
+  val piiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val piiPhoneRe = "\\+[0-9]{7,15}|[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+  /** PII redaction — the compliance pass every training corpus needs:
+    * count and mask e-mail addresses, IPv4 addresses and phone numbers.
+    * Per-row narrow (three codegen'd regex passes, no shuffle); the
+    * redacted text is emitted as a digest so the oracle can verify the
+    * exact replacement output without hauling full bodies through the
+    * compare. Replacement order (email → ip → phone) matters — a dotted
+    * quad inside an already-masked token must not re-match — and is
+    * pinned by the spec.
+    */
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(piiEmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(piiIpv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(t, lit(piiPhoneRe), lit(0))).as("n_phones"),
+      md5(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, piiEmailRe, "<EMAIL>"),
+            piiIpv4Re, "<IP>"),
+          piiPhoneRe, "<PHONE>")).as("redacted_md5"))
+  }
+
+  /** Redacted text itself (not the digest) — for pipeline composition. */
+  def piiRedactText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
+  /** Concat-and-chunk sequence packing — how LLM pre-training actually
+    * consumes a corpus: documents are concatenated in a deterministic
+    * order and cut into fixed token-budget sequences; each document is
+    * assigned to the sequence containing its first token.
+    *
+    * Packing is per hash-bucket, NOT global: a corpus-wide ordered cumsum
+    * would serialize 100 TB through one window partition. Buckets come
+    * from the same md5 formula as [[hashSplit]] (layout-independent,
+    * reproducible), each bucket packs independently in doc-id order, and
+    * the window cumsum shuffles once on the bucket key. Emits per-sequence
+    * stats (doc count, token sum) — the schedulable unit of a packing job.
+    */
+  def packSequences(docs: DataFrame, budgetTokens: Int, nBuckets: Int = 32,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % nBuckets).as("bucket")
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), size(TextFns.tokens(col(textCol))).cast("long").as("n_tokens"), bucket)
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("start_tok") / budgetTokens))
+      .groupBy(col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+  }
 }

@@ -56,6 +56,12 @@ object DedupQueries extends QueryPack {
       Dedup.simhash(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Sentence-level exact dedup (CCNet/RefinedWeb line-dedup rule):
+    // first occurrence of each sentence survives, docs reassembled.
+    "dedup_sentences" -> ((s, dir) =>
+      Dedup.dedupSentences(docs(s, dir))
+        .orderBy("doc_id")),
+
     // Exact n-gram Jaccard near-dup, blocked by (lang, source): top-20
     // most-similar pairs, via an inverted-index join — explode distinct
     // shingles, self-join on (lang, source, shingle), so |A∩B| is the
@@ -140,6 +146,19 @@ object DedupQueries extends QueryPack {
          |SELECT doc_id,
          |  string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash16
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_sentences" ->
+      """WITH sent AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, '. '), 1) - 1 AS pos,
+        |    unnest(string_split(text, '. ')) AS sentence
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM sent
+        |  QUALIFY row_number() OVER (PARTITION BY sentence ORDER BY doc_id, pos) = 1)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  md5(string_agg(sentence, '. ' ORDER BY pos)) AS rebuilt_md5
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (

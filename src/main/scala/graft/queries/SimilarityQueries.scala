@@ -57,6 +57,14 @@ object SimilarityQueries extends QueryPack {
           array_join(col("q8"), ",").as("q8"))
         .orderBy("vec_id")),
 
+    // Semantic-clustering building block: one Lloyd (k-means) refinement
+    // of the IVF coarse quantizer — assign to nearest seed, per-cell mean
+    // via the typed Aggregator (partial array sums, not member vectors,
+    // cross the shuffle).
+    "sim_kmeans_refine" -> ((s, dir) =>
+      Similarity.kmeansRefine(emb(s, dir), nCells = N_CELLS)
+        .orderBy("cell", "dim")),
+
     // Custom typed Aggregator: per-label embedding centroids, emitted as
     // (label, dim, value) rows for exact cross-engine comparison.
     "sim_label_centroids" -> ((s, dir) => {
@@ -142,6 +150,21 @@ object SimilarityQueries extends QueryPack {
          |      x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',')
          |  END AS q8
          |FROM embs ORDER BY vec_id""".stripMargin,
+
+    "sim_kmeans_refine" ->
+      s"""WITH $embsCte,
+         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
+         |assigned AS (
+         |  SELECT e.vec_id, e.de, c.cell,
+         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
+         |  FROM embs e CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |flat AS (
+         |  SELECT cell, generate_subscripts(de, 1) - 1 AS dim, unnest(de) AS e
+         |  FROM assigned)
+         |SELECT cell, count(*) AS n, dim, round(avg(e), 6) AS v
+         |FROM flat GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
     "sim_label_centroids" ->
       """WITH flat AS (

@@ -101,7 +101,20 @@ object TextQueries extends QueryPack {
         .groupBy(col("term"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
-        .limit(20))
+        .limit(20)),
+
+    // PII redaction pass: per-doc match counts + digest of the masked
+    // text (replacement chain verified exactly; branch coverage on
+    // PII-bearing literals lives in PiiSpec — the driver corpus is clean).
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiRedact(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // Concat-and-chunk sequence packing: 512-token budget, 32 hash
+    // buckets packed independently (no global sort — see Scaladoc).
+    "pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), budgetTokens = 512)
+        .orderBy("bucket", "seq_id"))
   )
 
   private val toksSql = DuckSql.tokens("text")
@@ -232,6 +245,34 @@ object TextQueries extends QueryPack {
     "text_top_terms" ->
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
-         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin
+         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_pii" -> {
+      import TextAnalysis.{piiEmailRe, piiIpv4Re, piiPhoneRe}
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$piiEmailRe')) AS n_emails,
+         |  len(regexp_extract_all(text, '$piiIpv4Re')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '$piiPhoneRe')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$piiEmailRe', '<EMAIL>', 'g'),
+         |    '$piiIpv4Re', '<IP>', 'g'),
+         |    '$piiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "pack_sequences" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    len($toksSql) AS n_tokens,
+         |    (('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 32)::BIGINT AS bucket
+         |  FROM documents),
+         |seq AS (
+         |  SELECT bucket, doc_id, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+         |  FROM toks)
+         |SELECT bucket, CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_id,
+         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS seq_tokens
+         |FROM seq GROUP BY bucket, seq_id ORDER BY bucket, seq_id""".stripMargin
   )
 }

@@ -83,6 +83,39 @@ object AnalyticsQueries extends QueryPack {
           round(expr("percentile(value, 0.9)"), 6).as("p90"))
         .orderBy("event_type")),
 
+    // Approx quantiles (Greenwald-Khanna sketch) with the same oracle
+    // strategy as agg_approx_distinct: the sketch value is
+    // engine-specific, the RANK-ERROR contract isn't. With accuracy a,
+    // the p-th approx quantile must lie within the exact [p−1/a, p+1/a]
+    // quantile band; DuckDB recomputes the exact band and asserts the
+    // boolean. Mergeable-sketch path at scale: partials merge, raw
+    // values never concentrate.
+    "agg_approx_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+          expr("percentile(value, 0.49)").as("lo"),
+          expr("percentile(value, 0.51)").as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          col("ap50").between(col("lo"), col("hi")).as("p50_ok"))
+        .orderBy("event_type")),
+
+    // 100 TB dup-guard form under the oracle gate: Bloom pre-filter
+    // routes definite-new keys around the anti-join, might-contain keys
+    // verify exactly — result is EXACTLY candidates ANTI JOIN existing
+    // (false positives cost a lookup, never a wrong drop), so the plain
+    // anti-join SQL is its oracle.
+    "bloom_customers_no_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").cast("string").as("c_key"))
+      graft.operators.Dedup.bloomDupGuard(
+          c.withColumn("c_key", col("c_custkey").cast("string")),
+          o, keyCol = "c_key", expectedKeys = 200000L)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
     // TPC-H Q3-shaped shipping-priority query: selective dim filters,
     // two shuffle joins on scaling keys, top-10 via TakeOrdered.
     "join_shipping_priority" -> ((s, dir) => {
@@ -518,6 +551,18 @@ object AnalyticsQueries extends QueryPack {
         |SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events_us GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Exact 49th/51st percentile band from DuckDB; the GK sketch's rank
+    // guarantee (1/accuracy = 0.1% here, checked against a 1% band)
+    // makes p50_ok deterministically true.
+    "agg_approx_quantiles" ->
+      """SELECT event_type, count(*) AS n, true AS p50_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "bloom_customers_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "join_shipping_priority" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -130,19 +130,28 @@ object TextAnalysis {
 
   /** Quality metrics + composite score (length, punctuation, stopword and
     * alphabetic ratios — the classic cheap filters).
+    *
+    * Token statistics come from the fused native
+    * [[graft.functions.expressions.TokenStatsExpr]] (one tokenization
+    * pass, whole-stage codegen) instead of the `aggregate`/`filter` HOF
+    * chain, which was CodegenFallback-interpreted per row — this is the
+    * gate that scans 100% of the corpus. The identical-formula parity is
+    * pinned in TextVectorNativeSpec. The stats struct is referenced
+    * several times in one projection; the inlined copies are identical
+    * trees, which whole-stage codegen's subexpression elimination
+    * evaluates once (unlike HOFs, which fall out of codegen entirely).
     */
   def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val txt = col(textCol)
-    val toks = TextFns.tokens(txt)
+    val stats = graft.functions.expressions.TokenStatsExpr.tokenStatsNative(txt)
     val nChars = length(txt)
-    val nTokens = size(toks)
+    val nTokens = stats.getField("n_tokens")
     val punct = size(regexp_extract_all(txt, lit("[^a-zA-Z0-9\\s]"), lit(0)))
-    val stop = size(filter(toks, t => t.isInCollection(
-      Seq("the", "a", "of", "and", "to", "is", "in", "it", "that", "for"))))
+    val stop = stats.getField("n_stop")
     docs
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
-        round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        round(stats.getField("sum_len").cast("double") /
           greatest(nTokens, lit(1)), 4))
       .withColumn("punct_ratio", round(punct.cast("double") / greatest(nChars, lit(1)), 6))
       .withColumn("stopword_ratio", round(stop.cast("double") / greatest(nTokens, lit(1)), 6))

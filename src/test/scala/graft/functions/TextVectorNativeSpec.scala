@@ -195,6 +195,27 @@ class TextVectorNativeSpec extends SparkSpec {
     assert(r.getDouble(3) === 11.0)
   }
 
+  test("TokenStatsExpr == size/aggregate/filter HOF chain on random text") {
+    import spark.implicits._
+    import graft.functions.expressions.TokenStatsExpr
+    val declTokens = filter(split(lower(col("text")), "[^a-z0-9]+"), t => length(t) > 0)
+    val texts = (0 until 200).map(_ => randText()) :+ "" :+ "the a of" :+ "!!!"
+    val rows = texts.toDF("text")
+      .select(
+        TokenStatsExpr.tokenStatsNative(col("text")).as("native"),
+        size(declTokens).as("d_n"),
+        aggregate(declTokens, lit(0L), (acc, t) => acc + length(t)).as("d_sum"),
+        size(filter(declTokens,
+          t => t.isInCollection(TokenStatsExpr.stopwords))).as("d_stop"))
+      .collect()
+    rows.foreach { r =>
+      val s = r.getStruct(0)
+      assert(s.getInt(0) === r.getInt(1))
+      assert(s.getLong(1) === r.getLong(2))
+      assert(s.getInt(2) === r.getInt(3))
+    }
+  }
+
   test("native expressions keep the plan UDF-free and support codegen") {
     import spark.implicits._
     val plan = Seq(("a b c d", Seq(1.0, 2.0)))

@@ -373,6 +373,39 @@ object AnalyticsQueries extends QueryPack {
           col("n"), col("sum_price"))
         .orderBy("o_orderpriority", "o_orderstatus")),
 
+    // TPC-H Q17-shape: small-quantity revenue gated on a per-part average
+    // (correlated-subquery shape). Scale decisions: the selective part
+    // filter broadcasts and is applied BEFORE the per-part average, so
+    // the avg aggregates only the selected parts' lineitems (not all of
+    // lineitem, which the naive correlated form would); one shuffle on
+    // l_partkey serves both the aggregate and the gate join.
+    "join_small_qty_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
+        .select(col("p_partkey"))
+      val lsel = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val gate = lsel.groupBy(col("l_partkey").as("g_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_gate"))
+      lsel.join(gate, col("l_partkey") === col("g_partkey"))
+        .filter(col("l_quantity") < col("qty_gate"))
+        .agg(coalesce(round(sum(col("l_extendedprice")) / 7.0, 2), lit(0.0)).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // EX4e: RANGE-frame window — trailing 1-hour per-user event stats
+    // (time-based frame, not row-based: frame bounds are exact integer
+    // microseconds, identical in both engines).
+    "window_trailing_hour" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_hour"),
+          round(sum(col("value")).over(w), 4).as("sum_hour"))
+        .orderBy("event_id")
+    }),
+
     // EX4c: lag/lead analytics — per-user value delta between consecutive
     // events. First-of-user rows (no predecessor) are dropped rather than
     // emitted as null: a null in a double column sorts engine-dependently
@@ -551,6 +584,27 @@ object AnalyticsQueries extends QueryPack {
         |SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |  round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events_us GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "join_small_qty_revenue" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 15),
+        |lsel AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+        |gate AS (SELECT l_partkey AS g_partkey, avg(l_quantity) * 0.2 AS qty_gate
+        |  FROM lsel GROUP BY l_partkey)
+        |SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lsel JOIN gate ON l_partkey = g_partkey
+        |WHERE l_quantity < qty_gate""".stripMargin,
+
+    "window_trailing_hour" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_hour,
+        |  round(sum(value) OVER w, 4) AS sum_hour
+        |FROM events_us
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Exact 49th/51st percentile band from DuckDB; the GK sketch's rank
     // guarantee (1/accuracy = 0.1% here, checked against a 1% band)

@@ -164,4 +164,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions.contains((1L, "2024-01-01 10:00:00.0", 2L)))
     assert(sessions.contains((1L, "2024-01-01 11:30:00.0", 1L)))
   }
+
+  test("session windows drop rows behind the watermark (the session_late_drop rule)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF().toDF("ts", "user_id")
+    val q = EventStreams.sessionCounts(events, "30 minutes", "1 hour")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+
+    input.addData((ts("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    // advance the watermark to 19:00 (20:00 − 1 h) — user 1's session emits
+    input.addData((ts("2024-01-01 20:00:00"), 9L))
+    q.processAllAvailable()
+    // behind the watermark → dropped: no new session, no reopened session
+    input.addData((ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    input.addData((ts("2024-01-02 09:00:00"), 9L))  // flush remaining state
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("late_sessions").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(0).toString, r.getLong(2)))
+    assert(sessions.contains((1L, "2024-01-01 10:00:00.0", 1L)))
+    assert(sessions.count(_._1 == 1L) === 1,
+      s"late row must create no session: ${sessions.mkString("; ")}")
+    // the batch replay of the same rule (session_late_drop's watermark
+    // filter) keeps exactly the surviving rows: every emitted session
+    // start is at-or-after (max ts seen − delay) OR was emitted before
+    // the late row arrived — here, simply: the 10:05 row appears nowhere
+    assert(!sessions.exists(s => s._1 == 1L && s._3 > 1L))
+  }
 }

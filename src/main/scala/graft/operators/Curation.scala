@@ -33,8 +33,7 @@ object Curation {
   def curate(docs: DataFrame, minTokens: Int = 10, minQuality: Double = 0.5,
       n: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       trainPct: Int = 90, materializeStages: Boolean = true): DataFrame = {
-    val graded = TextAnalysis.qualityMetrics(docs)
-      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+    val graded = qualityGate(docs, minTokens, minQuality)
     val exact = Dedup.exact(graded)
     val exactKept = if (materializeStages) exact.localCheckpoint() else exact
     // Shingle ONCE per surviving doc: the near-dup stage references the
@@ -47,4 +46,29 @@ object Curation {
       shingled = Some(shingledKept))
     TextAnalysis.hashSplit(nearKept, trainPct = trainPct)
   }
+
+  /** The narrow quality gate shared by the batch and streaming forms. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 10,
+      minQuality: Double = 0.5): DataFrame =
+    TextAnalysis.qualityMetrics(docs)
+      .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
+
+  /** Streaming (incremental-ingest) curation: quality gate → watermarked
+    * streaming exact dedup → deterministic split, over a streaming
+    * DataFrame of `(ts, doc_id, text, ...)`. Every stage is
+    * streaming-legal: the gate and split are narrow per-row transforms;
+    * dedup keeps only 32-byte digest state within the watermark
+    * (`dropDuplicatesWithinWatermark`), so state is bounded on an
+    * unbounded ingest. Near-dup clustering needs a corpus self-join and
+    * is deliberately NOT here — at scale it runs as the periodic batch
+    * compaction over the accumulated sink ([[curate]]), the standard
+    * lambda split for this workload.
+    */
+  def curateStream(docs: DataFrame, minTokens: Int = 10,
+      minQuality: Double = 0.5, watermark: String = "1 hour",
+      trainPct: Int = 90): DataFrame =
+    TextAnalysis.hashSplit(
+      graft.streaming.EventStreams.dedupStream(
+        qualityGate(docs, minTokens, minQuality), watermark = watermark),
+      trainPct = trainPct)
 }

@@ -114,7 +114,26 @@ object TextQueries extends QueryPack {
     // buckets packed independently (no global sort — see Scaladoc).
     "pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(docs(s, dir), budgetTokens = 512)
-        .orderBy("bucket", "seq_id"))
+        .orderBy("bucket", "seq_id")),
+
+    // Relative quality gate: keep documents at-or-above their language's
+    // median quality score — the per-group-threshold form of curation
+    // filtering. The per-lang median is a tiny aggregate that BROADCASTS
+    // back onto the corpus (never a window over the full table: a
+    // per-lang percentile window would sort 100 TB inside ≤ |langs|
+    // partitions).
+    "text_quality_median_gate" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      val med = scored.groupBy(col("lang"))
+        .agg(expr("percentile(quality_score, 0.5)").as("med"))
+      scored.join(broadcast(med), "lang")
+        .filter(col("quality_score") >= col("med"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(min(col("quality_score")), 6).as("min_kept_score"))
+        .orderBy("lang")
+    })
   )
 
   private val toksSql = DuckSql.tokens("text")
@@ -259,6 +278,31 @@ object TextQueries extends QueryPack {
          |    '$piiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "text_quality_median_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, $toksSql AS toks,
+         |    length(text) AS n_chars_s,
+         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+         |    len(list_filter($toksSql, t -> t IN
+         |      ('the','a','of','and','to','is','in','it','that','for'))) AS stop
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
+         |          - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
+         |          - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
+         |              THEN 0.2 ELSE 0.0 END
+         |      END, 6) AS quality_score
+         |  FROM t),
+         |med AS (SELECT lang, quantile_cont(quality_score, 0.5) AS med
+         |  FROM scored GROUP BY lang)
+         |SELECT s.lang, count(*) AS n_kept,
+         |  round(min(s.quality_score), 6) AS min_kept_score
+         |FROM scored s JOIN med m ON s.lang = m.lang
+         |WHERE s.quality_score >= m.med
+         |GROUP BY s.lang ORDER BY s.lang""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH toks AS (

@@ -406,6 +406,42 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // TPC-H Q22-shape: above-average-balance customers with no orders,
+    // by nation. The global average is a 1-row aggregate broadcast onto
+    // the scan (scalar-subquery pattern without a scalar subquery's
+    // re-scan); the no-orders check is the D1 anti-join.
+    "join_rich_inactive_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val thr = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("thr"))
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("thr"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // TPC-H Q15-shape: supplier(s) achieving the maximum period revenue —
+    // argmax over an aggregate. Revenue is rounded BEFORE the max/equality
+    // compare so float summation order can't split the argmax across
+    // engines; the 1-row max broadcasts back onto the aggregate.
+    "join_top_supplier_revenue" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
     // EX4c: lag/lead analytics — per-user value delta between consecutive
     // events. First-of-user rows (no predecessor) are dropped rather than
     // emitted as null: a null in a double column sorts engine-dependently
@@ -595,6 +631,27 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_items
         |FROM lsel JOIN gate ON l_partkey = g_partkey
         |WHERE l_quantity < qty_gate""".stripMargin,
+
+    "join_rich_inactive_customers" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "join_top_supplier_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "window_trailing_hour" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -116,6 +116,21 @@ object TextQueries extends QueryPack {
       TextAnalysis.packSequences(docs(s, dir), budgetTokens = 512)
         .orderBy("bucket", "seq_id")),
 
+    // Pivot (wide-format corpus report): documents per source × language.
+    // The value list is EXPLICIT — deterministic output schema, single
+    // pass (Catalyst plans pivot-with-values as one aggregate, no
+    // distinct-values pre-query); absent combinations surface as 0.
+    "agg_pivot_lang_source" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      docs(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+        .select(col("source") +: langs.map(l =>
+          coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+        .orderBy("source")
+    }),
+
     // Relative quality gate: keep documents at-or-above their language's
     // median quality score — the per-group-threshold form of curation
     // filtering. The per-lang median is a tiny aggregate that BROADCASTS
@@ -278,6 +293,15 @@ object TextQueries extends QueryPack {
          |    '$piiPhoneRe', '<PHONE>', 'g')) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "agg_pivot_lang_source" ->
+      """SELECT source,
+        |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+        |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+        |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+        |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "text_quality_median_gate" ->
       s"""WITH t AS (

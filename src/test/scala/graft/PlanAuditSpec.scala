@@ -1,0 +1,36 @@
+package graft
+
+/** Mechanical scale-guard over EVERY registered query's physical plan at
+  * sf0.001: no cartesian products (a `crossJoin(broadcast(1-row))` plans
+  * as BroadcastNestedLoopJoin and is allowed), no Python evaluation, and
+  * no Scala UDFs outside the documented whitelist (the Bloom guard's
+  * `mightContain` probe is inherently a function of a driver-built
+  * sketch). Catches future plan regressions — an accidental cross
+  * product or a UDF slipping onto a hot path — without hand-auditing 80+
+  * queries each round.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // queries whose construction is eager (run jobs while building: CC
+  // iteration, Bloom sketch build, localCheckpoint stages) still finish
+  // in well under a second at sf0.001
+  private val udfWhitelist = Set("bloom_customers_no_orders")
+
+  test("no registered query plans a cartesian product, Python eval, or unlisted UDF") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN_FAILED: $e" }
+      val findings = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "PythonEval" -> plan.contains("BatchEvalPython"),
+        "UDF" -> (plan.contains("UDF") && !udfWhitelist.contains(name)),
+        "PLAN_FAILED" -> plan.startsWith("PLAN_FAILED")
+      ).collect { case (what, true) => what }
+      if (findings.isEmpty) Nil else Seq(s"$name: ${findings.mkString(", ")}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}

@@ -113,15 +113,20 @@ object Dedup {
     * returning partial labels would make survivors keep duplicates.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edgesRaw = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+    // Materialize the pair pipeline ONCE before mirroring: the union
+    // references `pairs` twice, and without this boundary the entire
+    // upstream plan (LSH banded join + Jaccard verify when called from
+    // nearDupSurvivors) evaluated once per direction — measured ~2× the
+    // whole pair-generation cost on dedup_near_clusters.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edgesRaw = p.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
     // Size the iteration frames to the ACTUAL edge count (known after the
     // checkpoint) instead of inheriting spark.sql.shuffle.partitions: the
     // pair graph is usually minuscule relative to the corpus, and paying
     // dozens of near-empty tasks per round × per join × per round
     // dominated the loop (~1 s/round at 508 edges / 32 partitions).
-    val parts = math.max(1, (edgesRaw.count() / 2000000L).toInt)
+    val parts = math.max(1, (p.count() * 2 / 2000000L).toInt)
     val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .repartition(parts, col("v"))

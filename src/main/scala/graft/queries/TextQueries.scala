@@ -41,6 +41,19 @@ object TextQueries extends QueryPack {
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
         .orderBy("doc_id")),
 
+    // Unpivot/melt (pivot's inverse): quality metrics to long-format
+    // (doc_id, metric, value) rows — Spark plans it as a single Expand
+    // (one pass, rows × |metrics|), not a self-union of 4 scans.
+    "text_metrics_unpivot" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"), col("avg_token_len"), col("punct_ratio"),
+          col("stopword_ratio"), col("quality_score"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("avg_token_len"), col("punct_ratio"),
+            col("stopword_ratio"), col("quality_score")),
+          "metric", "value")
+        .orderBy("doc_id", "metric")),
+
     // Token counting: whitespace + alnum + BPE-ish subword counts.
     "text_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(docs(s, dir))
@@ -173,6 +186,30 @@ object TextQueries extends QueryPack {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** The full quality-metric projection (no ordering) — shared by the
+    * text_quality oracle and the unpivot/melt oracle.
+    */
+  private lazy val qualityBodySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $toksSql AS toks,
+       |    length(text) AS n_chars_s,
+       |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
+       |    len(list_filter($toksSql, t -> t IN
+       |      ('the','a','of','and','to','is','in','it','that','for'))) AS stop
+       |  FROM documents)
+       |SELECT doc_id, len(toks) AS n_tokens,
+       |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |    / greatest(len(toks), 1), 4) AS avg_token_len,
+       |  round(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1), 6) AS punct_ratio,
+       |  round(CAST(stop AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
+       |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
+       |        - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
+       |        - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
+       |            THEN 0.2 ELSE 0.0 END
+       |    END, 6) AS quality_score
+       |FROM t""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_lang_breakdown" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
@@ -180,26 +217,16 @@ object TextQueries extends QueryPack {
 
     "text_lang_id" -> langIdSql,
 
-    "text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, text, $toksSql AS toks,
-         |    length(text) AS n_chars_s,
-         |    len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct,
-         |    len(list_filter($toksSql, t -> t IN
-         |      ('the','a','of','and','to','is','in','it','that','for'))) AS stop
-         |  FROM documents)
-         |SELECT doc_id, len(toks) AS n_tokens,
-         |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-         |    / greatest(len(toks), 1), 4) AS avg_token_len,
-         |  round(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1), 6) AS punct_ratio,
-         |  round(CAST(stop AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
-         |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         |    1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
-         |        - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
-         |        - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
-         |            THEN 0.2 ELSE 0.0 END
-         |    END, 6) AS quality_score
-         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" -> s"$qualityBodySql\nORDER BY doc_id",
+
+    "text_metrics_unpivot" ->
+      s"""WITH q AS ($qualityBodySql)
+         |SELECT doc_id, metric, value FROM (
+         |  SELECT doc_id, 'avg_token_len' AS metric, avg_token_len AS value FROM q
+         |  UNION ALL SELECT doc_id, 'punct_ratio', punct_ratio FROM q
+         |  UNION ALL SELECT doc_id, 'stopword_ratio', stopword_ratio FROM q
+         |  UNION ALL SELECT doc_id, 'quality_score', quality_score FROM q)
+         |ORDER BY doc_id, metric""".stripMargin,
 
     "text_token_counts" ->
       s"""SELECT doc_id,

@@ -285,6 +285,31 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("user_id", "session_seq")
     }),
 
+    // FULL OUTER join: per-user click vs purchase activity reconciliation
+    // — either side may be absent (coalesced to 0). No broadcast is
+    // possible for full-outer; this is the one join shape that MUST
+    // shuffle both sides, and both shuffle keys scale with users.
+    "join_full_outer_activity" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, col("c_user") === col("p_user"), "full_outer")
+        .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy("user_id")
+    }),
+
+    // EX9b: INTERSECT — users who both clicked and purchased.
+    "setop_click_and_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy("user_id")
+    }),
+
     // EX9: set ops — users who clicked but never purchased (EXCEPT), and
     // via left_anti (D1's completed dup-guard shape) for the same result.
     "setop_click_no_purchase" -> ((s, dir) => {
@@ -790,6 +815,23 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "join_full_outer_activity" ->
+      """WITH c AS (SELECT user_id AS c_user, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |p AS (SELECT user_id AS p_user, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT coalesce(c_user, p_user) AS user_id,
+        |  coalesce(n_clicks, 0) AS n_clicks,
+        |  coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c_user = p_user
+        |ORDER BY user_id""".stripMargin,
+
+    "setop_click_and_purchase" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
 
     "setop_click_no_purchase" ->
       """SELECT user_id FROM events WHERE event_type = 'click'

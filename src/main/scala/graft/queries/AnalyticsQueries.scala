@@ -467,6 +467,24 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("s_suppkey")
     }),
 
+    // EX4f: distribution ranks — quartile bucket (ntile) and percent_rank
+    // of each order's price within its priority class, summarized per
+    // (priority, quartile) so the output stays small at any SF.
+    "window_price_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          col("o_totalprice"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("pr")), 6).as("max_pr"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
     // EX4c: lag/lead analytics — per-user value delta between consecutive
     // events. First-of-user rows (no predecessor) are dropped rather than
     // emitted as null: a null in a double column sorts engine-dependently
@@ -656,6 +674,20 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_items
         |FROM lsel JOIN gate ON l_partkey = g_partkey
         |WHERE l_quantity < qty_gate""".stripMargin,
+
+    "window_price_quartiles" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    ntile(4) OVER w AS quartile,
+        |    percent_rank() OVER w AS pr,
+        |    o_totalprice
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        |  round(max(pr), 6) AS max_pr,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM ranked GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
 
     "join_rich_inactive_customers" ->
       """SELECT c_nationkey, count(*) AS n_custs,

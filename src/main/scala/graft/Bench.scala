@@ -36,9 +36,12 @@ object Bench {
     // single-line report from the front, losing the total; the final
     // short line always survives a tail cut. Values rounded to ms to
     // keep the map line small.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: %.3f under a comma-decimal default locale would emit
+    // "0,123" and corrupt the JSON
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = f"${results.map(_._2).sum}%.3f"
+    val total = ms(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()

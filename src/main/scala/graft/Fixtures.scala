@@ -24,6 +24,7 @@ object Fixtures {
       |<a href="http://other.example/x/rates.json">rates</a>
       |<a href="subdir/">dir-link, empty basename, skipped</a>
       |<a href=raw_20260812.txt>unquoted href, valid HTML</a>
+      |<a data-href=tracker.js href="pixel_20260812.gif">attr containing 'href' must not match</a>
       |<a>no href</a>
       |</body></html>""".stripMargin
 

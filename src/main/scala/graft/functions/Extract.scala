@@ -22,12 +22,18 @@ object Extract {
     * and error for None — we simply don't emit them).
     */
   def anchorHrefs(html: Column): Column = {
-    val dq = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*\"([^\"]*)\""), lit(1))
-    val sq = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*'([^']*)'"), lit(1))
+    // Whitespace is an EXPLICIT class, never \s (Java's \s includes \x0B,
+    // RE2's — DuckDB's — does not; see TextAnalysis.normalizeText), and
+    // `href` must directly follow a whitespace (either the one after
+    // `<a` or the end of the optional earlier-attributes run) so
+    // attribute names merely CONTAINING it (data-href=...) never match —
+    // BeautifulSoup matches the attribute name exactly.
+    val ws = " \\t\\n\\x0B\\f\\r"
+    val pre = s"(?is)<a[$ws](?:[^>]*[$ws])?href[$ws]*=[$ws]*"
+    val dq = regexp_extract_all(html, lit(pre + "\"([^\"]*)\""), lit(1))
+    val sq = regexp_extract_all(html, lit(pre + "'([^']*)'"), lit(1))
     val uq = regexp_extract_all(html,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\"'\\s>][^\\s>]*)"), lit(1))
+      lit(pre + s"([^\"'$ws>][^$ws>]*)"), lit(1))
     concat(dq, sq, uq)
   }
 

@@ -22,14 +22,19 @@ object TextAnalysis {
     * `randomSplit`, whose per-partition seeding reshuffles assignments
     * when the input layout changes.
     */
+  /** The one layout-independent hash-bucket formula (md5 of the id, first
+    * 8 hex digits as an integer, mod nBuckets) — shared by [[hashSplit]]
+    * and [[packSequences]] so their documented equivalence can't drift.
+    */
+  def hashBucket(idCol: Column, nBuckets: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % nBuckets
+
   def hashSplit(docs: DataFrame, idCol: String = "doc_id",
-      trainPct: Int = 90): DataFrame = {
-    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
-    docs.withColumn("bucket", bucket)
+      trainPct: Int = 90): DataFrame =
+    docs.withColumn("bucket", hashBucket(col(idCol), 100))
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train")).otherwise(lit("eval")))
-  }
 
   /** Text normalization for ingest cleanup: drop URLs and e-mail
     * addresses, strip control characters, collapse whitespace runs, trim.
@@ -241,12 +246,7 @@ object TextAnalysis {
       size(regexp_extract_all(t, lit(piiEmailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(t, lit(piiIpv4Re), lit(0))).as("n_ipv4"),
       size(regexp_extract_all(t, lit(piiPhoneRe), lit(0))).as("n_phones"),
-      md5(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(t, piiEmailRe, "<EMAIL>"),
-            piiIpv4Re, "<IP>"),
-          piiPhoneRe, "<PHONE>")).as("redacted_md5"))
+      md5(piiRedactText(t)).as("redacted_md5"))
   }
 
   /** Redacted text itself (not the digest) — for pipeline composition. */
@@ -271,8 +271,7 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, budgetTokens: Int, nBuckets: Int = 32,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long") % nBuckets).as("bucket")
+    val bucket = hashBucket(col(idCol), nBuckets).as("bucket")
     val w = Window.partitionBy("bucket").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs

@@ -83,13 +83,13 @@ object AnalyticsQueries extends QueryPack {
           round(expr("percentile(value, 0.9)"), 6).as("p90"))
         .orderBy("event_type")),
 
-    // Approx quantiles (Greenwald-Khanna sketch) with the same oracle
-    // strategy as agg_approx_distinct: the sketch value is
+    // Approx quantiles (Greenwald-Khanna sketch): the sketch value is
     // engine-specific, the RANK-ERROR contract isn't. With accuracy a,
     // the p-th approx quantile must lie within the exact [p−1/a, p+1/a]
-    // quantile band; DuckDB recomputes the exact band and asserts the
-    // boolean. Mergeable-sketch path at scale: partials merge, raw
-    // values never concentrate.
+    // quantile band. The band ENDPOINTS are emitted and recomputed
+    // exactly by DuckDB (cross-engine percentile parity), so the oracle
+    // verifies the band is right; the containment boolean itself is
+    // necessarily Spark-side (no other engine can reproduce the sketch).
     "agg_approx_quantiles" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
@@ -98,6 +98,8 @@ object AnalyticsQueries extends QueryPack {
           expr("percentile(value, 0.51)").as("hi"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("n"),
+          round(col("lo"), 6).as("p49_exact"),
+          round(col("hi"), 6).as("p51_exact"),
           col("ap50").between(col("lo"), col("hi")).as("p50_ok"))
         .orderBy("event_type")),
 
@@ -268,8 +270,11 @@ object AnalyticsQueries extends QueryPack {
     "session_late_drop" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val wm = ev.agg((max(unix_micros(col("ts"))) - 86400000000L).as("_wm"))
+      // >= : streaming watermarks KEEP rows exactly at the watermark and
+      // drop only strictly-older ones — the boundary row must survive
+      // here too or batch and streaming forms disagree at the edge
       val fresh = ev.crossJoin(broadcast(wm))
-        .filter(unix_micros(col("ts")) > col("_wm"))
+        .filter(unix_micros(col("ts")) >= col("_wm"))
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       fresh
@@ -720,11 +725,16 @@ object AnalyticsQueries extends QueryPack {
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
-    // Exact 49th/51st percentile band from DuckDB; the GK sketch's rank
-    // guarantee (1/accuracy = 0.1% here, checked against a 1% band)
-    // makes p50_ok deterministically true.
+    // DuckDB recomputes the exact 49th/51st percentile band (verifying
+    // Spark's exact-percentile endpoints bit-for-bit at 6 dp); the GK
+    // sketch's rank guarantee (1/accuracy = 0.1% here, checked against a
+    // 1% band) makes the Spark-side containment boolean deterministically
+    // true.
     "agg_approx_quantiles" ->
-      """SELECT event_type, count(*) AS n, true AS p50_ok
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(value, 0.49), 6) AS p49_exact,
+        |  round(quantile_cont(value, 0.51), 6) AS p51_exact,
+        |  true AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "bloom_customers_no_orders" ->
@@ -832,7 +842,7 @@ object AnalyticsQueries extends QueryPack {
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
         |fresh AS (
         |  SELECT * FROM events_us
-        |  WHERE epoch_us(ts) > (SELECT max(epoch_us(ts)) - 86400000000 FROM events_us)),
+        |  WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) - 86400000000 FROM events_us)),
         |flagged AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL

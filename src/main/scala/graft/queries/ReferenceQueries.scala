@@ -157,9 +157,9 @@ object ReferenceQueries extends QueryPack {
          |  ${Fixtures.sqlLit(Fixtures.htmlPage)} AS html),
          |hrefs AS (
          |  SELECT base, unnest(list_concat(list_concat(
-         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*"([^"]*)"', 1),
-         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*''([^'']*)''', 1)),
-         |    regexp_extract_all(html, '(?is)<a\\b[^>]*?href\\s*=\\s*([^"''\\s>][^\\s>]*)', 1))) AS href
+         |    regexp_extract_all(html, '(?is)<a[ \\t\\n\\x0B\\f\\r](?:[^>]*[ \\t\\n\\x0B\\f\\r])?href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*"([^"]*)"', 1),
+         |    regexp_extract_all(html, '(?is)<a[ \\t\\n\\x0B\\f\\r](?:[^>]*[ \\t\\n\\x0B\\f\\r])?href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*''([^'']*)''', 1)),
+         |    regexp_extract_all(html, '(?is)<a[ \\t\\n\\x0B\\f\\r](?:[^>]*[ \\t\\n\\x0B\\f\\r])?href[ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*([^"'' \\t\\n\\x0B\\f\\r>][^ \\t\\n\\x0B\\f\\r>]*)', 1))) AS href
          |  FROM page),
          |resolved AS (
          |  SELECT CASE

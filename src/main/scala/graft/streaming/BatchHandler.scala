@@ -38,7 +38,15 @@ object BatchHandler {
           .take(pollCap).toList
           .map { p =>
             val t = processing.resolve(p.getFileName)
-            Files.move(p, t, StandardCopyOption.ATOMIC_MOVE); t
+            Files.move(p, t, StandardCopyOption.ATOMIC_MOVE)
+            // stamp the CLAIM time: the visibility timeout in recoverStale
+            // is measured from mtime, and the rename preserves the enqueue
+            // mtime — without this, queue wait time counts against the
+            // timeout and a backlogged task could be re-enqueued while
+            // this batch is still processing it
+            Files.setLastModifiedTime(t,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+            t
           }
       } finally s.close()
     }
@@ -87,7 +95,13 @@ object BatchHandler {
         s.iterator().asScala
           .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
           .filterNot(_.getFileName.toString.startsWith("_"))
-          .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+          // a live batch may ack (move away) a listed file between the
+          // directory listing and this stat — treat vanished as not-stale
+          // instead of aborting the whole sweep
+          .filter { p =>
+            try Files.getLastModifiedTime(p).toMillis <= cutoff
+            catch { case _: java.nio.file.NoSuchFileException => false }
+          }
           .toList
       } finally s.close()
     }

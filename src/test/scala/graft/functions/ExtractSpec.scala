@@ -15,7 +15,9 @@ class ExtractSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(got === Set("prices_20260812.csv", "/abs/path/vol_20260812.zip",
       "http://other.example/x/rates.json", "subdir/", "single_quoted.bin",
-      "raw_20260812.txt"))
+      "raw_20260812.txt", "pixel_20260812.gif"))
+    assert(!got.contains("tracker.js"),
+      "data-href is not an href attribute (BeautifulSoup matches the name exactly)")
   }
 
   test("html_links pipeline drops directory links via empty basename (F2)") {
@@ -27,7 +29,7 @@ class ExtractSpec extends SparkSpec {
       .filter(length(col("name")) > 0)
       .select("name").as[String].collect().toSet
     assert(got === Set("prices_20260812.csv", "vol_20260812.zip", "rates.json",
-      "raw_20260812.txt"))
+      "raw_20260812.txt", "pixel_20260812.gif"))
   }
 
   test("ftp listing names: CRLF split, trailing empty dropped, last token") {

@@ -180,19 +180,21 @@ class TextVectorNativeSpec extends SparkSpec {
     }
   }
 
-  test("SQL registration: word_shingles/minhash_sig/lsh_bands/simhash16/dot_product callable") {
+  test("SQL registration: word_shingles/minhash_sig/lsh_bands/simhash16/dot_product/token_stats callable") {
     graft.GraftExtensions.register(spark)
     val r = spark.sql(
       """SELECT
         |  minhash_sig(word_shingles('a b c d', 2), 4) AS sig,
         |  size(lsh_bands(word_shingles('a b c d', 2), 4, 2)) AS n_bands,
         |  simhash16(word_shingles('a b c d', 1)) AS sh,
-        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  token_stats('the quick fox').n_stop AS n_stop
         |""".stripMargin).head()
     assert(r.getSeq[String](0).size === 4)
     assert(r.getInt(1) === 2)
     assert(r.getString(2).length === 16)
     assert(r.getDouble(3) === 11.0)
+    assert(r.getInt(4) === 1)
   }
 
   test("TokenStatsExpr == size/aggregate/filter HOF chain on random text") {

@@ -174,6 +174,45 @@ object Similarity {
       .select(col("cell"), col("n"), col("dim"), round(col("v"), 6).as("v"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    * corpus with the coarse quantizer, find within-cell pairs above a
+    * cosine threshold, connected-components them, keep one survivor per
+    * cluster (min vec_id) — duplicates-in-meaning are removed without an
+    * all-pairs scan, because pairs are only generated inside a cell
+    * (1/nCells of the corpus each; at 100 TB cells would be sub-bucketed
+    * by LSH signature before pairing, same contract). The cell layout is
+    * materialized once (it IS the IVF storage layout at scale — a
+    * parquet write, localCheckpoint in-session) so the pair self-join
+    * doesn't recompute assignment per side.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int,
+      threshold: Double): DataFrame = {
+    // norms hoisted out of the pair loop: cosine(a,b) = dot/(‖a‖·‖b‖), so
+    // storing ‖·‖ with the cell layout does one norm per VECTOR instead
+    // of two per PAIR — 3× less distance math on the quadratic path
+    // (identical formula and rounding, so the oracle is unchanged)
+    val cells = assignCells(embeddings, nCells)
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
+    val a = cells.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    // the cell key has only nCells distinct values — broadcast one side
+    // so pair generation parallelizes over the left's partitions instead
+    // of piling onto <= nCells shuffle tasks (same call as
+    // nearestWithinLabel's label join)
+    val pairs = a.join(broadcast(b), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .filter(round(VectorFns.dot(col("e_a"), col("e_b")) /
+        (col("n_a") * col("n_b")), 6) >= threshold)
+      .select(col("a"), col("b"))
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as("_drop_id"))
+    embeddings.join(broadcast(dropped), col("vec_id") === col("_drop_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label block (blocking bounds the pair count; at scale the block key
     * would be an LSH bucket instead of a label).

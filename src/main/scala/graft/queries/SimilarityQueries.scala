@@ -57,6 +57,16 @@ object SimilarityQueries extends QueryPack {
           array_join(col("q8"), ",").as("q8"))
         .orderBy("vec_id")),
 
+    // SemDeDup composition: cells → within-cell cosine pairs → connected
+    // components → one survivor per semantic cluster. The driver corpus
+    // has no true semantic duplicates (cosines top out ≈ 0.48), so the
+    // threshold sits inside the observed range to exercise the full
+    // drop path deterministically.
+    "sim_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), nCells = N_CELLS, threshold = 0.45)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")),
+
     // Semantic-clustering building block: one Lloyd (k-means) refinement
     // of the IVF coarse quantizer — assign to nearest seed, per-cell mean
     // via the typed Aggregator (partial array sums, not member vectors,
@@ -150,6 +160,29 @@ object SimilarityQueries extends QueryPack {
          |      x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',')
          |  END AS q8
          |FROM embs ORDER BY vec_id""".stripMargin,
+
+    // `verified(a, b, jaccard)` is the generic pair-similarity shape the
+    // shared componentCtes builder consumes — here "jaccard" carries the
+    // rounded cosine.
+    "sim_semantic_dedup" ->
+      s"""WITH RECURSIVE $embsCte,
+         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
+         |assigned AS (
+         |  SELECT e.vec_id, e.de, c.cell,
+         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
+         |  FROM embs e CROSS JOIN cents c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |verified AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    round(${cosSql("x.de", "y.de")}, 6) AS jaccard
+         |  FROM assigned x JOIN assigned y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |${DuckSql.componentCtes(0.45)}
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE NOT EXISTS (SELECT 1 FROM comp c
+         |  WHERE c.doc_id = e.vec_id AND c.doc_id <> c.cluster_rep)
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_kmeans_refine" ->
       s"""WITH $embsCte,

@@ -25,6 +25,23 @@ object Catalog {
       .schema(Schemas.catalog)
       .csv(path)
 
+  /** [[read]] with corrupt-row capture: rows the quote-aware parser can't
+    * bind to the declared schema surface in `_corrupt_record` (raw line)
+    * instead of silently becoming all-null rows — at 100 TB ingest the
+    * malformed minority must be routable to the alert path (E2), never
+    * silently dropped. Callers split on `_corrupt_record IS NULL`.
+    */
+  def readAudited(spark: SparkSession, path: String = fixturePath): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("lineSep", "\r\n")
+      .option("quote", "\"")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(Schemas.catalog.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** Overwrite the catalog (E1 read-modify-overwrite). Single-writer by
     * contract — the reference has the same lost-update exposure
     * (SURVEY.md §7.3). Coalesce(1): the catalog is broadcast-sized by

@@ -18,14 +18,18 @@ import graft.functions.TextFns
 object Dedup {
 
   /** Exact dedup by content digest, deterministic survivor (lowest id).
-    * Shuffles 32-byte digests instead of document bodies.
+    * `min_by` over the digest is an ordinary aggregate, so partial
+    * aggregation collapses map-local duplicates BEFORE the shuffle and no
+    * per-group sort happens after it (the row_number-window form shuffles
+    * and sorts every row). Shuffle key is the 32-byte digest, not the body.
     */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy("content_md5").orderBy(col(idCol))
-    docs.withColumn("content_md5", md5(col(textCol)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val withDigest = docs.withColumn("content_md5", md5(col(textCol)))
+    val cols = withDigest.columns
+    withDigest
+      .groupBy(col("content_md5"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c")): _*)
   }
 
   /** Minhash signatures: k md5-minima over word n-gram shingles, via the
@@ -211,21 +215,25 @@ object Dedup {
     * the boilerplate-removal semantic.
     *
     * Scale shape: explode to (sentence, doc_id, pos), ONE shuffle on the
-    * sentence text for the first-occurrence window, one shuffle back on
-    * doc_id for reassembly. At 100 TB the sentence key is near-unique
-    * (boilerplate keys are the skewed minority and bounded by their
-    * occurrence count); reassembly arrays are per-document small, so the
-    * collect_list + sort is bounded. Emitted as a digest of the rebuilt
-    * text for cross-engine compare.
+    * sentence text for the first-occurrence pick, one shuffle back on
+    * doc_id for reassembly. First-occurrence is `min(struct(doc_id, pos))`
+    * — an ordinary aggregate, so Spark's partial aggregation collapses
+    * duplicate sentences map-side BEFORE the shuffle (a window form would
+    * shuffle and sort every exploded row; the aggregate form shuffles at
+    * most one row per distinct sentence per map partition, which is what
+    * makes boilerplate-heavy corpora cheap). Reassembly arrays are
+    * per-document small, so the collect_list + sort is bounded. Emitted as
+    * a digest of the rebuilt text for cross-engine compare.
     */
   def dedupSentences(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", sep: String = ". "): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val sent = docs.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), sepRe)).as(Seq("pos", "sentence")))
-    val w = Window.partitionBy("sentence").orderBy("doc_id", "pos")
-    sent.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    sent.groupBy(col("sentence"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_first"))
+      .select(col("_first.doc_id").as("doc_id"), col("_first.pos").as("pos"),
+        col("sentence"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_kept"),
         array_join(

@@ -605,6 +605,29 @@ object AnalyticsQueries extends QueryPack {
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // Point-in-interval (range) join, time-binned: each purchase opens a
+    // 1-hour attribution window; count the same user's clicks inside it.
+    // RangeJoin bins both sides to the hour so the join key is
+    // (user_id, bin) — never the per-user point × interval cross product
+    // a plain non-equi join would build (see operators/RangeJoin.scala).
+    // Left join back to purchases keeps zero-click windows.
+    "range_click_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"), col("ts").as("w_end"))
+      val attributed = graft.operators.RangeJoin.pointInInterval(
+          clicks, purchases, key = "user_id", pointTime = "ts",
+          startCol = "w_start", endCol = "w_end", binSeconds = 3600L)
+        .groupBy(col("purchase_id")).agg(count(lit(1)).as("n_clicks"))
+      purchases.select(col("purchase_id"))
+        .join(attributed, Seq("purchase_id"), "left")
+        .select(col("purchase_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -969,6 +992,17 @@ object AnalyticsQueries extends QueryPack {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
-        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "range_click_attribution" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM ev WHERE event_type = 'click')
+        |SELECT p.purchase_id,
+        |  count(c.ts) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY p.purchase_id ORDER BY purchase_id""".stripMargin
   )
 }

@@ -19,7 +19,8 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,
-    CurationQueries)
+    CurationQueries,
+    SearchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Search
+
+/** Search / sketch registrations over the `documents` table: BM25 keyword
+  * ranking (inverted-index scoring, probe-term filter pushed below the
+  * shuffle) and related corpus-query operators.
+  */
+object SearchQueries extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  private val Terms = Seq("spark", "vector", "window")
+  private val TermsSql = Terms.map(t => s"'$t'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Okapi BM25 top-15 for a fixed probe query. Only probe-term postings
+    // shuffle; df and corpus stats broadcast (operators/Search.scala).
+    "search_bm25" -> ((s, dir) =>
+      Search.bm25TopK(docs(s, dir), Terms, topK = 15))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "search_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |posts AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN ($TermsSql)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY term)
+         |SELECT p.doc_id,
+         |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         |FROM posts p
+         |JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |GROUP BY p.doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+  )
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream, DataFrame-native.
+  *
+  * The sketch is not an opaque binary blob but a bounded relation of
+  * (row, bucket, cnt) cells — at most depth × width rows regardless of
+  * input size. Building it is one groupBy over the hashed token stream,
+  * so Catalyst's partial aggregation caps the shuffle at depth × width
+  * rows PER MAP PARTITION (the full stream never shuffles), and the
+  * result broadcasts to any estimator join. Build and probe use the same
+  * codegen'd Murmur3 `hash(row, term)` expression, so bucket assignment
+  * cannot drift between the two sides.
+  *
+  * Standard CMS guarantees: estimate ≥ true count; estimate ≤ true count
+  * + ε·N with probability ≥ 1 − (1/e')^depth for ε = e'/width — the
+  * accuracy-contract boolean emitted by [[heavyHittersChecked]] asserts
+  * exactly this (with e' = 4), which the DuckDB oracle replays from
+  * exact counts.
+  */
+object Sketch {
+
+  private def bucketCols(term: org.apache.spark.sql.Column, depth: Int, width: Int) =
+    array((0 until depth).map(i => pmod(hash(lit(i), term), lit(width))): _*)
+
+  /** Build the (row, bucket, cnt) sketch cells for a token column. */
+  def cmsBuild(tokens: DataFrame, termCol: String = "term",
+      depth: Int = 4, width: Int = 512): DataFrame =
+    tokens
+      .select(posexplode(bucketCols(col(termCol), depth, width)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate each probe term against a built sketch: min over the
+    * depth cells the term hashes to (absent cell = 0).
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String = "term",
+      depth: Int = 4, width: Int = 512): DataFrame =
+    probes
+      .select(col(termCol), posexplode(bucketCols(col(termCol), depth, width))
+        .as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** Top-N exact heavy hitters with the CMS accuracy contract checked in
+    * the engine: emits (term, exact count, within_contract) where the
+    * boolean is `est ≥ exact AND est ≤ exact + 4·N/width`. Exact counts
+    * and N come from the same token stream, so an oracle recomputing the
+    * exact side asserts the boolean true.
+    */
+  def heavyHittersChecked(tokens: DataFrame, termCol: String = "term",
+      topN: Int = 10, depth: Int = 4, width: Int = 512): DataFrame = {
+    val sketch = cmsBuild(tokens, termCol, depth, width)
+    val exact = tokens.groupBy(col(termCol)).agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col(termCol)).limit(topN)
+    val total = tokens.agg(count(lit(1)).cast("double").as("n_total"))
+    cmsEstimate(sketch, top.select(col(termCol)), termCol, depth, width)
+      .join(broadcast(top), termCol)
+      .crossJoin(broadcast(total))
+      .select(col(termCol), col("exact_cnt"),
+        (col("est") >= col("exact_cnt") &&
+          col("est") <= col("exact_cnt") + lit(4.0) * col("n_total") / lit(width))
+          .as("within_contract"))
+      .orderBy(col("exact_cnt").desc, col(termCol))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Search
+import graft.operators.{Search, Sketch}
 
 /** Search / sketch registrations over the `documents` table: BM25 keyword
   * ranking (inverted-index scoring, probe-term filter pushed below the
@@ -23,7 +23,17 @@ object SearchQueries extends QueryPack {
     // Okapi BM25 top-15 for a fixed probe query. Only probe-term postings
     // shuffle; df and corpus stats broadcast (operators/Search.scala).
     "search_bm25" -> ((s, dir) =>
-      Search.bm25TopK(docs(s, dir), Terms, topK = 15))
+      Search.bm25TopK(docs(s, dir), Terms, topK = 15)),
+
+    // Count-min-sketch heavy hitters with the accuracy contract asserted
+    // in-engine: sketch cells are a bounded (row, bucket, cnt) relation,
+    // estimates are min-over-depth; the oracle recomputes the exact side
+    // and asserts the contract boolean (operators/Sketch.scala).
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      val tokens = docs(s, dir).select(
+        explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      Sketch.heavyHittersChecked(tokens, topN = 10)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -44,6 +54,13 @@ object SearchQueries extends QueryPack {
          |FROM posts p
          |JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
          |GROUP BY p.doc_id
-         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      s"""WITH tokens AS (
+         |  SELECT unnest(${DuckSql.tokens("text")}) AS term FROM documents)
+         |SELECT term, count(*) AS exact_cnt, true AS within_contract
+         |FROM tokens GROUP BY term
+         |ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin
   )
 }

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SketchSpec extends SparkSpec {
+
+  test("CMS estimates dominate exact counts and the cell relation is bounded") {
+    import spark.implicits._
+    // 1000 tokens over a 50-term vocabulary with a skewed head.
+    val toks = (0 until 1000).map { i =>
+      if (i % 2 == 0) "hot" else s"t${i % 50}"
+    }.toDF("term")
+
+    val sketch = Sketch.cmsBuild(toks, depth = 4, width = 64)
+    assert(sketch.count() <= 4L * 64)
+
+    val exact = toks.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketch.cmsEstimate(sketch, toks.distinct(), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    assert(est.keySet === exact.keySet)
+    // CMS never under-counts.
+    exact.foreach { case (t, c) => assert(est(t) >= c, s"under-count for $t") }
+    // min-over-depth keeps the hot key's estimate exact-ish even at width
+    // 64: its own mass dwarfs any colliding tail term.
+    assert(est("hot") < exact("hot") + 1000 / 4)
+  }
+
+  test("heavyHittersChecked emits top-N by exact count with a true contract") {
+    import spark.implicits._
+    val toks = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(10)("c") ++
+      (0 until 40).map(i => s"u$i")).toDF("term")
+    val rows = Sketch.heavyHittersChecked(toks, topN = 3, width = 512).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(rows.map(_.getLong(1)).toSeq === Seq(30L, 20L, 10L))
+    assert(rows.forall(_.getBoolean(2)))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProductExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr, SimhashExpr, TokenStatsExpr, UrlResolveExpr, WinnowExpr}
+import graft.functions.expressions.{DotProductExpr, LinearScoreExpr, LshBandsExpr, MinhashSigExpr, ShinglesExpr, SimhashExpr, TokenStatsExpr, UrlResolveExpr, WinnowExpr}
 
 /** Session extension registering the engine's custom SQL functions
   * (SURVEY.md §4.3). Use either:
@@ -28,7 +28,8 @@ object GraftExtensions {
       (SimhashExpr.identifier, SimhashExpr.info, SimhashExpr.builder _),
       (WinnowExpr.identifier, WinnowExpr.info, WinnowExpr.builder _),
       (DotProductExpr.identifier, DotProductExpr.info, DotProductExpr.builder _),
-      (TokenStatsExpr.identifier, TokenStatsExpr.info, TokenStatsExpr.builder _))
+      (TokenStatsExpr.identifier, TokenStatsExpr.info, TokenStatsExpr.builder _),
+      (LinearScoreExpr.identifier, LinearScoreExpr.info, LinearScoreExpr.builder _))
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

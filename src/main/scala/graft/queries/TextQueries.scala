@@ -161,6 +161,25 @@ object TextQueries extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           round(min(col("quality_score")), 6).as("min_kept_score"))
         .orderBy("lang")
+    }),
+
+    // fastText-style hashed bag-of-features linear classifier: unigram +
+    // bigram features, hash-derived weights (the documented model-stub
+    // boundary — see expressions/LinearScoreExpr.scala), sigmoid
+    // calibration. One native-expression pass per document, no shuffle.
+    "text_classifier" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.functions.expressions.LinearScoreExpr
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(TextFns.textShingles(col("text"), 1),
+            TextFns.textShingles(col("text"), 2)).as("features"))
+        .filter(size(col("features")) > 0)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(lit(-4.0) * LinearScoreExpr.linearScoreNative(col("features"), 4096))), 6)
+            .as("quality_prob"))
+        .orderBy("doc_id")
     })
   )
 
@@ -210,7 +229,26 @@ object TextQueries extends QueryPack {
        |    END, 6) AS quality_score
        |FROM t""".stripMargin
 
+  /** Oracle twin of LinearScoreExpr: bucket = u32(md5(f)[0..3]) % dims,
+    * weight = u32(md5('w|' || bucket)[0..3]) / 2^32 * 2 - 1, score = mean
+    * weight; list_sum keeps per-document summation order deterministic.
+    */
+  private val classifierSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, list_concat(toks, ${DuckSql.shingles("toks", 2)}) AS features
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |scored AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(features, x ->
+       |      ('0x' || substr(md5('w|' || CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS VARCHAR)), 1, 8))::UBIGINT
+       |        / 4294967296.0 * 2 - 1)) / len(features) AS score
+       |  FROM f WHERE len(features) > 0)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-4.0 * score)), 6) AS quality_prob
+       |FROM scored ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_classifier" -> classifierSql,
+
     "text_lang_breakdown" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

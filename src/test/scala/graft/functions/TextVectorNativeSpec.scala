@@ -188,13 +188,15 @@ class TextVectorNativeSpec extends SparkSpec {
         |  size(lsh_bands(word_shingles('a b c d', 2), 4, 2)) AS n_bands,
         |  simhash16(word_shingles('a b c d', 1)) AS sh,
         |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
-        |  token_stats('the quick fox').n_stop AS n_stop
+        |  token_stats('the quick fox').n_stop AS n_stop,
+        |  linear_score(word_shingles('a b c d', 1), 64) AS lin
         |""".stripMargin).head()
     assert(r.getSeq[String](0).size === 4)
     assert(r.getInt(1) === 2)
     assert(r.getString(2).length === 16)
     assert(r.getDouble(3) === 11.0)
     assert(r.getInt(4) === 1)
+    assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
   }
 
   test("TokenStatsExpr == size/aggregate/filter HOF chain on random text") {
@@ -216,6 +218,28 @@ class TextVectorNativeSpec extends SparkSpec {
       assert(s.getLong(1) === r.getLong(2))
       assert(s.getInt(2) === r.getInt(3))
     }
+  }
+
+  test("LinearScoreExpr == declarative md5-bucket/md5-weight mean formula") {
+    import spark.implicits._
+    import graft.functions.expressions.LinearScoreExpr
+    val dims = 64
+    def weight(f: org.apache.spark.sql.Column) = {
+      val bucket = pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("long"), lit(dims))
+      conv(substring(md5(concat(lit("w|"), bucket.cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / 4294967296.0 * 2.0 - 1.0
+    }
+    val texts = (0 until 200).map(_ => randText()).filter(_.exists(_.isLetterOrDigit))
+    val rows = texts.toDF("text")
+      .select(ShinglesExpr.shinglesNative(col("text"), 1).as("feats"))
+      .filter(size(col("feats")) > 0)
+      .select(
+        LinearScoreExpr.linearScoreNative(col("feats"), dims).as("native"),
+        (aggregate(transform(col("feats"), weight(_)), lit(0.0), (a, x) => a + x) /
+          size(col("feats"))).as("declarative"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
   }
 
   test("native expressions keep the plan UDF-free and support codegen") {

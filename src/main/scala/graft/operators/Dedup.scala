@@ -243,6 +243,22 @@ object Dedup {
       .select(col("doc_id"), col("n_kept"), md5(col("rebuilt")).as("rebuilt_md5"))
   }
 
+  /** Quality-aware survivor selection per near-dup cluster: instead of the
+    * min-id representative, keep the best-scoring member (ties → lowest
+    * id). One `max_by` aggregate over the cluster assignment — partial
+    * aggregation collapses members map-side, so the shuffle carries at
+    * most one candidate per cluster per map partition; no window sort.
+    */
+  def bestSurvivors(clusters: DataFrame, docs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame =
+    clusters.join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col("cluster_rep"))
+      .agg(max_by(struct(col(idCol), col(scoreCol)),
+        struct(col(scoreCol), -col(idCol))).as("_best"))
+      .select(col("cluster_rep"),
+        col(s"_best.$idCol").as("survivor_id"),
+        col(s"_best.$scoreCol").as(s"survivor_$scoreCol"))
+
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
     * token votes ±1 per position by that nibble's high bit; the sign of
     * the vote sum is the fingerprint bit. Near-dup docs agree on most bits.

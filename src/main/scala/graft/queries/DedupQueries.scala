@@ -92,6 +92,32 @@ object DedupQueries extends QueryPack {
             (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(20)
+    }),
+
+    // Quality-aware survivor per near-dup cluster: the longest member
+    // (ties → lowest doc_id) survives instead of the min-id rep — one
+    // max_by aggregate over the cluster assignment, no window sort.
+    "dedup_best_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.nearDupPairs(d, n = 3, k = K, bands = BANDS, threshold = 0.5))
+      Dedup.bestSurvivors(clusters, d, scoreCol = "n_chars")
+        .orderBy("cluster_rep")
+    }),
+
+    // Deterministic stratified sample: ≤5 docs per (lang, source) stratum
+    // in md5(doc_id) order — layout-independent, RNG-free, and the
+    // rank ≤ k predicate compiles to Partial+Final WindowGroupLimit so
+    // each map task keeps at most 5 rows per stratum before the shuffle.
+    "sample_stratified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("lang"), col("source"), col("doc_id"))
+        .orderBy("lang", "source", "doc_id")
     })
   )
 
@@ -174,6 +200,21 @@ object DedupQueries extends QueryPack {
          |SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
          |FROM pairs
          |WHERE inter > 0
-         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin
+         |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,
+
+    "dedup_best_survivors" ->
+      s"""WITH RECURSIVE $lshChainCtes,
+         |${DuckSql.componentCtes(0.5)}
+         |SELECT cluster_rep, doc_id AS survivor_id, n_chars AS survivor_n_chars
+         |FROM comp JOIN documents USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY cluster_rep
+         |  ORDER BY n_chars DESC, doc_id) = 1
+         |ORDER BY cluster_rep""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT lang, source, doc_id FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+        |ORDER BY lang, source, doc_id""".stripMargin
   )
 }

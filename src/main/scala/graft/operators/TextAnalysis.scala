@@ -53,6 +53,21 @@ object TextAnalysis {
       "[\\x00-\\x1F\\x7F]", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** Within-document duplicate-sentence removal: each sentence survives
+    * only at its FIRST position inside its own document (the doc-local
+    * complement of [[Dedup.dedupSentences]]'s corpus-wide rule — strips
+    * per-page boilerplate repeats without any cross-document state).
+    * Fully narrow: no explode, no shuffle; O(|sentences|²) equality scans
+    * per document, fine for real sentence counts. IMPORTANT: callers must
+    * pass a materialized sentence-array COLUMN (not an inline split
+    * expression) — the lambda references the array per element, and an
+    * inline subtree would be re-evaluated per element (the CollapseProject
+    * multiplication hazard, PLANS.md #2).
+    */
+  def dedupSentencesInDoc(sents: Column, sep: String = ". "): Column =
+    array_join(
+      filter(sents, (s, i) => array_position(sents, s) === i + lit(1)), sep)
+
   /** Eval-set decontamination signal: for each corpus document, the
     * number of distinct word n-grams it shares with ANY probe (benchmark/
     * eval) document. Inverted-index join on the n-gram — probe grams are

@@ -180,7 +180,22 @@ object TextQueries extends QueryPack {
             exp(lit(-4.0) * LinearScoreExpr.linearScoreNative(col("features"), 4096))), 6)
             .as("quality_prob"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Within-doc duplicate-sentence removal (doc-local boilerplate strip):
+    // narrow per-row op — sentences array materialized as a column first
+    // so the filter lambda sees an attribute, not a re-evaluated split.
+    "text_span_dedup" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          split(col("text"), java.util.regex.Pattern.quote(". ")).as("sents"))
+        .select(col("doc_id"), size(col("sents")).as("n_sents"),
+          TextAnalysis.dedupSentencesInDoc(col("sents")).as("cleaned"))
+        .select(col("doc_id"), col("n_sents"),
+          (col("n_sents") - size(split(col("cleaned"),
+            java.util.regex.Pattern.quote(". ")))).as("n_removed"),
+          md5(col("cleaned")).as("cleaned_md5"))
+        .orderBy("doc_id"))
   )
 
   private val toksSql = DuckSql.tokens("text")
@@ -248,6 +263,16 @@ object TextQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "text_classifier" -> classifierSql,
+
+    "text_span_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
+        |k AS (SELECT doc_id, len(sents) AS n_sents,
+        |  array_to_string(list_filter(sents, (x, i) -> list_position(sents, x) = i), '. ') AS cleaned
+        |  FROM s)
+        |SELECT doc_id, n_sents,
+        |  n_sents - len(string_split(cleaned, '. ')) AS n_removed,
+        |  md5(cleaned) AS cleaned_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_lang_breakdown" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars

@@ -58,6 +58,21 @@ class PiiSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("within-doc sentence dedup keeps first occurrences, doc-local only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq(
+      (1L, "a b. c d. a b. e f. c d"),   // repeats stripped, order kept
+      (2L, "a b. x y"),                  // duplicates doc 1 — must NOT matter
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"), split(col("text"), "\\Q. \\E").as("sents"))
+      .select(col("doc_id"), TextAnalysis.dedupSentencesInDoc(col("sents")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a b. c d. e f", 2L -> "a b. x y", 3L -> "solo"))
+  }
+
   test("sequence packing: budgets respected at bucket granularity, totals preserved") {
     import spark.implicits._
     val docs = (1L to 40L).map(i => (i, ("tok " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")

@@ -53,6 +53,72 @@ object TextAnalysis {
       "[\\x00-\\x1F\\x7F]", " "),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  /** CCNet-style language-model quality proxy: mean unigram log-probability
+    * per document, scored against the corpus's own unigram distribution
+    * (MLE — every scored token is in-vocabulary by construction). Low
+    * scores flag gibberish / rare-token soup exactly like the KenLM
+    * perplexity gate in CCNet, at a unigram's scan cost.
+    *
+    * Scale shape: the frequency table is |vocab| rows (bounded, zipfian)
+    * and BROADCASTS onto the exploded token stream; the per-doc mean is a
+    * partial-aggregable groupBy whose shuffle is one row per document.
+    * Documents with no tokens emit no row (nothing to score).
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).cast("double").as("n_total"))
+    toks
+      .join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("cnt") / col("n_total"))), 6).as("avg_logprob"))
+  }
+
+  /** DSIR-style data-selection importance weight: per-document mean
+    * log-ratio of a TARGET domain's hashed-feature distribution over the
+    * CORPUS distribution (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling" — the hashed-ngram variant). Documents
+    * that look like the target domain score > 0 and get up-sampled by a
+    * downstream resampler ([[resampleMixture]] composes directly).
+    *
+    * Features are unigrams+bigrams hashed to `dims` buckets with the same
+    * md5-bucket formula as LinearScoreExpr (oracle-replayable); both
+    * distributions are `dims`-row aggregates with +0.5 smoothing, built
+    * once and BROADCAST onto the exploded corpus stream — no per-doc
+    * state, one shuffle row per document for the final mean.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame, dims: Int = 1024,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def hashedFeats(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        explode(concat(TextFns.textShingles(col(textCol), 1),
+          TextFns.textShingles(col(textCol), 2))).as("f"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(dims)).as("bucket"))
+    val corpusFeats = hashedFeats(corpus)
+    val cCounts = corpusFeats.groupBy(col("bucket")).agg(count(lit(1)).as("c_cnt"))
+    val tCounts = hashedFeats(target).groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
+    val totals = cCounts.agg(sum(col("c_cnt")).cast("double").as("c_total"))
+      .crossJoin(tCounts.agg(sum(col("t_cnt")).cast("double").as("t_total")))
+    val halfDims = lit(0.5 * dims)
+    val ratios = cCounts
+      .join(tCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        log(((coalesce(col("t_cnt"), lit(0L)) + 0.5) / (col("t_total") + halfDims)) /
+          ((col("c_cnt") + 0.5) / (col("c_total") + halfDims))).as("logratio"))
+    corpusFeats
+      .join(broadcast(ratios), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(avg(col("logratio")), 6).as("dsir_weight"))
+  }
+
   /** Within-document duplicate-sentence removal: each sentence survives
     * only at its FIRST position inside its own document (the doc-local
     * complement of [[Dedup.dedupSentences]]'s corpus-wide rule — strips

@@ -182,6 +182,21 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style unigram log-probability quality proxy: corpus-frequency
+    // table broadcast onto the token stream, per-doc mean.
+    "text_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir))
+        .orderBy("doc_id")),
+
+    // DSIR-style importance weights: hashed unigram+bigram distribution
+    // of the src0 "target domain" vs the whole corpus, per-doc mean
+    // log-ratio (positive = looks like the target).
+    "text_importance_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.importanceWeights(d, d.filter(col("source") === "src0"))
+        .orderBy("doc_id")
+    }),
+
     // Within-doc duplicate-sentence removal (doc-local boilerplate strip):
     // narrow per-row op — sentences array materialized as a column first
     // so the filter lambda sees an attribute, not a re-evaluated split.
@@ -263,6 +278,38 @@ object TextQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "text_classifier" -> classifierSql,
+
+    "text_unigram_logprob" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(avg(ln(cnt / n_total)), 6) AS avg_logprob
+         |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_importance_weights" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |tfeats AS (
+         |  SELECT ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
+         |  FROM (SELECT $toksSql AS toks FROM documents WHERE source = 'src0')),
+         |cc AS (SELECT bucket, count(*) AS c_cnt FROM feats GROUP BY bucket),
+         |tc AS (SELECT bucket, count(*) AS t_cnt FROM tfeats GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(sum(c_cnt) AS DOUBLE) FROM cc) AS c_total,
+         |               (SELECT CAST(sum(t_cnt) AS DOUBLE) FROM tc) AS t_total),
+         |ratios AS (
+         |  SELECT cc.bucket,
+         |    ln(((coalesce(t_cnt, 0) + 0.5) / (t_total + 512.0)) /
+         |       ((c_cnt + 0.5) / (c_total + 512.0))) AS logratio
+         |  FROM cc LEFT JOIN tc ON cc.bucket = tc.bucket CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_feats,
+         |  round(avg(logratio), 6) AS dsir_weight
+         |FROM feats JOIN ratios USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_span_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),

@@ -119,6 +119,46 @@ object TextAnalysis {
         round(avg(col("logratio")), 6).as("dsir_weight"))
   }
 
+  /** Sliding-window chunking with overlap — the RAG / context-prep
+    * primitive: each document becomes `window`-token chunks whose starts
+    * advance by `stride` (overlap = window − stride), plus one final
+    * chunk anchored at `n − window` so the tail is always covered and no
+    * chunk ever pads past the document. Every token lands in at least one
+    * chunk; empty documents emit nothing.
+    *
+    * Scale shape: narrow per-row fan-out (tokenize → start-sequence →
+    * posexplode → slice), all codegen built-ins, no shuffle at all — the
+    * output inherits the input partitioning, and output size is bounded
+    * by `ceil(n/stride)` chunks per doc.
+    */
+  def chunkOverlap(docs: DataFrame, window: Int = 32, stride: Int = 24,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") > 0)
+    // Starts: 0, stride, 2·stride, … up to n−window, then n−window itself
+    // appended when it is off the stride grid (a conditional append, NOT
+    // array_distinct — DuckDB's list_distinct reorders, so the oracle
+    // could not mirror a distinct-based form positionally). Ascending by
+    // construction, so pos is the chunk index.
+    val lastStart = greatest(col("n_tokens") - window, lit(0))
+    val gridStarts = sequence(lit(0), lastStart, lit(stride))
+    toks
+      .withColumn("starts", when(pmod(lastStart, lit(stride)) === 0, gridStarts)
+        .otherwise(concat(gridStarts, array(lastStart))))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        posexplode(col("starts")).as(Seq("chunk_idx", "chunk_start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        size(slice(col("toks"), col("chunk_start") + 1, lit(window)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("chunk_start") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Within-document duplicate-sentence removal: each sentence survives
     * only at its FIRST position inside its own document (the doc-local
     * complement of [[Dedup.dedupSentences]]'s corpus-wide rule — strips

@@ -197,6 +197,12 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Sliding-window chunking (RAG/context prep): 32-token chunks,
+    // stride 24, tail-anchored final chunk — narrow fan-out, no shuffle.
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkOverlap(docs(s, dir), window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
     // Within-doc duplicate-sentence removal (doc-local boilerplate strip):
     // narrow per-row op — sentences array materialized as a column first
     // so the filter lambda sees an attribute, not a re-evaluated split.
@@ -310,6 +316,23 @@ object TextQueries extends QueryPack {
          |  round(avg(logratio), 6) AS dsir_weight
          |FROM feats JOIN ratios USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, toks,
+         |  CASE WHEN greatest(n_tokens - 32, 0) % 24 = 0
+         |    THEN range(0, greatest(n_tokens - 32, 0) + 1, 24)
+         |    ELSE list_append(range(0, greatest(n_tokens - 32, 0) + 1, 24),
+         |                     greatest(n_tokens - 32, 0)) END AS starts FROM n),
+         |s AS (SELECT doc_id, toks,
+         |  unnest(starts) AS chunk_start,
+         |  unnest(range(0, len(starts))) AS chunk_idx FROM st)
+         |SELECT doc_id, chunk_idx, chunk_start,
+         |  len(toks[chunk_start + 1 : chunk_start + 32]) AS n_chunk_tokens,
+         |  array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "text_span_dedup" ->
       """WITH s AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),

@@ -38,6 +38,14 @@ object SimilarityQueries extends QueryPack {
     "sim_nn_within_label" -> ((s, dir) =>
       Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id")),
 
+    // Graph-based data selection: PageRank centrality over the
+    // symmetrized within-label 4-NN cosine graph, 5 power iterations
+    // (high rank = prototypical, low = outlier).
+    "graph_knn_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.pageRank(graft.operators.Graph.knnEdges(emb(s, dir), k = 4))
+        .select(col("v").as("vec_id"), col("rank_norm"))
+        .orderBy("vec_id")),
+
     // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
     // cells), probe scans only the query's cell.
     "sim_ivf_topk" -> ((s, dir) =>
@@ -105,7 +113,39 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product($deExpr, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  // PageRank oracle: the same fixed power iterations unrolled as CTEs
+  // r1..r5 over the same 4-NN edge list. (1−d) is rendered from the same
+  // Scala double the operator uses, so both engines divide identical
+  // IEEE values; damping contracts any summation-order noise.
+  private val pagerankSql: String = {
+    val d = 0.85
+    val oneMinus = 1 - d
+    val iterCtes = (1 to 5).map { i =>
+      s"""r$i AS (SELECT ed.dst AS v,
+         |  $oneMinus / (SELECT n FROM nn) + $d * sum(r.r / dg.outdeg) AS r
+         |  FROM ed JOIN dg USING (src) JOIN r${i - 1} r ON r.v = ed.src
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embsCte,
+       |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
+       |  FROM embs a JOIN embs b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |tk AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rn FROM pr) WHERE rn <= 4),
+       |ed AS (SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM tk UNION ALL SELECT dst, src FROM tk)),
+       |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
+       |r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM nn) AS r FROM dg),
+       |$iterCtes
+       |SELECT v AS vec_id, round(r * (SELECT n FROM nn), 6) AS rank_norm
+       |FROM r5 ORDER BY v""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_knn_pagerank" -> pagerankSql,
+
     "sim_topk_cosine" ->
       s"""WITH $embsCte,
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID)

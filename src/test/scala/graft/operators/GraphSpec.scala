@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** PageRank semantics against an independent in-memory power iteration,
+  * plus structural guards (mass conservation, dangling rejection, kNN
+  * edge symmetry).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgeDF(es: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    es.toDF("src", "dst")
+  }
+
+  /** Reference implementation: dense power iteration over a map. */
+  private def refPageRank(es: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = es.map(_._1).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v => v -> ((1 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r.map { case (v, x) => v -> x * n }
+  }
+
+  test("matches an independent power iteration on an asymmetric graph") {
+    // Symmetrized triangle + pendant: 1-2, 2-3, 1-3, 3-4 (both directions).
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L))
+    val got = Graph.pageRank(edgeDF(es), iters = 5)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Double]("rank_norm")).toMap
+    val want = refPageRank(es, 5, 0.85)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (v, x) =>
+      assert(math.abs(x - want(v)) < 1e-6, s"node $v: got $x want ${want(v)}")
+    }
+    // node 3 (degree 3) must outrank the pendant node 4 (degree 1)
+    assert(got(3L) > got(4L))
+  }
+
+  test("normalized ranks average to 1 (mass conserved, no leak)") {
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L))
+    val mean = Graph.pageRank(edgeDF(es), iters = 5)
+      .agg(avg(col("rank_norm"))).head().getDouble(0)
+    assert(math.abs(mean - 1.0) < 1e-6)
+  }
+
+  test("rejects graphs with dangling nodes") {
+    // 3 has an in-edge but no out-edge: rank mass would leak.
+    val bad = edgeDF(Seq((1L, 2L), (2L, 1L), (2L, 3L)))
+    val ex = intercept[IllegalArgumentException](Graph.pageRank(bad))
+    assert(ex.getMessage.contains("dangling"))
+  }
+
+  test("knnEdges is symmetric and every node has outdegree >= k") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val e = Graph.knnEdges(emb, k = 3).cache()
+    val asym = e.select(col("dst").as("src"), col("src").as("dst"))
+      .exceptAll(e).count()
+    assert(asym === 0, "symmetrized edge list must contain every reverse edge")
+    val minDeg = e.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(min(col("d"))).head().getLong(0)
+    assert(minDeg >= 3)
+    e.unpersist()
+  }
+}

@@ -42,6 +42,26 @@ object Similarity {
       when(VectorFns.dot(planeLit, emb) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions using
+    * the SAME deterministic ±1 hyperplanes as the LSH signature ([[planes]],
+    * Rademacher entries, scaled by 1/√outDim) — sign-LSH is literally the
+    * sign bit of this projection, so the two share one replayable matrix.
+    * Use it to shrink 100 TB of embeddings before distance-heavy work:
+    * pairwise inner products are preserved within the JL bound while
+    * per-vector cost drops dim/outDim-fold.
+    *
+    * Scale shape: narrow per-row map — `outDim` native codegen dot
+    * products against literal plane vectors, no shuffle, no state.
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int, dim: Int): DataFrame = {
+    val ps = planes(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    embeddings.select(col("vec_id"), col("label"),
+      array(ps.map { p =>
+        round(VectorFns.dot(typedLit(p.map(_.toDouble)), col("embedding")) * scale, 6)
+      }: _*).as("proj"))
+  }
+
   /** Brute-force cosine top-k against one query vector (vec_id = queryId).
     * The query side is a 1-row broadcast; the scan stays narrow and the
     * top-k is TakeOrderedAndProject (no full sort).

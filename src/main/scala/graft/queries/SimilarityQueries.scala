@@ -38,6 +38,17 @@ object SimilarityQueries extends QueryPack {
     "sim_nn_within_label" -> ((s, dir) =>
       Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id")),
 
+    // JL random projection 64→16 dims on the shared deterministic
+    // Rademacher planes (the LSH signature's sign source); long format
+    // (vec_id, dim, value) because the compare harness sorts scalar rows.
+    "sim_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(emb(s, dir), outDim = 16, dim = DIM)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("proj")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"), col("value"))
+        .orderBy("vec_id", "dim")),
+
     // Graph-based data selection: PageRank centrality over the
     // symmetrized within-label 4-NN cosine graph, 5 power iterations
     // (high rank = prototypical, low = outlier).
@@ -143,8 +154,21 @@ object SimilarityQueries extends QueryPack {
        |FROM r5 ORDER BY v""".stripMargin
   }
 
+  // JL projection oracle: the same 16 plane literals, list_dot_product
+  // each, × 1/√16 (= exactly 0.25 in binary), rounded like the operator.
+  private val randomProjSql: String = {
+    val elems = Similarity.planes(16, DIM).map { p =>
+      s"round(list_dot_product(de, ${DuckSql.doubleList(p.map(_.toDouble))}) * 0.25, 6)"
+    }.mkString(",\n  ")
+    s"""WITH $embsCte
+       |SELECT vec_id, label, unnest(range(0, 16)) AS dim,
+       |  unnest([$elems]) AS value
+       |FROM embs ORDER BY vec_id, dim""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
+    "sim_random_projection" -> randomProjSql,
 
     "sim_topk_cosine" ->
       s"""WITH $embsCte,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,29 +16,38 @@ import graft.functions.VectorFns
 object Graph {
 
   /** Symmetrized k-NN edge list over the embeddings table: each vector's
-    * top-k cosine neighbours within its label block (blocking bounds the
-    * candidate pairs exactly as in [[Similarity.nearestWithinLabel]]; at
-    * scale the block key would be an LSH bucket / IVF cell), mirrored so
-    * the graph is undirected — every node then has outdegree ≥ k, so
-    * PageRank sees no dangling mass.
+    * top-k cosine neighbours within its IVF cell ([[Similarity.assignCells]]
+    * — the same coarse quantizer the ANN probes and SemDeDup use), mirrored
+    * so the graph is undirected; every emitted node then has outdegree ≥ 1,
+    * so PageRank sees no dangling mass. A vector alone in its cell has no
+    * candidates and drops out — the standard ANN-graph recall trade, dialed
+    * by `nCells`.
     *
-    * Scale shape: the label join broadcasts the (MB-sized) right side so
-    * pair generation parallelizes over the left's partitions; the top-k
-    * is a rank window that Spark 4 plans as Partial+Final
-    * `WindowGroupLimit` — each map task keeps only k rows per vec_id
-    * BEFORE the shuffle. Cosines are rounded to 6 places before ranking
-    * so the neighbour choice (ties → lowest id) is engine-independent.
+    * Scale shape: the cell layout is materialized once (it IS the IVF
+    * storage layout at scale — a parquet write, localCheckpoint
+    * in-session), then candidate pairs come from a plain shuffle join on
+    * the cell key — `nCells` grows with the corpus, so within-cell pair
+    * work stays ~linear and NOTHING corpus-sized is ever broadcast (the
+    * label-block broadcast-N² this replaces dies at the broadcast limit
+    * and is quadratic per block). Norms are hoisted into the layout (one
+    * per vector, not two per pair). The top-k is a rank window that
+    * Spark 4 plans as Partial+Final `WindowGroupLimit` — each map task
+    * keeps only k rows per vec_id BEFORE the shuffle. Cosines are rounded
+    * to 6 places before ranking so the neighbour choice (ties → lowest
+    * id) is engine-independent.
     */
-  def knnEdges(embeddings: DataFrame, k: Int): DataFrame = {
-    val a = embeddings.select(col("label"), col("vec_id"), col("embedding"))
-    val b = embeddings.select(col("label"), col("vec_id").as("nn_vec_id"),
-      col("embedding").as("nn_emb"))
+  def knnEdges(embeddings: DataFrame, k: Int, nCells: Int = 16): DataFrame = {
+    val cells = Similarity.cellLayout(embeddings, nCells)
+    val a = cells.select(col("cell"), col("vec_id"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("nn_vec_id"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_vec_id").asc)
-    val topk = a.join(broadcast(b), Seq("label"))
+    val topk = a.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
-        round(VectorFns.cosine(col("embedding"), col("nn_emb")), 6))
+        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
@@ -52,12 +61,21 @@ object Graph {
     * result a pure function of the edge list, so a SQL oracle can replay
     * it by unrolling the same `iters` joins.
     *
+    * The node set is pinned once (every src) and each iteration LEFT-joins
+    * the contribution sums back onto it — a node with out-edges but no
+    * in-edges keeps its (1−d)/N base rank every round instead of silently
+    * vanishing after iteration 1 (the groupBy(dst) rebuild alone emits
+    * only in-edge holders, losing such a node's outgoing mass too).
+    *
     * Requires every node to have at least one out-edge (true for any
     * symmetrized graph, e.g. [[knnEdges]]) — dangling nodes would leak
     * rank mass and silently deflate totals, so they are rejected here.
+    * The node set and the dangling check come from ONE aggregation over
+    * the edge endpoints (a vertex is dangling iff it appears as dst but
+    * never as src), so setup costs a single extra action.
     *
     * Scale shape: each iteration is one join of the (checkpointed,
-    * edge-count-partitioned) edge list against the current rank vector
+    * src-hash-partitioned) edge list against the current rank vector
     * plus a partial-aggregable sum — the classic Pregel shape expressed
     * declaratively. Lineage is truncated every round; damping makes the
     * iteration a contraction, so cross-engine float divergence stays at
@@ -68,31 +86,33 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // One edge-frame reused every iteration: checkpoint once, partitioned
-    // by the join side's key and sized to the edge count (same rationale
-    // as connectedComponents — pair graphs are tiny next to the corpus).
-    val eRaw = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
-    val nEdges = eRaw.count()
-    val parts = math.max(1, (nEdges / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
+    // One edge-frame reused every iteration: pre-partition on the join key
+    // and checkpoint, so the per-iteration join reuses the layout instead
+    // of re-shuffling the edges each round.
+    val e = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+      .repartition(col("src")).localCheckpoint()
 
-    val nodes = e.select(col("src").as("v")).distinct()
-      .repartition(parts, col("v")).localCheckpoint()
-    val n = nodes.count().toDouble
-    val dangling = edges.select(col("dst")).distinct()
-      .join(nodes, col("dst") === col("v"), "left_anti").count()
-    require(dangling == 0,
-      s"$dangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
+    val verts = e.select(col("src").as("v"), lit(1).as("o"))
+      .unionByName(e.select(col("dst").as("v"), lit(0).as("o")))
+      .groupBy(col("v")).agg(max(col("o")).as("has_out"))
+      .repartition(col("v")).localCheckpoint()
+    val Row(nNodes: Long, nDangling: Long) = verts
+      .agg(count(lit(1)), sum(lit(1) - col("has_out")).cast("long")).head()
+    require(nDangling == 0,
+      s"$nDangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
+    val nodes = verts.select(col("v"))
+    val n = nNodes.toDouble
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     for (i <- 1 to iters) {
-      ranks = e.join(ranks, e("src") === ranks("v"))
+      val contrib = e.join(ranks, e("src") === ranks("v"))
         .select(col("dst"), (col("r") / col("outdeg")).as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-        .select(col("dst").as("v"),
-          (lit((1 - damping) / n) + lit(damping) * col("s")).as("r"))
+      ranks = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
+        .select(col("v"),
+          (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
       if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v"), round(col("r") * n, 6).as("rank_norm"))

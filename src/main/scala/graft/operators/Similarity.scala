@@ -113,6 +113,20 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
   }
 
+  /** The materialized IVF cell layout shared by every candidate-pair
+    * operator ([[semanticDedup]], [[nearestWithinLabel]],
+    * [[Graph.knnEdges]]): cell assignment plus the hoisted L2 norm
+    * (cosine(a,b) = dot/(‖a‖·‖b‖), so storing ‖·‖ with the layout does
+    * one norm per VECTOR instead of two per PAIR on the quadratic path).
+    * Checkpointed once — the in-session equivalent of the cell-partitioned
+    * parquet layout those operators would read at scale — so pair
+    * self-joins don't recompute assignment per side.
+    */
+  def cellLayout(embeddings: DataFrame, nCells: Int): DataFrame =
+    assignCells(embeddings, nCells)
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
+
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nCells: Int): DataFrame = {
     val cells = assignCells(embeddings, nCells)
     val q = cells.filter(col("vec_id") === queryId)
@@ -207,22 +221,16 @@ object Similarity {
     */
   def semanticDedup(embeddings: DataFrame, nCells: Int,
       threshold: Double): DataFrame = {
-    // norms hoisted out of the pair loop: cosine(a,b) = dot/(‖a‖·‖b‖), so
-    // storing ‖·‖ with the cell layout does one norm per VECTOR instead
-    // of two per PAIR — 3× less distance math on the quadratic path
-    // (identical formula and rounding, so the oracle is unchanged)
-    val cells = assignCells(embeddings, nCells)
-      .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+    val cells = cellLayout(embeddings, nCells)
     val a = cells.select(col("cell"), col("vec_id").as("a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = cells.select(col("cell"), col("vec_id").as("b"),
       col("embedding").as("e_b"), col("nrm").as("n_b"))
-    // the cell key has only nCells distinct values — broadcast one side
-    // so pair generation parallelizes over the left's partitions instead
-    // of piling onto <= nCells shuffle tasks (same call as
-    // nearestWithinLabel's label join)
-    val pairs = a.join(broadcast(b), Seq("cell"))
+    // plain shuffle join on the cell key — nCells grows with the corpus,
+    // so within-cell pair work stays ~linear and no corpus-sized side is
+    // ever broadcast; at local test scale the ≤ nCells-way spread is
+    // still microseconds of dot products per task
+    val pairs = a.join(b, Seq("cell"))
       .filter(col("a") < col("b"))
       .filter(round(VectorFns.dot(col("e_a"), col("e_b")) /
         (col("n_a") * col("n_b")), 6) >= threshold)
@@ -234,21 +242,30 @@ object Similarity {
   }
 
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
-    * label block (blocking bounds the pair count; at scale the block key
-    * would be an LSH bucket instead of a label).
+    * label, with candidates restricted to the vector's IVF cell — the
+    * (label × cell) block bounds pair work without broadcasting anything
+    * corpus-sized (the label key alone has O(10) values, so exact
+    * within-label NN is inherently Σ|label|² — quadratic at any scale;
+    * the cell sub-block is the standard ANN cure, with `nCells` the
+    * recall/cost dial). A vector alone in its (label, cell) block emits
+    * no row — the documented ANN recall trade.
+    *
+    * Scale shape: pairs come from a shuffle join on (label, cell) over
+    * the materialized [[cellLayout]] (norms hoisted — one per vector, not
+    * two per pair), and the arg-max is a partial-aggregable struct-max
+    * (ties → lowest nn_vec_id via the negated-id field), never a window
+    * sort.
     */
-  def nearestWithinLabel(embeddings: DataFrame): DataFrame = {
-    val a = embeddings.select(col("label"), col("vec_id"), col("embedding"))
-    val b = embeddings.select(col("label"), col("vec_id").as("nn_vec_id"),
-      col("embedding").as("nn_emb"))
-    // The label join has ~10 distinct keys: a shuffle join would pile all
-    // pairs on ≤10 tasks. Broadcast the right side (embeddings are MBs)
-    // so the pair generation parallelizes over the left's partitions, and
-    // take the arg-max with a partial-aggregable struct-max (ties → lowest
-    // nn_vec_id via the negated-id field) instead of a window sort.
-    a.join(broadcast(b), Seq("label"))
+  def nearestWithinLabel(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val cells = cellLayout(embeddings, nCells)
+    val a = cells.select(col("label"), col("cell"), col("vec_id"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = cells.select(col("label"), col("cell"), col("vec_id").as("nn_vec_id"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("label", "cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
-      .withColumn("cosine", round(VectorFns.cosine(col("embedding"), col("nn_emb")), 6))
+      .withColumn("cosine",
+        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(struct(col("cosine"), (-col("nn_vec_id")).as("neg_id"),
         col("nn_vec_id"))).as("best"))

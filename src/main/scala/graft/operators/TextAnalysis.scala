@@ -59,10 +59,15 @@ object TextAnalysis {
     * scores flag gibberish / rare-token soup exactly like the KenLM
     * perplexity gate in CCNet, at a unigram's scan cost.
     *
-    * Scale shape: the frequency table is |vocab| rows (bounded, zipfian)
-    * and BROADCASTS onto the exploded token stream; the per-doc mean is a
-    * partial-aggregable groupBy whose shuffle is one row per document.
-    * Documents with no tokens emit no row (nothing to score).
+    * Scale shape: the frequency table is |vocab| rows — UNBOUNDED in
+    * corpus size (URLs, typos, numerals), so it is NOT broadcast; the
+    * term join is a plain shuffle join whose zipfian key skew AQE splits
+    * at runtime (and which AQE may still broadcast when the vocab is
+    * actually small — the adaptive choice, not a forced hint that dies at
+    * the broadcast limit). The per-doc mean is a partial-aggregable
+    * groupBy whose shuffle is one row per document; the only broadcast is
+    * the one-row total. Documents with no tokens emit no row (nothing to
+    * score).
     */
   def unigramLogProb(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
@@ -71,7 +76,7 @@ object TextAnalysis {
     val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).cast("double").as("n_total"))
     toks
-      .join(broadcast(freq), "term")
+      .join(freq, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -34,9 +34,14 @@ object SimilarityQueries extends QueryPack {
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(emb(s, dir), QUERY_ID, TOP_K, N_PLANES, DIM)),
 
-    // Embedding-cosine near-dup: nearest neighbour within label block.
+    // Embedding-cosine near-dup: nearest neighbour within label, with
+    // candidates restricted to the vector's IVF cell (shuffle join on the
+    // (label, cell) block — nothing corpus-sized broadcasts). 4 cells ×
+    // 10 labels leaves no singleton block at any driver SF, so every
+    // vector still gets a neighbour (the recall dial documented on the
+    // operator).
     "sim_nn_within_label" -> ((s, dir) =>
-      Similarity.nearestWithinLabel(emb(s, dir)).orderBy("vec_id")),
+      Similarity.nearestWithinLabel(emb(s, dir), nCells = NN_CELLS).orderBy("vec_id")),
 
     // JL random projection 64→16 dims on the shared deterministic
     // Rademacher planes (the LSH signature's sign source); long format
@@ -50,10 +55,13 @@ object SimilarityQueries extends QueryPack {
         .orderBy("vec_id", "dim")),
 
     // Graph-based data selection: PageRank centrality over the
-    // symmetrized within-label 4-NN cosine graph, 5 power iterations
-    // (high rank = prototypical, low = outlier).
+    // symmetrized within-IVF-cell 4-NN cosine graph, 5 power iterations
+    // (high rank = prototypical, low = outlier). Candidate edges come
+    // from the materialized cell layout via a shuffle join on the cell
+    // key — no corpus-sized broadcast anywhere in the plan.
     "graph_knn_pagerank" -> ((s, dir) =>
-      graft.operators.Graph.pageRank(graft.operators.Graph.knnEdges(emb(s, dir), k = 4))
+      graft.operators.Graph.pageRank(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS))
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
@@ -111,12 +119,25 @@ object SimilarityQueries extends QueryPack {
   )
 
   private val N_CELLS = 16
+  private val NN_CELLS = 4  // coarser blocking for all-vector NN (no singleton (label, cell) block)
 
   private def cosSql(a: String, b: String) = DuckSql.cosine(a, b)
 
   private val embsCte =
     s"""embs AS (SELECT vec_id, label, ${DuckSql.vecDouble("embedding")} AS de
        |  FROM embeddings)""".stripMargin
+
+  /** Oracle twin of Similarity.assignCells (+ label carried through) —
+    * shared by every cell-blocked oracle below so the quantizer replay
+    * cannot drift between them.
+    */
+  private def assignedCtes(nCells: Int = N_CELLS) =
+    s"""cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $nCells),
+       |assigned AS (
+       |  SELECT e.vec_id, e.label, e.de, c.cell
+       |  FROM embs e CROSS JOIN cents c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)""".stripMargin
 
   private def sigSql(deExpr: String): String =
     Similarity.planes(N_PLANES, DIM).map { plane =>
@@ -125,22 +146,27 @@ object SimilarityQueries extends QueryPack {
     }.mkString(" || ")
 
   // PageRank oracle: the same fixed power iterations unrolled as CTEs
-  // r1..r5 over the same 4-NN edge list. (1−d) is rendered from the same
-  // Scala double the operator uses, so both engines divide identical
-  // IEEE values; damping contracts any summation-order noise.
-  private val pagerankSql: String = {
+  // r1..r5 over the same within-cell 4-NN edge list. Each iteration
+  // LEFT-joins the contribution sums back onto the full node set (dg) —
+  // mirroring the operator's no-in-edge retention. (1−d) is rendered from
+  // the same Scala double the operator uses, so both engines divide
+  // identical IEEE values; damping contracts any summation-order noise.
+  private lazy val pagerankSql: String = {
     val d = 0.85
     val oneMinus = 1 - d
     val iterCtes = (1 to 5).map { i =>
-      s"""r$i AS (SELECT ed.dst AS v,
-         |  $oneMinus / (SELECT n FROM nn) + $d * sum(r.r / dg.outdeg) AS r
-         |  FROM ed JOIN dg USING (src) JOIN r${i - 1} r ON r.v = ed.src
-         |  GROUP BY ed.dst)""".stripMargin
+      s"""r$i AS (SELECT dg.src AS v,
+         |  $oneMinus / (SELECT n FROM nn) + $d * coalesce(c.s, 0) AS r
+         |  FROM dg LEFT JOIN (
+         |    SELECT ed.dst AS v, sum(r.r / g.outdeg) AS s
+         |    FROM ed JOIN dg g USING (src) JOIN r${i - 1} r ON r.v = ed.src
+         |    GROUP BY ed.dst) c ON c.v = dg.src)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embsCte,
+       |${assignedCtes()},
        |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
        |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
-       |  FROM embs a JOIN embs b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |tk AS (SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
        |      ORDER BY cosine DESC, dst) AS rn FROM pr) WHERE rn <= 4),
@@ -187,13 +213,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_ivf_topk" ->
       s"""WITH $embsCte,
-         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
-         |assigned AS (
-         |  SELECT e.vec_id, e.de, c.cell,
-         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
-         |  FROM embs e CROSS JOIN cents c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |${assignedCtes()},
          |q AS (SELECT de AS qe, cell AS q_cell FROM assigned WHERE vec_id = $QUERY_ID)
          |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
          |FROM assigned a, q WHERE a.vec_id <> $QUERY_ID AND a.cell = q_cell
@@ -201,16 +221,11 @@ object SimilarityQueries extends QueryPack {
 
     "sim_ivf_nprobe_topk" ->
       s"""WITH $embsCte,
-         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
+         |${assignedCtes()},
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
          |probed AS (
          |  SELECT cell FROM cents, q
-         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2),
-         |assigned AS (
-         |  SELECT e.vec_id, e.de, c.cell
-         |  FROM embs e CROSS JOIN cents c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)
+         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
          |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |WHERE a.vec_id <> $QUERY_ID
@@ -230,13 +245,7 @@ object SimilarityQueries extends QueryPack {
     // rounded cosine.
     "sim_semantic_dedup" ->
       s"""WITH RECURSIVE $embsCte,
-         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
-         |assigned AS (
-         |  SELECT e.vec_id, e.de, c.cell,
-         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
-         |  FROM embs e CROSS JOIN cents c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |${assignedCtes()},
          |verified AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    round(${cosSql("x.de", "y.de")}, 6) AS jaccard
@@ -250,13 +259,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_kmeans_refine" ->
       s"""WITH $embsCte,
-         |cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $N_CELLS),
-         |assigned AS (
-         |  SELECT e.vec_id, e.de, c.cell,
-         |    round(${cosSql("e.de", "c.c_emb")}, 6) AS sim
-         |  FROM embs e CROSS JOIN cents c
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |${assignedCtes()},
          |flat AS (
          |  SELECT cell, generate_subscripts(de, 1) - 1 AS dim, unnest(de) AS e
          |  FROM assigned)
@@ -272,10 +275,12 @@ object SimilarityQueries extends QueryPack {
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "sim_nn_within_label" ->
-      s"""WITH $embsCte
+      s"""WITH $embsCte,
+         |${assignedCtes(NN_CELLS)}
          |SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
          |  round(${cosSql("a.de", "b.de")}, 6) AS cosine
-         |FROM embs a JOIN embs b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |FROM assigned a JOIN assigned b
+         |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id <> b.vec_id
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id
          |  ORDER BY round(${cosSql("a.de", "b.de")}, 6) DESC, b.vec_id) = 1
          |ORDER BY vec_id""".stripMargin

@@ -183,7 +183,8 @@ object TextQueries extends QueryPack {
     }),
 
     // CCNet-style unigram log-probability quality proxy: corpus-frequency
-    // table broadcast onto the token stream, per-doc mean.
+    // table shuffle-joined onto the token stream (the vocabulary is
+    // unbounded at scale, so no broadcast hint — AQE picks), per-doc mean.
     "text_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir))
         .orderBy("doc_id")),

@@ -52,6 +52,23 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 1e-6)
   }
 
+  test("keeps nodes with out-edges but no in-edges at base rank") {
+    // 1 and 2 both point at 3; 3 points back at 1 only. Node 2 has an
+    // out-edge but NO in-edge: it must keep its (1-d)/n base rank every
+    // iteration (and keep contributing) instead of vanishing after
+    // iteration 1.
+    val es = Seq((1L, 3L), (2L, 3L), (3L, 1L))
+    val got = Graph.pageRank(edgeDF(es), iters = 5)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Double]("rank_norm")).toMap
+    val want = refPageRank(es, 5, 0.85)
+    assert(got.keySet === Set(1L, 2L, 3L))
+    got.foreach { case (v, x) =>
+      assert(math.abs(x - want(v)) < 1e-6, s"node $v: got $x want ${want(v)}")
+    }
+    // base rank, normalized: (1-d)/n * n = 0.15
+    assert(math.abs(got(2L) - 0.15) < 1e-6)
+  }
+
   test("rejects graphs with dangling nodes") {
     // 3 has an in-edge but no out-edge: rank mass would leak.
     val bad = edgeDF(Seq((1L, 2L), (2L, 1L), (2L, 3L)))
@@ -64,7 +81,8 @@ class GraphSpec extends SparkSpec {
     val emb = (0L until 20L).map(i =>
       (i, Array.tabulate(8)(j => math.sin(i * 7 + j).toFloat), (i % 2).toInt))
       .toDF("vec_id", "embedding", "label")
-    val e = Graph.knnEdges(emb, k = 3).cache()
+    // nCells = 1 → one cell → exact kNN candidates over all 20 vectors
+    val e = Graph.knnEdges(emb, k = 3, nCells = 1).cache()
     val asym = e.select(col("dst").as("src"), col("src").as("dst"))
       .exceptAll(e).count()
     assert(asym === 0, "symmetrized edge list must contain every reverse edge")

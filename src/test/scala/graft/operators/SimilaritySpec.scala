@@ -41,9 +41,16 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("nearest within label") {
-    val got = Similarity.nearestWithinLabel(embDF)
+    // nCells = 1 → one cell → exact within-label NN
+    val got = Similarity.nearestWithinLabel(embDF, nCells = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got(0L) === 1L)
     assert(got(1L) === 0L)
+  }
+
+  test("nearest within label restricts candidates to the IVF cell") {
+    // with every vector its own centroid (nCells = 5) each (label, cell)
+    // block is a singleton → no candidate pairs → empty result
+    assert(Similarity.nearestWithinLabel(embDF, nCells = 5).count() === 0L)
   }
 }

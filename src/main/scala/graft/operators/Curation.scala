@@ -47,6 +47,37 @@ object Curation {
     TextAnalysis.hashSplit(nearKept, trainPct = trainPct)
   }
 
+  /** DSIR-style data SELECTION end-to-end (Xie et al.): score every corpus
+    * document's target-domain importance ([[TextAnalysis.importanceWeights]]),
+    * tier the corpus by weight (high / mid / low against the two
+    * thresholds), deterministically resample by tier
+    * ([[TextAnalysis.resampleMixture]] — high up-sampled, low dropped) and
+    * hash-split the survivors. This is the score → resample → split
+    * selection pipeline as one composition, the selection counterpart of
+    * [[curate]]'s cleaning pipeline.
+    *
+    * Scale shape: the weight table is (doc_id, weight) — corpus-sized but
+    * narrow — so it joins back on doc_id as a plain shuffle join (never a
+    * broadcast); tiering, resampling and splitting are then per-row
+    * narrow transforms. Documents with no hashed features (empty text)
+    * are unscorable and drop out with the join, like DSIR itself.
+    */
+  def curateSelected(corpus: DataFrame, target: DataFrame,
+      hiWeight: Double, loWeight: Double,
+      tierWeights: Map[String, Double] = Map("high" -> 1.5, "mid" -> 1.0, "low" -> 0.0),
+      dims: Int = 1024, trainPct: Int = 90): DataFrame = {
+    val wts = TextAnalysis.importanceWeights(corpus, target, dims)
+      .select(col("doc_id"), col("dsir_weight"))
+    val tiered = corpus.join(wts, "doc_id")
+      .withColumn("tier",
+        when(col("dsir_weight") >= hiWeight, lit("high"))
+          .when(col("dsir_weight") >= loWeight, lit("mid"))
+          .otherwise(lit("low")))
+    TextAnalysis.hashSplit(
+      TextAnalysis.resampleMixture(tiered, tierWeights, stratumCol = "tier"),
+      trainPct = trainPct)
+  }
+
   /** The narrow quality gate shared by the batch and streaming forms. */
   def qualityGate(docs: DataFrame, minTokens: Int = 10,
       minQuality: Double = 0.5): DataFrame =

@@ -253,8 +253,12 @@ object Dedup {
       scoreCol: String, idCol: String = "doc_id"): DataFrame =
     clusters.join(docs.select(col(idCol), col(scoreCol)), idCol)
       .groupBy(col("cluster_rep"))
-      .agg(max_by(struct(col(idCol), col(scoreCol)),
-        struct(col(scoreCol), -col(idCol))).as("_best"))
+      // min_by over (−score, id): highest score wins, ties → lowest id.
+      // Only the (numeric) score is negated — after a double cast, so a
+      // Long.MinValue score can't negate to itself — and the id is never
+      // negated, so string/any-orderable id columns work.
+      .agg(min_by(struct(col(idCol), col(scoreCol)),
+        struct((-col(scoreCol).cast("double")).as("neg_score"), col(idCol))).as("_best"))
       .select(col("cluster_rep"),
         col(s"_best.$idCol").as("survivor_id"),
         col(s"_best.$scoreCol").as(s"survivor_$scoreCol"))

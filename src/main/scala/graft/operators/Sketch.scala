@@ -17,13 +17,21 @@ import org.apache.spark.sql.functions._
   * Standard CMS guarantees: estimate ≥ true count; estimate ≤ true count
   * + ε·N with probability ≥ 1 − (1/e')^depth for ε = e'/width — the
   * accuracy-contract boolean emitted by [[heavyHittersChecked]] asserts
-  * exactly this (with e' = 4), which the DuckDB oracle replays from
-  * exact counts.
+  * exactly this (with e' = 4). The depth hash rows are the four 8-hex-
+  * digit chunks of ONE md5 per term (the repo's shared replayable hash
+  * family), so the DuckDB oracle recomputes the estimates themselves and
+  * DERIVES the contract boolean — the compare stays green under any data
+  * refresh or width change, instead of asserting a literal `true` that a
+  * legitimate (probabilistic) contract miss would break.
   */
 object Sketch {
 
-  private def bucketCols(term: org.apache.spark.sql.Column, depth: Int, width: Int) =
-    array((0 until depth).map(i => pmod(hash(lit(i), term), lit(width))): _*)
+  private def bucketCols(term: org.apache.spark.sql.Column, depth: Int, width: Int) = {
+    require(depth <= 4, s"md5 yields 4 independent 32-bit chunks, got depth=$depth")
+    val hex = md5(term.cast("binary"))
+    array((0 until depth).map(i =>
+      pmod(conv(substring(hex, 1 + 8 * i, 8), 16, 10).cast("long"), lit(width))): _*)
+  }
 
   /** Build the (row, bucket, cnt) sketch cells for a token column. */
   def cmsBuild(tokens: DataFrame, termCol: String = "term",

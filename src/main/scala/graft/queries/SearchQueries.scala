@@ -56,11 +56,35 @@ object SearchQueries extends QueryPack {
          |GROUP BY p.doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
 
+    // The oracle REPLAYS the sketch (the depth rows are the four 8-hex
+    // chunks of one md5 per term — the shared replayable hash family) and
+    // derives the contract boolean from its own estimates, so a data
+    // refresh or width change that legitimately flips the probabilistic
+    // bound still compares green.
     "sketch_heavy_hitters" ->
       s"""WITH tokens AS (
-         |  SELECT unnest(${DuckSql.tokens("text")}) AS term FROM documents)
-         |SELECT term, count(*) AS exact_cnt, true AS within_contract
-         |FROM tokens GROUP BY term
-         |ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin
+         |  SELECT unnest(${DuckSql.tokens("text")}) AS term FROM documents),
+         |exact AS (SELECT term, count(*) AS exact_cnt FROM tokens GROUP BY term),
+         |top AS (SELECT term, exact_cnt FROM exact
+         |  ORDER BY exact_cnt DESC, term LIMIT 10),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tokens),
+         |cells AS (
+         |  SELECT r.range AS row,
+         |    ('0x' || substr(md5(term), CAST(1 + 8 * r.range AS INTEGER), 8))::UBIGINT % 512 AS bucket,
+         |    count(*) AS cnt
+         |  FROM tokens CROSS JOIN range(0, 4) r
+         |  GROUP BY 1, 2),
+         |probe AS (
+         |  SELECT t.term, r.range AS row,
+         |    ('0x' || substr(md5(t.term), CAST(1 + 8 * r.range AS INTEGER), 8))::UBIGINT % 512 AS bucket
+         |  FROM top t CROSS JOIN range(0, 4) r),
+         |est AS (
+         |  SELECT p.term, min(c.cnt) AS est
+         |  FROM probe p JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+         |  GROUP BY p.term)
+         |SELECT t.term, t.exact_cnt,
+         |  (e.est >= t.exact_cnt AND e.est <= t.exact_cnt + 4.0 * n_total / 512) AS within_contract
+         |FROM top t JOIN est e USING (term) CROSS JOIN tot
+         |ORDER BY exact_cnt DESC, term""".stripMargin
   )
 }

@@ -198,6 +198,19 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // End-to-end DSIR data selection: importance weights vs the src0
+    // target domain → tier by weight → deterministic resample (high 1.5×,
+    // mid 1×, low dropped) → train/eval hash split. One green composite
+    // oracle over the whole score → resample → split chain.
+    "curate_selected" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.curateSelected(
+          d, d.filter(col("source") === "src0"),
+          hiWeight = CurHi, loWeight = CurLo)
+        .select(col("doc_id"), col("tier"), col("copy_idx"), col("split"))
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Sliding-window chunking (RAG/context prep): 32-token chunks,
     // stride 24, tail-anchored final chunk — narrow fan-out, no shuffle.
     "text_chunks" -> ((s, dir) =>
@@ -221,6 +234,34 @@ object TextQueries extends QueryPack {
   )
 
   private val toksSql = DuckSql.tokens("text")
+
+  // DSIR tier thresholds shared by the curate_selected query and oracle:
+  // inside the observed weight range at every driver SF (quartiles ≈
+  // −0.18 / −0.15 / −0.12 at sf0.01) so all three tiers stay populated.
+  private val CurHi = -0.11
+  private val CurLo = -0.19
+
+  /** Shared DSIR replay (oracle twin of TextAnalysis.importanceWeights):
+    * hashed unigram+bigram buckets for corpus and the src0 target domain,
+    * smoothed per-bucket log-ratios.
+    */
+  private lazy val dsirCtes: String =
+    s"""feats AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |tfeats AS (
+       |  SELECT ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
+       |  FROM (SELECT $toksSql AS toks FROM documents WHERE source = 'src0')),
+       |cc AS (SELECT bucket, count(*) AS c_cnt FROM feats GROUP BY bucket),
+       |tc AS (SELECT bucket, count(*) AS t_cnt FROM tfeats GROUP BY bucket),
+       |tot AS (SELECT (SELECT CAST(sum(c_cnt) AS DOUBLE) FROM cc) AS c_total,
+       |               (SELECT CAST(sum(t_cnt) AS DOUBLE) FROM tc) AS t_total),
+       |ratios AS (
+       |  SELECT cc.bucket,
+       |    ln(((coalesce(t_cnt, 0) + 0.5) / (t_total + 512.0)) /
+       |       ((c_cnt + 0.5) / (c_total + 512.0))) AS logratio
+       |  FROM cc LEFT JOIN tc ON cc.bucket = tc.bucket CROSS JOIN tot)""".stripMargin
 
   /** Oracle twin of TextAnalysis.langId. */
   private val langIdSql: String = {
@@ -297,26 +338,36 @@ object TextQueries extends QueryPack {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_importance_weights" ->
-      s"""WITH feats AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
-         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
-         |tfeats AS (
-         |  SELECT ('0x' || substr(md5(unnest(list_concat(toks, ${DuckSql.shingles("toks", 2)}))), 1, 8))::UBIGINT % 1024 AS bucket
-         |  FROM (SELECT $toksSql AS toks FROM documents WHERE source = 'src0')),
-         |cc AS (SELECT bucket, count(*) AS c_cnt FROM feats GROUP BY bucket),
-         |tc AS (SELECT bucket, count(*) AS t_cnt FROM tfeats GROUP BY bucket),
-         |tot AS (SELECT (SELECT CAST(sum(c_cnt) AS DOUBLE) FROM cc) AS c_total,
-         |               (SELECT CAST(sum(t_cnt) AS DOUBLE) FROM tc) AS t_total),
-         |ratios AS (
-         |  SELECT cc.bucket,
-         |    ln(((coalesce(t_cnt, 0) + 0.5) / (t_total + 512.0)) /
-         |       ((c_cnt + 0.5) / (c_total + 512.0))) AS logratio
-         |  FROM cc LEFT JOIN tc ON cc.bucket = tc.bucket CROSS JOIN tot)
+      s"""WITH $dsirCtes
          |SELECT doc_id, count(*) AS n_feats,
          |  round(avg(logratio), 6) AS dsir_weight
          |FROM feats JOIN ratios USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Composite selection pipeline: the same DSIR weight replay, then the
+    // tier CASE, the mixtureCopies hash-bucket resample and the hashSplit
+    // bucket — each stage verbatim from its standalone oracle.
+    "curate_selected" ->
+      s"""WITH $dsirCtes,
+         |wts AS (
+         |  SELECT doc_id, round(avg(logratio), 6) AS dsir_weight
+         |  FROM feats JOIN ratios USING (bucket) GROUP BY doc_id),
+         |tiered AS (
+         |  SELECT w.doc_id,
+         |    CASE WHEN dsir_weight >= $CurHi THEN 'high'
+         |         WHEN dsir_weight >= $CurLo THEN 'mid' ELSE 'low' END AS tier,
+         |    ('0x' || substring(md5(w.doc_id::VARCHAR), 1, 8))::UBIGINT % 100 AS bucket
+         |  FROM wts w),
+         |expanded AS (
+         |  SELECT doc_id, tier, bucket,
+         |    CAST(floor(wt) + CASE WHEN bucket < round((wt - floor(wt)) * 100)
+         |      THEN 1 ELSE 0 END AS INTEGER) AS copies
+         |  FROM (SELECT *, CASE tier WHEN 'high' THEN 1.5 WHEN 'mid' THEN 1.0
+         |    ELSE 0.0 END AS wt FROM tiered))
+         |SELECT doc_id, tier,
+         |  CAST(unnest(range(1, copies + 1)) AS INTEGER) AS copy_idx,
+         |  CASE WHEN bucket < 90 THEN 'train' ELSE 'eval' END AS split
+         |FROM expanded ORDER BY doc_id, copy_idx""".stripMargin,
 
     "text_chunks" ->
       s"""WITH t AS (

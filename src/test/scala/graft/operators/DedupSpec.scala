@@ -88,6 +88,23 @@ class DedupSpec extends SparkSpec {
       s"near-dup shares no band: $cands")
   }
 
+  test("bestSurvivors: highest score wins, ties break to lowest id, string ids work") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 30.0), (4L, 7.0), (5L, 7.0))
+      .toDF("doc_id", "score")
+    val got = Dedup.bestSurvivors(clusters, docs, scoreCol = "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 4L -> 4L))  // 2 beats 3 on tie; 4 beats 5 on tie
+
+    val sClusters = Seq(("a", "a"), ("b", "a")).toDF("doc_id", "cluster_rep")
+    val sDocs = Seq(("a", 1L), ("b", 2L)).toDF("doc_id", "score")
+    val sGot = Dedup.bestSurvivors(sClusters, sDocs, scoreCol = "score")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot === Map("a" -> "b"))
+  }
+
   test("simhash: identical docs agree, unrelated docs differ") {
     val fp = Dedup.simhash(docsDF).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -21,10 +21,11 @@ object Bench {
     try SparkEntry.queries("agg_distinct_custs")(spark, sfDir).count()
     catch { case _: Throwable => () }
     // deterministic name order: stable attribution across rounds.
-    // Two reps per query, report the min: steady-state throughput,
-    // robust to one-off GC/IO spikes on a shared machine.
+    // Three reps per query, report the min: steady-state throughput,
+    // robust to one-off GC/IO spikes on a shared machine (min-of-2 still
+    // swung individual queries 3-4× round-over-round on this host).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9

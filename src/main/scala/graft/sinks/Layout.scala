@@ -37,17 +37,44 @@ object Layout {
   def zValue2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
+  /** N-dimensional Morton key: bit j of column i lands at position
+    * j·n + i (round-robin interleave), so every dimension keeps the same
+    * partial locality — real lakehouse Z-ORDER takes N cluster columns,
+    * not 2. Inputs must already be scaled to `bitsPerCol` bits (callers
+    * bucket/clamp first) and n·bitsPerCol must fit a positive long.
+    * `zValueN(Seq(a, b), 16)` equals [[zValue2]] bit-for-bit (a even
+    * positions, b odd). Still nothing but codegen'd bitwise built-ins —
+    * n·bitsPerCol shift/mask terms OR-folded, evaluated once per row at
+    * write time.
+    */
+  def zValueN(cols: Seq[Column], bitsPerCol: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 1 && bitsPerCol >= 1 && n * bitsPerCol <= 62,
+      s"need 1 <= n*bitsPerCol <= 62, got n=$n bitsPerCol=$bitsPerCol")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bitsPerCol
+    } yield shiftleft(shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Write `df` Z-clustered on two 16-bit-ranged columns: range-partition
     * then sort-within-partitions by the Morton key, so both file-level
     * and row-group-level min/max statistics align with the curve.
     */
   def writeZOrdered(df: DataFrame, colA: String, colB: String, path: String,
-      numFiles: Int = 1, options: Map[String, String] = Map.empty): Unit = {
-    val z = zValue2(col(colA), col(colB)).as("_z")
-    df.withColumn("_z", z)
+      numFiles: Int = 1, options: Map[String, String] = Map.empty): Unit =
+    writeZOrderedN(df, Seq(colA, colB), path, numFiles, options)
+
+  /** [[writeZOrdered]] for N cluster columns ([[zValueN]] key; bit budget
+    * split evenly, capped at 16 bits per column).
+    */
+  def writeZOrderedN(df: DataFrame, colNames: Seq[String], path: String,
+      numFiles: Int = 1, options: Map[String, String] = Map.empty,
+      bitsPerCol: Int = 16): Unit =
+    df.withColumn("_z", zValueN(colNames.map(col), bitsPerCol))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.options(options).parquet(path)
-  }
 }

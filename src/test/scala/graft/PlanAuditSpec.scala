@@ -33,4 +33,31 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // The r4 verdict's three scale-killers were all forced broadcasts of
+  // unbounded sides (whole embeddings table, whole vocabulary). Ratchet:
+  // these queries may force-broadcast ONLY sides that are provably ≤ 1
+  // row (a groupless aggregate — corpus totals); anything else must be
+  // left to the planner/AQE, which broadcasts small sides adaptively
+  // from RUNTIME sizes and degrades to a shuffle join at 100 TB instead
+  // of dying at the broadcast limit.
+  test("cell-blocked kNN and vocabulary joins force no unbounded broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join}
+    val audited = Seq("graph_knn_pagerank", "sim_nn_within_label", "text_unigram_logprob")
+    val offenders = audited.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val forced = plan.collect {
+        case j: Join =>
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+            case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+          }
+      }.flatten
+      val unbounded = forced.filterNot(side => side.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+      }.isDefined)
+      if (unbounded.isEmpty) Nil
+      else Seq(s"$name: forces broadcast of ${unbounded.size} non-scalar side(s)")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -55,6 +55,55 @@ class LayoutSkippingSpec extends SparkSpec {
     assert(rows === Seq(5L, 10L, 15L, 0x55555555L, 0xAAAAAAAAL))
   }
 
+  test("zValueN generalizes zValue2 bit-for-bit and round-robins 3 columns") {
+    import spark.implicits._
+    val pairs = Seq((3L, 0L), (0L, 3L), (3L, 3L), (0xFFFFL, 0L), (0L, 0xFFFFL),
+      (12345L, 54321L))
+    val mismatch = pairs.toDF("a", "b")
+      .select(Layout.zValue2(col("a"), col("b")).as("z2"),
+        Layout.zValueN(Seq(col("a"), col("b")), 16).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(mismatch === 0)
+    // 3 columns: bit 0 of col i sits at position i
+    val z3 = Seq((1L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zValueN(Seq(col("a"), col("b"), col("c")), 1))
+      .collect().head.getLong(0)
+    assert(z3 === 7L)
+  }
+
+  test("3-D Z-order prunes a 3-D box multiplicatively vs single-column sort") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-zorder3")
+    // three independent pseudo-random 16-bit dimensions
+    val rows = spark.range(400000)
+      .select(col("id"),
+        pmod(hash(lit("x"), col("id")), lit(65536)).cast("long").as("x"),
+        pmod(hash(lit("y"), col("id")), lit(65536)).cast("long").as("y"),
+        pmod(hash(lit("z"), col("id")), lit(65536)).cast("long").as("z"))
+    val xOut = base.resolve("xsorted").toString
+    val zOut = base.resolve("zorder3").toString
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    rows.orderBy(col("x")).coalesce(1).write.options(opts).parquet(xOut)
+    Layout.writeZOrderedN(rows, Seq("x", "y", "z"), zOut, numFiles = 1,
+      options = opts)
+
+    def scannedRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("x") < 16384 && col("y") < 16384 && col("z") < 16384) // (1/4)^3 box
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      val n = df.collect().length
+      assert(n > 0, "box must be non-empty for the comparison to mean anything")
+      scan.metrics("numOutputRows").value
+    }
+
+    val viaX = scannedRows(xOut)
+    val viaZ = scannedRows(zOut)
+    assert(viaZ < viaX / 2,
+      s"3-D z-order should out-prune single-column sort on a 3-D box: z=$viaZ x=$viaX")
+  }
+
   test("Z-order layout prunes a 2-D box multiplicatively vs single-column sort") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-zorder")

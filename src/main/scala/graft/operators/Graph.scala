@@ -86,22 +86,33 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eRaw = edges.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+
+    // ONE aggregation over the edge endpoints yields the node set, the
+    // dangling check (a vertex is dangling iff it appears as dst but
+    // never as src) AND the edge count — so setup is a single driver
+    // action, yet the iteration frames can still be sized to the ACTUAL
+    // edge count (pair graphs are usually minuscule next to the corpus;
+    // inheriting spark.sql.shuffle.partitions paid dozens of near-empty
+    // tasks per join per round).
+    val verts = eRaw.select(col("src").as("v"), lit(1).as("o"))
+      .unionByName(eRaw.select(col("dst").as("v"), lit(0).as("o")))
+      .groupBy(col("v"))
+      .agg(max(col("o")).as("has_out"), sum(col("o")).as("out_rows"))
+      .localCheckpoint()
+    val Row(nNodes: Long, nDangling: Long, nEdges: Long) = verts
+      .agg(count(lit(1)), sum(lit(1) - col("has_out")).cast("long"),
+        sum(col("out_rows")).cast("long")).head()
+    require(nDangling == 0,
+      s"$nDangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
+    val parts = math.max(1, (nEdges / 2000000L).toInt)
     // One edge-frame reused every iteration: pre-partition on the join key
     // and checkpoint, so the per-iteration join reuses the layout instead
     // of re-shuffling the edges each round.
-    val e = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg"))
-      .repartition(col("src")).localCheckpoint()
-
-    val verts = e.select(col("src").as("v"), lit(1).as("o"))
-      .unionByName(e.select(col("dst").as("v"), lit(0).as("o")))
-      .groupBy(col("v")).agg(max(col("o")).as("has_out"))
-      .repartition(col("v")).localCheckpoint()
-    val Row(nNodes: Long, nDangling: Long) = verts
-      .agg(count(lit(1)), sum(lit(1) - col("has_out")).cast("long")).head()
-    require(nDangling == 0,
-      s"$nDangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
+    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
     val nodes = verts.select(col("v"))
+      .repartition(parts, col("v")).localCheckpoint()
     val n = nNodes.toDouble
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))

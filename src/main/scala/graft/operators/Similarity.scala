@@ -241,6 +241,45 @@ object Similarity {
     embeddings.join(broadcast(dropped), col("vec_id") === col("_drop_id"), "left_anti")
   }
 
+  /** k-NN label classification over the cell layout: each vector's
+    * predicted label is the majority vote of its k nearest same-cell
+    * neighbours (ties → most votes, then lowest label; cosine ties →
+    * lowest vec_id) — the standard semi-supervised labeling / label-noise
+    * detection pass over an embedded corpus (prediction ≠ stored label
+    * flags a suspect label; an unlabeled batch gets labels from the
+    * labeled corpus it shares cells with).
+    *
+    * Scale shape: same candidate generation as [[nearestWithinLabel]] —
+    * shuffle join on the cell key over the materialized [[cellLayout]],
+    * nothing corpus-sized broadcast; the top-k is a rank window planned
+    * as Partial+Final WindowGroupLimit, and the vote is two partial-
+    * aggregable groupBys (votes per (vec_id, nn_label), then struct-max).
+    */
+  def knnClassify(embeddings: DataFrame, k: Int, nCells: Int = 16): DataFrame = {
+    val cells = cellLayout(embeddings, nCells)
+    val a = cells.select(col("cell"), col("vec_id"), col("label"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = cells.select(col("cell"), col("vec_id").as("nn_vec_id"),
+      col("label").as("nn_label"), col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nn_vec_id").asc)
+    a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_vec_id"))
+      .withColumn("cosine",
+        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("vec_id"), col("label"), col("nn_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("votes"), (-col("nn_label")).as("neg_label"),
+        col("nn_label"))).as("best"),
+        sum(col("votes")).as("n_neighbors"))
+      .select(col("vec_id"), col("label"),
+        col("best.nn_label").as("pred_label"), col("best.votes").as("votes"),
+        col("n_neighbors"))
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label, with candidates restricted to the vector's IVF cell — the
     * (label × cell) block bounds pair work without broadcasting anything

@@ -76,6 +76,12 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopKProbe(emb(s, dir), QUERY_ID, TOP_K,
         nCells = N_CELLS, nProbe = 2)),
 
+    // k-NN label classification (semi-supervised labeling / label-noise
+    // detection): majority vote of the 8 nearest same-cell neighbours.
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(emb(s, dir), k = 8, nCells = N_CELLS)
+        .orderBy("vec_id")),
+
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
     "sim_normalize_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(emb(s, dir))
@@ -273,6 +279,26 @@ object SimilarityQueries extends QueryPack {
         |  FROM embeddings)
         |SELECT label, dim, round(avg(e), 6) AS v
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "sim_knn_classify" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |pr AS (SELECT a.vec_id, a.label, b.vec_id AS nn_vec_id,
+         |    b.label AS nn_label,
+         |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |tk AS (SELECT vec_id, label, nn_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cosine DESC, nn_vec_id) AS rn FROM pr) WHERE rn <= 8),
+         |votes AS (SELECT vec_id, label, nn_label, count(*) AS votes
+         |  FROM tk GROUP BY vec_id, label, nn_label)
+         |SELECT vec_id, label, nn_label AS pred_label, votes,
+         |  CAST(sum(votes) OVER (PARTITION BY vec_id) AS BIGINT) AS n_neighbors
+         |FROM votes
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |  ORDER BY votes DESC, nn_label) = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte,

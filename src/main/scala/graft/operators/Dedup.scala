@@ -51,8 +51,19 @@ object Dedup {
     */
   def jaccardVerify(candidates: DataFrame, shingleSets: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
-    val sa = shingleSets.select(col(idCol).as("a"), array_distinct(col("shingles")).as("sh_a"))
-    val sb = shingleSets.select(col(idCol).as("b"), array_distinct(col("shingles")).as("sh_b"))
+    val sets = shingleSets.select(col(idCol).as("doc_id"), col("shingles"))
+    jaccardVerifyCross(candidates, sets, sets)
+  }
+
+  /** [[jaccardVerify]] where the `a` and `b` sides of each candidate pair
+    * resolve against DIFFERENT `(doc_id, shingles)` frames — the
+    * cross-batch form ([[incrementalNearDups]] verifies new-batch docs
+    * against corpus docs, so the two sides come from different tables).
+    */
+  def jaccardVerifyCross(candidates: DataFrame, aShingled: DataFrame,
+      bShingled: DataFrame): DataFrame = {
+    val sa = aShingled.select(col("doc_id").as("a"), array_distinct(col("shingles")).as("sh_a"))
+    val sb = bShingled.select(col("doc_id").as("b"), array_distinct(col("shingles")).as("sh_b"))
     val uni = size(array_union(col("sh_a"), col("sh_b")))
     candidates.join(sa, "a").join(sb, "b")
       .withColumn("jaccard", when(uni === 0, lit(null)).otherwise(
@@ -81,6 +92,20 @@ object Dedup {
         TextFns.textShingles(col(textCol), n).as("shingles")),
       k, bands, threshold)
 
+  /** The LSH band index of a shingled corpus: one `(doc_id, band_id,
+    * band_hash)` row per band per document. This is the persistent,
+    * incrementally-maintainable form of the near-dup index — in
+    * production it is written out once per corpus generation (bucketed by
+    * `(band_id, band_hash)` so probe joins need no shuffle on the corpus
+    * side) and each new batch appends its own rows after admission.
+    */
+  def bandIndex(shingled: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.functions.expressions.LshBandsExpr
+    shingled.select(col("doc_id"),
+      posexplode(LshBandsExpr.lshBandsNative(col("shingles"), k, bands))
+        .as(Seq("band_id", "band_hash")))
+  }
+
   /** [[nearDupPairs]] over a precomputed `(doc_id, shingles)` frame — use
     * when the caller already has (or wants to materialize) the shingle
     * column so it isn't recomputed per plan branch (the self-join + verify
@@ -88,10 +113,7 @@ object Dedup {
     */
   def nearDupPairsFromShingles(shingled: DataFrame, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    import graft.functions.expressions.LshBandsExpr
-    val banded = shingled.select(col("doc_id"),
-      posexplode(LshBandsExpr.lshBandsNative(col("shingles"), k, bands))
-        .as(Seq("band_id", "band_hash")))
+    val banded = bandIndex(shingled, k, bands)
     val a = banded.select(col("doc_id").as("a"), col("band_id"), col("band_hash"))
     val b = banded.select(col("doc_id").as("b"), col("band_id"), col("band_hash"))
     val cands = a.join(b, Seq("band_id", "band_hash"))
@@ -262,6 +284,50 @@ object Dedup {
       .select(col("cluster_rep"),
         col(s"_best.$idCol").as("survivor_id"),
         col(s"_best.$scoreCol").as(s"survivor_$scoreCol"))
+
+  /** Incremental cross-batch near-dup: probe a NEW batch of documents
+    * against an EXISTING corpus without ever pairing the corpus with
+    * itself. The corpus contributes only its [[bandIndex]] and shingle
+    * sets (both computed once per corpus generation and persisted in
+    * production — the index bucketed by band hash, so the probe join
+    * shuffles ONLY the batch); candidates are batch∧corpus band-bucket
+    * matches, so per-ingest cost scales with the batch size and its
+    * bucket fan-out — never |corpus|² and never a corpus-sized broadcast.
+    *
+    * Output, one row per batch document: its best corpus match (highest
+    * verified Jaccard ≥ threshold, ties → lowest corpus id) or
+    * `is_new = true` for admission to the corpus. Unmatched rows carry
+    * sentinel −1/−1.0 instead of nulls so downstream filters and
+    * cross-engine compares never meet a null double.
+    */
+  def incrementalNearDups(corpus: DataFrame, batch: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def shingle(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFns.textShingles(col(textCol), n).as("shingles"))
+    val cSh = shingle(corpus)
+    val bSh = shingle(batch)
+    val cands = bandIndex(bSh, k, bands)
+      .select(col("doc_id").as("b"), col("band_id"), col("band_hash"))
+      .join(bandIndex(cSh, k, bands)
+        .select(col("doc_id").as("a"), col("band_id"), col("band_hash")),
+        Seq("band_id", "band_hash"))
+      .select(col("a"), col("b")).distinct()
+    val matched = jaccardVerifyCross(cands, cSh, bSh)
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("b"))
+      // min_by over (−jaccard, a): highest jaccard wins, ties → lowest
+      // corpus id; only the double score is negated (see bestSurvivors).
+      .agg(min_by(struct(col("a"), col("jaccard")),
+        struct((-col("jaccard")).as("neg_j"), col("a"))).as("_best"))
+      .select(col("b").as("doc_id"), col("_best.a").as("match_id"),
+        col("_best.jaccard").as("match_jaccard"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id").isNull.as("is_new"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("match_jaccard"), lit(-1.0)).as("match_jaccard"))
+  }
 
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each
     * token votes ±1 per position by that nibble's high bit; the sign of

@@ -83,6 +83,35 @@ object TextAnalysis {
         round(avg(log(col("cnt") / col("n_total"))), 6).as("avg_logprob"))
   }
 
+  /** Bigram conditional log-probability quality proxy — the next step up
+    * from [[unigramLogProb]] toward a KenLM-style LM filter: per-document
+    * mean of ln P(wᵢ | wᵢ₋₁) under the corpus MLE, where the history
+    * count is the prefix's occurrence count in the bigram stream itself
+    * (so the conditional distribution sums to 1 and only ONE tokenize +
+    * explode pass feeds both count tables — the BM25 lesson).
+    *
+    * Scale shape: the bigram vocabulary is even less bounded than the
+    * unigram one, so neither count table is ever broadcast — both joins
+    * shuffle on the (zipfian, AQE-skew-split) term keys, exactly the
+    * [[unigramLogProb]] posture. Docs with < 2 tokens emit no bigrams and
+    * drop out, matching the oracle.
+    */
+  def bigramLogProb(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bi = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.textShingles(col(textCol), 2)).as("bigram"))
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+    val biCnt = bi.groupBy(col("bigram")).agg(count(lit(1)).as("bi_cnt"))
+    val preCnt = bi.groupBy(col("prefix")).agg(count(lit(1)).as("pre_cnt"))
+    bi
+      .join(biCnt, "bigram")
+      .join(preCnt, "prefix")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("bi_cnt").cast("double") / col("pre_cnt"))), 6)
+          .as("avg_logprob"))
+  }
+
   /** DSIR-style data-selection importance weight: per-document mean
     * log-ratio of a TARGET domain's hashed-feature distribution over the
     * CORPUS distribution (Xie et al., "Data Selection for Language Models

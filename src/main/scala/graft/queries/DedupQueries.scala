@@ -105,6 +105,20 @@ object DedupQueries extends QueryPack {
         .orderBy("cluster_rep")
     }),
 
+    // Incremental cross-batch near-dup: docs with doc_id % 5 == 0 play the
+    // "new batch" arriving against the corpus of the rest — each batch doc
+    // gets its best corpus match (Jaccard ≥ 0.5) or is_new for admission.
+    // The corpus is only ever touched through its band index + shingle
+    // sets; no corpus self-pairing, no corpus-sized broadcast.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalNearDups(
+        d.filter(col("doc_id") % 5 =!= 0),
+        d.filter(col("doc_id") % 5 === 0),
+        n = 3, k = K, bands = BANDS, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic stratified sample: ≤5 docs per (lang, source) stratum
     // in md5(doc_id) order — layout-independent, RNG-free, and the
     // rank ≤ k predicate compiles to Partial+Final WindowGroupLimit so
@@ -210,6 +224,21 @@ object DedupQueries extends QueryPack {
          |QUALIFY row_number() OVER (PARTITION BY cluster_rep
          |  ORDER BY n_chars DESC, doc_id) = 1
          |ORDER BY cluster_rep""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH ${DuckSql.lshChain("documents", 3, K, BANDS,
+             candsWhere = "x.doc_id % 5 <> 0 AND y.doc_id % 5 = 0")},
+         |best AS (
+         |  SELECT b AS doc_id, a AS match_id, jaccard AS match_jaccard
+         |  FROM verified WHERE jaccard >= 0.5
+         |  QUALIFY row_number() OVER (PARTITION BY b
+         |    ORDER BY jaccard DESC, a) = 1)
+         |SELECT n.doc_id, match_id IS NULL AS is_new,
+         |  coalesce(match_id, -1) AS match_id,
+         |  coalesce(match_jaccard, -1.0) AS match_jaccard
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) n
+         |LEFT JOIN best USING (doc_id)
+         |ORDER BY n.doc_id""".stripMargin,
 
     "sample_stratified" ->
       """SELECT lang, source, doc_id FROM documents

@@ -45,8 +45,15 @@ object DuckSql {
     * matching Dedup.jaccardVerify exactly. Empty-shingle docs produce
     * all-NULL band hashes, which the equality self-join drops — the same
     * "token-poor docs never pair" outcome as LshBandsExpr's empty array.
+    *
+    * @param candsWhere predicate over banded sides `x` (pair column `a`)
+    *                   and `y` (pair column `b`); the default replays the
+    *                   self-join's ordered-pair form, and cross-batch
+    *                   oracles substitute side-membership predicates
+    *                   (replaying Dedup.incrementalNearDups).
     */
-  def lshChain(src: String, n: Int, k: Int, bands: Int): String = {
+  def lshChain(src: String, n: Int, k: Int, bands: Int,
+      candsWhere: String = "x.doc_id < y.doc_id"): String = {
     val mins = (0 until k).map(i => minhash("shingles", i)).mkString(",\n    ")
     val bandHashes = (0 until bands).map { b =>
       val parts = (0 until k / bands).map(r => s"sig[${b * (k / bands) + r + 1}]")
@@ -67,7 +74,7 @@ object DuckSql {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM banded x JOIN banded y
        |    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
-       |  WHERE x.doc_id < y.doc_id),
+       |  WHERE $candsWhere),
        |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs),
        |verified AS (
        |  SELECT c.a, c.b,

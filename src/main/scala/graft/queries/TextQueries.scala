@@ -189,6 +189,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramLogProb(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Bigram conditional LM quality proxy: per-doc mean ln P(w|prev)
+    // under the corpus MLE — one explode pass, shuffle-joined counts.
+    "text_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir))
+        .orderBy("doc_id")),
+
     // DSIR-style importance weights: hashed unigram+bigram distribution
     // of the src0 "target domain" vs the whole corpus, per-doc mean
     // log-ratio (positive = looks like the target).
@@ -335,6 +341,18 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(*) AS n_tokens,
          |  round(avg(ln(cnt / n_total)), 6) AS avg_logprob
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      s"""WITH bip AS (
+         |  SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prefix
+         |  FROM (SELECT doc_id, unnest(${DuckSql.shingles("toks", 2)}) AS bigram
+         |        FROM (SELECT doc_id, $toksSql AS toks FROM documents))),
+         |bc AS (SELECT bigram, count(*) AS bi_cnt FROM bip GROUP BY bigram),
+         |pc AS (SELECT prefix, count(*) AS pre_cnt FROM bip GROUP BY prefix)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(ln(CAST(bi_cnt AS DOUBLE) / pre_cnt)), 6) AS avg_logprob
+         |FROM bip JOIN bc USING (bigram) JOIN pc USING (prefix)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_importance_weights" ->

@@ -42,6 +42,26 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Set(1L, 4L, 5L))
   }
 
+  test("incrementalNearDups matches batch docs to the corpus, flags novel ones") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away into the deep dark forest tonight"
+    val corpus = Seq(
+      (1L, base),
+      (4L, "completely different content about spark catalyst optimizer rules and physical planning strategies for large scale joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, base),                             // exact copy of corpus doc 1
+      (102L, base.replace("quick", "swift")),   // near-dup of corpus doc 1
+      (103L, "a wholly novel document on structured streaming watermarks and stateful aggregation semantics in long running jobs")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDups(corpus, batch, n = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(101L) === ((false, 1L, 1.0)))
+    assert(!got(102L)._1 && got(102L)._2 === 1L && got(102L)._3 >= 0.5)
+    assert(got(103L) === ((true, -1L, -1.0)))
+  }
+
   test("bloomDupGuard == plain anti-join on random overlapping key sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === 0L)
   }
 
+  test("knnClassify: majority vote with vote-count then lowest-label ties") {
+    // nCells = 1 → exact kNN. k = 2 everywhere: each vector's two nearest
+    // neighbours split 1-1 between labels 0 and 1 except vec 4 (both label
+    // 0), so the lowest-label tie-break predicts 0 for all — flagging
+    // label-1 rows (3, 4) as suspect labels.
+    val got = Similarity.knnClassify(embDF, k = 2, nCells = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(4)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    got.foreach { case (id, (_, pred, nNbrs)) =>
+      assert(pred === 0, s"vec $id predicted $pred")
+      assert(nNbrs === 2L)
+    }
+    assert(got(3L)._1 === 1 && got(4L)._1 === 1) // stored ≠ predicted
+  }
+
   test("nearest within label restricts candidates to the IVF cell") {
     // with every vector its own centroid (nCells = 5) each (label, cell)
     // block is a singleton → no candidate pairs → empty result

@@ -62,6 +62,90 @@ object Similarity {
       }: _*).as("proj"))
   }
 
+  /** One row per (vector, subspace): the j-th contiguous `subDim`-slice of
+    * the embedding. Shared by the PQ encoder and the ADC probe. */
+  private def subvectors(df: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * subDim + 1, subDim)): _*))
+        .as(Seq("sub_j", "sub_vec")))
+
+  /** The per-subspace PQ codebooks: the subvectors of the lowest `ksub`
+    * vec_ids (the same data-derived deterministic convention as
+    * [[assignCells]] — reproducible, no RNG, oracle-replayable). m·ksub
+    * rows — a bounded broadcast regardless of corpus size. */
+  private def pqCodebooks(embeddings: DataFrame, m: Int, ksub: Int, subDim: Int): DataFrame =
+    subvectors(embeddings.filter(col("vec_id") < ksub), m, subDim)
+      .select(col("vec_id").as("code"), col("sub_j"), col("sub_vec").as("cw_vec"))
+
+  /** Product-quantization assignment, exploded: each vector's embedding is
+    * split into `m` contiguous subvectors and each subvector gets the id
+    * of its nearest (squared-L2, ties → lowest id) codeword — one
+    * `(vec_id, sub_j, code)` row per subspace. Squared L2 is computed as
+    * ‖a‖² + ‖b‖² − 2a·b from the native dot product and rounded before
+    * the argmin so the oracle's independently-computed doubles order
+    * identically.
+    *
+    * Scale shape: the codebook join is a bounded (m·ksub-row) broadcast
+    * onto the narrow subvector stream, and the argmin is a `min_by`
+    * partial aggregate on (vec_id, sub_j) — map-side collapse, one
+    * shuffle row per subvector, no window sort, nothing corpus-sized
+    * broadcast.
+    */
+  def pqEncodeExploded(embeddings: DataFrame, m: Int, ksub: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    def d2(a: Column, b: Column) =
+      round(VectorFns.dot(a, a) + VectorFns.dot(b, b)
+        - lit(2.0) * VectorFns.dot(a, b), 6)
+    subvectors(embeddings, m, subDim)
+      .join(broadcast(pqCodebooks(embeddings, m, ksub, subDim)), Seq("sub_j"))
+      .withColumn("d2", d2(col("sub_vec"), col("cw_vec")))
+      .groupBy(col("vec_id"), col("sub_j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+  }
+
+  /** PQ codes assembled per vector, subspace order, as a comma string —
+    * m·log₂(ksub) bits per vector (dim 64 float32 → 4 nibbles is 128×
+    * compression), the storage form IVF-PQ indexes ship to disk. */
+  def pqEncode(embeddings: DataFrame, m: Int = 4, ksub: Int = 16,
+      dim: Int = 64): DataFrame =
+    pqEncodeExploded(embeddings, m, ksub, dim)
+      .groupBy(col("vec_id"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("sub_j"), col("code")))),
+          x => x.getField("code").cast("string"))).as("codes"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query builds an
+    * m×ksub lookup table of exact squared-L2 distances from its
+    * subvectors to every codeword; each database vector's distance is
+    * then the SUM of m table lookups on its codes — the probe never
+    * touches raw database vectors. The LUT is a bounded broadcast; the
+    * per-vector sum is a partial aggregate; the top-k is
+    * TakeOrderedAndProject (no global sort). This is exactly the
+    * IVF-PQ/Faiss search contract re-expressed relationally.
+    */
+  def pqAdcTopK(embeddings: DataFrame, queryId: Long, k: Int, m: Int = 4,
+      ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val q = subvectors(embeddings.filter(col("vec_id") === queryId), m, subDim)
+      .select(col("sub_j"), col("sub_vec").as("q_vec"))
+    val lut = pqCodebooks(embeddings, m, ksub, subDim)
+      .join(broadcast(q), Seq("sub_j"))
+      .select(col("sub_j"), col("code"),
+        round(VectorFns.dot(col("q_vec"), col("q_vec"))
+          + VectorFns.dot(col("cw_vec"), col("cw_vec"))
+          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec")), 6).as("d2"))
+    pqEncodeExploded(embeddings, m, ksub, dim)
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub_j", "code"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against one query vector (vec_id = queryId).
     * The query side is a 1-row broadcast; the scan stays narrow and the
     * top-k is TakeOrderedAndProject (no full sort).

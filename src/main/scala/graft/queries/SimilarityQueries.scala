@@ -82,6 +82,17 @@ object SimilarityQueries extends QueryPack {
       Similarity.knnClassify(emb(s, dir), k = 8, nCells = N_CELLS)
         .orderBy("vec_id")),
 
+    // Product-quantization codes (m=4 subspaces × 16 codewords): the
+    // compressed storage form an IVF-PQ index ships to disk.
+    "sim_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir), m = 4, ksub = 16, dim = DIM)
+        .orderBy("vec_id")),
+
+    // ADC search over the PQ codes: query-side m×ksub LUT, distance =
+    // sum of m lookups — the probe never touches raw database vectors.
+    "sim_pq_adc_topk" -> ((s, dir) =>
+      Similarity.pqAdcTopK(emb(s, dir), QUERY_ID, TOP_K, m = 4, ksub = 16, dim = DIM)),
+
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
     "sim_normalize_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(emb(s, dir))
@@ -144,6 +155,22 @@ object SimilarityQueries extends QueryPack {
        |  FROM embs e CROSS JOIN cents c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)""".stripMargin
+
+  /** Oracle twin of Similarity.pqEncodeExploded: subvector split →
+    * lowest-ksub codebooks → rounded squared-L2 argmin (`best`). */
+  private val pqCtes = {
+    val (m, ksub, subDim) = (4, 16, DIM / 4)
+    s"""sub AS (SELECT vec_id, j.range AS sub_j,
+       |    list_slice(de, j.range * $subDim + 1, j.range * $subDim + $subDim) AS sv
+       |  FROM embs, range(0, $m) j),
+       |cw AS (SELECT vec_id AS code, sub_j, sv AS cv FROM sub WHERE vec_id < $ksub),
+       |pqd AS (SELECT s.vec_id, s.sub_j, c.code,
+       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+       |      - 2 * list_dot_product(s.sv, c.cv), 6) AS d2
+       |  FROM sub s JOIN cw c USING (sub_j)),
+       |best AS (SELECT vec_id, sub_j, code FROM pqd
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_j ORDER BY d2, code) = 1)""".stripMargin
+  }
 
   private def sigSql(deExpr: String): String =
     Similarity.planes(N_PLANES, DIM).map { plane =>
@@ -299,6 +326,26 @@ object SimilarityQueries extends QueryPack {
          |QUALIFY row_number() OVER (PARTITION BY vec_id
          |  ORDER BY votes DESC, nn_label) = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_codes" ->
+      s"""WITH $embsCte,
+         |$pqCtes
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub_j) AS codes
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_adc_topk" ->
+      s"""WITH $embsCte,
+         |$pqCtes,
+         |lut AS (SELECT c.sub_j, c.code,
+         |    round(list_dot_product(q.sv, q.sv) + list_dot_product(c.cv, c.cv)
+         |      - 2 * list_dot_product(q.sv, c.cv), 6) AS d2
+         |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) q
+         |    USING (sub_j))
+         |SELECT b.vec_id, round(sum(l.d2), 6) AS adc_dist
+         |FROM best b JOIN lut l USING (sub_j, code)
+         |WHERE b.vec_id <> $QUERY_ID
+         |GROUP BY b.vec_id
+         |ORDER BY adc_dist, vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte,

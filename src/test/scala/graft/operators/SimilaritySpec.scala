@@ -64,6 +64,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L)._1 === 1 && got(4L)._1 === 1) // stored ≠ predicted
   }
 
+  test("PQ encode + ADC: hand-computed codes and asymmetric distances") {
+    import spark.implicits._
+    // dim 4, m=2 subspaces of 2, ksub=2 codebooks = subvectors of vecs 0,1
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.2f, 0.9f)),  // near codeword 0 in both subspaces
+      (3L, Seq(0.1f, 0.8f, 0.7f, 0.1f))   // near codeword 1 in both subspaces
+    ).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, m = 2, ksub = 2, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(codes === Map(0L -> "0,0", 1L -> "1,1", 2L -> "0,0", 3L -> "1,1"))
+
+    // ADC from query 2: vec0 shares its codes → dist = d(q,cw0)+d(q,cw1)
+    // = 0.02 + 0.05; vecs 1 and 3 share codes "1,1" → equal dist, tie by id
+    val adc = Similarity.pqAdcTopK(emb, queryId = 2L, k = 3, m = 2, ksub = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(adc.map(_._1).toSeq === Seq(0L, 1L, 3L))
+    assert(math.abs(adc.head._2 - 0.07) < 1e-6)
+    assert(math.abs(adc(1)._2 - adc(2)._2) < 1e-12)
+  }
+
   test("nearest within label restricts candidates to the IVF cell") {
     // with every vector its own centroid (nCells = 5) each (label, cell)
     // block is a singleton → no candidate pairs → empty result

@@ -364,6 +364,50 @@ object Similarity {
         col("n_neighbors"))
   }
 
+  /** Contrastive-training triplet mining over the IVF cell layout: for
+    * each anchor, the positive is its nearest same-cell neighbour (hard
+    * positive — highest cosine, ties → lowest id) and the negative is a
+    * deterministic pseudo-random pick from the NEXT cell (md5(anchor|cand)
+    * rank 1 — the relational stand-in for in-batch random negatives,
+    * RNG-free so the oracle replays it). Anchors whose cell or successor
+    * cell is otherwise empty drop out (no pair to form).
+    *
+    * Scale shape: both the positive and the negative side are cell-keyed
+    * shuffle joins against the materialized [[cellLayout]] — pair work is
+    * Σ|cell|² like every other cell-blocked operator here (cells grow
+    * with nCells, not corpus²), the argmax/argmin are partial-aggregable
+    * `max_by`/`min_by`, and nothing corpus-sized is broadcast.
+    */
+  def contrastiveTriplets(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val cells = cellLayout(embeddings, nCells)
+    val a = cells.select(col("cell"), col("vec_id"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val cand = cells.select(col("cell").as("c_cell"), col("vec_id").as("cand_id"),
+      col("embedding").as("e_c"), col("nrm").as("n_c"))
+    val cos = round(VectorFns.dot(col("e_a"), col("e_c")) / (col("n_a") * col("n_c")), 6)
+    val pos = a.join(cand, col("cell") === col("c_cell"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("cos", cos)
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cand_id"), col("cos")),
+        struct((-col("cos")).as("neg_cos"), col("cand_id"))).as("_p"))
+      .select(col("vec_id"), col("_p.cand_id").as("pos_id"),
+        col("_p.cos").as("pos_cos"))
+    val neg = a.join(cand,
+        col("cell") === pmod(col("c_cell") - 1 + lit(nCells), lit(nCells)))
+      .withColumn("cos", cos)
+      .withColumn("h", md5(concat_ws("|",
+        col("vec_id").cast("string"), col("cand_id").cast("string")).cast("binary")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cand_id"), col("cos")),
+        struct(col("h"), col("cand_id"))).as("_n"))
+      .select(col("vec_id"), col("_n.cand_id").as("neg_id"),
+        col("_n.cos").as("neg_cos"))
+    pos.join(neg, Seq("vec_id"))
+      .select(col("vec_id").as("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_cos"))
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label, with candidates restricted to the vector's IVF cell — the
     * (label × cell) block bounds pair work without broadcasting anything

@@ -83,6 +83,30 @@ object TextAnalysis {
         round(avg(log(col("cnt") / col("n_total"))), 6).as("avg_logprob"))
   }
 
+  /** Per-source corpus datacard — the summary table a curation pipeline
+    * publishes alongside a training-data release: volume (docs, tokens,
+    * chars), language spread, and exact-duplication rate, one row per
+    * source. One scan: the token count is a narrow native expression,
+    * then a single groupBy(source) whose distinct aggregates Spark plans
+    * as one Expand (×3) with partial aggregation — at 100 TB the shuffle
+    * carries per-source partials, never documents.
+    */
+  def datacard(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_toks", size(TextFns.tokens(col(textCol))))
+      .withColumn("content_md5", md5(col(textCol)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("content_md5")).as("n_unique"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
+
   /** Bigram conditional log-probability quality proxy — the next step up
     * from [[unigramLogProb]] toward a KenLM-style LM filter: per-document
     * mean of ln P(wᵢ | wᵢ₋₁) under the corpus MLE, where the history

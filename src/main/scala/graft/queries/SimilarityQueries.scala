@@ -93,6 +93,12 @@ object SimilarityQueries extends QueryPack {
     "sim_pq_adc_topk" -> ((s, dir) =>
       Similarity.pqAdcTopK(emb(s, dir), QUERY_ID, TOP_K, m = 4, ksub = 16, dim = DIM)),
 
+    // Contrastive triplet mining: hard same-cell positive + deterministic
+    // hash-picked negative from the successor cell, per anchor.
+    "sim_triplets" -> ((s, dir) =>
+      Similarity.contrastiveTriplets(emb(s, dir), nCells = N_CELLS)
+        .orderBy("anchor_id")),
+
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
     "sim_normalize_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(emb(s, dir))
@@ -326,6 +332,26 @@ object SimilarityQueries extends QueryPack {
          |QUALIFY row_number() OVER (PARTITION BY vec_id
          |  ORDER BY votes DESC, nn_label) = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "sim_triplets" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |posc AS (SELECT a.vec_id, b.vec_id AS pos_id,
+         |    round(${cosSql("a.de", "b.de")}, 6) AS pos_cos
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |pos AS (SELECT vec_id, pos_id, pos_cos FROM posc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY pos_cos DESC, pos_id) = 1),
+         |negc AS (SELECT a.vec_id, b.vec_id AS neg_id,
+         |    round(${cosSql("a.de", "b.de")}, 6) AS neg_cos,
+         |    md5(CAST(a.vec_id AS VARCHAR) || '|' || CAST(b.vec_id AS VARCHAR)) AS h
+         |  FROM assigned a JOIN assigned b
+         |    ON b.cell = (a.cell + 1) % $N_CELLS),
+         |neg AS (SELECT vec_id, neg_id, neg_cos FROM negc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY h, neg_id) = 1)
+         |SELECT vec_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
+         |FROM pos JOIN neg USING (vec_id) ORDER BY anchor_id""".stripMargin,
 
     "sim_pq_codes" ->
       s"""WITH $embsCte,

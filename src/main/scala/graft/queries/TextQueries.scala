@@ -189,6 +189,11 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramLogProb(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Per-source corpus datacard: volume, language spread, dup rate.
+    "text_datacard" -> ((s, dir) =>
+      TextAnalysis.datacard(docs(s, dir))
+        .orderBy("source")),
+
     // Bigram conditional LM quality proxy: per-doc mean ln P(w|prev)
     // under the corpus MLE — one explode pass, shuffle-joined counts.
     "text_bigram_logprob" -> ((s, dir) =>
@@ -342,6 +347,18 @@ object TextQueries extends QueryPack {
          |  round(avg(ln(cnt / n_total)), 6) AS avg_logprob
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_datacard" ->
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS total_tokens,
+         |  count(DISTINCT lang) AS n_langs,
+         |  count(DISTINCT md5(text)) AS n_unique,
+         |  min(n_chars) AS min_chars,
+         |  max(n_chars) AS max_chars,
+         |  round(avg(n_chars), 6) AS avg_chars,
+         |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "text_bigram_logprob" ->
       s"""WITH bip AS (

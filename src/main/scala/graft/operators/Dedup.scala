@@ -302,11 +302,23 @@ object Dedup {
     */
   def incrementalNearDups(corpus: DataFrame, batch: DataFrame, n: Int = 3,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def shingle(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalNearDupsFromShingles(
+      shingleFrame(corpus, n, textCol, idCol),
+      shingleFrame(batch, n, textCol, idCol), k, bands, threshold)
+
+  /** The `(doc_id, shingles)` projection every LSH operator consumes. */
+  def shingleFrame(docs: DataFrame, n: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
       TextFns.textShingles(col(textCol), n).as("shingles"))
-    val cSh = shingle(corpus)
-    val bSh = shingle(batch)
+
+  /** [[incrementalNearDups]] over precomputed shingle frames — the form
+    * the streaming admission loop uses so the corpus side is shingled
+    * once, not once per micro-batch.
+    */
+  def incrementalNearDupsFromShingles(cSh: DataFrame, bSh: DataFrame,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val cands = bandIndex(bSh, k, bands)
       .select(col("doc_id").as("b"), col("band_id"), col("band_hash"))
       .join(bandIndex(cSh, k, bands)
@@ -322,11 +334,38 @@ object Dedup {
         struct((-col("jaccard")).as("neg_j"), col("a"))).as("_best"))
       .select(col("b").as("doc_id"), col("_best.a").as("match_id"),
         col("_best.jaccard").as("match_jaccard"))
-    batch.select(col(idCol).as("doc_id"))
+    bSh.select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left")
       .select(col("doc_id"), col("match_id").isNull.as("is_new"),
         coalesce(col("match_id"), lit(-1L)).as("match_id"),
         coalesce(col("match_jaccard"), lit(-1.0)).as("match_jaccard"))
+  }
+
+  /** Continuous corpus admission: the streaming deployment shape of
+    * [[incrementalNearDups]]. Each micro-batch is probed against the
+    * current corpus index inside `foreachBatch` (the standard
+    * stream-to-slowly-growing-table pattern — the probe itself is the
+    * batch operator, so plans and semantics are identical to the audited
+    * batch path), the per-doc verdicts go to `sink`, and docs admitted as
+    * new JOIN the corpus for every subsequent batch — a near-dup of a
+    * doc admitted two batches ago is caught. The corpus is held as its
+    * shingle frame, checkpointed per batch so lineage never grows with
+    * stream length; only the (small) admitted slice of each batch is
+    * appended. Call `.start()` on the returned writer.
+    */
+  def admissionStream(corpus: DataFrame, batchStream: DataFrame, n: Int = 3,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id")
+      (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var cSh = shingleFrame(corpus, n, textCol, idCol).localCheckpoint()
+    batchStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val bSh = shingleFrame(batch, n, textCol, idCol).localCheckpoint()
+      val verdicts = incrementalNearDupsFromShingles(cSh, bSh, k, bands, threshold)
+        .localCheckpoint()
+      sink(verdicts, batchId)
+      val admitted = verdicts.filter(col("is_new")).select(col("doc_id"))
+      cSh = cSh.unionByName(bSh.join(admitted, "doc_id")).localCheckpoint()
+    }
   }
 
   /** SimHash fingerprint: 16 bits, one per md5-hex nibble position — each

@@ -84,6 +84,43 @@ object Graph {
     * @return (v, rank_norm) where rank_norm = rank × N (mean 1.0),
     *         rounded to 6 places.
     */
+  /** Synchronous label-propagation community detection over an undirected
+    * edge list: labels seed with each node's own id; every round each node
+    * adopts the most frequent label among its neighbours (ties → lowest
+    * label). Synchronous updates + deterministic tie-breaks make the
+    * result a pure function of the edge list, so a SQL oracle replays it
+    * by unrolling the same `iters` rounds. Communities emerge as label
+    * plateaus — the density-sensitive clustering complement to
+    * [[Dedup.connectedComponents]], which merges ANY connected structure.
+    *
+    * Scale shape per round: one join of the (checkpointed,
+    * dst-partitioned) edge list against the current label vector, then
+    * two partial-aggregable groupBys (vote count, argmax via `min_by` on
+    * (−votes, label)) — no window sort, nothing broadcast, lineage
+    * truncated every round; iteration frames sized from the edge count
+    * like [[pageRank]].
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
+    val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
+    val e = eRaw.repartition(parts, col("dst")).localCheckpoint()
+    var labels = e.select(col("src").as("v")).distinct()
+      .repartition(parts, col("v"))
+      .withColumn("lbl", col("v")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = e
+        .join(labels.select(col("v").as("dst"), col("lbl").as("nbr_lbl")), "dst")
+        .groupBy(col("src"), col("nbr_lbl"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("src"))
+        .agg(min_by(col("nbr_lbl"),
+          struct((-col("votes")).as("neg_votes"), col("nbr_lbl"))).as("lbl"))
+        .select(col("src").as("v"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("v"), col("lbl").as("community"))
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eRaw = edges.join(deg, "src")

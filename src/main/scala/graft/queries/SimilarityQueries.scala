@@ -65,6 +65,15 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
+    // Synchronous label-propagation communities over the same kNN graph
+    // (4 rounds, majority label, ties → lowest) — density-sensitive
+    // clustering vs. connectedComponents' merge-anything.
+    "graph_label_communities" -> ((s, dir) =>
+      graft.operators.Graph.labelPropagation(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS), iters = 4)
+        .select(col("v").as("vec_id"), col("community"))
+        .orderBy("vec_id")),
+
     // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
     // cells), probe scans only the query's cell.
     "sim_ivf_topk" -> ((s, dir) =>
@@ -184,6 +193,40 @@ object SimilarityQueries extends QueryPack {
       s"(CASE WHEN list_dot_product($deExpr, $lit) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
 
+  /** Oracle twin of Graph.knnEdges (k=4 over the shared cell assignment):
+    * within-cell top-4 cosine neighbours, symmetrized (`ed`). Shared by
+    * the PageRank and label-propagation oracles. */
+  private val knnEdgeCtes =
+    s"""pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
+       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       |tk AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst) AS rn FROM pr) WHERE rn <= 4),
+       |ed AS (SELECT DISTINCT src, dst FROM
+       |    (SELECT src, dst FROM tk UNION ALL SELECT dst, src FROM tk))""".stripMargin
+
+  // Label-propagation oracle: the same synchronous rounds unrolled as
+  // CTEs l1..l4 — vote count per (node, neighbour label), argmax with
+  // (votes DESC, label) tie-break, exactly the operator's min_by.
+  private lazy val labelPropSql: String = {
+    val iterCtes = (1 to 4).map { i =>
+      s"""l$i AS (
+         |  SELECT src AS v, nbr_lbl AS lbl FROM (
+         |    SELECT e.src, l.lbl AS nbr_lbl, count(*) AS votes
+         |    FROM ed e JOIN l${i - 1} l ON l.v = e.dst
+         |    GROUP BY e.src, l.lbl)
+         |  QUALIFY row_number() OVER (PARTITION BY src
+         |    ORDER BY votes DESC, nbr_lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embsCte,
+       |${assignedCtes()},
+       |$knnEdgeCtes,
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),
+       |$iterCtes
+       |SELECT v AS vec_id, lbl AS community FROM l4 ORDER BY v""".stripMargin
+  }
+
   // PageRank oracle: the same fixed power iterations unrolled as CTEs
   // r1..r5 over the same within-cell 4-NN edge list. Each iteration
   // LEFT-joins the contribution sums back onto the full node set (dg) —
@@ -203,14 +246,7 @@ object SimilarityQueries extends QueryPack {
     }.mkString(",\n")
     s"""WITH $embsCte,
        |${assignedCtes()},
-       |pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
-       |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
-       |tk AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src
-       |      ORDER BY cosine DESC, dst) AS rn FROM pr) WHERE rn <= 4),
-       |ed AS (SELECT DISTINCT src, dst FROM
-       |    (SELECT src, dst FROM tk UNION ALL SELECT dst, src FROM tk)),
+       |$knnEdgeCtes,
        |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
        |r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM nn) AS r FROM dg),
@@ -233,6 +269,7 @@ object SimilarityQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
+    "graph_label_communities" -> labelPropSql,
     "sim_random_projection" -> randomProjSql,
 
     "sim_topk_cosine" ->

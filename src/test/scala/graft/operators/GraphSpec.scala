@@ -76,6 +76,24 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("dangling"))
   }
 
+  test("labelPropagation splits bridge-joined triangles where CC merges them") {
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4:
+    // connectedComponents merges all six; majority-vote label propagation
+    // keeps two communities because the bridge is outvoted.
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val sym = tri ++ tri.map(_.swap)
+    val got = Graph.labelPropagation(edgeDF(sym), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got) .size === 1, s"left triangle split: $got")
+    assert(Set(4L, 5L, 6L).map(got).size === 1, s"right triangle split: $got")
+    assert(got(1L) !== got(4L), s"communities merged across the bridge: $got")
+
+    import spark.implicits._
+    val cc = Dedup.connectedComponents(tri.toDF("a", "b"))
+      .collect().map(_.getLong(1)).toSet
+    assert(cc.size === 1, "CC must merge everything reachable")
+  }
+
   test("knnEdges is symmetric and every node has outdegree >= k") {
     import spark.implicits._
     val emb = (0L until 20L).map(i =>

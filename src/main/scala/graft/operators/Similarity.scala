@@ -146,6 +146,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ search — the full Faiss-style composite: the coarse quantizer
+    * ([[assignCells]]) restricts the search to the query's `nProbe`
+    * nearest cells, and within them distance is the PQ asymmetric lookup
+    * ([[pqAdcTopK]]'s LUT) over stored codes. At 100 TB this is THE
+    * standard trillion-vector layout: cells are partition pruning (read
+    * nProbe/nCells of the index), codes are ~100× smaller than raw
+    * vectors, and the probe plan touches no raw database vector at all —
+    * only the bounded LUT and centroid tables are broadcast.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryId: Long, k: Int, m: Int = 4,
+      ksub: Int = 16, dim: Int = 64, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    val cells = assignCells(embeddings, nCells)
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    // nProbe cells whose centroids are nearest the query (cosine — the
+    // same selection as [[ivfTopKProbe]], so the oracles share a CTE)
+    val probed = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"))
+    val qsub = subvectors(embeddings.filter(col("vec_id") === queryId), m, subDim)
+      .select(col("sub_j"), col("sub_vec").as("q_vec"))
+    val lut = pqCodebooks(embeddings, m, ksub, subDim)
+      .join(broadcast(qsub), Seq("sub_j"))
+      .select(col("sub_j"), col("code"),
+        round(VectorFns.dot(col("q_vec"), col("q_vec"))
+          + VectorFns.dot(col("cw_vec"), col("cw_vec"))
+          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec")), 6).as("d2"))
+    pqEncodeExploded(embeddings, m, ksub, dim)
+      .join(cells.select(col("vec_id"), col("cell")), "vec_id")
+      .join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(lut), Seq("sub_j", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against one query vector (vec_id = queryId).
     * The query side is a 1-row broadcast; the scan stays narrow and the
     * top-k is TakeOrderedAndProject (no full sort).

@@ -273,6 +273,29 @@ object TextAnalysis {
         .cast("int"))
   }
 
+  /** Temperature-scaled mixture weights (the T5/mC4 multilingual-mixing
+    * rule): stratum s samples with share ∝ n_s^α — α < 1 flattens the
+    * size distribution so small sources aren't drowned. Emits, per
+    * stratum: size, raw share, temperature share, and `rate` =
+    * temp_share/raw_share — exactly the per-stratum weight to hand to
+    * [[resampleMixture]]. One corpus scan into a partial-agg count; the
+    * window normalization runs over the per-stratum relation, which is
+    * bounded (sources/langs, not documents) at any corpus size.
+    */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.3,
+      stratumCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy(lit(1))
+    val pw = pow(col("n_docs"), lit(alpha))
+    val rawShare = col("n_docs").cast("double") / sum(col("n_docs")).over(w)
+    val tempShare = pw / sum(pw).over(w)
+    docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col(stratumCol), col("n_docs"),
+        round(rawShare, 6).as("raw_share"),
+        round(tempShare, 6).as("temp_share"),
+        round(tempShare / rawShare, 6).as("rate"))
+  }
+
   /** The resampled corpus: one output row per copy (copy_idx 1..copies);
     * zero-weight rows drop out. */
   def resampleMixture(docs: DataFrame, weights: Map[String, Double],

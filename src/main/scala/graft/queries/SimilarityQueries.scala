@@ -102,6 +102,12 @@ object SimilarityQueries extends QueryPack {
     "sim_pq_adc_topk" -> ((s, dir) =>
       Similarity.pqAdcTopK(emb(s, dir), QUERY_ID, TOP_K, m = 4, ksub = 16, dim = DIM)),
 
+    // IVF-PQ composite: coarse cells prune the index to 2 probe cells,
+    // PQ asymmetric distance ranks the survivors — no raw vector touched.
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(emb(s, dir), QUERY_ID, TOP_K,
+        m = 4, ksub = 16, dim = DIM, nCells = N_CELLS, nProbe = 2)),
+
     // Contrastive triplet mining: hard same-cell positive + deterministic
     // hash-picked negative from the successor cell, per anchor.
     "sim_triplets" -> ((s, dir) =>
@@ -369,6 +375,27 @@ object SimilarityQueries extends QueryPack {
          |QUALIFY row_number() OVER (PARTITION BY vec_id
          |  ORDER BY votes DESC, nn_label) = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "sim_ivfpq_topk" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |$pqCtes,
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
+         |probed AS (
+         |  SELECT cell FROM cents, q
+         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2),
+         |lut AS (SELECT c.sub_j, c.code,
+         |    round(list_dot_product(qs.sv, qs.sv) + list_dot_product(c.cv, c.cv)
+         |      - 2 * list_dot_product(qs.sv, c.cv), 6) AS d2
+         |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) qs
+         |    USING (sub_j))
+         |SELECT b.vec_id, a.cell, round(sum(l.d2), 6) AS adc_dist
+         |FROM best b JOIN assigned a USING (vec_id)
+         |  JOIN probed p ON a.cell = p.cell
+         |  JOIN lut l USING (sub_j, code)
+         |WHERE b.vec_id <> $QUERY_ID
+         |GROUP BY b.vec_id, a.cell
+         |ORDER BY adc_dist, b.vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_triplets" ->
       s"""WITH $embsCte,

@@ -189,6 +189,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.unigramLogProb(docs(s, dir))
         .orderBy("doc_id")),
 
+    // Temperature-scaled source mixing weights (share ∝ n^0.3): the
+    // per-source up/down-sampling rate a mixture resampler consumes.
+    "text_temperature_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureWeights(docs(s, dir), alpha = 0.3)
+        .orderBy("source")),
+
     // Per-source corpus datacard: volume, language spread, dup rate.
     "text_datacard" -> ((s, dir) =>
       TextAnalysis.datacard(docs(s, dir))
@@ -347,6 +353,15 @@ object TextQueries extends QueryPack {
          |  round(avg(ln(cnt / n_total)), 6) AS avg_logprob
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS raw_share,
+        |  round(pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER (), 6) AS temp_share,
+        |  round((pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER ())
+        |    / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 6) AS rate
+        |FROM s ORDER BY source""".stripMargin,
 
     "text_datacard" ->
       s"""SELECT source,

@@ -230,15 +230,22 @@ object Similarity {
   def assignCells(embeddings: DataFrame, nCells: Int): DataFrame = {
     val cents = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
     embeddings
       .crossJoin(broadcast(cents))
       // round(6) before the argmax so the oracle's independently-computed
-      // doubles order identically (ties broken by lowest cell id)
+      // doubles order identically (ties broken by lowest cell id). The
+      // argmax is a min_by over (−sim, cell), NOT a row_number window:
+      // partial aggregation collapses each vector's nCells candidate rows
+      // (each dragging the embedding payload) to ONE map-side, so the
+      // shuffle carries ~1/nCells the bytes and no per-key sort happens —
+      // this feeds every cell-blocked operator, so it is the hottest
+      // argmax in the repo.
       .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("label"), col("embedding"), col("cell")),
+        struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
+      .select(col("vec_id"), col("_best.label").as("label"),
+        col("_best.embedding").as("embedding"), col("_best.cell").as("cell"))
   }
 
   /** The materialized IVF cell layout shared by every candidate-pair

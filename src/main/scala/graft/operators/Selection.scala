@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** Corpus SELECTION under a budget — the operators that turn scored
+  * documents into a training set: weighted sampling (which documents,
+  * proportional to quality/importance weight), token-budget truncation
+  * (how many, under a hard token ceiling) and MMR diverse top-k (which
+  * exemplars, trading relevance against redundancy). All three are
+  * deterministic (hash-derived randomness, fixed tie-breaks) so a SQL
+  * oracle can replay them exactly.
+  */
+object Selection {
+
+  /** Deterministic uniform in (0,1) from an id column: the first 8 hex
+    * chars of md5(id) as a u32, shifted off the lattice by +0.5 so u is
+    * never 0 or 1 (ln(u) stays finite). Exactly mirrored by the DuckDB
+    * oracle's ('0x' || substring(md5(...)))::UBIGINT form.
+    */
+  def hashUniform(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+
+  /** Weighted sampling WITHOUT replacement, k items, inclusion odds
+    * proportional to `weightCol` — Efraimidis–Spirakis A-Res with
+    * deterministic hash-derived uniforms: key_i = ln(u_i)/w_i, keep the
+    * k largest keys. One-pass, no state: the classic way to draw a
+    * quality-weighted corpus sample in a single scan.
+    *
+    * Scale shape: keys are a narrow per-row projection; the top-k is
+    * `orderBy(...).limit(k)`, which Spark plans as TakeOrderedAndProject
+    * — each task keeps its local k, the driver merges k·tasks rows —
+    * never a global sort. Non-positive weights are excluded (A-Res is
+    * undefined there), matching the oracle's WHERE.
+    *
+    * Keys are rounded to 9 places before ranking (ties → lowest id):
+    * coarse enough to absorb cross-engine ln() ulp noise, fine enough
+    * that the weighting stays effectively exact.
+    */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val key = round(log(hashUniform(col(idCol))) / col(weightCol), 9)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("ares_key", key)
+      .orderBy(col("ares_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Greedy token-budget selection: walk documents in (scoreCol DESC,
+    * idCol ASC) order and keep each while the running token total stays
+    * ≤ `budget` — the "best docs until the token ceiling" truncation
+    * every fixed-compute training run applies. Semantics are exactly a
+    * global inclusive running sum ≤ budget; the implementation never
+    * runs that unbounded single-partition window.
+    *
+    * Scale shape (two-phase histogram threshold): phase 1 buckets scores
+    * to milli-units and aggregates per-bucket token totals — a partial-
+    * aggregable groupBy whose result is ≤ |distinct milli-scores| rows,
+    * collected to the driver (bounded by construction, like AQE's
+    * per-partition stats). The driver walks the histogram to find the
+    * boundary bucket; every higher bucket is kept wholesale with a
+    * narrow filter. Phase 2 runs the exact running sum ONLY inside the
+    * boundary bucket — a window partitioned by that one bucket key,
+    * bounded by its member count, not the corpus. (A pathological corpus
+    * with one giant tied score-bucket would need one more histogram
+    * level on a secondary key; one level suffices for real score
+    * distributions.)
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long, scoreCol: String,
+      tokenCol: String, idCol: String = "doc_id"): DataFrame = {
+    val bucketed = docs
+      .withColumn("score_bucket", floor(col(scoreCol) * 1000).cast("long"))
+    val hist = bucketed.groupBy(col("score_bucket"))
+      .agg(sum(col(tokenCol)).as("bucket_tokens"))
+      .orderBy(col("score_bucket").desc)
+      .collect()
+
+    // Driver walk over ≤ |distinct milli-scores| rows: find the first
+    // bucket whose inclusion would overflow the budget.
+    var cum = 0L
+    var boundary = Long.MinValue // all buckets fit
+    var before = 0L // tokens in buckets strictly above the boundary
+    val it = hist.iterator
+    while (it.hasNext && boundary == Long.MinValue) {
+      val r = it.next()
+      val b = r.getLong(0); val t = r.getLong(1)
+      if (cum + t > budget) { boundary = b; before = cum }
+      cum += t
+    }
+
+    if (boundary == Long.MinValue) bucketed.drop("score_bucket")
+    else {
+      val keepWhole = bucketed.filter(col("score_bucket") > boundary)
+      val w = Window.partitionBy(col("score_bucket"))
+        .orderBy(col(scoreCol).desc, col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val boundaryKept = bucketed.filter(col("score_bucket") === boundary)
+        .withColumn("_run", sum(col(tokenCol)).over(w))
+        .filter(col("_run") <= budget - before)
+        .drop("_run")
+      keepWhole.unionByName(boundaryKept).drop("score_bucket")
+    }
+  }
+
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * 1998) against the query vector `vec_id = queryId`: greedily pick
+    * the candidate maximizing λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s),
+    * where rel is cosine-to-query and S the already-picked set (empty-S
+    * max-sim is 0, so pick 1 is just λ·rel). The standard redundancy-
+    * free exemplar selection for few-shot prompts and eval suites.
+    *
+    * Scale shape: candidates are first shortlisted to the `m` most
+    * query-relevant vectors via TakeOrderedAndProject (per-task top-m,
+    * no global sort) and checkpointed — the greedy loop then runs k−1
+    * rounds over this BOUNDED m-row frame, each round one broadcast of
+    * the ≤k picked rows, one narrow max-sim projection and one min_by
+    * argmax action. The corpus is scanned exactly once.
+    *
+    * All cosines and scores are rounded to 6 places before any argmax
+    * (ties → lowest vec_id), making the pick sequence engine-exact.
+    */
+  def mmrSelect(embeddings: DataFrame, queryId: Long, k: Int,
+      lambda: Double = 0.7, m: Int = 64): DataFrame = {
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val shortlist = embeddings.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(m)
+      .localCheckpoint()
+
+    var picked: Seq[(Long, Double)] = Nil // (vec_id, score), in pick order
+    var pickedDf: DataFrame = null
+    for (i <- 1 to k) {
+      val scored =
+        if (i == 1)
+          shortlist.select(col("vec_id"),
+            round(col("rel") * lambda, 6).as("mmr_score"))
+        else {
+          val sel = broadcast(pickedDf.select(col("embedding").as("s_emb")))
+          shortlist
+            .filter(!col("vec_id").isInCollection(picked.map(_._1)))
+            .crossJoin(sel)
+            .groupBy(col("vec_id"), col("rel"))
+            .agg(max(round(VectorFns.cosine(col("embedding"), col("s_emb")), 6))
+              .as("max_sim"))
+            .select(col("vec_id"),
+              round(col("rel") * lambda - col("max_sim") * (1 - lambda), 6)
+                .as("mmr_score"))
+        }
+      val Row(vid: Long, score: Double) = scored
+        .agg(min_by(struct(col("vec_id"), col("mmr_score")),
+          struct((-col("mmr_score")).as("neg"), col("vec_id"))).as("best"))
+        .select(col("best.vec_id"), col("best.mmr_score")).head()
+      picked = picked :+ (vid -> score)
+      pickedDf = shortlist.filter(col("vec_id").isInCollection(picked.map(_._1)))
+    }
+
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((vid, s), idx) => (idx + 1, vid, s) }
+      .toDF("pick_order", "vec_id", "mmr_score")
+  }
+}

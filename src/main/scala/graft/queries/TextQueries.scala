@@ -303,7 +303,7 @@ object TextQueries extends QueryPack {
   /** The full quality-metric projection (no ordering) — shared by the
     * text_quality oracle and the unpivot/melt oracle.
     */
-  private lazy val qualityBodySql: String =
+  private[queries] lazy val qualityBodySql: String =
     s"""WITH t AS (
        |  SELECT doc_id, text, $toksSql AS toks,
        |    length(text) AS n_chars_s,

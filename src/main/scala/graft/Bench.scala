@@ -24,7 +24,12 @@ object Bench {
     // Three reps per query, report the min: steady-state throughput,
     // robust to one-off GC/IO spikes on a shared machine (min-of-2 still
     // swung individual queries 3-4× round-over-round on this host).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for local iteration (driver sets no
+    // filter and measures everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

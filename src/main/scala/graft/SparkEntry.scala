@@ -21,7 +21,8 @@ object SparkEntry {
     MultimodalQueries,
     CurationQueries,
     SearchQueries,
-    SelectionQueries)
+    SelectionQueries,
+    TokenizerQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

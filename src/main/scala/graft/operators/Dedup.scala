@@ -87,9 +87,13 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // Materialize the shingle frame ONCE: downstream references it three
+    // times (band index + both Jaccard-verify sides), and without the
+    // boundary each reference re-tokenizes the corpus. This is the
+    // in-session stand-in for the persisted shingle/band storage a 100 TB
+    // deployment keeps per corpus generation (see bandIndex).
     nearDupPairsFromShingles(
-      docs.select(col(idCol).as("doc_id"),
-        TextFns.textShingles(col(textCol), n).as("shingles")),
+      shingleFrame(docs, n, textCol, idCol).localCheckpoint(),
       k, bands, threshold)
 
   /** The LSH band index of a shingled corpus: one `(doc_id, band_id,
@@ -154,9 +158,16 @@ object Dedup {
     // dominated the loop (~1 s/round at 508 edges / 32 partitions).
     val parts = math.max(1, (p.count() * 2 / 2000000L).toInt)
     val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .repartition(parts, col("v"))
-      .withColumn("comp", col("v")).localCheckpoint()
+    // Seed labels with round 1 already applied: comp₀(v) = min({v} ∪
+    // neighbors) is exactly what the first loop round computes from the
+    // identity seed (its pointer-jump is a no-op there) — but as ONE
+    // partial-aggregable groupBy instead of that round's three joins.
+    // Size-2 clusters (the common near-dup case) start converged, so the
+    // loop's first iteration is usually also its last.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("min_nbr"))
+      .select(col("src").as("v"), least(col("src"), col("min_nbr")).as("comp"))
+      .repartition(parts, col("v")).localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {

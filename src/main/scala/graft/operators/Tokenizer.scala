@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Tokenizer INDUCTION over the corpus — byte-pair-encoding merge
+  * learning (Sennrich et al. 2016), the step that turns a raw corpus
+  * into a subword vocabulary before any LLM training run.
+  *
+  * Scale shape: the corpus is scanned EXACTLY ONCE, into the weighted
+  * word-count table (the classic BPE reduction — merge learning never
+  * looks at documents again, only at the vocabulary, which is zipf-
+  * bounded: ~millions of rows at 100 TB, not corpus-sized). Every merge
+  * round is then (1) a partial-aggregable pair-count groupBy over the
+  * vocab, (2) a single-row argmax action, (3) a narrow string rewrite of
+  * the symbol sequences — driver-looped like PageRank's power
+  * iterations, with a localCheckpoint per round to truncate lineage.
+  */
+object Tokenizer {
+
+  /** Symbol sequences are space-joined with a DOUBLE separator ("h  i"),
+    * so applying a merge is a plain left-to-right `replace` of
+    * "a  b" → "ab": each boundary owns its two spaces, which makes the
+    * non-regex replace consume exactly one boundary per occurrence —
+    * reproducing BPE's greedy non-overlapping merge ("a a a" → "aa a")
+    * with no lookaround regex (which DuckDB's RE2 oracle could not run).
+    */
+  private val SEP = "  "
+
+  /** Adjacent symbol pairs of a double-space-joined sequence, each pair
+    * itself double-space-joined. Words of one symbol yield no pairs.
+    */
+  private def pairsOf(seqStr: org.apache.spark.sql.Column) = {
+    val syms = split(seqStr, SEP)
+    val n = size(syms)
+    zip_with(slice(syms, lit(1), greatest(n - 1, lit(0))),
+      slice(syms, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(SEP), b))
+  }
+
+  /** The weighted word-count table: one corpus scan, then vocab-sized. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextFns.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Learn the first `rounds` BPE merges. Returns one row per merge:
+    * (merge_rank, pair, merged, pair_count) — `pair` single-space-joined
+    * for display, `pair_count` the weighted adjacency count that won the
+    * round. Ties break to the lexicographically smallest pair, making
+    * the merge sequence a pure function of the corpus.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    // Char-level initial symbol sequence. Spark's split(-1 limit) keeps a
+    // trailing empty string — filter it (DuckDB's string_split does not).
+    var seqs = wc.select(col("cnt"),
+      array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
+      .localCheckpoint()
+
+    val picks = (1 to rounds).map { r =>
+      val Row(pair: String, cnt: Long) = seqs
+        .select(col("cnt"), explode(pairsOf(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+        .agg(min_by(struct(col("pair"), col("c")),
+          struct((-col("c")).as("neg"), col("pair"))).as("best"))
+        .select(col("best.pair"), col("best.c")).head()
+      val merged = pair.replace(SEP, "")
+      seqs = seqs.select(col("cnt"),
+        replace(col("s"), lit(pair), lit(merged)).as("s")).localCheckpoint()
+      (r, pair.replace(SEP, " "), merged, cnt)
+    }
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    picks.toDF("merge_rank", "pair", "merged", "pair_count")
+  }
+
+  /** Segment words with a learned merge list: apply each merge in rank
+    * order to the char sequence — the inference half of BPE. Returns
+    * (word, segmented) with segments single-space-joined.
+    */
+  def bpeSegment(words: DataFrame, merges: Seq[String],
+      wordCol: String = "word"): DataFrame = {
+    val init = array_join(
+      filter(split(col(wordCol), ""), s => length(s) > 0), SEP)
+    val seg = merges.foldLeft(init) { (s, pair) =>
+      val p = pair.replace(" ", SEP)
+      replace(s, lit(p), lit(p.replace(SEP, "")))
+    }
+    words.withColumn("segmented", regexp_replace(seg, SEP, " "))
+  }
+}

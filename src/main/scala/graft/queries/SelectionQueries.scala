@@ -39,9 +39,13 @@ object SelectionQueries extends QueryPack {
     // token mass — exact global-cumsum semantics via the two-phase
     // histogram threshold (no unbounded window).
     "select_token_budget" -> ((s, dir) => {
+      // Materialize the graded frame once: three actions consume it (the
+      // budget total, the histogram, the final filter) and quality
+      // scoring re-tokenizes the corpus on every recompute.
       val g = TextAnalysis.qualityMetrics(docs(s, dir))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality_score"))
+        .localCheckpoint()
       val budget = g.agg(floor(sum(col("n_tokens")) * lit(0.1)).cast("long"))
         .head().getLong(0)
       Selection.tokenBudgetSelect(g, budget, "quality_score", "n_tokens")

@@ -483,4 +483,59 @@ object TextAnalysis {
       .groupBy(col("bucket"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
   }
+
+  /** N-gram novelty scoring — each document's contribution of NEW
+    * content: the share of its distinct word n-grams whose first corpus
+    * occurrence (min doc_id) is this document. Novelty ≈ 1 marks fresh
+    * material, ≈ 0 marks recombinations of earlier text — the
+    * redundancy-aware ordering/selection signal that complements pairwise
+    * dedup (which only fires on near-identical documents).
+    *
+    * Scale shape: the inverted (gram → min doc) reduction shuffles on
+    * gram content — the same key class as exact dedup's digest shuffle —
+    * with `min` partial-aggregated map-side; the join back is gram-keyed
+    * and the final per-doc agg shuffles one row per document. Documents
+    * with fewer than n tokens have no grams and emit no row.
+    */
+  def noveltyScores(docs: DataFrame, n: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextFns.textShingles(col(textCol), n))).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Heaps-law vocabulary growth: distinct-term first occurrences
+    * bucketed into `buckets` equal doc_id ranges, with the running
+    * cumulative vocabulary — the sublinear vocab-vs-corpus curve that
+    * sizes tokenizer vocabularies and detects corpus drift.
+    *
+    * Scale shape: one (term → min doc_id) reduction (partial-agg'd,
+    * term-keyed shuffle), then a `buckets`-row aggregate; the cumulative
+    * window runs over those `buckets` rows only — bounded by
+    * construction, never corpus-sized. The doc_id range comes from one
+    * cheap max() action (min is taken as 0, matching the generated ids).
+    */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
+    val firsts = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_doc"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts
+      .withColumn("bucket",
+        least(floor(col("first_doc") * buckets / (maxId + 1)), lit(buckets - 1)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_terms"))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(w))
+  }
 }

@@ -200,6 +200,18 @@ object TextQueries extends QueryPack {
       TextAnalysis.datacard(docs(s, dir))
         .orderBy("source")),
 
+    // N-gram novelty: each doc's share of 3-grams it introduced to the
+    // corpus — redundancy-aware contribution scoring beyond pairwise
+    // dedup.
+    "text_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(docs(s, dir), n = 3)
+        .orderBy("doc_id")),
+
+    // Heaps-law vocabulary growth over 10 doc_id-range buckets.
+    "text_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir), buckets = 10)
+        .orderBy("bucket")),
+
     // Bigram conditional LM quality proxy: per-doc mean ln P(w|prev)
     // under the corpus MLE — one explode pass, shuffle-joined counts.
     "text_bigram_logprob" -> ((s, dir) =>
@@ -374,6 +386,33 @@ object TextQueries extends QueryPack {
          |  round(avg(n_chars), 6) AS avg_chars,
          |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(list_distinct(${DuckSql.shingles("toks", 3)})) AS gram
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS novelty
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_growth" ->
+      s"""WITH f AS (
+         |  SELECT term, min(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest(list_distinct($toksSql)) AS term FROM documents)
+         |  GROUP BY term),
+         |b AS (
+         |  SELECT least(CAST(floor(first_doc * 10 /
+         |    ((SELECT max(doc_id) FROM documents) + 1)) AS BIGINT), 9) AS bucket
+         |  FROM f)
+         |SELECT bucket, count(*) AS new_terms,
+         |  CAST(sum(count(*)) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_bigram_logprob" ->
       s"""WITH bip AS (

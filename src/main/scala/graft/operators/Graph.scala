@@ -44,6 +44,10 @@ object Graph {
       col("embedding").as("e_b"), col("nrm").as("n_b"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cosine").desc, col("nn_vec_id").asc)
+    // Materialize the top-k half-edges before mirroring: the union
+    // references the frame twice, and the pair-scoring subtree (cell
+    // join + window) would otherwise evaluate once per direction — the
+    // same double-evaluation hazard fixed in connectedComponents.
     val topk = a.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
@@ -51,6 +55,7 @@ object Graph {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
+      .localCheckpoint()
     topk.unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }

@@ -168,4 +168,52 @@ object Selection {
       .map { case ((vid, s), idx) => (idx + 1, vid, s) }
       .toDF("pick_order", "vec_id", "mmr_score")
   }
+
+  /** Greedy k-center coreset (farthest-point traversal, Gonzalez 1985):
+    * seed with the lowest vec_id, then repeatedly pick the vector whose
+    * cosine distance to its NEAREST already-picked center is largest —
+    * the classic 2-approximation cover that selects maximally-spread
+    * exemplars (the diversity-only counterpart of [[mmrSelect]], which
+    * trades diversity against a query relevance).
+    *
+    * Scale shape: k rounds, each ONE full narrow scan of the (norm-
+    * hoisted, checkpointed) corpus against a broadcast of the ≤k picked
+    * centers, reduced by a partial-aggregable min-distance groupBy and a
+    * single-row argmax — the textbook k·N cost with nothing corpus-sized
+    * ever broadcast or sorted. Distances are rounded to 6 places before
+    * the argmax (ties → lowest vec_id) so the traversal is engine-exact.
+    *
+    * @return (pick_order, vec_id, min_dist): the distance that won the
+    *         round; −1.0 for the seed (which has no earlier center).
+    */
+  def kCenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
+    val seed = base.agg(min(col("vec_id"))).head().getLong(0)
+
+    var picked: Seq[(Long, Double)] = Seq(seed -> -1.0)
+    for (_ <- 2 to k) {
+      val sel = broadcast(base
+        .filter(col("vec_id").isInCollection(picked.map(_._1)))
+        .select(col("embedding").as("s_emb"), col("nrm").as("s_nrm")))
+      val Row(vid: Long, dist: Double) = base
+        .filter(!col("vec_id").isInCollection(picked.map(_._1)))
+        .crossJoin(sel)
+        .groupBy(col("vec_id"))
+        .agg(min(round(lit(1.0) -
+          VectorFns.dot(col("embedding"), col("s_emb")) /
+            (col("nrm") * col("s_nrm")), 6)).as("d"))
+        .agg(min_by(struct(col("vec_id"), col("d")),
+          struct((-col("d")).as("neg"), col("vec_id"))).as("best"))
+        .select(col("best.vec_id"), col("best.d")).head()
+      picked = picked :+ (vid -> dist)
+    }
+
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((vid, d), idx) => (idx + 1, vid, d) }
+      .toDF("pick_order", "vec_id", "min_dist")
+  }
 }

@@ -55,7 +55,11 @@ object SelectionQueries extends QueryPack {
     // MMR diverse top-k vs the vec_id=0 query: greedy picks over the
     // 64-strong relevance shortlist, λ = 0.7.
     "select_mmr_diverse" -> ((s, dir) =>
-      Selection.mmrSelect(emb(s, dir), QUERY_ID, MMR_K, LAMBDA, MMR_M))
+      Selection.mmrSelect(emb(s, dir), QUERY_ID, MMR_K, LAMBDA, MMR_M)),
+
+    // Greedy k-center coreset: 4 maximally-spread exemplars.
+    "select_kcenter" -> ((s, dir) =>
+      Selection.kCenterSelect(emb(s, dir), MMR_K))
   )
 
   // ---- oracles ----
@@ -96,7 +100,33 @@ object SelectionQueries extends QueryPack {
        |ORDER BY pick_order""".stripMargin
   }
 
+  private def kCenterOracle: String = {
+    def cos(a: String, b: String) = DuckSql.cosine(a, b)
+    val picks = (2 to MMR_K).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.emb, md.d FROM base c JOIN (
+         |    SELECT c2.vec_id, min(round(1 - ${cos("c2.emb", "p.emb")}, 6)) AS d
+         |    FROM base c2, ($prev) p
+         |    WHERE c2.vec_id NOT IN (SELECT vec_id FROM ($prev))
+         |    GROUP BY c2.vec_id) md ON c.vec_id = md.vec_id
+         |  ORDER BY md.d DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MMR_K)
+      .map(i => s"SELECT $i AS pick_order, vec_id, d AS min_dist FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |p1 AS (SELECT vec_id, emb, -1.0 AS d FROM base ORDER BY vec_id LIMIT 1),
+       |$picks
+       |$out
+       |ORDER BY pick_order""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "select_kcenter" -> kCenterOracle,
 
     "select_weighted_sample" ->
       s"""SELECT doc_id, n_chars, ares_key FROM (

@@ -89,4 +89,25 @@ class SelectionSpec extends SparkSpec {
     assert(got.map(_._1) === Seq(1, 2, 3))
     assert(got.map(_._2) === Seq(1L, 3L, 4L))
   }
+
+  test("kCenterSelect seeds with the lowest id and walks farthest-first") {
+    import spark.implicits._
+    // Seed = 0 (lowest id). Farthest from 0=(1,0,0): its opposite 3.
+    // Then the vector farthest from BOTH (max-min): 4=(0,0,1), dist 1.0
+    // to each, beats 1/2 (near 0: min-dist ≈ 0).
+    val embs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.98f, 0.2f, 0.0f), 0),
+      (3L, Seq(-1.0f, 0.0f, 0.0f), 0),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Selection.kCenterSelect(embs, k = 3)
+      .orderBy("pick_order").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._2) === Seq(0L, 3L, 4L))
+    assert(got.head._3 === -1.0)
+    assert(got(1)._3 === 2.0) // 1 - (-1) = 2: antipodal
+    assert(got(2)._3 === 1.0) // orthogonal to both centers
+  }
 }

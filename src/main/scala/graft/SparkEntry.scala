@@ -22,7 +22,8 @@ object SparkEntry {
     CurationQueries,
     SearchQueries,
     SelectionQueries,
-    TokenizerQueries)
+    TokenizerQueries,
+    LearnQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LearnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Linearly separable toy corpus: positive docs speak "alpha", negative
+  // docs speak "omega"; dims small enough to exercise bucket collisions
+  // of the filler tokens but keep the marker buckets distinct.
+  private def toy = Seq(
+    (1L, "alpha alpha common filler", 1),
+    (2L, "alpha common words here", 1),
+    (3L, "more alpha text common", 1),
+    (4L, "omega common filler", 0),
+    (5L, "omega omega words here", 0),
+    (6L, "text with omega common", 0)
+  ).toDF("doc_id", "text", "y")
+
+  test("training separates a linearly separable corpus") {
+    val d = toy
+    val w = Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = 20, lr = 2.0)
+    val preds = Learn.predictLogReg(d, w, col("y") === 1, dims = 32).collect()
+    assert(preds.length == 6)
+    assert(preds.forall(r => r.getAs[Long]("pred") == r.getAs[Long]("y")))
+  }
+
+  test("each gradient step lowers training log-loss") {
+    val d = toy
+    def logLoss(iters: Int): Double = {
+      val w = Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = iters, lr = 0.5)
+      Learn.predictLogReg(d, w, col("y") === 1, dims = 32)
+        .select(avg(when(col("y") === 1, -log(col("p")))
+          .otherwise(-log(lit(1.0) - col("p")))).as("ll"))
+        .as[Double].head()
+    }
+    val losses = Seq(0, 1, 2, 3).map(logLoss)
+    losses.sliding(2).foreach { case Seq(a, b) => assert(b < a,
+      s"loss must decrease each step: $losses") }
+  }
+
+  test("zero iterations returns the zero vector; weights are deterministic") {
+    val d = toy
+    val w0 = Learn.trainLogReg(d, col("y") === 1, dims = 16, iters = 0)
+    assert(w0.count() == 16)
+    assert(w0.agg(sum(abs(col("w")))).as[Double].head() == 0.0)
+    val a = Learn.trainLogReg(d, col("y") === 1, dims = 16, iters = 3)
+      .orderBy("bucket").as[(Long, Double)].collect()
+    val b = Learn.trainLogReg(d, col("y") === 1, dims = 16, iters = 3)
+      .orderBy("bucket").as[(Long, Double)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("token-less documents drop out of training and inference") {
+    val d = toy.union(Seq((7L, "", 1), (8L, "!!!", 0)).toDF("doc_id", "text", "y"))
+    val w = Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = 2)
+    assert(w.count() == 32)
+    val preds = Learn.predictLogReg(d, w, col("y") === 1, dims = 32)
+    assert(preds.count() == 6)
+  }
+}

@@ -170,4 +170,59 @@ object Graph {
     }
     ranks.select(col("v"), round(col("r") * n, 6).as("rank_norm"))
   }
+
+  /** Per-vertex triangle count and local clustering coefficient over an
+    * undirected symmetric distinct edge list (e.g. [[knnEdges]]) — the
+    * neighbourhood-density signal graph-based data pruning uses on kNN
+    * graphs (tight cluster = redundant, sparse = novel/outlier).
+    *
+    * Each triangle is enumerated exactly once: edges are ORIENTED from
+    * lower to higher (degree, id) rank, wedges generated only at each
+    * triangle's lowest-rank vertex, then closed by a semi-join against
+    * the canonical edge set. Degree-ordering caps any vertex's oriented
+    * out-degree at O(√m) on skewed graphs — the classic bound that keeps
+    * wedge fan-out from going quadratic at a celebrity node — while
+    * leaving the RESULT orientation-independent, so the SQL oracle can
+    * replay with plain id-ordering.
+    *
+    * Scale shape: two shuffle joins on vertex keys (wedge build, closure
+    * probe) plus partial-aggregable counts; nothing broadcast, nothing
+    * corpus-quadratic. coefficient = 2·T(v) / (deg(v)·(deg(v)−1)), 0 for
+    * degree-1 vertices.
+    *
+    * @return (v, triangles, clustering_coeff) one row per vertex.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    // Orientation rank: (deg, id) as a lexicographic struct; symmetric
+    // input means keeping rank(src) < rank(dst) rows keeps each
+    // undirected edge exactly once, pointed at the lower-rank endpoint.
+    val dir = e
+      .join(deg.select(col("v").as("src"), col("deg").as("deg_s")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("deg_d")), "dst")
+      .filter(struct(col("deg_s"), col("src")) < struct(col("deg_d"), col("dst")))
+      .select(col("src").as("lo"), col("dst").as("hi"))
+    val wedges = dir.alias("x")
+      .join(dir.alias("y"),
+        col("x.lo") === col("y.lo") && col("x.hi") < col("y.hi"))
+      .select(col("x.lo").as("a"), col("x.hi").as("b"), col("y.hi").as("c"))
+    // Closure probe against the id-canonical edge set: (min, max) of the
+    // open pair — orientation-independent membership.
+    val canon = e.filter(col("src") < col("dst"))
+      .select(col("src").as("p"), col("dst").as("q"))
+    val tris = wedges.join(canon,
+      least(col("b"), col("c")) === col("p") &&
+        greatest(col("b"), col("c")) === col("q"), "left_semi")
+    val perV = tris.select(col("a").as("v"))
+      .unionByName(tris.select(col("b").as("v")))
+      .unionByName(tris.select(col("c").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    deg.join(perV, Seq("v"), "left")
+      .select(col("v"), coalesce(col("t"), lit(0L)).as("triangles"),
+        round(when(col("deg") > 1,
+          lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1)))).otherwise(lit(0.0)), 6)
+          .as("clustering_coeff"))
+  }
 }

@@ -74,6 +74,15 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
 
+    // Neighbourhood density over the same kNN graph: per-vertex triangle
+    // count + local clustering coefficient (graph-based redundancy/novelty
+    // signal). Degree-ordered edge orientation bounds wedge fan-out.
+    "graph_triangle_coeff" -> ((s, dir) =>
+      graft.operators.Graph.triangleStats(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS))
+        .select(col("v").as("vec_id"), col("triangles"), col("clustering_coeff"))
+        .orderBy("vec_id")),
+
     // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
     // cells), probe scans only the query's cell.
     "sim_ivf_topk" -> ((s, dir) =>
@@ -273,9 +282,32 @@ object SimilarityQueries extends QueryPack {
        |FROM embs ORDER BY vec_id, dim""".stripMargin
   }
 
+  // Triangle oracle: id-ordered orientation (a<b<c) — same triangle set
+  // as the operator's degree-ordered orientation, each found exactly once
+  // at its lowest vertex; closure via the canonical (src<dst) edge set.
+  private lazy val triangleSql: String =
+    s"""WITH $embsCte,
+       |${assignedCtes()},
+       |$knnEdgeCtes,
+       |cn AS (SELECT src AS p, dst AS q FROM ed WHERE src < dst),
+       |wd AS (SELECT x.p AS a, x.q AS b, y.q AS c
+       |       FROM cn x JOIN cn y ON x.p = y.p AND x.q < y.q),
+       |tr AS (SELECT a, b, c FROM wd JOIN cn ON b = p AND c = q),
+       |dg AS (SELECT src AS v, count(*) AS deg FROM ed GROUP BY 1),
+       |tc AS (SELECT v, count(*) AS t FROM (
+       |         SELECT a AS v FROM tr UNION ALL
+       |         SELECT b FROM tr UNION ALL
+       |         SELECT c FROM tr) GROUP BY 1)
+       |SELECT dg.v AS vec_id, coalesce(t, 0) AS triangles,
+       |  round(CASE WHEN deg > 1
+       |    THEN 2.0 * coalesce(t, 0) / (deg * (deg - 1)) ELSE 0.0 END, 6)
+       |    AS clustering_coeff
+       |FROM dg LEFT JOIN tc ON dg.v = tc.v ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
     "graph_label_communities" -> labelPropSql,
+    "graph_triangle_coeff" -> triangleSql,
     "sim_random_projection" -> randomProjSql,
 
     "sim_topk_cosine" ->

@@ -109,4 +109,26 @@ class GraphSpec extends SparkSpec {
     assert(minDeg >= 3)
     e.unpersist()
   }
+
+  test("triangleStats counts triangles and coefficients on a known graph") {
+    // Square 1-2-3-4 with diagonal 1-3: triangles (1,2,3) and (1,3,4).
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val es = und ++ und.map(_.swap)
+    val got = Graph.triangleStats(edgeDF(es)).collect()
+      .map(r => r.getAs[Long]("v") ->
+        ((r.getAs[Long]("triangles"), r.getAs[Double]("clustering_coeff"))))
+      .toMap
+    assert(got(1L) == ((2L, 0.666667)) && got(3L) == got(1L))
+    assert(got(2L) == ((1L, 1.0)) && got(4L) == ((1L, 1.0)))
+  }
+
+  test("triangleStats: triangle-free graph is all zeros; deg-1 coeff is 0") {
+    // Path 1-2-3: no triangles; endpoints have degree 1.
+    val und = Seq((1L, 2L), (2L, 3L))
+    val es = und ++ und.map(_.swap)
+    val got = Graph.triangleStats(edgeDF(es)).collect()
+    assert(got.length == 3)
+    assert(got.forall(r => r.getAs[Long]("triangles") == 0L &&
+      r.getAs[Double]("clustering_coeff") == 0.0))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.{MomentsAgg, TextFns}
 
 /** Distributed model training over hashed text features — the "train the
   * quality/language classifier ON the cluster" step of a curation
@@ -46,53 +46,66 @@ object Learn {
   }
 
   /** Full-batch logistic regression: `iters` gradient-descent steps of
-    * w ← w − lr · (1/N) Σ_d (σ(w·x_d) − y_d) x_d, weights seeded 0.
+    * w ← w − lr · (1/N) Σ_d (σ(w·x_d) − y_d) x_d, weights seeded 0 —
+    * the Spark MLlib GD shape: gradients aggregated on the cluster, the
+    * dims-bounded model held and updated on the driver.
     *
-    * Each iteration is two shuffles over the checkpointed COO design
-    * matrix: margins groupBy(doc_id), gradient groupBy(bucket) — both
-    * partial-aggregable, both on keys that scale (documents, hash
-    * buckets). The ONLY broadcast is the weight vector itself — `dims`
-    * rows, bounded by construction no matter the corpus size (contrast
-    * the unbounded-vocabulary hazard `unigramLogProb` documents). Lineage
-    * is truncated every step like the PageRank loop.
+    * Each iteration is ONE action over the checkpointed COO design
+    * matrix: per-document margins via an `element_at` lookup into the
+    * weight-array literal (no join — the model ships inside the
+    * expression), then a partial-aggregable per-bucket gradient sum
+    * collected as ≤dims rows. Both shuffles key on values that scale
+    * (documents, hash buckets); nothing corpus-sized is ever broadcast or
+    * collected (contrast the unbounded-vocabulary hazard `unigramLogProb`
+    * documents).
     *
     * `labelCol` is evaluated against `docs` (e.g. `col("lang") === "en"`
     * trains a language detector; a quality-gate boolean trains a quality
     * classifier).
-    *
-    * @return (bucket, w) — `dims` rows, the final unrounded weights.
     */
+  def trainLogRegWeights(docs: DataFrame, labelCol: Column, dims: Int = 64,
+      iters: Int = 3, lr: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): Array[Double] = {
+    require(dims >= 1 && iters >= 0, s"need dims >= 1, iters >= 0")
+    // Design matrix pre-joined with its labels ONCE; every iteration then
+    // reads only this checkpointed frame (no per-step parquet re-scan).
+    val fl = hashedFeatures(docs, dims, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        labelCol.cast("double").as("y")), "doc_id")
+      .localCheckpoint()
+    val n = fl.select(countDistinct(col("doc_id"))).head().getLong(0).toDouble
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val w = new Array[Double](dims)
+    for (_ <- 1 to iters) {
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
+      // One pass: the margin is an unbounded-frame window sum over the
+      // doc's rows (co-partitioned with the rows the gradient needs, so
+      // no join), the gradient a partial-aggregable per-bucket sum.
+      val margin = sum(col("x") *
+        element_at(wLit, col("bucket").cast("int") + 1)).over(byDoc)
+      val g = fl
+        .withColumn("err",
+          lit(1.0) / (lit(1.0) + exp(-margin)) - col("y"))
+        .groupBy(col("bucket")).agg(sum(col("err") * col("x")).as("g"))
+        .collect()
+      val gArr = new Array[Double](dims)
+      g.foreach(r => gArr(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("g"))
+      var b = 0
+      while (b < dims) { w(b) = w(b) - lr * gArr(b) / n; b += 1 }
+    }
+    w
+  }
+
+  /** Full-batch logistic regression as a (bucket, w) frame — see
+    * [[trainLogRegWeights]] for the iteration shape. */
   def trainLogReg(docs: DataFrame, labelCol: Column, dims: Int = 64,
       iters: Int = 3, lr: Double = 0.5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(dims >= 1 && iters >= 0, s"need dims >= 1, iters >= 0")
     val spark = docs.sparkSession
-    val feat = hashedFeatures(docs, dims, textCol, idCol).localCheckpoint()
-    val lab = docs.select(col(idCol).as("doc_id"),
-      labelCol.cast("double").as("y"))
-    // One-row N (docs that produced features): carried as a broadcast
-    // frame, not a driver action, so training stays a single lazy plan
-    // per step.
-    val nDocs = feat.select(countDistinct(col("doc_id")).cast("double")
-      .as("n_docs")).localCheckpoint()
-    var w = spark.range(dims)
-      .select(col("id").as("bucket"), lit(0.0).as("w"))
-    for (_ <- 1 to iters) {
-      val margins = feat.join(broadcast(w), "bucket")
-        .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("m"))
-      val errs = margins.join(lab, "doc_id")
-        .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("err"))
-      val grad = feat.join(errs, "doc_id")
-        .groupBy(col("bucket")).agg(sum(col("err") * col("x")).as("g"))
-      w = w.join(grad, Seq("bucket"), "left")
-        .crossJoin(broadcast(nDocs))
-        .select(col("bucket"),
-          (col("w") - lit(lr) * coalesce(col("g"), lit(0.0)) / col("n_docs"))
-            .as("w"))
-        .localCheckpoint()
-    }
-    w
+    import spark.implicits._
+    val w = trainLogRegWeights(docs, labelCol, dims, iters, lr, textCol, idCol)
+    w.toIndexedSeq.zipWithIndex.map { case (x, b) => (b.toLong, x) }
+      .toDF("bucket", "w")
   }
 
   /** Inference under a trained weight table: per-document probability and
@@ -116,5 +129,134 @@ object Learn {
         round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("p"))
       .withColumn("pred", when(col("p") >= 0.5, 1L).otherwise(0L))
       .join(lab, "doc_id")
+  }
+
+  /** Reliability table for a probabilistic classifier: bucket predictions
+    * into `nBins` equal-width probability bins and compare mean predicted
+    * probability against the empirical positive rate per bin — the data
+    * behind a calibration curve / ECE, the standard check before using a
+    * quality classifier's scores as sampling weights (miscalibrated
+    * scores silently skew the mixture).
+    *
+    * One partial-aggregable groupBy over the prediction frame; output is
+    * ≤ `nBins` rows regardless of corpus size.
+    *
+    * @param preds output of [[predictLogReg]]: (doc_id, p, pred, y).
+    * @return (bin, n, avg_p, frac_pos) ordered by bin; bins with no
+    *         predictions emit no row.
+    */
+  def calibrationTable(preds: DataFrame, nBins: Int = 10): DataFrame =
+    preds
+      .withColumn("bin",
+        least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("avg_p"),
+        round(avg(col("y").cast("double")), 6).as("frac_pos"))
+      .orderBy("bin")
+
+  /** Covariance matrix of an `array<float>` embedding column as a COO
+    * frame (i, j, c), dim² rows. Sufficient statistics come from
+    * [[MomentsAgg]] — ONE fused pass, only a (d + d² + 1)-double buffer
+    * on the wire — then the matrix materializes by exploding the single
+    * moment row. cov[i,j] = Σxᵢxⱼ/n − (Σxᵢ/n)·(Σxⱼ/n), parenthesized
+    * exactly as the SQL oracle renders it so both engines run the same
+    * IEEE operation sequence.
+    */
+  /** One-row raw-moment frame (s, ss, n) from a single [[MomentsAgg]]
+    * corpus pass — THE corpus-touching step of a PCA fit; everything
+    * downstream ([[covarianceMatrix]], the mean vector, the power
+    * iterations) derives from this model-sized artifact. */
+  def rawMoments(embeddings: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col(embCol).cast("array<float>").as("e"))
+      .as[Seq[Float]]
+      .select(MomentsAgg.toColumn.name("m"))
+      .select(col("_1").as("s"), col("_2").as("ss"),
+        col("_3").cast("double").as("n"))
+  }
+
+  private def covFromMoments(mom: DataFrame, dim: Int): DataFrame = {
+    val iIdx = (col("k") / lit(dim)).cast("long")
+    val jIdx = col("k") % lit(dim)
+    mom
+      .select(col("s"), col("n"), posexplode(col("ss")).as(Seq("k", "sxy")))
+      .select(iIdx.as("i"), jIdx.as("j"),
+        (col("sxy") / col("n") -
+          (element_at(col("s"), iIdx.cast("int") + 1) / col("n")) *
+            (element_at(col("s"), jIdx.cast("int") + 1) / col("n"))).as("c"))
+  }
+
+  def covarianceMatrix(embeddings: DataFrame, dim: Int,
+      embCol: String = "embedding"): DataFrame =
+    covFromMoments(rawMoments(embeddings, embCol), dim)
+
+  /** Top principal component by `iters` fixed power iterations over the
+    * covariance matrix: v ← C·v / ‖C·v‖, seeded uniform 1/√dim. Fixed
+    * iteration count (the PageRank convention) keeps the result a pure
+    * function of the data so a SQL oracle replays it CTE-by-CTE.
+    *
+    * Scale shape: the corpus is touched ONCE (the [[MomentsAgg]] pass);
+    * every iteration thereafter is dim² flops on the driver-resident
+    * statistic — model-sized, independent of corpus size. The mean
+    * vector rides along so [[pcaProject]] can center without a second
+    * corpus pass.
+    *
+    * @return (i, loading, mu) — dim rows, unrounded.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int, iters: Int = 8,
+      embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // ONE distributed corpus pass (MomentsAgg); the dim²-bounded
+    // sufficient statistic then comes to the driver and the eigensolve
+    // runs locally — the MLlib RowMatrix.computePrincipalComponents
+    // shape (distributed Gramian, driver-side eigendecomposition). A
+    // DataFrame-resident power iteration works too but pays an exchange
+    // per step for a model-sized frame; the statistic is dim² doubles no
+    // matter the corpus, so driver math is the right tier.
+    val row = rawMoments(embeddings, embCol).head()
+    val s = row.getSeq[Double](0).toArray
+    val ss = row.getSeq[Double](1).toArray
+    val n = row.getDouble(2)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      ss(i * dim + j) / n - (s(i) / n) * (s(j) / n))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 1 to iters) {
+      val cv = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val nrm = math.sqrt(cv.map(x => x * x).sum)
+      v = cv.map(_ / nrm)
+    }
+    v.toIndexedSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, s(i) / n) }
+      .toDF("i", "loading", "mu")
+  }
+
+  /** Centered projection of every vector onto a fitted component:
+    * score = x·v − μ·v. The component frame is dim rows — a bounded
+    * broadcast — and the corpus pass is one explode + partial-aggregable
+    * sum; the centering term is a one-row cross join.
+    *
+    * @param component output of [[pcaTopComponent]]: (i, loading, mu).
+    * @return (vec_id, pc1) one row per vector, unrounded.
+    */
+  def pcaProject(embeddings: DataFrame, component: DataFrame,
+      embCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val muDot = component
+      .agg(sum(col("mu") * col("loading")).as("mu_dot"))
+    embeddings
+      .select(col(idCol), posexplode(col(embCol).cast("array<double>"))
+        .as(Seq("i", "x")))
+      .join(broadcast(component.select(col("i").cast("int").as("i"),
+        col("loading"))), "i")
+      .groupBy(col(idCol))
+      .agg(sum(col("x") * col("loading")).as("x_dot"))
+      .crossJoin(broadcast(muDot))
+      .select(col(idCol), (col("x_dot") - col("mu_dot")).as("pc1"))
   }
 }

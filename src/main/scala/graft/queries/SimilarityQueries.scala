@@ -23,6 +23,7 @@ object SimilarityQueries extends QueryPack {
   private val TOP_K = 10
   private val N_PLANES = 4
   private val DIM = 64
+  private val PCA_ITERS = 8
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,6 +74,25 @@ object SimilarityQueries extends QueryPack {
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS), iters = 4)
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
+
+    // PCA fit: top principal component of the embedding cloud by 8 fixed
+    // power iterations over the covariance matrix (one fused MomentsAgg
+    // corpus pass; every iteration runs on the dim²-row model frame).
+    "sim_pca_component" -> ((s, dir) =>
+      graft.operators.Learn.pcaTopComponent(emb(s, dir), DIM, iters = PCA_ITERS)
+        .select(col("i").as("dim"), round(col("loading"), 6).as("loading"),
+          round(col("mu"), 6).as("mu"))
+        .orderBy("dim")),
+
+    // Centered projection of every vector onto that component — the
+    // 1-D whitening/compression view (fit → transform composite).
+    "sim_pca_project" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Learn.pcaProject(e,
+          graft.operators.Learn.pcaTopComponent(e, DIM, iters = PCA_ITERS))
+        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
+        .orderBy("vec_id")
+    }),
 
     // Neighbourhood density over the same kNN graph: per-vertex triangle
     // count + local clustering coefficient (graph-based redundancy/novelty
@@ -304,10 +324,55 @@ object SimilarityQueries extends QueryPack {
        |    AS clustering_coeff
        |FROM dg LEFT JOIN tc ON dg.v = tc.v ORDER BY vec_id""".stripMargin
 
+  /** PCA oracle CTEs: raw moments via a zipped-unnest pair join, the
+    * covariance with the OPERATOR'S exact parenthesization
+    * (sxy/n − (sᵢ/n)·(sⱼ/n)), then PCA_ITERS unrolled power-iteration
+    * rounds (the PageRank strategy). The uniform seed renders the same
+    * Scala double the operator uses. */
+  private lazy val pcaCtes: String = {
+    val seed = 1.0 / math.sqrt(DIM.toDouble)
+    val iterCtes = (1 to PCA_ITERS).map { t =>
+      s"""cv$t AS MATERIALIZED (SELECT cov.i, sum(c * loading) AS cv
+         |         FROM cov JOIN v${t - 1} v ON cov.j = v.i GROUP BY 1),
+         |nr$t AS (SELECT sqrt(sum(cv * cv)) AS nrm FROM cv$t),
+         |v$t AS MATERIALIZED (SELECT i, cv / nrm AS loading FROM cv$t CROSS JOIN nr$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$embsCte,
+       |cnt AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embs),
+       |el AS MATERIALIZED (SELECT vec_id, unnest(range(0, $DIM)) AS i, unnest(de) AS x
+       |       FROM embs),
+       |sv AS MATERIALIZED (SELECT i, sum(x) AS s FROM el GROUP BY 1),
+       |pr AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+       |       FROM el a JOIN el b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT pr.i, pr.j,
+       |          sxy / cnt.n - (si.s / cnt.n) * (sj.s / cnt.n) AS c
+       |        FROM pr CROSS JOIN cnt
+       |        JOIN sv si ON pr.i = si.i JOIN sv sj ON pr.j = sj.i),
+       |mu AS MATERIALIZED (SELECT i, s / cnt.n AS mu FROM sv CROSS JOIN cnt),
+       |v0 AS (SELECT unnest(range(0, $DIM)) AS i, $seed AS loading),
+       |$iterCtes""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,
+
+    "sim_pca_component" ->
+      s"""WITH $pcaCtes
+         |SELECT v.i AS dim, round(loading, 6) AS loading,
+         |  round(mu, 6) AS mu
+         |FROM v$PCA_ITERS v JOIN mu ON v.i = mu.i ORDER BY dim""".stripMargin,
+
+    "sim_pca_project" ->
+      s"""WITH $pcaCtes,
+         |md AS (SELECT sum(mu * loading) AS mu_dot
+         |       FROM mu JOIN v$PCA_ITERS USING (i)),
+         |xd AS (SELECT vec_id, sum(x * loading) AS x_dot
+         |       FROM el JOIN v$PCA_ITERS USING (i) GROUP BY 1)
+         |SELECT vec_id, round(x_dot - mu_dot, 6) AS pc1
+         |FROM xd CROSS JOIN md ORDER BY vec_id""".stripMargin,
     "sim_random_projection" -> randomProjSql,
 
     "sim_topk_cosine" ->

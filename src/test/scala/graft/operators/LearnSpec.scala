@@ -53,6 +53,27 @@ class LearnSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("pcaTopComponent finds the dominant axis; projections are centered") {
+    // Variance overwhelmingly along dim 0.
+    val vecs = Seq(
+      (1L, Seq(10.0f, 0.1f, 0.0f)),
+      (2L, Seq(-10.0f, 0.0f, 0.1f)),
+      (3L, Seq(6.0f, -0.1f, 0.0f)),
+      (4L, Seq(-6.0f, 0.0f, -0.1f)),
+      (5L, Seq(2.0f, 0.1f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val comp = Learn.pcaTopComponent(vecs, dim = 3, iters = 12)
+    val loadings = comp.orderBy("i").select("loading").as[Double].collect()
+    assert(math.abs(math.abs(loadings(0)) - 1.0) < 1e-3,
+      s"dominant-axis loading: ${loadings.toSeq}")
+    assert(math.abs(loadings(1)) < 0.05 && math.abs(loadings(2)) < 0.05)
+    val norm = math.sqrt(loadings.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    val scores = Learn.pcaProject(vecs, comp).select("pc1").as[Double].collect()
+    assert(math.abs(scores.sum) < 1e-9, "centered scores must sum to 0")
+    assert(scores.map(math.abs).max > 5.0, "dominant spread must survive projection")
+  }
+
   test("token-less documents drop out of training and inference") {
     val d = toy.union(Seq((7L, "", 1), (8L, "!!!", 0)).toDF("doc_id", "text", "y"))
     val w = Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = 2)

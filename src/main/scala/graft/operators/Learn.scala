@@ -20,6 +20,18 @@ import graft.functions.{MomentsAgg, TextFns}
   */
 object Learn {
 
+  /** Raw hashed term counts: (doc_id, bucket, cnt) — the un-normalized
+    * sibling of [[hashedFeatures]], the form count-based models
+    * (multinomial Naive Bayes, chi², DF statistics) consume. */
+  def hashedCounts(docs: DataFrame, dims: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(col(textCol))).as("term"))
+      .select(col("doc_id"), TextAnalysis.hashBucket(col("term"), dims).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+
   /** Sparse hashed design matrix in COO form: (doc_id, bucket, x) with
     * x = (tokens of the doc hashing to `bucket`) / (tokens in the doc) —
     * mean-pooled bag of words over `dims` hash buckets, the fastText
@@ -34,12 +46,7 @@ object Learn {
     */
   def hashedFeatures(docs: DataFrame, dims: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tf = docs
-      .select(col(idCol).as("doc_id"),
-        explode(TextFns.tokens(col(textCol))).as("term"))
-      .select(col("doc_id"), TextAnalysis.hashBucket(col("term"), dims).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tf = hashedCounts(docs, dims, textCol, idCol)
     val nd = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
     tf.join(nd, "doc_id")
       .select(col("doc_id"), col("bucket"), (col("cnt") / col("n")).as("x"))
@@ -235,6 +242,106 @@ object Learn {
     }
     v.toIndexedSeq.zipWithIndex.map { case (x, i) => (i.toLong, x, s(i) / n) }
       .toDF("i", "loading", "mu")
+  }
+
+  /** Multinomial Naive Bayes over hashed term counts — the closed-form,
+    * ONE-PASS trainer (contrast [[trainLogReg]]'s iterated GD): per-bucket
+    * class-conditional counts in a single partial-aggregable aggregation,
+    * then Laplace-smoothed log-likelihood-ratio weights
+    * w_b = ln((c1_b+α)/(t1+α·dims)) − ln((c0_b+α)/(t0+α·dims)) on the
+    * dims-bounded result. At 100 TB this is strictly an aggregation
+    * query — no iteration, no driver sync per step, the shuffle carries
+    * dims-row partials. Every bucket in [0, dims) gets a (smoothed)
+    * weight, absent ones included.
+    *
+    * @return (bucket, w, prior) — dims rows; `prior` = ln(n1/n0) is the
+    *         same on every row (carried so scorers need no second frame).
+    */
+  def trainNaiveBayes(docs: DataFrame, labelCol: Column, dims: Int = 64,
+      alpha: Double = 1.0, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val fc = hashedCounts(docs, dims, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        labelCol.cast("double").as("y")), "doc_id")
+    val perBucket = fc.groupBy(col("bucket")).agg(
+      sum(when(col("y") === 1.0, col("cnt")).otherwise(0.0)).as("c1"),
+      sum(when(col("y") === 0.0, col("cnt")).otherwise(0.0)).as("c0"))
+    val tot = fc.agg(
+      sum(when(col("y") === 1.0, col("cnt")).otherwise(0.0)).as("t1"),
+      sum(when(col("y") === 0.0, col("cnt")).otherwise(0.0)).as("t0"),
+      countDistinct(when(col("y") === 1.0, col("doc_id"))).cast("double").as("n1"),
+      countDistinct(when(col("y") === 0.0, col("doc_id"))).cast("double").as("n0"))
+    spark.range(dims).select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((coalesce(col("c1"), lit(0.0)) + lit(alpha)) /
+            (col("t1") + lit(alpha * dims))) -
+          log((coalesce(col("c0"), lit(0.0)) + lit(alpha)) /
+            (col("t0") + lit(alpha * dims)))).as("w"),
+        log(col("n1") / col("n0")).as("prior"))
+  }
+
+  /** Score documents under a Naive Bayes model: decision score
+    * = prior + Σ_b cnt_b · w_b, predict positive iff score ≥ 0. The model
+    * is dims rows — a bounded broadcast — and scoring is one
+    * partial-aggregable pass, the same deployment shape as
+    * [[predictLogReg]]. Prediction thresholds the ROUNDED score so the
+    * hard label is engine-independent.
+    *
+    * @return (doc_id, score, pred, y) one row per document with ≥1 token.
+    */
+  def predictNaiveBayes(docs: DataFrame, model: DataFrame, labelCol: Column,
+      dims: Int = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    hashedCounts(docs, dims, textCol, idCol)
+      .join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("prior")) + sum(col("cnt") * col("w")), 6).as("score"))
+      .withColumn("pred", when(col("score") >= 0.0, 1L).otherwise(0L))
+      .join(docs.select(col(idCol).as("doc_id"),
+        labelCol.cast("long").as("y")), "doc_id")
+
+  /** Chi-squared feature scoring over the (class × bucket-presence) 2×2
+    * contingency table — the classic pre-training feature-selection
+    * statistic. Document-level presence (not counts): a = positive docs
+    * containing the bucket, b = negative docs containing it; with class
+    * totals n1/n0 the 2×2 chi² closed form is
+    * n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)). One partial-aggregable pass
+    * over distinct (doc, bucket) rows; output is ≤dims rows.
+    *
+    * @return (bucket, chi2) — buckets present in ≥1 doc, rounded.
+    */
+  def chi2Features(docs: DataFrame, labelCol: Column, dims: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fc = hashedCounts(docs, dims, textCol, idCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        labelCol.cast("double").as("y")), "doc_id")
+    val tot = docs.select(col(idCol).as("doc_id"),
+        labelCol.cast("double").as("y"))
+      .agg(sum(col("y")).as("n1"),
+        sum(lit(1.0) - col("y")).as("n0"))
+    fc.groupBy(col("bucket")).agg(
+        sum(col("y")).as("a"),
+        sum(lit(1.0) - col("y")).as("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(chi2Expr(col("a"), col("b"), col("n1"), col("n0")), 6)
+          .as("chi2"))
+  }
+
+  /** n·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) with c = n1−a, d = n0−b —
+    * factored out so the operator and any caller share one rendering. */
+  private def chi2Expr(a: Column, b: Column, n1: Column, n0: Column): Column = {
+    val c = n1 - a
+    val d = n0 - b
+    val n = n1 + n0
+    // A bucket present in EVERY document has an empty absent-row
+    // (c+d = 0): zero information, pinned to 0 rather than 0/0.
+    when(c + d === 0.0, lit(0.0)).otherwise(
+      (n * (a * d - b * c) * (a * d - b * c)) /
+        ((a + b) * (c + d) * n1 * n0))
   }
 
   /** Centered projection of every vector onto a fitted component:

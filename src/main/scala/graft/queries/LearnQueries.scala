@@ -20,6 +20,7 @@ object LearnQueries extends QueryPack {
   private val DIMS = 64
   private val ITERS = 5
   private val LR = 150.0
+  private val ALPHA = 1.0
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -47,7 +48,30 @@ object LearnQueries extends QueryPack {
       val w = Learn.trainLogReg(d, col("lang") === "en", DIMS, ITERS, LR)
       Learn.calibrationTable(
         Learn.predictLogReg(d, w, col("lang") === "en", DIMS), nBins = 10)
-    })
+    }),
+
+    // Closed-form one-pass trainer: multinomial Naive Bayes log-ratio
+    // weights (the aggregation-only counterpart of the GD loop).
+    "learn_nb_model" -> ((s, dir) =>
+      Learn.trainNaiveBayes(docs(s, dir), col("lang") === "en", DIMS)
+        .select(col("bucket"), round(col("w"), 6).as("w"),
+          round(col("prior"), 6).as("prior"))
+        .orderBy("bucket")),
+
+    // NB inference: decision score = prior + Σ cnt·w per document.
+    "learn_nb_predict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Learn.predictNaiveBayes(d,
+          Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
+          col("lang") === "en", DIMS)
+        .orderBy("doc_id")
+    }),
+
+    // Chi-squared feature selection over the (class × bucket-presence)
+    // contingency table — which hash buckets carry label signal.
+    "learn_chi2_features" -> ((s, dir) =>
+      Learn.chi2Features(docs(s, dir), col("lang") === "en", DIMS)
+        .orderBy("bucket"))
   )
 
   private val toksSql = DuckSql.tokens("text")
@@ -84,6 +108,38 @@ object LearnQueries extends QueryPack {
     (base +: steps).mkString(",\n")
   }
 
+  /** Naive Bayes / chi² shared CTEs: hashed counts, labels, the joined
+    * design rows, class-conditional totals, and the smoothed log-ratio
+    * model — each formula rendered with the operator's parenthesization. */
+  private def nbCtes: String =
+    s"""tf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::UBIGINT % $DIMS AS bucket,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |fc AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
+       |                    FROM tf JOIN lab USING (doc_id)),
+       |pb AS (SELECT bucket,
+       |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS c1,
+       |         sum(CASE WHEN y = 0.0 THEN cnt ELSE 0 END) AS c0
+       |       FROM fc GROUP BY 1),
+       |tt AS MATERIALIZED (SELECT
+       |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS t1,
+       |         sum(CASE WHEN y = 0.0 THEN cnt ELSE 0 END) AS t0,
+       |         CAST(count(DISTINCT CASE WHEN y = 1.0 THEN doc_id END) AS DOUBLE) AS n1,
+       |         CAST(count(DISTINCT CASE WHEN y = 0.0 THEN doc_id END) AS DOUBLE) AS n0
+       |       FROM fc),
+       |model AS MATERIALIZED (SELECT r.range AS bucket,
+       |         ln((coalesce(c1, 0) + $ALPHA) / (t1 + ${ALPHA * DIMS})) -
+       |         ln((coalesce(c0, 0) + $ALPHA) / (t0 + ${ALPHA * DIMS})) AS w,
+       |         ln(n1 / n0) AS prior
+       |       FROM range($DIMS) r LEFT JOIN pb ON r.range = pb.bucket
+       |       CROSS JOIN tt)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "learn_logreg_weights" ->
@@ -112,6 +168,34 @@ object LearnQueries extends QueryPack {
          |  round(avg(p), 6) AS avg_p,
          |  round(avg(y), 6) AS frac_pos
          |FROM pp JOIN lab USING (doc_id)
-         |GROUP BY 1 ORDER BY bin""".stripMargin
+         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "learn_nb_model" ->
+      s"""WITH $nbCtes
+         |SELECT bucket, round(w, 6) AS w, round(prior, 6) AS prior
+         |FROM model ORDER BY bucket""".stripMargin,
+
+    "learn_nb_predict" ->
+      s"""WITH $nbCtes,
+         |sc AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+         |       FROM tf JOIN model USING (bucket) GROUP BY 1)
+         |SELECT doc_id, score,
+         |  CASE WHEN score >= 0 THEN 1 ELSE 0 END::BIGINT AS pred,
+         |  CAST(y AS BIGINT) AS y
+         |FROM sc JOIN lab USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "learn_chi2_features" ->
+      s"""WITH $nbCtes,
+         |pr AS (SELECT bucket, sum(y) AS a, sum(1.0 - y) AS b
+         |       FROM fc GROUP BY 1),
+         |t2 AS (SELECT sum(y) AS n1, sum(1.0 - y) AS n0 FROM lab)
+         |SELECT bucket,
+         |  round(CASE WHEN (n1 - a) + (n0 - b) = 0 THEN 0.0
+         |    ELSE ((n1 + n0) * (a * (n0 - b) - b * (n1 - a)) *
+         |            (a * (n0 - b) - b * (n1 - a))) /
+         |         ((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0) END, 6)
+         |    AS chi2
+         |FROM pr CROSS JOIN t2 ORDER BY bucket""".stripMargin
   )
 }

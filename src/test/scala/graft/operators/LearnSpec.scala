@@ -53,6 +53,41 @@ class LearnSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("naive Bayes separates the toy corpus in one pass") {
+    val d = toy
+    val m = Learn.trainNaiveBayes(d, col("y") === 1, dims = 32)
+    assert(m.count() == 32)
+    val preds = Learn.predictNaiveBayes(d, m, col("y") === 1, dims = 32).collect()
+    assert(preds.length == 6)
+    assert(preds.forall(r => r.getAs[Long]("pred") == r.getAs[Long]("y")))
+  }
+
+  test("chi2 ranks the class-marker buckets above neutral fillers") {
+    // "common" in EVERY doc (zero information); markers perfectly split.
+    val d = Seq(
+      (1L, "alpha common filler", 1),
+      (2L, "alpha common words", 1),
+      (3L, "alpha common text", 1),
+      (4L, "omega common filler", 0),
+      (5L, "omega common words", 0),
+      (6L, "omega common text", 0)
+    ).toDF("doc_id", "text", "y")
+    val scored = Learn.chi2Features(d, col("y") === 1, dims = 32)
+      .orderBy(col("chi2").desc).collect()
+    val markerBuckets = Learn.hashedCounts(
+        Seq((1L, "alpha"), (2L, "omega")).toDF("doc_id", "text"), dims = 32)
+      .select("bucket").as[Long].collect().toSet
+    // The two perfectly class-correlated marker buckets must rank top-2.
+    assert(scored.take(2).map(_.getAs[Long]("bucket")).toSet == markerBuckets)
+    // "common" appears in every doc → pinned to zero information.
+    val commonBucket = Learn.hashedCounts(
+        Seq((1L, "common")).toDF("doc_id", "text"), dims = 32)
+      .select("bucket").as[Long].head()
+    val commonChi2 = scored.find(_.getAs[Long]("bucket") == commonBucket).get
+      .getAs[Double]("chi2")
+    assert(commonChi2 == 0.0)
+  }
+
   test("pcaTopComponent finds the dominant axis; projections are centered") {
     // Variance overwhelmingly along dim 0.
     val vecs = Seq(

@@ -303,6 +303,32 @@ object Learn {
       .join(docs.select(col(idCol).as("doc_id"),
         labelCol.cast("long").as("y")), "doc_id")
 
+  /** Inter-model agreement between two hard-prediction frames: observed
+    * agreement, chance agreement, and Cohen's kappa — the ensemble sanity
+    * check before trusting either classifier's labels for selection (two
+    * models that agree only at chance add no signal to each other).
+    *
+    * One join on the id + one groupless aggregate; output is a single
+    * row regardless of corpus size. Degenerate case: if chance agreement
+    * is exactly 1 (both models constant), kappa is pinned to 0.
+    *
+    * @return (n, agree, pe, kappa) — one row, rates rounded.
+    */
+  def modelAgreement(predsA: DataFrame, predsB: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val joined = predsA.select(col(idCol), col("pred").as("pred_a"))
+      .join(predsB.select(col(idCol), col("pred").as("pred_b")), idCol)
+      .agg(count(lit(1)).as("n"),
+        avg((col("pred_a") === col("pred_b")).cast("double")).as("po"),
+        avg(col("pred_a").cast("double")).as("ra"),
+        avg(col("pred_b").cast("double")).as("rb"))
+    val pe = col("ra") * col("rb") + (lit(1.0) - col("ra")) * (lit(1.0) - col("rb"))
+    joined.select(col("n"), round(col("po"), 6).as("agree"),
+      round(pe, 6).as("pe"),
+      round(when(pe === 1.0, lit(0.0))
+        .otherwise((col("po") - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+  }
+
   /** Chi-squared feature scoring over the (class × bucket-presence) 2×2
     * contingency table — the classic pre-training feature-selection
     * statistic. Document-level presence (not counts): a = positive docs

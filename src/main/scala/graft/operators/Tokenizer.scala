@@ -91,4 +91,37 @@ object Tokenizer {
     }
     words.withColumn("segmented", regexp_replace(seg, SEP, " "))
   }
+
+  /** Character-coverage table — SentencePiece's alphabet-selection
+    * preprocessing (its `character_coverage` knob): corpus character
+    * frequencies, each character's cumulative share in frequency order,
+    * and whether it makes the alphabet at the requested coverage (chars
+    * are admitted most-frequent-first until the running total passes
+    * `coverage`; everything after maps to <unk>/byte fallback).
+    *
+    * Scale shape: one explode pass into a groupBy whose key space is the
+    * CHARSET — bounded by unicode, in practice a few thousand rows — so
+    * the global (unpartitioned) ranking window that follows runs over an
+    * alphabet-sized frame, never the corpus. Ties rank deterministically
+    * (count desc, codepoint asc).
+    *
+    * @return (ch, cnt, cum_share, in_alphabet) ordered by rank.
+    */
+  def charCoverage(docs: DataFrame, coverage: Double = 0.9995,
+      textCol: String = "text"): DataFrame = {
+    val freq = docs
+      .select(explode(split(lower(col(textCol)), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("ch")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).cast("double").as("total"))
+    val byRank = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("ch").asc)
+    freq.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(col("cnt")).over(byRank))
+      .select(col("ch"), col("cnt"),
+        round(col("cum") / col("total"), 6).as("cum_share"),
+        ((col("cum") - col("cnt")) < col("total") * lit(coverage))
+          .as("in_alphabet"))
+      .orderBy(col("cnt").desc, col("ch").asc)
+  }
 }

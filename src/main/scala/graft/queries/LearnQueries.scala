@@ -71,26 +71,45 @@ object LearnQueries extends QueryPack {
     // contingency table — which hash buckets carry label signal.
     "learn_chi2_features" -> ((s, dir) =>
       Learn.chi2Features(docs(s, dir), col("lang") === "en", DIMS)
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+
+    // Ensemble sanity check: Cohen's kappa between the GD and NB
+    // classifiers' hard labels (trained on the same corpus).
+    "learn_model_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lr = Learn.predictLogReg(d,
+        Learn.trainLogReg(d, col("lang") === "en", DIMS, ITERS, LR),
+        col("lang") === "en", DIMS)
+      val nb = Learn.predictNaiveBayes(d,
+        Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
+        col("lang") === "en", DIMS)
+      Learn.modelAgreement(lr, nb)
+    })
   )
 
   private val toksSql = DuckSql.tokens("text")
 
-  /** Shared CTE chain: COO design matrix, labels, then `ITERS` unrolled
-    * gradient steps w0 → w$ITERS mirroring Learn.trainLogReg exactly. */
-  private def logRegCtes: String = {
-    val base =
-      s"""tf AS (
-         |  SELECT doc_id,
-         |    ('0x' || substr(md5(t), 1, 8))::UBIGINT % $DIMS AS bucket,
-         |    CAST(count(*) AS DOUBLE) AS cnt
-         |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
-         |  GROUP BY 1, 2),
-         |nd AS (SELECT doc_id, sum(cnt) AS n FROM tf GROUP BY 1),
+  /** Shared base: hashed counts + labels — every Learn oracle composes on
+    * these two, so the agreement oracle can chain BOTH model replays in
+    * one WITH without CTE-name collisions. */
+  private def baseCtes: String =
+    s"""tf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(t), 1, 8))::UBIGINT % $DIMS AS bucket,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents)""".stripMargin
+
+  /** Normalized design matrix + `ITERS` unrolled gradient steps
+    * w0 → w$ITERS mirroring Learn.trainLogReg exactly. */
+  private def logRegSteps: String = {
+    val head =
+      s"""nd AS (SELECT doc_id, sum(cnt) AS n FROM tf GROUP BY 1),
          |feat AS MATERIALIZED (SELECT doc_id, bucket, cnt / n AS x
          |         FROM tf JOIN nd USING (doc_id)),
-         |lab AS MATERIALIZED (SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         |        FROM documents),
          |nn AS MATERIALIZED (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM feat),
          |w0 AS (SELECT range AS bucket, 0.0 AS w FROM range($DIMS))""".stripMargin
     val steps = (1 to ITERS).map { i =>
@@ -105,23 +124,22 @@ object LearnQueries extends QueryPack {
          |        FROM w${i - 1} LEFT JOIN g$i USING (bucket) CROSS JOIN nn)"""
         .stripMargin
     }
-    (base +: steps).mkString(",\n")
+    (head +: steps).mkString(",\n")
   }
 
-  /** Naive Bayes / chi² shared CTEs: hashed counts, labels, the joined
-    * design rows, class-conditional totals, and the smoothed log-ratio
-    * model — each formula rendered with the operator's parenthesization. */
-  private def nbCtes: String =
-    s"""tf AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    ('0x' || substr(md5(t), 1, 8))::UBIGINT % $DIMS AS bucket,
-       |    CAST(count(*) AS DOUBLE) AS cnt
-       |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents)
-       |  GROUP BY 1, 2),
-       |lab AS MATERIALIZED (
-       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-       |  FROM documents),
-       |fc AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
+  private def logRegCtes: String = s"$baseCtes,\n$logRegSteps"
+
+  /** Logreg hard predictions under w$ITERS (composable tail). */
+  private def logRegPredCtes: String =
+    s"""mp AS (SELECT doc_id, sum(x * w) AS m
+       |       FROM feat JOIN w$ITERS USING (bucket) GROUP BY 1),
+       |pp AS (SELECT doc_id, round(1 / (1 + exp(-m)), 6) AS p FROM mp)"""
+      .stripMargin
+
+  /** Naive Bayes body: joined design rows, class-conditional totals, and
+    * the smoothed log-ratio model — the operator's parenthesization. */
+  private def nbBody: String =
+    s"""fc AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
        |                    FROM tf JOIN lab USING (doc_id)),
        |pb AS (SELECT bucket,
        |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS c1,
@@ -140,6 +158,13 @@ object LearnQueries extends QueryPack {
        |       FROM range($DIMS) r LEFT JOIN pb ON r.range = pb.bucket
        |       CROSS JOIN tt)""".stripMargin
 
+  private def nbCtes: String = s"$baseCtes,\n$nbBody"
+
+  /** NB hard predictions under the closed-form model (composable tail). */
+  private def nbPredCtes: String =
+    s"""sc AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+       |       FROM tf JOIN model USING (bucket) GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "learn_logreg_weights" ->
@@ -149,9 +174,7 @@ object LearnQueries extends QueryPack {
 
     "learn_logreg_predict" ->
       s"""WITH $logRegCtes,
-         |mp AS (SELECT doc_id, sum(x * w) AS m
-         |       FROM feat JOIN w$ITERS USING (bucket) GROUP BY 1),
-         |pp AS (SELECT doc_id, round(1 / (1 + exp(-m)), 6) AS p FROM mp)
+         |$logRegPredCtes
          |SELECT doc_id, p,
          |  CASE WHEN p >= 0.5 THEN 1 ELSE 0 END::BIGINT AS pred,
          |  CAST(y AS BIGINT) AS y
@@ -160,9 +183,7 @@ object LearnQueries extends QueryPack {
 
     "learn_calibration" ->
       s"""WITH $logRegCtes,
-         |mp AS (SELECT doc_id, sum(x * w) AS m
-         |       FROM feat JOIN w$ITERS USING (bucket) GROUP BY 1),
-         |pp AS (SELECT doc_id, round(1 / (1 + exp(-m)), 6) AS p FROM mp)
+         |$logRegPredCtes
          |SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
          |  count(*) AS n,
          |  round(avg(p), 6) AS avg_p,
@@ -177,8 +198,7 @@ object LearnQueries extends QueryPack {
 
     "learn_nb_predict" ->
       s"""WITH $nbCtes,
-         |sc AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
-         |       FROM tf JOIN model USING (bucket) GROUP BY 1)
+         |$nbPredCtes
          |SELECT doc_id, score,
          |  CASE WHEN score >= 0 THEN 1 ELSE 0 END::BIGINT AS pred,
          |  CAST(y AS BIGINT) AS y
@@ -196,6 +216,30 @@ object LearnQueries extends QueryPack {
          |            (a * (n0 - b) - b * (n1 - a))) /
          |         ((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0) END, 6)
          |    AS chi2
-         |FROM pr CROSS JOIN t2 ORDER BY bucket""".stripMargin
+         |FROM pr CROSS JOIN t2 ORDER BY bucket""".stripMargin,
+
+    // Both model replays chained in one WITH (shared tf/lab base), then
+    // the kappa closed form with the operator's parenthesization.
+    "learn_model_agreement" ->
+      s"""WITH $baseCtes,
+         |$logRegSteps,
+         |$logRegPredCtes,
+         |$nbBody,
+         |$nbPredCtes,
+         |pa AS (SELECT doc_id,
+         |         CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS pred_a FROM pp),
+         |pb2 AS (SELECT doc_id,
+         |         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred_b FROM sc),
+         |ag AS (SELECT count(*) AS n,
+         |         avg(CASE WHEN pred_a = pred_b THEN 1.0 ELSE 0.0 END) AS po,
+         |         avg(CAST(pred_a AS DOUBLE)) AS ra,
+         |         avg(CAST(pred_b AS DOUBLE)) AS rb
+         |       FROM pa JOIN pb2 USING (doc_id))
+         |SELECT n, round(po, 6) AS agree,
+         |  round(ra * rb + (1 - ra) * (1 - rb), 6) AS pe,
+         |  round(CASE WHEN ra * rb + (1 - ra) * (1 - rb) = 1 THEN 0.0
+         |    ELSE (po - (ra * rb + (1 - ra) * (1 - rb))) /
+         |         (1 - (ra * rb + (1 - ra) * (1 - rb))) END, 6) AS kappa
+         |FROM ag""".stripMargin
   )
 }

@@ -36,8 +36,15 @@ object TokenizerQueries extends QueryPack {
       Tokenizer.bpeSegment(top, merges)
         .select(col("word"), col("cnt"), col("segmented"))
         .orderBy("word")
-    })
+    }),
+
+    // SentencePiece-style alphabet selection: character frequencies with
+    // cumulative coverage and the in-alphabet cut at 99.5%.
+    "tok_char_coverage" -> ((s, dir) =>
+      Tokenizer.charCoverage(docs(s, dir), coverage = COVERAGE))
   )
+
+  private val COVERAGE = 0.995
 
   // ---- oracles ----
 
@@ -86,6 +93,23 @@ object TokenizerQueries extends QueryPack {
          |SELECT word, cnt, replace(s, '  ', ' ') AS segmented
          |FROM seq$ROUNDS
          |QUALIFY row_number() OVER (ORDER BY cnt DESC, word) <= $SEG_TOP
-         |ORDER BY word""".stripMargin
+         |ORDER BY word""".stripMargin,
+
+    // Full-key ordering (cnt DESC, ch) makes the default RANGE frame
+    // row-equivalent, so the running sum matches Spark's window exactly.
+    "tok_char_coverage" ->
+      s"""WITH cc AS (
+         |  SELECT ch, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(lower(text), '')) AS ch
+         |        FROM documents)
+         |  WHERE ch <> '' GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cc),
+         |rk AS (SELECT ch, cnt,
+         |         sum(cnt) OVER (ORDER BY cnt DESC, ch) AS cum
+         |       FROM cc)
+         |SELECT ch, cnt, round(cum / total, 6) AS cum_share,
+         |  (cum - cnt) < total * $COVERAGE AS in_alphabet
+         |FROM rk CROSS JOIN tot
+         |ORDER BY cnt DESC, ch""".stripMargin
   )
 }

@@ -88,6 +88,18 @@ class LearnSpec extends SparkSpec {
     assert(commonChi2 == 0.0)
   }
 
+  test("modelAgreement: kappa is 1 on identical, 0 on constant predictions") {
+    def preds(ps: Seq[(Long, Long)]) = ps.toDF("doc_id", "pred")
+    val a = preds(Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)))
+    val same = Learn.modelAgreement(a, a).head()
+    assert(same.getAs[Double]("agree") == 1.0 && same.getAs[Double]("kappa") == 1.0)
+    val const = preds(Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    val degen = Learn.modelAgreement(const, const).head()
+    assert(degen.getAs[Double]("pe") == 1.0 && degen.getAs[Double]("kappa") == 0.0)
+    val inv = preds(Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)))
+    assert(Learn.modelAgreement(a, inv).head().getAs[Double]("kappa") == -1.0)
+  }
+
   test("pcaTopComponent finds the dominant axis; projections are centered") {
     // Variance overwhelmingly along dim 0.
     val vecs = Seq(

@@ -38,4 +38,21 @@ class TokenizerSpec extends SparkSpec {
     assert(got("ba") === "b a")    // no merge applies across b-a
     assert(got("aaa") === "aa a")  // greedy non-overlapping first merge
   }
+
+  test("charCoverage admits frequent chars and cuts the tail at coverage") {
+    import spark.implicits._
+    // 'a' ×8, 'b' ×1, 'z' ×1 → at 80% coverage only 'a' makes the
+    // alphabet ('b' would start at cum 0.8, the exact boundary).
+    val docsDF = Seq("aaaa", "aaaa", "b", "z").toDF("text")
+    val rows = Tokenizer.charCoverage(docsDF, coverage = 0.8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("cum_share"), r.getAs[Boolean]("in_alphabet"))))
+      .toMap
+    assert(rows("a") == ((8L, 0.8, true)))
+    assert(rows("b") == ((1L, 0.9, false)))
+    assert(rows("z") == ((1L, 1.0, false)))
+    // full coverage admits everything
+    val all = Tokenizer.charCoverage(docsDF, coverage = 1.0).collect()
+    assert(all.forall(_.getAs[Boolean]("in_alphabet")))
+  }
 }

@@ -303,6 +303,32 @@ object Learn {
       .join(docs.select(col(idCol).as("doc_id"),
         labelCol.cast("long").as("y")), "doc_id")
 
+  /** Collect a trained Naive Bayes frame into its (weights, prior)
+    * arrays — dims-bounded model artifacts for [[nbScoreColumn]]. */
+  def nbModelArrays(model: DataFrame, dims: Int): (Array[Double], Double) = {
+    val rows = model.select(col("bucket"), col("w"), col("prior")).collect()
+    val w = new Array[Double](dims)
+    rows.foreach(r => w(r.getAs[Long]("bucket").toInt) = r.getAs[Double]("w"))
+    (w, rows.head.getAs[Double]("prior"))
+  }
+
+  /** The trained model compiled into ONE narrow column expression:
+    * score = prior + Σ_tokens w[bucket(t)] — a per-row HOF fold with the
+    * weight table as an array literal. No join, no shuffle, no state, so
+    * the SAME expression scores a batch frame or a structured stream in
+    * append mode (the quality-gate deployment shape: score each arriving
+    * document and route on the result). Algebraically identical to
+    * [[predictNaiveBayes]]'s per-bucket form (Σ_t w[bucket(t)] =
+    * Σ_b cnt_b·w_b).
+    */
+  def nbScoreColumn(weights: Array[Double], prior: Double, dims: Int,
+      textCol: Column): Column = {
+    val wLit = array(weights.toIndexedSeq.map(lit): _*)
+    lit(prior) + aggregate(TextFns.tokens(textCol), lit(0.0),
+      (acc, t) => acc +
+        element_at(wLit, TextAnalysis.hashBucket(t, dims).cast("int") + 1))
+  }
+
   /** Inter-model agreement between two hard-prediction frames: observed
     * agreement, chance agreement, and Cohen's kappa — the ensemble sanity
     * check before trusting either classifier's labels for selection (two

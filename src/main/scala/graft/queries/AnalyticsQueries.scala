@@ -27,6 +27,25 @@ object AnalyticsQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Incremental MV maintenance: the view state is built from a base
+    // partition and kept current by merging the delta batch's partials —
+    // the oracle recomputes directly over the union, so the hash compare
+    // PROVES merge-of-partials ≡ recompute (algebraic correctness).
+    "mv_incremental_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val keys = Seq("l_returnflag")
+      val base = graft.operators.Incremental.aggState(
+        li.filter(col("l_shipdate") < lit("1995-06-01")), keys, "l_extendedprice")
+      val delta = graft.operators.Incremental.aggState(
+        li.filter(col("l_shipdate") >= lit("1995-06-01")), keys, "l_extendedprice")
+      graft.operators.Incremental.finalize(
+          graft.operators.Incremental.merge(base, delta, keys))
+        .select(col("l_returnflag"),
+          round(col("sum_v"), 2).as("sum_v"), col("cnt_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+        .orderBy("l_returnflag")
+    }),
+
     // EX1: TPC-H Q1-style pricing summary — partial+final hash agg.
     "agg_pricing_summary" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -632,6 +651,18 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    // Direct recompute — deliberately NOT the merge path, so the compare
+    // proves the two-phase maintenance equals a from-scratch aggregate.
+    "mv_incremental_pricing" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice), 2) AS sum_v,
+        |  count(l_extendedprice) AS cnt_v,
+        |  min(l_extendedprice) AS min_v,
+        |  max(l_extendedprice) AS max_v,
+        |  round(sum(l_extendedprice) / count(l_extendedprice), 6) AS avg_v
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

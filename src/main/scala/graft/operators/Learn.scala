@@ -244,6 +244,56 @@ object Learn {
       .toDF("i", "loading", "mu")
   }
 
+  /** Top-k principal components by power iteration with Hotelling
+    * deflation: after each converged component, C ← C − λ·v vᵀ with
+    * λ = vᵀCv, then re-iterate from the uniform seed. Same corpus cost
+    * as [[pcaTopComponent]] — ONE MomentsAgg pass; deflation is dim²
+    * driver flops per component. Components come out orthogonal (up to
+    * iteration convergence), eigenvalue-descending.
+    *
+    * @return (comp, i, loading) — comp ∈ [1, k], dim rows each.
+    */
+  def pcaComponents(embeddings: DataFrame, dim: Int, k: Int = 2,
+      iters: Int = 8, embCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val row = rawMoments(embeddings, embCol).head()
+    val s = row.getSeq[Double](0).toArray
+    val ss = row.getSeq[Double](1).toArray
+    val n = row.getDouble(2)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      ss(i * dim + j) / n - (s(i) / n) * (s(j) / n))
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    for (comp <- 1 to k) {
+      var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to iters) {
+        val cv = Array.tabulate(dim) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }
+          acc
+        }
+        val nrm = math.sqrt(cv.map(x => x * x).sum)
+        v = cv.map(_ / nrm)
+      }
+      var lam = 0.0
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { lam += v(i) * cov(i)(j) * v(j); j += 1 }
+        i += 1
+      }
+      i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { cov(i)(j) = cov(i)(j) - lam * (v(i) * v(j)); j += 1 }
+        i += 1
+      }
+      v.zipWithIndex.foreach { case (x, d) => out += ((comp.toLong, d.toLong, x)) }
+    }
+    out.result().toDF("comp", "i", "loading")
+  }
+
   /** Multinomial Naive Bayes over hashed term counts — the closed-form,
     * ONE-PASS trainer (contrast [[trainLogReg]]'s iterated GD): per-bucket
     * class-conditional counts in a single partial-aggregable aggregation,

@@ -27,6 +27,13 @@ object AnalyticsQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ANALYZE-style stats collection: one scan profiles every column
+    // (multi-distinct plans as a single Expand with partial agg) — the
+    // numbers a CBO stats catalog or dataset datacard publishes.
+    "profile_lineitem_stats" -> ((s, dir) =>
+      graft.operators.Profile.numericStats(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
     // Incremental MV maintenance: the view state is built from a base
     // partition and kept current by merging the delta batch's partials —
     // the oracle recomputes directly over the union, so the hash compare
@@ -651,6 +658,17 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_lineitem_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n,
+           |  count(DISTINCT $c) AS ndv,
+           |  CAST(min($c) AS DOUBLE) AS min_v,
+           |  CAST(max($c) AS DOUBLE) AS max_v,
+           |  round(avg($c), 6) AS avg_v FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
     // Direct recompute — deliberately NOT the merge path, so the compare
     // proves the two-phase maintenance equals a from-scratch aggregate.
     "mv_incremental_pricing" ->

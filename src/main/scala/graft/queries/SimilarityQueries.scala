@@ -84,6 +84,15 @@ object SimilarityQueries extends QueryPack {
           round(col("mu"), 6).as("mu"))
         .orderBy("dim")),
 
+    // Top-2 components via Hotelling deflation — the multi-component
+    // fit (same single corpus pass; deflation is model-sized work).
+    "sim_pca_components2" -> ((s, dir) =>
+      graft.operators.Learn.pcaComponents(emb(s, dir), DIM, k = 2,
+          iters = PCA_ITERS)
+        .select(col("comp"), col("i").as("dim"),
+          round(col("loading"), 6).as("loading"))
+        .orderBy("comp", "dim")),
+
     // Centered projection of every vector onto that component — the
     // 1-D whitening/compression view (fit → transform composite).
     "sim_pca_project" -> ((s, dir) => {
@@ -354,10 +363,43 @@ object SimilarityQueries extends QueryPack {
        |$iterCtes""".stripMargin
   }
 
+  /** Deflation oracle: λ₁ = vᵀCv over the converged first component,
+    * cov2 = C − λ₁·v vᵀ (operator parenthesization), then a second
+    * unrolled power-iteration chain b0 → b$PCA_ITERS. */
+  private lazy val pca2Ctes: String = {
+    val seed = 1.0 / math.sqrt(DIM.toDouble)
+    val iterCtes = (1 to PCA_ITERS).map { t =>
+      s"""bv$t AS MATERIALIZED (SELECT cov2.i, sum(c * loading) AS cv
+         |         FROM cov2 JOIN b${t - 1} v ON cov2.j = v.i GROUP BY 1),
+         |bn$t AS (SELECT sqrt(sum(cv * cv)) AS nrm FROM bv$t),
+         |b$t AS MATERIALIZED (SELECT i, cv / nrm AS loading
+         |        FROM bv$t CROSS JOIN bn$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$pcaCtes,
+       |lam1 AS MATERIALIZED (SELECT sum(vi.loading * c * vj.loading) AS lam
+       |        FROM cov JOIN v$PCA_ITERS vi ON cov.i = vi.i
+       |        JOIN v$PCA_ITERS vj ON cov.j = vj.i),
+       |cov2 AS MATERIALIZED (SELECT cov.i, cov.j,
+       |          c - lam * (vi.loading * vj.loading) AS c
+       |        FROM cov CROSS JOIN lam1
+       |        JOIN v$PCA_ITERS vi ON cov.i = vi.i
+       |        JOIN v$PCA_ITERS vj ON cov.j = vj.i),
+       |b0 AS (SELECT unnest(range(0, $DIM)) AS i, $seed AS loading),
+       |$iterCtes""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,
+
+    "sim_pca_components2" ->
+      s"""WITH $pca2Ctes
+         |SELECT CAST(1 AS BIGINT) AS comp, i AS dim,
+         |  round(loading, 6) AS loading FROM v$PCA_ITERS
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), i, round(loading, 6) FROM b$PCA_ITERS
+         |ORDER BY comp, dim""".stripMargin,
 
     "sim_pca_component" ->
       s"""WITH $pcaCtes

@@ -41,9 +41,16 @@ class PlanAuditSpec extends SparkSpec {
   // left to the planner/AQE, which broadcasts small sides adaptively
   // from RUNTIME sizes and degrades to a shuffle join at 100 TB instead
   // of dying at the broadcast limit.
-  test("cell-blocked kNN and vocabulary joins force no unbounded broadcast") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join}
-    val audited = Seq("graph_knn_pagerank", "sim_nn_within_label", "text_unigram_logprob")
+  test("cell-blocked kNN, vocabulary, and model joins force no unbounded broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LocalRelation, Range}
+    // The model-training family broadcasts its weight/component frames —
+    // legal ONLY because those are bounded by construction: a scalar
+    // (groupless) aggregate, a spark.range(dims) root, or a driver-built
+    // LocalRelation of model rows. Anything else (a corpus-derived side)
+    // must be left to AQE.
+    val audited = Seq("graph_knn_pagerank", "sim_nn_within_label",
+      "text_unigram_logprob", "learn_logreg_predict", "learn_nb_predict",
+      "learn_calibration", "learn_model_agreement", "sim_pca_project")
     val offenders = audited.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val forced = plan.collect {
@@ -52,11 +59,19 @@ class PlanAuditSpec extends SparkSpec {
             case (Some(h), side) if h.strategy.contains(BROADCAST) => side
           }
       }.flatten
-      val unbounded = forced.filterNot(side => side.collectFirst {
-        case a: Aggregate if a.groupingExpressions.isEmpty => a
-      }.isDefined)
+      val unbounded = forced.filterNot { side =>
+        val scalarAgg = side.collectFirst {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.isDefined
+        val modelRoot = side.collectLeaves().forall {
+          case _: Range => true
+          case _: LocalRelation => true
+          case _ => false
+        }
+        scalarAgg || modelRoot
+      }
       if (unbounded.isEmpty) Nil
-      else Seq(s"$name: forces broadcast of ${unbounded.size} non-scalar side(s)")
+      else Seq(s"$name: forces broadcast of ${unbounded.size} non-bounded side(s)")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

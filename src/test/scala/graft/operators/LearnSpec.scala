@@ -121,6 +121,27 @@ class LearnSpec extends SparkSpec {
     assert(scores.map(math.abs).max > 5.0, "dominant spread must survive projection")
   }
 
+  test("pcaComponents: deflated second component is orthogonal and unit-norm") {
+    val vecs = Seq(
+      (1L, Seq(10.0f, 1.0f, 0.0f)),
+      (2L, Seq(-10.0f, -1.1f, 0.1f)),
+      (3L, Seq(6.0f, -2.0f, 0.0f)),
+      (4L, Seq(-6.0f, 2.1f, -0.1f)),
+      (5L, Seq(2.0f, 0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val comps = Learn.pcaComponents(vecs, dim = 3, k = 2, iters = 24)
+      .orderBy("comp", "i").collect()
+      .groupBy(_.getAs[Long]("comp"))
+      .map { case (c, rows) => c -> rows.map(_.getAs[Double]("loading")) }
+    val v1 = comps(1L)
+    val v2 = comps(2L)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm(v1) - 1.0) < 1e-9 && math.abs(norm(v2) - 1.0) < 1e-9)
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, s"components must be orthogonal, dot=$dot")
+    assert(math.abs(v1(0)) > 0.9, "first component tracks the dominant axis")
+  }
+
   test("token-less documents drop out of training and inference") {
     val d = toy.union(Seq((7L, "", 1), (8L, "!!!", 0)).toDF("doc_id", "text", "y"))
     val w = Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = 2)

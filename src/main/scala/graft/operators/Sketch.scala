@@ -74,4 +74,47 @@ object Sketch {
           .as("within_contract"))
       .orderBy(col("exact_cnt").desc, col(termCol))
   }
+
+  /** CMS join-cardinality estimation — the CBO primitive: |A ⋈ₖ B|
+    * estimated from the two sketches' inner product,
+    * est = min_d Σ_b cmsA[d,b]·cmsB[d,b], WITHOUT executing the join.
+    * The classic bound (Cormode-Muthukrishnan): est ≥ true and
+    * E[est_d − true] ≤ |A|·|B|/width per row, so by Markov the contract
+    * est ≤ true + 4·|A|·|B|/width fails all depth rows with probability
+    * ≤ (1/4)^depth — derived in-engine like [[heavyHittersChecked]], so
+    * the oracle recomputes rather than asserting a literal.
+    *
+    * Scale shape: each side reduces to a depth×width cell relation
+    * (bounded) before anything joins; the exact count (for the contract)
+    * comes from per-key count products, never a materialized join. All
+    * arithmetic on the estimate is integral — bit-identical replay.
+    *
+    * @return one row: (est, exact_size, within_contract).
+    */
+  def joinSizeChecked(a: DataFrame, keyColA: String, b: DataFrame,
+      keyColB: String, depth: Int = 4, width: Int = 512): DataFrame = {
+    val ka = a.select(col(keyColA).cast("string").as("term"))
+    val kb = b.select(col(keyColB).cast("string").as("term"))
+    // A depth-row with NO colliding buckets drops out of the inner join —
+    // its inner product is 0, which must win the min (it is the tightest
+    // estimate), so rows missing from the join force est = 0.
+    val est = cmsBuild(ka, "term", depth, width)
+      .withColumnRenamed("cnt", "cnt_a")
+      .join(cmsBuild(kb, "term", depth, width).withColumnRenamed("cnt", "cnt_b"),
+        Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(when(count(lit(1)) < depth, lit(0L))
+        .otherwise(min(col("ip"))).as("est"))
+    val exact = ka.groupBy(col("term")).agg(count(lit(1)).as("ca"))
+      .join(kb.groupBy(col("term")).agg(count(lit(1)).as("cb")), "term")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_size"))
+    val sizes = ka.agg(count(lit(1)).cast("double").as("na"))
+      .crossJoin(kb.agg(count(lit(1)).cast("double").as("nb")))
+    est.crossJoin(exact).crossJoin(sizes)
+      .select(col("est"), col("exact_size"),
+        (col("est") >= col("exact_size") &&
+          col("est") <= col("exact_size") +
+            lit(4.0) * col("na") * col("nb") / lit(width))
+          .as("within_contract"))
+  }
 }

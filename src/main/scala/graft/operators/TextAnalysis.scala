@@ -538,4 +538,44 @@ object TextAnalysis {
       .agg(count(lit(1)).as("new_terms"))
       .withColumn("cum_vocab", sum(col("new_terms")).over(w))
   }
+
+  /** PMI collocation extraction: pointwise mutual information over
+    * document-level token co-occurrence — pmi(a,b) = ln(N·c_ab /
+    * (c_a·c_b)) with doc-frequency counts, support-filtered, top-N.
+    * The classic collocation/phrase-mining statistic (and the signal
+    * word2vec-era phrase detection thresholds).
+    *
+    * Scale shape: pair generation is a NARROW array expression over each
+    * doc's sorted distinct-token list (no self-join) — fan-out bounded
+    * by per-doc distinct terms squared, the shingle class of cost. The
+    * two count joins key on terms (zipfian, AQE-split); the only
+    * broadcast is the one-row N.
+    *
+    * @return (pair, c_ab, pmi) top `topN` by rounded PMI, ties → pair.
+    */
+  def collocations(docs: DataFrame, minSupport: Int = 10, topN: Int = 20,
+      textCol: String = "text"): DataFrame = {
+    val sorted = array_sort(array_distinct(TextFns.tokens(col(textCol))))
+    val pairsCol = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(sorted)),
+        y => concat_ws(" ", x, y))))
+    val prs = docs.select(explode(pairsCol).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+    val tok = docs
+      .select(explode(array_distinct(TextFns.tokens(col(textCol)))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c_t"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    prs
+      .withColumn("a", substring_index(col("pair"), " ", 1))
+      .withColumn("b", substring_index(col("pair"), " ", -1))
+      .join(tok.select(col("t").as("a"), col("c_t").as("c_a")), "a")
+      .join(tok.select(col("t").as("b"), col("c_t").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("pair"), col("c_ab"),
+        round(log(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(topN)
+  }
 }

@@ -33,7 +33,15 @@ object SearchQueries extends QueryPack {
       val tokens = docs(s, dir).select(
         explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
       Sketch.heavyHittersChecked(tokens, topN = 10)
-    })
+    }),
+
+    // CBO primitive: |orders ⋈ customer| estimated from the two key
+    // sketches' inner product — no join executed; accuracy-contract
+    // boolean derived in-engine (and re-derived by the oracle).
+    "sketch_join_size" -> ((s, dir) =>
+      Sketch.joinSizeChecked(
+        graft.Tables.load(s, dir, "orders"), "o_custkey",
+        graft.Tables.load(s, dir, "customer"), "c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,6 +93,36 @@ object SearchQueries extends QueryPack {
          |SELECT t.term, t.exact_cnt,
          |  (e.est >= t.exact_cnt AND e.est <= t.exact_cnt + 4.0 * n_total / 512) AS within_contract
          |FROM top t JOIN est e USING (term) CROSS JOIN tot
-         |ORDER BY exact_cnt DESC, term""".stripMargin
+         |ORDER BY exact_cnt DESC, term""".stripMargin,
+
+    // Same replayable md5-chunk sketch family over both key columns; the
+    // estimate is integral arithmetic (bit-identical), the contract
+    // re-derived from the oracle's own inner products.
+    "sketch_join_size" ->
+      s"""WITH ka AS (SELECT CAST(o_custkey AS VARCHAR) AS term FROM orders),
+         |kb AS (SELECT CAST(c_custkey AS VARCHAR) AS term FROM customer),
+         |ca AS (SELECT r.range AS row,
+         |    ('0x' || substr(md5(term), CAST(1 + 8 * r.range AS INTEGER), 8))::UBIGINT % 512 AS bucket,
+         |    count(*) AS cnt_a
+         |  FROM ka CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+         |cb AS (SELECT r.range AS row,
+         |    ('0x' || substr(md5(term), CAST(1 + 8 * r.range AS INTEGER), 8))::UBIGINT % 512 AS bucket,
+         |    count(*) AS cnt_b
+         |  FROM kb CROSS JOIN range(0, 4) r GROUP BY 1, 2),
+         |ip AS (SELECT ca.row, sum(cnt_a * cnt_b) AS ip
+         |       FROM ca JOIN cb ON ca.row = cb.row AND ca.bucket = cb.bucket
+         |       GROUP BY 1),
+         |es AS (SELECT CASE WHEN count(*) < 4 THEN 0
+         |              ELSE min(ip) END AS est FROM ip),
+         |ex AS (SELECT coalesce(sum(x.c * y.c), 0) AS exact_size FROM
+         |        (SELECT term, count(*) AS c FROM ka GROUP BY 1) x
+         |        JOIN (SELECT term, count(*) AS c FROM kb GROUP BY 1) y
+         |        USING (term)),
+         |sz AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ka) AS na,
+         |              (SELECT CAST(count(*) AS DOUBLE) FROM kb) AS nb)
+         |SELECT CAST(est AS BIGINT) AS est, CAST(exact_size AS BIGINT) AS exact_size,
+         |  (est >= exact_size AND
+         |   est <= exact_size + 4.0 * na * nb / 512) AS within_contract
+         |FROM es CROSS JOIN ex CROSS JOIN sz""".stripMargin
   )
 }

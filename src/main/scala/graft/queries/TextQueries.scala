@@ -107,6 +107,11 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("copies"))
         .orderBy("doc_id")),
 
+    // Collocation mining: top token pairs by document-level PMI
+    // (narrow pair fan-out from each doc's sorted distinct tokens).
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), minSupport = 10, topN = 20)),
+
     // EX8b: corpus top-20 terms.
     "text_top_terms" -> ((s, dir) =>
       docs(s, dir)
@@ -581,6 +586,28 @@ object TextQueries extends QueryPack {
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // Pair generation replayed as a list comprehension over the same
+    // sorted distinct-token lists; PMI with the operator's arithmetic.
+    "text_collocations" ->
+      s"""WITH tl AS MATERIALIZED (
+         |  SELECT list_sort(list_distinct($toksSql)) AS ts FROM documents),
+         |pr AS (SELECT unnest(flatten(list_transform(range(1, len(ts)),
+         |           i -> list_transform(ts[i+1:], y -> ts[i] || ' ' || y))))
+         |         AS pair
+         |       FROM tl),
+         |cab AS (SELECT pair, count(*) AS c_ab FROM pr GROUP BY 1
+         |        HAVING count(*) >= 10),
+         |ct AS MATERIALIZED (SELECT t, count(*) AS c_t
+         |      FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+         |SELECT pair, c_ab,
+         |  round(ln(n_docs * c_ab / (ca.c_t * cb.c_t)), 6) AS pmi
+         |FROM cab
+         |JOIN ct ca ON split_part(pair, ' ', 1) = ca.t
+         |JOIN ct cb ON split_part(pair, ' ', 2) = cb.t
+         |CROSS JOIN nn
+         |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin,
 
     "text_pii" -> {
       import TextAnalysis.{piiEmailRe, piiIpv4Re, piiPhoneRe}

@@ -36,4 +36,21 @@ class SketchSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSeq === Seq(30L, 20L, 10L))
     assert(rows.forall(_.getBoolean(2)))
   }
+
+  test("joinSizeChecked overestimates within the contract; exact on no collisions") {
+    import spark.implicits._
+    // keys 1..5 × multiplicities: |A ⋈ B| = Σ ca·cb = 2·3 + 1·1 = 7
+    val a = Seq(1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 1L, 1L, 2L, 9L).toDF("k")
+    val row = Sketch.joinSizeChecked(a, "k", b, "k", width = 512).head()
+    val (est, exact) = (row.getAs[Long]("est"), row.getAs[Long]("exact_size"))
+    assert(exact == 7L)
+    assert(est >= exact && row.getAs[Boolean]("within_contract"))
+    // 5 distinct keys in 512 buckets: no collisions, estimate is exact
+    assert(est == 7L)
+    // disjoint keys → empty join, estimate still within contract
+    val d = Sketch.joinSizeChecked(Seq(1L).toDF("k"), "k",
+      Seq(2L).toDF("k"), "k", width = 512).head()
+    assert(d.getAs[Long]("exact_size") == 0L && d.getAs[Boolean]("within_contract"))
+  }
 }

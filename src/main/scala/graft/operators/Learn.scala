@@ -379,6 +379,33 @@ object Learn {
         element_at(wLit, TextAnalysis.hashBucket(t, dims).cast("int") + 1))
   }
 
+  /** Binary-classification evaluation: confusion counts and the derived
+    * precision/recall/F1/accuracy in one groupless aggregate (single
+    * row out regardless of corpus size). Degenerate denominators (no
+    * predicted/actual positives) pin the affected rate to 0 rather than
+    * NULL, the common reporting convention.
+    *
+    * @param preds any frame with hard `pred` and true `y` columns.
+    * @return (n, tp, fp, fn, tn, precision, recall, f1, accuracy).
+    */
+  def evalMetrics(preds: DataFrame): DataFrame = {
+    val counted = preds.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    val prec = when(col("tp") + col("fp") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fn")))
+    counted.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(when(prec + rec === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
+      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy"))
+  }
+
   /** Inter-model agreement between two hard-prediction frames: observed
     * agreement, chance agreement, and Cohen's kappa — the ensemble sanity
     * check before trusting either classifier's labels for selection (two

@@ -73,6 +73,15 @@ object LearnQueries extends QueryPack {
       Learn.chi2Features(docs(s, dir), col("lang") === "en", DIMS)
         .orderBy("bucket")),
 
+    // Train → predict → evaluate: confusion counts + precision/recall/
+    // F1/accuracy of the NB classifier in one groupless aggregate.
+    "learn_eval_metrics" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Learn.evalMetrics(Learn.predictNaiveBayes(d,
+        Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
+        col("lang") === "en", DIMS))
+    }),
+
     // Ensemble sanity check: Cohen's kappa between the GD and NB
     // classifiers' hard labels (trained on the same corpus).
     "learn_model_agreement" -> ((s, dir) => {
@@ -217,6 +226,35 @@ object LearnQueries extends QueryPack {
          |         ((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0) END, 6)
          |    AS chi2
          |FROM pr CROSS JOIN t2 ORDER BY bucket""".stripMargin,
+
+    "learn_eval_metrics" ->
+      s"""WITH $nbCtes,
+         |$nbPredCtes,
+         |px AS (SELECT sc.doc_id,
+         |         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred,
+         |         CAST(y AS BIGINT) AS y
+         |       FROM sc JOIN lab USING (doc_id)),
+         |cm AS (SELECT count(*) AS n,
+         |         sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+         |         sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+         |         sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+         |         sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+         |       FROM px)
+         |SELECT n, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
+         |      (CASE WHEN tp + fn = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
+         |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
+         |      (tp / CAST(tp + fn AS DOUBLE)) /
+         |      ((tp / CAST(tp + fp AS DOUBLE)) +
+         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
+         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |FROM cm""".stripMargin,
 
     // Both model replays chained in one WITH (shared tf/lab base), then
     // the kappa closed form with the operator's parenthesization.

@@ -88,6 +88,22 @@ class LearnSpec extends SparkSpec {
     assert(commonChi2 == 0.0)
   }
 
+  test("evalMetrics computes a known confusion matrix and rates") {
+    val preds = Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 1L), (4L, 0L, 0L),
+      (5L, 1L, 1L)).toDF("doc_id", "pred", "y")
+    val m = Learn.evalMetrics(preds).head()
+    assert((m.getAs[Long]("tp"), m.getAs[Long]("fp"),
+      m.getAs[Long]("fn"), m.getAs[Long]("tn")) == ((2L, 1L, 1L, 1L)))
+    assert(m.getAs[Double]("precision") == 0.666667)
+    assert(m.getAs[Double]("recall") == 0.666667)
+    assert(m.getAs[Double]("f1") == 0.666667)
+    assert(m.getAs[Double]("accuracy") == 0.6)
+    // degenerate: no predicted positives → precision pinned to 0
+    val deg = Learn.evalMetrics(
+      Seq((1L, 0L, 1L), (2L, 0L, 0L)).toDF("doc_id", "pred", "y")).head()
+    assert(deg.getAs[Double]("precision") == 0.0 && deg.getAs[Double]("f1") == 0.0)
+  }
+
   test("modelAgreement: kappa is 1 on identical, 0 on constant predictions") {
     def preds(ps: Seq[(Long, Long)]) = ps.toDF("doc_id", "pred")
     val a = preds(Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 0L)))

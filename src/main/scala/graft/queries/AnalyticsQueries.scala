@@ -27,6 +27,12 @@ object AnalyticsQueries extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Ordered funnel: view → click → purchase with first-touch ordering;
+    // chained conditional-min windows over ONE user_id exchange.
+    "funnel_view_click_purchase" -> ((s, dir) =>
+      graft.operators.Funnel.funnelCounts(t(s, dir, "events"),
+        Seq("view", "click", "purchase"))),
+
     // ANALYZE-style stats collection: one scan profiles every column
     // (multi-distinct plans as a single Expand with partial agg) — the
     // numbers a CBO stats catalog or dataset datacard publishes.
@@ -658,6 +664,22 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "funnel_view_click_purchase" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t_0 FROM events),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t_0
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_1 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t_1
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_2 FROM w2),
+        |u AS (SELECT DISTINCT user_id, t_0, t_1, t_2 FROM w3)
+        |SELECT count(*) AS n_users,
+        |  count(t_0) AS step_view, count(t_1) AS step_click,
+        |  count(t_2) AS step_purchase,
+        |  round(count(t_1) / CAST(count(t_0) AS DOUBLE), 6) AS conv_click,
+        |  round(count(t_2) / CAST(count(t_1) AS DOUBLE), 6) AS conv_purchase
+        |FROM u""".stripMargin,
+
     "profile_lineitem_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       cols.map { c =>

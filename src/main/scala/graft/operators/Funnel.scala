@@ -46,4 +46,62 @@ object Funnel {
     counts.select(col("n_users") +:
       steps.map(st => col(s"step_$st")) ++: convs: _*)
   }
+
+  /** Weekly cohort retention matrix: users are grouped by the week of
+    * their FIRST event (the cohort), and each (cohort, week-offset) cell
+    * counts how many of them were active that many weeks later.
+    * `retention` divides by the cohort's own size (its offset-0 cell —
+    * every user is active in their first week by construction).
+    *
+    * Scale shape: the per-user first-week aggregate and the activity
+    * join both hash on `user_id`, so the event stream shuffles once and
+    * the join co-locates on the same partitioning; the per-user
+    * (cohort, offset) collapse is a distinct on rows already keyed by
+    * user, and the final matrix is |cohorts| × |offsets| rows — tiny, so
+    * its cohort-size window costs nothing. No corpus-sized broadcast.
+    */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val week = date_trunc("week", col(tsCol)).cast("date")
+    val first = events.groupBy(col(userCol))
+      .agg(min(week).as("cohort_week"))
+    val active = events.select(col(userCol), week.as("active_week")).distinct()
+    val cells = active.join(first, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("active_week"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val byCohort = Window.partitionBy(col("cohort_week"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** First-order Markov transition matrix over per-user event journeys:
+    * P(next event type | current event type), the standard user-journey /
+    * process-mining summary. Ordering ties are broken by `event_id` so
+    * the chain — and therefore the matrix — is engine-independent.
+    *
+    * Scale shape: ONE `user_id` window (exchange + sort) produces every
+    * adjacent pair via `lead`; the pair count is a partial-aggregable
+    * groupBy whose output is |types|² rows, so the row-probability
+    * window runs on a bounded frame. The event stream is never
+    * self-joined.
+    */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("to_event", lead(col(typeCol), 1).over(w))
+      .filter(col("to_event").isNotNull)
+      .groupBy(col(typeCol).as("from_event"), col("to_event"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_event"))
+    pairs.select(col("from_event"), col("to_event"), col("n"),
+      round(col("n") / sum(col("n")).over(byFrom).cast("double"), 6).as("p"))
+  }
 }

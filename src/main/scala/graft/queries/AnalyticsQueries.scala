@@ -33,6 +33,22 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Funnel.funnelCounts(t(s, dir, "events"),
         Seq("view", "click", "purchase"))),
 
+    // Weekly cohort retention matrix: one user_id shuffle (first-week agg
+    // + co-partitioned activity join), tiny cohort×offset output.
+    "funnel_cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.cohortRetention(t(s, dir, "events"))),
+
+    // User-journey Markov transition matrix: one user_id window for the
+    // lead() pairing, |types|² bounded output.
+    "funnel_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitions(t(s, dir, "events"))),
+
+    // A/B readout: deterministic user_id%2 variant, per-user conversion
+    // collapse, pooled two-proportion z-test (operators/Experiment.scala).
+    "ab_conversion_ztest" -> ((s, dir) =>
+      graft.operators.Experiment.conversionZTest(t(s, dir, "events"),
+        minValue = 150.0)),
+
     // ANALYZE-style stats collection: one scan profiles every column
     // (multi-distinct plans as a single Expand with partial agg) — the
     // numbers a CBO stats catalog or dataset datacard publishes.
@@ -664,6 +680,64 @@ object AnalyticsQueries extends QueryPack {
   )
 
   val oracles: Map[String, String] = Map(
+    "funnel_cohort_retention" ->
+      """WITH first AS (
+        |  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events),
+        |cells AS (
+        |  SELECT cohort_week,
+        |    CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM active JOIN first USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |  round(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
+        |FROM cells""".stripMargin,
+
+    "funnel_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type, lead(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_event
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_event, to_event, count(*) AS n
+        |  FROM nxt WHERE to_event IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_event, to_event, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p
+        |FROM pairs""".stripMargin,
+
+    "ab_conversion_ztest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    CAST(user_id % 2 AS INTEGER) AS variant
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM pu),
+        |g AS (
+        |  SELECT *, conv_a / CAST(n_a AS DOUBLE) AS pa,
+        |    conv_b / CAST(n_b AS DOUBLE) AS pb,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS pool
+        |  FROM f),
+        |h AS (
+        |  SELECT *, CASE WHEN pool > 0 AND pool < 1 THEN
+        |      (pb - pa) / sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+        |    END AS zraw
+        |  FROM g)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round(zraw, 6) AS z, (abs(zraw) > 1.96) AS significant
+        |FROM h""".stripMargin,
+
     "funnel_view_click_purchase" ->
       """WITH w1 AS (SELECT user_id, ts, event_type,
         |  min(CASE WHEN event_type = 'view' THEN ts END)

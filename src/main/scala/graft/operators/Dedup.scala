@@ -296,6 +296,45 @@ object Dedup {
         col(s"_best.$idCol").as("survivor_id"),
         col(s"_best.$scoreCol").as(s"survivor_$scoreCol"))
 
+  /** Asymmetric-overlap (max-containment) near-dup: for each blocked
+    * document pair, |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|) — Broder's
+    * containment measure taken in the direction of the SMALLER set.
+    * Jaccard misses subset relations (a paragraph quoted inside a long
+    * document scores near 0), containment flags them at 1.0 — the
+    * standard second axis for quote/boilerplate detection in corpus
+    * dedup.
+    *
+    * Scale shape: identical to the n-gram Jaccard path — candidate pairs
+    * come from an inverted shingle index (explode → self-join on the
+    * shingle within `blockCols` blocks), so intersection counts are a
+    * partial-aggregable groupBy and only co-shingle pairs ever
+    * materialize, never an all-pairs product. Set sizes ride in via a
+    * per-doc (doc_id, size) frame that is |docs|-bounded but joined, not
+    * broadcast. Top-k is TakeOrderedAndProject.
+    */
+  def containmentTopK(docs: DataFrame, n: Int, blockCols: Seq[String],
+      topK: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val block = blockCols.map(col)
+    val d = docs.select(block :+ col(idCol).as("doc_id") :+
+      array_distinct(TextFns.textShingles(col(textCol), n)).as("sh"): _*)
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = d.select(block :+ col("doc_id") :+
+      explode(col("sh")).as("shingle"): _*)
+    val a = ex.select(block :+ col("doc_id").as("a") :+ col("shingle"): _*)
+    val b = ex.select(block :+ col("doc_id").as("b") :+ col("shingle"): _*)
+    a.join(b, blockCols :+ "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")), 6).as("containment"))
+      .orderBy(col("containment").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Incremental cross-batch near-dup: probe a NEW batch of documents
     * against an EXISTING corpus without ever pairing the corpus with
     * itself. The corpus contributes only its [[bandIndex]] and shingle

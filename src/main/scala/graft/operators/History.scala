@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history construction: turn an
+  * append-only change log into versioned dimension rows with effective
+  * ranges — the warehouse-side complement to the reference's in-place
+  * catalog point-update (SURVEY §2.1 E1), which keeps only the latest
+  * state (reference: data_downloader.py:40-48 rewrites the catalog row).
+  */
+object History {
+
+  /** Collapse a change log into SCD2 rows: per key (ordered by `tsCol`,
+    * ties broken by the unique `idCol`), consecutive repeats of `attrCol`
+    * merge into one row whose validity runs from its first appearance to
+    * the next CHANGE (`valid_to` null ⇒ current version).
+    *
+    * Scale shape: both windows (the change-detect `lag` and the range
+    * `lead`) share the same key partitioning and sort order, and the
+    * filter between them preserves distribution and ordering, so the log
+    * shuffles and sorts exactly once; everything else is narrow. Output
+    * is |versions| ≤ |log| rows, no broadcast, no self-join.
+    */
+  def scd2(log: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    log
+      .select(col(keyCol), col(attrCol), col(tsCol), col(idCol))
+      .withColumn("_prev", lag(col(attrCol), 1).over(w))
+      .filter(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol), col(tsCol).as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+}

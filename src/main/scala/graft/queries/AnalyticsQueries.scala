@@ -43,6 +43,14 @@ object AnalyticsQueries extends QueryPack {
     "funnel_transitions" -> ((s, dir) =>
       graft.operators.Funnel.transitions(t(s, dir, "events"))),
 
+    // SCD2 dimension history: customer order-status change log collapsed
+    // into versioned rows with effective ranges — one key shuffle, two
+    // windows sharing its sort (operators/History.scala).
+    "scd2_order_status" -> ((s, dir) =>
+      graft.operators.History.scd2(t(s, dir, "orders"),
+        keyCol = "o_custkey", attrCol = "o_orderstatus",
+        tsCol = "o_orderdate", idCol = "o_orderkey")),
+
     // A/B readout: deterministic user_id%2 variant, per-user conversion
     // collapse, pooled two-proportion z-test (operators/Experiment.scala).
     "ab_conversion_ztest" -> ((s, dir) =>
@@ -708,6 +716,21 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_event, to_event, n,
         |  round(n / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p
         |FROM pairs""".stripMargin,
+
+    "scd2_order_status" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |c AS (SELECT * FROM w WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  (lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL)
+        |    AS is_current
+        |FROM c""".stripMargin,
 
     "ab_conversion_ztest" ->
       """WITH pu AS (

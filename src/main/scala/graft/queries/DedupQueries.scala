@@ -73,6 +73,12 @@ object DedupQueries extends QueryPack {
     // fan-out is bounded by shingle frequency, and zero-overlap pairs are
     // never enumerated — sound for top-k as long as ≥k overlapping pairs
     // exist (150 at sf0.01, 14.5k at sf0.1).
+    // Max-containment (asymmetric overlap) top-20: flags subset/quote
+    // relations Jaccard scores near 0; same inverted-index blocking.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentTopK(docs(s, dir), n = 3,
+        blockCols = Seq("lang", "source"), topK = 20)),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       import graft.functions.TextFns
       val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
@@ -199,6 +205,22 @@ object DedupQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_kept,
         |  md5(string_agg(sentence, '. ' ORDER BY pos)) AS rebuilt_md5
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source,
+         |    list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, lang, source, $toksSql AS toks FROM documents)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter,
+         |    least(len(x.sh), len(y.sh)) AS mn
+         |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT a, b, round(CAST(inter AS DOUBLE) / mn, 6) AS containment
+         |FROM pairs
+         |WHERE inter > 0
+         |ORDER BY containment DESC, a, b LIMIT 20""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH d AS (

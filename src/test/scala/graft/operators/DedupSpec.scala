@@ -125,6 +125,22 @@ class DedupSpec extends SparkSpec {
     assert(sGot === Map("a" -> "b"))
   }
 
+  test("containment flags a subset pair that jaccard scores low") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon zeta"
+    val long = quoted + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, quoted, "en", "web"), (2L, long, "en", "web"),
+      (3L, "totally different text here now", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Dedup.containmentTopK(df, n = 3,
+      blockCols = Seq("lang", "source"), topK = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // doc 1's shingles are all inside doc 2 ⇒ max-containment 1.0,
+    // though jaccard is ~4/43.
+    assert(rows((1L, 2L)) == 1.0)
+    assert(!rows.contains((1L, 3L))) // no shared shingle ⇒ no pair at all
+  }
+
   test("simhash: identical docs agree, unrelated docs differ") {
     val fp = Dedup.simhash(docsDF).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -62,6 +63,41 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("score")), 6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Hybrid retrieval: BM25 keyword ranking fused with embedding-cosine
+    * ranking by reciprocal-rank fusion,
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)) — rank-based fusion needs
+    * no score normalization across the two heterogeneous scales, which is
+    * why it's the default hybrid in Elasticsearch/Vespa-style engines.
+    * Documents missing from one list contribute only the other term.
+    *
+    * Scale shape: both candidate lists come out of distributed top-k
+    * (TakeOrderedAndProject — never a global sort of the corpus), so the
+    * fusion operates on two ≤`candN`-row frames; their rank windows and
+    * the full-outer merge are bounded by construction, and `candN` is the
+    * recall/cost dial exactly as in production hybrid search. Ranks fuse
+    * on scores pre-rounded to 6 places (ties → lowest id), so the
+    * fused ordering is engine-independent.
+    */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], queryId: Long, topK: Int, candN: Int = 50,
+      kRrf: Int = 60): DataFrame = {
+    val kw = bm25TopK(docs, terms, candN)
+    val vec = Similarity.topKCosine(embeddings, queryId, candN)
+      .select(col("vec_id").as("doc_id"), col("cosine"))
+    val rkw = kw.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("bm25").desc, col("doc_id"))).as("r_kw"))
+    val rvec = vec.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("cosine").desc, col("doc_id"))).as("r_vec"))
+    rkw.join(rvec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_kw"), col("r_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_kw")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
 }

@@ -117,4 +117,34 @@ object Sketch {
             lit(4.0) * col("na") * col("nb") / lit(width))
           .as("within_contract"))
   }
+
+  /** Mergeable distinct-count rollup via Datasketches HLL (the Spark 4
+    * `hll_sketch_agg` / `hll_union_agg` built-ins): build one sketch per
+    * (group, slice) — e.g. per day — then UNION the per-slice sketches up
+    * to the group grain and estimate, never rescanning rows. This is the
+    * property that matters at 100 TB: daily sketches are a few KB each,
+    * so any coarser rollup (weekly, all-time, cross-region) is an
+    * algebraic merge of stored state rather than a second pass over the
+    * corpus — exactly how approx-distinct tiles in a warehouse work.
+    * `countDistinct` would need the full key stream shuffled per regroup.
+    *
+    * The estimate is NOT replayable in another engine (HLL internals),
+    * so the readout follows the repo's accuracy-contract pattern: emit
+    * the exact count plus a boolean asserting the merged estimate lands
+    * within `tol` (default 5% ≫ the ~1.6% standard error at the default
+    * lgConfigK=12, so the contract holds with overwhelming margin).
+    */
+  def hllMergedDistinct(df: DataFrame, keyCol: String, groupCol: String,
+      slice: org.apache.spark.sql.Column, tol: Double = 0.05): DataFrame = {
+    val perSlice = df.groupBy(col(groupCol), slice.as("slice"))
+      .agg(hll_sketch_agg(col(keyCol)).as("sk"))
+    val merged = perSlice.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(keyCol)).as("n_exact"))
+    merged.join(exact, groupCol)
+      .select(col(groupCol), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+          <= tol).as("merge_ok"))
+  }
 }

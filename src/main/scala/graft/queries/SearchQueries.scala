@@ -41,7 +41,22 @@ object SearchQueries extends QueryPack {
     "sketch_join_size" -> ((s, dir) =>
       Sketch.joinSizeChecked(
         graft.Tables.load(s, dir, "orders"), "o_custkey",
-        graft.Tables.load(s, dir, "customer"), "c_custkey"))
+        graft.Tables.load(s, dir, "customer"), "c_custkey")),
+
+    // Mergeable HLL rollup: daily user sketches unioned to per-type
+    // totals without rescanning rows; accuracy-contract readout
+    // (operators/Sketch.scala — estimate not replayable cross-engine).
+    "sketch_hll_rollup" -> ((s, dir) =>
+      Sketch.hllMergedDistinct(graft.Tables.load(s, dir, "events"),
+        keyCol = "user_id", groupCol = "event_type",
+        slice = to_date(col("ts"))).orderBy("event_type")),
+
+    // Hybrid retrieval: BM25 top-50 ∪ cosine top-50 fused by
+    // reciprocal-rank fusion (k=60), top-15 (operators/Search.scala).
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrfTopK(docs(s, dir),
+        s.read.parquet(s"$dir/embeddings.parquet"),
+        Terms, queryId = 0L, topK = 15))
   )
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +109,52 @@ object SearchQueries extends QueryPack {
          |  (e.est >= t.exact_cnt AND e.est <= t.exact_cnt + 4.0 * n_total / 512) AS within_contract
          |FROM top t JOIN est e USING (term) CROSS JOIN tot
          |ORDER BY exact_cnt DESC, term""".stripMargin,
+
+    // HLL internals aren't replayable cross-engine, so the oracle checks
+    // the exact counts and the (5%-tolerance, ~1.6%-error) contract
+    // boolean — the agg_approx_distinct pattern.
+    "sketch_hll_rollup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+        |  true AS merge_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Both candidate rankings replayed end-to-end (BM25 chain + cosine
+    // chain), fused with the same 1/(60+rank) arithmetic.
+    "search_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |posts AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+         |  WHERE term IN ($TermsSql)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY term),
+         |bmtop AS (
+         |  SELECT p.doc_id,
+         |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         |  FROM posts p
+         |  JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+         |  GROUP BY p.doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |rkw AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_kw FROM bmtop),
+         |embs AS (SELECT vec_id, ${DuckSql.vecDouble("embedding")} AS de FROM embeddings),
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = 0),
+         |vtop AS (
+         |  SELECT vec_id AS doc_id, round(${DuckSql.cosine("de", "qe")}, 6) AS cosine
+         |  FROM embs, q WHERE vec_id <> 0
+         |  ORDER BY cosine DESC, vec_id LIMIT 50),
+         |rv AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_vec FROM vtop),
+         |j AS (
+         |  SELECT coalesce(rkw.doc_id, rv.doc_id) AS doc_id, r_kw, r_vec
+         |  FROM rkw FULL OUTER JOIN rv ON rkw.doc_id = rv.doc_id)
+         |SELECT doc_id, r_kw, r_vec,
+         |  round(coalesce(1.0 / (60 + r_kw), 0) + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+         |FROM j ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     // Same replayable md5-chunk sketch family over both key columns; the
     // estimate is integral arithmetic (bit-identical), the contract

@@ -53,4 +53,19 @@ class SketchSpec extends SparkSpec {
       Seq(2L).toDF("k"), "k", width = 512).head()
     assert(d.getAs[Long]("exact_size") == 0L && d.getAs[Boolean]("within_contract"))
   }
+
+  test("HLL slice sketches merge to the cross-slice distinct count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group g: keys 1..60 in slice 1, 31..90 in slice 2 → 90 distinct
+    // (30 shared keys must NOT double count through the union).
+    val rows = ((1L to 60L).map(k => ("g", 1, k)) ++
+      (31L to 90L).map(k => ("g", 2, k)) ++
+      (1L to 10L).map(k => ("h", 1, k))).toList
+    val df = rows.toDF("grp", "slice", "key")
+    val got = Sketch.hllMergedDistinct(df, "key", "grp", col("slice"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got("g") == (90L, true))
+    assert(got("h") == (10L, true))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Streaming-style anomaly detection over an event stream: each event is
+  * scored against ITS OWN key's trailing time window (personal baseline),
+  * the standard drift/outlier monitor for metric pipelines.
+  */
+object Anomaly {
+
+  /** Rolling z-score per event: z = (x − μ_w)/σ_w over the trailing
+    * `windowMicros` RANGE frame (current row included) partitioned by
+    * `keyCol`; events with |z| > `zThresh` flag as anomalies. Windows
+    * with fewer than 3 points or zero variance yield null z (no
+    * baseline ⇒ no verdict, never a division error).
+    *
+    * Variance comes from explicitly parenthesized windowed sums —
+    * (Σx² − (Σx)²/n)/(n−1) — NOT the engine's stddev aggregate, so a SQL
+    * oracle replays the exact IEEE arithmetic (the MomentsAgg
+    * convention; engines differ in their Welford/M2 internals).
+    *
+    * Scale shape: ONE exchange + sort on the key; all three windowed
+    * sums share the same frame so Spark evaluates them in a single
+    * Window operator pass. Keying by entity (user), not by a
+    * low-cardinality type column, keeps partitions balanced at corpus
+    * scale.
+    */
+  def rollingZ(events: DataFrame, windowMicros: Long = 86400000000L,
+      zThresh: Double = 3.0, keyCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowMicros, 0L)
+    val v = col(valCol)
+    val scored = events.select(col(idCol), col(keyCol), v,
+      sum(v).over(w).as("s"),
+      sum(v * v).over(w).as("ss"),
+      count(v).over(w).as("n"))
+    val mean = col("s") / col("n")
+    val variance = (col("ss") - col("s") * col("s") / col("n")) /
+      (col("n") - lit(1))
+    val z = when(col("n") >= 3 && variance > 0.0,
+      (v - mean) / sqrt(variance))
+    scored.select(col(idCol), col(keyCol),
+      round(z, 6).as("z"), (abs(z) > zThresh).as("is_anomaly"))
+  }
+}

@@ -40,4 +40,38 @@ object Profile {
         col("r.max_v").as("max_v"), col("r.avg_v").as("avg_v"))
       .orderBy("column")
   }
+
+  /** Fixed-width per-group value histogram — the CBO/data-card
+    * distribution summary that stays scale-safe: an exact equi-depth
+    * histogram needs a global sort (or an unreplayable quantile sketch),
+    * whereas equal-width needs only per-group min/max.
+    *
+    * Two passes: (1) per-group min/max — partial-aggregable, output
+    * |groups| rows, broadcast back; (2) narrow bucket classification
+    * `least(floor((x − mn)/w), nBuckets−1)` with w = (mx − mn)/nBuckets,
+    * plus one partial-aggregable count. Bucket arithmetic is plain IEEE doubles
+    * with fixed parenthesization, so a SQL oracle replays the exact
+    * boundary decisions. Degenerate groups (mx = mn) collapse to
+    * bucket 0 rather than dividing by zero.
+    *
+    * @return (group, bucket, lo, hi, n) — `lo`/`hi` rounded to 6.
+    */
+  def valueHistogram(df: DataFrame, groupCol: String, valCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valCol).cast("double")
+    val bounds = df.groupBy(g).agg(min(v).as("mn"), max(v).as("mx"))
+    val width = (col("mx") - col("mn")) / nBuckets
+    val bucket = when(col("mx") > col("mn"),
+      least(floor((v - col("mn")) / width), lit(nBuckets - 1L)))
+      .otherwise(lit(0L)).cast("int")
+    df.join(broadcast(bounds), groupCol)
+      .select(g, bucket.as("bucket"), col("mn"), col("mx"))
+      .groupBy(g, col("bucket"), col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(g, col("bucket"),
+        round(col("mn") + col("bucket") * ((col("mx") - col("mn")) / nBuckets), 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / nBuckets), 6).as("hi"),
+        col("n"))
+  }
 }

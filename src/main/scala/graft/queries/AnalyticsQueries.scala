@@ -43,6 +43,27 @@ object AnalyticsQueries extends QueryPack {
     "funnel_transitions" -> ((s, dir) =>
       graft.operators.Funnel.transitions(t(s, dir, "events"))),
 
+    // Per-user rolling z-score anomaly flags: one user_id exchange+sort,
+    // three windowed sums sharing a single RANGE frame, explicit
+    // sum/sumsq variance for exact oracle replay (operators/Anomaly.scala).
+    "anomaly_rolling_z" -> ((s, dir) =>
+      graft.operators.Anomaly.rollingZ(t(s, dir, "events"), zThresh = 2.0)
+        .orderBy("event_id")),
+
+    // Market-basket brand-pair rules: distinct baskets → order-key
+    // self-join (fan-out bounded per basket) → |brands|² pair frame with
+    // broadcast marginals (operators/Basket.scala).
+    "basket_brand_rules" -> ((s, dir) =>
+      graft.operators.Basket.brandPairRules(
+        t(s, dir, "lineitem"), t(s, dir, "part"), minPairs = 2L, topK = 20)),
+
+    // Equal-width value histogram per event type: per-group min/max
+    // broadcast onto a narrow classification pass (operators/Profile.scala).
+    "profile_value_histogram" -> ((s, dir) =>
+      graft.operators.Profile.valueHistogram(t(s, dir, "events"),
+        groupCol = "event_type", valCol = "value", nBuckets = 8)
+        .orderBy("event_type", "bucket")),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -716,6 +737,66 @@ object AnalyticsQueries extends QueryPack {
         |SELECT from_event, to_event, n,
         |  round(n / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p
         |FROM pairs""".stripMargin,
+
+    "anomaly_rolling_z" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |sums AS (
+        |  SELECT event_id, user_id, value,
+        |    sum(value) OVER w AS s,
+        |    sum(value * value) OVER w AS ss,
+        |    count(value) OVER w AS n
+        |  FROM events_us
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)),
+        |sc AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN n >= 3 AND (ss - s * s / n) / (n - 1) > 0.0 THEN
+        |      (value - s / n) / sqrt((ss - s * s / n) / (n - 1))
+        |    END AS zraw
+        |  FROM sums)
+        |SELECT event_id, user_id, round(zraw, 6) AS z,
+        |  (abs(zraw) > 2.0) AS is_anomaly
+        |FROM sc ORDER BY event_id""".stripMargin,
+
+    "basket_brand_rules" ->
+      """WITH baskets AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+        |marg AS (SELECT brand, count(*) AS n_brand FROM baskets GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        |  FROM baskets a JOIN baskets b ON a.okey = b.okey
+        |  WHERE a.brand < b.brand
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2)
+        |SELECT brand_a, brand_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ma.n_brand, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n_orders /
+        |    (CAST(ma.n_brand AS DOUBLE) * mb.n_brand), 6) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.brand = brand_a
+        |JOIN marg mb ON mb.brand = brand_b
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+
+    "profile_value_histogram" ->
+      """WITH b AS (
+        |  SELECT event_type, min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY 1),
+        |cls AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN mx > mn THEN
+        |      CAST(least(floor((value - mn) / ((mx - mn) / 8)), 7) AS INTEGER)
+        |    ELSE 0 END AS bucket, mn, mx
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, bucket,
+        |  round(mn + bucket * ((mx - mn) / 8), 6) AS lo,
+        |  round(mn + (bucket + 1) * ((mx - mn) / 8), 6) AS hi,
+        |  count(*) AS n
+        |FROM cls GROUP BY event_type, bucket, mn, mx
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class AnomalySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("rolling z flags a spike against the user's trailing baseline") {
+    val base = (1 to 10).map(i => (i.toLong, 1L, ts(i), 100.0))
+    val spike = Seq((11L, 1L, ts(11), 500.0))
+    // slight jitter so the baseline has nonzero variance
+    val jitter = Seq((3L, 1L, ts(3), 101.0), (7L, 1L, ts(7), 99.0))
+    val events = (base.filterNot(e => Seq(3L, 7L).contains(e._1)) ++
+      jitter ++ spike).toDF("event_id", "user_id", "ts", "value")
+    val rows = Anomaly.rollingZ(events, zThresh = 3.0)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    val (z11, flag11) = rows(11L)
+    assert(flag11.contains(true), s"spike should flag: z=$z11")
+    assert(z11.exists(_.asInstanceOf[Double] > 3.0))
+    // early events: window of 1-2 points → null z, null verdict
+    assert(rows(1L)._1.isEmpty && rows(1L)._2.isEmpty)
+    assert(rows(2L)._1.isEmpty)
+  }
+
+  test("zero-variance window yields null z, not NaN or an error") {
+    val events = (1 to 5).map(i => (i.toLong, 1L, ts(i), 42.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val rows = Anomaly.rollingZ(events).collect()
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("baselines are per-user: another user's spike does not leak") {
+    val u1 = (1 to 6).map(i => (i.toLong, 1L, ts(i), if (i % 2 == 0) 10.0 else 11.0))
+    val u2 = Seq((100L, 2L, ts(6), 10000.0))
+    val events = (u1 ++ u2).toDF("event_id", "user_id", "ts", "value")
+    val rows = Anomaly.rollingZ(events).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    // user 2's single event has no baseline ⇒ null, and user 1's later
+    // events are unaffected by the co-temporal u2 spike
+    assert(rows(100L).isEmpty)
+    assert(rows(6L).exists(z => math.abs(z.asInstanceOf[Double]) < 3.0))
+  }
+}

@@ -105,4 +105,47 @@ object Multimodal {
     val parts = math.max(1, (total / math.max(budgetBytes, 1L)).toInt)
     media.repartition(parts)
   }
+
+  /** Perceptual-hash near-dup candidates over opaque media blobs: a
+    * 64-bit fingerprint per blob, banded into 4×16-bit LSH blocks —
+    * pairs colliding on any band are candidates, verified by full
+    * Hamming distance. This is image-dedup's standard shape (pHash +
+    * multi-index hashing); per the codec-stub convention the fingerprint
+    * here is the blob's md5 head (deterministic, oracle-replayable)
+    * standing in for a real DCT pHash — swapping in a real codec changes
+    * ONE projection, none of the banding/join/verify plumbing.
+    *
+    * Scale shape: 4 band rows per blob (bounded fan-out), candidate
+    * generation is a partial-deduped self-join on the 16-bit band
+    * key — colliding pairs only, never all-pairs; the Hamming verify is
+    * a narrow bitwise expression over the two 32-bit halves. Top-k by
+    * (distance, pair) is TakeOrderedAndProject.
+    */
+  def phashCandidates(media: DataFrame, topK: Int,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+    val bits = media.select(col(idCol).as("media_id"),
+      conv(substring(md5(col(bytesCol)), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(md5(col(bytesCol)), 9, 8), 16, 10).cast("long").as("lo"))
+      .localCheckpoint() // fingerprint once; banding + both verify sides reuse it
+    val bands = bits.select(col("media_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_val")))
+    val cand = bands.select(col("band_idx"), col("band_val"), col("media_id").as("a"))
+      .join(bands.select(col("band_idx"), col("band_val"), col("media_id").as("b")),
+        Seq("band_idx", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(bits.select(col("media_id").as("a"),
+        col("hi").as("hi_a"), col("lo").as("lo_a")), "a")
+      .join(bits.select(col("media_id").as("b"),
+        col("hi").as("hi_b"), col("lo").as("lo_b")), "b")
+      .select(col("a"), col("b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
+      .orderBy(col("hamming").asc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

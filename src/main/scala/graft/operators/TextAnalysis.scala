@@ -578,4 +578,35 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("pair"))
       .limit(topN)
   }
+
+  /** Per-document TF-IDF keyword extraction: the top `topPerDoc` terms of
+    * each document by tf·ln(N/df) — the classic summarization/topic tag
+    * every data card and search index wants per document.
+    *
+    * Scale shape: term frequencies and document frequencies are both
+    * partial-aggregable groupBys; the tf⋈df join keys on the TERM and is
+    * a plain shuffle join — the vocabulary is corpus-sized, so it is
+    * never broadcast (the unigram-vocabulary lesson); the only broadcast
+    * is the one-row N. Per-doc top-k is a rank window Spark 4 plans with
+    * Partial+Final WindowGroupLimit, so each map task keeps ≤ k rows per
+    * doc before the shuffle. Scores are rounded BEFORE ranking (ties →
+    * term asc) so the selection is engine-independent.
+    */
+  def tfidfKeywords(docs: DataFrame, topPerDoc: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFns.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topPerDoc)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
 }

@@ -55,7 +55,13 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_bytes"),
           md5(col("frame")).as("frame_md5"))
-        .orderBy("media_id", "frame_idx"))
+        .orderBy("media_id", "frame_idx")),
+
+    // Perceptual-hash banded near-dup candidates (stub fingerprint =
+    // md5 head per the codec-stub convention; banding/collision-join/
+    // Hamming-verify plumbing is the real image-dedup shape).
+    "mm_phash_candidates" -> ((s, dir) =>
+      Multimodal.phashCandidates(media(s, dir), topK = 20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -84,6 +90,32 @@ object MultimodalQueries extends QueryPack {
          |  WHERE i.range < least($FRAMES, len))
          |SELECT media_id, frame_idx::INTEGER AS frame_idx,
          |  length(frame) AS frame_bytes, md5(frame) AS frame_md5
-         |FROM f ORDER BY media_id, frame_idx""".stripMargin
+         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // ASCII corpus ⇒ md5(VARCHAR) == md5(BINARY); the 64-bit stub
+    // fingerprint, 16-bit banding, and Hamming arithmetic replay exactly.
+    "mm_phash_candidates" ->
+      """WITH bits AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(('0x' || substr(md5(text), 1, 8))::UBIGINT AS BIGINT) AS hi,
+        |    CAST(('0x' || substr(md5(text), 9, 8))::UBIGINT AS BIGINT) AS lo
+        |  FROM documents),
+        |bands AS (
+        |  SELECT media_id, i.range AS band_idx,
+        |    CASE i.range WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+        |      WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS band_val
+        |  FROM bits, range(0, 4) i),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS a, b.media_id AS b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.media_id < b.media_id)
+        |SELECT a, b,
+        |  CAST(bit_count(xor(x.hi, y.hi)) + bit_count(xor(x.lo, y.lo)) AS INTEGER)
+        |    AS hamming
+        |FROM cand
+        |JOIN bits x ON x.media_id = a
+        |JOIN bits y ON y.media_id = b
+        |ORDER BY hamming, a, b LIMIT 20""".stripMargin
   )
 }

@@ -66,6 +66,17 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
+    // Personalized PageRank from the vec_id%10==0 seed set over the same
+    // kNN graph — graph-walk proximity to a trusted seed corpus (the
+    // selection counterpart of DSIR weights).
+    "graph_personalized_pagerank" -> ((s, dir) =>
+      graft.operators.Graph.personalizedPageRank(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          seeds = emb(s, dir).select(col("vec_id").as("v"))
+            .filter(col("v") % 10 === 0))
+        .select(col("v").as("vec_id"), col("ppr_norm"))
+        .orderBy("vec_id")),
+
     // Synchronous label-propagation communities over the same kNN graph
     // (4 rounds, majority label, ties → lowest) — density-sensitive
     // clustering vs. connectedComponents' merge-anything.
@@ -299,6 +310,36 @@ object SimilarityQueries extends QueryPack {
        |FROM r5 ORDER BY v""".stripMargin
   }
 
+  // PPR oracle: same unrolled-iteration shape as pagerankSql, with the
+  // teleport term conditioned on the seed indicator instead of uniform.
+  // Seed membership is evaluated over GRAPH nodes (dg), matching the
+  // operator's verts⋈seeds intersection.
+  private lazy val pprSql: String = {
+    val d = 0.85
+    val oneMinus = 1 - d
+    val iterCtes = (1 to 5).map { i =>
+      s"""p$i AS (SELECT s0.v,
+         |  $oneMinus * s0.s + $d * coalesce(c.cs, 0) AS r
+         |  FROM s0 LEFT JOIN (
+         |    SELECT ed.dst AS v, sum(r.r / g.outdeg) AS cs
+         |    FROM ed JOIN dg g USING (src) JOIN p${i - 1} r ON r.v = ed.src
+         |    GROUP BY ed.dst) c ON c.v = s0.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embsCte,
+       |${assignedCtes()},
+       |$knnEdgeCtes,
+       |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
+       |sd AS (SELECT src AS v,
+       |  CASE WHEN src % 10 = 0 THEN 1.0 ELSE 0.0 END AS flag FROM dg),
+       |ns AS (SELECT sum(flag) AS ns FROM sd),
+       |s0 AS (SELECT v, flag / (SELECT ns FROM ns) AS s FROM sd),
+       |p0 AS (SELECT v, s AS r FROM s0),
+       |$iterCtes
+       |SELECT v AS vec_id, round(r * (SELECT n FROM nn), 6) AS ppr_norm
+       |FROM p5 ORDER BY v""".stripMargin
+  }
+
   // JL projection oracle: the same 16 plane literals, list_dot_product
   // each, × 1/√16 (= exactly 0.25 in binary), rounded like the operator.
   private val randomProjSql: String = {
@@ -390,6 +431,7 @@ object SimilarityQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
+    "graph_personalized_pagerank" -> pprSql,
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,
 

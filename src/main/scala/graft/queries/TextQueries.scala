@@ -113,6 +113,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.collocations(docs(s, dir), minSupport = 10, topN = 20)),
 
     // EX8b: corpus top-20 terms.
+    // Per-doc TF-IDF keywords (top-3): tf⋈df SHUFFLE join (vocabulary is
+    // corpus-sized, never broadcast), WindowGroupLimit per-doc top-k.
+    "text_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.TextAnalysis.tfidfKeywords(docs(s, dir), topPerDoc = 3)
+        .orderBy("doc_id", "rank")),
+
     "text_top_terms" -> ((s, dir) =>
       docs(s, dir)
         .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
@@ -586,6 +592,21 @@ object TextQueries extends QueryPack {
       s"""SELECT term, count(*) AS n
          |FROM (SELECT unnest($toksSql) AS term FROM documents)
          |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_tfidf_keywords" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         |sel AS (
+         |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tfidf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rank FROM sel)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Pair generation replayed as a list comprehension over the same
     // sorted distinct-token lists; PMI with the operator's arithmetic.

@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f3.flatMap(_.frame).sameElements(orig.take(f3.flatMap(_.frame).length)))
   }
 
+  test("phash: identical blobs collide at Hamming 0 ahead of random pairs") {
+    import spark.implicits._
+    val blobs = Seq(
+      (1L, "identical bytes payload"),
+      (2L, "identical bytes payload"), // exact dup of 1
+      (3L, "a completely different media blob"),
+      (4L, "yet another unrelated binary body")
+    ).toDF("media_id", "txt")
+      .select(col("media_id"), col("txt").cast("binary").as("bytes"))
+    val rows = Multimodal.phashCandidates(blobs, topK = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(rows((1L, 2L)) == 0) // same fingerprint → all 4 bands collide
+    // any other surviving candidate has a strictly larger distance
+    assert(rows.filterKeys(_ != ((1L, 2L))).values.forall(_ > 0))
+  }
+
   test("repartitionBySize sizes partitions by byte budget, not row count") {
     val total = mediaDF.agg(sum(length(col("bytes")))).head().getLong(0)
     val parts = Multimodal.repartitionBySize(mediaDF, budgetBytes = total / 5)

@@ -122,6 +122,45 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) == ((1L, 1.0)) && got(4L) == ((1L, 1.0)))
   }
 
+  test("personalized pagerank concentrates mass near the seed set") {
+    import spark.implicits._
+    // Two 3-cycles bridged by one edge pair; seed = node 1 only.
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L,
+      3L -> 4L, 4L -> 3L)
+    val seeds = Seq(1L).toDF("v")
+    val r = Graph.personalizedPageRank(edgeDF(es), seeds)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // seed-side cycle outranks the mirror-position nodes of the far
+    // cycle (5 fixed iterations: the mass WAVE is still circulating, so
+    // only cross-cycle comparisons are stable, not "seed is max")
+    assert(r(2L) > r(5L) && r(3L) > r(6L))
+    assert(Seq(1L, 2L, 3L).map(r).sum > Seq(4L, 5L, 6L).map(r).sum)
+    // independent dense replay: r' = 0.15·s + 0.85·Σ r/out
+    val nodes = es.map(_._1).distinct.sorted
+    val out = es.groupBy(_._1).view.mapValues(_.size).toMap
+    var ref = nodes.map(v => v -> (if (v == 1L) 1.0 else 0.0)).toMap
+    for (_ <- 1 to 5) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ref(s) / out(s) }.sum).toMap
+      ref = nodes.map(v => v ->
+        ((1 - 0.85) * (if (v == 1L) 1.0 else 0.0) +
+          0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(r(v) - math.round(ref(v) * nodes.size * 1e6) / 1e6) < 1e-9,
+        s"node $v: got ${r(v)}, want ${ref(v) * nodes.size}")
+    }
+  }
+
+  test("personalized pagerank rejects a disjoint seed set") {
+    import spark.implicits._
+    val es = Seq(1L -> 2L, 2L -> 1L)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edgeDF(es), Seq(99L).toDF("v")).collect()
+    }
+  }
+
   test("triangleStats: triangle-free graph is all zeros; deg-1 coeff is 0") {
     // Path 1-2-3: no triangles; endpoints have degree 1.
     val und = Seq((1L, 2L), (2L, 3L))

@@ -229,6 +229,43 @@ object Graph {
     ranks.select(col("v"), round(col("r") * nNodes.toDouble, 6).as("ppr_norm"))
   }
 
+  /** Multi-source BFS hop distance: hops(v) = length of the shortest
+    * path from any seed node, by `maxHops` synchronous frontier-relaxation
+    * rounds (dᵢ(v) = min(dᵢ₋₁(v), min over in-neighbours + 1)). The
+    * graph-proximity counterpart of [[personalizedPageRank]]: discrete
+    * "how many similarity steps from a trusted seed corpus" — the
+    * selection signal behind graph-bootstrapped labeling and
+    * seed-expansion crawls. Seeds outside the graph's node set are
+    * ignored; nodes unreached within `maxHops` are absent from the
+    * output. The fixed round count keeps the result a pure function of
+    * (edges, seeds), so a SQL oracle replays it by unrolling the same
+    * rounds.
+    *
+    * Scale shape per round: one join of the (checkpointed,
+    * src-partitioned) edge list against the current distance vector plus
+    * a `min` partial aggregate — the same Pregel shape as [[pageRank]],
+    * with lineage truncated every round. The distance vector only ever
+    * holds reached nodes, so early rounds shuffle frontier-sized frames,
+    * not graph-sized ones.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
+    val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
+    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
+    var dist = e.select(col("src").as("v")).distinct()
+      .join(seeds.select(col("v")).distinct(), Seq("v"), "left_semi")
+      .withColumn("hops", lit(0L))
+      .repartition(parts, col("v")).localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relax = e.join(dist, e("src") === dist("v"))
+        .select(col("dst").as("v"), (col("hops") + lit(1L)).as("hops"))
+      dist = dist.unionByName(relax)
+        .groupBy(col("v")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-vertex triangle count and local clustering coefficient over an
     * undirected symmetric distinct edge list (e.g. [[knnEdges]]) — the
     * neighbourhood-density signal graph-based data pruning uses on kNN

@@ -459,6 +459,35 @@ object Similarity {
         col("neg_id"), col("neg_cos"))
   }
 
+  /** Centroid-distance prototypicality / outlier scoring over the IVF
+    * cell layout (the SemDeDup-prototypes / CCS pruning signal): each
+    * vector's cosine to its cell's mean centroid, plus the within-cell
+    * z-score of that cosine. High `centroid_cos` = prototypical (safe to
+    * downsample), strongly negative `cell_z` = cluster outlier (novel or
+    * noise — route to review instead of training).
+    *
+    * Scale shape: the cell layout is one corpus pass ([[assignCells]]);
+    * centroids are a partial-aggregable typed Aggregator whose output is
+    * `nCells` rows (bounded broadcast back onto the layout), and the
+    * per-cell moment stats are another `nCells`-row broadcast — nothing
+    * corpus-sized is ever broadcast or sorted. `centroid_cos` is rounded
+    * BEFORE the moment stats so both engines aggregate identical inputs.
+    */
+  def cellOutlierScores(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    val cells = assignCells(embeddings, nCells).localCheckpoint()
+    val cents = cells.groupBy(col("cell")).agg(centroid(col("embedding")).as("c_emb"))
+    val scored = cells.join(broadcast(cents), "cell")
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(VectorFns.cosine(col("embedding"), col("c_emb")), 6).as("centroid_cos"))
+    val stats = scored.groupBy(col("cell"))
+      .agg(avg(col("centroid_cos")).as("mu"), stddev_pop(col("centroid_cos")).as("sd"))
+    scored.join(broadcast(stats), "cell")
+      .select(col("vec_id"), col("label"), col("cell"), col("centroid_cos"),
+        when(col("sd") > 0, round((col("centroid_cos") - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0)).as("cell_z"))
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label, with candidates restricted to the vector's IVF cell — the
     * (label × cell) block bounds pair work without broadcasting anything

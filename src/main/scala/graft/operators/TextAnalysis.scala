@@ -510,6 +510,34 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
   }
 
+  /** Cross-document repeated-span report: the `topN` word-`n`-gram spans
+    * duplicated across the most documents (by distinct-document count,
+    * then total occurrences, then span text) — the memorization-risk /
+    * boilerplate-hotspot table a curation run publishes next to its
+    * datacard, and the triage input for [[Dedup.dedupSentences]]-style
+    * removal rules.
+    *
+    * Scale shape: one tokenize+shingle pass (native [[graft.functions
+    * .TextFns.textShingles]]), then two partial-aggregable groupBys —
+    * (span, doc) occurrence counts collapse map-side before the span
+    * shuffle, and the per-span rollup ships one row per distinct span per
+    * map partition. The top-N is TakeOrderedAndProject, never a global
+    * sort; at 100 TB the only unbounded shuffle key is the span itself
+    * (zipfian — AQE skew-split, exactly the [[unigramLogProb]] posture).
+    */
+  def spanHotspots(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+      topN: Int = 20, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextFns.textShingles(col(textCol), n)).as("span"))
+      .groupBy(col("span"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(topN)
+
   /** Heaps-law vocabulary growth: distinct-term first occurrences
     * bucketed into `buckets` equal doc_id ranges, with the running
     * cumulative vocabulary — the sublinear vocab-vs-corpus curve that

@@ -86,6 +86,27 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
 
+    // Multi-source BFS hop distance from the vec_id%25==0 seed set over
+    // the same kNN graph (4 synchronous relaxation rounds) — discrete
+    // graph proximity to a trusted seed corpus; vectors unreached within
+    // 4 hops (e.g. whole cells holding no seed) drop out.
+    "graph_bfs_hops" -> ((s, dir) =>
+      graft.operators.Graph.bfsHops(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          seeds = emb(s, dir).select(col("vec_id").as("v"))
+            .filter(col("v") % 25 === 0),
+          maxHops = 4)
+        .select(col("v").as("vec_id"), col("hops"))
+        .orderBy("vec_id")),
+
+    // Centroid-distance prototypicality / outlier scoring over the IVF
+    // cells (SemDeDup-prototypes / CCS signal): cosine to the cell's mean
+    // centroid + its within-cell z-score. Both centroid and moment
+    // tables are nCells-row bounded broadcasts.
+    "sim_cell_outliers" -> ((s, dir) =>
+      Similarity.cellOutlierScores(emb(s, dir), nCells = N_CELLS)
+        .orderBy("vec_id")),
+
     // PCA fit: top principal component of the embedding cloud by 8 fixed
     // power iterations over the covariance matrix (one fused MomentsAgg
     // corpus pass; every iteration runs on the dim²-row model frame).
@@ -340,6 +361,25 @@ object SimilarityQueries extends QueryPack {
        |FROM p5 ORDER BY v""".stripMargin
   }
 
+  // BFS oracle: the same synchronous relaxation rounds unrolled as CTEs
+  // d1..d4 — each round min-merges the previous distances with every
+  // in-neighbour's distance + 1, exactly the operator's union + min agg.
+  private lazy val bfsSql: String = {
+    val iterCtes = (1 to 4).map { i =>
+      s"""d$i AS (SELECT v, min(hops) AS hops FROM (
+         |    SELECT v, hops FROM d${i - 1} UNION ALL
+         |    SELECT ed.dst AS v, d.hops + 1 AS hops
+         |    FROM ed JOIN d${i - 1} d ON d.v = ed.src) GROUP BY v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embsCte,
+       |${assignedCtes()},
+       |$knnEdgeCtes,
+       |d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS hops
+       |       FROM ed WHERE src % 25 = 0),
+       |$iterCtes
+       |SELECT v AS vec_id, hops FROM d4 ORDER BY v""".stripMargin
+  }
+
   // JL projection oracle: the same 16 plane literals, list_dot_product
   // each, × 1/√16 (= exactly 0.25 in binary), rounded like the operator.
   private val randomProjSql: String = {
@@ -434,6 +474,27 @@ object SimilarityQueries extends QueryPack {
     "graph_personalized_pagerank" -> pprSql,
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,
+    "graph_bfs_hops" -> bfsSql,
+
+    // Per-dim cell means rebuilt into an ordered list, cosine to each
+    // member (rounded BEFORE the moment stats, like the operator), then
+    // within-cell z via avg/stddev_pop over those rounded cosines.
+    "sim_cell_outliers" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |cm AS (SELECT cell, generate_subscripts(de, 1) - 1 AS dim,
+         |    unnest(de) AS e FROM assigned),
+         |cent AS (SELECT cell, list(ae ORDER BY dim) AS ce FROM (
+         |    SELECT cell, dim, avg(e) AS ae FROM cm GROUP BY 1, 2) GROUP BY cell),
+         |scored AS (SELECT a.vec_id, a.label, a.cell,
+         |    round(${cosSql("a.de", "ce")}, 6) AS centroid_cos
+         |  FROM assigned a JOIN cent USING (cell)),
+         |st AS (SELECT cell, avg(centroid_cos) AS mu,
+         |    stddev_pop(centroid_cos) AS sd FROM scored GROUP BY cell)
+         |SELECT vec_id, label, cell, centroid_cos,
+         |  CASE WHEN sd > 0 THEN round((centroid_cos - mu) / sd, 6)
+         |    ELSE 0.0 END AS cell_z
+         |FROM scored JOIN st USING (cell) ORDER BY vec_id""".stripMargin,
 
     "sim_pca_components2" ->
       s"""WITH $pca2Ctes

@@ -218,6 +218,12 @@ object TextQueries extends QueryPack {
       TextAnalysis.noveltyScores(docs(s, dir), n = 3)
         .orderBy("doc_id")),
 
+    // Cross-document repeated-span hotspots: the 20 5-gram spans shared
+    // by the most documents (then total occurrences) — the
+    // memorization-risk / boilerplate report behind sentence-dedup rules.
+    "text_span_hotspots" -> ((s, dir) =>
+      TextAnalysis.spanHotspots(docs(s, dir), n = 5, minDocs = 2, topN = 20)),
+
     // Heaps-law vocabulary growth over 10 doc_id-range buckets.
     "text_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(docs(s, dir), buckets = 10)
@@ -410,6 +416,17 @@ object TextQueries extends QueryPack {
          |    / count(*), 6) AS novelty
          |FROM g JOIN f USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_span_hotspots" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, unnest(${DuckSql.shingles("toks", 5)}) AS span
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |pd AS (SELECT span, doc_id, count(*) AS c FROM sp GROUP BY 1, 2)
+         |SELECT span, count(*) AS n_docs, CAST(sum(c) AS BIGINT) AS n_occ
+         |FROM pd GROUP BY span
+         |HAVING count(*) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span
+         |LIMIT 20""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH f AS (

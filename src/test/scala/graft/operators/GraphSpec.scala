@@ -69,6 +69,28 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got(2L) - 0.15) < 1e-6)
   }
 
+  test("bfsHops: shortest hops from a multi-source seed set, capped at maxHops") {
+    import spark.implicits._
+    // symmetric path 1-2-3-4-5 plus the disjoint pair 6-7
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L), (6L, 7L), (7L, 6L))
+    val got = Graph.bfsHops(edgeDF(es), Seq(1L, 6L, 99L).toDF("v"), maxHops = 3)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("hops")).toMap
+    // 99 is not a graph node (ignored); 5 is 4 hops out (absent at cap 3)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      6L -> 0L, 7L -> 1L))
+  }
+
+  test("bfsHops keeps the min distance when frontiers meet") {
+    import spark.implicits._
+    // cycle 1-2-3-4-1; seeds at 1 and 3 → every node within 1 hop
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L),
+      (4L, 1L), (1L, 4L))
+    val got = Graph.bfsHops(edgeDF(es), Seq(1L, 3L).toDF("v"), maxHops = 4)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("hops")).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("rejects graphs with dangling nodes") {
     // 3 has an in-edge but no out-edge: rank mass would leak.
     val bad = edgeDF(Seq((1L, 2L), (2L, 1L), (2L, 3L)))

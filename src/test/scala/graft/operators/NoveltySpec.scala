@@ -24,6 +24,31 @@ class NoveltySpec extends SparkSpec {
       (0L, 2L, 2L, 1.0), (1L, 2L, 1L, 0.5), (2L, 2L, 2L, 1.0)))
   }
 
+  test("spanHotspots ranks spans by doc spread then occurrences") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one two three four five six"),   // "one..five" span shared by 3 docs
+      (1L, "one two three four five seven"),
+      (2L, "prefix one two three four five"),
+      (3L, "lonely words with no repeats at all")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.spanHotspots(docs, n = 5, minDocs = 2, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // only "one two three four five" appears in ≥2 docs (3 of them, once each)
+    assert(rows === Seq(("one two three four five", 3L, 3L)))
+  }
+
+  test("spanHotspots counts within-doc repeats in n_occ but not n_docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e a b c d e"),  // span "a b c d e" occurs 2x here
+      (1L, "x a b c d e y")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.spanHotspots(docs, n = 5, minDocs = 2, topN = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).head
+    assert(top === (("a b c d e", 2L, 3L)))
+  }
+
   test("vocabGrowth buckets first occurrences and accumulates") {
     import spark.implicits._
     // 10 docs, ids 0..9 → bucket = id with buckets=10. Terms: "common"

@@ -48,6 +48,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(1L) === 0L)
   }
 
+  test("cellOutlierScores: prototypical member scores high, opposite low, z centered") {
+    // nCells = 1 → one cell; centroid = mean (0.32, 0.36, 0). Vector 4
+    // (0.7, 0.7, 0) points almost exactly along it; vector 3 (−1, 0, 0)
+    // points away.
+    val rows = Similarity.cellOutlierScores(embDF, nCells = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("centroid_cos"), r.getAs[Double]("cell_z")))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    val maxId = rows.maxBy(_._2._1)._1
+    val minId = rows.minBy(_._2._1)._1
+    assert(maxId === 4L)
+    assert(minId === 3L)
+    assert(rows(3L)._1 < 0)          // anti-aligned with the centroid
+    assert(rows(3L)._2 < -1.0)       // the clear within-cell outlier
+    // z-scores are centered by construction
+    val zMean = rows.values.map(_._2).sum / rows.size
+    assert(math.abs(zMean) < 1e-6)
+  }
+
   test("knnClassify: majority vote with vote-count then lowest-label ties") {
     // nCells = 1 → exact kNN. k = 2 everywhere: each vector's two nearest
     // neighbours split 1-1 between labels 0 and 1 except vec 4 (both label

@@ -177,6 +177,51 @@ object TextAnalysis {
         round(avg(col("logratio")), 6).as("dsir_weight"))
   }
 
+  /** Per-source distributional drift monitor: KL(source ‖ corpus) over
+    * the feature-hashed unigram distribution (`dims` buckets, add-half
+    * smoothing) — flags a source whose token mix diverges from the blend
+    * (encoding faults, spam bursts, language drift) before it pollutes a
+    * training mixture. Hashing bounds both distributions exactly as
+    * [[importanceWeights]]: after the one corpus-sized partial-aggregable
+    * groupBy, everything is ≤ |sources|·`dims` rows regardless of corpus
+    * size — no vocabulary table is ever built or broadcast.
+    *
+    * The sum covers the FULL `dims`-bucket space — the smoothed
+    * distributions only sum to 1 (and KL is only guaranteed ≥ 0, Gibbs)
+    * over the whole space. Buckets with corpus support come from a
+    * bounded (|sources| × support) grid; the (`dims` − support) buckets
+    * nothing hit all share one closed-form term per source
+    * (p₀·ln(p₀/q₀)), added analytically instead of materializing them.
+    *
+    * @return (source, n_tokens, kl_divergence) — nats, rounded to 6.
+    */
+  def sourceDivergence(docs: DataFrame, dims: Int = 1024,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val feats = docs.select(col(srcCol).as("source"),
+        explode(TextFns.textShingles(col(textCol), 1)).as("f"))
+      .select(col("source"),
+        pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(dims)).as("bucket"))
+    val sb = feats.groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val sTot = sb.groupBy(col("source"))
+      .agg(sum(col("s_cnt")).cast("double").as("s_total"))
+    val cb = sb.groupBy(col("bucket")).agg(sum(col("s_cnt")).as("c_cnt"))
+    val cTot = cb.agg(sum(col("c_cnt")).cast("double").as("c_total"))
+    val halfDims = lit(0.5 * dims)
+    val p = (coalesce(col("s_cnt"), lit(0L)) + 0.5) / (col("s_total") + halfDims)
+    val q = (col("c_cnt") + 0.5) / (col("c_total") + halfDims)
+    val p0 = lit(0.5) / (col("s_total") + halfDims)
+    val q0 = lit(0.5) / (col("c_total") + halfDims)
+    sTot.crossJoin(broadcast(cb.crossJoin(broadcast(cTot))))
+      .join(sb, Seq("source", "bucket"), "left")
+      .groupBy(col("source"), col("s_total"), col("c_total"))
+      .agg(sum(p * log(p / q)).as("kl_sup"), count(lit(1)).as("n_sup"))
+      .select(col("source"), col("s_total").cast("long").as("n_tokens"),
+        round(col("kl_sup") +
+          (lit(dims) - col("n_sup")) * p0 * log(p0 / q0), 6).as("kl_divergence"))
+  }
+
   /** Sliding-window chunking with overlap — the RAG / context-prep
     * primitive: each document becomes `window`-token chunks whose starts
     * advance by `stride` (overlap = window − stride), plus one final

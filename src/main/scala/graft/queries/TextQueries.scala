@@ -257,6 +257,12 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "copy_idx")
     }),
 
+    // Per-source drift monitor: KL(source ‖ corpus) over the hashed
+    // 1024-bucket unigram distribution — bounded sketch, no vocab table.
+    "text_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(docs(s, dir))
+        .orderBy("source")),
+
     // Sliding-window chunking (RAG/context prep): 32-token chunks,
     // stride 24, tail-anchored final chunk — narrow fan-out, no shuffle.
     "text_chunks" -> ((s, dir) =>
@@ -453,6 +459,35 @@ object TextQueries extends QueryPack {
          |  round(avg(ln(CAST(bi_cnt AS DOUBLE) / pre_cnt)), 6) AS avg_logprob
          |FROM bip JOIN bc USING (bigram) JOIN pc USING (prefix)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same hashed-bucket formula as dsirCtes (unigrams only); smoothed KL
+    // over the (source × corpus-support-bucket) grid plus the closed-form
+    // term for the (1024 − support) buckets nothing hit — mirroring the
+    // operator's full-space sum exactly.
+    "text_source_divergence" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5(unnest(toks)), 1, 8))::UBIGINT % 1024 AS bucket
+         |  FROM (SELECT source, $toksSql AS toks FROM documents)),
+         |sb AS (SELECT source, bucket, count(*) AS s_cnt FROM f GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(s_cnt) AS DOUBLE) AS s_total
+         |       FROM sb GROUP BY 1),
+         |cb AS (SELECT bucket, sum(s_cnt) AS c_cnt FROM sb GROUP BY 1),
+         |ct AS (SELECT CAST(sum(c_cnt) AS DOUBLE) AS c_total FROM cb),
+         |sup AS (
+         |  SELECT st.source, s_total, c_total,
+         |    sum(((coalesce(s_cnt, 0) + 0.5) / (s_total + 512.0)) *
+         |      ln(((coalesce(s_cnt, 0) + 0.5) / (s_total + 512.0)) /
+         |         ((c_cnt + 0.5) / (c_total + 512.0)))) AS kl_sup,
+         |    count(*) AS n_sup
+         |  FROM st CROSS JOIN cb CROSS JOIN ct
+         |  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+         |  GROUP BY st.source, s_total, c_total)
+         |SELECT source, CAST(s_total AS BIGINT) AS n_tokens,
+         |  round(kl_sup + (1024 - n_sup) * (0.5 / (s_total + 512.0)) *
+         |    ln((0.5 / (s_total + 512.0)) / (0.5 / (c_total + 512.0))), 6)
+         |    AS kl_divergence
+         |FROM sup ORDER BY source""".stripMargin,
 
     "text_importance_weights" ->
       s"""WITH $dsirCtes

@@ -17,6 +17,23 @@ class LogProbSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - want) < 1e-6)
   }
 
+  test("sourceDivergence: zero for a lone source, symmetric for mirrored skew") {
+    import spark.implicits._
+    // single source: its distribution IS the corpus → KL exactly 0
+    val lone = Seq((1L, "a", "x y z")).toDF("doc_id", "source", "text")
+    val r0 = TextAnalysis.sourceDivergence(lone).collect().head
+    assert(r0.getString(0) === "a")
+    assert(r0.getLong(1) === 3L)
+    assert(r0.getDouble(2) === 0.0)
+    // two mirrored sources (all-x vs all-y, equal mass): symmetric KL > 0
+    val skewed = Seq((1L, "a", "x x x x"), (2L, "b", "y y y y"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.sourceDivergence(skewed).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows("a") === rows("b"))
+    assert(rows("a") > 0.0)
+  }
+
   test("bigramLogProb: conditional on the shared prefix across docs") {
     import spark.implicits._
     // d1 = "a b", d2 = "a c": prefix 'a' occurs twice, each bigram once

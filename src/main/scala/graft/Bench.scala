@@ -48,8 +48,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = ms(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val report =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(report)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    // Full per-query map also goes to a file: the driver's bounded tail
+    // capture truncates the stdout map from the front (r5 lost the first
+    // ~84 queries), so the on-disk artifact is the complete record.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        report.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

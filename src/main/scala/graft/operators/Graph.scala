@@ -235,9 +235,9 @@ object Graph {
     * graph-proximity counterpart of [[personalizedPageRank]]: discrete
     * "how many similarity steps from a trusted seed corpus" — the
     * selection signal behind graph-bootstrapped labeling and
-    * seed-expansion crawls. Seeds outside the graph's node set are
-    * ignored; nodes unreached within `maxHops` are absent from the
-    * output. The fixed round count keeps the result a pure function of
+    * seed-expansion crawls. Seeds outside the graph's node set (neither a
+    * src nor a dst of any edge) are ignored; nodes unreached within
+    * `maxHops` are absent from the output. The fixed round count keeps the result a pure function of
     * (edges, seeds), so a SQL oracle replays it by unrolling the same
     * rounds.
     *
@@ -252,7 +252,11 @@ object Graph {
     val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
     val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
     val e = eRaw.repartition(parts, col("src")).localCheckpoint()
-    var dist = e.select(col("src").as("v")).distinct()
+    // Node set from BOTH endpoints: on a directed edge list a seed that
+    // appears only as a dst must still start at hops=0, or it would be
+    // assigned a wrong (>=1) distance when reached from another seed.
+    var dist = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
       .join(seeds.select(col("v")).distinct(), Seq("v"), "left_semi")
       .withColumn("hops", lit(0L))
       .repartition(parts, col("v")).localCheckpoint()

@@ -235,10 +235,10 @@ object LearnQueries extends QueryPack {
          |         CAST(y AS BIGINT) AS y
          |       FROM sc JOIN lab USING (doc_id)),
          |cm AS (SELECT count(*) AS n,
-         |         sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
-         |         sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
-         |         sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
-         |         sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+         |         CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |       FROM px)
          |SELECT n, tp, fp, fn, tn,
          |  round(CASE WHEN tp + fp = 0 THEN 0.0

@@ -374,8 +374,9 @@ object SimilarityQueries extends QueryPack {
     s"""WITH $embsCte,
        |${assignedCtes()},
        |$knnEdgeCtes,
-       |d0 AS (SELECT DISTINCT src AS v, CAST(0 AS BIGINT) AS hops
-       |       FROM ed WHERE src % 25 = 0),
+       |d0 AS (SELECT v, CAST(0 AS BIGINT) AS hops FROM (
+       |       SELECT src AS v FROM ed UNION SELECT dst FROM ed)
+       |       WHERE v % 25 = 0),
        |$iterCtes
        |SELECT v AS vec_id, hops FROM d4 ORDER BY v""".stripMargin
   }

@@ -37,6 +37,11 @@ object Multimodal {
     def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta
     def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float]
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** 64-bit perceptual fingerprint (near-dup key; see
+      * [[phashCandidates]]). Stub = md5 head of the raw bytes; a real
+      * codec hashes decoded CONTENT so re-encodes/minor edits stay close
+      * in Hamming distance. */
+    def phash64(bytes: Array[Byte]): Long
   }
 
   object StubCodec extends Codec {
@@ -62,8 +67,130 @@ object Multimodal {
         bytes.slice(i * step, math.min(i * step + step, bytes.length))
       }
     }
+    def phash64(bytes: Array[Byte]): Long = {
+      // md5 head (first 8 bytes big-endian) — bit-identical to the SQL
+      // projection in [[phashCandidates]], so stub and expression paths
+      // produce the same fingerprints.
+      val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    }
   }
   // ======= end stub ======================================================
+
+  /** Real image codec over the JDK's built-in `javax.imageio` readers
+    * (PNG/JPEG/GIF/BMP ship with every JRE — no external libs). The
+    * audio/video kinds still need [[StubCodec]] in this environment, but
+    * the image half of the multimodal surface decodes REAL pixel data:
+    * metadata from the actual bitstream, features and the perceptual
+    * hash from the decoded raster.
+    *
+    * All pixel reductions use explicit integer area-averaging (each
+    * source pixel assigned to one grid cell, integer luminance sums) —
+    * no Graphics2D rescaling — so results are bit-identical across JVMs
+    * and re-runs, matching the engine's determinism contract.
+    */
+  object ImageIoCodec extends Codec {
+    private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image")
+      img
+    }
+
+    def sniffFormat(bytes: Array[Byte]): String = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) readers.next().getFormatName.toLowerCase else "bin"
+      } finally iis.close()
+    }
+
+    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
+      val img = readImage(bytes)
+      MediaMeta(kind, sniffFormat(bytes), img.getWidth, img.getHeight,
+        durationMs = 0L, sizeBytes = bytes.length.toLong)
+    }
+
+    /** g×g area-average luminance grid (row-major, 0-255 per cell). */
+    private def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](g * g)
+      val cnts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(g - 1, (y.toLong * g / h).toInt)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(g - 1, (x.toLong * g / w).toInt)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          sums(gy * g + gx) += lum
+          cnts(gy * g + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(g * g)(i =>
+        if (cnts(i) == 0) 0.0 else sums(i).toDouble / cnts(i))
+    }
+
+    def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val g = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val grid = lumaGrid(readImage(bytes), g)
+      Array.tabulate(dim)(i => (grid(i % grid.length) / 127.5 - 1.0).toFloat)
+    }
+
+    /** A still image is its own single frame. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      if (n <= 0) Nil else Seq(bytes)
+
+    /** Average hash (aHash): 8×8 luminance grid, bit i set iff cell i ≥
+      * grid mean — the classic 64-bit perceptual hash; identical CONTENT
+      * (even re-encoded) collides, small edits move few bits.
+      */
+    def phash64(bytes: Array[Byte]): Long = {
+      val grid = lumaGrid(readImage(bytes), 8)
+      val mean = grid.sum / grid.length
+      var acc = 0L
+      var i = 0
+      while (i < 64) {
+        if (grid(i) >= mean) acc |= 1L << (63 - i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Deterministic fixture PNG: a REAL encoded image (JDK PNG writer)
+    * whose dimensions and pixel pattern are pure functions of `id` —
+    * ids congruent mod `patternMod` render identical content, giving
+    * known-duplicate pairs for the perceptual-hash path.
+    */
+  def fixtureWidth(id: Long, patternMod: Long = 50L): Int =
+    8 + ((id % patternMod) % 5).toInt * 4
+  def fixtureHeight(id: Long, patternMod: Long = 50L): Int =
+    8 + ((id % patternMod) % 3).toInt * 4
+  def fixturePng(id: Long, patternMod: Long = 50L): Array[Byte] = {
+    val p = id % patternMod
+    val w = fixtureWidth(id, patternMod)
+    val h = fixtureHeight(id, patternMod)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((p * 7 + x * 31 + y * 17) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 5) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Decode metadata + features per blob. Kernel shape: one partition in,
     * one partition out; the codec never sees the driver.
@@ -122,10 +249,36 @@ object Multimodal {
     * (distance, pair) is TakeOrderedAndProject.
     */
   def phashCandidates(media: DataFrame, topK: Int,
-      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
-    val bits = media.select(col(idCol).as("media_id"),
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame =
+    bandedPhashCandidates(media.select(col(idCol).as("media_id"),
       conv(substring(md5(col(bytesCol)), 1, 8), 16, 10).cast("long").as("hi"),
-      conv(substring(md5(col(bytesCol)), 9, 8), 16, 10).cast("long").as("lo"))
+      conv(substring(md5(col(bytesCol)), 9, 8), 16, 10).cast("long").as("lo")),
+      topK)
+
+  /** Codec-backed fingerprint frame for [[bandedPhashCandidates]]: one
+    * (media_id, hi, lo) row per blob from `codec.phash64` (real pixel
+    * aHash under [[ImageIoCodec]]). Per-partition kernel — blobs never
+    * leave the executors.
+    */
+  def imagePhashBits(media: DataFrame, codec: Codec = ImageIoCodec,
+      idCol: String = "media_id", bytesCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(bytesCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val p = codec.phash64(bytes)
+        (id, p >>> 32, p & 0xffffffffL)
+      })
+      .toDF("media_id", "hi", "lo")
+  }
+
+  /** The banding / collision-join / Hamming-verify plumbing shared by the
+    * expression fingerprint ([[phashCandidates]]) and codec fingerprints
+    * ([[imagePhashBits]]): `bits` is (media_id, hi: long, lo: long) — the
+    * two 32-bit halves of a 64-bit fingerprint.
+    */
+  def bandedPhashCandidates(bitsIn: DataFrame, topK: Int): DataFrame = {
+    val bits = bitsIn
       .localCheckpoint() // fingerprint once; banding + both verify sides reuse it
     val bands = bits.select(col("media_id"), col("hi"), col("lo"),
       posexplode(array(

@@ -78,6 +78,41 @@ object Curation {
       trainPct = trainPct)
   }
 
+  /** Eval-set decontamination end-to-end (flag → drop → re-stat): score
+    * every corpus document's n-gram overlap with the probe (benchmark)
+    * set ([[TextAnalysis.contamination]]), drop documents sharing more
+    * than `maxShared` distinct grams, and re-profile the corpus per
+    * source — documents seen, dropped, surviving, and surviving token
+    * mass. The summary is what a training-data pipeline publishes after
+    * a decontamination pass (how much did each source lose to benchmark
+    * leakage), the cleaning counterpart of [[curateSelected]]'s
+    * selection composite.
+    *
+    * Scale shape: the flag stage is an inverted-index join keyed on the
+    * n-gram (probe grams deduplicated; zero-overlap documents never
+    * materialize a pair), the drop is a narrow left join on doc_id
+    * against the corpus-sized-but-two-column flag table (plain shuffle
+    * join, never broadcast), and the re-stat is one conditional partial
+    * aggregate over source keys — bounded output at any corpus size.
+    */
+  def curateDecontaminated(corpus: DataFrame, probes: DataFrame,
+      maxShared: Long = 0, n: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id", statCol: String = "source"): DataFrame = {
+    val flags = TextAnalysis.contamination(corpus, probes, n, textCol, idCol)
+    val flagged = corpus.join(flags, Seq(idCol), "left")
+      .withColumn("n_shared",
+        coalesce(col("n_contaminated_grams"), lit(0L)))
+    val keep = col("n_shared") <= maxShared
+    flagged
+      .withColumn("n_toks",
+        size(graft.functions.TextFns.tokens(col(textCol))).cast("long"))
+      .groupBy(col(statCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(keep, col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+  }
+
   /** The narrow quality gate shared by the batch and streaming forms. */
   def qualityGate(docs: DataFrame, minTokens: Int = 10,
       minQuality: Double = 0.5): DataFrame =

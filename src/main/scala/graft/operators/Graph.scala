@@ -60,6 +60,55 @@ object Graph {
       .distinct()
   }
 
+  /** Measured kNN-graph recall@k: for a fixed deterministic anchor
+    * sample, the fraction of each anchor's TRUE top-k cosine neighbours
+    * present among its [[knnEdges]] graph neighbours — quantifying the
+    * `nCells` recall dial the cell-blocked graph asserts in prose (the
+    * [[Similarity.ivfRecall]] contract, applied to the graph builder;
+    * symmetrization can only add neighbours, so this bounds the pure
+    * within-cell recall from above). Emits one row: (n_anchors,
+    * mean_recall, recall_ok = mean_recall ≥ `minMeanRecall`).
+    *
+    * Scale shape: anchors are bounded by construction (vec_id <
+    * `anchorStride`·`maxAnchors`), so the exact pass is |A|·N dot
+    * products with a legal bounded broadcast — a sampled diagnostic,
+    * linear in the corpus; the graph side is the production [[knnEdges]]
+    * plan itself.
+    */
+  def knnRecall(embeddings: DataFrame, k: Int = 4, nCells: Int = 16,
+      anchorStride: Long = 25, maxAnchors: Int = 20,
+      minMeanRecall: Double = 0.2): DataFrame = {
+    val cells = Similarity.cellLayout(embeddings, nCells)
+    val anchors = cells.filter(col("vec_id") % anchorStride === 0 &&
+        col("vec_id") < anchorStride * maxAnchors)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cand = cells.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val exactTop = cand.crossJoin(broadcast(anchors))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"))
+    val nbrs = knnEdges(embeddings, k, nCells)
+      .select(col("src").as("q_id"), col("dst").as("c_id"))
+    val overlap = exactTop.join(nbrs, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    anchors.select(col("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(coalesce(col("n_overlap"), lit(0L)).cast("double")
+        .divide(lit(k)).as("recall"))
+      .agg(count(lit(1)).as("n_anchors"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .select(col("n_anchors"), col("mean_recall"),
+        (col("mean_recall") >= minMeanRecall).as("recall_ok"))
+  }
+
   /** PageRank with `iters` fixed power iterations at damping `d`:
     * rank'(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), ranks seeded
     * uniform. Fixed iteration count (not convergence-tested) keeps the

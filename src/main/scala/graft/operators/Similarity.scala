@@ -475,7 +475,10 @@ object Similarity {
     */
   def cellOutlierScores(embeddings: DataFrame, nCells: Int = 16): DataFrame = {
     val centroid = udaf(graft.functions.CentroidAgg)
-    val cells = assignCells(embeddings, nCells).localCheckpoint()
+    // Reuse the shared checkpointed IVF layout (dropping its norm column)
+    // so the assignment pass is computed once when composed with other
+    // cell-blocked operators in the same job.
+    val cells = cellLayout(embeddings, nCells).drop("nrm")
     val cents = cells.groupBy(col("cell")).agg(centroid(col("embedding")).as("c_emb"))
     val scored = cells.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("label"), col("cell"),
@@ -486,6 +489,57 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("centroid_cos"),
         when(col("sd") > 0, round((col("centroid_cos") - col("mu")) / col("sd"), 6))
           .otherwise(lit(0.0)).as("cell_z"))
+  }
+
+  /** Measured ANN recall@k: overlap between the IVF answer (candidates
+    * restricted to the query's cell, [[ivfTopK]] semantics) and the exact
+    * brute-force top-k, over a FIXED deterministic query sample — the
+    * accuracy-contract companion to the ANN operators, quantifying the
+    * `nCells` recall dial the cell-blocked family documents in prose.
+    * Emits one row: (n_queries, mean_recall, recall_ok) with recall_ok =
+    * mean_recall ≥ `minMeanRecall`, the assertable contract.
+    *
+    * Scale shape: the query set is bounded by construction (vec_id <
+    * `queryStride`·`maxQueries` ⇒ ≤ `maxQueries` rows), so it broadcasts
+    * legally onto both sides; the exact pass is |Q|·N dot products — a
+    * sampled diagnostic, linear in the corpus for fixed |Q|, NOT the N²
+    * full brute force. Per-query top-k is a rank window planned as
+    * Partial+Final WindowGroupLimit; cosines are rounded to 6 before
+    * ranking (ties → lowest id) so both engines select identical sets.
+    */
+  def ivfRecall(embeddings: DataFrame, k: Int = 10, nCells: Int = 16,
+      queryStride: Long = 25, maxQueries: Int = 20,
+      minMeanRecall: Double = 0.2): DataFrame = {
+    val cells = cellLayout(embeddings, nCells)
+    val q = cells.filter(col("vec_id") % queryStride === 0 &&
+        col("vec_id") < queryStride * maxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val cand = cells.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"),
+      col("cell").as("c_cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    def topK(pairs: DataFrame): DataFrame = pairs
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"))
+    val exactTop = topK(cand.crossJoin(broadcast(q)))
+    val ivfTop = topK(cand.join(broadcast(q), col("c_cell") === col("q_cell")))
+    val overlap = exactTop.join(ivfTop, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id"))
+      .join(overlap, Seq("q_id"), "left")
+      .select(coalesce(col("n_overlap"), lit(0L)).cast("double")
+        .divide(lit(k)).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .select(col("n_queries"), col("mean_recall"),
+        (col("mean_recall") >= minMeanRecall).as("recall_ok"))
   }
 
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its

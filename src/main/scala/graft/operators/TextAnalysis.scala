@@ -669,8 +669,12 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFns.tokens(col(textCol))).as("term"))
+    // Snapshot the (doc,term,tf) aggregate: both the df aggregate and the
+    // final join consume it, and without the checkpoint each consumer
+    // re-tokenizes the corpus (the BM25 perDoc-snapshot pattern).
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

@@ -61,7 +61,26 @@ object MultimodalQueries extends QueryPack {
     // md5 head per the codec-stub convention; banding/collision-join/
     // Hamming-verify plumbing is the real image-dedup shape).
     "mm_phash_candidates" -> ((s, dir) =>
-      Multimodal.phashCandidates(media(s, dir), topK = 20))
+      Multimodal.phashCandidates(media(s, dir), topK = 20)),
+
+    // REAL codec round-trip: render a deterministic fixture PNG per doc
+    // (JDK PNG writer), decode it back through javax.imageio
+    // (ImageIoCodec), and emit the fields the oracle can recompute from
+    // the generator formulas — the image half of the multimodal surface
+    // running on genuine pixel data, not the stub.
+    "mm_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixturePng(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decode(pngs, kind = "image",
+          codec = Multimodal.ImageIoCodec).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.durationMs").as("duration_ms"))
+        .orderBy("media_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +110,15 @@ object MultimodalQueries extends QueryPack {
          |SELECT media_id, frame_idx::INTEGER AS frame_idx,
          |  length(frame) AS frame_bytes, md5(frame) AS frame_md5
          |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // The decoded dimensions must equal the generator formulas (pattern
+    // key = doc_id % 50): a lossy or misread bitstream would shift them.
+    "mm_image_decode" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(8 + ((doc_id % 50) % 5) * 4 AS BIGINT) AS width,
+        |  CAST(8 + ((doc_id % 50) % 3) * 4 AS BIGINT) AS height,
+        |  CAST(0 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     // ASCII corpus ⇒ md5(VARCHAR) == md5(BINARY); the 64-bit stub
     // fingerprint, 16-bit banding, and Hamming arithmetic replay exactly.

@@ -99,6 +99,21 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("hops"))
         .orderBy("vec_id")),
 
+    // Measured ANN recall contract: mean overlap@10 between the IVF
+    // cell-restricted top-k and the exact brute-force top-k over the 20
+    // fixed query vectors (vec_id % 25 == 0, < 500) — the oracle replays
+    // both sides and asserts the recall floor as a boolean.
+    "sim_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecall(emb(s, dir), k = TOP_K, nCells = N_CELLS,
+        queryStride = 25, maxQueries = 20, minMeanRecall = RECALL_FLOOR)),
+
+    // Same contract for the kNN graph builder: fraction of each sampled
+    // anchor's true top-4 neighbours present among its knnEdges graph
+    // neighbours.
+    "graph_knn_recall" -> ((s, dir) =>
+      graft.operators.Graph.knnRecall(emb(s, dir), k = 4, nCells = N_CELLS,
+        anchorStride = 25, maxAnchors = 20, minMeanRecall = RECALL_FLOOR)),
+
     // Centroid-distance prototypicality / outlier scoring over the IVF
     // cells (SemDeDup-prototypes / CCS signal): cosine to the cell's mean
     // centroid + its within-cell z-score. Both centroid and moment
@@ -228,6 +243,15 @@ object SimilarityQueries extends QueryPack {
 
   private val N_CELLS = 16
   private val NN_CELLS = 4  // coarser blocking for all-vector NN (no singleton (label, cell) block)
+  // Recall floor asserted by the sim_ivf_recall / graph_knn_recall
+  // contracts. Measured mean recall ≈ 0.19-0.21 at sf0.001/sf0.01 with
+  // nCells=16 — the honest single-probe operating point (1/16 of the
+  // corpus scanned, near-random synthetic embeddings give weak cell
+  // locality; nProbe is the dial that buys it back, see
+  // sim_ivf_nprobe_topk). The floor sits well under the measurement so
+  // the boolean only flips on a real quantizer/blocking regression, not
+  // SF noise; the exact mean_recall value is hash-verified regardless.
+  private val RECALL_FLOOR = 0.1
 
   private def cosSql(a: String, b: String) = DuckSql.cosine(a, b)
 
@@ -476,6 +500,56 @@ object SimilarityQueries extends QueryPack {
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,
     "graph_bfs_hops" -> bfsSql,
+
+    // Recall contracts: both sides of the overlap (exact brute-force
+    // top-k over the sampled queries, cell-restricted/graph answer) are
+    // replayed in SQL, so mean_recall is hash-exact; recall_ok is the
+    // asserted floor — a literal `true` here, so a Spark-side recall
+    // collapse flips the boolean and fails the compare.
+    "sim_ivf_recall" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |q AS (SELECT vec_id AS q_id, de AS q_de, cell AS q_cell
+         |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pairs AS (SELECT q.q_id, q.q_cell, a.vec_id AS c_id, a.cell AS c_cell,
+         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         |ext AS (SELECT q_id, c_id FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id) <= $TOP_K),
+         |ivt AS (SELECT q_id, c_id FROM pairs WHERE c_cell = q_cell
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id) <= $TOP_K),
+         |ov AS (SELECT e.q_id, count(*) AS n_overlap
+         |  FROM ext e JOIN ivt USING (q_id, c_id) GROUP BY 1),
+         |rec AS (SELECT q.q_id,
+         |    coalesce(ov.n_overlap, 0)::DOUBLE / $TOP_K AS recall
+         |  FROM q LEFT JOIN ov USING (q_id))
+         |SELECT count(*) AS n_queries, round(avg(recall), 4) AS mean_recall,
+         |  true AS recall_ok
+         |FROM rec""".stripMargin,
+
+    "graph_knn_recall" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |$knnEdgeCtes,
+         |q AS (SELECT vec_id AS q_id, de AS q_de
+         |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pairs AS (SELECT q.q_id, a.vec_id AS c_id,
+         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         |ext AS (SELECT q_id, c_id FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id) <= 4),
+         |ov AS (SELECT e.q_id, count(*) AS n_overlap
+         |  FROM ext e JOIN ed ON ed.src = e.q_id AND ed.dst = e.c_id
+         |  GROUP BY 1),
+         |rec AS (SELECT q.q_id,
+         |    coalesce(ov.n_overlap, 0)::DOUBLE / 4 AS recall
+         |  FROM q LEFT JOIN ov USING (q_id))
+         |SELECT count(*) AS n_anchors, round(avg(recall), 4) AS mean_recall,
+         |  true AS recall_ok
+         |FROM rec""".stripMargin,
 
     // Per-dim cell means rebuilt into an ordered list, cosine to each
     // member (rounded BEFORE the moment stats, like the operator), then

@@ -257,6 +257,18 @@ object TextQueries extends QueryPack {
         .orderBy("doc_id", "copy_idx")
     }),
 
+    // End-to-end decontamination: flag corpus docs sharing any distinct
+    // 4-gram with the probe set (doc_id < 20) → drop them → re-stat the
+    // surviving corpus per source (docs seen / dropped / kept + kept
+    // token mass). One green composite oracle over the whole chain.
+    "curate_decontaminated" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Curation.curateDecontaminated(
+          d.filter(col("doc_id") >= 20), d.filter(col("doc_id") < 20),
+          maxShared = 0, n = 4)
+        .orderBy("source")
+    }),
+
     // Per-source drift monitor: KL(source ‖ corpus) over the hashed
     // 1024-bucket unigram distribution — bounded sketch, no vocab table.
     "text_source_divergence" -> ((s, dir) =>
@@ -620,6 +632,29 @@ object TextQueries extends QueryPack {
          |SELECT doc_id, count(DISTINCT gram) AS n_contaminated_grams
          |FROM cg WHERE gram IN (SELECT gram FROM probe)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "curate_decontaminated" -> {
+      val sh4 = DuckSql.shingles("toks", 4)
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($sh4) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |probe AS (SELECT DISTINCT unnest(sh) AS gram FROM d WHERE doc_id < 20),
+         |flags AS (
+         |  SELECT doc_id, count(DISTINCT gram) AS n_shared
+         |  FROM (SELECT doc_id, unnest(sh) AS gram FROM d WHERE doc_id >= 20) cg
+         |  WHERE gram IN (SELECT gram FROM probe) GROUP BY doc_id),
+         |fl AS (
+         |  SELECT c.source, len($toksSql) AS n_toks,
+         |    coalesce(f.n_shared, 0) AS n_shared
+         |  FROM documents c LEFT JOIN flags f USING (doc_id)
+         |  WHERE c.doc_id >= 20)
+         |SELECT source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN n_shared = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN n_shared = 0 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin
     },
 
     "text_mixture" ->

@@ -186,6 +186,93 @@ object Selection {
     * @return (pick_order, vec_id, min_dist): the distance that won the
     *         round; −1.0 for the seed (which has no earlier center).
     */
+  /** Oversampled k-center: the scale form of [[kCenterSelect]]. Exact
+    * greedy farthest-point traversal is inherently k sequential passes;
+    * at 100 TB you take the k-means‖-style cure — ONE corpus pass selects
+    * a bounded candidate frame (per-IVF-cell outliers: each cell's
+    * `oversample` members least similar to their cell centroid, plus the
+    * seed — greedy k-center picks are far points, and far points are cell
+    * extremes), then the sequential greedy runs over the ≤
+    * `nCells`·`oversample`+1 collected candidates on the driver, a
+    * model-artifact-sized loop like the k-means refine step.
+    *
+    * Same arithmetic as [[kCenterSelect]] (round-6 cosine distances,
+    * sequential-fold dot product, ties → lowest vec_id), so picks are
+    * identical whenever the candidate set contains the exact traversal's
+    * picks — `oversample` is the fidelity dial (see SelectionSpec).
+    *
+    * Scale shape: one cell-assign pass over the (norm-hoisted,
+    * checkpointed) corpus — map-side-collapsible argmax against the
+    * nCells-row broadcast — then a per-cell WindowGroupLimit top-m;
+    * nothing corpus-sized is collected, broadcast, or iterated.
+    */
+  def kCenterSelectOversampled(embeddings: DataFrame, k: Int,
+      oversample: Int = 8, nCells: Int = 16): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
+    val seedId = base.agg(min(col("vec_id"))).head().getLong(0)
+    val cents = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        round(VectorFns.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")), 6))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("nrm"), col("cell"), col("sim")),
+        struct((-col("sim")).as("neg_sim"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("b.embedding").as("embedding"),
+        col("b.nrm").as("nrm"), col("b.cell").as("cell"), col("b.sim").as("sim"))
+    // Candidates per cell: the `oversample` members LEAST similar to the
+    // centroid (greedy picks are far points, far points are cell
+    // extremes) plus the single MOST similar member (the medoid — the
+    // pick greedy makes for a cluster it hasn't touched yet), plus the
+    // seed. Both ranks come from the same sorted window pass.
+    val wAsc = Window.partitionBy(col("cell")).orderBy(col("sim").asc, col("vec_id"))
+    val wDesc = Window.partitionBy(col("cell")).orderBy(col("sim").desc, col("vec_id"))
+    val cand = assigned
+      .withColumn("rk_out", row_number().over(wAsc))
+      .withColumn("rk_med", row_number().over(wDesc))
+      .filter(col("rk_out") <= oversample || col("rk_med") === 1 ||
+        col("vec_id") === seedId)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .collect() // bounded: ≤ nCells·(oversample+1) + 1 candidate rows
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+
+    // driver greedy over the candidate frame — DotProductExpr's exact
+    // sequential-fold double arithmetic and round-6 HALF_UP
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var picked = Vector(seedId -> -1.0)
+    var pickedVecs = cand.filter(_._1 == seedId).toVector
+    for (_ <- 2 to k) {
+      val best = cand.iterator
+        .filter(c => !picked.exists(_._1 == c._1))
+        .map { case (vid, emb, nrm) =>
+          val d = pickedVecs.map { case (_, sEmb, sNrm) =>
+            round6(1.0 - dot(emb, sEmb) / (nrm * sNrm))
+          }.min
+          (vid, d)
+        }
+        .minBy { case (vid, d) => (-d, vid) }
+      picked = picked :+ best
+      pickedVecs = pickedVecs ++ cand.filter(_._1 == best._1)
+    }
+
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((vid, d), idx) => (idx + 1, vid, d) }
+      .toDF("pick_order", "vec_id", "min_dist")
+  }
+
   def kCenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorFns.norm(col("embedding")))

@@ -542,6 +542,77 @@ object Similarity {
         (col("mean_recall") >= minMeanRecall).as("recall_ok"))
   }
 
+  /** Recall/cost curve for multi-probe IVF ([[ivfTopKProbe]] semantics):
+    * mean recall@k vs exact brute force at each probe width in `nProbes`,
+    * over the same bounded query sample as [[ivfRecall]] — the measured
+    * form of "nProbe is the dial that buys recall back", one row per
+    * probe level.
+    *
+    * Scale shape: probe-cell ranking is a (|Q| × nCells) bounded frame;
+    * the scored-pair lineage (|Q|·N, linear for fixed |Q|) feeds the
+    * exact top-k once and each probe level's rank-filtered top-k; the
+    * probe-level grid is a driver-built literal relation. Nothing
+    * corpus-sized is broadcast; per-(query, level) top-k is
+    * WindowGroupLimit.
+    */
+  def ivfRecallCurve(embeddings: DataFrame, k: Int = 10, nCells: Int = 16,
+      nProbes: Seq[Int] = Seq(1, 2, 4), queryStride: Long = 25,
+      maxQueries: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cells = cellLayout(embeddings, nCells)
+    val q = cells.filter(col("vec_id") % queryStride === 0 &&
+        col("vec_id") < queryStride * maxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cents = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("pr_cell"), col("embedding").as("cent_emb"))
+    val wq = Window.partitionBy(col("pr_q"))
+      .orderBy(col("q_sim").desc, col("pr_cell"))
+    val probeRank = cents.crossJoin(broadcast(q))
+      .withColumn("q_sim",
+        round(VectorFns.cosine(col("cent_emb"), col("q_emb")), 6))
+      .select(col("q_id").as("pr_q"), col("pr_cell"), col("q_sim"))
+      .withColumn("cell_rank", row_number().over(wq))
+      .drop("q_sim")
+    val pairs = cells
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"), col("cell").as("c_cell"))
+      .crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("cos", round(
+        VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    val wke = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val exactTop = pairs.withColumn("rk", row_number().over(wke))
+      .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
+      .localCheckpoint() // bounded |Q|·k rows, reused per probe level
+    val probes = nProbes.toDF("n_probe")
+    val wkp = Window.partitionBy(col("q_id"), col("n_probe"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val probedTop = pairs
+      .join(probeRank,
+        col("q_id") === col("pr_q") && col("c_cell") === col("pr_cell"))
+      .crossJoin(broadcast(probes))
+      .filter(col("cell_rank") <= col("n_probe"))
+      .withColumn("rk", row_number().over(wkp))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_probe"), col("c_id"))
+    val overlap = exactTop.join(probedTop, Seq("q_id", "c_id"))
+      .groupBy(col("n_probe"), col("q_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id")).crossJoin(broadcast(probes))
+      .join(overlap, Seq("n_probe", "q_id"), "left")
+      .select(col("n_probe"),
+        coalesce(col("n_overlap"), lit(0L)).cast("double")
+          .divide(lit(k)).as("recall"))
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .orderBy("n_probe")
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label, with candidates restricted to the vector's IVF cell — the
     * (label × cell) block bounds pair work without broadcasting anything

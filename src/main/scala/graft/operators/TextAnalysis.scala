@@ -196,14 +196,30 @@ object TextAnalysis {
     * @return (source, n_tokens, kl_divergence) — nats, rounded to 6.
     */
   def sourceDivergence(docs: DataFrame, dims: Int = 1024,
-      textCol: String = "text", srcCol: String = "source"): DataFrame = {
-    val feats = docs.select(col(srcCol).as("source"),
+      textCol: String = "text", srcCol: String = "source"): DataFrame =
+    divergenceFromCounts(unigramBucketCounts(docs, dims, textCol, srcCol), dims)
+
+  /** The corpus pass of [[sourceDivergence]]: hashed per-(source, bucket)
+    * unigram counts — a mergeable monoid (union + sum re-aggregates), so
+    * the streaming monitor maintains this table incrementally per batch
+    * ([[graft.streaming.Monitors.divergenceMonitor]]) and replays the
+    * closed-form KL over the merged state.
+    */
+  def unigramBucketCounts(docs: DataFrame, dims: Int = 1024,
+      textCol: String = "text", srcCol: String = "source"): DataFrame =
+    docs.select(col(srcCol).as("source"),
         explode(TextFns.textShingles(col(textCol), 1)).as("f"))
       .select(col("source"),
         pmod(conv(substring(md5(col("f").cast("binary")), 1, 8), 16, 10)
           .cast("long"), lit(dims)).as("bucket"))
-    val sb = feats.groupBy(col("source"), col("bucket"))
+      .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("s_cnt"))
+
+  /** KL finalization over a (source, bucket, s_cnt) count table — all
+    * inputs are ≤ |sources|·`dims` rows, so every frame here is bounded
+    * regardless of how much corpus fed the counts.
+    */
+  def divergenceFromCounts(sb: DataFrame, dims: Int = 1024): DataFrame = {
     val sTot = sb.groupBy(col("source"))
       .agg(sum(col("s_cnt")).cast("double").as("s_total"))
     val cb = sb.groupBy(col("bucket")).agg(sum(col("s_cnt")).as("c_cnt"))

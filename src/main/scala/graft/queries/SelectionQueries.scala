@@ -25,6 +25,8 @@ object SelectionQueries extends QueryPack {
   private val MMR_M = 64
   private val LAMBDA = 0.7
   private val QUERY_ID = 0L
+  private val OVERSAMPLE = 8
+  private val KC_CELLS = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -59,7 +61,15 @@ object SelectionQueries extends QueryPack {
 
     // Greedy k-center coreset: 4 maximally-spread exemplars.
     "select_kcenter" -> ((s, dir) =>
-      Selection.kCenterSelect(emb(s, dir), MMR_K))
+      Selection.kCenterSelect(emb(s, dir), MMR_K)),
+
+    // The 100 TB form: one cell-assign pass → bounded extremes+medoid
+    // candidate frame → driver greedy over ≤ nCells·(oversample+1)+1
+    // rows. The oracle replays the SAME candidate selection and greedy,
+    // so the hash compare covers the whole oversampled algorithm.
+    "select_kcenter_oversampled" -> ((s, dir) =>
+      Selection.kCenterSelectOversampled(emb(s, dir), MMR_K,
+        oversample = OVERSAMPLE, nCells = KC_CELLS))
   )
 
   // ---- oracles ----
@@ -124,9 +134,58 @@ object SelectionQueries extends QueryPack {
        |ORDER BY pick_order""".stripMargin
   }
 
+  /** Oracle twin of Selection.kCenterSelectOversampled: the cell-assign
+    * argmax, the per-cell extremes+medoid candidate rule, and the greedy
+    * unrolled over the candidate relation instead of the corpus.
+    */
+  private def kCenterOversampledOracle: String = {
+    def cos(a: String, b: String) = DuckSql.cosine(a, b)
+    val picks = (2 to MMR_K).map { i =>
+      val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
+      s"""p$i AS (
+         |  SELECT c.vec_id, c.emb, md.d FROM cand c JOIN (
+         |    SELECT c2.vec_id, min(round(1 - ${cos("c2.emb", "p.emb")}, 6)) AS d
+         |    FROM cand c2, ($prev) p
+         |    WHERE c2.vec_id NOT IN (SELECT vec_id FROM ($prev))
+         |    GROUP BY c2.vec_id) md ON c.vec_id = md.vec_id
+         |  ORDER BY md.d DESC, c.vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MMR_K)
+      .map(i => s"SELECT $i AS pick_order, vec_id, d AS min_dist FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |pc AS (SELECT vec_id AS cell, emb AS cemb FROM base
+       |  WHERE vec_id < $KC_CELLS),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, sim FROM (
+       |    SELECT b.vec_id, b.emb, c.cell,
+       |      round(${cos("b.emb", "c.cemb")}, 6) AS sim
+       |    FROM base b CROSS JOIN pc c)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell) = 1),
+       |cand AS (
+       |  SELECT vec_id, emb FROM (
+       |    SELECT vec_id, emb, sim,
+       |      row_number() OVER (PARTITION BY cell ORDER BY sim ASC, vec_id)
+       |        AS rk_out,
+       |      row_number() OVER (PARTITION BY cell ORDER BY sim DESC, vec_id)
+       |        AS rk_med
+       |    FROM asg)
+       |  WHERE rk_out <= $OVERSAMPLE OR rk_med = 1
+       |     OR vec_id = (SELECT min(vec_id) FROM base)),
+       |p1 AS (SELECT vec_id, emb, -1.0 AS d FROM cand ORDER BY vec_id LIMIT 1),
+       |$picks
+       |$out
+       |ORDER BY pick_order""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "select_kcenter" -> kCenterOracle,
+
+    "select_kcenter_oversampled" -> kCenterOversampledOracle,
 
     "select_weighted_sample" ->
       s"""SELECT doc_id, n_chars, ares_key FROM (

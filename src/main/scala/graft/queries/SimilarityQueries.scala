@@ -114,6 +114,13 @@ object SimilarityQueries extends QueryPack {
       graft.operators.Graph.knnRecall(emb(s, dir), k = 4, nCells = N_CELLS,
         anchorStride = 25, maxAnchors = 20, minMeanRecall = RECALL_FLOOR)),
 
+    // The measured recall/cost curve: mean recall@10 at nProbe = 1/2/4
+    // over the same query sample — quantifies the multi-probe dial
+    // (nProbe/nCells of the corpus scanned buys recall back).
+    "sim_recall_curve" -> ((s, dir) =>
+      Similarity.ivfRecallCurve(emb(s, dir), k = TOP_K, nCells = N_CELLS,
+        nProbes = Seq(1, 2, 4), queryStride = 25, maxQueries = 20)),
+
     // Centroid-distance prototypicality / outlier scoring over the IVF
     // cells (SemDeDup-prototypes / CCS signal): cosine to the cell's mean
     // centroid + its within-cell z-score. Both centroid and moment
@@ -550,6 +557,45 @@ object SimilarityQueries extends QueryPack {
          |SELECT count(*) AS n_anchors, round(avg(recall), 4) AS mean_recall,
          |  true AS recall_ok
          |FROM rec""".stripMargin,
+
+    "sim_recall_curve" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |q AS (SELECT vec_id AS q_id, de AS q_de
+         |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pcent AS (SELECT vec_id AS cell, de AS cent FROM embs
+         |  WHERE vec_id < $N_CELLS),
+         |pr AS (SELECT q.q_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(${cosSql("c.cent", "q.q_de")}, 6) DESC, c.cell)
+         |      AS cell_rank
+         |  FROM pcent c CROSS JOIN q),
+         |pairs AS (SELECT q.q_id, a.vec_id AS c_id, a.cell AS c_cell,
+         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
+         |ext AS (SELECT q_id, c_id FROM pairs
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id) <= $TOP_K),
+         |np AS (SELECT unnest([1, 2, 4]) AS n_probe),
+         |ppk AS (SELECT q_id, n_probe, c_id FROM (
+         |    SELECT p.q_id, n.n_probe, p.c_id,
+         |      row_number() OVER (PARTITION BY p.q_id, n.n_probe
+         |        ORDER BY p.cos DESC, p.c_id) AS rk
+         |    FROM pairs p
+         |    JOIN pr ON pr.q_id = p.q_id AND pr.cell = p.c_cell
+         |    CROSS JOIN np n
+         |    WHERE pr.cell_rank <= n.n_probe)
+         |  WHERE rk <= $TOP_K),
+         |ov AS (SELECT n_probe, q_id, count(*) AS n_overlap
+         |  FROM ext JOIN ppk USING (q_id, c_id) GROUP BY 1, 2),
+         |grid AS (SELECT q_id, n_probe FROM q CROSS JOIN np),
+         |rec AS (SELECT g.n_probe,
+         |    coalesce(o.n_overlap, 0)::DOUBLE / $TOP_K AS recall
+         |  FROM grid g LEFT JOIN ov o
+         |    ON o.q_id = g.q_id AND o.n_probe = g.n_probe)
+         |SELECT n_probe, count(*) AS n_queries,
+         |  round(avg(recall), 4) AS mean_recall
+         |FROM rec GROUP BY n_probe ORDER BY n_probe""".stripMargin,
 
     // Per-dim cell means rebuilt into an ordered list, cosine to each
     // member (rounded BEFORE the moment stats, like the operator), then

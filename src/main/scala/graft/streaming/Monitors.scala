@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.TextAnalysis
+
+/** Streaming forms of the two monitors a production pipeline runs
+  * continuously: the per-entity rolling z-score anomaly detector
+  * ([[graft.operators.Anomaly.rollingZ]]) and the per-source KL drift
+  * monitor ([[TextAnalysis.sourceDivergence]]).
+  *
+  * Both reuse the batch operators' exact arithmetic so stream output is
+  * verifiable against the batch answer on the same events (the
+  * StreamScoringSpec pattern): the z-score keeps the explicit
+  * (Σx² − (Σx)²/n)/(n−1) form summed in event-time order, and the drift
+  * monitor re-finalizes the SAME closed-form KL over incrementally merged
+  * counts.
+  */
+object Monitors {
+
+  // ---------------------------------------------------------------- zscore
+
+  case class ZPoint(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class ZOut(event_id: Long, user_id: Long,
+      z: Option[Double], is_anomaly: Option[Boolean])
+  /** Per-key trailing window buffer: event-time-ascending (ts, value)
+    * points within `windowMicros` of the newest — the ONLY state kept, so
+    * state per key is bounded by the densest trailing window, never the
+    * stream's history.
+    */
+  case class ZBuf(ts: Seq[Long], vs: Seq[Double])
+
+  /** Streaming rolling z-score via flatMapGroupsWithState: each arriving
+    * event is scored against its own key's trailing `windowMicros`
+    * baseline, exactly like the batch window form — same explicit
+    * variance expression, same n ≥ 3 / positive-variance guard, same
+    * round-6 and |z| > `zThresh` flag.
+    *
+    * Batch equivalence holds for per-key event-time-ordered arrival
+    * (micro-batch boundaries don't matter — the buffer carries the
+    * trailing window across batches; within a batch rows are sorted by
+    * event time first). A row arriving LATE (older than its key's newest
+    * processed point) is scored against the points currently in the
+    * buffer — already-emitted verdicts are never revised; that is the
+    * standard monitor trade, not silent wrongness, and it is the only
+    * divergence from the batch answer.
+    */
+  def rollingZStream(events: DataFrame, windowMicros: Long = 86400000000L,
+      zThresh: Double = 3.0): Dataset[ZOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .as[ZPoint]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ZBuf, ZOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[ZPoint], state: GroupState[ZBuf]) =>
+          var ts = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          var vs = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty)
+          val out = rows.toVector.sortBy(p => (p.tsMicros, p.event_id)).map { p =>
+            // insert in event-time order (late rows land mid-buffer), then
+            // evict everything older than the NEWEST point's window reach
+            val at = ts.lastIndexWhere(_ <= p.tsMicros) + 1
+            ts = (ts.take(at) :+ p.tsMicros) ++ ts.drop(at)
+            vs = (vs.take(at) :+ p.value) ++ vs.drop(at)
+            val cut = ts.last - windowMicros
+            val drop = ts.indexWhere(_ >= cut) match {
+              case -1 => ts.length - 1
+              case i => i
+            }
+            ts = ts.drop(drop); vs = vs.drop(drop)
+            // this event's trailing frame [p.ts - window, p.ts], summed in
+            // event-time order — the batch RANGE frame's exact member set
+            // and accumulation order
+            val lo = p.tsMicros - windowMicros
+            var s = 0.0; var ss = 0.0; var n = 0
+            var i = 0
+            while (i < ts.length) {
+              if (ts(i) >= lo && ts(i) <= p.tsMicros) {
+                s += vs(i); ss += vs(i) * vs(i); n += 1
+              }
+              i += 1
+            }
+            val variance = (ss - s * s / n) / (n - 1)
+            if (n >= 3 && variance > 0.0) {
+              val z = (p.value - s / n) / math.sqrt(variance)
+              ZOut(p.event_id, uid,
+                Some(BigDecimal(z)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+                Some(math.abs(z) > zThresh))
+            } else ZOut(p.event_id, uid, None, None)
+          }
+          state.update(ZBuf(ts, vs))
+          out.iterator
+      }
+  }
+
+  // ----------------------------------------------------------------- drift
+
+  /** Streaming per-source KL drift monitor: foreachBatch incremental
+    * maintenance of the hashed (source, bucket) count state (a mergeable
+    * monoid — union + sum), then the closed-form KL re-finalized over the
+    * merged state after every batch. Emits the monitor table to
+    * `outDir/kl` and keeps state in `outDir/state`.
+    *
+    * Scale shape: each micro-batch costs one partial-aggregable groupBy
+    * over the DELTA plus a merge with the ≤ |sources|·dims-row state
+    * table; the KL finalization runs entirely on bounded frames. The
+    * history is never re-scanned — the property that lets the monitor
+    * run forever on an unbounded ingest.
+    */
+  def divergenceMonitor(docs: DataFrame, outDir: String, dims: Int = 1024)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeDivergenceBatch(batch, outDir, dims)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[divergenceMonitor]], callable from tests and
+    * batch backfills: merge the batch's counts into the state table and
+    * rewrite the KL monitor output.
+    */
+  def mergeDivergenceBatch(batch: DataFrame, outDir: String,
+      dims: Int = 1024): Unit = {
+    val spark = batch.sparkSession
+    val stateDir = s"$outDir/state"
+    val delta = TextAnalysis.unigramBucketCounts(batch, dims)
+    val merged = (if (stateExists(spark, stateDir))
+      spark.read.parquet(stateDir).unionByName(delta)
+        .groupBy(col("source"), col("bucket"))
+        .agg(sum(col("s_cnt")).as("s_cnt"))
+    else delta)
+      .localCheckpoint() // sever lineage from the file we overwrite next
+    merged.write.mode("overwrite").parquet(stateDir)
+    TextAnalysis.divergenceFromCounts(merged, dims)
+      .write.mode("overwrite").parquet(s"$outDir/kl")
+  }
+
+  private def stateExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+}

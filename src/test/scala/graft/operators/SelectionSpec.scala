@@ -110,4 +110,47 @@ class SelectionSpec extends SparkSpec {
     assert(got(1)._3 === 2.0) // 1 - (-1) = 2: antipodal
     assert(got(2)._3 === 1.0) // orthogonal to both centers
   }
+
+  test("oversampled k-center reproduces the exact traversal on clustered data") {
+    import spark.implicits._
+    // 62 vectors, 4 clusters (reps at ids 0-3 so each IVF cell IS a
+    // cluster) + 2 outliers; candidates = 4 cells × (4 extremes + 1
+    // medoid) + seed = non-trivially fewer rows than the corpus.
+    val rows =
+      Seq((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 1.0f, 0.0f)),
+        (2L, Seq(0.0f, 0.0f, 1.0f)), (3L, Seq(0.7f, 0.7f, 0.0f))) ++
+      (4L to 19L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))) ++
+      (20L to 35L).map(i => (i, Seq(0.0f, 1.0f, 0.0f))) ++
+      (36L to 51L).map(i => (i, Seq(0.0f, 0.0f, 1.0f))) ++
+      (52L to 59L).map(i => (i, Seq(0.7f, 0.7f, 0.0f))) ++
+      Seq((60L, Seq(-1.0f, 0.0f, 0.0f)), (61L, Seq(0.0f, -0.7f, -0.7f)))
+    val embs = rows.toDF("vec_id", "embedding")
+    val exact = Selection.kCenterSelect(embs, k = 4)
+      .orderBy("pick_order").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val fast = Selection.kCenterSelectOversampled(embs, k = 4,
+        oversample = 4, nCells = 4)
+      .orderBy("pick_order").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // identical picks AND identical winning distances (same rounded
+    // arithmetic, not just the same ids)
+    assert(fast === exact)
+    assert(exact.map(_._2) === Seq(0L, 60L, 1L, 2L)) // seed, antipode, reps
+  }
+
+  test("oversampled k-center stays near the exact cover on unstructured data") {
+    // Near-random embeddings have no cluster structure, so no sublinear
+    // candidate set can guarantee the exact argmax chain — the contract
+    // here is QUALITY: each round's winning distance stays within 10% of
+    // the exact traversal's.
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Selection.kCenterSelect(embs, k = 4)
+      .orderBy("pick_order").collect().map(_.getDouble(2)).toSeq
+    val fast = Selection.kCenterSelectOversampled(embs, k = 4,
+        oversample = 8, nCells = 16)
+      .orderBy("pick_order").collect().map(_.getDouble(2)).toSeq
+    exact.zip(fast).drop(1).foreach { case (e, f) =>
+      assert(f >= 0.9 * e, s"fast round dist $f fell >10% under exact $e")
+    }
+  }
 }

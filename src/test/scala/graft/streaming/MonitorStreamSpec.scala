@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.{Anomaly, TextAnalysis}
+
+/** Batch-equivalence proofs for the streaming monitors: the same fixture
+  * events fed through the stream (across several micro-batches, so state
+  * genuinely carries over) must reproduce the batch operators' answers
+  * row for row.
+  */
+class MonitorStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (event_id, user_id, tsSec, value): two users, in-order per key. User
+  // 1 has 12 steady baseline points then a spike (id 113): with the
+  // current row included in its own frame |z| tops out at (n-1)/sqrt(n),
+  // so a flag at threshold 3 needs n >= 12 — the spike lands z ~ 3.3.
+  private val zFixture: Seq[(Long, Long, Long, Double)] =
+    (1 to 12).map(i =>
+      (100L + i, 1L, 1000L * i, 10.0 + (i % 3) * 0.3 - 0.3)) ++ Seq(
+      (113L, 1L, 13000L, 55.0), (114L, 1L, 14000L, 10.1),
+      (201L, 2L, 1500L, 5.0), (202L, 2L, 2500L, 5.1), (203L, 2L, 3500L, 4.9),
+      (204L, 2L, 4500L, 5.05), (205L, 2L, 5500L, 12.0)
+    )
+
+  private def zDF(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("event_id", "user_id", "tsSec", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("tsSec")).as("ts"), col("value"))
+
+  test("streamed rolling z-score equals the batch window answer across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val windowMicros = 20000L * 1000000L // 20000 s trailing window
+
+    val batch = Anomaly.rollingZ(zDF(zFixture), windowMicros).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean])))).toMap
+
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val q = Monitors.rollingZStream(
+        input.toDF().toDF("event_id", "user_id", "tsSec", "value")
+          .select(col("event_id"), col("user_id"),
+            timestamp_seconds(col("tsSec")).as("ts"), col("value")),
+        windowMicros)
+      .writeStream.format("memory").queryName("zmon")
+      .outputMode("append").start()
+    // three micro-batches — state must carry the trailing window across
+    zFixture.grouped(5).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("zmon").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Boolean])))).toMap
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, got) =>
+      assert(got === batch(id), s"event $id: stream $got vs batch ${batch(id)}")
+    }
+    // sanity: the planted spike actually flagged
+    assert(streamed(113L)._2 === Some(true))
+  }
+
+  test("streamed KL drift monitor equals batch sourceDivergence after merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 64
+    val docs = Seq(
+      (1L, "srcA", "alpha beta gamma delta alpha"),
+      (2L, "srcA", "alpha beta common words"),
+      (3L, "srcB", "omega psi chi omega omega"),
+      (4L, "srcB", "psi chi more words"),
+      (5L, "srcA", "gamma delta alpha beta"),
+      (6L, "srcB", "omega chi psi filler")
+    )
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-divmon").toString
+
+    val input = MemoryStream[(Long, String, String)]
+    val q = Monitors.divergenceMonitor(
+      input.toDF().toDF("doc_id", "source", "text"), outDir, dims)
+    docs.grouped(2).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val expect = TextAnalysis.sourceDivergence(
+        docs.toDF("doc_id", "source", "text"), dims).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = spark.read.parquet(s"$outDir/kl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+    // state really is the bounded count monoid, not raw documents
+    val state = spark.read.parquet(s"$outDir/state")
+    assert(state.columns.toSet === Set("source", "bucket", "s_cnt"))
+    assert(state.count() <= 2L * dims)
+  }
+}

@@ -613,6 +613,63 @@ object Similarity {
       .orderBy("n_probe")
   }
 
+  /** Dimension-truncation recall curve (the matryoshka/MRL question):
+    * mean recall@k of exact search over only the FIRST `d` embedding
+    * components vs the full-dimension exact answer, for each `d` in
+    * `dims` — how much ANN budget a narrower stored vector costs. The
+    * full dimension should appear in `dims` as the 1.0-recall sanity row.
+    *
+    * Scale shape: one scored-pair lineage over the bounded query sample
+    * (|Q|·N·|dims| rows, linear for fixed |Q| and |dims|); truncated
+    * cosines slice the SAME array column (no re-store), per-(query, d)
+    * top-k is WindowGroupLimit, and the dims grid is a driver literal.
+    */
+  def dimRecallCurve(embeddings: DataFrame, k: Int = 10,
+      dims: Seq[Int] = Seq(16, 32, 64), fullDim: Int = 64,
+      queryStride: Long = 25, maxQueries: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") % queryStride === 0 &&
+        col("vec_id") < queryStride * maxQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val pairs = base
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+    def cosAt(d: Column): Column = {
+      val a = slice(col("q_emb"), lit(1), d)
+      val b = slice(col("c_emb"), lit(1), d)
+      round(VectorFns.cosine(a, b), 6)
+    }
+    val dimsDf = dims.toDF("n_dims")
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val fullTop = pairs.withColumn("cos", cosAt(lit(fullDim)))
+      .withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
+      .localCheckpoint() // bounded |Q|·k baseline, reused per dims level
+    val wd = Window.partitionBy(col("q_id"), col("n_dims"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val truncTop = pairs.crossJoin(broadcast(dimsDf))
+      .withColumn("cos", cosAt(col("n_dims")))
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("n_dims"), col("c_id"))
+    val overlap = fullTop.join(truncTop, Seq("q_id", "c_id"))
+      .groupBy(col("n_dims"), col("q_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    q.select(col("q_id")).crossJoin(broadcast(dimsDf))
+      .join(overlap, Seq("n_dims", "q_id"), "left")
+      .select(col("n_dims"),
+        coalesce(col("n_overlap"), lit(0L)).cast("double")
+          .divide(lit(k)).as("recall"))
+      .groupBy(col("n_dims"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("mean_recall"))
+      .orderBy("n_dims")
+  }
+
   /** Embedding-cosine near-dup: each vector's nearest neighbour within its
     * label, with candidates restricted to the vector's IVF cell — the
     * (label × cell) block bounds pair work without broadcasting anything

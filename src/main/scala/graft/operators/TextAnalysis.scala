@@ -599,6 +599,48 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
       .limit(topN)
 
+  /** Corpus-level boilerplate scrub — the REWRITE form of
+    * [[spanHotspots]]: every token covered by an occurrence of a hot
+    * span (a word-`n`-gram appearing in ≥ `minDocs` distinct documents)
+    * is removed from its document, and the document is rebuilt from the
+    * surviving tokens (the RefinedWeb/CCNet line-dedup rule generalized
+    * from lines to n-gram spans). Emits per document: original token
+    * count, tokens scrubbed, and the digest of the rebuilt text.
+    *
+    * Scale shape: one tokenize+shingle pass; the hot-span table is
+    * corpus-derived and potentially large, so flagging is a plain
+    * shuffle join on the span key (never a broadcast — the
+    * [[unigramLogProb]] vocabulary posture); per-document coverage and
+    * reconstruction are then NARROW higher-order-function work over the
+    * (token, flagged-start) arrays — no per-token join, no window.
+    */
+  def scrubHotSpans(docs: DataFrame, n: Int = 5, minDocs: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextFns.tokens(col(textCol)).as("toks"))
+    // shingle start index i = token index i (textShingles tokenizes with
+    // the same formula as tokens)
+    val spans = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.textShingles(col(textCol), n))
+        .as(Seq("start", "span")))
+    val hot = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("span"))
+    val flagged = spans.join(hot, "span")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("start")).as("starts"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("toks"), (t, j) =>
+        !exists(col("starts"), s => s <= j && j < s + lit(n))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_scrubbed"),
+        md5(array_join(col("kept"), " ").cast("binary")).as("scrub_md5"))
+  }
+
   /** Heaps-law vocabulary growth: distinct-term first occurrences
     * bucketed into `buckets` equal doc_id ranges, with the running
     * cumulative vocabulary — the sublinear vocab-vs-corpus curve that

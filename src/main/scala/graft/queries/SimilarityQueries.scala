@@ -121,6 +121,14 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfRecallCurve(emb(s, dir), k = TOP_K, nCells = N_CELLS,
         nProbes = Seq(1, 2, 4), queryStride = 25, maxQueries = 20)),
 
+    // Dimension-truncation recall: exact search over the first 16/32/64
+    // components vs the full 64-dim answer — what a narrower stored
+    // vector costs (64 = sanity row, recall 1.0).
+    "sim_dim_recall_curve" -> ((s, dir) =>
+      Similarity.dimRecallCurve(emb(s, dir), k = TOP_K,
+        dims = Seq(16, 32, 64), fullDim = DIM,
+        queryStride = 25, maxQueries = 20)),
+
     // Centroid-distance prototypicality / outlier scoring over the IVF
     // cells (SemDeDup-prototypes / CCS signal): cosine to the cell's mean
     // centroid + its within-cell z-score. Both centroid and moment
@@ -596,6 +604,39 @@ object SimilarityQueries extends QueryPack {
          |SELECT n_probe, count(*) AS n_queries,
          |  round(avg(recall), 4) AS mean_recall
          |FROM rec GROUP BY n_probe ORDER BY n_probe""".stripMargin,
+
+    "sim_dim_recall_curve" ->
+      s"""WITH $embsCte,
+         |q AS (SELECT vec_id AS q_id, de AS q_de
+         |  FROM embs WHERE vec_id % 25 = 0 AND vec_id < 500),
+         |pairs AS (SELECT q.q_id, e.vec_id AS c_id, e.de, q.q_de
+         |  FROM embs e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |ext AS (SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      round(${cosSql("de", "q_de")}, 6) AS cos
+         |    FROM pairs)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, c_id) <= $TOP_K),
+         |nd AS (SELECT unnest([16, 32, 64]) AS n_dims),
+         |ppk AS (SELECT q_id, n_dims, c_id FROM (
+         |    SELECT p.q_id, n.n_dims, p.c_id,
+         |      row_number() OVER (PARTITION BY p.q_id, n.n_dims
+         |        ORDER BY round(${cosSql(
+                   "list_slice(p.de, 1, n.n_dims)",
+                   "list_slice(p.q_de, 1, n.n_dims)")}, 6) DESC,
+         |        p.c_id) AS rk
+         |    FROM pairs p CROSS JOIN nd n)
+         |  WHERE rk <= $TOP_K),
+         |ov AS (SELECT n_dims, q_id, count(*) AS n_overlap
+         |  FROM ext JOIN ppk USING (q_id, c_id) GROUP BY 1, 2),
+         |grid AS (SELECT q_id, n_dims FROM q CROSS JOIN nd),
+         |rec AS (SELECT g.n_dims,
+         |    coalesce(o.n_overlap, 0)::DOUBLE / $TOP_K AS recall
+         |  FROM grid g LEFT JOIN ov o
+         |    ON o.q_id = g.q_id AND o.n_dims = g.n_dims)
+         |SELECT n_dims, count(*) AS n_queries,
+         |  round(avg(recall), 4) AS mean_recall
+         |FROM rec GROUP BY n_dims ORDER BY n_dims""".stripMargin,
 
     // Per-dim cell means rebuilt into an ordered list, cosine to each
     // member (rounded BEFORE the moment stats, like the operator), then

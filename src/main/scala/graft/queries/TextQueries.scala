@@ -281,6 +281,14 @@ object TextQueries extends QueryPack {
       TextAnalysis.chunkOverlap(docs(s, dir), window = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Corpus-level boilerplate scrub: tokens covered by any 5-gram span
+    // shared across >= 2 docs are removed, doc rebuilt from survivors —
+    // the rewrite form of text_span_hotspots (hot table shuffle-joined,
+    // coverage + rebuild narrow HOFs).
+    "text_span_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubHotSpans(docs(s, dir), n = 5, minDocs = 2)
+        .orderBy("doc_id")),
+
     // Within-doc duplicate-sentence removal (doc-local boilerplate strip):
     // narrow per-row op — sentences array materialized as a column first
     // so the filter lambda sees an attribute, not a re-evaluated split.
@@ -445,6 +453,32 @@ object TextQueries extends QueryPack {
          |HAVING count(*) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, span
          |LIMIT 20""".stripMargin,
+
+    "text_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |toksx AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS j,
+         |    unnest(toks) AS tok FROM t),
+         |spans AS (SELECT doc_id, generate_subscripts(sp, 1) - 1 AS s,
+         |    unnest(sp) AS span
+         |  FROM (SELECT doc_id, ${DuckSql.shingles("toks", 5)} AS sp FROM t)),
+         |hot AS (SELECT span FROM spans
+         |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         |flag AS (SELECT DISTINCT doc_id, s FROM spans
+         |  WHERE span IN (SELECT span FROM hot)),
+         |scrub AS (SELECT DISTINCT tx.doc_id, tx.j FROM toksx tx
+         |  JOIN flag f ON f.doc_id = tx.doc_id
+         |   AND tx.j BETWEEN f.s AND f.s + 4),
+         |kept AS (SELECT tx.doc_id, tx.j, tx.tok FROM toksx tx
+         |  WHERE NOT EXISTS (SELECT 1 FROM scrub sc
+         |    WHERE sc.doc_id = tx.doc_id AND sc.j = tx.j)),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(tok, ' ' ORDER BY j)) AS k_md5
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.toks) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_scrubbed,
+         |  coalesce(ka.k_md5, md5('')) AS scrub_md5
+         |FROM t LEFT JOIN ka USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH f AS (

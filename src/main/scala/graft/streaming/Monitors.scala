@@ -144,6 +144,33 @@ object Monitors {
       .write.mode("overwrite").parquet(s"$outDir/kl")
   }
 
+  // ----------------------------------------------------- decontamination
+
+  /** Streaming decontamination gate: flags any arriving document that
+    * shares a word n-gram with the probe (benchmark/eval) set. The probe
+    * grams are an EVAL SUITE — bounded by construction, a model artifact
+    * like the compiled NB weights — so they compile into a narrow
+    * membership expression (the model-as-expression shape of
+    * StreamScoringSpec): zero state, append mode, and the stream verdict
+    * is definitionally the batch [[TextAnalysis.contamination]] > 0 flag.
+    */
+  def contaminationGate(docs: DataFrame, probeGrams: Seq[String],
+      n: Int = 4, textCol: String = "text"): DataFrame =
+    docs.withColumn("contaminated",
+      arrays_overlap(
+        graft.functions.TextFns.textShingles(col(textCol), n),
+        typedLit(probeGrams)))
+
+  /** Collect the bounded probe-gram artifact from the probe documents —
+    * driver-side by design (the eval suite is small); the corpus side
+    * never collects.
+    */
+  def probeGramSet(probes: DataFrame, n: Int = 4,
+      textCol: String = "text"): Seq[String] =
+    probes.select(explode(array_distinct(
+        graft.functions.TextFns.textShingles(col(textCol), n))).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
   private def stateExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -95,4 +95,40 @@ class MonitorStreamSpec extends SparkSpec {
     assert(state.columns.toSet === Set("source", "bucket", "s_cnt"))
     assert(state.count() <= 2L * dims)
   }
+
+  test("streaming contamination gate matches the batch contamination flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "a totally unrelated document about spark plans"),
+      (12L, "quick brown fox jumps over fences daily"),
+      (13L, "words with no benchmark overlap at all here")
+    ).toDF("doc_id", "text")
+    val probes = Seq(
+      (1L, "the quick brown fox jumps high")
+    ).toDF("doc_id", "text")
+
+    val grams = Monitors.probeGramSet(probes, n = 4)
+    val batchFlagged = TextAnalysis.contamination(corpus, probes, n = 4)
+      .collect().map(_.getLong(0)).toSet // docs sharing >= 1 distinct 4-gram
+
+    val input = MemoryStream[(Long, String)]
+    val q = Monitors.contaminationGate(
+        input.toDF().toDF("doc_id", "text"), grams, n = 4)
+      .writeStream.format("memory").queryName("cgate")
+      .outputMode("append").start()
+    corpus.collect().foreach(r => input.addData(r.getLong(0) -> r.getString(1)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cgate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(streamed.size === 4)
+    streamed.foreach { case (id, flag) =>
+      assert(flag === batchFlagged.contains(id),
+        s"doc $id: stream=$flag batch=${batchFlagged.contains(id)}")
+    }
+    assert(streamed(10L)) // shares "the quick brown fox" etc.
+    assert(!streamed(11L))
+  }
 }

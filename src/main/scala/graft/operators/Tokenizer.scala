@@ -92,6 +92,90 @@ object Tokenizer {
     words.withColumn("segmented", regexp_replace(seg, SEP, " "))
   }
 
+  /** Unigram-LM piece inventory (the SentencePiece unigram model's
+    * closed-form core): candidate pieces are every substring of length
+    * 1..`maxPieceLen` of every corpus word, weighted by word count; the
+    * kept vocabulary is EVERY single character (full coverage — any word
+    * stays segmentable) plus the `topPieces` multi-char pieces by
+    * weighted count; each kept piece gets cost −ln(cnt/total) over the
+    * kept set. This is the trained artifact [[unigramSegment]]'s Viterbi
+    * decoder consumes.
+    *
+    * Scale shape: one corpus scan into the zipf-bounded word-count
+    * table; candidate fan-out is ≤ `maxWordLen`·`maxPieceLen` per
+    * VOCAB row (narrow HOF, never corpus-sized); piece counts are a
+    * partial-aggregable groupBy and the multi-char cut is
+    * TakeOrderedAndProject. Piece starts are capped at `maxWordLen` so
+    * the fan-out has a hard bound on pathological tokens.
+    */
+  def unigramPieces(docs: DataFrame, maxPieceLen: Int = 4,
+      topPieces: Int = 40, maxWordLen: Int = 64,
+      textCol: String = "text"): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    val subs = wc.select(col("cnt"), explode(
+      flatten(transform(
+        sequence(lit(0), least(length(col("word")), lit(maxWordLen)) - 1),
+        i => transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i)),
+          l => col("word").substr(i + lit(1), l))))).as("piece"))
+    val counts = subs.groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint() // vocab-bounded; feeds both branches + the total
+    val singles = counts.filter(length(col("piece")) === 1)
+    val multis = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(topPieces)
+    val kept = singles.unionByName(multis).localCheckpoint()
+    val tot = kept.agg(sum(col("cnt")).cast("double").as("total"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(-log(col("cnt") / col("total")), 6).as("nlp"))
+  }
+
+  /** Viterbi segmentation of a bounded word list under the
+    * [[unigramPieces]] cost table: best[j] = min over splits of
+    * best[i] + cost(word[i..j)), each partial sum rounded to 6 places,
+    * ties → smallest split point i — so the decode is a pure function
+    * of (word, piece table) that a SQL oracle replays by unrolling the
+    * DP one position per CTE. Driver-side by design: both inputs are
+    * model artifacts (top-k words, charset+topPieces costs), the
+    * [[bpeSegment]]/k-center-refine precedent.
+    *
+    * @return (word, cnt, segmented, vit_cost) per input word.
+    */
+  def unigramSegment(topWords: Seq[(String, Long)],
+      pieces: Map[String, Double], maxPieceLen: Int = 4)
+      : Seq[(String, Long, String, Double)] = {
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    topWords.map { case (w, cnt) =>
+      val n = w.length
+      val cost = Array.fill(n + 1)(Double.NaN)
+      val seg = Array.fill(n + 1)("")
+      cost(0) = 0.0
+      for (j <- 1 to n) {
+        var bestCost = Double.NaN
+        var bestI = -1
+        var bestPiece = ""
+        for (i <- math.max(0, j - maxPieceLen) until j) {
+          if (!cost(i).isNaN) {
+            val p = w.substring(i, j)
+            pieces.get(p).foreach { nlp =>
+              val c = r6(cost(i) + nlp)
+              if (bestI < 0 || c < bestCost) {
+                bestCost = c; bestI = i; bestPiece = p
+              }
+            }
+          }
+        }
+        if (bestI >= 0) {
+          cost(j) = bestCost
+          seg(j) = if (seg(bestI).isEmpty) bestPiece
+            else seg(bestI) + " " + bestPiece
+        }
+      }
+      (w, cnt, seg(n), cost(n))
+    }
+  }
+
   /** Character-coverage table — SentencePiece's alphabet-selection
     * preprocessing (its `character_coverage` knob): corpus character
     * frequencies, each character's cumulative share in frequency order,

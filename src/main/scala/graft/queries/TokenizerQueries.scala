@@ -41,10 +41,38 @@ object TokenizerQueries extends QueryPack {
     // SentencePiece-style alphabet selection: character frequencies with
     // cumulative coverage and the in-alphabet cut at 99.5%.
     "tok_char_coverage" -> ((s, dir) =>
-      Tokenizer.charCoverage(docs(s, dir), coverage = COVERAGE))
+      Tokenizer.charCoverage(docs(s, dir), coverage = COVERAGE)),
+
+    // Unigram-LM piece inventory: all chars + top-40 weighted multi-char
+    // substrings with -ln(cnt/total) costs — the second tokenizer family
+    // (Kudo) next to BPE.
+    "tok_unigram_pieces" -> ((s, dir) =>
+      Tokenizer.unigramPieces(docs(s, dir), maxPieceLen = PIECE_LEN,
+        topPieces = TOP_PIECES)
+        .orderBy("piece")),
+
+    // Viterbi decode of the 20 most frequent (DP-boundable) words under
+    // those piece costs: min-cost segmentation, round-6 partial sums,
+    // ties -> smallest split. The oracle unrolls the DP per position.
+    "tok_unigram_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pieces = Tokenizer.unigramPieces(d, PIECE_LEN, TOP_PIECES)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val top = Tokenizer.wordCounts(d)
+        .filter(length(col("word")) <= VIT_MAX_LEN)
+        .orderBy(col("cnt").desc, col("word")).limit(SEG_TOP)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      Tokenizer.unigramSegment(top, pieces, PIECE_LEN)
+        .toDF("word", "cnt", "segmented", "vit_cost")
+        .orderBy("word")
+    })
   )
 
   private val COVERAGE = 0.995
+  private val PIECE_LEN = 4
+  private val TOP_PIECES = 40
+  private val VIT_MAX_LEN = 16
 
   // ---- oracles ----
 
@@ -78,7 +106,75 @@ object TokenizerQueries extends QueryPack {
     (base +: steps).mkString(",\n")
   }
 
+  /** Shared piece-inventory CTEs ending in `pieces(piece, cnt, nlp)`. */
+  private def pieceCtes: String =
+    s"""wc AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest($toksSql) AS word FROM documents)
+       |  GROUP BY word),
+       |pcand AS (
+       |  SELECT substring(word, i.range::INTEGER + 1, l.range::INTEGER) AS piece, cnt
+       |  FROM wc, range(0, 64) i, range(1, ${PIECE_LEN + 1}) l
+       |  WHERE i.range < least(length(word), 64)
+       |    AND i.range + l.range <= length(word)),
+       |pcs AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM pcand GROUP BY piece),
+       |pkept AS (
+       |  SELECT * FROM pcs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT * FROM (SELECT * FROM pcs WHERE length(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $TOP_PIECES)),
+       |ptot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM pkept),
+       |pieces AS MATERIALIZED (
+       |  SELECT piece, cnt, round(-ln(cnt / total), 6) AS nlp
+       |  FROM pkept CROSS JOIN ptot)""".stripMargin
+
+  /** Viterbi DP unrolled one position per CTE: v_j holds each word's
+    * best (cost, seg) ending at char j; candidates join the piece table
+    * on the (i, j] substring, rank by (round-6 cost, split point i). */
+  private def vitCtes: String = {
+    val v0 =
+      """topw AS MATERIALIZED (
+        |  SELECT word, cnt FROM wc
+        |  WHERE length(word) <= %d
+        |  ORDER BY cnt DESC, word LIMIT %d),
+        |v0 AS (SELECT word, cnt, 0 AS j, 0.0 AS cost, '' AS seg FROM topw)"""
+        .stripMargin.format(VIT_MAX_LEN, SEG_TOP)
+    val steps = (1 to VIT_MAX_LEN).map { j =>
+      val prevUnion = (math.max(0, j - PIECE_LEN) until j)
+        .map(i => s"SELECT * FROM v$i").mkString(" UNION ALL ")
+      s"""v$j AS MATERIALIZED (
+         |  SELECT word, cnt, $j AS j, cost, seg FROM (
+         |    SELECT a.word, a.cnt,
+         |      round(a.cost + p.nlp, 6) AS cost,
+         |      CASE WHEN a.seg = '' THEN p.piece
+         |        ELSE a.seg || ' ' || p.piece END AS seg,
+         |      row_number() OVER (PARTITION BY a.word
+         |        ORDER BY round(a.cost + p.nlp, 6), a.j) AS rk
+         |    FROM ($prevUnion) a
+         |    JOIN pieces p
+         |      ON p.piece = substring(a.word, a.j + 1, $j - a.j)
+         |    WHERE length(a.word) >= $j)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "tok_unigram_pieces" ->
+      s"""WITH $pieceCtes
+         |SELECT piece, cnt, nlp FROM pieces ORDER BY piece""".stripMargin,
+
+    "tok_unigram_segment" -> {
+      val vAll = (1 to VIT_MAX_LEN)
+        .map(j => s"SELECT * FROM v$j").mkString(" UNION ALL ")
+      s"""WITH $pieceCtes,
+         |$vitCtes
+         |SELECT word, cnt, seg AS segmented, cost AS vit_cost
+         |FROM ($vAll) WHERE j = length(word)
+         |ORDER BY word""".stripMargin
+    },
 
     "tok_bpe_merges" -> {
       val rows = (1 to ROUNDS).map { r =>

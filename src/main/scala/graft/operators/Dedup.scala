@@ -96,6 +96,49 @@ object Dedup {
       shingleFrame(docs, n, textCol, idCol).localCheckpoint(),
       k, bands, threshold)
 
+  /** Measured LSH recall: of all TRUE near-dup pairs (exact n-gram
+    * Jaccard ≥ `threshold`) in `docs`, the fraction the banded
+    * [[nearDupPairs]] pipeline surfaces — the dedup counterpart of the
+    * ANN recall contracts, quantifying the (k, bands) dial that the LSH
+    * family otherwise documents in prose. The verify stage makes every
+    * surfaced pair a true pair, so recall = found/true exactly; no true
+    * pairs ⇒ vacuous 1.0. Emits one row: (n_true, n_found, recall,
+    * recall_ok = recall ≥ `minRecall`).
+    *
+    * The truth side enumerates every pair sharing ≥ 1 shingle via the
+    * inverted-index join (the [[containmentTopK]] blocking, unblocked) —
+    * that IS the exact computation the LSH layer approximates, so this
+    * is a diagnostic you run on a corpus slice or generation, not per
+    * batch; fan-out is bounded by shingle frequency, and zero-overlap
+    * pairs never materialize.
+    */
+  def lshRecall(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, minRecall: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingled = shingleFrame(docs, n, textCol, idCol).localCheckpoint()
+    val found = nearDupPairsFromShingles(shingled, k, bands, threshold)
+      .agg(count(lit(1)).as("n_found"))
+    val d = shingled.select(col("doc_id"),
+      array_distinct(col("shingles")).as("sh"))
+    val sizes = d.select(col("doc_id"), size(col("sh")).as("sz"))
+    val ex = d.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val truth = ex.select(col("doc_id").as("a"), col("shingle"))
+      .join(ex.select(col("doc_id").as("b"), col("shingle")), "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), "b")
+      .filter(round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6) >= threshold)
+      .agg(count(lit(1)).as("n_true"))
+    truth.crossJoin(broadcast(found))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
+          .as("recall"))
+      .withColumn("recall_ok", col("recall") >= minRecall)
+  }
+
   /** The LSH band index of a shingled corpus: one `(doc_id, band_id,
     * band_hash)` row per band per document. This is the persistent,
     * incrementally-maintainable form of the near-dup index — in

@@ -406,6 +406,43 @@ object Learn {
       round((col("tp") + col("tn")) / col("n"), 6).as("accuracy"))
   }
 
+  /** Operating-point sweep: confusion metrics of `score ≥ t` for every
+    * threshold in a FIXED grid — the precision/recall trade a score-gate
+    * deployment actually consults when picking its cut. A full ROC/AUC
+    * needs a corpus-wide rank (a global sort the engine avoids); the
+    * bounded grid gives the same decision table with one corpus pass ×
+    * |grid| conditional partial aggregates and a |grid|-row output at
+    * any scale.
+    *
+    * @param scored any frame with a `score` and true `y` column.
+    * @return one row per threshold: (threshold, n, tp, fp, fn, tn,
+    *         precision, recall, f1, accuracy), ordered by threshold.
+    */
+  def thresholdSweep(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val grid = thresholds.toDF("threshold")
+    val pos = col("score") >= col("threshold")
+    val counted = scored.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(pos && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(pos && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pos && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(!pos && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+    val prec = when(col("tp") + col("fp") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fp")))
+    val rec = when(col("tp") + col("fn") === 0, lit(0.0))
+      .otherwise(col("tp") / (col("tp") + col("fn")))
+    counted.select(col("threshold"), col("n"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
+      round(when(prec + rec === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
+      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy"))
+      .orderBy("threshold")
+  }
+
   /** Inter-model agreement between two hard-prediction frames: observed
     * agreement, chance agreement, and Cohen's kappa — the ensemble sanity
     * check before trusting either classifier's labels for selection (two

@@ -20,6 +20,10 @@ object DedupQueries extends QueryPack {
 
   private val K = 16      // minhash signature length
   private val BANDS = 4   // LSH bands (4 rows per band)
+  // Floor for the dedup_lsh_recall contract — measured recall sits well
+  // above it at the driver SFs (4-row bands at t=0.5 catch most true
+  // pairs); the boolean flips only on a real banding regression.
+  private val LSH_RECALL_FLOOR = 0.5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -50,6 +54,16 @@ object DedupQueries extends QueryPack {
       Dedup.connectedComponents(
         Dedup.nearDupPairs(docs(s, dir), n = 3, k = K, bands = BANDS, threshold = 0.5))
         .orderBy("doc_id")),
+
+    // Measured LSH recall contract: of ALL true Jaccard >= 0.5 pairs
+    // (shingle-overlap inverted index — the exact side), the fraction
+    // the banded pipeline surfaces — the (k, bands) dial quantified,
+    // with the floor asserted as an oracle-replayed boolean (the ANN
+    // recall pattern). Duplicate partners are scattered across the id
+    // space, so the truth side runs unsampled.
+    "dedup_lsh_recall" -> ((s, dir) =>
+      Dedup.lshRecall(docs(s, dir), n = 3, k = K, bands = BANDS,
+        threshold = 0.5, minRecall = LSH_RECALL_FLOOR)),
 
     // SimHash fingerprints (16-bit, md5-nibble votes).
     "dedup_simhash" -> ((s, dir) =>
@@ -179,6 +193,25 @@ object DedupQueries extends QueryPack {
       s"""WITH RECURSIVE $lshChainCtes,
          |${DuckSql.componentCtes(0.5)}
          |SELECT doc_id, cluster_rep FROM comp ORDER BY doc_id""".stripMargin,
+
+    "dedup_lsh_recall" -> {
+      s"""WITH $lshChainCtes,
+         |fnd AS (SELECT count(*) AS n_found FROM verified
+         |  WHERE jaccard >= 0.5),
+         |dd AS (SELECT doc_id, list_distinct($shinglesSql) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+         |tp AS (SELECT count(*) AS n_true FROM (
+         |    SELECT len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS inter,
+         |      len(x.sh) + len(y.sh)
+         |        - len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS uni
+         |    FROM dd x JOIN dd y ON x.doc_id < y.doc_id)
+         |  WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / uni, 6) >= 0.5)
+         |SELECT n_true, n_found,
+         |  CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+         |    ELSE round(n_found::DOUBLE / n_true, 4) END AS recall,
+         |  true AS recall_ok
+         |FROM tp CROSS JOIN fnd""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH toks AS (

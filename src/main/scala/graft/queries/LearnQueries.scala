@@ -21,6 +21,9 @@ object LearnQueries extends QueryPack {
   private val ITERS = 5
   private val LR = 150.0
   private val ALPHA = 1.0
+  // NB decision scores on the driver corpora concentrate in ≈ ±5, so the
+  // grid samples that band (±4 capture the near-degenerate ends).
+  private val THRESHOLDS = Seq(-4.0, -2.0, -1.0, 0.0, 1.0, 2.0, 4.0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -80,6 +83,18 @@ object LearnQueries extends QueryPack {
       Learn.evalMetrics(Learn.predictNaiveBayes(d,
         Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
         col("lang") === "en", DIMS))
+    }),
+
+    // Operating-point sweep over the NB decision scores: confusion +
+    // precision/recall/F1 at each fixed threshold — the PR trade table
+    // without any corpus-wide rank.
+    "learn_threshold_sweep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Learn.thresholdSweep(
+        Learn.predictNaiveBayes(d,
+          Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
+          col("lang") === "en", DIMS),
+        THRESHOLDS)
     }),
 
     // Ensemble sanity check: Cohen's kappa between the GD and NB
@@ -255,6 +270,40 @@ object LearnQueries extends QueryPack {
          |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
          |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
          |FROM cm""".stripMargin,
+
+    "learn_threshold_sweep" -> {
+      val thLit = THRESHOLDS.map(_.toString).mkString(", ")
+      s"""WITH $nbCtes,
+         |$nbPredCtes,
+         |th AS (SELECT unnest([$thLit])::DOUBLE AS threshold),
+         |px AS (SELECT sc.doc_id, score, CAST(y AS BIGINT) AS y
+         |       FROM sc JOIN lab USING (doc_id)),
+         |cm AS (SELECT t.threshold, count(*) AS n,
+         |  CAST(sum(CASE WHEN score >= t.threshold AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score >= t.threshold AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score < t.threshold AND y = 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score < t.threshold AND y = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM px CROSS JOIN th t GROUP BY t.threshold)
+         |SELECT threshold, n, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
+         |      (CASE WHEN tp + fn = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
+         |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
+         |      (tp / CAST(tp + fn AS DOUBLE)) /
+         |      ((tp / CAST(tp + fp AS DOUBLE)) +
+         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
+         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |FROM cm ORDER BY threshold""".stripMargin
+    },
 
     // Both model replays chained in one WITH (shared tf/lab base), then
     // the kappa closed form with the operator's parenthesization.

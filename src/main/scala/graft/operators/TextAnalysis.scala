@@ -641,6 +641,46 @@ object TextAnalysis {
         md5(array_join(col("kept"), " ").cast("binary")).as("scrub_md5"))
   }
 
+  /** Zipf-law fit over the term-frequency distribution: least-squares
+    * slope of ln(freq) on ln(rank) over the `topN` most frequent terms —
+    * the datacard exponent (natural text ≈ −1; a far-off slope flags
+    * synthetic/templated/spammy corpora) plus fit quality (r²). The
+    * companion of [[vocabGrowth]]'s Heaps curve.
+    *
+    * Scale shape: one tokenize pass into the zipf-bounded term-count
+    * table, TakeOrderedAndProject top-N (ties → term asc), then the
+    * closed-form regression over the BOUNDED top-N frame (rank from a
+    * window over N rows, moments from one groupless aggregate).
+    *
+    * @return one row: (n_terms, slope, intercept, r2), rounded to 6.
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.agg(count(lit(1)).as("n"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        avg(col("x") * col("y")).as("mxy"),
+        avg(col("x") * col("x")).as("mxx"),
+        avg(col("y") * col("y")).as("myy"))
+      .select(col("n").as("n_terms"),
+        round(((col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx"))).as("b"), 6).as("slope"),
+        round(col("my") - (col("mxy") - col("mx") * col("my")) /
+          (col("mxx") - col("mx") * col("mx")) * col("mx"), 6).as("intercept"),
+        round(pow(col("mxy") - col("mx") * col("my"), 2) /
+          ((col("mxx") - col("mx") * col("mx")) *
+            (col("myy") - col("my") * col("my"))), 6).as("r2"))
+  }
+
   /** Heaps-law vocabulary growth: distinct-term first occurrences
     * bucketed into `buckets` equal doc_id ranges, with the running
     * cumulative vocabulary — the sublinear vocab-vs-corpus curve that

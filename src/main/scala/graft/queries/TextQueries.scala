@@ -224,6 +224,12 @@ object TextQueries extends QueryPack {
     "text_span_hotspots" -> ((s, dir) =>
       TextAnalysis.spanHotspots(docs(s, dir), n = 5, minDocs = 2, topN = 20)),
 
+    // Zipf-law exponent + fit quality over the top-100 term frequencies
+    // (datacard stat: natural text slope ~ -1; the regression runs over
+    // the bounded top-N frame only).
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir), topN = 100)),
+
     // Heaps-law vocabulary growth over 10 doc_id-range buckets.
     "text_vocab_growth" -> ((s, dir) =>
       TextAnalysis.vocabGrowth(docs(s, dir), buckets = 10)
@@ -479,6 +485,25 @@ object TextQueries extends QueryPack {
          |  coalesce(ka.k_md5, md5('')) AS scrub_md5
          |FROM t LEFT JOIN ka USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_fit" ->
+      s"""WITH tc AS (
+         |  SELECT term, count(*) AS cnt FROM (
+         |    SELECT unnest($toksSql) AS term FROM documents)
+         |  GROUP BY term ORDER BY cnt DESC, term LIMIT 100),
+         |rk AS (SELECT
+         |    ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+         |    ln(CAST(cnt AS DOUBLE)) AS y
+         |  FROM tc),
+         |m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         |    avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+         |  FROM rk)
+         |SELECT n AS n_terms,
+         |  round((mxy - mx * my) / (mxx - mx * mx), 6) AS slope,
+         |  round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept,
+         |  round(pow(mxy - mx * my, 2) /
+         |    ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
+         |FROM m""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH f AS (

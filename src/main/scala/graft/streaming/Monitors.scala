@@ -22,7 +22,11 @@ object Monitors {
 
   // ---------------------------------------------------------------- zscore
 
-  case class ZPoint(event_id: Long, user_id: Long, tsMicros: Long, value: Double)
+  case class ZPoint(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double) {
+    // exact micros (Spark timestamps are micro-resolution internally)
+    def tsMicros: Long = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+  }
   case class ZOut(event_id: Long, user_id: Long,
       z: Option[Double], is_anomaly: Option[Boolean])
   /** Per-key trailing window buffer: event-time-ascending (ts, value)
@@ -46,19 +50,29 @@ object Monitors {
     * buffer — already-emitted verdicts are never revised; that is the
     * standard monitor trade, not silent wrongness, and it is the only
     * divergence from the batch answer.
+    *
+    * TOTAL state is bounded two ways: per key, only the trailing window
+    * of points; across keys, an event-time timeout evicts any key idle
+    * past its buffer's reach once the `watermark` passes it — without
+    * this, every entity ever seen would hold a buffer forever on an
+    * unbounded ingest.
     */
   def rollingZStream(events: DataFrame, windowMicros: Long = 86400000000L,
-      zThresh: Double = 3.0): Dataset[ZOut] = {
+      zThresh: Double = 3.0, watermark: String = "1 day"): Dataset[ZOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // the watermarked timestamp column must SURVIVE into the stateful
+    // operator's input, or the event-time timeout is rejected — so ts
+    // rides in the typed row and converts to micros inside the function
     events
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tsMicros"), col("value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", watermark)
       .as[ZPoint]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ZBuf, ZOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[ZPoint], state: GroupState[ZBuf]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var ts = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
           var vs = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty)
           val out = rows.toVector.sortBy(p => (p.tsMicros, p.event_id)).map { p =>
@@ -95,7 +109,13 @@ object Monitors {
             } else ZOut(p.event_id, uid, None, None)
           }
           state.update(ZBuf(ts, vs))
+          // evict this key once no in-order event can still need the
+          // buffer: watermark past (newest point + window)
+          state.setTimeoutTimestamp(math.max(
+            state.getCurrentWatermarkMs() + 1,
+            ts.last / 1000L + windowMicros / 1000L + 1))
           out.iterator
+          }
       }
   }
 

@@ -26,7 +26,11 @@ object Bench {
     // swung individual queries 3-4× round-over-round on this host).
     // Optional comma-separated filter for local iteration (driver sets no
     // filter and measures everything).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // blank value = unset ("".split(",") would yield Set("") and
+    // silently filter out every query)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

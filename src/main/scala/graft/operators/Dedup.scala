@@ -126,8 +126,10 @@ object Dedup {
       .join(ex.select(col("doc_id").as("b"), col("shingle")), "shingle")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), "a")
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), "b")
+      // sizes is corpus-sized (one row per doc): plain shuffle joins,
+      // never forced broadcasts — AQE may still broadcast small inputs
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
       .filter(round(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")), 6) >= threshold)
       .agg(count(lit(1)).as("n_true"))

@@ -36,8 +36,15 @@ object Graph {
     * to 6 places before ranking so the neighbour choice (ties → lowest
     * id) is engine-independent.
     */
-  def knnEdges(embeddings: DataFrame, k: Int, nCells: Int = 16): DataFrame = {
-    val cells = Similarity.cellLayout(embeddings, nCells)
+  def knnEdges(embeddings: DataFrame, k: Int, nCells: Int = 16): DataFrame =
+    knnEdgesFromLayout(Similarity.cellLayout(embeddings, nCells), k)
+
+  /** [[knnEdges]] over a prebuilt (checkpointed) [[Similarity.cellLayout]]
+    * frame — use when composing with other cell-blocked operators in one
+    * job so the quantizer assignment pass runs once (the
+    * nearDupPairsFromShingles precedent).
+    */
+  def knnEdgesFromLayout(cells: DataFrame, k: Int): DataFrame = {
     val a = cells.select(col("cell"), col("vec_id"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = cells.select(col("cell"), col("vec_id").as("nn_vec_id"),
@@ -95,7 +102,9 @@ object Graph {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))
-    val nbrs = knnEdges(embeddings, k, nCells)
+    // reuse the checkpointed layout already built above — the graph side
+    // must not pay a second quantizer-assignment pass in the same query
+    val nbrs = knnEdgesFromLayout(cells, k)
       .select(col("src").as("q_id"), col("dst").as("c_id"))
     val overlap = exactTop.join(nbrs, Seq("q_id", "c_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))

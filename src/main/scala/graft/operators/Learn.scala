@@ -388,22 +388,32 @@ object Learn {
     * @param preds any frame with hard `pred` and true `y` columns.
     * @return (n, tp, fp, fn, tn, precision, recall, f1, accuracy).
     */
-  def evalMetrics(preds: DataFrame): DataFrame = {
-    val counted = preds.agg(
+  def evalMetrics(preds: DataFrame): DataFrame =
+    confusionFinalize(preds.agg(
       count(lit(1)).as("n"),
       sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
       sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
       sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
-      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn")),
+      keyCols = Nil)
+
+  /** The precision/recall/F1/accuracy finalization shared by
+    * [[evalMetrics]] and [[thresholdSweep]] — one definition so the two
+    * paired oracles can never drift apart. Zero-denominator cases pin
+    * the rate to 0.
+    */
+  private def confusionFinalize(counted: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
     val prec = when(col("tp") + col("fp") === 0, lit(0.0))
       .otherwise(col("tp") / (col("tp") + col("fp")))
     val rec = when(col("tp") + col("fn") === 0, lit(0.0))
       .otherwise(col("tp") / (col("tp") + col("fn")))
-    counted.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+    counted.select(keyCols.map(col) ++ Seq(
+      col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
       round(prec, 6).as("precision"), round(rec, 6).as("recall"),
       round(when(prec + rec === 0.0, lit(0.0))
         .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
-      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy"))
+      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy")): _*)
   }
 
   /** Operating-point sweep: confusion metrics of `score ≥ t` for every
@@ -430,16 +440,7 @@ object Learn {
         sum(when(pos && col("y") === 0, 1L).otherwise(0L)).as("fp"),
         sum(when(!pos && col("y") === 1, 1L).otherwise(0L)).as("fn"),
         sum(when(!pos && col("y") === 0, 1L).otherwise(0L)).as("tn"))
-    val prec = when(col("tp") + col("fp") === 0, lit(0.0))
-      .otherwise(col("tp") / (col("tp") + col("fp")))
-    val rec = when(col("tp") + col("fn") === 0, lit(0.0))
-      .otherwise(col("tp") / (col("tp") + col("fn")))
-    counted.select(col("threshold"), col("n"),
-      col("tp"), col("fp"), col("fn"), col("tn"),
-      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
-      round(when(prec + rec === 0.0, lit(0.0))
-        .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
-      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy"))
+    confusionFinalize(counted, keyCols = Seq("threshold"))
       .orderBy("threshold")
   }
 

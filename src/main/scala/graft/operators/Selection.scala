@@ -250,6 +250,10 @@ object Selection {
     }
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    require(k <= cand.length,
+      s"k=$k exceeds the ${cand.length}-row candidate cut " +
+        s"(nCells=$nCells × (oversample=$oversample + 1) + seed); " +
+        "raise oversample or nCells, or use the exact kCenterSelect")
     var picked = Vector(seedId -> -1.0)
     var pickedVecs = cand.filter(_._1 == seedId).toVector
     for (_ <- 2 to k) {

@@ -24,8 +24,11 @@ object Monitors {
 
   case class ZPoint(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, value: Double) {
-    // exact micros (Spark timestamps are micro-resolution internally)
-    def tsMicros: Long = ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+    // exact micros (Spark timestamps are micro-resolution internally);
+    // floorDiv, because plain Long division truncates toward zero and
+    // would mis-place pre-epoch timestamps by up to a second
+    def tsMicros: Long =
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
   }
   case class ZOut(event_id: Long, user_id: Long,
       z: Option[Double], is_anomaly: Option[Boolean])
@@ -75,38 +78,52 @@ object Monitors {
           if (state.hasTimedOut) { state.remove(); Iterator.empty } else {
           var ts = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
           var vs = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty)
-          val out = rows.toVector.sortBy(p => (p.tsMicros, p.event_id)).map { p =>
-            // insert in event-time order (late rows land mid-buffer), then
+          // Events sharing a timestamp are RANGE-frame PEERS in the batch
+          // form (each one's frame includes the others), so process them
+          // as one group: insert the whole tie group, then score each
+          // member against the full buffer.
+          val sorted = rows.toVector.sortBy(p => (p.tsMicros, p.event_id))
+          val groups = sorted.foldLeft(Vector.empty[Vector[ZPoint]]) {
+            (acc, p) =>
+              if (acc.nonEmpty && acc.last.head.tsMicros == p.tsMicros)
+                acc.init :+ (acc.last :+ p)
+              else acc :+ Vector(p)
+          }
+          val out = groups.flatMap { grp =>
+            grp.foreach { p =>
+              // insert in event-time order (late rows land mid-buffer)
+              val at = ts.lastIndexWhere(_ <= p.tsMicros) + 1
+              ts = (ts.take(at) :+ p.tsMicros) ++ ts.drop(at)
+              vs = (vs.take(at) :+ p.value) ++ vs.drop(at)
+            }
             // evict everything older than the NEWEST point's window reach
-            val at = ts.lastIndexWhere(_ <= p.tsMicros) + 1
-            ts = (ts.take(at) :+ p.tsMicros) ++ ts.drop(at)
-            vs = (vs.take(at) :+ p.value) ++ vs.drop(at)
             val cut = ts.last - windowMicros
             val drop = ts.indexWhere(_ >= cut) match {
               case -1 => ts.length - 1
               case i => i
             }
             ts = ts.drop(drop); vs = vs.drop(drop)
-            // this event's trailing frame [p.ts - window, p.ts], summed in
-            // event-time order — the batch RANGE frame's exact member set
-            // and accumulation order
-            val lo = p.tsMicros - windowMicros
-            var s = 0.0; var ss = 0.0; var n = 0
-            var i = 0
-            while (i < ts.length) {
-              if (ts(i) >= lo && ts(i) <= p.tsMicros) {
-                s += vs(i); ss += vs(i) * vs(i); n += 1
+            grp.map { p =>
+              // this event's trailing frame [p.ts - window, p.ts], summed
+              // in event-time order — the batch RANGE frame's member set
+              val lo = p.tsMicros - windowMicros
+              var s = 0.0; var ss = 0.0; var n = 0
+              var i = 0
+              while (i < ts.length) {
+                if (ts(i) >= lo && ts(i) <= p.tsMicros) {
+                  s += vs(i); ss += vs(i) * vs(i); n += 1
+                }
+                i += 1
               }
-              i += 1
+              val variance = (ss - s * s / n) / (n - 1)
+              if (n >= 3 && variance > 0.0) {
+                val z = (p.value - s / n) / math.sqrt(variance)
+                ZOut(p.event_id, uid,
+                  Some(BigDecimal(z)
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+                  Some(math.abs(z) > zThresh))
+              } else ZOut(p.event_id, uid, None, None)
             }
-            val variance = (ss - s * s / n) / (n - 1)
-            if (n >= 3 && variance > 0.0) {
-              val z = (p.value - s / n) / math.sqrt(variance)
-              ZOut(p.event_id, uid,
-                Some(BigDecimal(z)
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
-                Some(math.abs(z) > zThresh))
-            } else ZOut(p.event_id, uid, None, None)
           }
           state.update(ZBuf(ts, vs))
           // evict this key once no in-order event can still need the
@@ -133,25 +150,44 @@ object Monitors {
     * history is never re-scanned — the property that lets the monitor
     * run forever on an unbounded ingest.
     */
-  def divergenceMonitor(docs: DataFrame, outDir: String, dims: Int = 1024)
+  def divergenceMonitor(docs: DataFrame, outDir: String, dims: Int = 1024,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    docs.writeStream
+    val writer = docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeDivergenceBatch(batch, outDir, dims)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeDivergenceBatch(batch, outDir, dims, batchId)
         ()
       }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
       .start()
   }
 
   /** One micro-batch of [[divergenceMonitor]], callable from tests and
     * batch backfills: merge the batch's counts into the state table and
     * rewrite the KL monitor output.
+    *
+    * The count merge is NOT idempotent, so replays must be fenced: the
+    * last merged batchId is persisted next to the state, and a batch
+    * with id ≤ it (a foreachBatch retry, or a post-restart replay from
+    * the checkpointed source offsets) is skipped instead of
+    * double-counted. Pair with `checkpointDir` on the query so restarts
+    * resume from committed offsets rather than re-reading history.
     */
   def mergeDivergenceBatch(batch: DataFrame, outDir: String,
-      dims: Int = 1024): Unit = {
+      dims: Int = 1024, batchId: Long = Long.MinValue): Unit = {
     val spark = batch.sparkSession
     val stateDir = s"$outDir/state"
+    val fencePath = new org.apache.hadoop.fs.Path(s"$outDir/last_batch")
+    val fs = fencePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastMerged: Long =
+      if (fs.exists(fencePath)) {
+        val in = fs.open(fencePath)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong
+        finally in.close()
+      } else Long.MinValue
+    if (batchId != Long.MinValue && batchId <= lastMerged) return
     val delta = TextAnalysis.unigramBucketCounts(batch, dims)
     val merged = (if (stateExists(spark, stateDir))
       spark.read.parquet(stateDir).unionByName(delta)
@@ -162,6 +198,10 @@ object Monitors {
     merged.write.mode("overwrite").parquet(stateDir)
     TextAnalysis.divergenceFromCounts(merged, dims)
       .write.mode("overwrite").parquet(s"$outDir/kl")
+    if (batchId != Long.MinValue) {
+      val out = fs.create(fencePath, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   // ----------------------------------------------------- decontamination

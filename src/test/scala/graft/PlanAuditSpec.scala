@@ -42,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
   // from RUNTIME sizes and degrades to a shuffle join at 100 TB instead
   // of dying at the broadcast limit.
   test("cell-blocked kNN, vocabulary, and model joins force no unbounded broadcast") {
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal, Pmod, Remainder}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, Join, LocalRelation, Range}
     // The model-training family broadcasts its weight/component frames —
     // legal ONLY because those are bounded by construction: a scalar
@@ -73,10 +73,20 @@ class PlanAuditSpec extends SparkSpec {
           case _: LocalRelation => true
           case _ => false
         }
+        // A filter proves a row-count bound only in the recall queries'
+        // exact shape: BOTH a `col < literal` cap AND a stride predicate
+        // (`col % stride == 0`) in the same condition — together ≤
+        // cap/stride rows. A lone `<` on an arbitrary column (quality,
+        // length, ...) bounds nothing and must NOT pass the ratchet.
         val literalCap = side.collectFirst {
-          case f: Filter if f.condition.collectFirst {
-            case LessThan(_, _: Literal) => ()
-          }.isDefined => f
+          case f: Filter
+            if f.condition.collectFirst {
+              case LessThan(_, _: Literal) => ()
+            }.isDefined &&
+              f.condition.collectFirst {
+                case _: Pmod => ()
+                case _: Remainder => ()
+              }.isDefined => f
         }.isDefined
         scalarAgg || modelRoot || literalCap
       }

@@ -167,41 +167,55 @@ object Monitors {
     * batch backfills: merge the batch's counts into the state table and
     * rewrite the KL monitor output.
     *
-    * The count merge is NOT idempotent, so replays must be fenced: the
-    * last merged batchId is persisted next to the state, and a batch
-    * with id ≤ it (a foreachBatch retry, or a post-restart replay from
-    * the checkpointed source offsets) is skipped instead of
-    * double-counted. Pair with `checkpointDir` on the query so restarts
-    * resume from committed offsets rather than re-reading history.
+    * The count merge is NOT idempotent per se, so state is VERSIONED by
+    * batchId (`state_v<id>` directories): merging batch N always reads
+    * the newest version BELOW N and overwrites `state_v<N>` — so a
+    * foreachBatch retry or post-restart replay of batch N rebuilds the
+    * same state from the same base instead of double-counting, and a
+    * crash mid-write leaves only a version that the replay fully
+    * rewrites. Versions older than the merge base are pruned. Pair with
+    * `checkpointDir` on the query so restarts resume from committed
+    * offsets.
     */
   def mergeDivergenceBatch(batch: DataFrame, outDir: String,
       dims: Int = 1024, batchId: Long = Long.MinValue): Unit = {
     val spark = batch.sparkSession
-    val stateDir = s"$outDir/state"
-    val fencePath = new org.apache.hadoop.fs.Path(s"$outDir/last_batch")
-    val fs = fencePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lastMerged: Long =
-      if (fs.exists(fencePath)) {
-        val in = fs.open(fencePath)
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-          "UTF-8").trim.toLong
-        finally in.close()
-      } else Long.MinValue
-    if (batchId != Long.MinValue && batchId <= lastMerged) return
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions: Seq[Long] =
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("state_v")).map(_.stripPrefix("state_v").toLong)
+      else Nil
+    // replaying batch N must ignore any (possibly partial) state_vN
+    val base = versions.filter(v => batchId == Long.MinValue || v < batchId)
+      .sorted.lastOption
+    val newVersion = if (batchId != Long.MinValue) batchId
+      else base.map(_ + 1).getOrElse(0L)
     val delta = TextAnalysis.unigramBucketCounts(batch, dims)
-    val merged = (if (stateExists(spark, stateDir))
-      spark.read.parquet(stateDir).unionByName(delta)
+    val merged = base.map { v =>
+      spark.read.parquet(s"$outDir/state_v$v").unionByName(delta)
         .groupBy(col("source"), col("bucket"))
         .agg(sum(col("s_cnt")).as("s_cnt"))
-    else delta)
-      .localCheckpoint() // sever lineage from the file we overwrite next
-    merged.write.mode("overwrite").parquet(stateDir)
+    }.getOrElse(delta)
+      .localCheckpoint() // sever lineage before overwriting files below
+    merged.write.mode("overwrite").parquet(s"$outDir/state_v$newVersion")
     TextAnalysis.divergenceFromCounts(merged, dims)
       .write.mode("overwrite").parquet(s"$outDir/kl")
-    if (batchId != Long.MinValue) {
-      val out = fs.create(fencePath, true)
-      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    // prune everything older than the base this merge consumed
+    versions.filter(v => base.exists(v < _)).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/state_v$v"), true)
     }
+  }
+
+  /** Path of the newest committed state version (for tests/inspection). */
+  def latestStateDir(spark: SparkSession, outDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("state_v")).map(_.stripPrefix("state_v").toLong)
+      .sorted.lastOption.map(v => s"$outDir/state_v$v")
   }
 
   // ----------------------------------------------------- decontamination
@@ -231,9 +245,4 @@ object Monitors {
         graft.functions.TextFns.textShingles(col(textCol), n))).as("g"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
 
-  private def stateExists(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
-  }
 }

@@ -91,9 +91,20 @@ class MonitorStreamSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === expect)
     // state really is the bounded count monoid, not raw documents
-    val state = spark.read.parquet(s"$outDir/state")
+    val stateDir = Monitors.latestStateDir(spark, outDir).get
+    val state = spark.read.parquet(stateDir)
     assert(state.columns.toSet === Set("source", "bucket", "s_cnt"))
     assert(state.count() <= 2L * dims)
+    // replaying the last batch (a foreachBatch retry) must NOT
+    // double-count: versioned state rebuilds from the same base
+    val before = state.collect().map(r =>
+      (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Monitors.mergeDivergenceBatch(
+      docs.grouped(2).toSeq.last.toDF("doc_id", "source", "text"),
+      outDir, dims, batchId = 2L) // ids 0,1,2 were used by the stream
+    val after = spark.read.parquet(Monitors.latestStateDir(spark, outDir).get)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(after === before)
   }
 
   test("streaming contamination gate matches the batch contamination flag") {

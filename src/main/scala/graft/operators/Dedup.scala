@@ -264,8 +264,10 @@ object Dedup {
 
   /** End-to-end near-dup dedup: drop every document whose cluster
     * representative is another document (keep cluster reps and all
-    * unpaired docs). The non-representative set is a broadcast-sized
-    * anti-join side relative to the corpus (only clustered duplicates).
+    * unpaired docs). The dropped set is a corpus FRACTION (web-corpus dup
+    * rates run 30-80%), so the anti-join side must stay planner-chosen:
+    * AQE broadcasts it when runtime-small and shuffles at scale. For the
+    * huge-side streaming case use [[bloomDupGuard]] instead.
     */
   /** @param shingled optional precomputed `(doc_id, shingles)` frame
     *                  (e.g. checkpointed by Curation) so pair generation
@@ -282,7 +284,7 @@ object Dedup {
         nearDupPairsFromShingles(sh, k, bands, threshold))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("_drop_id"))
-    docs.join(broadcast(dropped), col(idCol) === col("_drop_id"), "left_anti")
+    docs.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
   }
 
   /** Corpus-wide sentence-level exact dedup (the CCNet/RefinedWeb "line

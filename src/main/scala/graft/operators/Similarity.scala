@@ -373,7 +373,10 @@ object Similarity {
     val dropped = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id").as("_drop_id"))
-    embeddings.join(broadcast(dropped), col("vec_id") === col("_drop_id"), "left_anti")
+    // dropped is a corpus fraction at real dup rates — leave the anti-join
+    // side planner-chosen (AQE broadcasts when runtime-small, shuffles at
+    // scale) instead of forcing it through the broadcast hard limit
+    embeddings.join(dropped, col("vec_id") === col("_drop_id"), "left_anti")
   }
 
   /** k-NN label classification over the cell layout: each vector's

@@ -482,7 +482,7 @@ object AnalyticsQueries extends QueryPack {
 
     // TPC-H Q17-shape: small-quantity revenue gated on a per-part average
     // (correlated-subquery shape). Scale decisions: the selective part
-    // filter broadcasts and is applied BEFORE the per-part average, so
+    // filter is applied BEFORE the per-part average, so
     // the avg aggregates only the selected parts' lineitems (not all of
     // lineitem, which the naive correlated form would); one shuffle on
     // l_partkey serves both the aggregate and the gate join.
@@ -490,8 +490,10 @@ object AnalyticsQueries extends QueryPack {
       val p = t(s, dir, "part")
         .filter(col("p_brand") === "Brand#23" && col("p_size") <= 15)
         .select(col("p_partkey"))
+      // p is a filtered slice of part, which scales with SF — no forced
+      // broadcast; AQE broadcasts it adaptively from its runtime size
       val lsel = t(s, dir, "lineitem")
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
       val gate = lsel.groupBy(col("l_partkey").as("g_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("qty_gate"))
       lsel.join(gate, col("l_partkey") === col("g_partkey"))
@@ -673,7 +675,9 @@ object AnalyticsQueries extends QueryPack {
         col("n_name").as("cust_nation"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        // supplier scales with SF — planner-chosen join (AQE broadcasts it
+        // while runtime-small); only the 25-row nation dims are forced
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||

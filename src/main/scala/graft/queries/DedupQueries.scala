@@ -82,7 +82,7 @@ object DedupQueries extends QueryPack {
     // per-pair match count and only pairs sharing ≥1 shingle are ever
     // materialized (the block cross-product never exists; the earlier
     // broadcast-cross form intersected 159k full pairs at sf0.1). |A∪B| =
-    // |A|+|B|−|A∩B| from a broadcast per-doc size table. At 100 TB this
+    // |A|+|B|−|A∩B| from a shuffle-joined per-doc size table. At 100 TB this
     // is the scalable form: the shuffle key is the shingle (near-uniform),
     // fan-out is bounded by shingle frequency, and zero-overlap pairs are
     // never enumerated — sound for top-k as long as ≥k overlapping pairs
@@ -105,8 +105,13 @@ object DedupQueries extends QueryPack {
       a.join(b, Seq("lang", "source", "shingle"))
         .filter(col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), "a")
-        .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), "b")
+        // plain joins: `sizes` is one row PER DOCUMENT — corpus-sized, so a
+        // forced broadcast would die at the broadcast limit at 100 TB. AQE
+        // still broadcasts it adaptively at small scale from runtime sizes;
+        // at scale it degrades to a shuffle join (same form as lshRecall's
+        // size join in operators/Dedup.scala).
+        .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
         .select(col("a"), col("b"),
           round(col("inter").cast("double") /
             (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))

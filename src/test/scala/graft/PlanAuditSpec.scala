@@ -1,13 +1,41 @@
 package graft
 
-/** Mechanical scale-guard over EVERY registered query's physical plan at
-  * sf0.001: no cartesian products (a `crossJoin(broadcast(1-row))` plans
-  * as BroadcastNestedLoopJoin and is allowed), no Python evaluation, and
-  * no Scala UDFs outside the documented whitelist (the Bloom guard's
-  * `mightContain` probe is inherently a function of a driver-built
-  * sketch). Catches future plan regressions — an accidental cross
-  * product or a UDF slipping onto a hot path — without hand-auditing 80+
-  * queries each round.
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, EqualTo, Expression, GreaterThan, LessThan, Literal, Pmod, Remainder}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, GlobalLimit, Join, LocalRelation, LogicalPlan, Range}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Mechanical scale-guard over EVERY registered query's plan at sf0.001:
+  *
+  *  1. no cartesian products (a `crossJoin(broadcast(1-row))` plans as
+  *     BroadcastNestedLoopJoin and is allowed), no Python evaluation, no
+  *     Scala UDFs outside the documented whitelist;
+  *  2. the broadcast ratchet: a query may FORCE a broadcast (`broadcast()`
+  *     hint, which bypasses AQE's runtime size check) only of a side whose
+  *     row count is bounded independent of corpus size. The r4 verdict's
+  *     scale-killers were forced broadcasts of corpus-sized sides (whole
+  *     embeddings table, whole vocabulary); the r6 verdict's two weak
+  *     plans (per-doc size table, dropped-duplicate set) escaped because
+  *     this ratchet audited a static 13-query list. It now audits every
+  *     registered query, same as the cartesian gate.
+  *
+  * Bounded-side proofs (heuristic pattern-matches on the repo's known
+  * bounded shapes — a ratchet against obviously-unbounded sides, not a
+  * formal verifier):
+  *   - scalar (groupless) aggregate in the side — corpus totals, 1 row;
+  *   - all leaves Range/LocalRelation — driver-built model/grid frames;
+  *   - all leaves fixed-size dimension scans (nation = 25 rows, region =
+  *     5 at EVERY TPC-H scale factor — the only tables whose size is
+  *     SF-invariant; customer/supplier/part all scale and must NOT be
+  *     force-broadcast);
+  *   - a GlobalLimit in the side — top-k frames;
+  *   - a Filter with `id = literal` or `id < literal` on a unique id
+  *     column (vec_id/doc_id are unique by the testdata contract, so the
+  *     predicate caps rows at 1 / literal);
+  *   - a Filter whose condition carries BOTH `attr % stride == 0` and
+  *     `attr < cap` on the SAME attribute with literal stride and cap
+  *     (the recall queries' fixed samples, ≤ cap/stride rows for a
+  *     unique attr). A lone `<` on an arbitrary column, or a stride and
+  *     cap on DIFFERENT columns, proves nothing and must not pass.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -18,81 +46,140 @@ class PlanAuditSpec extends SparkSpec {
   // in well under a second at sf0.001
   private val udfWhitelist = Set("bloom_customers_no_orders")
 
-  test("no registered query plans a cartesian product, Python eval, or unlisted UDF") {
+  /** Grouped-aggregate broadcast sides whose key domain is bounded by an
+    * enum-like attribute — a bound the plan can't exhibit structurally.
+    * Each entry documents WHY the key domain is corpus-size-invariant;
+    * the exemption only applies when every unproven forced side in the
+    * query's plan contains a grouped Aggregate (never a bare scan), and a
+    * companion test fails on entries naming unregistered queries, so the
+    * list can't silently rot the way the old static allowlist did.
+    */
+  private val enumAggExemptions: Map[String, String] = Map(
+    "text_quality_median_gate" ->
+      "per-lang quality medians: key is the language-ID label, a fixed classifier inventory",
+    "search_bm25" ->
+      "per-term doc frequencies: terms pre-pruned to the literal query-term list (isin)",
+    "search_hybrid_rrf" ->
+      "per-term doc frequencies: terms pre-pruned to the literal query-term list (isin)",
+    "basket_brand_rules" ->
+      "brand marginals: TPC-H p_brand domain is 25 values at every SF",
+    "sketch_heavy_hitters" ->
+      "CMS cell relation: grouped on (row, bucket) = (depth idx, hash % width), <= depth*width rows",
+    "profile_value_histogram" ->
+      "per-profiled-column bounds: key is the literal profiled-column name list",
+    "sim_cell_outliers" ->
+      "per-cell centroid/moment frames: key is the IVF cell id, <= nCells by construction"
+  )
+
+  // unique by the testdata contract (TESTDATA.md): one row per id
+  private val uniqueIdCols = Set("vec_id", "doc_id")
+
+  // populated by the audit test, checked by the staleness test below —
+  // an exemption that no query's plan actually needs must be deleted
+  private val usedExemptions = scala.collection.mutable.Set.empty[String]
+
+  private def attrOf(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case c: Cast => attrOf(c.child)
+    case _ => None
+  }
+
+  private def sideBounded(side: LogicalPlan): Boolean = {
+    val scalarAgg = side.collectFirst {
+      case a: Aggregate if a.groupingExpressions.isEmpty => a
+    }.isDefined
+    val leaves = side.collectLeaves()
+    val boundedLeaves = leaves.nonEmpty && leaves.forall {
+      case _: Range => true
+      case _: LocalRelation => true
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.forall { p =>
+          val n = p.getName
+          n.startsWith("nation") || n.startsWith("region")
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    val limited = side.collectFirst { case g: GlobalLimit => g }.isDefined
+    val filterBound = side.collect { case f: Filter => f.condition }.exists { cond =>
+      val idPointOrCap = cond.collect {
+        case EqualTo(l, _: Literal) => attrOf(l)
+        case EqualTo(_: Literal, r) => attrOf(r)
+        case LessThan(l, _: Literal) => attrOf(l)
+        case GreaterThan(_: Literal, r) => attrOf(r)
+      }.flatten.exists(a => uniqueIdCols.contains(a.name))
+      val capAttrs = cond.collect {
+        case LessThan(l, _: Literal) => attrOf(l)
+        case GreaterThan(_: Literal, r) => attrOf(r)
+      }.flatten.map(_.exprId).toSet
+      val strideAttrs = cond.collect {
+        case p: Pmod if p.right.isInstanceOf[Literal] => attrOf(p.left)
+        case r: Remainder if r.right.isInstanceOf[Literal] => attrOf(r.left)
+      }.flatten.map(_.exprId).toSet
+      idPointOrCap || capAttrs.intersect(strideAttrs).nonEmpty
+    }
+    scalarAgg || boundedLeaves || limited || filterBound
+  }
+
+  test("every registered query: no cartesian/Python/unlisted UDF; no forced broadcast of an unbounded side") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLAN_FAILED: $e" }
-      val findings = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "PythonEval" -> plan.contains("BatchEvalPython"),
-        "UDF" -> (plan.contains("UDF") && !udfWhitelist.contains(name)),
-        "PLAN_FAILED" -> plan.startsWith("PLAN_FAILED")
-      ).collect { case (what, true) => what }
-      if (findings.isEmpty) Nil else Seq(s"$name: ${findings.mkString(", ")}")
+      val built =
+        try Right(fn(spark, sfDir))
+        catch { case e: Throwable => Left(e) }
+      built match {
+        case Left(e) => Seq(s"$name: PLAN_FAILED: $e")
+        case Right(df) =>
+          val exec = df.queryExecution.executedPlan.toString
+          val basic = Seq(
+            "CartesianProduct" -> exec.contains("CartesianProduct"),
+            "PythonEval" -> exec.contains("BatchEvalPython"),
+            "UDF" -> (exec.contains("UDF") && !udfWhitelist.contains(name))
+          ).collect { case (what, true) => what }
+          val forced = df.queryExecution.optimizedPlan.collect {
+            case j: Join =>
+              Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
+                case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+              }
+          }.flatten
+          val unproven = forced.filterNot(sideBounded)
+          val groupedAggOnly = unproven.forall(_.collectFirst {
+            case a: Aggregate if a.groupingExpressions.nonEmpty => a
+          }.isDefined)
+          val bcast =
+            if (unproven.isEmpty) Nil
+            else if (enumAggExemptions.contains(name) && groupedAggOnly) {
+              usedExemptions += name; Nil
+            } else Seq(s"forces broadcast of ${unproven.size} unproven side(s)")
+          val findings = basic ++ bcast
+          if (findings.isEmpty) Nil else Seq(s"$name: ${findings.mkString(", ")}")
+      }
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  // The r4 verdict's three scale-killers were all forced broadcasts of
-  // unbounded sides (whole embeddings table, whole vocabulary). Ratchet:
-  // these queries may force-broadcast ONLY sides that are provably ≤ 1
-  // row (a groupless aggregate — corpus totals); anything else must be
-  // left to the planner/AQE, which broadcasts small sides adaptively
-  // from RUNTIME sizes and degrades to a shuffle join at 100 TB instead
-  // of dying at the broadcast limit.
-  test("cell-blocked kNN, vocabulary, and model joins force no unbounded broadcast") {
-    import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal, Pmod, Remainder}
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, Join, LocalRelation, Range}
-    // The model-training family broadcasts its weight/component frames —
-    // legal ONLY because those are bounded by construction: a scalar
-    // (groupless) aggregate, a spark.range(dims) root, a driver-built
-    // LocalRelation of model rows, or a row-count bound proven by a
-    // `col < literal` filter (the recall queries' fixed samples: vec_id %
-    // stride == 0 AND vec_id < stride·maxQueries ⇒ ≤ maxQueries rows).
-    // Anything else (a corpus-derived side) must be left to AQE.
-    val audited = Seq("graph_knn_pagerank", "sim_nn_within_label",
-      "text_unigram_logprob", "learn_logreg_predict", "learn_nb_predict",
-      "learn_calibration", "learn_model_agreement", "sim_pca_project",
-      "sim_ivf_recall", "graph_knn_recall", "sim_recall_curve",
-      "sim_dim_recall_curve", "learn_threshold_sweep")
-    val offenders = audited.flatMap { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
-      val forced = plan.collect {
-        case j: Join =>
-          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).collect {
-            case (Some(h), side) if h.strategy.contains(BROADCAST) => side
-          }
-      }.flatten
-      val unbounded = forced.filterNot { side =>
-        val scalarAgg = side.collectFirst {
-          case a: Aggregate if a.groupingExpressions.isEmpty => a
-        }.isDefined
-        val modelRoot = side.collectLeaves().forall {
-          case _: Range => true
-          case _: LocalRelation => true
-          case _ => false
+  test("broadcast-ratchet exemptions name only registered queries, and every exemption is exercised") {
+    val unknown = enumAggExemptions.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"stale exemptions: ${unknown.mkString(", ")}")
+    // runs after the audit test (ScalaTest executes in declaration order)
+    val unused = enumAggExemptions.keySet -- usedExemptions
+    assert(unused.isEmpty,
+      s"exemptions no plan needs (delete them): ${unused.mkString(", ")}")
+  }
+
+  test("ratchet self-check: a forced broadcast of a corpus-sized side is rejected") {
+    import org.apache.spark.sql.functions.{broadcast, col, length}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the exact shape of the r6 weak plan: a per-document frame, hinted
+    val sizes = docs.select(col("doc_id").as("a"), length(col("text")).as("sz"))
+    val j = docs.join(broadcast(sizes), col("doc_id") === col("a"))
+    val forced = j.queryExecution.optimizedPlan.collect {
+      case jn: Join =>
+        Seq(jn.hint.leftHint -> jn.left, jn.hint.rightHint -> jn.right).collect {
+          case (Some(h), side) if h.strategy.contains(BROADCAST) => side
         }
-        // A filter proves a row-count bound only in the recall queries'
-        // exact shape: BOTH a `col < literal` cap AND a stride predicate
-        // (`col % stride == 0`) in the same condition — together ≤
-        // cap/stride rows. A lone `<` on an arbitrary column (quality,
-        // length, ...) bounds nothing and must NOT pass the ratchet.
-        val literalCap = side.collectFirst {
-          case f: Filter
-            if f.condition.collectFirst {
-              case LessThan(_, _: Literal) => ()
-            }.isDefined &&
-              f.condition.collectFirst {
-                case _: Pmod => ()
-                case _: Remainder => ()
-              }.isDefined => f
-        }.isDefined
-        scalarAgg || modelRoot || literalCap
-      }
-      if (unbounded.isEmpty) Nil
-      else Seq(s"$name: forces broadcast of ${unbounded.size} non-bounded side(s)")
-    }
-    assert(offenders.isEmpty, offenders.mkString("\n"))
+    }.flatten
+    assert(forced.nonEmpty, "hint was not planned as a forced broadcast")
+    assert(!forced.forall(sideBounded), "ratchet wrongly proved a corpus-sized side bounded")
   }
 }

@@ -65,6 +65,78 @@ object Bench {
       java.nio.file.Files.write(out,
         report.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // Regression gate: diff this run against the committed previous-round
+    // per-query map (bench_baseline.json, refreshed each round from
+    // target/bench_full.json) and flag any query > 1.5x slower — the
+    // machine-readable delta table lands in target/bench_delta.json and
+    // a one-line count survives the driver's tail capture. Queries absent
+    // from the baseline (new this round) are skipped, not flagged.
+    try {
+      val basePath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_baseline.json"))
+      if (java.nio.file.Files.exists(basePath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(basePath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val pair = """"([a-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)""".r
+        val prev = pair.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => k != "value" && k != "round" }
+          .toMap
+        val deltas = results.flatMap { case (name, cur) =>
+          prev.get(name).filter(_ > 0).map(p => (name, p, cur, cur / p))
+        }
+        val regressions = deltas.filter(_._4 > 1.5).sortBy(-_._4)
+        val dj = deltas.map { case (n, p, c, r) =>
+          s"""{"query":"$n","prev":${ms(p)},"cur":${ms(c)},"ratio":${ms(r)}}"""
+        }.mkString("[", ",", "]")
+        val rj = regressions.map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("target", "bench_delta.json"),
+          s"""{"baseline":"$basePath","threshold":1.5,"n_compared":${deltas.size},"regressions":$rj,"deltas":$dj}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        println(s"""{"metric":"bench_regressions","value":${regressions.size},"threshold":1.5,"compared":${deltas.size}}""")
+      }
+    } catch { case _: Throwable => () }
+    // Shuffle-skew probe: the inverted-index joins shuffle on shingle /
+    // span TEXT (zipfian by construction). Measure — don't argue — what
+    // hash partitioning does to those keys: rows land in partition
+    // pmod(murmur3(key), parts) (exactly HashPartitioning's id
+    // expression), so the per-partition row counts below are the real
+    // shuffle balance, reported as max/median ("skew" = ratio; AQE's
+    // skew-join threshold is 5x median by default).
+    try {
+      import org.apache.spark.sql.functions._
+      val parts = cpus.toInt
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      def skew(keyed: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+        val counts = keyed.groupBy(col("p")).count()
+          .collect().map(_.getLong(1)).sorted // <= parts rows
+        if (counts.isEmpty) (0L, 0L, 0.0)
+        else {
+          val mx = counts.last
+          val med = counts(counts.length / 2)
+          (mx, med, if (med == 0) 0.0 else mx.toDouble / med)
+        }
+      }
+      val shingles = docs.select(col("lang"), col("source"),
+          explode(array_distinct(
+            graft.functions.TextFns.textShingles(col("text"), 3))).as("shingle"))
+        .select(pmod(hash(col("lang"), col("source"), col("shingle")),
+          lit(parts)).as("p"))
+      val spans = docs.select(
+          explode(graft.functions.TextFns.textShingles(col("text"), 5)).as("span"))
+        .select(pmod(hash(col("span")), lit(parts)).as("p"))
+      val (m1, d1, s1) = skew(shingles)
+      val (m2, d2, s2) = skew(spans)
+      val js =
+        s"""{"metric":"shuffle_skew","parts":$parts,"sf":"$sfDir","probes":{""" +
+          s""""dedup_ngram_jaccard_shingle":{"max_rows":$m1,"median_rows":$d1,"skew":${ms(s1)}},""" +
+          s""""text_span_hotspots_span":{"max_rows":$m2,"median_rows":$d2,"skew":${ms(s2)}}}}"""
+      println(js)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "skew_probe.json"),
+        js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * per-partition kernels (the JVM port of the `mapInPandas` batch shape:
   * one iterator of rows in, one iterator of rows out, no driver collect).
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind [[StubCodec]], which produces deterministic fake
-  * decodes. Everything Spark-side is real and tested: schemas, binary
+  * Image decoding is REAL ([[ImageIoCodec]], `javax.imageio`) and so is
+  * audio ([[SoundCodec]], `javax.sound.sampled` WAV) — both in-JDK.
+  * Video stays behind [[StubCodec]] (no container/codec libraries in
+  * this environment), which produces deterministic fake decodes.
+  * Everything Spark-side is real and tested either way: schemas, binary
   * handling, partitioning, kernel signatures, batch shapes. Swapping
-  * [[StubCodec]] for a real JNI/opencv-backed codec changes no plumbing.
+  * [[StubCodec]] for a JNI/ffmpeg-backed codec changes no plumbing.
   *
   * Scale notes: blobs stay in executors end-to-end; `repartition` by blob
   * size budget (not row count) keeps partitions within executor memory at
@@ -160,6 +162,178 @@ object Multimodal {
       }
       acc
     }
+  }
+
+  /** Real audio codec over the JDK's built-in `javax.sound.sampled` WAV
+    * reader (in-JRE like `javax.imageio` — no external libs): the audio
+    * half of the multimodal surface decodes REAL PCM data. Video remains
+    * the declared [[StubCodec]] (no container/codec libs in this
+    * environment).
+    *
+    * [[MediaMeta]] field mapping for audio (it has no raster): `width`
+    * carries the sample rate in Hz and `height` the channel count, so the
+    * codec-agnostic kernels keep one schema; [[decodeAudio]] emits the
+    * properly-named audio fields for the oracle-checked query.
+    *
+    * All sample reductions are explicit integer/array loops over the
+    * decoded 16-bit PCM — deterministic across JVMs and re-runs.
+    */
+  object SoundCodec extends Codec {
+    import javax.sound.sampled.AudioSystem
+
+    private def stream(bytes: Array[Byte]) =
+      AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+
+    def sniffFormat(bytes: Array[Byte]): String = {
+      val ff = AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      ff.getType.getExtension.toLowerCase
+    }
+
+    /** Fully READS and decodes the PCM stream to [-1, 1) doubles,
+      * channel-interleaved — metadata derives from decoded bytes, not
+      * just the header. */
+    private def pcm(bytes: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Double]) = {
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"SoundCodec expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val raw = in.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val (b0, b1) = (raw(2 * i) & 0xff, raw(2 * i + 1) & 0xff)
+          val v = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+          out(i) = v.toShort / 32768.0
+          i += 1
+        }
+        (fmt, out)
+      } finally in.close()
+    }
+
+    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
+      val (fmt, samples) = pcm(bytes)
+      val frames = samples.length / fmt.getChannels
+      MediaMeta(kind, sniffFormat(bytes),
+        width = fmt.getSampleRate.toInt, height = fmt.getChannels,
+        durationMs = frames.toLong * 1000L / fmt.getSampleRate.toInt,
+        sizeBytes = bytes.length.toLong)
+    }
+
+    /** `dim` equal windows over the interleaved samples, mean |amplitude|
+      * per window — the envelope feature vector. */
+    def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val (_, s) = pcm(bytes)
+      Array.tabulate(dim) { w =>
+        val from = (w.toLong * s.length / dim).toInt
+        val until = ((w + 1).toLong * s.length / dim).toInt
+        if (until <= from) 0f
+        else {
+          var acc = 0.0
+          var i = from
+          while (i < until) { acc += math.abs(s(i)); i += 1 }
+          (acc / (until - from)).toFloat
+        }
+      }
+    }
+
+    /** Up to `n` equal chunks of the DECODED raw PCM byte stream (header
+      * stripped) — same slicing semantics as [[StubCodec]]. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val in = stream(bytes)
+      val raw = try in.readAllBytes() finally in.close()
+      if (n <= 0 || raw.isEmpty) Nil
+      else {
+        val step = math.max(1, raw.length / math.max(n, 1))
+        (0 until math.min(n, raw.length)).map { i =>
+          raw.slice(i * step, math.min(i * step + step, raw.length))
+        }
+      }
+    }
+
+    /** Envelope aHash: 64 windows, bit set iff the window's mean
+      * |amplitude| ≥ the overall mean — re-encodes of the same audio
+      * collide; localized edits move few bits. */
+    def phash64(bytes: Array[Byte]): Long = {
+      val e = extractFeatures(bytes, 64)
+      val mean = e.map(_.toDouble).sum / e.length
+      var acc = 0L
+      var i = 0
+      while (i < 64) {
+        if (e(i) >= mean) acc |= 1L << (63 - i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Audio metadata with properly-named fields (the [[MediaMeta]] raster
+    * slots carry rate/channels only inside the codec-agnostic kernels). */
+  case class AudioMeta(media_id: Long, format: String, sample_rate: Int,
+      channels: Int, n_frames: Long, duration_ms: Long, size_bytes: Long)
+
+  /** Decode audio metadata per blob by fully reading the PCM stream —
+    * frame count from decoded bytes / frame size, duration from frames
+    * and rate. Per-partition kernel; blobs never leave the executors.
+    */
+  def decodeAudio(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val fmtName = SoundCodec.sniffFormat(bytes)
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val raw = in.readAllBytes()
+          val frames = raw.length.toLong / fmt.getFrameSize
+          AudioMeta(id, fmtName, fmt.getSampleRate.toInt, fmt.getChannels,
+            frames, frames * 1000L / fmt.getSampleRate.toInt,
+            bytes.length.toLong)
+        } finally in.close()
+      })
+  }
+
+  /** Deterministic fixture WAV: a REAL encoded RIFF/WAVE file (JDK WAV
+    * writer) whose rate/channels/frame-count and integer-sawtooth PCM
+    * pattern are pure functions of `id` — the audio analog of
+    * [[fixturePng]], giving the oracle closed-form expected metadata.
+    */
+  def fixtureSampleRate(id: Long, patternMod: Long = 50L): Int =
+    Seq(8000, 11025, 16000, 22050)(((id % patternMod) % 4).toInt)
+  def fixtureChannels(id: Long, patternMod: Long = 50L): Int =
+    1 + ((id % patternMod) % 2).toInt
+  def fixtureFrames(id: Long, patternMod: Long = 50L): Int =
+    400 + (id % patternMod).toInt * 8
+  def fixtureWav(id: Long, patternMod: Long = 50L): Array[Byte] = {
+    val p = (id % patternMod).toInt
+    val rate = fixtureSampleRate(id, patternMod)
+    val ch = fixtureChannels(id, patternMod)
+    val frames = fixtureFrames(id, patternMod)
+    val raw = new Array[Byte](frames * ch * 2)
+    var f = 0
+    while (f < frames) {
+      var c = 0
+      while (c < ch) {
+        // integer sawtooth keyed by the pattern — no trig, bit-identical
+        val v = (((f * (p + 3) + c * 97) % 2048) - 1024) * 16
+        val idx = (f * ch + c) * 2
+        raw(idx) = (v & 0xff).toByte // little-endian 16-bit signed
+        raw(idx + 1) = ((v >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic fixture PNG: a REAL encoded image (JDK PNG writer)

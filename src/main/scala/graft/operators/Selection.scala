@@ -278,6 +278,14 @@ object Selection {
   }
 
   def kCenterSelect(embeddings: DataFrame, k: Int): DataFrame = {
+    // Exact-fidelity form: k SEQUENTIAL corpus-wide Spark jobs (one per
+    // pick) — viable only at coreset k. Registered queries route through
+    // [[kCenterSelectOversampled]] (one corpus pass); this guard keeps an
+    // accidental large-k call from launching thousands of driver-
+    // sequential jobs.
+    require(k <= 64,
+      s"exact kCenterSelect runs k sequential corpus passes; k=$k > 64 — " +
+        "use kCenterSelectOversampled")
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorFns.norm(col("embedding")))
       .localCheckpoint()

@@ -666,19 +666,27 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("cnt").cast("double")).as("y"))
+    // Degenerate frames (one term, or all-equal x / all-equal y) have
+    // zero variance; dividing unguarded yields NaN/Infinity, where Spark
+    // and DuckDB float-edge behavior can diverge — pin those cases to
+    // null in BOTH engines (the oracle carries the same CASE guards).
     ranked.agg(count(lit(1)).as("n"),
         avg(col("x")).as("mx"), avg(col("y")).as("my"),
         avg(col("x") * col("y")).as("mxy"),
         avg(col("x") * col("x")).as("mxx"),
         avg(col("y") * col("y")).as("myy"))
+      .select(col("n"), col("mx"), col("my"), col("mxy"),
+        (col("mxx") - col("mx") * col("mx")).as("vx"),
+        (col("myy") - col("my") * col("my")).as("vy"))
       .select(col("n").as("n_terms"),
-        round(((col("mxy") - col("mx") * col("my")) /
-          (col("mxx") - col("mx") * col("mx"))).as("b"), 6).as("slope"),
-        round(col("my") - (col("mxy") - col("mx") * col("my")) /
-          (col("mxx") - col("mx") * col("mx")) * col("mx"), 6).as("intercept"),
-        round(pow(col("mxy") - col("mx") * col("my"), 2) /
-          ((col("mxx") - col("mx") * col("mx")) *
-            (col("myy") - col("my") * col("my"))), 6).as("r2"))
+        when(col("n") >= 2 && col("vx") > 0,
+          round((col("mxy") - col("mx") * col("my")) / col("vx"), 6)).as("slope"),
+        when(col("n") >= 2 && col("vx") > 0,
+          round(col("my") - (col("mxy") - col("mx") * col("my")) /
+            col("vx") * col("mx"), 6)).as("intercept"),
+        when(col("n") >= 2 && col("vx") > 0 && col("vy") > 0,
+          round(pow(col("mxy") - col("mx") * col("my"), 2) /
+            (col("vx") * col("vy")), 6)).as("r2"))
   }
 
   /** Heaps-law vocabulary growth: distinct-term first occurrences

@@ -80,6 +80,24 @@ object MultimodalQueries extends QueryPack {
           col("meta.height").cast("long").as("height"),
           col("meta.durationMs").as("duration_ms"))
         .orderBy("media_id")
+    }),
+
+    // REAL audio codec round-trip: render a deterministic fixture WAV per
+    // doc (JDK WAV writer), decode it back through javax.sound.sampled
+    // (SoundCodec kernel — the frame count comes from fully READING the
+    // PCM stream, not the header), and emit the fields the oracle
+    // recomputes from the generator formulas.
+    "mm_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureWav(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decodeAudio(wavs).toDF()
+        .select(col("media_id"), col("format"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("n_frames"), col("duration_ms"))
+        .orderBy("media_id")
     })
   )
 
@@ -119,6 +137,24 @@ object MultimodalQueries extends QueryPack {
         |  CAST(8 + ((doc_id % 50) % 3) * 4 AS BIGINT) AS height,
         |  CAST(0 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // The decoded rate/channels/frames must equal the generator formulas
+    // (pattern key = doc_id % 50); a misparsed RIFF header or truncated
+    // PCM read would shift frames/duration. duration_ms = frames * 1000
+    // integer-divided by the rate in both engines.
+    "mm_audio_decode" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents),
+        |f AS (SELECT media_id,
+        |    CASE pk % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |      WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
+        |    1 + pk % 2 AS channels, 400 + pk * 8 AS n_frames
+        |  FROM p)
+        |SELECT media_id, 'wav' AS format,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
+        |FROM f ORDER BY media_id""".stripMargin,
 
     // ASCII corpus ⇒ md5(VARCHAR) == md5(BINARY); the 64-bit stub
     // fingerprint, 16-bit banding, and Hamming arithmetic replay exactly.

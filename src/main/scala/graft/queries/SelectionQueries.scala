@@ -59,7 +59,15 @@ object SelectionQueries extends QueryPack {
     "select_mmr_diverse" -> ((s, dir) =>
       Selection.mmrSelect(emb(s, dir), QUERY_ID, MMR_K, LAMBDA, MMR_M)),
 
-    // Greedy k-center coreset: 4 maximally-spread exemplars.
+    // Greedy k-center coreset: 4 maximally-spread exemplars — the EXACT
+    // farthest-point traversal (k − 1 sequential corpus passes, k
+    // require-capped at 64 in the operator: a bounded number of driver-
+    // sequenced jobs, not corpus-wide iteration). The oversampled
+    // single-pass scale form is the sibling query below; at sf0.01 its
+    // candidate cut misses one exact pick, so the two stay SEPARATE
+    // queries rather than one routed through the other — the pair green
+    // together documents exactly how closely the scale form tracks the
+    // exact one.
     "select_kcenter" -> ((s, dir) =>
       Selection.kCenterSelect(emb(s, dir), MMR_K)),
 

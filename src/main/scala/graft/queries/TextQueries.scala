@@ -497,13 +497,17 @@ object TextQueries extends QueryPack {
          |  FROM tc),
          |m AS (SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
          |    avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
-         |  FROM rk)
+         |  FROM rk),
+         |v AS (SELECT n, mx, my, mxy,
+         |    mxx - mx * mx AS vx, myy - my * my AS vy FROM m)
          |SELECT n AS n_terms,
-         |  round((mxy - mx * my) / (mxx - mx * mx), 6) AS slope,
-         |  round(my - (mxy - mx * my) / (mxx - mx * mx) * mx, 6) AS intercept,
-         |  round(pow(mxy - mx * my, 2) /
-         |    ((mxx - mx * mx) * (myy - my * my)), 6) AS r2
-         |FROM m""".stripMargin,
+         |  CASE WHEN n >= 2 AND vx > 0
+         |    THEN round((mxy - mx * my) / vx, 6) END AS slope,
+         |  CASE WHEN n >= 2 AND vx > 0
+         |    THEN round(my - (mxy - mx * my) / vx * mx, 6) END AS intercept,
+         |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
+         |    THEN round(pow(mxy - mx * my, 2) / (vx * vy), 6) END AS r2
+         |FROM v""".stripMargin,
 
     "text_vocab_growth" ->
       s"""WITH f AS (

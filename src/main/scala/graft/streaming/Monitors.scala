@@ -46,13 +46,18 @@ object Monitors {
     * round-6 and |z| > `zThresh` flag.
     *
     * Batch equivalence holds for per-key event-time-ordered arrival
-    * (micro-batch boundaries don't matter — the buffer carries the
-    * trailing window across batches; within a batch rows are sorted by
-    * event time first). A row arriving LATE (older than its key's newest
-    * processed point) is scored against the points currently in the
-    * buffer — already-emitted verdicts are never revised; that is the
-    * standard monitor trade, not silent wrongness, and it is the only
-    * divergence from the batch answer.
+    * (micro-batch boundaries don't matter for DISTINCT timestamps — the
+    * buffer carries the trailing window across batches; within a batch
+    * rows are sorted by event time first), with one caveat: a TIE GROUP
+    * (same-timestamp peers for one key, RANGE-frame peers in the batch
+    * form) split across micro-batch boundaries scores its earlier
+    * members without the later ones, even though such arrival is still
+    * event-time-ordered — peers are only processed as one group when
+    * they share a micro-batch. A row arriving LATE (older than its key's
+    * newest processed point) is similarly scored against the points
+    * currently in the buffer — already-emitted verdicts are never
+    * revised. Both are the standard monitor trade, not silent wrongness,
+    * and are the only divergences from the batch answer.
     *
     * TOTAL state is bounded two ways: per key, only the trailing window
     * of points; across keys, an event-time timeout evicts any key idle
@@ -179,7 +184,33 @@ object Monitors {
     */
   def mergeDivergenceBatch(batch: DataFrame, outDir: String,
       dims: Int = 1024, batchId: Long = Long.MinValue): Unit = {
-    val spark = batch.sparkSession
+    val delta = TextAnalysis.unigramBucketCounts(batch, dims)
+    val merged = versionedStateMerge(batch.sparkSession, outDir, batchId) {
+      baseDf =>
+        baseDf.map(_.unionByName(delta)
+          .groupBy(col("source"), col("bucket"))
+          .agg(sum(col("s_cnt")).as("s_cnt"))
+        ).getOrElse(delta)
+    }
+    TextAnalysis.divergenceFromCounts(merged, dims)
+      .write.mode("overwrite").parquet(s"$outDir/kl")
+  }
+
+  /** The versioned-state plumbing shared by every foreachBatch monitor:
+    * read the newest state version BELOW `batchId`, apply `merge`,
+    * overwrite `state_v<batchId>` — so a retry or post-restart replay of
+    * batch N rebuilds identical state from the same base instead of
+    * double-counting, and a crash mid-write leaves only a version the
+    * replay fully rewrites. Prunes versions older than the consumed base
+    * and — when the batch id is known — abandoned-FUTURE versions above
+    * it: after an un-checkpointed restart batch ids reset to 0, and stale
+    * higher-versioned state from the prior run would otherwise shadow
+    * this run's state in [[latestStateDir]] until its id is re-reached.
+    *
+    * @return the merged (checkpointed) state frame
+    */
+  private def versionedStateMerge(spark: SparkSession, outDir: String,
+      batchId: Long)(merge: Option[DataFrame] => DataFrame): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions: Seq[Long] =
@@ -192,20 +223,80 @@ object Monitors {
       .sorted.lastOption
     val newVersion = if (batchId != Long.MinValue) batchId
       else base.map(_ + 1).getOrElse(0L)
-    val delta = TextAnalysis.unigramBucketCounts(batch, dims)
-    val merged = base.map { v =>
-      spark.read.parquet(s"$outDir/state_v$v").unionByName(delta)
-        .groupBy(col("source"), col("bucket"))
-        .agg(sum(col("s_cnt")).as("s_cnt"))
-    }.getOrElse(delta)
-      .localCheckpoint() // sever lineage before overwriting files below
+    val merged =
+      merge(base.map(v => spark.read.parquet(s"$outDir/state_v$v")))
+        .localCheckpoint() // sever lineage before overwriting files below
     merged.write.mode("overwrite").parquet(s"$outDir/state_v$newVersion")
-    TextAnalysis.divergenceFromCounts(merged, dims)
-      .write.mode("overwrite").parquet(s"$outDir/kl")
-    // prune everything older than the base this merge consumed
-    versions.filter(v => base.exists(v < _)).foreach { v =>
+    versions.filter(v => base.exists(v < _) ||
+        (batchId != Long.MinValue && v > newVersion)).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/state_v$v"), true)
     }
+    merged
+  }
+
+  // ------------------------------------------------------- span hotspots
+
+  /** Streaming repeated-span (boilerplate hotspot) monitor — the
+    * incremental form of [[TextAnalysis.spanHotspots]]: foreachBatch
+    * maintenance of a per-span (n_docs, n_occ) count state, re-ranking
+    * the top-`topN` hotspot report after every batch.
+    *
+    * The additive merge is EXACT under the ingest contract that each
+    * document arrives in exactly one micro-batch (an append-only corpus
+    * feed): a span's per-batch distinct-doc counts then partition its
+    * corpus-wide distinct-doc count, so no cross-batch doc tracking is
+    * needed. State is bounded at `maxSpans` rows by a SpaceSaving-style
+    * heavy-hitter cut — after each merge only the top `maxSpans` spans
+    * by (n_docs, n_occ, span) survive; an evicted span that returns
+    * re-counts from zero, so tail counts are lower bounds while the
+    * report head (spans comfortably above the eviction floor, which is
+    * what a hotspot table publishes) matches the batch answer —
+    * MonitorStreamSpec proves stream ≡ batch with eviction active.
+    */
+  def spanHotspotMonitor(docs: DataFrame, outDir: String, n: Int = 5,
+      minDocs: Int = 2, topN: Int = 20, maxSpans: Int = 4096,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeSpanBatch(batch, outDir, n, minDocs, topN, maxSpans, batchId)
+        ()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+
+  /** One micro-batch of [[spanHotspotMonitor]], callable from tests and
+    * batch backfills: exact within-batch (span, n_docs, n_occ) delta —
+    * the same two partial-aggregable groupBys as the batch operator —
+    * merged additively into the capped state, then the hotspot report
+    * rewritten to `outDir/hot`.
+    */
+  def mergeSpanBatch(batch: DataFrame, outDir: String, n: Int = 5,
+      minDocs: Int = 2, topN: Int = 20, maxSpans: Int = 4096,
+      batchId: Long = Long.MinValue): Unit = {
+    val delta = batch
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.textShingles(col("text"), n)).as("span"))
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"))
+    val merged = versionedStateMerge(batch.sparkSession, outDir, batchId) {
+      baseDf =>
+        baseDf.map(_.unionByName(delta)
+            .groupBy(col("span"))
+            .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_occ")).as("n_occ"))
+          ).getOrElse(delta)
+          // the heavy-hitter cut that bounds state: TakeOrderedAndProject
+          // over the merged frame, never a global sort
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+          .limit(maxSpans)
+    }
+    merged.filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(topN)
+      .write.mode("overwrite").parquet(s"$outDir/hot")
   }
 
   /** Path of the newest committed state version (for tests/inspection). */

@@ -105,6 +105,57 @@ class MonitorStreamSpec extends SparkSpec {
     val after = spark.read.parquet(Monitors.latestStateDir(spark, outDir).get)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(after === before)
+    // un-checkpointed restart: batch ids reset to 0. Replaying batch 0
+    // must prune the prior run's ABANDONED higher versions so
+    // latestStateDir never serves stale state mid-replay.
+    Monitors.mergeDivergenceBatch(
+      docs.grouped(2).toSeq.head.toDF("doc_id", "source", "text"),
+      outDir, dims, batchId = 0L)
+    assert(Monitors.latestStateDir(spark, outDir).get.endsWith("state_v0"))
+  }
+
+  test("streamed span-hotspot monitor equals batch spanHotspots with eviction active") {
+    implicit val sqlCtx = spark.sqlContext
+    // Every doc repeats the same hot 3-gram ("spam spam spam" x2 in two
+    // docs per batch); each doc also carries unique tail spans that churn
+    // through the eviction floor. maxSpans = 6 < distinct spans, so the
+    // heavy-hitter cut is genuinely exercised.
+    val docs = Seq(
+      (1L, "spam spam spam spam alpha beta"),
+      (2L, "spam spam spam gamma delta"),
+      (3L, "spam spam spam epsilon zeta"),
+      (4L, "spam spam spam eta theta"),
+      (5L, "spam spam spam iota kappa"),
+      (6L, "spam spam spam lambda mu")
+    )
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-spanmon").toString
+
+    val input = MemoryStream[(Long, String)]
+    val q = Monitors.spanHotspotMonitor(
+      input.toDF().toDF("doc_id", "text"), outDir,
+      n = 3, minDocs = 2, topN = 3, maxSpans = 6)
+    docs.grouped(2).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val expect = TextAnalysis.spanHotspots(
+        docs.toDF("doc_id", "text"), n = 3, minDocs = 2, topN = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = spark.read.parquet(s"$outDir/hot").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (-t._2, -t._3, t._1))
+    assert(got === expect)
+    // state really is capped at maxSpans rows
+    val state = spark.read.parquet(Monitors.latestStateDir(spark, outDir).get)
+    assert(state.count() <= 6L)
+    // a foreachBatch retry of the last batch must not double-count
+    Monitors.mergeSpanBatch(
+      docs.grouped(2).toSeq.last.toDF("doc_id", "text"),
+      outDir, n = 3, minDocs = 2, topN = 3, maxSpans = 6, batchId = 2L)
+    val replayed = spark.read.parquet(s"$outDir/hot").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (-t._2, -t._3, t._1))
+    assert(replayed === expect)
   }
 
   test("streaming contamination gate matches the batch contamination flag") {

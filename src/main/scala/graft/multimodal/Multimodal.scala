@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * per-partition kernels (the JVM port of the `mapInPandas` batch shape:
   * one iterator of rows in, one iterator of rows out, no driver collect).
   *
-  * Image decoding is REAL ([[ImageIoCodec]], `javax.imageio`) and so is
-  * audio ([[SoundCodec]], `javax.sound.sampled` WAV) — both in-JDK.
-  * Video stays behind [[StubCodec]] (no container/codec libraries in
-  * this environment), which produces deterministic fake decodes.
+  * Image decoding is REAL ([[ImageIoCodec]], `javax.imageio`), audio is
+  * REAL ([[SoundCodec]], `javax.sound.sampled` WAV), and motion pictures
+  * are REAL for the one moving-image container the JDK ships a decoder
+  * for ([[GifCodec]], multi-frame animated GIF). Compressed video
+  * (H.264/VP9/...) has no in-JDK decoder and stays behind [[StubCodec]],
+  * which produces deterministic fake decodes.
   * Everything Spark-side is real and tested either way: schemas, binary
   * handling, partitioning, kernel signatures, batch shapes. Swapping
   * [[StubCodec]] for a JNI/ffmpeg-backed codec changes no plumbing.
@@ -114,7 +116,7 @@ object Multimodal {
     }
 
     /** g×g area-average luminance grid (row-major, 0-255 per cell). */
-    private def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Double] = {
+    private[multimodal] def lumaGrid(img: java.awt.image.BufferedImage, g: Int): Array[Double] = {
       val w = img.getWidth; val h = img.getHeight
       val sums = new Array[Long](g * g)
       val cnts = new Array[Long](g * g)
@@ -164,11 +166,131 @@ object Multimodal {
     }
   }
 
+  /** Real MOTION codec over the JDK's built-in multi-frame GIF support
+    * (`javax.imageio` reads and writes animated GIF — still no external
+    * libs): true frame-by-frame decode of a moving-picture container.
+    * Compressed video (H.264 etc.) has no in-JDK decoder and would stay
+    * behind [[StubCodec]] in this environment, but every video OPERATOR
+    * (frame sampling, per-frame features, perceptual hashing, metadata)
+    * runs here against genuinely decoded frames.
+    *
+    * Frame delay metadata is not parsed; duration is reported at the
+    * nominal 10 fps the fixtures are written at (`durationMs` =
+    * 100·frames) — a real deployment reads GraphicControlExtension
+    * delays, which changes only this one accessor.
+    */
+  object GifCodec extends Codec {
+    private def reader(bytes: Array[Byte]) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val rs = javax.imageio.ImageIO.getImageReaders(iis)
+      require(rs.hasNext, "bytes are not a decodable image container")
+      val r = rs.next()
+      r.setInput(iis)
+      r
+    }
+
+    def sniffFormat(bytes: Array[Byte]): String = {
+      val r = reader(bytes)
+      try r.getFormatName.toLowerCase finally r.dispose()
+    }
+
+    def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
+      val r = reader(bytes)
+      try {
+        val n = r.getNumImages(true)
+        MediaMeta(kind, r.getFormatName.toLowerCase,
+          r.getWidth(0), r.getHeight(0),
+          durationMs = 100L * n, sizeBytes = bytes.length.toLong)
+      } finally r.dispose()
+    }
+
+    /** Luminance-grid features of the FIRST decoded frame (the standard
+      * thumbnail-features convention). */
+    def extractFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val r = reader(bytes)
+      val img = try r.read(0) finally r.dispose()
+      val g = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val grid = ImageIoCodec.lumaGrid(img, g)
+      Array.tabulate(dim)(i => (grid(i % grid.length) / 127.5 - 1.0).toFloat)
+    }
+
+    /** Up to `n` frames evenly strided across the container, each decoded
+      * and re-encoded as standalone PNG — real frame extraction. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      val r = reader(bytes)
+      try {
+        val total = r.getNumImages(true)
+        if (n <= 0 || total == 0) Nil
+        else {
+          val k = math.min(n, total)
+          (0 until k).map { i =>
+            val idx = (i.toLong * total / k).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(idx), "png", bos)
+            bos.toByteArray
+          }
+        }
+      } finally r.dispose()
+    }
+
+    /** aHash of the first decoded frame. */
+    def phash64(bytes: Array[Byte]): Long = {
+      val r = reader(bytes)
+      val img = try r.read(0) finally r.dispose()
+      val grid = ImageIoCodec.lumaGrid(img, 8)
+      val mean = grid.sum / grid.length
+      var acc = 0L
+      var i = 0
+      while (i < 64) {
+        if (grid(i) >= mean) acc |= 1L << (63 - i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** Deterministic fixture animated GIF: `fixtureVideoFrames(id)` frames
+    * of the [[fixturePng]] pattern family (pattern key shifted per
+    * frame), written as one multi-frame GIF by the JDK writer — the
+    * motion analog of [[fixturePng]]/[[fixtureWav]].
+    */
+  def fixtureVideoFrames(id: Long, patternMod: Long = 50L): Int =
+    2 + ((id % patternMod) % 4).toInt
+  def fixtureGif(id: Long, patternMod: Long = 50L): Array[Byte] = {
+    val p = id % patternMod
+    val w = fixtureWidth(id, patternMod)
+    val h = fixtureHeight(id, patternMod)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until fixtureVideoFrames(id, patternMod)).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((p + f) * 7 + x * 31 + y * 17) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 5) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   /** Real audio codec over the JDK's built-in `javax.sound.sampled` WAV
     * reader (in-JRE like `javax.imageio` — no external libs): the audio
-    * half of the multimodal surface decodes REAL PCM data. Video remains
-    * the declared [[StubCodec]] (no container/codec libs in this
-    * environment).
+    * half of the multimodal surface decodes REAL PCM data.
     *
     * [[MediaMeta]] field mapping for audio (it has no raster): `width`
     * carries the sample rate in Hz and `height` the channel count, so the

@@ -98,6 +98,46 @@ object MultimodalQueries extends QueryPack {
           col("channels").cast("long").as("channels"),
           col("n_frames"), col("duration_ms"))
         .orderBy("media_id")
+    }),
+
+    // REAL motion codec round-trip: render a deterministic multi-frame
+    // animated GIF per doc (JDK GIF writer), decode the container back
+    // through javax.imageio (GifCodec) — frame count from the actual
+    // bitstream, not the generator. The video half of the multimodal
+    // surface running on genuinely decoded frames.
+    "mm_video_decode" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decode(gifs, kind = "video",
+          codec = Multimodal.GifCodec).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          (col("meta.durationMs") / 100L).cast("long").as("n_frames"),
+          col("meta.durationMs").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // REAL frame extraction end-to-end: GIF container → GifCodec
+    // sampleFrames (each frame re-encoded as a standalone PNG) → each
+    // extracted frame decoded AGAIN through ImageIoCodec. Dimensions
+    // surviving the GIF→PNG round trip prove the frames are genuine
+    // decoded rasters, not byte slices. 1:N generator kernel; blobs
+    // never leave the executors.
+    "mm_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.sampleFrames(gifs, n = 8, codec = Multimodal.GifCodec)
+        .mapPartitions(_.map { f =>
+          val m = Multimodal.ImageIoCodec.decodeMeta("image", f.frame)
+          (f.media_id, f.frame_idx, m.format, m.width.toLong, m.height.toLong)
+        })
+        .toDF("media_id", "frame_idx", "format", "frame_w", "frame_h")
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -155,6 +195,32 @@ object MultimodalQueries extends QueryPack {
         |  CAST(n_frames AS BIGINT) AS n_frames,
         |  CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms
         |FROM f ORDER BY media_id""".stripMargin,
+
+    // The decoded dims/frame-count must equal the generator formulas
+    // (pattern key = doc_id % 50; frames = 2 + pk % 4); a misparsed GIF
+    // logical screen or a reader that stops at the first image would
+    // shift n_frames/duration.
+    "mm_video_decode" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
+        |SELECT media_id, 'gif' AS format,
+        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
+        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
+        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
+        |  CAST((2 + pk % 4) * 100 AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // Every frame of every container, after a GIF→PNG re-encode round
+    // trip, must still carry the generator dimensions. n ≤ 5 < 8 so the
+    // even-stride sampler emits every frame exactly once, in order.
+    "mm_video_frames" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents),
+        |f AS (SELECT media_id, 2 + pk % 4 AS n,
+        |    8 + (pk % 5) * 4 AS w, 8 + (pk % 3) * 4 AS h
+        |  FROM p)
+        |SELECT media_id, i.range::INTEGER AS frame_idx, 'png' AS format,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h
+        |FROM f, range(0, 8) i WHERE i.range < n
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // ASCII corpus ⇒ md5(VARCHAR) == md5(BINARY); the 64-bit stub
     // fingerprint, 16-bit banding, and Hamming arithmetic replay exactly.

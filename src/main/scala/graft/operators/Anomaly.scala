@@ -46,4 +46,47 @@ object Anomaly {
     scored.select(col(idCol), col(keyCol),
       round(z, 6).as("z"), (abs(z) > zThresh).as("is_anomaly"))
   }
+
+  /** MAD-based robust outlier flags — the rank-statistics sibling of
+    * [[rollingZ]]: the modified z-score 0.6745·(x − median)/MAD
+    * (Iglewicz & Hoaglin 1993), per-key over the WHOLE key history
+    * rather than a trailing frame. Mean/stddev baselines are themselves
+    * dragged by the outliers they hunt; median/MAD have a 50% breakdown
+    * point, the standard robust gate for metric and quality-score
+    * distributions.
+    *
+    * Keys with MAD = 0 (over half the values identical) or fewer than 3
+    * points yield null score — no verdict, never a division blow-up.
+    * Percentiles are the exact interpolated kind (`percentile`), which
+    * DuckDB's `quantile_cont` replays bit-for-bit (the agg_percentiles
+    * precedent); round-6 like the z-score.
+    *
+    * Scale shape: two aggregations and two joins, ALL keyed by
+    * `keyCol` — an entity key (user), high-cardinality by design, so
+    * every exchange hash-balances and the per-key exact median sorts
+    * key-local data, never a global frame. The med/MAD tables are
+    * one-row-per-key aggregates joined back WITHOUT a broadcast hint:
+    * they scale with the key count, so AQE must choose from runtime
+    * sizes (the round-7 broadcast rule).
+    */
+  def madOutliers(events: DataFrame, thresh: Double = 3.5,
+      keyCol: String = "user_id", valCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val v = col(valCol)
+    val med = events.groupBy(col(keyCol)).agg(
+      expr(s"percentile($valCol, 0.5)").as("med"),
+      count(v).as("n"))
+    val dev = events.join(med, Seq(keyCol))
+      .withColumn("adev", abs(v - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    val rz = when(col("n") >= 3 && col("mad") > 0.0,
+      lit(0.6745) * (v - col("med")) / col("mad"))
+    dev.join(mad, Seq(keyCol))
+      .select(col(idCol), col(keyCol),
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        round(rz, 6).as("robust_z"),
+        (abs(rz) > thresh).as("is_outlier"))
+  }
 }

@@ -176,6 +176,97 @@ object Tokenizer {
     }
   }
 
+  /** WordPiece merge learning (Schuster & Nakajima 2012; the trainer
+    * behind BERT's tokenizer) — the THIRD induction family next to BPE
+    * and unigram-LM. Identical loop shape to [[bpeMerges]] but the round
+    * winner maximizes the likelihood gain
+    * `score = count(pair) / (count(left) · count(right))` instead of raw
+    * adjacency count, which prefers pairs whose parts rarely occur
+    * apart. Ties break on (score desc, pair asc); scores are rounded to
+    * 9 places so the argmax is a pure function of the corpus that a SQL
+    * oracle replays exactly.
+    *
+    * Scale shape: same as BPE — one corpus scan into the zipf-bounded
+    * word-count table, then per round one pair-count groupBy, one
+    * symbol-count groupBy (both partial-aggregable over the VOCAB, never
+    * the corpus), a shuffle join of pair→symbol counts (vocab-sized both
+    * sides), a single-row argmax action, and a narrow rewrite.
+    *
+    * @return one row per merge:
+    *   (merge_rank, pair, merged, pair_count, left_count, right_count,
+    *    score).
+    */
+  def wordpieceMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    var seqs = wc.select(col("cnt"),
+      array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
+      .localCheckpoint()
+
+    val picks = (1 to rounds).map { r =>
+      val syms = seqs
+        .select(col("cnt"), explode(split(col("s"), SEP)).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+      val pairs = seqs
+        .select(col("cnt"), explode(pairsOf(col("s"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("pc"))
+        .withColumn("l", split(col("pair"), SEP).getItem(0))
+        .withColumn("r", split(col("pair"), SEP).getItem(1))
+      // Counts to double BEFORE the product: two vocab counts multiplied
+      // as longs can overflow at corpus scale.
+      val scored = pairs
+        .join(syms.withColumnRenamed("sym", "l")
+          .withColumnRenamed("sc", "lc"), Seq("l"))
+        .join(syms.withColumnRenamed("sym", "r")
+          .withColumnRenamed("sc", "rc"), Seq("r"))
+        .withColumn("score", round(
+          col("pc") / (col("lc").cast("double") * col("rc")), 9))
+      val Row(pair: String, pc: Long, lc: Long, rc: Long, score: Double) =
+        scored.agg(min_by(
+            struct(col("pair"), col("pc"), col("lc"), col("rc"), col("score")),
+            struct((-col("score")).as("neg"), col("pair"))).as("best"))
+          .select(col("best.pair"), col("best.pc"), col("best.lc"),
+            col("best.rc"), col("best.score")).head()
+      val merged = pair.replace(SEP, "")
+      seqs = seqs.select(col("cnt"),
+        replace(col("s"), lit(pair), lit(merged)).as("s")).localCheckpoint()
+      (r, pair.replace(SEP, " "), merged, pc, lc, rc, score)
+    }
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    picks.toDF("merge_rank", "pair", "merged", "pair_count",
+      "left_count", "right_count", "score")
+  }
+
+  /** WordPiece greedy longest-match-first segmentation (BERT's
+    * `tokenize()`): at each position take the LONGEST vocabulary piece
+    * that matches, advance, repeat; non-initial pieces are rendered with
+    * the `##` continuation prefix. Driver-side over a bounded word list,
+    * the [[unigramSegment]] precedent — both inputs are model artifacts.
+    * Single characters are always in the vocab (full coverage), so the
+    * greedy walk never strands. This simplified form keeps one
+    * position-agnostic vocabulary (real WordPiece trains separate
+    * initial/continuation inventories — a display-prefix difference
+    * here, not a matching difference).
+    *
+    * @return (word, cnt, segmented) per input word.
+    */
+  def wordpieceSegment(topWords: Seq[(String, Long)], vocab: Set[String],
+      maxPieceLen: Int): Seq[(String, Long, String)] =
+    topWords.map { case (w, cnt) =>
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        var l = math.min(maxPieceLen, w.length - i)
+        while (l > 1 && !vocab.contains(w.substring(i, i + l))) l -= 1
+        val piece = w.substring(i, i + l)
+        parts += (if (i == 0) piece else "##" + piece)
+        i += l
+      }
+      (w, cnt, parts.mkString(" "))
+    }
+
   /** Character-coverage table — SentencePiece's alphabet-selection
     * preprocessing (its `character_coverage` knob): corpus character
     * frequencies, each character's cumulative share in frequency order,

@@ -50,6 +50,38 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Anomaly.rollingZ(t(s, dir, "events"), zThresh = 2.0)
         .orderBy("event_id")),
 
+    // Robust (median/MAD) outlier gate per user: modified z-score with a
+    // 50% breakdown point — the rank-statistics sibling of the rolling
+    // z-score above (operators/Anomaly.madOutliers).
+    "anomaly_mad_outliers" -> ((s, dir) =>
+      graft.operators.Anomaly.madOutliers(t(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // Record linkage: reconcile customers against the supplier registry
+    // by numeric-name edit distance — two disjoint-zone blocking passes
+    // (nation × digits 6-7, nation × digits 8-9), Levenshtein ≤ 2
+    // verify, best match per customer (operators/Linkage.scala).
+    "link_customer_supplier" -> ((s, dir) => {
+      def sided(df: DataFrame, pre: String, id: String, name: String,
+          nation: String) = {
+        val key = regexp_replace(col(name), "[^0-9]", "")
+        df.select(col(id).as(s"${pre}_id"), col(name).as(s"${pre}_label"),
+          key.as(s"${pre}_key"),
+          concat_ws("|", col(nation), substring(key, 6, 2))
+            .as(s"${pre}_block_0"),
+          concat_ws("|", col(nation), substring(key, 8, 2))
+            .as(s"${pre}_block_1"))
+      }
+      graft.operators.Linkage.linkBest(
+          sided(t(s, dir, "customer"), "l", "c_custkey", "c_name", "c_nationkey"),
+          sided(t(s, dir, "supplier"), "r", "s_suppkey", "s_name", "s_nationkey"),
+          passes = 2, maxDist = 2)
+        .select(col("l_id").as("cust_key"), col("l_label").as("cust_name"),
+          col("r_id").as("supp_key"), col("r_label").as("supp_name"),
+          col("dist").cast("int").as("dist"))
+        .orderBy("cust_key")
+    }),
+
     // Market-basket brand-pair rules: distinct baskets → order-key
     // self-join (fan-out bounded per basket) → |brands|² pair frame with
     // broadcast marginals (operators/Basket.scala).
@@ -760,6 +792,65 @@ object AnalyticsQueries extends QueryPack {
         |  FROM sums)
         |SELECT event_id, user_id, round(zraw, 6) AS z,
         |  (abs(zraw) > 2.0) AS is_anomaly
+        |FROM sc ORDER BY event_id""".stripMargin,
+
+    // DuckDB's levenshtein is the same classic insert/delete/substitute
+    // edit distance as Spark's.
+    "link_customer_supplier" ->
+      """WITH cn AS (
+        |  SELECT c_custkey AS l_id, c_name AS l_label,
+        |    regexp_replace(c_name, '[^0-9]', '', 'g') AS l_key,
+        |    c_nationkey AS nk
+        |  FROM customer),
+        |sn AS (
+        |  SELECT s_suppkey AS r_id, s_name AS r_label,
+        |    regexp_replace(s_name, '[^0-9]', '', 'g') AS r_key,
+        |    s_nationkey AS nk
+        |  FROM supplier),
+        |cnb AS (SELECT *, nk || '|' || substring(l_key, 6, 2) AS b0,
+        |    nk || '|' || substring(l_key, 8, 2) AS b1 FROM cn),
+        |snb AS (SELECT *, nk || '|' || substring(r_key, 6, 2) AS b0,
+        |    nk || '|' || substring(r_key, 8, 2) AS b1 FROM sn),
+        |cand AS (
+        |  SELECT DISTINCT l_id, r_id FROM (
+        |    SELECT c.l_id, s.r_id FROM cnb c JOIN snb s ON c.b0 = s.b0
+        |    UNION ALL
+        |    SELECT c.l_id, s.r_id FROM cnb c JOIN snb s ON c.b1 = s.b1)),
+        |ver AS (
+        |  SELECT c.l_id, c.l_label, s.r_id, s.r_label,
+        |    levenshtein(c.l_key, s.r_key) AS dist
+        |  FROM cand JOIN cnb c USING (l_id) JOIN snb s USING (r_id)),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_id
+        |    ORDER BY dist, r_id) AS rk
+        |  FROM ver WHERE dist <= 2)
+        |SELECT l_id AS cust_key, l_label AS cust_name, r_id AS supp_key,
+        |  r_label AS supp_name, CAST(dist AS INTEGER) AS dist
+        |FROM best WHERE rk = 1 ORDER BY cust_key""".stripMargin,
+
+    // quantile_cont replays Spark's exact interpolated percentile
+    // bit-for-bit (the agg_percentiles precedent).
+    "anomaly_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med,
+        |    count(value) AS n
+        |  FROM events GROUP BY user_id),
+        |dev AS (
+        |  SELECT e.event_id, e.user_id, e.value, m.med, m.n,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (user_id)),
+        |mad AS (
+        |  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY user_id),
+        |sc AS (
+        |  SELECT d.event_id, d.user_id, d.med, m.mad,
+        |    CASE WHEN d.n >= 3 AND m.mad > 0.0 THEN
+        |      0.6745 * (d.value - d.med) / m.mad
+        |    END AS rz
+        |  FROM dev d JOIN mad m USING (user_id))
+        |SELECT event_id, user_id, round(med, 6) AS med,
+        |  round(mad, 6) AS mad, round(rz, 6) AS robust_z,
+        |  (abs(rz) > 3.5) AS is_outlier
         |FROM sc ORDER BY event_id""".stripMargin,
 
     "basket_brand_rules" ->

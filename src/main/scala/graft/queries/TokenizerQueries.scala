@@ -51,6 +51,33 @@ object TokenizerQueries extends QueryPack {
         topPieces = TOP_PIECES)
         .orderBy("piece")),
 
+    // The first 3 WordPiece merges: likelihood-scored
+    // (pair/(left*right)) instead of BPE's raw adjacency count — the
+    // third tokenizer family (Schuster-Nakajima / BERT trainer).
+    "tok_wordpiece_merges" -> ((s, dir) =>
+      Tokenizer.wordpieceMerges(docs(s, dir), ROUNDS)),
+
+    // Greedy longest-match-first decode (BERT tokenize()) of the top-20
+    // bounded words under the learned WordPiece inventory, ## prefix on
+    // continuation pieces. The oracle unrolls the greedy walk one
+    // position-step per CTE.
+    "tok_wordpiece_segment" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // Model artifacts: merged-piece set (<= ROUNDS entries) and the
+      // bounded top-word list — the unigramSegment precedent.
+      val merged = Tokenizer.wordpieceMerges(d, ROUNDS)
+        .collect().map(_.getString(2)).toSet
+      val maxLen = if (merged.isEmpty) 1 else merged.map(_.length).max
+      val top = Tokenizer.wordCounts(d)
+        .filter(length(col("word")) <= VIT_MAX_LEN)
+        .orderBy(col("cnt").desc, col("word")).limit(SEG_TOP)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      import s.implicits._
+      Tokenizer.wordpieceSegment(top, merged, maxLen)
+        .toDF("word", "cnt", "segmented")
+        .orderBy("word")
+    }),
+
     // Viterbi decode of the 20 most frequent (DP-boundable) words under
     // those piece costs: min-cost segmentation, round-6 partial sums,
     // ties -> smallest split. The oracle unrolls the DP per position.
@@ -160,6 +187,84 @@ object TokenizerQueries extends QueryPack {
     (v0 +: steps).mkString(",\n")
   }
 
+  /** WordPiece CTE chain: wc → seq0 → (ws1, wp1, wseq1) → … . Per round,
+    * ws holds the weighted SYMBOL counts of the current sequences, wp
+    * the single winning pair by round-9 likelihood score, wseq the
+    * rewritten sequences — the bpeCtes shape plus the score join.
+    */
+  private def wordpieceCtes(rounds: Int): String = {
+    val base =
+      s"""wc AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY word),
+         |wseq0 AS (
+         |  SELECT word, cnt, array_to_string(string_split(word, ''), '  ') AS s
+         |  FROM wc)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val prev = s"wseq${r - 1}"
+      s"""ws$r AS (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(string_split(s, '  ')) AS sym FROM $prev)
+         |  GROUP BY sym),
+         |wp$r AS (
+         |  SELECT pr.pair, pr.pc, sl.c AS lc, sr.c AS rc,
+         |    round(pr.pc / (CAST(sl.c AS DOUBLE) * sr.c), 9) AS score
+         |  FROM (
+         |    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |      SELECT cnt, unnest(list_transform(
+         |        range(1, len(string_split(s, '  '))),
+         |        i -> string_split(s, '  ')[i] || '  ' || string_split(s, '  ')[i+1]))
+         |        AS pair
+         |      FROM $prev)
+         |    GROUP BY pair) pr
+         |  JOIN ws$r sl ON sl.sym = string_split(pr.pair, '  ')[1]
+         |  JOIN ws$r sr ON sr.sym = string_split(pr.pair, '  ')[2]
+         |  ORDER BY score DESC, pr.pair LIMIT 1),
+         |wseq$r AS (
+         |  SELECT word, cnt, replace(s, (SELECT pair FROM wp$r),
+         |    replace((SELECT pair FROM wp$r), '  ', '')) AS s
+         |  FROM $prev)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Greedy longest-match walk unrolled one piece-step per CTE: wg_k
+    * holds each word's (pos, seg) after k pieces; finished words carry.
+    * At each step the longest merged piece matching at pos wins, else
+    * the single character — exactly [[Tokenizer.wordpieceSegment]].
+    */
+  private def wordpieceSegCtes: String = {
+    val v0 =
+      s"""wmv AS MATERIALIZED (
+         |  SELECT DISTINCT replace(pair, '  ', '') AS piece
+         |  FROM (${(1 to ROUNDS).map(r => s"SELECT pair FROM wp$r").mkString(" UNION ALL ")})),
+         |wtopw AS MATERIALIZED (
+         |  SELECT word, cnt FROM wc
+         |  WHERE length(word) <= $VIT_MAX_LEN
+         |  ORDER BY cnt DESC, word LIMIT $SEG_TOP),
+         |wg0 AS (SELECT word, cnt, 0 AS pos, '' AS seg FROM wtopw)""".stripMargin
+    val steps = (1 to VIT_MAX_LEN).map { k =>
+      val prev = s"wg${k - 1}"
+      s"""wg$k AS MATERIALIZED (
+         |  SELECT word, cnt, pos, seg FROM $prev WHERE pos >= length(word)
+         |  UNION ALL
+         |  SELECT word, cnt, pos + length(piece) AS pos,
+         |    CASE WHEN seg = '' THEN piece
+         |      ELSE seg || ' ##' || piece END AS seg
+         |  FROM (
+         |    SELECT a.word, a.cnt, a.pos, a.seg,
+         |      coalesce(
+         |        (SELECT v.piece FROM wmv v
+         |         WHERE length(v.piece) <= length(a.word) - a.pos
+         |           AND substring(a.word, a.pos + 1, length(v.piece)) = v.piece
+         |         ORDER BY length(v.piece) DESC LIMIT 1),
+         |        substring(a.word, a.pos + 1, 1)) AS piece
+         |    FROM $prev a WHERE a.pos < length(a.word)))""".stripMargin
+    }
+    (v0 +: steps).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
 
     "tok_unigram_pieces" ->
@@ -175,6 +280,21 @@ object TokenizerQueries extends QueryPack {
          |FROM ($vAll) WHERE j = length(word)
          |ORDER BY word""".stripMargin
     },
+
+    "tok_wordpiece_merges" -> {
+      val rows = (1 to ROUNDS).map { r =>
+        s"""SELECT $r AS merge_rank, replace(pair, '  ', ' ') AS pair,
+           |  replace(pair, '  ', '') AS merged, pc AS pair_count,
+           |  lc AS left_count, rc AS right_count, score FROM wp$r""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"WITH ${wordpieceCtes(ROUNDS)}\n$rows\nORDER BY merge_rank"
+    },
+
+    "tok_wordpiece_segment" ->
+      s"""WITH ${wordpieceCtes(ROUNDS)},
+         |$wordpieceSegCtes
+         |SELECT word, cnt, seg AS segmented FROM wg$VIT_MAX_LEN
+         |ORDER BY word""".stripMargin,
 
     "tok_bpe_merges" -> {
       val rows = (1 to ROUNDS).map { r =>

@@ -45,4 +45,23 @@ class AnomalySpec extends SparkSpec {
     assert(rows(100L).isEmpty)
     assert(rows(6L).exists(z => math.abs(z.asInstanceOf[Double]) < 3.0))
   }
+
+  // madOutliers: u1 = (1,2,3,4,100) → med 3, adev (2,1,0,1,97) → MAD 1;
+  // rz(100) = 0.6745·97 = 65.4265 (outlier), rz(1) = −1.349 (not).
+  // u2 = (7,7,7,7,50) → MAD 0 (majority identical) → null verdicts.
+  // u3 = (1,9) → n < 3 → null verdicts.
+  test("madOutliers: modified z-score, MAD=0 and tiny keys yield null") {
+    val events = (
+      Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex.map { case (v, i) => (i.toLong, 1L, ts(i + 1), v) } ++
+      Seq(7.0, 7.0, 7.0, 7.0, 50.0).zipWithIndex.map { case (v, i) => (10L + i, 2L, ts(i + 1), v) } ++
+      Seq(1.0, 9.0).zipWithIndex.map { case (v, i) => (20L + i, 3L, ts(i + 1), v) }
+    ).toDF("event_id", "user_id", "ts", "value")
+    val rows = Anomaly.madOutliers(events).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(rows(4L) === ((Some(65.4265), Some(true))))   // the u1 spike
+    assert(rows(0L) === ((Some(-1.349), Some(false))))
+    assert((10L to 14L).forall(id => rows(id)._1.isEmpty)) // MAD = 0
+    assert(rows(20L)._1.isEmpty && rows(21L)._1.isEmpty)   // n < 3
+  }
 }

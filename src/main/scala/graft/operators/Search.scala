@@ -100,4 +100,52 @@ object Search {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Retrieval-quality evaluation — the search family's answer to the
+    * ANN/LSH recall contracts: measure the ranker against an EXACT,
+    * replayable ground truth instead of asserting it. Relevance is
+    * boolean-AND term containment (a document is relevant to a query iff
+    * it contains every query term), so the truth set is a deterministic
+    * corpus property any engine can recompute; the ranker under test is
+    * [[bm25TopK]].
+    *
+    * Per query: recall@k (|relevant ∩ top-k| / |relevant|), MRR@k
+    * (1/rank of the first relevant hit; 0 if none), and binary-gain
+    * nDCG@k (DCG = Σ_hits 1/log2(rank+1), ideal = the same sum over
+    * ranks 1..min(|relevant|, k)).
+    *
+    * Scale shape: the query set is a bounded eval-suite artifact (the
+    * contamination-probe precedent), looped on the driver; per query the
+    * corpus work is one bm25TopK (probe-pruned postings) and one narrow
+    * containment filter, each reduced to a ONE-ROW aggregate before the
+    * single-row crossJoin — nothing per-doc ever reaches the driver.
+    */
+  def evalRetrieval(docs: DataFrame, querySet: Seq[(Int, Seq[String])],
+      k: Int, textCol: String = "text", idCol: String = "doc_id")
+      : DataFrame = {
+    querySet.map { case (qid, terms) =>
+      val ranked = bm25TopK(docs, terms, k, textCol = textCol, idCol = idCol)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+      val rel = docs
+        .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+        .filter(terms.map(t => array_contains(col("toks"), t)).reduce(_ && _))
+      val relAgg = rel.agg(count(lit(1)).as("n_rel"))
+      val hitAgg = ranked.join(rel.select(col("doc_id")), Seq("doc_id"))
+        .agg(count(lit(1)).cast("double").as("n_hits"),
+          min(col("rank")).as("first_rank"),
+          sum(lit(1.0) / log(2.0, col("rank") + lit(1.0))).as("dcg"))
+      val idcg = aggregate(
+        sequence(lit(1), least(col("n_rel"), lit(k)).cast("int")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1.0))
+      relAgg.crossJoin(hitAgg).select(
+        lit(qid).as("query_id"),
+        col("n_rel"),
+        round(when(col("n_rel") > 0, coalesce(col("n_hits"), lit(0.0)) / col("n_rel"))
+          .otherwise(0.0), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6).as("mrr_at_k"),
+        round(when(col("n_rel") > 0, coalesce(col("dcg"), lit(0.0)) / idcg)
+          .otherwise(0.0), 6).as("ndcg_at_k"))
+    }.reduce(_ unionByName _)
+  }
 }

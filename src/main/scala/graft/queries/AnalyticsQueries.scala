@@ -104,6 +104,22 @@ object AnalyticsQueries extends QueryPack {
         keyCol = "o_custkey", attrCol = "o_orderstatus",
         tsCol = "o_orderdate", idCol = "o_orderkey")),
 
+    // Snapshot diff: reconcile two deterministic derived versions of
+    // orders (v1 drops keys %10=0, v2 drops %9=0 and rewrites the
+    // status of %7=0) into added/removed/changed rows — ONE full-outer
+    // key join, null-safe compares (operators/History.snapshotDiff).
+    "diff_order_snapshots" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val v1 = orders.filter(col("o_orderkey") % 10 =!= 0)
+      val v2 = orders.filter(col("o_orderkey") % 9 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.operators.History.snapshotDiff(v1, v2, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // A/B readout: deterministic user_id%2 variant, per-user conversion
     // collapse, pooled two-proportion z-test (operators/Experiment.scala).
     "ab_conversion_ztest" -> ((s, dir) =>
@@ -907,6 +923,41 @@ object AnalyticsQueries extends QueryPack {
         |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL)
         |    AS is_current
         |FROM c""".stripMargin,
+
+    "diff_order_snapshots" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |v2 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    o_totalprice FROM orders
+        |  WHERE o_orderkey % 9 <> 0),
+        |j AS (
+        |  SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    v1.o_orderstatus AS old_o_orderstatus,
+        |    v2.o_orderstatus AS new_o_orderstatus,
+        |    v1.o_totalprice AS old_o_totalprice,
+        |    v2.o_totalprice AS new_o_totalprice,
+        |    v1.o_orderkey IS NOT NULL AS in_old,
+        |    v2.o_orderkey IS NOT NULL AS in_new
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT o_orderkey,
+        |  CASE WHEN NOT in_old THEN 'added'
+        |    WHEN NOT in_new THEN 'removed'
+        |    WHEN NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+        |      AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+        |    THEN 'changed' END AS change_type,
+        |  old_o_orderstatus, new_o_orderstatus,
+        |  old_o_totalprice, new_o_totalprice
+        |FROM j
+        |WHERE CASE WHEN NOT in_old THEN 'added'
+        |    WHEN NOT in_new THEN 'removed'
+        |    WHEN NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+        |      AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+        |    THEN 'changed' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
 
     "ab_conversion_ztest" ->
       """WITH pu AS (

@@ -56,10 +56,78 @@ object SearchQueries extends QueryPack {
     "search_hybrid_rrf" -> ((s, dir) =>
       Search.hybridRrfTopK(docs(s, dir),
         s.read.parquet(s"$dir/embeddings.parquet"),
-        Terms, queryId = 0L, topK = 15))
+        Terms, queryId = 0L, topK = 15)),
+
+    // Retrieval-quality eval: recall@10 / MRR@10 / nDCG@10 of the BM25
+    // ranker against exact boolean-AND relevance, per eval query — the
+    // search family's measured-recall contract (operators/Search.scala).
+    "search_eval_ndcg" -> ((s, dir) =>
+      Search.evalRetrieval(docs(s, dir), EvalQueries, EVAL_K)
+        .orderBy("query_id"))
   )
 
+  private val EvalQueries = Seq(
+    1 -> Seq("spark"),
+    2 -> Seq("spark", "vector"),
+    3 -> Seq("vector", "window"))
+  private val EVAL_K = 10
+
+  /** Per-eval-query CTE chain: relevance set (AND-containment), BM25
+    * top-k with rank, and the one-row metric aggregate. */
+  private def evalQCtes(qid: Int, terms: Seq[String]): String = {
+    val termsSql = terms.map(t => s"'$t'").mkString(", ")
+    val contains = terms.map(t => s"list_contains(toks, '$t')").mkString(" AND ")
+    s"""q${qid}rel AS (SELECT doc_id FROM toks WHERE $contains),
+       |q${qid}posts AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  WHERE term IN ($termsSql) GROUP BY doc_id, term),
+       |q${qid}dfreq AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df
+       |  FROM q${qid}posts GROUP BY term),
+       |q${qid}top AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+       |  FROM (
+       |    SELECT p.doc_id,
+       |      round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |    FROM q${qid}posts p JOIN q${qid}dfreq USING (term)
+       |    JOIN lens USING (doc_id) CROSS JOIN stats
+       |    GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT $EVAL_K)),
+       |q${qid}m AS (
+       |  SELECT $qid AS query_id,
+       |    CAST((SELECT count(*) FROM q${qid}rel) AS BIGINT) AS n_rel,
+       |    CAST(count(*) AS DOUBLE) AS n_hits, min(rank) AS fr,
+       |    sum(1 / log2(rank + 1.0)) AS dcg
+       |  FROM q${qid}top JOIN q${qid}rel USING (doc_id))""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "search_eval_ndcg" -> {
+      val chains = EvalQueries.map { case (q, ts) => evalQCtes(q, ts) }
+      val union = EvalQueries.map { case (q, _) => s"SELECT * FROM q${q}m" }
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+         |${chains.mkString(",\n")},
+         |steps AS (SELECT i.range AS i, 1 / log2(i.range + 1.0) AS g
+         |  FROM range(1, ${EVAL_K + 1}) i),
+         |prefix AS (
+         |  SELECT n.range AS n, sum(CASE WHEN s.i <= n.range THEN s.g END) AS idcg
+         |  FROM range(0, ${EVAL_K + 1}) n CROSS JOIN steps s GROUP BY n.range)
+         |SELECT query_id, n_rel,
+         |  round(CASE WHEN n_rel > 0 THEN coalesce(n_hits, 0) / n_rel
+         |    ELSE 0 END, 6) AS recall_at_k,
+         |  round(coalesce(1.0 / fr, 0), 6) AS mrr_at_k,
+         |  round(CASE WHEN n_rel > 0 THEN coalesce(dcg, 0) / p.idcg
+         |    ELSE 0 END, 6) AS ndcg_at_k
+         |FROM ($union) m JOIN prefix p ON p.n = least(m.n_rel, $EVAL_K)
+         |ORDER BY query_id""".stripMargin
+    },
+
     "search_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, ${DuckSql.tokens("text")} AS toks FROM documents),

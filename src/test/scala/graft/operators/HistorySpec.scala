@@ -47,4 +47,24 @@ class HistorySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("snapshotDiff: added/removed/changed, null transitions, unchanged dropped") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("A"), 10.0),  // unchanged -> absent from output
+      (2L, Some("A"), 10.0),  // value change
+      (3L, Some("A"), 10.0),  // removed
+      (5L, None: Option[String], 10.0) // null -> "B": a CHANGE, not a null-compare drop
+    ).toDF("k", "status", "v")
+    val neu = Seq(
+      (1L, Some("A"), 10.0),
+      (2L, Some("A"), 11.0),
+      (4L, Some("A"), 10.0),  // added
+      (5L, Some("B"), 10.0)
+    ).toDF("k", "status", "v")
+    val got = History.snapshotDiff(old, neu, "k", Seq("status", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"))
+  }
 }

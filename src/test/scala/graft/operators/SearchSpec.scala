@@ -41,4 +41,22 @@ class SearchSpec extends SparkSpec {
     // both-list doc 2 outranks every single-list doc.
     assert(rrf2 > rows(3L)._3 && rrf2 > rows(1L)._3)
   }
+
+  // Corpus: d1 "a b", d2 "a a a a a a", d3 "a b c", d4 "c c".
+  // Query [a] (k=2): relevant = {1,2,3}; single-term BM25 ranks d2
+  // (tf 6) > d1 > d3, so top-2 = {2,1}, recall 2/3; both hits at ranks
+  // 1-2 means DCG = IDCG → nDCG 1. Query [a,zzz]: AND-relevance is
+  // empty → all metrics pinned to 0, no division blow-up.
+  test("evalRetrieval: recall fraction, perfect-prefix nDCG, empty truth") {
+    import spark.implicits._
+    val docsDF = Seq(
+      (1L, "a b"), (2L, "a a a a a a"), (3L, "a b c"), (4L, "c c"))
+      .toDF("doc_id", "text")
+    val got = Search.evalRetrieval(docsDF,
+        Seq(1 -> Seq("a"), 2 -> Seq("a", "zzz")), k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1) === ((3L, 0.666667, 1.0, 1.0)))
+    assert(got(2) === ((0L, 0.0, 0.0, 0.0)))
+  }
 }

@@ -89,4 +89,42 @@ object Anomaly {
         round(rz, 6).as("robust_z"),
         (abs(rz) > thresh).as("is_outlier"))
   }
+
+  /** Adjusted EWMA smoothing per entity — exponential decay over the
+    * trailing `window` observations (event-time order, ties broken by
+    * `idCol`):
+    * `ewma_t = Σ_j (1−α)^j · x_{t−j} / Σ_j (1−α)^j`, j = 0..window−1.
+    * The trailing-window truncation keeps the weight arithmetic exact
+    * and replayable: the classic recursive form compounds float error
+    * and cannot be expressed as a window aggregate, while the truncated
+    * tail's weight is (1−α)^window — already <1% of the total at the
+    * defaults. This is the exponential sibling of [[rollingZ]]'s flat
+    * trailing mean: recent points dominate, old points age out smoothly
+    * instead of falling off a cliff.
+    *
+    * Scale shape: ONE exchange + sort on the entity key; the trailing
+    * values ride in a bounded `window`-element collect_list frame and
+    * the weighted fold is a narrow indexed `transform`+`aggregate` —
+    * per-row state is `window` doubles, independent of history length.
+    */
+  def ewma(events: DataFrame, alpha: Double = 0.3, window: Int = 8,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(window - 1), 0)
+    val decay = 1.0 - alpha
+    val vals = collect_list(col(valCol)).over(w) // oldest → newest
+    val n = size(col("vals"))
+    // weight for position i (1-based, oldest first) = (1-α)^(n-i)
+    val weighted = transform(col("vals"),
+      (x, i) => x * pow(lit(decay), (n - 1 - i).cast("double")))
+    val wsum = aggregate(weighted, lit(0.0), (a, x) => a + x)
+    val wnorm = aggregate(
+      sequence(lit(0), n - 1),
+      lit(0.0), (a, j) => a + pow(lit(decay), j.cast("double")))
+    events.select(col(idCol), col(keyCol), col(valCol), vals.as("vals"))
+      .select(col(idCol), col(keyCol), col(valCol),
+        round(wsum / wnorm, 6).as("ewma"))
+  }
 }

@@ -50,6 +50,13 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Anomaly.rollingZ(t(s, dir, "events"), zThresh = 2.0)
         .orderBy("event_id")),
 
+    // Exponentially-weighted moving average per user: adjusted EWMA over
+    // the trailing 8 observations — bounded per-row state, one key
+    // shuffle (operators/Anomaly.ewma).
+    "ts_ewma_value" -> ((s, dir) =>
+      graft.operators.Anomaly.ewma(t(s, dir, "events"))
+        .orderBy("event_id")),
+
     // Robust (median/MAD) outlier gate per user: modified z-score with a
     // 50% breakdown point — the rank-statistics sibling of the rolling
     // z-score above (operators/Anomaly.madOutliers).
@@ -843,6 +850,23 @@ object AnalyticsQueries extends QueryPack {
         |SELECT l_id AS cust_key, l_label AS cust_name, r_id AS supp_key,
         |  r_label AS supp_name, CAST(dist AS INTEGER) AS dist
         |FROM best WHERE rk = 1 ORDER BY cust_key""".stripMargin,
+
+    // Same left-to-right fold order as Spark's indexed transform +
+    // aggregate, so the float sums agree bit-for-bit before round-6.
+    "ts_ewma_value" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |  round(
+        |    list_sum(list_transform(range(1, len(vals) + 1),
+        |      i -> vals[i] * pow(0.7, CAST(len(vals) - i AS DOUBLE)))) /
+        |    list_sum(list_transform(range(1, len(vals) + 1),
+        |      i -> pow(0.7, CAST(i - 1 AS DOUBLE)))),
+        |    6) AS ewma
+        |FROM ev ORDER BY event_id""".stripMargin,
 
     // quantile_cont replays Spark's exact interpolated percentile
     // bit-for-bit (the agg_percentiles precedent).

@@ -61,6 +61,8 @@ class PlanAuditSpec extends SparkSpec {
       "per-term doc frequencies: terms pre-pruned to the literal query-term list (isin)",
     "search_hybrid_rrf" ->
       "per-term doc frequencies: terms pre-pruned to the literal query-term list (isin)",
+    "search_eval_ndcg" ->
+      "per-term doc frequencies (one bm25TopK per eval query): terms pre-pruned to the literal query-term list (isin)",
     "basket_brand_rules" ->
       "brand marginals: TPC-H p_brand domain is 25 values at every SF",
     "sketch_heavy_hitters" ->

@@ -64,4 +64,20 @@ class AnomalySpec extends SparkSpec {
     assert((10L to 14L).forall(id => rows(id)._1.isEmpty)) // MAD = 0
     assert(rows(20L)._1.isEmpty && rows(21L)._1.isEmpty)   // n < 3
   }
+
+  // α=0.3: ewma([10]) = 10; ewma([10,20]) = (10·0.7 + 20)/(1.7)
+  // = 15.882353; ewma([10,20,30]) = (4.9 + 14 + 30)/2.19 = 22.328767 —
+  // pulled toward the recent value (flat mean would be 20).
+  test("ewma weights recent observations and truncates at the window") {
+    val events = (1 to 10).map(i => (i.toLong, 1L, ts(i), i * 10.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val rows = Anomaly.ewma(events, alpha = 0.3, window = 8).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rows(1L) === 10.0)
+    assert(rows(2L) === 15.882353)
+    assert(rows(3L) === 22.328767)
+    // row 10's frame is values 30..100 (window 8): same weights as row
+    // 9's frame shifted by +10 ⇒ exactly +10 higher
+    assert(math.abs(rows(10L) - rows(9L) - 10.0) < 1e-6)
+  }
 }

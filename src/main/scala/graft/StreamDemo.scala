@@ -25,13 +25,12 @@ object StreamDemo {
     spark.sparkContext.setLogLevel("WARN")
 
     // replay the batch table as a stream (schema from the batch read,
-    // ns → µs conversion identical to Tables.load)
+    // ts normalization identical to Tables.load)
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // FileStreamSource needs a directory: stream the sf dir with a glob
-    val events = spark.readStream.schema(batchSchema)
+    val events = Tables.normalizeTs(spark.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(sfDir))
 
     val tq = EventStreams.tumblingCounts(events, "1 hour", "2 hours")
       .writeStream.format("memory").queryName("tumbling")

@@ -1,9 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump every query to `outDir/<name>` parquet. Failures must be
+    * VISIBLE in the artifacts: a query that fails to build or execute
+    * gets (a) a row in failed_queries.json, (b) an `_error` marker file
+    * inside its dump dir (so a half-written or stale dump can't read as
+    * a clean result), and (c) a stdout FAIL line. In r7 four queries
+    * silently vanished from CORRECTNESS because failures only went to
+    * stderr. Returns the (name, message) failures.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, String)] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(3).mkString(" | ")
+        println(s"[verify] FAIL $name: $msg")
+        failed += name -> msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        // remove any stale parquet from a prior green run so the driver
+        // can't compare against an outdated dump
+        d.listFiles().filter(f => f.getName.endsWith(".parquet") ||
+          f.getName.startsWith("part-") || f.getName == "_SUCCESS")
+          .foreach(_.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/_error"), msg)
+      }
+    }
+    val failJson = failed
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failJson)
+    failed.toSeq
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -15,7 +65,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for local iteration (driver sets no
     // filter and dumps everything), mirroring Bench. A blank value means
     // UNSET — "".split(",") would otherwise yield Set("") and silently
@@ -23,30 +72,13 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    SparkEntry.queries
+    val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val failed = dump(spark, sfDir, outDir, selected)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    println(s"[verify] ${failed.size} failed of ${selected.size} run")
     spark.stop()
   }
 }

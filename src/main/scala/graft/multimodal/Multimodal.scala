@@ -31,6 +31,9 @@ object Multimodal {
 
   case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
+  case class FrameFeature(media_id: Long, frame_idx: Int,
+      frame_w: Int, frame_h: Int, frame_phash: Long)
+
   /** ======= STUB: deterministic fake codec (no media libs available) =====
     * Every value is a pure function of the bytes, so tests are exact and
     * the pipeline is reproducible. A real deployment implements this trait
@@ -46,6 +49,21 @@ object Multimodal {
       * codec hashes decoded CONTENT so re-encodes/minor edits stay close
       * in Hamming distance. */
     def phash64(bytes: Array[Byte]): Long
+
+    /** Per-sampled-frame features WITHOUT re-encoding the frame:
+      * (frame_idx, width, height, phash64 of the decoded raster). The
+      * default derives them from [[sampleFrames]] output (each frame a
+      * standalone container); multi-frame codecs override to read each
+      * raster once — the r7 bench's single biggest line was
+      * [[sampleFrames]]'s per-frame PNG re-encode, which this path
+      * skips entirely (PNG frame extraction stays available via
+      * [[sampleFrames]] when the frame BYTES are the product).
+      */
+    def sampleFrameFeatures(bytes: Array[Byte], n: Int): Seq[(Int, Int, Int, Long)] =
+      sampleFrames(bytes, n).zipWithIndex.map { case (f, i) =>
+        val m = decodeMeta("image", f)
+        (i, m.width, m.height, phash64(f))
+      }
   }
 
   object StubCodec extends Codec {
@@ -174,10 +192,10 @@ object Multimodal {
     * (frame sampling, per-frame features, perceptual hashing, metadata)
     * runs here against genuinely decoded frames.
     *
-    * Frame delay metadata is not parsed; duration is reported at the
-    * nominal 10 fps the fixtures are written at (`durationMs` =
-    * 100·frames) — a real deployment reads GraphicControlExtension
-    * delays, which changes only this one accessor.
+    * Frame durations come from real GraphicControlExtension metadata
+    * ([[frameDelaysCs]]); a delay of 0 or an absent GCE renders at the
+    * nominal 10 cs = 100 ms (the standard browser/viewer convention,
+    * and what the metadata-less fixtures get).
     */
   object GifCodec extends Codec {
     private def reader(bytes: Array[Byte]) = {
@@ -195,13 +213,35 @@ object Multimodal {
       try r.getFormatName.toLowerCase finally r.dispose()
     }
 
+    /** Per-frame GraphicControlExtension `delayTime` in centiseconds,
+      * with 0/absent normalized to the nominal 10 cs. */
+    def frameDelaysCs(bytes: Array[Byte]): Seq[Int] = {
+      val r = reader(bytes)
+      try (0 until r.getNumImages(true)).map(i => delayCs(r, i))
+      finally r.dispose()
+    }
+
+    private def delayCs(r: javax.imageio.ImageReader, idx: Int): Int = {
+      val d = try {
+        val md = r.getImageMetadata(idx)
+        val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[org.w3c.dom.Element]
+        val gces = tree.getElementsByTagName("GraphicControlExtension")
+        if (gces.getLength == 0) 0
+        else gces.item(0).asInstanceOf[org.w3c.dom.Element]
+          .getAttribute("delayTime").toInt
+      } catch { case _: Throwable => 0 }
+      if (d <= 0) 10 else d
+    }
+
     def decodeMeta(kind: String, bytes: Array[Byte]): MediaMeta = {
       val r = reader(bytes)
       try {
         val n = r.getNumImages(true)
+        val dur = (0 until n).map(i => delayCs(r, i).toLong * 10L).sum
         MediaMeta(kind, r.getFormatName.toLowerCase,
           r.getWidth(0), r.getHeight(0),
-          durationMs = 100L * n, sizeBytes = bytes.length.toLong)
+          durationMs = dur, sizeBytes = bytes.length.toLong)
       } finally r.dispose()
     }
 
@@ -216,7 +256,9 @@ object Multimodal {
     }
 
     /** Up to `n` frames evenly strided across the container, each decoded
-      * and re-encoded as standalone PNG — real frame extraction. */
+      * and re-encoded as standalone PNG — real frame extraction. Use
+      * [[sampleFrameFeatures]] when only per-frame features are needed:
+      * the PNG re-encode is the expensive half of this kernel. */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val r = reader(bytes)
       try {
@@ -229,6 +271,32 @@ object Multimodal {
             val bos = new java.io.ByteArrayOutputStream()
             javax.imageio.ImageIO.write(r.read(idx), "png", bos)
             bos.toByteArray
+          }
+        }
+      } finally r.dispose()
+    }
+
+    /** Per-frame (idx, width, height, aHash) read straight off each
+      * decoded raster — one decode per sampled frame, no re-encode. */
+    override def sampleFrameFeatures(bytes: Array[Byte], n: Int): Seq[(Int, Int, Int, Long)] = {
+      val r = reader(bytes)
+      try {
+        val total = r.getNumImages(true)
+        if (n <= 0 || total == 0) Nil
+        else {
+          val k = math.min(n, total)
+          (0 until k).map { i =>
+            val idx = (i.toLong * total / k).toInt
+            val img = r.read(idx)
+            val grid = ImageIoCodec.lumaGrid(img, 8)
+            val mean = grid.sum / grid.length
+            var acc = 0L
+            var j = 0
+            while (j < 64) {
+              if (grid(j) >= mean) acc |= 1L << (63 - j)
+              j += 1
+            }
+            (i, img.getWidth, img.getHeight, acc)
           }
         }
       } finally r.dispose()
@@ -514,6 +582,24 @@ object Multimodal {
         it.flatMap { case (id, bytes) =>
           codec.sampleFrames(bytes, n).zipWithIndex.map {
             case (f, i) => Frame(id, i, f)
+          }
+        }
+      }
+  }
+
+  /** Per-frame features (dims + perceptual hash) without materializing
+    * frame bytes — the cheap form of [[sampleFrames]] for feature/dedup
+    * pipelines where the extracted frame itself is not the product.
+    */
+  def sampleFrameFeatures(media: DataFrame, n: Int,
+      codec: Codec = StubCodec): Dataset[FrameFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          codec.sampleFrameFeatures(bytes, n).map {
+            case (i, w, h, ph) => FrameFeature(id, i, w, h, ph)
           }
         }
       }

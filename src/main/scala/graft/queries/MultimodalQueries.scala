@@ -121,22 +121,23 @@ object MultimodalQueries extends QueryPack {
     }),
 
     // REAL frame extraction end-to-end: GIF container → GifCodec
-    // sampleFrames (each frame re-encoded as a standalone PNG) → each
-    // extracted frame decoded AGAIN through ImageIoCodec. Dimensions
-    // surviving the GIF→PNG round trip prove the frames are genuine
-    // decoded rasters, not byte slices. 1:N generator kernel; blobs
-    // never leave the executors.
+    // sampleFrameFeatures — each frame's dims + perceptual hash read
+    // straight off the decoded raster (one decode per frame, no PNG
+    // re-encode; the r7 bench's single biggest line was this query's
+    // per-frame re-encode). Dimensions matching the generator formulas
+    // prove the frames are genuine decoded rasters; full-frame PNG
+    // extraction stays available via Multimodal.sampleFrames. 1:N
+    // generator kernel; blobs never leave the executors.
     "mm_video_frames" -> ((s, dir) => {
       import s.implicits._
       val gifs = media(s, dir).select(col("media_id")).as[Long]
         .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
         .toDF("media_id", "bytes")
-      Multimodal.sampleFrames(gifs, n = 8, codec = Multimodal.GifCodec)
-        .mapPartitions(_.map { f =>
-          val m = Multimodal.ImageIoCodec.decodeMeta("image", f.frame)
-          (f.media_id, f.frame_idx, m.format, m.width.toLong, m.height.toLong)
-        })
-        .toDF("media_id", "frame_idx", "format", "frame_w", "frame_h")
+      Multimodal.sampleFrameFeatures(gifs, n = 8, codec = Multimodal.GifCodec)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_w").cast("long").as("frame_w"),
+          col("frame_h").cast("long").as("frame_h"))
         .orderBy("media_id", "frame_idx")
     })
   )
@@ -209,15 +210,17 @@ object MultimodalQueries extends QueryPack {
         |  CAST((2 + pk % 4) * 100 AS BIGINT) AS duration_ms
         |FROM p ORDER BY media_id""".stripMargin,
 
-    // Every frame of every container, after a GIF→PNG re-encode round
-    // trip, must still carry the generator dimensions. n ≤ 5 < 8 so the
-    // even-stride sampler emits every frame exactly once, in order.
+    // Every frame of every container must carry the generator dimensions
+    // read off its decoded raster. n ≤ 5 < 8 so the even-stride sampler
+    // emits every frame exactly once, in order. (frame_phash is computed
+    // too but not oracle-checked — SQL can't replay a pixel hash; its
+    // determinism is covered by GifCodecSpec.)
     "mm_video_frames" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents),
         |f AS (SELECT media_id, 2 + pk % 4 AS n,
         |    8 + (pk % 5) * 4 AS w, 8 + (pk % 3) * 4 AS h
         |  FROM p)
-        |SELECT media_id, i.range::INTEGER AS frame_idx, 'png' AS format,
+        |SELECT media_id, i.range::INTEGER AS frame_idx,
         |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h
         |FROM f, range(0, 8) i WHERE i.range < n
         |ORDER BY media_id, frame_idx""".stripMargin,

@@ -164,10 +164,21 @@ object DownloadPipeline {
     report
   }
 
+  /** Above this many existing sink objects the D1 guard switches from a
+    * planner-chosen anti-join to [[graft.operators.Dedup.bloomDupGuard]]:
+    * sink history grows without bound at object-store scale, so a forced
+    * broadcast of it is a scale-killer (r7 verdict ask #5). Below it the
+    * existing side is a tiny local relation the planner broadcasts on its
+    * own — no hint needed.
+    */
+  val bloomGuardThreshold = 100000
+
   /** D1 dup-guard + X9 fetch + K3 sink for one strategy branch. The guard
-    * is a left_anti join against the names already in the sink — the
-    * existing side is driver-listed (bounded: one directory) and
-    * broadcast; at object-store scale it would come from a names table.
+    * anti-joins against the names already in the sink — driver-listed
+    * here (one directory); at object-store scale the existing side would
+    * come from a names table, so the guard routes through a Bloom
+    * pre-filter above [[bloomGuardThreshold]] and otherwise leaves the
+    * join side planner-chosen (no forced broadcast of a growing set).
     */
   private def fetchDedupWrite(candidates: DataFrame, root: String,
       prefix: String, overwrite: Boolean): Dataset[Fetch.FileResult] = {
@@ -176,9 +187,14 @@ object DownloadPipeline {
     val deduped =
       if (overwrite) candidates.dropDuplicates("key")
       else {
-        val existing = ObjectSink.existingNames(root + "/out", prefix).toDF("name_existing")
-        candidates.dropDuplicates("key")
-          .join(broadcast(existing), col("name") === col("name_existing"), "left_anti")
+        val names = ObjectSink.existingNames(root + "/out", prefix)
+        val base = candidates.dropDuplicates("key")
+        if (names.size > bloomGuardThreshold)
+          graft.operators.Dedup.bloomDupGuard(base,
+            names.toDF("name"), "name", expectedKeys = names.size.toLong)
+        else
+          base.join(names.toDF("name_existing"),
+            col("name") === col("name_existing"), "left_anti")
       }
     // cache() so the side-effecting fetch runs once even though the result
     // feeds both the sink write and the caller's error/count actions; the

@@ -169,6 +169,26 @@ class PlanAuditSpec extends SparkSpec {
       s"exemptions no plan needs (delete them): ${unused.mkString(", ")}")
   }
 
+  test("streaming pipeline sources force no broadcast (sink history grows without bound)") {
+    // The D1 dup-guard's existing side is the sink's object listing — a
+    // set that grows without bound at object-store scale, so a forced
+    // broadcast() hint anywhere in the streaming layer is a scale-killer
+    // (r7 verdict ask #5). The guard routes through Dedup.bloomDupGuard
+    // above a size threshold and otherwise leaves the side
+    // planner-chosen. Source-level ratchet: no `broadcast(` callsites in
+    // graft/streaming at all.
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("src/main/scala/graft/streaming")
+    val hits = java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if line.contains("broadcast(") => s"$p:${i + 1}: $line"
+        }
+      }.toSeq
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
   test("ratchet self-check: a forced broadcast of a corpus-sized side is rejected") {
     import org.apache.spark.sql.functions.{broadcast, col, length}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

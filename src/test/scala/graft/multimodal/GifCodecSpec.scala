@@ -69,6 +69,75 @@ class GifCodecSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrameFeatures reads dims + aHash off each raster without re-encode") {
+    val id = 12L
+    val gif = Multimodal.fixtureGif(id)
+    val feats = Multimodal.GifCodec.sampleFrameFeatures(gif, 8)
+    assert(feats.length === Multimodal.fixtureVideoFrames(id))
+    assert(feats.map(_._1) === (0 until feats.length))
+    feats.foreach { case (_, w, h, _) =>
+      assert(w === Multimodal.fixtureWidth(id))
+      assert(h === Multimodal.fixtureHeight(id))
+    }
+    // the raster-direct aHash must equal the PNG-round-trip aHash frame
+    // by frame (PNG is lossless, aHash is over the decoded raster), and
+    // frames differ in content so hashes are not all identical
+    val viaPng = Multimodal.GifCodec.sampleFrames(gif, 8)
+      .map(Multimodal.ImageIoCodec.phash64)
+    assert(feats.map(_._4) === viaPng)
+    assert(feats.map(_._4).distinct.length > 1)
+  }
+
+  test("frame delays come from real GraphicControlExtension metadata") {
+    // a GIF written WITH explicit per-frame delays (25 cs = 250 ms)
+    val gif = gifWithDelay(frames = 3, delayCs = 25, w = 8, h = 8)
+    assert(Multimodal.GifCodec.frameDelaysCs(gif) === Seq(25, 25, 25))
+    val meta = Multimodal.GifCodec.decodeMeta("video", gif)
+    assert(meta.durationMs === 3L * 250L) // NOT the nominal 100 ms/frame
+    // metadata-less fixtures render at the nominal 10 cs per frame
+    assert(Multimodal.GifCodec.frameDelaysCs(Multimodal.fixtureGif(7L))
+      .forall(_ == 10))
+  }
+
+  private def gifWithDelay(frames: Int, delayCs: Int, w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageTypeSpecifier, IIOImage}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until frames).foreach { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (f * 40 + x * 8 + y) & 0xffffff)))
+      val itype = ImageTypeSpecifier.createFromBufferedImageType(
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val md = writer.getDefaultImageMetadata(itype, writer.getDefaultWriteParam)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val existing = root.getElementsByTagName("GraphicControlExtension")
+      val gce =
+        if (existing.getLength > 0) existing.item(0).asInstanceOf[IIOMetadataNode]
+        else {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(n); n
+        }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(new IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
   test("first-frame aHash is content-based and deterministic") {
     val a = Multimodal.GifCodec.phash64(Multimodal.fixtureGif(3L))
     assert(a === Multimodal.GifCodec.phash64(Multimodal.fixtureGif(3L)))

@@ -45,6 +45,9 @@ for name in names:
     pdir = f'{OUT}/{name}'
     if not os.path.isdir(pdir):
         print(f'FAIL {name}: spark dump missing'); fail += 1; continue
+    if os.path.exists(f'{pdir}/_error'):
+        print(f'FAIL {name}: err: {open(f"{pdir}/_error").read()[:200]}')
+        fail += 1; continue
     try:
         exp = con.execute(sql).fetchdf()
     except Exception as e:

@@ -443,6 +443,52 @@ object Multimodal {
       }
     }
 
+    /** Windowed audio features off the decoded 16-bit PCM, in EXACT
+      * integer arithmetic so an oracle replays them bit-for-bit: per
+      * `window`-frame hop, (win_idx, frames_in_win, Σ sample², channel-0
+      * zero crossings). Σ sample² is the energy (RMS = √(ssq/(n·ch))/2¹⁵
+      * derives from it); zero crossings are the classic cheap
+      * pitch/voicing proxy. Integer sums, not float means — the one
+      * representation two engines can agree on byte-for-byte.
+      */
+    def windowFeatures(bytes: Array[Byte], window: Int): Seq[(Int, Int, Long, Int)] = {
+      require(window >= 2, s"window must be >= 2, got $window")
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"SoundCodec expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val raw = in.readAllBytes()
+        val ch = fmt.getChannels
+        val frames = raw.length / 2 / ch
+        def s(i: Int): Int = {
+          val b0 = raw(2 * i) & 0xff
+          val b1 = raw(2 * i + 1) & 0xff
+          (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+        }
+        val nw = (frames + window - 1) / window
+        (0 until nw).map { w =>
+          val start = w * window
+          val end = math.min(start + window, frames)
+          var ssq = 0L
+          var zc = 0
+          var f = start
+          while (f < end) {
+            var c = 0
+            while (c < ch) {
+              val v = s(f * ch + c)
+              ssq += v.toLong * v
+              c += 1
+            }
+            // crossing between consecutive channel-0 frames, within-window
+            if (f > start && ((s((f - 1) * ch) < 0) != (s(f * ch) < 0))) zc += 1
+            f += 1
+          }
+          (w, end - start, ssq, zc)
+        }
+      } finally in.close()
+    }
+
     /** Envelope aHash: 64 windows, bit set iff the window's mean
       * |amplitude| ≥ the overall mean — re-encodes of the same audio
       * collide; localized edits move few bits. */
@@ -484,6 +530,24 @@ object Multimodal {
             frames, frames * 1000L / fmt.getSampleRate.toInt,
             bytes.length.toLong)
         } finally in.close()
+      })
+  }
+
+  case class AudioWindow(media_id: Long, win: Int, n_frames: Int,
+      ssq: Long, zero_crossings: Int)
+
+  /** Windowed audio features per blob (1:N generator kernel over
+    * [[SoundCodec.windowFeatures]]): exact-integer energy + zero
+    * crossings per `window`-frame hop of genuinely decoded PCM.
+    */
+  def audioWindowFeatures(media: DataFrame, window: Int): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        SoundCodec.windowFeatures(bytes, window).map {
+          case (w, n, ssq, zc) => AudioWindow(id, w, n, ssq, zc)
+        }
       })
   }
 

@@ -127,4 +127,34 @@ object Anomaly {
       .select(col(idCol), col(keyCol), col(valCol),
         round(wsum / wnorm, 6).as("ewma"))
   }
+
+  /** Per-group winsorization: clip `valCol` to the group's
+    * [pLow, pHigh] interpolated percentiles — the standard
+    * outlier-robust normalization before feature scaling or averaging
+    * (trimming deletes rows; winsorizing keeps them at the fence).
+    * Emits the clipped value plus which fence (if any) fired.
+    *
+    * Percentiles are the exact interpolated kind (`percentile`), which
+    * DuckDB's `percentile_cont` replays bit-for-bit; at corpus scale
+    * swap in `approx_percentile` (documented accuracy contract) — the
+    * plan shape is unchanged. The bounds frame is |groups| rows joined
+    * back planner-chosen (no hint, per the broadcast ratchet); one
+    * partial+final agg plus one join, no window sort.
+    */
+  def winsorize(events: DataFrame, pLow: Double = 0.05,
+      pHigh: Double = 0.95, groupCol: String = "event_type",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      s"need 0 <= pLow < pHigh <= 1, got [$pLow, $pHigh]")
+    val v = col(valCol)
+    val bounds = events.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, $pLow)").as("_lo"),
+      expr(s"percentile($valCol, $pHigh)").as("_hi"))
+    events.join(bounds, groupCol)
+      .select(col(idCol), col(groupCol), v,
+        round(greatest(col("_lo"), least(col("_hi"), v)), 6).as("clipped"),
+        when(v < col("_lo"), lit("low"))
+          .when(v > col("_hi"), lit("high"))
+          .otherwise(lit("none")).as("fence"))
+  }
 }

@@ -119,6 +119,28 @@ object Curation {
     TextAnalysis.qualityMetrics(docs)
       .filter(col("n_tokens") >= minTokens && col("quality_score") >= minQuality)
 
+  /** Deterministic seeded shard assignment — the "global shuffle" a
+    * training run needs: every document lands in exactly one of
+    * `nShards` shards, the assignment is a pure function of (seed, id)
+    * so any worker can recompute it (no shuffle state to persist), and
+    * changing the seed re-deals the corpus for the next epoch. This is
+    * how 100 TB gets "shuffled": not a materialized permutation (which
+    * would itself be a 100 TB sort) but a seeded hash partition that
+    * readers stream shard-by-shard.
+    *
+    * Scale shape: narrow per-row projection — ZERO shuffles; the hash is
+    * the md5-based [[TextAnalysis.hashBucket]] (oracle-replayable,
+    * uniform). Writing `partitionBy(shard)` off this column gives the
+    * physical layout; balance is auditable by the per-shard rollup the
+    * registered query emits.
+    */
+  def shardAssign(docs: DataFrame, nShards: Int, seed: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    docs.withColumn("shard", TextAnalysis.hashBucket(
+      concat(lit(s"$seed:"), col(idCol).cast("string")), nShards))
+  }
+
   /** Streaming (incremental-ingest) curation: quality gate → watermarked
     * streaming exact dedup → deterministic split, over a streaming
     * DataFrame of `(ts, doc_id, text, ...)`. Every stage is

@@ -20,6 +20,36 @@ import graft.functions.{MomentsAgg, TextFns}
   */
 object Learn {
 
+  /** Per-group simple OLS fit, y = a·x + b, from the closed-form normal
+    * equations over EXACT integer sums (x and y are integer columns, so
+    * Σx, Σy, Σx², Σy², Σxy accumulate as BIGINTs — no float summation
+    * order anywhere; the only doubles are the final three divisions,
+    * bit-identical across engines). Emits per group:
+    * (slope, intercept, r2, n) — the workhorse trend/calibration fit a
+    * profiling pass runs per segment before anything iterative.
+    *
+    * Scale shape: ONE partial+final hash agg to a |groups|-row frame;
+    * everything after is per-row arithmetic on that bounded frame.
+    * Groups with n < 2 or zero x-variance yield null slope (no line).
+    */
+  def olsFit(df: DataFrame, xCol: Column, yCol: Column,
+      groupCol: String): DataFrame = {
+    val x = xCol.cast("long")
+    val y = yCol.cast("long")
+    val sums = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val cov = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val slope = when(col("n") >= 2 && dx > 0.0, cov / dx)
+    val intercept = (col("sy").cast("double") - slope * col("sx")) / col("n")
+    val r2 = when(dx > 0.0 && dy > 0.0, cov * cov / (dx * dy))
+    sums.select(col(groupCol), round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"), round(r2, 6).as("r2"),
+      col("n"))
+  }
+
   /** Raw hashed term counts: (doc_id, bucket, cnt) — the un-normalized
     * sibling of [[hashedFeatures]], the form count-based models
     * (multinomial Naive Bayes, chi², DF statistics) consume. */

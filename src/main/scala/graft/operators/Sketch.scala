@@ -147,4 +147,51 @@ object Sketch {
         (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
           <= tol).as("merge_ok"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch — the mergeable
+    * order-statistics sibling of [[hllMergedDistinct]], chosen here
+    * because its estimate IS cross-engine replayable: the key hashes to
+    * a 60-bit value via md5 (the repo's shared hash family), each scope
+    * keeps its k smallest DISTINCT hash values, and
+    * est = (k−1)·2⁶⁰ / h₍ₖ₎ (Bar-Yossef et al. 2002). Merging two
+    * scopes = union the value sets and re-take the k smallest —
+    * demonstrated by the `(all)` scope, computed from the per-scope
+    * union, never from rescanning rows.
+    *
+    * Scale shape: the per-scope k-minimum cut is a rank window that
+    * Spark plans with partial WindowGroupLimit (each map task forwards
+    * at most k rows per scope), so shuffle volume is |scopes|·k, not
+    * |rows|; the distinct-hash pre-pass is the only full shuffle, keyed
+    * by the high-cardinality hash itself.
+    *
+    * @return (scope, n_exact, est_kmv, rel_err) per group plus `(all)`.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val twoPow60 = 1152921504606846976.0 // 2^60 as an exact double
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val perScope = df.select(col(groupCol).cast("string").as("scope"),
+        h.as("h")).distinct()
+    val hashes = perScope.unionByName(
+      perScope.select(lit("(all)").as("scope"), col("h")).distinct())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("scope")).orderBy(col("h"))
+    val mins = hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("scope"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+    val est = when(col("n_kept") < k, col("n_kept").cast("double"))
+      .otherwise(lit(k - 1) * lit(twoPow60) / col("hk"))
+    val exact = df.select(col(groupCol).cast("string").as("scope"),
+        col(keyCol).as("key"))
+      .groupBy(col("scope")).agg(countDistinct(col("key")).as("n_exact"))
+      .unionByName(df.agg(countDistinct(col(keyCol)).as("n_exact"))
+        .select(lit("(all)").as("scope"), col("n_exact")))
+    mins.join(exact, "scope")
+      .select(col("scope"), col("n_exact"),
+        round(est, 2).as("est_kmv"),
+        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+  }
 }

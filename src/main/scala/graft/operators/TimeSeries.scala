@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical time-series diagnostics over the event stream, the batch
+  * companions of [[Anomaly]]'s online monitors: lagged autocorrelation
+  * (is the metric self-predictive?) and seasonal baselines (is this
+  * value unusual FOR THIS HOUR?). Both are the standard first look at a
+  * metric before fitting anything heavier.
+  */
+object TimeSeries {
+
+  /** Lag-k Pearson autocorrelation of `valCol` per series, for each
+    * k in 1..`maxLag`: each event is paired with its k-back predecessor
+    * in (ts, id) order via `lag`, then `corr` per (series, k).
+    *
+    * The lag windows for every k share ONE exchange + sort on the
+    * series key (identical window spec), and the |series|·maxLag output
+    * is tiny. Ordering ties on ts are broken by the unique event id so
+    * the pairing is deterministic. Series with < k+2 points or zero
+    * variance yield null r (corr's own guard).
+    *
+    * Scale shape: one shuffle on the series key, one partial+final agg
+    * on (series, lag) — no self-join (the naive formulation joins the
+    * table to itself per lag, k full shuffles).
+    */
+  def autocorr(events: DataFrame, maxLag: Int = 3,
+      seriesCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col(tsCol), col(idCol))
+    val lagged = events.select(
+      col(seriesCol) +: col(valCol) +:
+        (1 to maxLag).map(k => lag(col(valCol), k).over(w).as(s"_lag_$k")): _*)
+    (1 to maxLag).map { k =>
+      val x = col(valCol)
+      val y = col(s"_lag_$k")
+      // explicit-sums Pearson r — (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+      // — NOT the engine's corr aggregate, so a SQL oracle replays the
+      // same arithmetic (the MomentsAgg convention)
+      val agg = lagged.filter(y.isNotNull)
+        .groupBy(col(seriesCol))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      val dx = col("n") * col("sxx") - col("sx") * col("sx")
+      val dy = col("n") * col("syy") - col("sy") * col("sy")
+      val r = when(col("n") >= 2 && dx > 0.0 && dy > 0.0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(dx * dy))
+      agg.select(col(seriesCol), lit(k).as("lag"),
+        round(r, 6).as("r"), col("n").as("n_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Hour-of-day seasonal baseline per series, and each event scored
+    * against its own (series, hour) cell: seasonal z = (x − μ_cell)/σ_cell.
+    * The cell moments use the explicit (Σx² − (Σx)²/n)/(n−1) form (the
+    * MomentsAgg convention) so a SQL oracle replays the exact IEEE
+    * arithmetic. Cells with < 3 points or zero variance yield null z.
+    *
+    * Scale shape: the baseline is a partial+final hash agg to a
+    * |series|·24 frame, joined back on the (series, hour) cell key —
+    * bounded side, planner-chosen join (AQE broadcasts it at runtime;
+    * no hint, per the broadcast ratchet).
+    */
+  def seasonalZ(events: DataFrame, zThresh: Double = 3.0,
+      seriesCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val v = col(valCol)
+    val withHour = events.select(col(idCol), col(seriesCol), v,
+      hour(col(tsCol)).as("hod"))
+    val cells = withHour.groupBy(col(seriesCol), col("hod"))
+      .agg(sum(v).as("s"), sum(v * v).as("ss"), count(v).as("n"))
+    val mean = col("s") / col("n")
+    val variance = (col("ss") - col("s") * col("s") / col("n")) /
+      (col("n") - lit(1))
+    val z = when(col("n") >= 3 && variance > 0.0,
+      (v - mean) / sqrt(variance))
+    withHour.join(cells, Seq(seriesCol, "hod"))
+      .select(col(idCol), col(seriesCol), col("hod"),
+        round(z, 6).as("seasonal_z"), (abs(z) > zThresh).as("is_anomaly"))
+  }
+
+  /** CUSUM changepoint detection per series (Page 1954): the cumulative
+    * sum of deviations from the series mean, S_i = Σ_{j≤i}(x_j − μ),
+    * peaks in magnitude at the most likely single changepoint — the
+    * standard "did the level shift, and where?" screen before fitting
+    * segmented models. Emits one row per series: the argmax event, its
+    * position, and the normalized peak |S| (divided by σ√n, the scale
+    * on which the CUSUM test statistic is tabulated).
+    *
+    * Scale shape: ONE exchange + sort on the series key; the mean/σ
+    * frame is a |series|-row agg joined back planner-chosen; the argmax
+    * is a max_by over (|S|, then earliest id for ties). Deterministic:
+    * the running sum folds in explicit (ts, id) order.
+    */
+  def cusumChangepoint(events: DataFrame,
+      seriesCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value", idCol: String = "event_id"): DataFrame = {
+    val v = col(valCol)
+    val stats = events.groupBy(col(seriesCol))
+      .agg(sum(v).as("s"), sum(v * v).as("ss"), count(v).as("n"))
+      .select(col(seriesCol), (col("s") / col("n")).as("mu"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) /
+          (col("n") - lit(1))).as("sigma"), col("n"))
+    val w = Window.partitionBy(col(seriesCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = events.join(stats, seriesCol)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(seriesCol)).orderBy(col(tsCol), col(idCol))))
+      .withColumn("cusum", sum(v - col("mu")).over(w))
+    // |S| is rounded to 6 places BEFORE ranking so the argmax choice is
+    // engine-independent (the knnEdges cosine-ranking convention);
+    // ties → earliest position.
+    val acs = round(abs(col("cusum")), 6)
+    val rank = Window.partitionBy(col(seriesCol))
+      .orderBy(acs.desc, col("pos").asc)
+    withS.withColumn("acs", acs)
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col(seriesCol), col(idCol).as("cp_event_id"),
+        col("pos").cast("long").as("cp_pos"),
+        // zero-variance series: no scale to test against → null, never NaN
+        round(when(col("sigma") > 0.0,
+          col("acs") / (col("sigma") * sqrt(col("n")))), 4)
+          .as("peak_stat"))
+  }
+}

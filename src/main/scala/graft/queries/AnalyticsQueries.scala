@@ -64,6 +64,53 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Anomaly.madOutliers(t(s, dir, "events"))
         .orderBy("event_id")),
 
+    // Lag-k autocorrelation per event type, k = 1..3: explicit-sums
+    // Pearson r over lag pairs — ONE key exchange shared by all three
+    // lag windows, |types|·3 output (operators/TimeSeries.autocorr).
+    "ts_autocorr" -> ((s, dir) =>
+      graft.operators.TimeSeries.autocorr(t(s, dir, "events"), maxLag = 3)
+        .orderBy("event_type", "lag")),
+
+    // CUSUM changepoint per event type: peak |cumulative deviation from
+    // the series mean|, rank-rounded for engine-independent argmax —
+    // one key exchange + sort (operators/TimeSeries.cusumChangepoint).
+    "ts_cusum_changepoint" -> ((s, dir) =>
+      graft.operators.TimeSeries.cusumChangepoint(t(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // Hour-of-day seasonal baseline + per-event seasonal z: |types|·24
+    // cell frame joined back planner-chosen, explicit-sums variance
+    // (operators/TimeSeries.seasonalZ).
+    "anomaly_seasonal_z" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalZ(t(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // Per-type percentile winsorization: exact interpolated [p05, p95]
+    // fences, values clipped not dropped — one agg + one planner-chosen
+    // join, no window (operators/Anomaly.winsorize).
+    "anomaly_winsorize" -> ((s, dir) =>
+      graft.operators.Anomaly.winsorize(t(s, dir, "events"))
+        .orderBy("event_id")),
+
+    // GROUPING SETS ((lang), (source), ()): three aggregation scopes in
+    // ONE Expand+hash-agg pass over documents — the multi-scope rollup
+    // shape (Spark 4 Dataset.groupingSets; the cube/rollup siblings are
+    // agg_cube/agg_rollup).
+    "agg_grouping_sets" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.groupingSets(
+          Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
+          col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        // '(all)' sentinel instead of NULL: the grouping-sets NULL would
+        // make the artifact rows type-mixed for value compares
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("n_docs"), col("total_chars"))
+        .orderBy("lang", "source")
+    }),
+
     // Record linkage: reconcile customers against the supplier registry
     // by numeric-name edit distance — two disjoint-zone blocking passes
     // (nation × digits 6-7, nation × digits 8-9), Levenshtein ≤ 2
@@ -892,6 +939,105 @@ object AnalyticsQueries extends QueryPack {
         |  round(mad, 6) AS mad, round(rz, 6) AS robust_z,
         |  (abs(rz) > 3.5) AS is_outlier
         |FROM sc ORDER BY event_id""".stripMargin,
+
+    // same explicit-sums Pearson arithmetic as the Spark side; lag
+    // pairing replays via DuckDB's lag window with the identical
+    // (ts, event_id) deterministic ordering
+    "ts_autocorr" ->
+      """WITH lags AS (
+        |  SELECT event_type, value,
+        |    lag(value, 1) OVER w AS l1,
+        |    lag(value, 2) OVER w AS l2,
+        |    lag(value, 3) OVER w AS l3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        |per_lag AS (
+        |  SELECT event_type, 1 AS lag, value AS x, l1 AS y FROM lags
+        |  UNION ALL
+        |  SELECT event_type, 2, value, l2 FROM lags
+        |  UNION ALL
+        |  SELECT event_type, 3, value, l3 FROM lags),
+        |sums AS (
+        |  SELECT event_type, lag, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM per_lag WHERE y IS NOT NULL GROUP BY event_type, lag)
+        |SELECT event_type, lag,
+        |  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0.0
+        |      AND n * syy - sy * sy > 0.0 THEN
+        |    (n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r,
+        |  n AS n_pairs
+        |FROM sums ORDER BY event_type, lag""".stripMargin,
+
+    // same ordered running sum (window cumsum is order-deterministic in
+    // both engines), same round-6-before-rank argmax convention
+    "ts_cusum_changepoint" ->
+      """WITH st AS (
+        |  SELECT event_type, sum(value) AS s,
+        |    sum(value * value) AS ss, count(value) AS n
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, s / n AS mu,
+        |    sqrt((ss - s * s / n) / (n - 1)) AS sigma, n
+        |  FROM st),
+        |cs AS (
+        |  SELECT e.event_id, e.event_type, m.sigma, m.n,
+        |    row_number() OVER w AS pos,
+        |    round(abs(sum(e.value - m.mu) OVER
+        |      (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS acs
+        |  FROM events e JOIN m USING (event_type)
+        |  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id))
+        |SELECT event_type, event_id AS cp_event_id, pos AS cp_pos,
+        |  round(CASE WHEN sigma > 0.0
+        |    THEN acs / (sigma * sqrt(n)) END, 4) AS peak_stat
+        |FROM cs
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY acs DESC, pos) = 1
+        |ORDER BY event_type""".stripMargin,
+
+    "anomaly_seasonal_z" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, value,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hod
+        |  FROM events),
+        |cells AS (
+        |  SELECT event_type, hod, sum(value) AS s,
+        |    sum(value * value) AS ss, count(value) AS n
+        |  FROM ev GROUP BY event_type, hod),
+        |sc AS (
+        |  SELECT e.event_id, e.event_type, e.hod,
+        |    CASE WHEN c.n >= 3 AND
+        |      (c.ss - c.s * c.s / c.n) / (c.n - 1) > 0.0 THEN
+        |      (e.value - c.s / c.n) /
+        |        sqrt((c.ss - c.s * c.s / c.n) / (c.n - 1))
+        |    END AS z
+        |  FROM ev e JOIN cells c USING (event_type, hod))
+        |SELECT event_id, event_type, hod, round(z, 6) AS seasonal_z,
+        |  (abs(z) > 3.0) AS is_anomaly
+        |FROM sc ORDER BY event_id""".stripMargin,
+
+    // quantile_cont replays Spark's exact interpolated percentile
+    // bit-for-bit (the agg_percentiles precedent)
+    "anomaly_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(greatest(b.lo, least(b.hi, e.value)), 6) AS clipped,
+        |  CASE WHEN e.value < b.lo THEN 'low'
+        |    WHEN e.value > b.hi THEN 'high' ELSE 'none' END AS fence
+        |FROM events e JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY lang, source""".stripMargin,
 
     "basket_brand_rules" ->
       """WITH baskets AS (

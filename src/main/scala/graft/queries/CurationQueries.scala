@@ -27,7 +27,23 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("lang"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("quality_score"), col("bucket"), col("split"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Seeded shard assignment (the training-run "global shuffle"):
+    // per-shard balance rollup for epoch seed 42, plus how many docs
+    // re-deal to a different shard under the next epoch's seed — zero
+    // corpus shuffles (narrow hash projection + one 16-row agg).
+    "shard_assign" -> ((s, dir) => {
+      val a = Curation.shardAssign(docs(s, dir), nShards = 16, seed = 42L)
+      val b = Curation.shardAssign(a.withColumnRenamed("shard", "shard_e1"),
+        nShards = 16, seed = 43L)
+      b.groupBy(col("shard_e1").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("shard") =!= col("shard_e1"), 1L).otherwise(0L))
+            .as("n_redealt"))
+        .orderBy("shard")
+    })
   )
 
   private val toksSql = DuckSql.tokens("text")
@@ -66,6 +82,20 @@ object CurationQueries extends QueryPack {
          |  SELECT 1 FROM comp c
          |  WHERE c.doc_id = e.doc_id AND c.doc_id <> c.cluster_rep)
          |ORDER BY e.doc_id""".stripMargin
-    }
+    },
+
+    "shard_assign" ->
+      """WITH s AS (
+        |  SELECT n_chars,
+        |    (('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |      % 16)::BIGINT AS shard,
+        |    (('0x' || substring(md5('43:' || doc_id::VARCHAR), 1, 8))::UBIGINT
+        |      % 16)::BIGINT AS shard_next
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  sum(CASE WHEN shard <> shard_next THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_redealt
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -53,6 +53,17 @@ object LearnQueries extends QueryPack {
         Learn.predictLogReg(d, w, col("lang") === "en", DIMS), nBins = 10)
     }),
 
+    // Closed-form per-segment OLS: token count regressed on character
+    // count per language — slope ≈ chars-per-token⁻¹, the trend fit a
+    // profiling pass runs per segment. Exact BIGINT sums; the only
+    // doubles are three final divisions (operators/Learn.olsFit).
+    "learn_ols_fit" -> ((s, dir) =>
+      Learn.olsFit(
+          docs(s, dir).select(col("lang"), col("n_chars"),
+            size(graft.functions.TextFns.tokens(col("text"))).as("n_toks")),
+          xCol = col("n_chars"), yCol = col("n_toks"), groupCol = "lang")
+        .orderBy("lang")),
+
     // Closed-form one-pass trainer: multinomial Naive Bayes log-ratio
     // weights (the aggregation-only counterpart of the GD loop).
     "learn_nb_model" -> ((s, dir) =>
@@ -190,6 +201,31 @@ object LearnQueries extends QueryPack {
        |       FROM tf JOIN model USING (bucket) GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // Exact-integer normal-equation sums; the three final divisions are
+    // the only floats, so round-6 compare is bit-stable.
+    "learn_ols_fit" ->
+      s"""WITH d AS (
+         |  SELECT lang, n_chars::BIGINT AS x,
+         |    len(${DuckSql.tokens("text")})::BIGINT AS y
+         |  FROM documents),
+         |s AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM d GROUP BY lang),
+         |f AS (SELECT lang, n, sx, sy,
+         |    (n * sxx - sx * sx)::DOUBLE AS dx,
+         |    (n * syy - sy * sy)::DOUBLE AS dy,
+         |    (n * sxy - sx * sy)::DOUBLE AS cov
+         |  FROM s),
+         |g AS (SELECT lang, n, sx, sy, dx, dy, cov,
+         |    CASE WHEN n >= 2 AND dx > 0.0 THEN cov / dx END AS slope
+         |  FROM f)
+         |SELECT lang, round(slope, 6) AS slope,
+         |  round((sy::DOUBLE - slope * sx) / n, 6) AS intercept,
+         |  round(CASE WHEN dx > 0.0 AND dy > 0.0
+         |    THEN cov * cov / (dx * dy) END, 6) AS r2,
+         |  n
+         |FROM g ORDER BY lang""".stripMargin,
 
     "learn_logreg_weights" ->
       s"""WITH $logRegCtes

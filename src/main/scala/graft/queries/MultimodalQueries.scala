@@ -120,6 +120,23 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // REAL audio analysis end-to-end: fixture WAV → SoundCodec windowed
+    // features off the fully-decoded PCM — per-160-frame energy (exact
+    // integer Σ sample²) and channel-0 zero crossings. Integer sums are
+    // the representation the oracle can replay bit-for-bit from the
+    // sawtooth generator formula. 1:N kernel; blobs stay in executors.
+    "mm_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureWav(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.audioWindowFeatures(wavs, window = 160).toDF()
+        .select(col("media_id"), col("win"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("ssq"), col("zero_crossings").cast("long").as("zero_crossings"))
+        .orderBy("media_id", "win")
+    }),
+
     // REAL frame extraction end-to-end: GIF container → GifCodec
     // sampleFrameFeatures — each frame's dims + perceptual hash read
     // straight off the decoded raster (one decode per frame, no PNG
@@ -209,6 +226,36 @@ object MultimodalQueries extends QueryPack {
         |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
         |  CAST((2 + pk % 4) * 100 AS BIGINT) AS duration_ms
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // The PCM samples replay from the integer-sawtooth generator
+    // (v = (((f·(pk+3) + c·97) % 2048) − 1024)·16), so energy and
+    // zero-crossing sums are exact-integer comparisons — a misdecoded
+    // byte order, channel count, or frame boundary shifts them.
+    "mm_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, (doc_id % 50)::INTEGER AS pk
+        |  FROM documents),
+        |m AS (SELECT media_id, pk, 1 + pk % 2 AS ch,
+        |    400 + pk * 8 AS frames FROM p),
+        |fr AS (SELECT media_id, pk, ch, frames, f.range AS f
+        |  FROM m, range(0, 800) f WHERE f.range < frames),
+        |sv AS (SELECT media_id, (f // 160)::INTEGER AS win, f, pk, ch,
+        |    c.range AS c,
+        |    ((((f * (pk + 3) + c.range * 97) % 2048) - 1024) * 16)::BIGINT AS v
+        |  FROM fr, range(0, 2) c WHERE c.range < ch),
+        |en AS (SELECT media_id, win,
+        |    count(DISTINCT f) AS n_frames, sum(v * v)::BIGINT AS ssq
+        |  FROM sv GROUP BY media_id, win),
+        |c0 AS (SELECT media_id, win, f, v,
+        |    lag(v) OVER (PARTITION BY media_id ORDER BY f) AS pv
+        |  FROM sv WHERE c = 0),
+        |zc AS (SELECT media_id, win,
+        |    sum(CASE WHEN f % 160 <> 0 AND ((pv < 0) <> (v < 0))
+        |      THEN 1 ELSE 0 END)::BIGINT AS zero_crossings
+        |  FROM c0 GROUP BY media_id, win)
+        |SELECT media_id, win, n_frames, ssq, zero_crossings
+        |FROM en JOIN zc USING (media_id, win)
+        |ORDER BY media_id, win""".stripMargin,
 
     // Every frame of every container must carry the generator dimensions
     // read off its decoded raster. n ≤ 5 < 8 so the even-stride sampler

@@ -51,6 +51,15 @@ object SearchQueries extends QueryPack {
         keyCol = "user_id", groupCol = "event_type",
         slice = to_date(col("ts"))).orderBy("event_type")),
 
+    // KMV distinct sketch: per-type k-minimum md5 hash sets + the
+    // merged '(all)' scope, estimate (k−1)·2⁶⁰/h₍ₖ₎ — the mergeable
+    // sketch whose estimate IS cross-engine replayable, complementing
+    // the HLL rollup's contract-only readout (operators/Sketch.scala).
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinct(graft.Tables.load(s, dir, "events"),
+        keyCol = "user_id", groupCol = "event_type", k = 64)
+        .orderBy("scope")),
+
     // Hybrid retrieval: BM25 top-50 ∪ cosine top-50 fused by
     // reciprocal-rank fusion (k=60), top-15 (operators/Search.scala).
     "search_hybrid_rrf" -> ((s, dir) =>
@@ -185,6 +194,32 @@ object SearchQueries extends QueryPack {
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
         |  true AS merge_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full estimate replay: same 60-bit md5 hash, same k-minimum cut,
+    // same (k−1)·2⁶⁰/h₍ₖ₎ arithmetic — unlike HLL, every intermediate
+    // is engine-independent.
+    "sketch_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type AS scope,
+        |    (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM events),
+        |ha AS (SELECT scope, h FROM h
+        |  UNION SELECT DISTINCT '(all)' AS scope, h FROM h),
+        |mins AS (SELECT scope, count(*) AS n_kept, max(h) AS hk FROM (
+        |    SELECT scope, h,
+        |      row_number() OVER (PARTITION BY scope ORDER BY h) AS rn
+        |    FROM ha) WHERE rn <= 64 GROUP BY scope),
+        |est AS (SELECT scope, n_kept, hk,
+        |    CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |      ELSE 63 * 1152921504606846976.0 / hk END AS e
+        |  FROM mins),
+        |ex AS (SELECT event_type AS scope,
+        |    count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT '(all)', count(DISTINCT user_id) FROM events)
+        |SELECT scope, n_exact, round(e, 2) AS est_kmv,
+        |  round(abs(e - n_exact) / n_exact, 4) AS rel_err
+        |FROM est JOIN ex USING (scope) ORDER BY scope""".stripMargin,
 
     // Both candidate rankings replayed end-to-end (BM25 chain + cosine
     // chain), fused with the same 1/(60+rank) arithmetic.

@@ -174,6 +174,16 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("triangles"), col("clustering_coeff"))
         .orderBy("vec_id")),
 
+    // Common-neighbor / Jaccard link prediction over the same kNN graph:
+    // top non-adjacent pairs by neighborhood overlap — "should-be-
+    // neighbor" pairs the cell blocking missed and near-dup communities
+    // one hop before they merge (operators/Graph.linkPredict).
+    "graph_link_predict" -> ((s, dir) =>
+      graft.operators.Graph.linkPredict(
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          minCommon = 2L, topK = 50)
+        .select(col("a"), col("b"), col("common"), col("jaccard"))),
+
     // ANN scale path #2: IVF coarse quantizer (16 deterministic centroid
     // cells), probe scans only the query's cell.
     "sim_ivf_topk" -> ((s, dir) =>
@@ -509,8 +519,32 @@ object SimilarityQueries extends QueryPack {
        |$iterCtes""".stripMargin
   }
 
+  // Link-prediction oracle: wedge self-join on the shared vertex, minus
+  // the adjacency, Jaccard from degrees — same tie-break chain.
+  private lazy val linkPredictSql: String =
+    s"""WITH $embsCte,
+       |${assignedCtes()},
+       |$knnEdgeCtes,
+       |deg AS (SELECT src AS v, count(*) AS deg FROM ed GROUP BY src),
+       |cn AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS common
+       |  FROM ed e1 JOIN ed e2
+       |    ON e1.src = e2.src AND e1.dst < e2.dst
+       |  GROUP BY e1.dst, e2.dst
+       |  HAVING count(*) >= 2),
+       |nonadj AS (SELECT c.a, c.b, c.common FROM cn c
+       |  LEFT JOIN (SELECT src, dst FROM ed WHERE src < dst) x
+       |    ON c.a = x.src AND c.b = x.dst
+       |  WHERE x.src IS NULL)
+       |SELECT n.a, n.b, n.common,
+       |  round(n.common / (da.deg + db.deg - n.common), 6) AS jaccard
+       |FROM nonadj n
+       |JOIN deg da ON da.v = n.a
+       |JOIN deg db ON db.v = n.b
+       |ORDER BY jaccard DESC, n.common DESC, n.a, n.b LIMIT 50""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
+    "graph_link_predict" -> linkPredictSql,
     "graph_personalized_pagerank" -> pprSql,
     "graph_label_communities" -> labelPropSql,
     "graph_triangle_coeff" -> triangleSql,

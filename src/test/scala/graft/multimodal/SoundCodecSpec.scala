@@ -65,6 +65,29 @@ class SoundCodecSpec extends SparkSpec {
       Multimodal.SoundCodec.phash64(wav))
   }
 
+  test("windowFeatures replays the generator's integer PCM exactly") {
+    val id = 7L
+    val p = (id % 50L).toInt
+    val ch = Multimodal.fixtureChannels(id)
+    val frames = Multimodal.fixtureFrames(id)
+    val window = 160
+    val got = Multimodal.SoundCodec.windowFeatures(Multimodal.fixtureWav(id), window)
+    assert(got.length === (frames + window - 1) / window)
+    assert(got.map(_._2).sum === frames)
+    def v(f: Int, c: Int): Long = (((f * (p + 3) + c * 97) % 2048) - 1024).toLong * 16
+    got.foreach { case (w, n, ssq, zc) =>
+      val start = w * window
+      val expSsq = (start until start + n).flatMap(f =>
+        (0 until ch).map(c => v(f, c) * v(f, c))).sum
+      assert(ssq === expSsq, s"window $w energy")
+      val expZc = (start + 1 until start + n).count(f =>
+        (v(f - 1, 0) < 0) != (v(f, 0) < 0))
+      assert(zc === expZc, s"window $w zero crossings")
+    }
+    // a real sawtooth crosses zero: features are not degenerate
+    assert(got.map(_._4).sum > 0)
+  }
+
   test("features come from decoded amplitude, bounded and deterministic") {
     val wav = Multimodal.fixtureWav(11L)
     val f1 = Multimodal.SoundCodec.extractFeatures(wav, 16)

@@ -183,6 +183,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("linkPredict scores non-adjacent pairs by common-neighbor Jaccard and drops edges") {
+    // Square 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share 2
+    // common neighbors and are non-adjacent; every edge pair is excluded.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val es = und ++ und.map(_.swap)
+    val got = Graph.linkPredict(edgeDF(es), minCommon = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    // deg = 2 each: jaccard = 2 / (2 + 2 - 2) = 1.0
+    assert(got((1L, 3L)) === ((2L, 1.0)))
+    assert(got((2L, 4L)) === ((2L, 1.0)))
+  }
+
+  test("linkPredict: minCommon filters and adjacency always wins") {
+    // Triangle 1-2-3 plus pendant 4-1: (2,4)/(3,4) share only node 1.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val es = und ++ und.map(_.swap)
+    assert(Graph.linkPredict(edgeDF(es), minCommon = 2L).collect().isEmpty)
+    val loose = Graph.linkPredict(edgeDF(es), minCommon = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // triangle edges never appear even though each shares a neighbor
+    assert(loose === Set((2L, 4L), (3L, 4L)))
+  }
+
   test("triangleStats: triangle-free graph is all zeros; deg-1 coeff is 0") {
     // Path 1-2-3: no triangles; endpoints have degree 1.
     val und = Seq((1L, 2L), (2L, 3L))

@@ -54,6 +54,31 @@ class SketchSpec extends SparkSpec {
     assert(d.getAs[Long]("exact_size") == 0L && d.getAs[Boolean]("within_contract"))
   }
 
+  test("KMV: small scopes are exact, the (all) scope merges, estimates land near truth") {
+    import spark.implicits._
+    // scope a: 40 distinct keys (< k=64 → exact); scope b: 30 distinct,
+    // overlapping a by 10 → 60 global distinct
+    val rows = (1L to 40L).map(k => ("a", k)) ++
+      (31L to 60L).map(k => ("b", k)) ++
+      (1L to 20L).map(k => ("a", k)) // duplicates must not inflate
+    val got = Sketch.kmvDistinct(rows.toDF("grp", "key"), "key", "grp", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") === ((40L, 40.0, 0.0))) // n_kept < k ⇒ exact
+    assert(got("b") === ((30L, 30.0, 0.0)))
+    assert(got("(all)") === ((60L, 60.0, 0.0)))
+  }
+
+  test("KMV estimate kicks in above k and stays within a loose band") {
+    import spark.implicits._
+    val rows = (1L to 5000L).map(k => ("g", k))
+    val got = Sketch.kmvDistinct(rows.toDF("grp", "key"), "key", "grp", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // KMV std error ~ 1/sqrt(k-2) ≈ 13%; assert a generous 3-sigma band
+    assert(got("g") > 3000 && got("g") < 7000, s"est=${got("g")}")
+    assert(got("g") === got("(all)")) // single scope ⇒ merge is identity
+  }
+
   test("HLL slice sketches merge to the cross-slice distinct count") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

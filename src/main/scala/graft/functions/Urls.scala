@@ -44,4 +44,33 @@ object Urls {
     * string for directory links — callers filter those (F2).
     */
   def basename(url: Column): Column = element_at(split(url, "/"), -1)
+
+  /** URL canonicalization for dedup keys — the normalization a web-corpus
+    * pipeline applies before URL-level dedup, where the same resource
+    * hides behind case/port/fragment/param-order variants. Rules (the
+    * conservative, safe subset of RFC 3986 §6):
+    * lowercase scheme + host; drop `:80`/`:443` default ports; drop the
+    * fragment; sort query parameters bytewise; empty path → `/`.
+    *
+    * Built ENTIRELY from codegen'd string expressions (regexp_extract /
+    * split / array_sort — no UDF), with RE2-compatible patterns (explicit
+    * classes, no lookarounds) so a DuckDB oracle replays every rule —
+    * the Templates/TextFns cross-engine convention.
+    */
+  def canonicalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val sortedQuery = array_join(array_sort(split(query, "&")), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      when(path === "", lit("/")).otherwise(path),
+      when(query === "", lit("")).otherwise(concat(lit("?"), sortedQuery)))
+  }
 }

@@ -74,4 +74,51 @@ object Profile {
         round(col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / nBuckets), 6).as("hi"),
         col("n"))
   }
+
+  /** Population-stability-index drift between a reference snapshot and a
+    * current one — the standard "did the feature distribution move?"
+    * monitor a serving pipeline runs before trusting a model or a
+    * sampling scheme. Values bucket into `nBuckets` equal-width bins on
+    * the REFERENCE min/max (rows outside clamp to the edge bins, where
+    * a shifted distribution piles up visibly); per bin,
+    * psi_term = (p_cur − p_ref)·ln(p_cur/p_ref) with both rates floored
+    * at `eps` so empty bins contribute a finite, deterministic penalty.
+    * Σ psi_term is the PSI (rule of thumb: < 0.1 stable, > 0.25 shifted).
+    *
+    * Scale shape: one 2-row-per-side agg for bounds + totals, then one
+    * narrow classification pass and one |buckets|-row agg per side,
+    * full-outer-merged on the bin id — bounded frames everywhere after
+    * the scans; bucket arithmetic is the [[valueHistogram]] fixed-
+    * parenthesization IEEE form, replayable in SQL.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+      nBuckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val v = col(valCol).cast("double")
+    val bounds = ref.agg(min(v).as("mn"), max(v).as("mx"),
+      count(v).cast("double").as("n_ref_total"))
+    val nCur = cur.agg(count(v).cast("double").as("n_cur_total"))
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val width = (col("mx") - col("mn")) / nBuckets
+      val bucket = when(col("mx") > col("mn"),
+        greatest(lit(0L), least(floor((v - col("mn")) / width),
+          lit(nBuckets - 1L)))).otherwise(lit(0L)).cast("int")
+      df.crossJoin(broadcast(bounds.select(col("mn"), col("mx"))))
+        .select(bucket.as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    }
+    val merged = binned(ref, "n_ref").join(binned(cur, "n_cur"),
+        Seq("bucket"), "full_outer")
+    val pRef = greatest(coalesce(col("n_ref"), lit(0L)) / col("n_ref_total"),
+      lit(eps))
+    val pCur = greatest(coalesce(col("n_cur"), lit(0L)) / col("n_cur_total"),
+      lit(eps))
+    merged
+      .crossJoin(broadcast(bounds.select(col("n_ref_total"))))
+      .crossJoin(broadcast(nCur))
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+      .orderBy("bucket")
+  }
 }

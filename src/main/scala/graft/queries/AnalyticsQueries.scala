@@ -150,6 +150,21 @@ object AnalyticsQueries extends QueryPack {
         groupCol = "event_type", valCol = "value", nBuckets = 8)
         .orderBy("event_type", "bucket")),
 
+    // PSI distribution-drift monitor: reference vs current order-price
+    // snapshots (deterministic derived versions — current drops %9 keys
+    // and scales %3 prices by 1.1), binned on the REFERENCE bounds;
+    // Σ psi_term quantifies the shift (operators/Profile.psiDrift).
+    "profile_psi_drift" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val ref = orders.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_totalprice"))
+      val cur = orders.filter(col("o_orderkey") % 9 =!= 0)
+        .select(when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.operators.Profile.psiDrift(ref, cur, "o_totalprice",
+        nBuckets = 10)
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -969,6 +984,35 @@ object AnalyticsQueries extends QueryPack {
         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r,
         |  n AS n_pairs
         |FROM sums ORDER BY event_type, lag""".stripMargin,
+
+    // same fixed-parenthesization bucket arithmetic on the reference
+    // bounds, same eps-floored PSI terms
+    "profile_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 <> 0),
+        |cur AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |    ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 9 <> 0),
+        |b AS (SELECT min(v) AS mn, max(v) AS mx,
+        |    count(v)::DOUBLE AS nrt FROM ref),
+        |nc AS (SELECT count(v)::DOUBLE AS nct FROM cur),
+        |rb AS (SELECT (CASE WHEN mx > mn THEN
+        |      greatest(0, least(floor((v - mn) / ((mx - mn) / 10)), 9))
+        |    ELSE 0 END)::INTEGER AS bucket, count(*) AS n_ref
+        |  FROM ref, b GROUP BY 1),
+        |cb AS (SELECT (CASE WHEN mx > mn THEN
+        |      greatest(0, least(floor((v - mn) / ((mx - mn) / 10)), 9))
+        |    ELSE 0 END)::INTEGER AS bucket, count(*) AS n_cur
+        |  FROM cur, b GROUP BY 1),
+        |m AS (SELECT bucket,
+        |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |  FROM rb FULL OUTER JOIN cb USING (bucket))
+        |SELECT bucket, n_ref, n_cur,
+        |  round((greatest(n_cur / nct, 1e-6) - greatest(n_ref / nrt, 1e-6)) *
+        |    ln(greatest(n_cur / nct, 1e-6) / greatest(n_ref / nrt, 1e-6)), 6)
+        |    AS psi_term
+        |FROM m, b, nc ORDER BY bucket""".stripMargin,
 
     // same ordered running sum (window cumsum is order-deterministic in
     // both engines), same round-6-before-rank argmax convention

@@ -33,6 +33,33 @@ object DedupQueries extends QueryPack {
         .select(col("doc_id"), col("content_md5"))
         .orderBy("doc_id")),
 
+    // URL-level dedup after canonicalization: per-doc synthetic URLs
+    // carry case / default-port / fragment / param-order noise; the
+    // canonicalizer (pure codegen'd string expressions, functions/Urls)
+    // must collapse each group to ONE canonical key, which the oracle
+    // predicts in closed form from the generator. Zero extra shuffles
+    // beyond the group-by on the canonical key.
+    "dedup_url_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("http")).otherwise(lit("HTTP")),
+        lit("://"),
+        when(col("doc_id") % 4 === 0, lit("Docs.")).otherwise(lit("docs.")),
+        col("source"), lit(".Example.com"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/corpus/"), (col("doc_id") % 25).cast("string"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?a=1&b="), (col("doc_id") % 5).cast("string")))
+          .otherwise(concat(lit("?b="), (col("doc_id") % 5).cast("string"),
+            lit("&a=1"))),
+        lit("#sec"), col("doc_id").cast("string"))
+      d.select(graft.functions.Urls.canonicalize(url).as("canonical_url"),
+          col("doc_id"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canonical_url")
+    }),
+
     // EX10a: minhash signatures (16 md5-minima over word 3-gram shingles).
     "dedup_minhash_sigs" -> ((s, dir) =>
       Dedup.minhashSignatures(docs(s, dir), n = 3, k = K)
@@ -183,6 +210,20 @@ object DedupQueries extends QueryPack {
       """SELECT doc_id, md5(text) AS content_md5 FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // ground-truth canonical form predicted in closed form from the URL
+    // generator — an engine-side canonicalization bug (missed port, kept
+    // fragment, unsorted params, case leak) breaks the group keys
+    "dedup_url_canonical" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    'http://docs.' || source || '.example.com/corpus/' ||
+        |    (doc_id % 25)::VARCHAR || '?a=1&b=' || (doc_id % 5)::VARCHAR
+        |      AS canonical_url
+        |  FROM documents)
+        |SELECT canonical_url, count(*) AS n_variants,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
 
     "dedup_minhash_sigs" ->
       s"""WITH $sigsCte

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** URL canonicalization rules (dedup-key normalization): lowercase
+  * scheme/host, default-port drop, fragment drop, bytewise query-param
+  * sort, empty-path → `/` — all as codegen'd string expressions.
+  */
+class UrlCanonicalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Urls.canonicalize(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+
+  test("case, default ports, fragments, and param order all collapse") {
+    val variants = Seq(
+      "HTTP://WWW.Example.COM:80/a/b?x=2&a=1#frag",
+      "http://www.example.com/a/b?a=1&x=2",
+      "Http://www.EXAMPLE.com:80/a/b?x=2&a=1#other")
+    assert(canon(variants: _*).distinct ===
+      Seq("http://www.example.com/a/b?a=1&x=2"))
+  }
+
+  test("https default port 443 drops, non-default ports survive") {
+    assert(canon("HTTPS://Host:443/p") === Seq("https://host/p"))
+    assert(canon("https://host:8443/p") === Seq("https://host:8443/p"))
+    // :80 is only default for http, not https
+    assert(canon("https://host:80/p") === Seq("https://host:80/p"))
+  }
+
+  test("empty path becomes /; query-less and path-only urls are stable") {
+    assert(canon("http://Host") === Seq("http://host/"))
+    assert(canon("http://host#f") === Seq("http://host/"))
+    assert(canon("http://host/deep/path") === Seq("http://host/deep/path"))
+    assert(canon("ftp://Host/pub/x.zip") === Seq("ftp://host/pub/x.zip"))
+  }
+
+  test("query params sort bytewise, values untouched") {
+    assert(canon("http://h/p?c=3&a=1&b=2") === Seq("http://h/p?a=1&b=2&c=3"))
+    assert(canon("http://h/p?b=B&a=%20x") === Seq("http://h/p?a=%20x&b=B"))
+  }
+}

@@ -32,4 +32,26 @@ class ProfileSpec extends SparkSpec {
     assert(rows(("a", 0)) == 1L && rows(("a", 1)) == 1L)
     assert(rows(("b", 0)) == 1L && rows(("b", 1)) == 1L)
   }
+
+  test("psiDrift: identical distributions score ~0, a shift scores high") {
+    val ref = (1 to 100).map(i => i.toDouble % 10).toDF("v")
+    val same = Profile.psiDrift(ref, ref, "v", nBuckets = 5).collect()
+    assert(same.map(_.getDouble(3)).sum === 0.0)
+    assert(same.map(_.getLong(1)).sum === 100L)
+    // current shifted way right of the reference bounds → piles into the
+    // top edge bin, PSI total well above the 0.25 "shifted" rule of thumb
+    val cur = (1 to 100).map(i => 50.0 + i % 10).toDF("v")
+    val drift = Profile.psiDrift(ref, cur, "v", nBuckets = 5).collect()
+    assert(drift.map(_.getDouble(3)).sum > 0.25)
+    val top = drift.find(_.getInt(0) == 4).get
+    assert(top.getLong(2) === 100L) // all current rows clamp to bin 4
+  }
+
+  test("psiDrift: bins missing on one side get the eps floor, not NaN/err") {
+    val ref = Seq(0.0, 1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(0.0, 0.1).toDF("v") // bins 1..4 empty on the cur side
+    val rows = Profile.psiDrift(ref, cur, "v", nBuckets = 5).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => !r.getDouble(3).isNaN))
+  }
 }

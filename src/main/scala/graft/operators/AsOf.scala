@@ -77,6 +77,35 @@ object AsOf {
       .select(out: _*)
   }
 
+  /** Nearest-neighbor as-of: for each left row, the right row minimizing
+    * |right.time − left.time| on the key — sensor alignment / "closest
+    * reading either side" semantics the directional forms can't express.
+    * Ties between an at-or-before and an after match at equal distance
+    * go to the BEFORE match (the backward candidate). Composed from the
+    * backward-inclusive and strict-forward passes (strict, so an
+    * equal-timestamp right row is claimed exactly once, by the backward
+    * side) — two union+window shuffles, still no range join, still no
+    * per-key cross product at scale.
+    */
+  def joinAsOfNearest(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightCols: Seq[String], prefix: String = "asof_"): DataFrame = {
+    val carried = (rightTime +: rightCols).distinct
+    val withBack = joinAsOf(left, right, key, leftTime, rightTime,
+      carried, prefix = "_b_")
+    val both = joinAsOf(withBack, right, key, leftTime, rightTime,
+      carried, prefix = "_f_", strict = true, forward = true)
+    val lt = col(leftTime).cast("double")
+    val bt = col(s"_b_$rightTime").cast("double")
+    val ft = col(s"_f_$rightTime").cast("double")
+    val useBack = ft.isNull || (bt.isNotNull && (lt - bt) <= (ft - lt))
+    val out = left.columns.toSeq.map(col) ++ rightCols.map { c =>
+      when(useBack, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(prefix + c)
+    }
+    both.select(out: _*)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(
       cols.map(c => df.schema(c)))

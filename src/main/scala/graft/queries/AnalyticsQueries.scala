@@ -456,6 +456,22 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // EX7d: nearest as-of — closest purchase on EITHER side of the
+    // click, ties → the at-or-before match; composed backward+forward
+    // union-window passes, no range join (operators/AsOf.joinAsOfNearest).
+    "asof_nearest_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      AsOf.joinAsOfNearest(clicks, purchases,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          rightCols = Seq("event_id"), prefix = "purchase_")
+        .select(col("event_id"), col("user_id"), col("purchase_event_id"))
+        .orderBy("event_id")
+    }),
+
     // EX5d: watermark late-data drop, batch-equivalent oracle form — the
     // streaming session query drops rows older than (max event time −
     // delay); replay that final state by filtering to the watermark
@@ -1460,6 +1476,22 @@ object AnalyticsQueries extends QueryPack {
         |ASOF LEFT JOIN (SELECT * FROM events_us WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND p.ts < c.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    // brute-force nearest per click (key-equality join + QUALIFY argmin):
+    // |Δt| ASC, then earlier right ts (backward wins ties), then the
+    // operator's greatest-carried-tuple rule (event_id DESC at same ts)
+    "asof_nearest_purchase" ->
+      """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |c AS (SELECT event_id, user_id, ts FROM events_us WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, ts FROM events_us WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id,
+        |    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS dt, p.ts AS pts
+        |  FROM c LEFT JOIN p USING (user_id))
+        |SELECT event_id, user_id, purchase_event_id FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY dt ASC NULLS LAST, pts ASC, purchase_event_id DESC) = 1
+        |ORDER BY event_id""".stripMargin,
 
     "asof_next_purchase" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)

@@ -299,6 +299,95 @@ object Monitors {
       .write.mode("overwrite").parquet(s"$outDir/hot")
   }
 
+  // ------------------------------------------------------------ PSI drift
+
+  /** Frozen reference profile for the PSI monitor: bounds + per-bin
+    * rates, computed ONCE from the reference snapshot and carried as
+    * plain numbers (nBuckets+3 doubles — driver-safe by construction).
+    */
+  case class PsiRef(mn: Double, mx: Double, nTotal: Double,
+      binCounts: Array[Long], nBuckets: Int)
+
+  /** Build the frozen reference profile from a reference frame — same
+    * fixed-parenthesization bucket arithmetic as
+    * [[graft.operators.Profile.psiDrift]].
+    */
+  def psiReference(ref: DataFrame, valCol: String, nBuckets: Int = 10): PsiRef = {
+    val v = col(valCol).cast("double")
+    val head = ref.agg(min(v), max(v), count(v)).head()
+    require(head.getLong(2) > 0, "PSI reference frame is empty")
+    val (mn, mx, n) = (head.getDouble(0), head.getDouble(1),
+      head.getLong(2).toDouble)
+    val counts = binCounts(ref, valCol, mn, mx, nBuckets)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    PsiRef(mn, mx, n, Array.tabulate(nBuckets)(i => counts.getOrElse(i, 0L)),
+      nBuckets)
+  }
+
+  private def binCounts(df: DataFrame, valCol: String, mn: Double,
+      mx: Double, nBuckets: Int): DataFrame = {
+    val v = col(valCol).cast("double")
+    val width = (lit(mx) - lit(mn)) / nBuckets
+    val bucket = if (mx > mn)
+      greatest(lit(0L), least(floor((v - lit(mn)) / width),
+        lit(nBuckets - 1L))).cast("int")
+    else lit(0)
+    df.select(bucket.as("bucket")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_cur"))
+  }
+
+  /** Streaming PSI drift monitor — the incremental form of
+    * [[graft.operators.Profile.psiDrift]]: each micro-batch's values
+    * bucket on the FROZEN reference bounds and merge additively into a
+    * per-bin count state. Unlike the hotspot monitor there is no
+    * eviction trade at all: state is ≤ nBuckets rows by construction
+    * and bin counts are additive under ANY batch split, so the stream
+    * report equals the batch PSI over all rows seen — exactly.
+    * The report (per-bin psi_term vs the reference rates) rewrites to
+    * `outDir/psi` after every batch.
+    */
+  def psiDriftMonitor(values: DataFrame, ref: PsiRef, valCol: String,
+      outDir: String, eps: Double = 1e-6,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = values.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergePsiBatch(batch, ref, valCol, outDir, eps, batchId)
+        ()
+      }
+    checkpointDir.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+
+  /** One micro-batch of [[psiDriftMonitor]], callable from tests and
+    * batch backfills. */
+  def mergePsiBatch(batch: DataFrame, ref: PsiRef, valCol: String,
+      outDir: String, eps: Double = 1e-6,
+      batchId: Long = Long.MinValue): Unit = {
+    val spark = batch.sparkSession
+    val delta = binCounts(batch, valCol, ref.mn, ref.mx, ref.nBuckets)
+    val merged = versionedStateMerge(spark, outDir, batchId) { baseDf =>
+      baseDf.map(_.unionByName(delta)
+        .groupBy(col("bucket")).agg(sum(col("n_cur")).as("n_cur"))
+      ).getOrElse(delta)
+    }
+    import spark.implicits._
+    val refDf = ref.binCounts.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("bucket", "n_ref")
+    val nCurTotal = merged.agg(coalesce(sum(col("n_cur")), lit(0L)))
+      .head().getLong(0).toDouble.max(1.0)
+    val pRef = greatest(col("n_ref") / ref.nTotal, lit(eps))
+    val pCur = greatest(coalesce(col("n_cur"), lit(0L)) / nCurTotal, lit(eps))
+    refDf.join(merged, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+      .orderBy("bucket")
+      .write.mode("overwrite").parquet(s"$outDir/psi")
+  }
+
   /** Path of the newest committed state version (for tests/inspection). */
   def latestStateDir(spark: SparkSession, outDir: String): Option[String] = {
     val root = new org.apache.hadoop.fs.Path(outDir)

@@ -158,6 +158,47 @@ class MonitorStreamSpec extends SparkSpec {
     assert(replayed === expect)
   }
 
+  test("streamed PSI drift monitor equals batch psiDrift exactly, any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val refVals = (1 to 100).map(i => (i.toDouble % 10))
+    val curVals = (1 to 60).map(i => 5.0 + i % 8) // shifted right
+    val ref = refVals.toDF("v")
+
+    val pr = Monitors.psiReference(ref, "v", nBuckets = 5)
+    assert(pr.binCounts.sum === 100L)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-psimon").toString
+
+    val input = MemoryStream[Double]
+    val q = Monitors.psiDriftMonitor(
+      input.toDF().toDF("v"), pr, "v", outDir)
+    // uneven batch split: 7, 7, ..., remainder
+    curVals.grouped(7).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    // bin counts are additive ⇒ stream report EQUALS the batch PSI
+    val expect = graft.operators.Profile
+      .psiDrift(ref, curVals.toDF("v"), "v", nBuckets = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = spark.read.parquet(s"$outDir/psi").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expect)
+
+    // state is the <= nBuckets-row count monoid
+    val state = spark.read.parquet(Monitors.latestStateDir(spark, outDir).get)
+    assert(state.columns.toSet === Set("bucket", "n_cur"))
+    assert(state.count() <= 5L)
+    // foreachBatch retry of the last batch must not double-count
+    val lastId = curVals.grouped(7).size - 1L
+    Monitors.mergePsiBatch(curVals.grouped(7).toSeq.last.toDF("v"),
+      pr, "v", outDir, batchId = lastId)
+    val replayed = spark.read.parquet(s"$outDir/psi").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(replayed === expect)
+    // drift is actually detected on this shifted stream
+    assert(expect.toSeq.map(_._4).sum > 0.1)
+  }
+
   test("streaming contamination gate matches the batch contamination flag") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(

@@ -446,6 +446,34 @@ object Learn {
       round((col("tp") + col("tn")) / col("n"), 6).as("accuracy")): _*)
   }
 
+  /** Exact ROC AUC via the Mann-Whitney U statistic over a QUANTIZED
+    * score grid — the scale-correct AUC: the corpus reduces to one
+    * (score, n_pos, n_neg) row per distinct quantized score (bounded by
+    * value-range/10^-decimals, independent of corpus size), so the
+    * "global sort" every AUC needs runs over that bounded frame, never
+    * the corpus. Quantization ties are handled exactly (tied pairs count
+    * ½, the U convention), so this IS the AUC of the quantized scores,
+    * not an approximation of it; 2U stays integral, the single division
+    * at the end is the only float.
+    *
+    * @return one row: (n_pos, n_neg, auc) — auc null if a class is empty.
+    */
+  def aucQuantized(preds: DataFrame, decimals: Int = 3): DataFrame = {
+    val s = round(col("score"), decimals)
+    val cnt = preds.groupBy(s.as("s"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    // bounded frame (see above) — the single-partition window is over
+    // |distinct quantized scores| rows, not the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cnt.withColumn("nn_below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+  }
+
   /** Operating-point sweep: confusion metrics of `score ≥ t` for every
     * threshold in a FIXED grid — the precision/recall trade a score-gate
     * deployment actually consults when picking its cut. A full ROC/AUC

@@ -108,6 +108,19 @@ object LearnQueries extends QueryPack {
         THRESHOLDS)
     }),
 
+    // Exact ROC AUC (Mann-Whitney U over the quantized NB score grid) —
+    // the rank metric the threshold sweep deliberately avoids computing
+    // corpus-wide; quantization bounds the rank frame, tied pairs count
+    // half per the U convention (operators/Learn.aucQuantized).
+    "learn_auc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Learn.aucQuantized(
+        Learn.predictNaiveBayes(d,
+          Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
+          col("lang") === "en", DIMS),
+        decimals = 3)
+    }),
+
     // Ensemble sanity check: Cohen's kappa between the GD and NB
     // classifiers' hard labels (trained on the same corpus).
     "learn_model_agreement" -> ((s, dir) => {
@@ -264,6 +277,25 @@ object LearnQueries extends QueryPack {
          |  CAST(y AS BIGINT) AS y
          |FROM sc JOIN lab USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // same quantized-grid U arithmetic: integer 2U, one final division
+    "learn_auc" ->
+      s"""WITH $nbCtes,
+         |$nbPredCtes,
+         |px AS (SELECT round(score, 3) AS s, CAST(y AS BIGINT) AS y
+         |       FROM sc JOIN lab USING (doc_id)),
+         |cnt AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn
+         |        FROM px GROUP BY s),
+         |acc AS (SELECT s, np, nn,
+         |    coalesce(sum(nn) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS nn_below
+         |  FROM cnt)
+         |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
+         |  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |    sum(np * (2 * nn_below + nn)) /
+         |      (2.0 * sum(np) * sum(nn)) END, 6) AS auc
+         |FROM acc""".stripMargin,
 
     "learn_chi2_features" ->
       s"""WITH $nbCtes,

@@ -17,11 +17,11 @@ class UrlCanonicalizeSpec extends SparkSpec {
 
   test("case, default ports, fragments, and param order all collapse") {
     val variants = Seq(
-      "HTTP://WWW.Example.COM:80/a/b?x=2&a=1#frag",
-      "http://www.example.com/a/b?a=1&x=2",
-      "Http://www.EXAMPLE.com:80/a/b?x=2&a=1#other")
+      "HTTP://Example.COM:80/a/b?x=2&a=1#frag",
+      "http://example.com/a/b?a=1&x=2",
+      "Http://EXAMPLE.com:80/a/b?x=2&a=1#other")
     assert(canon(variants: _*).distinct ===
-      Seq("http://www.example.com/a/b?a=1&x=2"))
+      Seq("http://example.com/a/b?a=1&x=2"))
   }
 
   test("https default port 443 drops, non-default ports survive") {

@@ -165,4 +165,28 @@ class LearnSpec extends SparkSpec {
     val preds = Learn.predictLogReg(d, w, col("y") === 1, dims = 32)
     assert(preds.count() == 6)
   }
+
+  test("aucQuantized: separation = 1, anti-separation = 0, all-tied = 0.5, hand U") {
+    import spark.implicits._
+    def auc(rows: Seq[(Double, Long)]): Double =
+      Learn.aucQuantized(rows.toDF("score", "y")).head().getDouble(2)
+    // perfect separation: every positive above every negative
+    assert(auc(Seq((0.9, 1L), (0.8, 1L), (0.2, 0L), (0.1, 0L))) === 1.0)
+    assert(auc(Seq((0.9, 0L), (0.8, 0L), (0.2, 1L), (0.1, 1L))) === 0.0)
+    // one shared score: all pairs tied → 0.5 each
+    assert(auc(Seq((0.5, 1L), (0.5, 0L), (0.5, 1L), (0.5, 0L))) === 0.5)
+    // hand-computed mixed case: pos {0.8, 0.4}, neg {0.6, 0.2}
+    // pairs: (.8>.6)=1 (.8>.2)=1 (.4<.6)=0 (.4>.2)=1 → U=3, AUC=3/4
+    assert(auc(Seq((0.8, 1L), (0.4, 1L), (0.6, 0L), (0.2, 0L))) === 0.75)
+    // quantization merges 0.1001/0.1004 into a tie at 3 decimals — the
+    // pair counts half, by the U convention
+    assert(auc(Seq((0.1001, 1L), (0.1004, 0L))) === 0.5)
+  }
+
+  test("aucQuantized: single-class input yields null auc, not a division error") {
+    import spark.implicits._
+    val r = Learn.aucQuantized(Seq((0.5, 1L), (0.9, 1L)).toDF("score", "y")).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L)
+    assert(r.isNullAt(2))
+  }
 }

@@ -108,6 +108,18 @@ object LearnQueries extends QueryPack {
         THRESHOLDS)
     }),
 
+    // Proper held-out evaluation — the train/serve hygiene every corpus
+    // classifier needs: NB trains ONLY on the deterministic hash-split
+    // train partition, confusion metrics come ONLY from the unseen eval
+    // partition (same split rule as text_train_split).
+    "learn_holdout_eval" -> ((s, dir) => {
+      val d = graft.operators.TextAnalysis.hashSplit(docs(s, dir))
+      val model = Learn.trainNaiveBayes(
+        d.filter(col("split") === "train"), col("lang") === "en", DIMS)
+      Learn.evalMetrics(Learn.predictNaiveBayes(
+        d.filter(col("split") === "eval"), model, col("lang") === "en", DIMS))
+    }),
+
     // Exact ROC AUC (Mann-Whitney U over the quantized NB score grid) —
     // the rank metric the threshold sweep deliberately avoids computing
     // corpus-wide; quantization bounds the rank frame, tied pairs count
@@ -186,9 +198,12 @@ object LearnQueries extends QueryPack {
 
   /** Naive Bayes body: joined design rows, class-conditional totals, and
     * the smoothed log-ratio model — the operator's parenthesization. */
-  private def nbBody: String =
+  /** NB closed-form model CTEs over arbitrary tf/lab relation names, so
+    * the hold-out oracle can train on a FILTERED design matrix with the
+    * same arithmetic. */
+  private def nbBodyOn(tf: String, lab: String): String =
     s"""fc AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
-       |                    FROM tf JOIN lab USING (doc_id)),
+       |                    FROM $tf JOIN $lab USING (doc_id)),
        |pb AS (SELECT bucket,
        |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS c1,
        |         sum(CASE WHEN y = 0.0 THEN cnt ELSE 0 END) AS c0
@@ -205,6 +220,8 @@ object LearnQueries extends QueryPack {
        |         ln(n1 / n0) AS prior
        |       FROM range($DIMS) r LEFT JOIN pb ON r.range = pb.bucket
        |       CROSS JOIN tt)""".stripMargin
+
+  private def nbBody: String = nbBodyOn("tf", "lab")
 
   private def nbCtes: String = s"$baseCtes,\n$nbBody"
 
@@ -317,6 +334,49 @@ object LearnQueries extends QueryPack {
          |         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred,
          |         CAST(y AS BIGINT) AS y
          |       FROM sc JOIN lab USING (doc_id)),
+         |cm AS (SELECT count(*) AS n,
+         |         CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |       FROM px)
+         |SELECT n, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
+         |      (CASE WHEN tp + fn = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
+         |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
+         |      (tp / CAST(tp + fn AS DOUBLE)) /
+         |      ((tp / CAST(tp + fp AS DOUBLE)) +
+         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
+         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |FROM cm""".stripMargin,
+
+    // train-partition model (nbBodyOn over the filtered design matrix),
+    // eval-partition confusion — same split rule, same finalization
+    "learn_holdout_eval" ->
+      s"""WITH $baseCtes,
+         |spl AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+         |      % 100 < 90 THEN 'train' ELSE 'eval' END AS split
+         |  FROM documents),
+         |tft AS MATERIALIZED (SELECT tf.* FROM tf JOIN spl USING (doc_id)
+         |  WHERE split = 'train'),
+         |labt AS MATERIALIZED (SELECT lab.* FROM lab JOIN spl USING (doc_id)
+         |  WHERE split = 'train'),
+         |${nbBodyOn("tft", "labt")},
+         |tfe AS (SELECT tf.* FROM tf JOIN spl USING (doc_id)
+         |  WHERE split = 'eval'),
+         |sce AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+         |        FROM tfe JOIN model USING (bucket) GROUP BY 1),
+         |px AS (SELECT sce.doc_id,
+         |         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred,
+         |         CAST(y AS BIGINT) AS y
+         |       FROM sce JOIN lab USING (doc_id)),
          |cm AS (SELECT count(*) AS n,
          |         CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
          |         CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,

@@ -31,7 +31,9 @@ object PlanCheck {
       println(s"PLANCHECK $q: BroadcastHashJoin=${n("BroadcastHashJoin")} " +
         s"SortMergeJoin=${n("SortMergeJoin")} " +
         s"ShuffledHashJoin=${n("ShuffledHashJoin")} " +
-        s"BroadcastNestedLoop=${n("BroadcastNestedLoopJoin")}")
+        s"BroadcastNestedLoop=${n("BroadcastNestedLoopJoin")} " +
+        s"ShuffleExchange=${n("Exchange hashpartitioning")} " +
+        s"SinglePartExchange=${n("Exchange SinglePartition")}")
     }
     spark.stop()
   }

@@ -35,23 +35,41 @@ object TimeSeries {
     val lagged = events.select(
       col(seriesCol) +: col(valCol) +:
         (1 to maxLag).map(k => lag(col(valCol), k).over(w).as(s"_lag_$k")): _*)
-    (1 to maxLag).map { k =>
-      val x = col(valCol)
+    // explicit-sums Pearson r — (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    // — NOT the engine's corr aggregate, so a SQL oracle replays the same
+    // arithmetic (the MomentsAgg convention). All maxLag lags aggregate
+    // in ONE conditional-sum pass (per-lag filters become when() masks),
+    // and the groupBy inherits the window's hash partitioning on the
+    // series key — one exchange total, not one per lag.
+    val x = col(valCol)
+    val aggs = (1 to maxLag).flatMap { k =>
       val y = col(s"_lag_$k")
-      // explicit-sums Pearson r — (nΣxy − ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))
-      // — NOT the engine's corr aggregate, so a SQL oracle replays the
-      // same arithmetic (the MomentsAgg convention)
-      val agg = lagged.filter(y.isNotNull)
-        .groupBy(col(seriesCol))
-        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
-      val dx = col("n") * col("sxx") - col("sx") * col("sx")
-      val dy = col("n") * col("syy") - col("sy") * col("sy")
-      val r = when(col("n") >= 2 && dx > 0.0 && dy > 0.0,
-        (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(dx * dy))
-      agg.select(col(seriesCol), lit(k).as("lag"),
+      val m = y.isNotNull
+      Seq(count(when(m, lit(1))).as(s"n_$k"),
+        sum(when(m, x)).as(s"sx_$k"), sum(when(m, y)).as(s"sy_$k"),
+        sum(when(m, x * x)).as(s"sxx_$k"), sum(when(m, y * y)).as(s"syy_$k"),
+        sum(when(m, x * y)).as(s"sxy_$k"))
+    }
+    val sums = lagged.groupBy(col(seriesCol)).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to maxLag).map { k =>
+      struct(lit(k).as("lag"), col(s"n_$k").as("n"),
+        col(s"sx_$k").as("sx"), col(s"sy_$k").as("sy"),
+        col(s"sxx_$k").as("sxx"), col(s"syy_$k").as("syy"),
+        col(s"sxy_$k").as("sxy"))
+    }
+    val long = sums.select(col(seriesCol), explode(array(rows: _*)).as("g"))
+      .select(col(seriesCol), col("g.lag").as("lag"), col("g.n").as("n"),
+        col("g.sx").as("sx"), col("g.sy").as("sy"), col("g.sxx").as("sxx"),
+        col("g.syy").as("syy"), col("g.sxy").as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    val r = when(col("n") >= 2 && dx > 0.0 && dy > 0.0,
+      (col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(dx * dy))
+    // a series shorter than k has no lag-k pairs at all — emit no row
+    // (matching the filtered-sums formulation), not an n=0 row
+    long.filter(col("n") > 0)
+      .select(col(seriesCol), col("lag"),
         round(r, 6).as("r"), col("n").as("n_pairs"))
-    }.reduce(_ unionByName _)
   }
 
   /** Hour-of-day seasonal baseline per series, and each event scored

@@ -446,6 +446,30 @@ object Learn {
       round((col("tp") + col("tn")) / col("n"), 6).as("accuracy")): _*)
   }
 
+  /** k-fold cross-validated Naive Bayes: deterministic md5 fold
+    * assignment, one closed-form model per fold-complement, confusion
+    * metrics on each held-out fold — the model-selection loop that tells
+    * you whether a single split's metrics were luck. Every fold's
+    * train/score pass is aggregation-only, so the whole CV is `folds`
+    * scans with no iterative state.
+    *
+    * @return one finalized metrics row per fold, ordered by fold.
+    */
+  def crossValNB(docs: DataFrame, labelCol: Column, dims: Int = 64,
+      folds: Int = 5): DataFrame = {
+    require(folds >= 2, s"need >= 2 folds, got $folds")
+    val withFold = docs.withColumn("_fold",
+      TextAnalysis.hashBucket(col("doc_id"), folds))
+    (0 until folds).map { f =>
+      val model = trainNaiveBayes(
+        withFold.filter(col("_fold") =!= f), labelCol, dims)
+      val preds = predictNaiveBayes(
+        withFold.filter(col("_fold") === f), model, labelCol, dims)
+      val m = evalMetrics(preds)
+      m.select(lit(f.toLong).as("fold") +: m.columns.toSeq.map(col): _*)
+    }.reduce(_ unionByName _).orderBy("fold")
+  }
+
   /** Exact ROC AUC via the Mann-Whitney U statistic over a QUANTIZED
     * score grid — the scale-correct AUC: the corpus reduces to one
     * (score, n_pos, n_neg) row per distinct quantized score (bounded by

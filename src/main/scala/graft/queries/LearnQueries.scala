@@ -120,6 +120,12 @@ object LearnQueries extends QueryPack {
         d.filter(col("split") === "eval"), model, col("lang") === "en", DIMS))
     }),
 
+    // k-fold cross-validation: 5 deterministic md5 folds, one
+    // closed-form NB per fold-complement, held-out confusion metrics
+    // per fold (operators/Learn.crossValNB).
+    "learn_kfold_cv" -> ((s, dir) =>
+      Learn.crossValNB(docs(s, dir), col("lang") === "en", DIMS, folds = 5)),
+
     // Exact ROC AUC (Mann-Whitney U over the quantized NB score grid) —
     // the rank metric the threshold sweep deliberately avoids computing
     // corpus-wide; quantization bounds the rank frame, tied pairs count
@@ -198,28 +204,29 @@ object LearnQueries extends QueryPack {
 
   /** Naive Bayes body: joined design rows, class-conditional totals, and
     * the smoothed log-ratio model — the operator's parenthesization. */
-  /** NB closed-form model CTEs over arbitrary tf/lab relation names, so
-    * the hold-out oracle can train on a FILTERED design matrix with the
-    * same arithmetic. */
-  private def nbBodyOn(tf: String, lab: String): String =
-    s"""fc AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
+  /** NB closed-form model CTEs over arbitrary tf/lab relation names (and
+    * an optional CTE-name suffix for multi-model chains), so the
+    * hold-out and k-fold oracles can train on FILTERED design matrices
+    * with the same arithmetic. */
+  private def nbBodyOn(tf: String, lab: String, sfx: String = ""): String =
+    s"""fc$sfx AS MATERIALIZED (SELECT doc_id, bucket, cnt, y
        |                    FROM $tf JOIN $lab USING (doc_id)),
-       |pb AS (SELECT bucket,
+       |pb$sfx AS (SELECT bucket,
        |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS c1,
        |         sum(CASE WHEN y = 0.0 THEN cnt ELSE 0 END) AS c0
-       |       FROM fc GROUP BY 1),
-       |tt AS MATERIALIZED (SELECT
+       |       FROM fc$sfx GROUP BY 1),
+       |tt$sfx AS MATERIALIZED (SELECT
        |         sum(CASE WHEN y = 1.0 THEN cnt ELSE 0 END) AS t1,
        |         sum(CASE WHEN y = 0.0 THEN cnt ELSE 0 END) AS t0,
        |         CAST(count(DISTINCT CASE WHEN y = 1.0 THEN doc_id END) AS DOUBLE) AS n1,
        |         CAST(count(DISTINCT CASE WHEN y = 0.0 THEN doc_id END) AS DOUBLE) AS n0
-       |       FROM fc),
-       |model AS MATERIALIZED (SELECT r.range AS bucket,
+       |       FROM fc$sfx),
+       |model$sfx AS MATERIALIZED (SELECT r.range AS bucket,
        |         ln((coalesce(c1, 0) + $ALPHA) / (t1 + ${ALPHA * DIMS})) -
        |         ln((coalesce(c0, 0) + $ALPHA) / (t0 + ${ALPHA * DIMS})) AS w,
        |         ln(n1 / n0) AS prior
-       |       FROM range($DIMS) r LEFT JOIN pb ON r.range = pb.bucket
-       |       CROSS JOIN tt)""".stripMargin
+       |       FROM range($DIMS) r LEFT JOIN pb$sfx ON r.range = pb$sfx.bucket
+       |       CROSS JOIN tt$sfx)""".stripMargin
 
   private def nbBody: String = nbBodyOn("tf", "lab")
 
@@ -355,6 +362,55 @@ object LearnQueries extends QueryPack {
          |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
          |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
          |FROM cm""".stripMargin,
+
+    // five suffixed NB chains (nbBodyOn per fold-complement), each
+    // scored on its held-out fold; one shared finalization over the
+    // unioned confusion rows
+    "learn_kfold_cv" -> {
+      val folds = 5
+      val foldCtes = (0 until folds).map { f =>
+        s"""tft_$f AS MATERIALIZED (SELECT tf.* FROM tf JOIN fld USING (doc_id)
+           |  WHERE fold <> $f),
+           |labt_$f AS (SELECT lab.* FROM lab JOIN fld USING (doc_id)
+           |  WHERE fold <> $f),
+           |${nbBodyOn(s"tft_$f", s"labt_$f", s"_$f")},
+           |tfe_$f AS (SELECT tf.* FROM tf JOIN fld USING (doc_id)
+           |  WHERE fold = $f),
+           |sce_$f AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+           |        FROM tfe_$f JOIN model_$f USING (bucket) GROUP BY 1),
+           |cm_$f AS (SELECT CAST($f AS BIGINT) AS fold, count(*) AS n,
+           |  CAST(sum(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(sum(CASE WHEN score >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(sum(CASE WHEN score < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CAST(sum(CASE WHEN score < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM (SELECT score, CAST(y AS BIGINT) AS y
+           |        FROM sce_$f JOIN lab USING (doc_id)))""".stripMargin
+      }.mkString(",\n")
+      val cmUnion = (0 until folds).map(f => s"SELECT * FROM cm_$f")
+        .mkString(" UNION ALL ")
+      s"""WITH $baseCtes,
+         |fld AS MATERIALIZED (SELECT doc_id,
+         |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+         |      % $folds AS fold
+         |  FROM documents),
+         |$foldCtes,
+         |cm AS ($cmUnion)
+         |SELECT fold, n, tp, fp, fn, tn,
+         |  round(CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
+         |  round(CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
+         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
+         |      (CASE WHEN tp + fn = 0 THEN 0.0
+         |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
+         |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
+         |      (tp / CAST(tp + fn AS DOUBLE)) /
+         |      ((tp / CAST(tp + fp AS DOUBLE)) +
+         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
+         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |FROM cm ORDER BY fold""".stripMargin
+    },
 
     // train-partition model (nbBodyOn over the filtered design matrix),
     // eval-partition confusion — same split rule, same finalization

@@ -69,6 +69,19 @@ class SketchSpec extends SparkSpec {
     assert(got("(all)") === ((60L, 60.0, 0.0)))
   }
 
+  test("KMV k-minimum cut plans as WindowGroupLimit (map-side top-k before the shuffle)") {
+    import spark.implicits._
+    val rows = (1L to 2000L).map(k => ("g", k))
+    val plan = Sketch.kmvDistinct(rows.toDF("grp", "key"), "key", "grp", k = 64)
+      .queryExecution.executedPlan.toString
+    // the rank window must push a partial top-k to the map side — the
+    // '(all)' scope's single partition then receives <= k·numPartitions
+    // rows, not every distinct hash in the corpus
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+    assert("Partial.*WindowGroupLimit|WindowGroupLimit.*Partial".r
+      .findFirstIn(plan).isDefined, "expected a Partial mode WindowGroupLimit")
+  }
+
   test("KMV estimate kicks in above k and stays within a loose band") {
     import spark.implicits._
     val rows = (1L to 5000L).map(k => ("g", k))

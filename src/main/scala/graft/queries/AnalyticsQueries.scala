@@ -150,6 +150,31 @@ object AnalyticsQueries extends QueryPack {
         groupCol = "event_type", valCol = "value", nBuckets = 8)
         .orderBy("event_type", "bucket")),
 
+    // Weighted median: the quantity-weighted median extended price per
+    // return flag — first row (in deterministic (price, key) order)
+    // whose cumulative weight crosses half the group total. One
+    // exchange + sort per the window pair; l_quantity is
+    // integer-valued so every cumulative sum is IEEE-exact.
+    "agg_weighted_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").as("wt"), col("l_orderkey"), col("l_linenumber"))
+      val ord = Seq(col("price"), col("l_orderkey"), col("l_linenumber"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val ranked = li
+        .withColumn("cum", sum(col("wt")).over(wCum))
+        .withColumn("tot", sum(col("wt")).over(wAll))
+        .filter(col("cum") >= col("tot") * 0.5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(ord: _*)))
+        .filter(col("rn") === 1)
+      ranked.select(col("l_returnflag"),
+          col("price").as("weighted_median_price"),
+          col("tot").cast("long").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // PSI distribution-drift monitor: reference vs current order-price
     // snapshots (deterministic derived versions — current drops %9 keys
     // and scales %3 prices by 1.1), binned on the REFERENCE bounds;
@@ -1000,6 +1025,24 @@ object AnalyticsQueries extends QueryPack {
         |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r,
         |  n AS n_pairs
         |FROM sums ORDER BY event_type, lag""".stripMargin,
+
+    // same deterministic (price, key) cumulative-weight walk
+    "agg_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    l_quantity AS wt,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem)
+        |SELECT l_returnflag, price AS weighted_median_price,
+        |  tot::BIGINT AS total_weight
+        |FROM c WHERE cum >= tot * 0.5
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY price, l_orderkey, l_linenumber) = 1
+        |ORDER BY l_returnflag""".stripMargin,
 
     // same fixed-parenthesization bucket arithmetic on the reference
     // bounds, same eps-floored PSI terms

@@ -651,6 +651,30 @@ object Multimodal {
       }
   }
 
+  case class LumaCell(media_id: Long, cell: Int, luma: Double)
+
+  /** g×g area-average luminance grid per image blob — the downsample /
+    * thumbnail-features kernel over REAL decoded pixels, in fully
+    * integer arithmetic (integer per-pixel luma, integer cell sums; the
+    * one division per cell is exact-integer-over-integer), so an oracle
+    * that knows the source pixels replays every cell bit-for-bit.
+    * 1:g² generator kernel; blobs never leave the executors.
+    */
+  def imageLumaGrid(media: DataFrame, g: Int): Dataset[LumaCell] = {
+    require(g >= 1, s"grid must be >= 1, got $g")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "bytes are not a decodable image")
+        ImageIoCodec.lumaGrid(img, g).zipWithIndex.map {
+          case (l, i) => LumaCell(id, i, l)
+        }
+      })
+  }
+
   /** Per-frame features (dims + perceptual hash) without materializing
     * frame bytes — the cheap form of [[sampleFrames]] for feature/dedup
     * pipelines where the extracted frame itself is not the product.

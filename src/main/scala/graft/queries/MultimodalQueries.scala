@@ -120,6 +120,21 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id")
     }),
 
+    // PIXEL-EXACT image processing end-to-end: fixture PNG → real
+    // javax.imageio decode → integer per-pixel luma → 4×4 area-average
+    // grid. Every cell is integer-sum/integer-count, so the oracle
+    // recomputes all 16 cells per image from the generator pattern —
+    // one mangled pixel anywhere in the PNG round trip shifts a cell.
+    "mm_image_luma_grid" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixturePng(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.imageLumaGrid(pngs, g = 4).toDF()
+        .select(col("media_id"), col("cell"), round(col("luma"), 6).as("luma"))
+        .orderBy("media_id", "cell")
+    }),
+
     // REAL audio analysis end-to-end: fixture WAV → SoundCodec windowed
     // features off the fully-decoded PCM — per-160-frame energy (exact
     // integer Σ sample²) and channel-0 zero crossings. Integer sums are
@@ -226,6 +241,30 @@ object MultimodalQueries extends QueryPack {
         |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
         |  CAST((2 + pk % 4) * 100 AS BIGINT) AS duration_ms
         |FROM p ORDER BY media_id""".stripMargin,
+
+    // Full pixel replay: pattern v = (pk·7 + x·31 + y·17) % 256 with
+    // channels (v, 3v%256, 5v%256); integer luma, integer cell sums —
+    // the one division per cell is the only double.
+    "mm_image_luma_grid" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, (doc_id % 50)::BIGINT AS pk
+        |  FROM documents),
+        |dims AS (SELECT media_id, pk,
+        |    8 + (pk % 5) * 4 AS w, 8 + (pk % 3) * 4 AS h FROM p),
+        |px AS (SELECT media_id, pk, w, h, x.range AS x, y.range AS y
+        |  FROM dims, range(0, 24) x, range(0, 16) y
+        |  WHERE x.range < w AND y.range < h),
+        |lm AS (SELECT media_id,
+        |    (least(3, (y * 4) // h) * 4 + least(3, (x * 4) // w))::INTEGER
+        |      AS cell,
+        |    (v * 299 + ((v * 3) % 256) * 587 + ((v * 5) % 256) * 114) // 1000
+        |      AS lum
+        |  FROM (SELECT media_id, w, h, x, y,
+        |          (pk * 7 + x * 31 + y * 17) % 256 AS v FROM px))
+        |SELECT media_id, cell,
+        |  round(sum(lum)::DOUBLE / count(*), 6) AS luma
+        |FROM lm GROUP BY media_id, cell
+        |ORDER BY media_id, cell""".stripMargin,
 
     // The PCM samples replay from the integer-sawtooth generator
     // (v = (((f·(pk+3) + c·97) % 2048) − 1024)·16), so energy and

@@ -198,6 +198,28 @@ object AnalyticsQueries extends QueryPack {
         keyCol = "o_custkey", attrCol = "o_orderstatus",
         tsCol = "o_orderdate", idCol = "o_orderkey")),
 
+    // Point-in-time (temporal) lookup against the SCD2 history: each
+    // order fetches its customer's status version valid 30 days before
+    // the order date. SCD2 versions tile time per key, so "the version
+    // containing t" IS "latest valid_from ≤ t" — a backward as-of join
+    // on valid_from, never a range join; same-date version ties resolve
+    // by joinAsOf's greatest-carried-tuple rule.
+    "scd2_pit_lookup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val dim = graft.operators.History.scd2(orders,
+        keyCol = "o_custkey", attrCol = "o_orderstatus",
+        tsCol = "o_orderdate", idCol = "o_orderkey")
+      val facts = orders.select(col("o_orderkey"), col("o_custkey"),
+        (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("as_of"))
+      AsOf.joinAsOf(facts, dim,
+          key = "o_custkey", leftTime = "as_of", rightTime = "valid_from",
+          rightCols = Seq("o_orderstatus", "valid_from"), prefix = "pit_")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("pit_o_orderstatus").as("status_30d_prior"),
+          col("pit_valid_from"))
+        .orderBy("o_orderkey")
+    }),
+
     // Snapshot diff: reconcile two deterministic derived versions of
     // orders (v1 drops keys %10=0, v2 drops %9=0 and rewrites the
     // status of %7=0) into added/removed/changed rows — ONE full-outer
@@ -1230,6 +1252,30 @@ object AnalyticsQueries extends QueryPack {
         |    WHEN NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
         |      AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
         |    THEN 'changed' END IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // brute-force temporal lookup: all versions with valid_from <= the
+    // lookup instant, argmax by (valid_from DESC, status DESC) — the
+    // operator's latest-at-or-before + greatest-carried-tuple rule
+    "scd2_pit_lookup" ->
+      """WITH w AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |dim AS (SELECT o_custkey, o_orderstatus, o_orderdate AS valid_from
+        |  FROM w WHERE prev IS NULL OR prev <> o_orderstatus),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |    o_orderdate - INTERVAL 30 DAY AS as_of FROM orders),
+        |cand AS (SELECT f.o_orderkey, f.o_custkey, d.o_orderstatus,
+        |    d.valid_from
+        |  FROM f LEFT JOIN dim d
+        |    ON f.o_custkey = d.o_custkey AND d.valid_from <= f.as_of)
+        |SELECT o_orderkey, o_custkey,
+        |  o_orderstatus AS status_30d_prior, valid_from AS pit_valid_from
+        |FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |  ORDER BY valid_from DESC NULLS LAST, o_orderstatus DESC) = 1
         |ORDER BY o_orderkey""".stripMargin,
 
     "ab_conversion_ztest" ->

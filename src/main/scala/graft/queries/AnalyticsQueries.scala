@@ -198,6 +198,28 @@ object AnalyticsQueries extends QueryPack {
         keyCol = "o_custkey", attrCol = "o_orderstatus",
         tsCol = "o_orderdate", idCol = "o_orderkey")),
 
+    // Gaps-and-islands: per-user consecutive-active-day streaks via the
+    // row_number-difference trick — island id = epoch_day − rank, an
+    // integer constant within each run of consecutive days. Two
+    // exchanges: the (user, day) distinct, then the user-keyed window;
+    // everything after the distinct is |users|·|days|-bounded.
+    "window_activity_streaks" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      val islands = days.withColumn("island", col("d") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+      islands.groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy("user_id")
+    }),
+
     // Point-in-time (temporal) lookup against the SCD2 history: each
     // order fetches its customer's status version valid 30 days before
     // the order date. SCD2 versions tile time per key, so "the version
@@ -1253,6 +1275,22 @@ object AnalyticsQueries extends QueryPack {
         |      AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
         |    THEN 'changed' END IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
+
+    // same epoch-day integer island arithmetic
+    "window_activity_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE))::BIGINT AS d
+        |  FROM events),
+        |isl AS (SELECT user_id, d,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len
+        |  FROM isl GROUP BY user_id, island)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks, sum(len)::BIGINT AS n_active_days
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // brute-force temporal lookup: all versions with valid_from <= the
     // lookup instant, argmax by (valid_from DESC, status DESC) — the

@@ -31,6 +31,22 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
 
 oracle = json.load(open(f'{OUT}/oracle_sql.json'))
 
+# every dumped query must have an oracle and vice versa — a query missing
+# from either side silently escapes the gate (the r7 failure mode)
+if not only:
+    dumps = {d for d in os.listdir(OUT)
+             if os.path.isdir(f'{OUT}/{d}')}
+    fq = f'{OUT}/failed_queries.json'
+    failed_set = set(json.load(open(fq))) if os.path.exists(fq) else set()
+    no_oracle = dumps - set(oracle)
+    no_dump = set(oracle) - dumps
+    if no_oracle:
+        print('WARN dumped without oracle:', sorted(no_oracle))
+    if no_dump:
+        print('WARN oracle without dump:', sorted(no_dump))
+    if failed_set:
+        print('WARN failed queries:', sorted(failed_set))
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return 'NaN'

@@ -34,6 +34,18 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
+    // Multiclass confusion matrix of the language-ID heuristic against
+    // the table's ground-truth labels — the per-pair error structure a
+    // router/filter needs before trusting the classifier (which langs
+    // leak into which). |langs|² bounded output, one hash agg.
+    "text_langid_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang").as("actual_lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .groupBy("actual_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual_lang", "pred_lang")),
+
     // Quality scoring (length/punct/stopword ratio composite).
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir))
@@ -628,6 +640,12 @@ object TextQueries extends QueryPack {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_lang_id" -> langIdSql,
+
+    // the lang-id replay joined back to ground truth, counted per pair
+    "text_langid_confusion" ->
+      s"""SELECT d.lang AS actual_lang, p.pred_lang, count(*) AS n
+         |FROM ($langIdSql) p JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_quality" -> s"$qualityBodySql\nORDER BY doc_id",
 

@@ -60,13 +60,20 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostPort = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
-    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    // Authority may carry `userinfo@`; the host starts after the LAST `@`
+    // (`[^@]*$` = @-free tail). Userinfo never identifies the resource, so
+    // it is dropped from the dedup key.
+    val hostPortNoUser = regexp_extract(hostPort, "([^@]*)$", 1)
+    val host = lower(regexp_extract(hostPortNoUser, "^([^:]*)", 1))
+    val port = regexp_extract(hostPortNoUser, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // `?` is legal inside an RFC 3986 fragment — strip the fragment BEFORE
+    // looking for the query so `#f?x=1` doesn't fabricate one.
+    val preFrag = regexp_extract(url, "^([^#]*)", 1)
+    val query = regexp_extract(preFrag, "\\?(.*)$", 1)
     val sortedQuery = array_join(array_sort(split(query, "&")), "&")
     concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),

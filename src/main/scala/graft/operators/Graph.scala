@@ -365,7 +365,14 @@ object Graph {
     */
   def linkPredict(edges: DataFrame, minCommon: Long = 2L,
       topK: Int = 50): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // Degrees and wedges below assume an undirected view; symmetrize +
+    // distinct here (as knnEdges does) so a directed or duplicated input
+    // can't mix in-neighbor overlap with out-degrees or emit jaccard > 1.
+    // On an already-symmetric distinct input this is a semantic no-op.
+    val raw = edges.select(col("src"), col("dst"))
+    val e = raw
+      .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     val cn = e.alias("x")
       .join(e.alias("y"),

@@ -102,7 +102,11 @@ object Profile {
       val bucket = when(col("mx") > col("mn"),
         greatest(lit(0L), least(floor((v - col("mn")) / width),
           lit(nBuckets - 1L)))).otherwise(lit(0L)).cast("int")
-      df.crossJoin(broadcast(bounds.select(col("mn"), col("mx"))))
+      // Drop nulls BEFORE bucketing: least/greatest skip null operands, so
+      // a null v would land in the top bin while count(v) excludes it from
+      // the totals — binned counts and totals must cover the same rows.
+      df.filter(v.isNotNull)
+        .crossJoin(broadcast(bounds.select(col("mn"), col("mx"))))
         .select(bucket.as("bucket"))
         .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
     }

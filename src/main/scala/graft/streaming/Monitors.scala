@@ -332,7 +332,11 @@ object Monitors {
       greatest(lit(0L), least(floor((v - lit(mn)) / width),
         lit(nBuckets - 1L))).cast("int")
     else lit(0)
-    df.select(bucket.as("bucket")).groupBy(col("bucket"))
+    // Null values must not bucket (least/greatest skip nulls → top bin)
+    // while count(v) excludes them from the totals — same population for
+    // bins and totals, matching Profile.psiDrift.
+    df.filter(v.isNotNull)
+      .select(bucket.as("bucket")).groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_cur"))
   }
 

@@ -208,6 +208,20 @@ class GraphSpec extends SparkSpec {
     assert(loose === Set((2L, 4L), (3L, 4L)))
   }
 
+  test("linkPredict symmetrizes a directed/duplicated input itself") {
+    // Same square as above but fed ONE direction per edge (and one edge
+    // duplicated): the internal symmetrize+distinct must make the result
+    // identical to the symmetric feed — no jaccard > 1, no missed pairs.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val directed = und :+ (1L, 2L)
+    val got = Graph.linkPredict(edgeDF(directed), minCommon = 2L, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set((1L, 3L), (2L, 4L)))
+    assert(got((1L, 3L)) === ((2L, 1.0)))
+    assert(got((2L, 4L)) === ((2L, 1.0)))
+  }
+
   test("triangleStats: triangle-free graph is all zeros; deg-1 coeff is 0") {
     // Path 1-2-3: no triangles; endpoints have degree 1.
     val und = Seq((1L, 2L), (2L, 3L))

@@ -54,4 +54,17 @@ class ProfileSpec extends SparkSpec {
     assert(rows.length === 5)
     assert(rows.forall(r => !r.getDouble(3).isNaN))
   }
+
+  test("psiDrift: null values bucket nowhere (same population as totals)") {
+    val ref = Seq[Option[Double]](Some(0.0), Some(1.0), Some(2.0), Some(3.0),
+      Some(4.0), None, None).toDF("v")
+    val rows = Profile.psiDrift(ref, ref, "v", nBuckets = 5).collect()
+    // without the null filter the 2 nulls land in the TOP bin while the
+    // totals (count(v) = 5) exclude them → inflated top-bin rates
+    assert(rows.map(_.getLong(1)).sum === 5L)
+    assert(rows.map(_.getLong(2)).sum === 5L)
+    val top = rows.find(_.getInt(0) == 4).get
+    assert(top.getLong(1) === 1L && top.getLong(2) === 1L)
+    assert(rows.map(_.getDouble(3)).sum === 0.0)
+  }
 }

@@ -49,6 +49,24 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ").take(3).mkString(",")
       catch { case _: Throwable => "" }
+    def loadavg1(): Double =
+      try loadavg().split(",")(0).toDouble catch { case _: Throwable => -1.0 }
+    // Bounded wait for the 1-min loadavg to drop below `target` before a
+    // measurement pass — r7/r8 committed artifacts were both taken on a
+    // busy host (loadavg 12.6) and showed 9-22 phantom regressions on
+    // untouched code. Waiting is capped (default 90 s, env-tunable) so a
+    // permanently-busy host still produces a report, just an annotated one.
+    val loadWaitCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "90").toInt
+    def awaitQuietHost(target: Double): Boolean = {
+      val deadline = System.nanoTime() + loadWaitCap * 1e9.toLong
+      var l = loadavg1()
+      while (l > target && l >= 0 && System.nanoTime() < deadline) {
+        Thread.sleep(5000); l = loadavg1()
+      }
+      l >= 0 && l <= target
+    }
+    // Give the main sweep the same chance at a quiet host (bounded).
+    awaitQuietHost(cpus.toInt / 4.0)
     val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -111,17 +129,22 @@ object Bench {
           if (cur < 0) None
           else prev.get(name).filter(_ > 0).map(p => (name, p, cur, cur / p))
         }
-        // Second-pass re-measure of flagged regressions: one extra rep
-        // after the full sweep, taking the overall min — defeats
-        // transient host contention that spans a query's original 3 reps
-        // (the r7 artifact showed 22x phantom regressions that
-        // re-measured at baseline on an idle host).
+        // Second-pass re-measure of flagged regressions: after the full
+        // sweep, wait (bounded) for the host to go quiet, then re-run ONLY
+        // the flagged queries and keep the overall min — a regression is
+        // reported only if it survives the quiet-host re-measure. Defeats
+        // transient contention that spans a query's original 3 reps (the
+        // r7/r8 artifacts showed 9-22x phantom regressions on untouched
+        // code that re-measured at baseline on an idle host).
         val flagged0 = deltas0.filter(_._4 > 1.5).map(_._1).toSet
         val byName = SparkEntry.queries
+        val quiet =
+          if (flagged0.isEmpty) false else awaitQuietHost(cpus.toInt / 4.0)
+        val loadSecondPass = loadavg()
         val deltas = deltas0.map { case t @ (name, p, c, _) =>
           if (!flagged0.contains(name)) t
           else {
-            val re = timeQuery(byName(name), 1)
+            val re = timeQuery(byName(name), 2)
             val best = if (re > 0) math.min(c, re) else c
             (name, p, best, best / p)
           }
@@ -134,9 +157,9 @@ object Bench {
         val bj = broke.map("\"" + _ + "\"").mkString("[", ",", "]")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("target", "bench_delta.json"),
-          s"""{"baseline":"$basePath","threshold":1.5,"n_compared":${deltas.size},"broke":$bj,"regressions":$rj,"deltas":$dj}"""
+          s"""{"baseline":"$basePath","threshold":1.5,"n_compared":${deltas.size},"first_pass_flagged":${flagged0.size},"second_pass_quiet_host":$quiet,"loadavg_second_pass":"$loadSecondPass","broke":$bj,"regressions":$rj,"deltas":$dj}"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        println(s"""{"metric":"bench_regressions","value":${regressions.size},"broke":${broke.size},"threshold":1.5,"compared":${deltas.size}}""")
+        println(s"""{"metric":"bench_regressions","value":${regressions.size},"broke":${broke.size},"first_pass_flagged":${flagged0.size},"second_pass_quiet_host":$quiet,"threshold":1.5,"compared":${deltas.size}}""")
       }
     } catch { case _: Throwable => () }
     // Shuffle-skew probe: the inverted-index joins shuffle on shingle /

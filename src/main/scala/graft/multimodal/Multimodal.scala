@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Image decoding is REAL ([[ImageIoCodec]], `javax.imageio`), audio is
   * REAL ([[SoundCodec]], `javax.sound.sampled` WAV), and motion pictures
-  * are REAL for the one moving-image container the JDK ships a decoder
-  * for ([[GifCodec]], multi-frame animated GIF). Compressed video
-  * (H.264/VP9/...) has no in-JDK decoder and stays behind [[StubCodec]],
-  * which produces deterministic fake decodes.
+  * are REAL for two containers: multi-frame animated GIF ([[GifCodec]])
+  * and MJPEG-in-AVI ([[AviMjpegCodec]] — hand-parsed RIFF container,
+  * per-frame JPEG decode via `javax.imageio`). Inter-frame-compressed
+  * video (H.264/VP9/...) has no in-JDK entropy decoder and stays behind
+  * [[StubCodec]], which produces deterministic fake decodes.
   * Everything Spark-side is real and tested either way: schemas, binary
   * handling, partitioning, kernel signatures, batch shapes. Swapping
   * [[StubCodec]] for a JNI/ffmpeg-backed codec changes no plumbing.
@@ -354,6 +355,40 @@ object Multimodal {
     ios.close()
     writer.dispose()
     bos.toByteArray
+  }
+
+  /** Deterministic fixture MJPEG AVI: the same pattern family as
+    * [[fixtureGif]] (one raster per frame, pattern key shifted per
+    * frame), each frame JPEG-encoded by the JDK writer and wrapped in a
+    * hand-assembled RIFF/AVI container ([[AviMjpeg.write]]) at 25 fps —
+    * the compressed-video analog of [[fixtureGif]]. JPEG is lossy, so
+    * oracles check container metadata and decoded DIMENSIONS (exact),
+    * not pixel values; raster fidelity is spec-covered via aHash
+    * proximity in AviCodecSpec.
+    */
+  val fixtureAviUsPerFrame: Long = 40000L // 25 fps
+  def fixtureAvi(id: Long, patternMod: Long = 50L): Array[Byte] = {
+    val p = id % patternMod
+    val w = fixtureWidth(id, patternMod)
+    val h = fixtureHeight(id, patternMod)
+    val jpegs = (0 until fixtureVideoFrames(id, patternMod)).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((p + f) * 7 + x * 31 + y * 17) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 5) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    AviMjpeg.write(jpegs, w, h, fixtureAviUsPerFrame)
   }
 
   /** Real audio codec over the JDK's built-in `javax.sound.sampled` WAV

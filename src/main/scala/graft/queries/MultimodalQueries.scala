@@ -152,6 +152,42 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id", "win")
     }),
 
+    // REAL compressed-video codec #2: deterministic MJPEG AVI per doc
+    // (JDK JPEG encoder + hand-assembled RIFF container), parsed back
+    // byte-for-byte by AviMjpegCodec — dims/frame-count/duration off the
+    // real avih header and chunk walk, at 25 fps (40 ms/frame).
+    "mm_mjpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val avis = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureAvi(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decode(avis, kind = "video",
+          codec = graft.multimodal.AviMjpegCodec).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          (col("meta.durationMs") / 40L).cast("long").as("n_frames"),
+          col("meta.durationMs").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    // MJPEG frame features: every sampled frame decoded from its JPEG
+    // payload, dims read off the raster (proving genuine decode — JPEG
+    // is lossy but dimension-exact). Same shape as mm_video_frames.
+    "mm_mjpeg_frames" -> ((s, dir) => {
+      import s.implicits._
+      val avis = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureAvi(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.sampleFrameFeatures(avis, n = 8,
+          codec = graft.multimodal.AviMjpegCodec)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_w").cast("long").as("frame_w"),
+          col("frame_h").cast("long").as("frame_h"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // REAL frame extraction end-to-end: GIF container → GifCodec
     // sampleFrameFeatures — each frame's dims + perceptual hash read
     // straight off the decoded raster (one decode per frame, no PNG
@@ -295,6 +331,31 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, win, n_frames, ssq, zero_crossings
         |FROM en JOIN zc USING (media_id, win)
         |ORDER BY media_id, win""".stripMargin,
+
+    // The decoded dims/frame-count must equal the generator formulas
+    // (pattern key = doc_id % 50; frames = 2 + pk % 4, 40 ms/frame): a
+    // misparsed RIFF size chain, avih header, or chunk walk shifts them.
+    "mm_mjpeg_decode" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
+        |SELECT media_id, 'avi' AS format,
+        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
+        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
+        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
+        |  CAST((2 + pk % 4) * 40 AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // Every sampled MJPEG frame must carry the generator dimensions read
+    // off its decoded JPEG raster; n ≤ 5 < 8 so the even-stride sampler
+    // emits every frame exactly once, in order.
+    "mm_mjpeg_frames" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents),
+        |f AS (SELECT media_id, 2 + pk % 4 AS n,
+        |    8 + (pk % 5) * 4 AS w, 8 + (pk % 3) * 4 AS h
+        |  FROM p)
+        |SELECT media_id, i.range::INTEGER AS frame_idx,
+        |  CAST(w AS BIGINT) AS frame_w, CAST(h AS BIGINT) AS frame_h
+        |FROM f, range(0, 8) i WHERE i.range < n
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Every frame of every container must carry the generator dimensions
     // read off its decoded raster. n ≤ 5 < 8 so the even-stride sampler

@@ -2,7 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.fetch.Fetch.FileResult
 
@@ -40,8 +41,48 @@ object ObjectSink {
     }
   }
 
+  /** Names-manifest table: one (prefix, name) row per object written
+    * through this sink, appended as parquet under `<root>/_manifest`.
+    * This is the D1 dup-guard's object-store-scale "existing" side: a
+    * distributed parquet scan (the `prefix` equality filter prunes via
+    * row-group stats; a real deployment would partition the table by
+    * prefix/date), in place of a driver-side directory listing that
+    * can't enumerate billions of keys. Append-only; duplicate rows from
+    * batch re-delivery are harmless to the guard (anti-join/Bloom
+    * membership). A periodic compaction job can rewrite it, same as any
+    * append table.
+    */
+  def manifestPath(root: String): String = s"$root/_manifest"
+
+  /** Append the successfully-written artifacts' names to the manifest.
+    * Call right after [[write]] with the same error-free dataset; on a
+    * failed append the next batch simply re-fetches and skip-writes
+    * (at-least-once), then re-appends.
+    */
+  def appendManifest(written: Dataset[FileResult], root: String): Unit =
+    written.filter(col("error").isNull && col("body").isNotNull)
+      .select(
+        regexp_extract(col("key"), "^(.*)/[^/]*$", 1).as("prefix"),
+        element_at(split(col("key"), "/"), -1).as("name"))
+      .write.mode("append").parquet(manifestPath(root))
+
+  /** The manifest's names for one strategy prefix, as a distributed
+    * frame — None when no manifest exists yet (bootstrap/legacy sink).
+    * Explicit schema: a manifest dir holding only _SUCCESS (possible
+    * after an all-error batch) must read as empty, not fail inference.
+    */
+  def manifestNames(spark: SparkSession, root: String,
+      prefix: String): Option[DataFrame] =
+    if (!Files.isDirectory(Paths.get(manifestPath(root)))) None
+    else Some(spark.read.schema("prefix STRING, name STRING")
+      .parquet(manifestPath(root))
+      .filter(col("prefix") === prefix).select(col("name")))
+
   /** Names already present under `<root>/<prefix>/` — the D1 dup-guard's
-    * "existing" side for the anti-join form.
+    * "existing" side for the anti-join form. LEGACY/bootstrap path for
+    * sinks predating the manifest: a driver-side listing only works when
+    * the sink is a small local directory; [[manifestNames]] is the scale
+    * path and wins whenever a manifest exists.
     */
   def existingNames(root: String, prefix: String): Seq[String] = {
     val dir = Paths.get(root, prefix)

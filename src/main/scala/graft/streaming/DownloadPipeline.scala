@@ -173,12 +173,16 @@ object DownloadPipeline {
     */
   val bloomGuardThreshold = 100000
 
-  /** D1 dup-guard + X9 fetch + K3 sink for one strategy branch. The guard
-    * anti-joins against the names already in the sink — driver-listed
-    * here (one directory); at object-store scale the existing side would
-    * come from a names table, so the guard routes through a Bloom
-    * pre-filter above [[bloomGuardThreshold]] and otherwise leaves the
-    * join side planner-chosen (no forced broadcast of a growing set).
+  /** D1 dup-guard + X9 fetch + K3 sink for one strategy branch. The
+    * guard's "existing" side is the sink's names MANIFEST
+    * ([[ObjectSink.manifestNames]]) — a prefix-pruned distributed parquet
+    * scan appended by every successful write, never a driver-side listing
+    * of the sink (which can't enumerate an object store). Above
+    * [[bloomGuardThreshold]] existing keys the guard routes through a
+    * Bloom pre-filter ([[graft.operators.Dedup.bloomDupGuard]]); below it
+    * the anti-join side is left planner-chosen. A sink with objects but
+    * no manifest yet (bootstrap/legacy) falls back to one bounded
+    * directory listing.
     */
   private def fetchDedupWrite(candidates: DataFrame, root: String,
       prefix: String, overwrite: Boolean): Dataset[Fetch.FileResult] = {
@@ -187,20 +191,37 @@ object DownloadPipeline {
     val deduped =
       if (overwrite) candidates.dropDuplicates("key")
       else {
-        val names = ObjectSink.existingNames(root + "/out", prefix)
         val base = candidates.dropDuplicates("key")
-        if (names.size > bloomGuardThreshold)
-          graft.operators.Dedup.bloomDupGuard(base,
-            names.toDF("name"), "name", expectedKeys = names.size.toLong)
-        else
-          base.join(names.toDF("name_existing"),
-            col("name") === col("name_existing"), "left_anti")
+        ObjectSink.manifestNames(spark, root + "/out", prefix) match {
+          case Some(manifest) =>
+            // localCheckpoint PINS the batch-start manifest snapshot and
+            // severs the plan's tie to the manifest path: this batch's own
+            // appendManifest writes to that path, and a lineage-carrying
+            // plan would be invalidated by Spark's CacheManager recache,
+            // silently re-running the side-effecting fetch against the
+            // post-batch manifest (observed: downloads counted as 0).
+            val existing = manifest.localCheckpoint()
+            val n = existing.count()
+            if (n > bloomGuardThreshold)
+              graft.operators.Dedup.bloomDupGuard(base, existing, "name",
+                expectedKeys = n)
+            else
+              base.join(existing.select(col("name").as("name_existing")),
+                col("name") === col("name_existing"), "left_anti")
+          case None =>
+            val names = ObjectSink.existingNames(root + "/out", prefix)
+            if (names.isEmpty) base
+            else base.join(names.toDF("name_existing"),
+              col("name") === col("name_existing"), "left_anti")
+        }
       }
     // cache() so the side-effecting fetch runs once even though the result
     // feeds both the sink write and the caller's error/count actions; the
     // caller unpersists after the batch (stale-cache hazard, see above).
     val fetched = Fetch.fetchFiles(deduped).cache()  // caller tracks + unpersists
-    ObjectSink.write(fetched.filter(_.error == null), s"$root/out", overwrite)
+    val ok = fetched.filter(_.error == null)
+    ObjectSink.write(ok, s"$root/out", overwrite)
+    ObjectSink.appendManifest(ok, s"$root/out")
     fetched
   }
 

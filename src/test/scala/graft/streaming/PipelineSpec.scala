@@ -92,6 +92,37 @@ class PipelineSpec extends SparkSpec {
     assert(read(Paths.get(root, "out/LINKS_OVER/c.txt")) === "c-v2")
   }
 
+  test("D1 guard reads the names manifest, not a sink directory listing") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-manifest")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    import spark.implicits._
+    val u = src.toUri.toString
+    val tasks = Seq(("s-links", s"${u}page.html", "LINKS", "ignore", "0", 0))
+      .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
+
+    DownloadPipeline.processBatch(tasks, root)
+    assert(read(Paths.get(root, "out/LINK/a.csv")) === "alpha,1")
+    // the write appended a (prefix, name) manifest row per object
+    val manifest = spark.read
+      .parquet(graft.sinks.ObjectSink.manifestPath(s"$root/out"))
+      .select(col("prefix"), col("name")).as[(String, String)].collect().toSet
+    assert(manifest === Set("LINK" -> "a.csv", "LINK" -> "b.zip"))
+
+    // Remove the sink OBJECTS but keep the manifest: a directory-listing
+    // guard would see an empty sink and re-download; the manifest-backed
+    // guard must still skip both names across a fresh run.
+    Files.delete(Paths.get(root, "out/LINK/a.csv"))
+    Files.delete(Paths.get(root, "out/LINK/b.zip"))
+    DownloadPipeline.processBatch(tasks, root)
+    assert(!Files.exists(Paths.get(root, "out/LINK/a.csv")),
+      "guard consulted the sink directory instead of the manifest")
+    assert(!Files.exists(Paths.get(root, "out/LINK/b.zip")))
+  }
+
   test("E1: failed source flags Active:=2 in the rewritten catalog") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-e1")

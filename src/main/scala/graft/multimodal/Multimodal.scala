@@ -391,6 +391,39 @@ object Multimodal {
     AviMjpeg.write(jpegs, w, h, fixtureAviUsPerFrame)
   }
 
+  /** REAL video transcode kernel: multi-frame GIF container → MJPEG AVI.
+    * Every frame is genuinely decoded from the GIF bitstream, JPEG
+    * re-encoded (JDK writer), and packed into a hand-assembled RIFF/AVI
+    * container ([[AviMjpeg.write]]) at fixed `usPerFrame` timing — the
+    * decode→re-encode→remux shape of a production transcoding stage,
+    * runnable per-partition with blobs never leaving the executors.
+    */
+  def transcodeGifToAvi(media: DataFrame,
+      usPerFrame: Long = fixtureAviUsPerFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, gif) =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(gif))
+        val rs = javax.imageio.ImageIO.getImageReaders(iis)
+        require(rs.hasNext, "bytes are not a decodable image container")
+        val r = rs.next()
+        r.setInput(iis)
+        try {
+          val n = r.getNumImages(true)
+          val (w, h) = (r.getWidth(0), r.getHeight(0))
+          val jpegs = (0 until n).map { i =>
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(r.read(i), "jpg", bos)
+            bos.toByteArray
+          }
+          (id, AviMjpeg.write(jpegs, w, h, usPerFrame))
+        } finally { r.dispose(); iis.close() }
+      })
+      .toDF("media_id", "bytes")
+  }
+
   /** Real audio codec over the JDK's built-in `javax.sound.sampled` WAV
     * reader (in-JRE like `javax.imageio` — no external libs): the audio
     * half of the multimodal surface decodes REAL PCM data.

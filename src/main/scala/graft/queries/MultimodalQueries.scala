@@ -188,6 +188,25 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // REAL video transcode end-to-end: fixture GIF → per-frame decode →
+    // JPEG re-encode → RIFF/AVI remux (Multimodal.transcodeGifToAvi) →
+    // re-decode through AviMjpegCodec. Dims and frame count surviving
+    // the GIF→JPEG→AVI round trip prove every stage ran on real frames.
+    "mm_transcode_gif_avi" -> ((s, dir) => {
+      import s.implicits._
+      val gifs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.decode(Multimodal.transcodeGifToAvi(gifs), kind = "video",
+          codec = graft.multimodal.AviMjpegCodec).toDF()
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          (col("meta.durationMs") / 40L).cast("long").as("n_frames"),
+          col("meta.durationMs").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // REAL frame extraction end-to-end: GIF container → GifCodec
     // sampleFrameFeatures — each frame's dims + perceptual hash read
     // straight off the decoded raster (one decode per frame, no PNG
@@ -336,6 +355,17 @@ object MultimodalQueries extends QueryPack {
     // (pattern key = doc_id % 50; frames = 2 + pk % 4, 40 ms/frame): a
     // misparsed RIFF size chain, avih header, or chunk walk shifts them.
     "mm_mjpeg_decode" ->
+      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
+        |SELECT media_id, 'avi' AS format,
+        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
+        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
+        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
+        |  CAST((2 + pk % 4) * 40 AS BIGINT) AS duration_ms
+        |FROM p ORDER BY media_id""".stripMargin,
+
+    // Transcode preserves dims/frame-count/timing: the GIF source's
+    // generator formulas must survive decode → JPEG → AVI → re-decode.
+    "mm_transcode_gif_avi" ->
       """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
         |SELECT media_id, 'avi' AS format,
         |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,

@@ -78,6 +78,40 @@ object ObjectSink {
       .parquet(manifestPath(root))
       .filter(col("prefix") === prefix).select(col("name")))
 
+  /** Compact the append-only manifest: rewrite all accumulated
+    * (prefix, name) rows — one small file per batch per branch — into a
+    * deduplicated snapshot, atomically swapped in (write to a side dir,
+    * then two renames). Run it like any table-maintenance job (size- or
+    * count-triggered); the guard's read path is unchanged. Distinct
+    * shuffles only manifest rows (names, never objects), and the swap
+    * window is the same replace-in-place pattern as
+    * [[graft.sources.Catalog.replaceInPlace]].
+    *
+    * @return number of rows in the compacted snapshot. */
+  def compactManifest(spark: SparkSession, root: String): Long = {
+    val path = Paths.get(manifestPath(root))
+    if (!Files.isDirectory(path)) return 0L
+    val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
+    val old = path.resolveSibling(path.getFileName.toString + ".old")
+    val snapshot = spark.read.schema("prefix STRING, name STRING")
+      .parquet(manifestPath(root)).distinct()
+    snapshot.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    Files.move(path, old)
+    Files.move(tmp, path)
+    // best-effort cleanup of the displaced generation
+    def rmTree(p: java.nio.file.Path): Unit = {
+      val s = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } finally s.close()
+    }
+    try rmTree(old) catch { case _: Exception => () }
+    n
+  }
+
   /** Names already present under `<root>/<prefix>/` — the D1 dup-guard's
     * "existing" side for the anti-join form. LEGACY/bootstrap path for
     * sinks predating the manifest: a driver-side listing only works when

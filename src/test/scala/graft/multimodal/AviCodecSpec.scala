@@ -95,6 +95,31 @@ class AviCodecSpec extends SparkSpec {
       AviMjpegCodec.phash64(Multimodal.fixtureAvi(59L)))
   }
 
+  test("transcodeGifToAvi: every GIF frame survives into a decodable AVI") {
+    import spark.implicits._
+    val ids = Seq(3L, 9L, 12L)
+    val gifs = ids.toDF("media_id").as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
+      .toDF("media_id", "bytes")
+    val avis = Multimodal.transcodeGifToAvi(gifs)
+      .as[(Long, Array[Byte])].collect().toMap
+    ids.foreach { id =>
+      val meta = AviMjpegCodec.decodeMeta("video", avis(id))
+      assert(meta.format === "avi")
+      assert(meta.width === Multimodal.fixtureWidth(id))
+      assert(meta.height === Multimodal.fixtureHeight(id))
+      assert(meta.durationMs === 40L * Multimodal.fixtureVideoFrames(id))
+      // each transcoded frame raster stays aHash-close to the source GIF
+      val gifFeats = Multimodal.GifCodec
+        .sampleFrameFeatures(Multimodal.fixtureGif(id), 8)
+      val aviFeats = AviMjpegCodec.sampleFrameFeatures(avis(id), 8)
+      assert(gifFeats.length === aviFeats.length)
+      gifFeats.zip(aviFeats).foreach { case ((_, _, _, gp), (_, _, _, ap)) =>
+        assert(java.lang.Long.bitCount(gp ^ ap) <= 16)
+      }
+    }
+  }
+
   test("distributed kernel: decode + frame features over a partitioned frame") {
     import spark.implicits._
     val ids = Seq(3L, 7L, 12L, 53L)

@@ -121,6 +121,18 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root, "out/LINK/a.csv")),
       "guard consulted the sink directory instead of the manifest")
     assert(!Files.exists(Paths.get(root, "out/LINK/b.zip")))
+
+    // Compaction rewrites the accumulated per-batch files into one
+    // deduplicated snapshot; the guard must behave identically after.
+    val n = graft.sinks.ObjectSink.compactManifest(spark, s"$root/out")
+    assert(n === 2L)
+    val after = spark.read
+      .parquet(graft.sinks.ObjectSink.manifestPath(s"$root/out"))
+      .select(col("prefix"), col("name")).as[(String, String)].collect().toSet
+    assert(after === manifest)
+    DownloadPipeline.processBatch(tasks, root)
+    assert(!Files.exists(Paths.get(root, "out/LINK/a.csv")),
+      "guard regressed after manifest compaction")
   }
 
   test("E1: failed source flags Active:=2 in the rewritten catalog") {

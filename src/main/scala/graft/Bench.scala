@@ -138,8 +138,10 @@ object Bench {
         // code that re-measured at baseline on an idle host).
         val flagged0 = deltas0.filter(_._4 > 1.5).map(_._1).toSet
         val byName = SparkEntry.queries
+        // vacuously quiet when there was nothing to re-measure — a clean
+        // run must not be recorded as contaminated
         val quiet =
-          if (flagged0.isEmpty) false else awaitQuietHost(cpus.toInt / 4.0)
+          if (flagged0.isEmpty) true else awaitQuietHost(cpus.toInt / 4.0)
         val loadSecondPass = loadavg()
         val deltas = deltas0.map { case t @ (name, p, c, _) =>
           if (!flagged0.contains(name)) t

@@ -57,6 +57,11 @@ object AviMjpeg {
         val id = fourcc(bytes, off)
         val sz = u32(bytes, off + 4).toInt
         val body = off + 8
+        // A corrupt size field must ERROR, not hang: sz < 0 (u32 past
+        // Int.MaxValue) would walk the cursor backward or hold it still
+        // forever, and an overrun would zero-pad frame payloads.
+        require(sz >= 0 && body + sz <= until,
+          s"corrupt RIFF chunk '$id' at $off: size $sz exceeds container")
         if (id == "LIST" && sz >= 4) {
           val listType = fourcc(bytes, body)
           walk(body + 4, body + sz,

@@ -414,8 +414,25 @@ object Multimodal {
           val n = r.getNumImages(true)
           val (w, h) = (r.getWidth(0), r.getHeight(0))
           val jpegs = (0 until n).map { i =>
+            // the JDK JPEG writer declines alpha-bearing rasters (common
+            // for transparent GIFs) — render onto opaque RGB first, and
+            // fail loudly if the encoder still refuses (a silent false
+            // would drop the frame as a zero-byte chunk)
+            val src = r.read(i)
+            val img =
+              if (src.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) src
+              else {
+                val rgb = new java.awt.image.BufferedImage(
+                  src.getWidth, src.getHeight,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = rgb.createGraphics()
+                try g.drawImage(src, 0, 0, java.awt.Color.BLACK, null)
+                finally g.dispose()
+                rgb
+              }
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(r.read(i), "jpg", bos)
+            require(javax.imageio.ImageIO.write(img, "jpg", bos),
+              s"JPEG encoder refused frame $i")
             bos.toByteArray
           }
           (id, AviMjpeg.write(jpegs, w, h, usPerFrame))

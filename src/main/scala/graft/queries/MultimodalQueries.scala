@@ -29,6 +29,31 @@ object MultimodalQueries extends QueryPack {
 
   private val FRAMES = 4
 
+  // 40 ms/frame derived from the one fixture constant — no magic 40s
+  private val AVI_MS_PER_FRAME: Long = Multimodal.fixtureAviUsPerFrame / 1000L
+
+  /** One fixture blob per doc via a per-partition render kernel. */
+  private def fixtureBlobs(s: SparkSession, dir: String)(
+      render: Long => Array[Byte]): DataFrame = {
+    import s.implicits._
+    media(s, dir).select(col("media_id")).as[Long]
+      .mapPartitions(_.map(id => (id, render(id))))
+      .toDF("media_id", "bytes")
+  }
+
+  /** Shared motion-container meta projection: decode through `codec`,
+    * emit format/dims and the frame count recovered from the container
+    * duration at `msPerFrame` timing. */
+  private def videoMetaQuery(blobs: DataFrame, codec: Multimodal.Codec,
+      msPerFrame: Long): DataFrame =
+    Multimodal.decode(blobs, kind = "video", codec = codec).toDF()
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"),
+        (col("meta.durationMs") / msPerFrame).cast("long").as("n_frames"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy("media_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary-column handling + aggregation: per-lang blob stats over the
@@ -105,20 +130,9 @@ object MultimodalQueries extends QueryPack {
     // through javax.imageio (GifCodec) — frame count from the actual
     // bitstream, not the generator. The video half of the multimodal
     // surface running on genuinely decoded frames.
-    "mm_video_decode" -> ((s, dir) => {
-      import s.implicits._
-      val gifs = media(s, dir).select(col("media_id")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decode(gifs, kind = "video",
-          codec = Multimodal.GifCodec).toDF()
-        .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"),
-          (col("meta.durationMs") / 100L).cast("long").as("n_frames"),
-          col("meta.durationMs").as("duration_ms"))
-        .orderBy("media_id")
-    }),
+    "mm_video_decode" -> ((s, dir) =>
+      videoMetaQuery(fixtureBlobs(s, dir)(Multimodal.fixtureGif(_)),
+        Multimodal.GifCodec, msPerFrame = 100L)),
 
     // PIXEL-EXACT image processing end-to-end: fixture PNG → real
     // javax.imageio decode → integer per-pixel luma → 4×4 area-average
@@ -156,56 +170,30 @@ object MultimodalQueries extends QueryPack {
     // (JDK JPEG encoder + hand-assembled RIFF container), parsed back
     // byte-for-byte by AviMjpegCodec — dims/frame-count/duration off the
     // real avih header and chunk walk, at 25 fps (40 ms/frame).
-    "mm_mjpeg_decode" -> ((s, dir) => {
-      import s.implicits._
-      val avis = media(s, dir).select(col("media_id")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.fixtureAvi(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decode(avis, kind = "video",
-          codec = graft.multimodal.AviMjpegCodec).toDF()
-        .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"),
-          (col("meta.durationMs") / 40L).cast("long").as("n_frames"),
-          col("meta.durationMs").as("duration_ms"))
-        .orderBy("media_id")
-    }),
+    "mm_mjpeg_decode" -> ((s, dir) =>
+      videoMetaQuery(fixtureBlobs(s, dir)(Multimodal.fixtureAvi(_)),
+        graft.multimodal.AviMjpegCodec, AVI_MS_PER_FRAME)),
 
     // MJPEG frame features: every sampled frame decoded from its JPEG
     // payload, dims read off the raster (proving genuine decode — JPEG
     // is lossy but dimension-exact). Same shape as mm_video_frames.
-    "mm_mjpeg_frames" -> ((s, dir) => {
-      import s.implicits._
-      val avis = media(s, dir).select(col("media_id")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.fixtureAvi(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.sampleFrameFeatures(avis, n = 8,
-          codec = graft.multimodal.AviMjpegCodec)
+    "mm_mjpeg_frames" -> ((s, dir) =>
+      Multimodal.sampleFrameFeatures(fixtureBlobs(s, dir)(Multimodal.fixtureAvi(_)),
+          n = 8, codec = graft.multimodal.AviMjpegCodec)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
           col("frame_w").cast("long").as("frame_w"),
           col("frame_h").cast("long").as("frame_h"))
-        .orderBy("media_id", "frame_idx")
-    }),
+        .orderBy("media_id", "frame_idx")),
 
     // REAL video transcode end-to-end: fixture GIF → per-frame decode →
     // JPEG re-encode → RIFF/AVI remux (Multimodal.transcodeGifToAvi) →
     // re-decode through AviMjpegCodec. Dims and frame count surviving
     // the GIF→JPEG→AVI round trip prove every stage ran on real frames.
-    "mm_transcode_gif_avi" -> ((s, dir) => {
-      import s.implicits._
-      val gifs = media(s, dir).select(col("media_id")).as[Long]
-        .mapPartitions(_.map(id => (id, Multimodal.fixtureGif(id))))
-        .toDF("media_id", "bytes")
-      Multimodal.decode(Multimodal.transcodeGifToAvi(gifs), kind = "video",
-          codec = graft.multimodal.AviMjpegCodec).toDF()
-        .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"),
-          (col("meta.durationMs") / 40L).cast("long").as("n_frames"),
-          col("meta.durationMs").as("duration_ms"))
-        .orderBy("media_id")
-    }),
+    "mm_transcode_gif_avi" -> ((s, dir) =>
+      videoMetaQuery(
+        Multimodal.transcodeGifToAvi(fixtureBlobs(s, dir)(Multimodal.fixtureGif(_))),
+        graft.multimodal.AviMjpegCodec, AVI_MS_PER_FRAME)),
 
     // REAL frame extraction end-to-end: GIF container → GifCodec
     // sampleFrameFeatures — each frame's dims + perceptual hash read
@@ -228,6 +216,18 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id", "frame_idx")
     })
   )
+
+  /** Shared oracle for the motion-container meta queries: generator
+    * dims/frame-count with `msPerFrame` timing — one body, three
+    * containers, so the fixture formulas live in one place. */
+  private def videoMetaOracle(format: String, msPerFrame: Long): String =
+    s"""WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
+       |SELECT media_id, '$format' AS format,
+       |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
+       |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
+       |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
+       |  CAST((2 + pk % 4) * $msPerFrame AS BIGINT) AS duration_ms
+       |FROM p ORDER BY media_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_blob_stats" ->
@@ -288,14 +288,7 @@ object MultimodalQueries extends QueryPack {
     // (pattern key = doc_id % 50; frames = 2 + pk % 4); a misparsed GIF
     // logical screen or a reader that stops at the first image would
     // shift n_frames/duration.
-    "mm_video_decode" ->
-      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
-        |SELECT media_id, 'gif' AS format,
-        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
-        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
-        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
-        |  CAST((2 + pk % 4) * 100 AS BIGINT) AS duration_ms
-        |FROM p ORDER BY media_id""".stripMargin,
+    "mm_video_decode" -> videoMetaOracle("gif", msPerFrame = 100L),
 
     // Full pixel replay: pattern v = (pk·7 + x·31 + y·17) % 256 with
     // channels (v, 3v%256, 5v%256); integer luma, integer cell sums —
@@ -354,25 +347,11 @@ object MultimodalQueries extends QueryPack {
     // The decoded dims/frame-count must equal the generator formulas
     // (pattern key = doc_id % 50; frames = 2 + pk % 4, 40 ms/frame): a
     // misparsed RIFF size chain, avih header, or chunk walk shifts them.
-    "mm_mjpeg_decode" ->
-      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
-        |SELECT media_id, 'avi' AS format,
-        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
-        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
-        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
-        |  CAST((2 + pk % 4) * 40 AS BIGINT) AS duration_ms
-        |FROM p ORDER BY media_id""".stripMargin,
+    "mm_mjpeg_decode" -> videoMetaOracle("avi", AVI_MS_PER_FRAME),
 
     // Transcode preserves dims/frame-count/timing: the GIF source's
     // generator formulas must survive decode → JPEG → AVI → re-decode.
-    "mm_transcode_gif_avi" ->
-      """WITH p AS (SELECT doc_id AS media_id, doc_id % 50 AS pk FROM documents)
-        |SELECT media_id, 'avi' AS format,
-        |  CAST(8 + (pk % 5) * 4 AS BIGINT) AS width,
-        |  CAST(8 + (pk % 3) * 4 AS BIGINT) AS height,
-        |  CAST(2 + pk % 4 AS BIGINT) AS n_frames,
-        |  CAST((2 + pk % 4) * 40 AS BIGINT) AS duration_ms
-        |FROM p ORDER BY media_id""".stripMargin,
+    "mm_transcode_gif_avi" -> videoMetaOracle("avi", AVI_MS_PER_FRAME),
 
     // Every sampled MJPEG frame must carry the generator dimensions read
     // off its decoded JPEG raster; n ≤ 5 < 8 so the even-stride sampler

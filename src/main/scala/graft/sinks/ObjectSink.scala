@@ -59,24 +59,49 @@ object ObjectSink {
     * failed append the next batch simply re-fetches and skip-writes
     * (at-least-once), then re-appends.
     */
-  def appendManifest(written: Dataset[FileResult], root: String): Unit =
-    written.filter(col("error").isNull && col("body").isNotNull)
+  def appendManifest(written: Dataset[FileResult], root: String): Unit = {
+    val rows = written.filter(col("error").isNull && col("body").isNotNull)
       .select(
         regexp_extract(col("key"), "^(.*)/[^/]*$", 1).as("prefix"),
         element_at(split(col("key"), "/"), -1).as("name"))
-      .write.mode("append").parquet(manifestPath(root))
+    // an all-skipped/all-error batch must not conjure an empty manifest
+    // (which would flip later guards off the bootstrap path)
+    if (!rows.isEmpty) rows.write.mode("append").parquet(manifestPath(root))
+  }
 
   /** The manifest's names for one strategy prefix, as a distributed
     * frame — None when no manifest exists yet (bootstrap/legacy sink).
     * Explicit schema: a manifest dir holding only _SUCCESS (possible
     * after an all-error batch) must read as empty, not fail inference.
+    * If a crash between [[compactManifest]]'s two renames left only the
+    * displaced `.old` generation behind, it is restored first — the
+    * guard never silently loses its history to a half-finished swap.
     */
   def manifestNames(spark: SparkSession, root: String,
-      prefix: String): Option[DataFrame] =
-    if (!Files.isDirectory(Paths.get(manifestPath(root)))) None
+      prefix: String): Option[DataFrame] = {
+    val path = Paths.get(manifestPath(root))
+    val old = path.resolveSibling(path.getFileName.toString + ".old")
+    if (!Files.isDirectory(path) && Files.isDirectory(old))
+      Files.move(old, path)
+    if (!Files.isDirectory(path)) None
     else Some(spark.read.schema("prefix STRING, name STRING")
       .parquet(manifestPath(root))
       .filter(col("prefix") === prefix).select(col("name")))
+  }
+
+  /** Seed the manifest with names discovered OUTSIDE it (a legacy sink's
+    * pre-manifest objects, found by one bounded directory listing) so
+    * every later batch takes the manifest path and the legacy objects
+    * stay guarded forever — without this, the first post-manifest batch
+    * would re-download everything the manifest never saw.
+    */
+  def seedManifest(spark: SparkSession, root: String, prefix: String,
+      names: Seq[String]): Unit = {
+    import spark.implicits._
+    if (names.nonEmpty)
+      names.toDF("name").select(lit(prefix).as("prefix"), col("name"))
+        .write.mode("append").parquet(manifestPath(root))
+  }
 
   /** Compact the append-only manifest: rewrite all accumulated
     * (prefix, name) rows — one small file per batch per branch — into a
@@ -87,20 +112,18 @@ object ObjectSink {
     * window is the same replace-in-place pattern as
     * [[graft.sources.Catalog.replaceInPlace]].
     *
+    * Crash safety: stale `.compact`/`.old` generations from an earlier
+    * interrupted run are cleaned (or restored — see [[manifestNames]])
+    * up front, so a crash can neither wedge the next compaction nor
+    * lose history; if the swap itself fails after the live manifest was
+    * displaced, it is rolled back in place.
+    *
     * @return number of rows in the compacted snapshot. */
   def compactManifest(spark: SparkSession, root: String): Long = {
     val path = Paths.get(manifestPath(root))
-    if (!Files.isDirectory(path)) return 0L
     val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     val old = path.resolveSibling(path.getFileName.toString + ".old")
-    val snapshot = spark.read.schema("prefix STRING, name STRING")
-      .parquet(manifestPath(root)).distinct()
-    snapshot.write.mode("overwrite").parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
-    Files.move(path, old)
-    Files.move(tmp, path)
-    // best-effort cleanup of the displaced generation
-    def rmTree(p: java.nio.file.Path): Unit = {
+    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
       val s = Files.walk(p)
       try {
         import scala.jdk.CollectionConverters._
@@ -108,7 +131,18 @@ object ObjectSink {
           .iterator().asScala.foreach(Files.deleteIfExists(_))
       } finally s.close()
     }
-    try rmTree(old) catch { case _: Exception => () }
+    // recover/clean any half-finished earlier swap BEFORE starting
+    if (!Files.isDirectory(path) && Files.isDirectory(old)) Files.move(old, path)
+    rmTree(tmp); rmTree(old)
+    if (!Files.isDirectory(path)) return 0L
+    val snapshot = spark.read.schema("prefix STRING, name STRING")
+      .parquet(manifestPath(root)).distinct()
+    snapshot.write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    Files.move(path, old)
+    try Files.move(tmp, path)
+    catch { case e: Exception => Files.move(old, path); throw e }
+    try rmTree(old) catch { case _: Exception => () } // manifestNames restores if a crash leaves only .old
     n
   }
 

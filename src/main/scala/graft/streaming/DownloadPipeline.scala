@@ -192,6 +192,19 @@ object DownloadPipeline {
       if (overwrite) candidates.dropDuplicates("key")
       else {
         val base = candidates.dropDuplicates("key")
+        // A prefix the manifest has never seen (no manifest at all, or a
+        // legacy sink whose objects predate it) is bootstrap-seeded from
+        // ONE bounded directory listing, so every later batch takes the
+        // manifest path and pre-manifest objects stay guarded forever.
+        def legacyBootstrap(): DataFrame = {
+          val names = ObjectSink.existingNames(root + "/out", prefix)
+          if (names.isEmpty) base
+          else {
+            ObjectSink.seedManifest(spark, root + "/out", prefix, names)
+            base.join(names.toDF("name_existing"),
+              col("name") === col("name_existing"), "left_anti")
+          }
+        }
         ObjectSink.manifestNames(spark, root + "/out", prefix) match {
           case Some(manifest) =>
             // localCheckpoint PINS the batch-start manifest snapshot and
@@ -202,17 +215,14 @@ object DownloadPipeline {
             // post-batch manifest (observed: downloads counted as 0).
             val existing = manifest.localCheckpoint()
             val n = existing.count()
-            if (n > bloomGuardThreshold)
+            if (n == 0) legacyBootstrap()
+            else if (n > bloomGuardThreshold)
               graft.operators.Dedup.bloomDupGuard(base, existing, "name",
                 expectedKeys = n)
             else
               base.join(existing.select(col("name").as("name_existing")),
                 col("name") === col("name_existing"), "left_anti")
-          case None =>
-            val names = ObjectSink.existingNames(root + "/out", prefix)
-            if (names.isEmpty) base
-            else base.join(names.toDF("name_existing"),
-              col("name") === col("name_existing"), "left_anti")
+          case None => legacyBootstrap()
         }
       }
     // cache() so the side-effecting fetch runs once even though the result

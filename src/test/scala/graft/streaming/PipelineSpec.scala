@@ -135,6 +135,38 @@ class PipelineSpec extends SparkSpec {
       "guard regressed after manifest compaction")
   }
 
+  test("D1 bootstrap: a legacy pre-manifest sink seeds the manifest once") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-legacy")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    import spark.implicits._
+    val u = src.toUri.toString
+    val tasks = Seq(("s-links", s"${u}page.html", "LINKS", "ignore", "0", 0))
+      .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
+
+    // legacy sink: objects exist on disk, NO manifest
+    write(Paths.get(root, "out/LINK/a.csv"), "legacy-v1")
+    val r1 = DownloadPipeline.processBatch(tasks, root)
+    // a.csv guarded by the directory listing (not re-downloaded),
+    // b.zip fetched fresh
+    assert(read(Paths.get(root, "out/LINK/a.csv")) === "legacy-v1")
+    assert(r1.downloaded === 1)
+    // the listing SEEDED the manifest, so the legacy name is now durable
+    // guard history: delete the object, re-run — still not re-fetched
+    val manifest = spark.read
+      .parquet(graft.sinks.ObjectSink.manifestPath(s"$root/out"))
+      .select(col("name")).as[String].collect().toSet
+    assert(manifest === Set("a.csv", "b.zip"))
+    Files.delete(Paths.get(root, "out/LINK/a.csv"))
+    val r2 = DownloadPipeline.processBatch(tasks, root)
+    assert(r2.downloaded === 0)
+    assert(!Files.exists(Paths.get(root, "out/LINK/a.csv")),
+      "legacy object re-downloaded after the manifest took over")
+  }
+
   test("E1: failed source flags Active:=2 in the rewritten catalog") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-e1")

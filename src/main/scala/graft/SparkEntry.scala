@@ -23,7 +23,8 @@ object SparkEntry {
     SearchQueries,
     SelectionQueries,
     TokenizerQueries,
-    LearnQueries)
+    LearnQueries,
+    GovernanceQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

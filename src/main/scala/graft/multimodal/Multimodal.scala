@@ -574,6 +574,57 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** Integer-exact spectral bins per window over channel-0 PCM: the
+      * three DFT bins whose basis functions are integer-valued — DC
+      * (k=0, basis 1,1,1,1…), quarter band (k=N/4, cos basis 1,0,−1,0…/
+      * sin basis 0,1,0,−1…) and Nyquist (k=N/2, basis 1,−1,1,−1…) — so
+      * power = re²+im² stays in exact Long arithmetic (|re| ≤ 160·2¹⁴,
+      * square ≪ 2⁵³) and an independent engine replays it bit-for-bit
+      * from the waveform. A coarse but REAL spectrum: DC offset vs
+      * mid-band vs top-band energy splits hum from sawtooth from hiss.
+      *
+      * @return per window (win, n_frames, p_dc, p_quarter, p_nyquist).
+      */
+    def spectralFeatures(bytes: Array[Byte], window: Int): Seq[(Int, Int, Long, Long, Long)] = {
+      require(window >= 4, s"window must be >= 4, got $window")
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16,
+          s"SoundCodec expects 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+        val raw = in.readAllBytes()
+        val ch = fmt.getChannels
+        val frames = raw.length / 2 / ch
+        def s0(f: Int): Int = { // channel-0 sample at frame f
+          val i = f * ch
+          val b0 = raw(2 * i) & 0xff
+          val b1 = raw(2 * i + 1) & 0xff
+          (if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toInt
+        }
+        val nw = (frames + window - 1) / window
+        (0 until nw).map { w =>
+          val start = w * window
+          val end = math.min(start + window, frames)
+          var dc = 0L; var reQ = 0L; var imQ = 0L; var reN = 0L
+          var f = start
+          while (f < end) {
+            val v = s0(f).toLong
+            val n = f - start
+            dc += v
+            (n & 3) match { // cos(πn/2), sin(πn/2) cycle 1,0,−1,0 / 0,1,0,−1
+              case 0 => reQ += v
+              case 1 => imQ += v
+              case 2 => reQ -= v
+              case 3 => imQ -= v
+            }
+            if ((n & 1) == 0) reN += v else reN -= v
+            f += 1
+          }
+          (w, end - start, dc * dc, reQ * reQ + imQ * imQ, reN * reN)
+        }
+      } finally in.close()
+    }
+
     /** Envelope aHash: 64 windows, bit set iff the window's mean
       * |amplitude| ≥ the overall mean — re-encodes of the same audio
       * collide; localized edits move few bits. */
@@ -632,6 +683,24 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         SoundCodec.windowFeatures(bytes, window).map {
           case (w, n, ssq, zc) => AudioWindow(id, w, n, ssq, zc)
+        }
+      })
+  }
+
+  case class AudioSpectral(media_id: Long, win: Int, n_frames: Int,
+      p_dc: Long, p_quarter: Long, p_nyquist: Long)
+
+  /** Windowed integer-exact spectral bins per blob (1:N kernel over
+    * [[SoundCodec.spectralFeatures]]): DC / quarter-band / Nyquist DFT
+    * power per `window`-frame hop of genuinely decoded channel-0 PCM.
+    */
+  def audioSpectralFeatures(media: DataFrame, window: Int): Dataset[AudioSpectral] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        SoundCodec.spectralFeatures(bytes, window).map {
+          case (w, n, pdc, pq, pn) => AudioSpectral(id, w, n, pdc, pq, pn)
         }
       })
   }

@@ -136,6 +136,100 @@ object TextAnalysis {
           .as("avg_logprob"))
   }
 
+  /** Trigram stupid-backoff LM score + perplexity per document — the
+    * KenLM-shaped quality filter (CCNet posture): an n-gram LM is built
+    * from a REFERENCE corpus and every document is scored against it, so
+    * out-of-reference trigrams genuinely back off (scoring a corpus
+    * against its own counts never would). Stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation"):
+    *
+    *   S(w3|w1w2) = tri/bi12                 if the trigram was seen
+    *              = α · bi23/uni2            else if the bigram was seen
+    *              = α² · (uni3+1)/(N+V+1)    else (add-one unigram; +1
+    *                                         slot reserves UNK mass)
+    *
+    * Scale shape: the reference count tables are term-keyed aggregates
+    * (partial-aggregable, never broadcast — the trigram vocabulary is
+    * unbounded); the document side first reduces to DISTINCT trigrams per
+    * doc with occurrence counts, so the five count joins shuffle
+    * O(distinct trigrams/doc), not O(tokens), and the final score is the
+    * occurrence-weighted mean. Every join is an equi-join on a zipfian
+    * string key — the AQE-skew-split posture of [[bigramLogProb]].
+    *
+    * @return (doc_id, n_trigrams, avg_logscore, ppl) for docs with >= 1
+    *         trigram; avg_logscore/ppl rounded to 6.
+    */
+  def trigramBackoffScore(docs: DataFrame, reference: DataFrame,
+      alpha: Double = 0.4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val refToks = reference
+      .select(explode(TextFns.tokens(col(textCol))).as("term"))
+    val uniCnt = refToks.groupBy(col("term")).agg(count(lit(1)).as("uni_cnt"))
+    val biCnt = reference
+      .select(explode(TextFns.textShingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bi_cnt"))
+    val triCnt = reference
+      .select(explode(TextFns.textShingles(col(textCol), 3)).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("tri_cnt"))
+    val totals = uniCnt.agg(sum(col("uni_cnt")).cast("double").as("n_total"),
+      count(lit(1)).cast("double").as("vocab"))
+
+    val tri = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.textShingles(col(textCol), 3)).as("tri"))
+      .groupBy(col("doc_id"), col("tri")).agg(count(lit(1)).as("n_occ"))
+      .withColumn("w12", substring_index(col("tri"), " ", 2))
+      .withColumn("w23", substring_index(col("tri"), " ", -2))
+      .withColumn("w2", substring_index(substring_index(col("tri"), " ", -2), " ", 1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+
+    val score = when(col("tri_cnt").isNotNull,
+        col("tri_cnt").cast("double") / col("bi12_cnt"))
+      .when(col("bi23_cnt").isNotNull,
+        lit(alpha) * col("bi23_cnt").cast("double") / col("uni2_cnt"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("uni3_cnt"), lit(0L)).cast("double") + 1.0) /
+        (col("n_total") + col("vocab") + 1.0))
+
+    tri
+      .join(triCnt, tri("tri") === triCnt("trigram"), "left")
+      .join(biCnt.withColumnRenamed("bi_cnt", "bi12_cnt").as("b12"),
+        col("w12") === col("b12.bigram"), "left")
+      .join(biCnt.withColumnRenamed("bi_cnt", "bi23_cnt").as("b23"),
+        col("w23") === col("b23.bigram"), "left")
+      .join(uniCnt.withColumnRenamed("uni_cnt", "uni2_cnt")
+        .withColumnRenamed("term", "t2"), col("w2") === col("t2"), "left")
+      .join(uniCnt.withColumnRenamed("uni_cnt", "uni3_cnt")
+        .withColumnRenamed("term", "t3"), col("w3") === col("t3"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lns", log(score))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_occ")).as("n_trigrams"),
+        round(sum(col("lns") * col("n_occ")) / sum(col("n_occ")), 6)
+          .as("avg_logscore"),
+        round(exp(-sum(col("lns") * col("n_occ")) / sum(col("n_occ"))), 6)
+          .as("ppl"))
+  }
+
+  /** Perplexity admission gate over [[trigramBackoffScore]] — the
+    * CCNet-style corpus split: docs at or under the ppl threshold are
+    * "kept"; report per-source volume, keep share, and mean perplexity.
+    * Docs with < 3 tokens produce no trigrams and are excluded (they are
+    * the length gate's job, not the LM's).
+    */
+  def perplexityGate(docs: DataFrame, reference: DataFrame,
+      maxPpl: Double, alpha: Double = 0.4): DataFrame = {
+    val scored = trigramBackoffScore(docs, reference, alpha)
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ppl") <= maxPpl, 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("ppl")), 6).as("mean_ppl"))
+      .withColumn("keep_share",
+        round(col("n_kept").cast("double") / col("n_docs"), 6))
+  }
+
   /** DSIR-style data-selection importance weight: per-document mean
     * log-ratio of a TARGET domain's hashed-feature distribution over the
     * CORPUS distribution (Xie et al., "Data Selection for Language Models

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Governance
+import graft.operators.Governance._
+
+/** Governance registrations — the publish-side checks and reports of the
+  * curation pipeline: data-quality expectations (one-scan suite),
+  * referential-integrity audit, k-anonymity/l-diversity re-identification
+  * report, and a seeded-Laplace differentially-private count release.
+  *
+  * The expectations set deliberately includes one genuinely FAILING check:
+  * (l_orderkey, l_linenumber) is NOT a unique key in the synthetic lineitem
+  * (dup share ≈ 0.24 at sf0.01) — the suite's job is to say so, proving the
+  * gate reports real violations rather than rubber-stamping.
+  */
+object GovernanceQueries extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  private val KAnon = 10
+  private val NoiseEps = 0.25
+  private val NoiseSeed = 42L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // One-scan declarative DQ suite over lineitem: null-rate, range, set,
+    // key-uniqueness, and NDV-floor checks all evaluated in a single
+    // aggregation pass (operators/Governance.scala).
+    "dq_expectations" -> ((s, dir) =>
+      Governance.expectations(t(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        InRange("l_discount", 0.0, 0.1),
+        InRange("l_quantity", 1.0, 50.0),
+        InRange("l_tax", 0.0, 0.08),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InSet("l_linestatus", Seq("O", "F")),
+        UniqueKey(Seq("l_orderkey", "l_linenumber")),
+        MinNdv("l_suppkey", 50L)))),
+
+    // Referential-integrity audit across the star schema's four FK edges:
+    // one left-anti join per edge, reduced to per-edge totals.
+    "dq_referential" -> ((s, dir) =>
+      Governance.referentialAudit(Seq(
+        FkRel("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        FkRel("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        FkRel("lineitem->supplier", t(s, dir, "lineitem"), "l_suppkey",
+          t(s, dir, "supplier"), "s_suppkey"),
+        FkRel("orders->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")))),
+
+    // Re-identification report: quasi-identifiers (nation, segment),
+    // sensitive attribute = account-balance band; class-size histogram
+    // with per-bucket worst-case l-diversity.
+    "privacy_k_anonymity" -> ((s, dir) =>
+      Governance.kAnonymityReport(t(s, dir, "customer"),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        sensitive = floor(col("c_acctbal") / 2000), k = KAnon)),
+
+    // DP count release: per-event-type counts + Laplace(1/eps) noise from
+    // a committed seed — replayable by an independent engine.
+    "privacy_noisy_counts" -> ((s, dir) =>
+      Governance.noisyCounts(t(s, dir, "events"), "event_type",
+        epsilon = NoiseEps, seed = NoiseSeed)),
+
+    // Z-ORDER vs linear layout: what file-level min/max pruning admits
+    // for a point filter on each of two dimensions, per layout — the
+    // quantified case for Morton clustering (sinks/Layout.scala), as a
+    // partial-aggregable report with no global sort.
+    "layout_zorder_stats" -> ((s, dir) =>
+      graft.sinks.Layout.clusteringStats(t(s, dir, "lineitem"),
+        pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
+        nFiles = 32, domain = 256))
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "dq_expectations" ->
+      """WITH m AS (SELECT
+        |  round(avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END), 6) AS m_nn,
+        |  round(avg(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1.0 ELSE 0.0 END), 6) AS m_disc,
+        |  round(avg(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1.0 ELSE 0.0 END), 6) AS m_qty,
+        |  round(avg(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0.0 OR l_tax > 0.08) THEN 1.0 ELSE 0.0 END), 6) AS m_tax,
+        |  round(avg(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1.0 ELSE 0.0 END), 6) AS m_rf,
+        |  round(avg(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F') THEN 1.0 ELSE 0.0 END), 6) AS m_ls,
+        |  round(1.0 - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*), 6) AS m_uk,
+        |  round(CAST(count(DISTINCT l_suppkey) AS DOUBLE), 6) AS m_ndv
+        |FROM lineitem)
+        |SELECT "check", "column", metric, threshold, pass FROM (
+        |  SELECT 'not_null' AS "check", 'l_shipdate' AS "column", m_nn AS metric, 0.0 AS threshold, m_nn <= 0.0 AS pass FROM m
+        |  UNION ALL SELECT 'in_range', 'l_discount', m_disc, 0.0, m_disc <= 0.0 FROM m
+        |  UNION ALL SELECT 'in_range', 'l_quantity', m_qty, 0.0, m_qty <= 0.0 FROM m
+        |  UNION ALL SELECT 'in_range', 'l_tax', m_tax, 0.0, m_tax <= 0.0 FROM m
+        |  UNION ALL SELECT 'in_set', 'l_returnflag', m_rf, 0.0, m_rf <= 0.0 FROM m
+        |  UNION ALL SELECT 'in_set', 'l_linestatus', m_ls, 0.0, m_ls <= 0.0 FROM m
+        |  UNION ALL SELECT 'unique_key', 'l_orderkey+l_linenumber', m_uk, 0.0, m_uk <= 0.0 FROM m
+        |  UNION ALL SELECT 'min_ndv', 'l_suppkey', m_ndv, 50.0, m_ndv >= 50.0 FROM m)
+        |ORDER BY "check", "column"""".stripMargin,
+
+    "dq_referential" ->
+      """SELECT relation, n_child, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+        |FROM (
+        |  SELECT 'lineitem->orders' AS relation,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+        |  UNION ALL SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem->supplier',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM supplier su WHERE su.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders o WHERE o.o_custkey IS NULL
+        |      OR NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)))
+        |ORDER BY relation""".stripMargin,
+
+    "privacy_k_anonymity" ->
+      s"""WITH cl AS (
+         |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+         |    count(DISTINCT floor(c_acctbal / 2000)) AS l_diversity
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT class_size, count(*) AS n_classes,
+         |  class_size * count(*) AS n_rows,
+         |  min(l_diversity) AS min_l_diversity,
+         |  class_size < $KAnon AS at_risk
+         |FROM cl GROUP BY class_size ORDER BY class_size""".stripMargin,
+
+    "privacy_noisy_counts" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+         |n AS (SELECT event_type, cnt,
+         |  (('0x' || substr(md5('lap|$NoiseSeed|' || event_type), 1, 8))::UBIGINT::DOUBLE + 0.5)
+         |    / 4294967296.0 AS u FROM g)
+         |SELECT event_type,
+         |  greatest(0, CAST(round(cnt
+         |    + (-(1.0 / $NoiseEps)) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 0) AS BIGINT))
+         |    AS noisy_count
+         |FROM n ORDER BY event_type""".stripMargin,
+
+    "layout_zorder_stats" ->
+      """WITH keyed AS (
+        |  SELECT l_partkey % 256 AS bx, l_suppkey % 256 AS by,
+        |    list_sum(list_transform(range(0, 16), i ->
+        |      (((l_partkey % 256) >> i) & 1) * (1::BIGINT << (2 * i))
+        |      + (((l_suppkey % 256) >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+        |      AS z
+        |  FROM lineitem),
+        |assigned AS (
+        |  SELECT bx, by, 'linear' AS layout, (bx * 32) // 256 AS file FROM keyed
+        |  UNION ALL
+        |  SELECT bx, by, 'zorder', (z * 32) // 65536 FROM keyed),
+        |per_file AS (
+        |  SELECT layout, file,
+        |    max(bx) - min(bx) + 1 AS span_x, max(by) - min(by) + 1 AS span_y,
+        |    count(*) AS n_rows
+        |  FROM assigned GROUP BY layout, file)
+        |SELECT layout, count(*) AS n_files,
+        |  round(avg(span_x), 6) AS avg_span_x,
+        |  round(avg(span_y), 6) AS avg_span_y,
+        |  round(CAST(sum(span_x) AS DOUBLE) / 256, 6) AS est_files_x,
+        |  round(CAST(sum(span_y) AS DOUBLE) / 256, 6) AS est_files_y,
+        |  round(CAST(max(n_rows) AS DOUBLE)
+        |    / (CAST(sum(n_rows) AS DOUBLE) / count(*)), 6) AS row_skew
+        |FROM per_file GROUP BY layout ORDER BY layout""".stripMargin
+  )
+}

@@ -166,6 +166,22 @@ object MultimodalQueries extends QueryPack {
         .orderBy("media_id", "win")
     }),
 
+    // Integer-exact spectral analysis on genuinely decoded PCM: DC /
+    // quarter-band / Nyquist DFT power per 160-frame window, all in
+    // exact Long arithmetic so the oracle replays every bin from the
+    // sawtooth formula — one mangled sample anywhere shifts a power.
+    "mm_audio_spectral" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.fixtureWav(id))))
+        .toDF("media_id", "bytes")
+      Multimodal.audioSpectralFeatures(wavs, window = 160).toDF()
+        .select(col("media_id"), col("win").cast("long").as("win"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("p_dc"), col("p_quarter"), col("p_nyquist"))
+        .orderBy("media_id", "win")
+    }),
+
     // REAL compressed-video codec #2: deterministic MJPEG AVI per doc
     // (JDK JPEG encoder + hand-assembled RIFF container), parsed back
     // byte-for-byte by AviMjpegCodec — dims/frame-count/duration off the
@@ -343,6 +359,30 @@ object MultimodalQueries extends QueryPack {
         |SELECT media_id, win, n_frames, ssq, zero_crossings
         |FROM en JOIN zc USING (media_id, win)
         |ORDER BY media_id, win""".stripMargin,
+
+    // Every spectral power must equal the integer DFT of the channel-0
+    // sawtooth: basis weights replayed via n mod 4 / n mod 2, powers in
+    // exact integer arithmetic end-to-end.
+    "mm_audio_spectral" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id, (doc_id % 50)::INTEGER AS pk
+        |  FROM documents),
+        |m AS (SELECT media_id, pk, 400 + pk * 8 AS frames FROM p),
+        |fr AS (SELECT media_id, pk, f.range AS f
+        |  FROM m, range(0, 800) f WHERE f.range < frames),
+        |sv AS (SELECT media_id, (f // 160)::BIGINT AS win, f % 160 AS n,
+        |    ((((f * (pk + 3)) % 2048) - 1024) * 16)::BIGINT AS v
+        |  FROM fr),
+        |agg AS (SELECT media_id, win, count(*) AS n_frames,
+        |    sum(v)::BIGINT AS dc,
+        |    sum(CASE WHEN n % 4 = 0 THEN v WHEN n % 4 = 2 THEN -v ELSE 0 END)::BIGINT AS req,
+        |    sum(CASE WHEN n % 4 = 1 THEN v WHEN n % 4 = 3 THEN -v ELSE 0 END)::BIGINT AS imq,
+        |    sum(CASE WHEN n % 2 = 0 THEN v ELSE -v END)::BIGINT AS ren
+        |  FROM sv GROUP BY media_id, win)
+        |SELECT media_id, win, n_frames::BIGINT AS n_frames,
+        |  dc * dc AS p_dc, req * req + imq * imq AS p_quarter,
+        |  ren * ren AS p_nyquist
+        |FROM agg ORDER BY media_id, win""".stripMargin,
 
     // The decoded dims/frame-count must equal the generator formulas
     // (pattern key = doc_id % 50; frames = 2 + pk % 4, 40 ms/frame): a

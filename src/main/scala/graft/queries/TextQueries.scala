@@ -320,8 +320,31 @@ object TextQueries extends QueryPack {
           (col("n_sents") - size(split(col("cleaned"),
             java.util.regex.Pattern.quote(". ")))).as("n_removed"),
           md5(col("cleaned")).as("cleaned_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Trigram stupid-backoff LM scored against the src0 reference corpus
+    // (the CCNet/KenLM quality-filter shape): seen trigram → MLE, else
+    // backoff to bigram, else smoothed unigram. Count joins carry
+    // DISTINCT trigrams per doc, weighted by occurrence.
+    "text_trigram_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.trigramBackoffScore(d, d.filter(col("source") === "src0"),
+          alpha = TriAlpha)
+        .orderBy("doc_id")
+    }),
+
+    // Perplexity admission gate at ppl <= 75 over the trigram LM: the
+    // per-source keep-rate report a corpus split publishes.
+    "text_perplexity_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.perplexityGate(d, d.filter(col("source") === "src0"),
+          maxPpl = GatePpl, alpha = TriAlpha)
+        .orderBy("source")
+    })
   )
+
+  private val TriAlpha = 0.4
+  private val GatePpl = 75.0
 
   private val toksSql = DuckSql.tokens("text")
 
@@ -414,7 +437,58 @@ object TextQueries extends QueryPack {
        |SELECT doc_id, round(1.0 / (1.0 + exp(-4.0 * score)), 6) AS quality_prob
        |FROM scored ORDER BY doc_id""".stripMargin
 
+  /** Oracle twin of TextAnalysis.trigramBackoffScore at alpha=0.4 over
+    * the src0 reference: per-doc (n_trigrams, avg_logscore, ppl). The
+    * alpha² terminal multiplies the two literals exactly as the engine
+    * does (lit(alpha * alpha)) so the doubles agree bit-for-bit.
+    */
+  private val trigramScoredSql: String =
+    s"""WITH ref AS (SELECT $toksSql AS toks FROM documents WHERE source = 'src0'),
+       |rt AS (SELECT unnest(toks) AS term FROM ref),
+       |uni AS (SELECT term, count(*) AS uni_cnt FROM rt GROUP BY term),
+       |bi AS (SELECT bigram, count(*) AS bi_cnt FROM
+       |  (SELECT unnest(${DuckSql.shingles("toks", 2)}) AS bigram FROM ref) GROUP BY bigram),
+       |tg AS (SELECT trigram, count(*) AS tri_cnt FROM
+       |  (SELECT unnest(${DuckSql.shingles("toks", 3)}) AS trigram FROM ref) GROUP BY trigram),
+       |tot AS (SELECT CAST(sum(uni_cnt) AS DOUBLE) AS n_total,
+       |  CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+       |dt AS (SELECT doc_id, unnest(${DuckSql.shingles("toks", 3)}) AS dtri FROM
+       |  (SELECT doc_id, $toksSql AS toks FROM documents)),
+       |dtc AS (SELECT doc_id, dtri, count(*) AS n_occ FROM dt GROUP BY 1, 2),
+       |parts AS (SELECT doc_id, dtri, n_occ, string_split(dtri, ' ') AS p FROM dtc),
+       |j AS (SELECT doc_id, n_occ,
+       |    CASE WHEN t.tri_cnt IS NOT NULL THEN CAST(t.tri_cnt AS DOUBLE) / b12.bi_cnt
+       |         WHEN b23.bi_cnt IS NOT NULL THEN $TriAlpha::DOUBLE * CAST(b23.bi_cnt AS DOUBLE) / u2.uni_cnt
+       |         ELSE $TriAlpha::DOUBLE * $TriAlpha::DOUBLE * (CAST(coalesce(u3.uni_cnt, 0) AS DOUBLE) + 1.0)
+       |           / (n_total + vocab + 1.0) END AS s
+       |  FROM parts
+       |  LEFT JOIN tg t ON parts.dtri = t.trigram
+       |  LEFT JOIN bi b12 ON (p[1] || ' ' || p[2]) = b12.bigram
+       |  LEFT JOIN bi b23 ON (p[2] || ' ' || p[3]) = b23.bigram
+       |  LEFT JOIN uni u2 ON p[2] = u2.term
+       |  LEFT JOIN uni u3 ON p[3] = u3.term
+       |  CROSS JOIN tot),
+       |scored AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_trigrams,
+       |  round(sum(ln(s) * n_occ) / sum(n_occ), 6) AS avg_logscore,
+       |  round(exp(-sum(ln(s) * n_occ) / sum(n_occ)), 6) AS ppl
+       |FROM j GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "text_trigram_backoff" ->
+      s"""$trigramScoredSql
+         |SELECT doc_id, n_trigrams, avg_logscore, ppl
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_gate" ->
+      s"""$trigramScoredSql
+         |SELECT d.source, count(*) AS n_docs,
+         |  sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS n_kept,
+         |  round(avg(s.ppl), 6) AS mean_ppl,
+         |  round(CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS keep_share
+         |FROM scored s JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_classifier" -> classifierSql,
 
     "text_unigram_logprob" ->

@@ -58,6 +58,51 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Clustering-quality report: what file-level min/max pruning would see
+    * if the table were laid out linearly (sorted by x) vs Z-ordered, for
+    * a 2-D key already bucketed to [0, domain). Files are VALUE-range
+    * bins (file = key·nFiles/keyspace — the deterministic analog of
+    * [[writeZOrdered]]'s `repartitionByRange`), so the whole report is
+    * two partial-aggregable shuffles and no global sort: rows → per-file
+    * min/max spans → per-layout summary. `est_files_x/y` is the expected
+    * number of files a uniform point filter on that dimension admits
+    * (Σ span/domain) — the number a 100 TB scan actually reads after
+    * pruning; `row_skew` = max/avg rows per file says whether the curve
+    * kept the write balanced.
+    *
+    * @return (layout ∈ {linear, zorder}, n_files, avg_span_x, avg_span_y,
+    *         est_files_x, est_files_y, row_skew), 2 rows.
+    */
+  def clusteringStats(df: DataFrame, xCol: Column, yCol: Column,
+      nFiles: Int, domain: Int = 256): DataFrame = {
+    val keyed = df.select(xCol.cast("long").as("bx"), yCol.cast("long").as("by"))
+      .withColumn("z", zValue2(col("bx"), col("by")))
+    val assigned = keyed.select(col("bx"), col("by"),
+      explode(array(
+        struct(lit("linear").as("layout"),
+          floor(col("bx") * nFiles / domain).as("file")),
+        struct(lit("zorder").as("layout"),
+          floor(col("z") * nFiles / (domain.toLong * domain)).as("file"))))
+        .as("a"))
+      .select(col("bx"), col("by"), col("a.layout").as("layout"),
+        col("a.file").as("file"))
+    val perFile = assigned
+      .groupBy(col("layout"), col("file"))
+      .agg((max(col("bx")) - min(col("bx")) + 1).as("span_x"),
+        (max(col("by")) - min(col("by")) + 1).as("span_y"),
+        count(lit(1)).as("n_rows"))
+    perFile
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        round(avg(col("span_x")), 6).as("avg_span_x"),
+        round(avg(col("span_y")), 6).as("avg_span_y"),
+        round(sum(col("span_x")).cast("double") / domain, 6).as("est_files_x"),
+        round(sum(col("span_y")).cast("double") / domain, 6).as("est_files_y"),
+        round(max(col("n_rows")).cast("double") /
+          (sum(col("n_rows")).cast("double") / count(lit(1))), 6).as("row_skew"))
+      .orderBy("layout")
+  }
+
   /** Write `df` Z-clustered on two 16-bit-ranged columns: range-partition
     * then sort-within-partitions by the Morton key, so both file-level
     * and row-group-level min/max statistics align with the curve.

@@ -97,4 +97,75 @@ class SoundCodecSpec extends SparkSpec {
     assert(f1.forall(v => v >= 0.0f && v <= 1.0f)) // mean |amplitude|
     assert(f1.exists(_ > 0.0f)) // a real signal, not silence
   }
+
+  /** Mono little-endian 16-bit WAV from explicit samples. */
+  private def wavOf(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("spectralFeatures: constant signal is pure DC") {
+    val wav = wavOf(Array.fill(8)(100))
+    val Seq((w, n, pdc, pq, pn)) =
+      Multimodal.SoundCodec.spectralFeatures(wav, window = 8).toList
+    assert((w, n) === ((0, 8)))
+    assert(pdc === 800L * 800L)
+    // quarter-band basis sums cancel over full periods; Nyquist alternates
+    assert(pq === 0L)
+    assert(pn === 0L)
+  }
+
+  test("spectralFeatures: alternating signal is pure Nyquist") {
+    val wav = wavOf(Array.tabulate(8)(i => if (i % 2 == 0) 100 else -100))
+    val Seq((_, _, pdc, pq, pn)) =
+      Multimodal.SoundCodec.spectralFeatures(wav, window = 8).toList
+    assert(pdc === 0L)
+    assert(pq === 0L)
+    assert(pn === 800L * 800L)
+  }
+
+  test("spectralFeatures: period-4 square wave is pure quarter band") {
+    // +,+,-,- repeating: re = Σ cos-basis = s0 - s2 per period = 200,
+    // im = s1 - s3 = 200 → power = (4·200)²·2 over 16 samples? — compute
+    // directly: per 4: re += (100 - (-100)) = 200, im += (100 - (-100)) = 200
+    val wav = wavOf(Array.tabulate(16)(i => if ((i / 2) % 2 == 0) 100 else -100))
+    val Seq((_, _, pdc, pq, pn)) =
+      Multimodal.SoundCodec.spectralFeatures(wav, window = 16).toList
+    assert(pdc === 0L)
+    assert(pn === 0L)
+    val re = 4L * 200L; val im = 4L * 200L
+    assert(pq === re * re + im * im)
+  }
+
+  test("spectralFeatures: multi-channel input reads channel 0 only") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo: ch0 constant 50, ch1 loud alternating junk
+    val frames = 8
+    val raw = new Array[Byte](frames * 2 * 2)
+    (0 until frames).foreach { f =>
+      val v0 = 50; val v1 = if (f % 2 == 0) 3000 else -3000
+      raw(4 * f) = (v0 & 0xff).toByte; raw(4 * f + 1) = ((v0 >> 8) & 0xff).toByte
+      raw(4 * f + 2) = (v1 & 0xff).toByte; raw(4 * f + 3) = ((v1 >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val Seq((_, n, pdc, _, pn)) =
+      Multimodal.SoundCodec.spectralFeatures(bos.toByteArray, window = 8).toList
+    assert(n === 8)
+    assert(pdc === 400L * 400L) // 8 × 50
+    assert(pn === 0L)           // ch1's Nyquist energy must not leak in
+  }
 }

@@ -137,4 +137,20 @@ class LayoutSkippingSpec extends SparkSpec {
     assert(viaZ < viaX / 2,
       s"z-order should out-prune single-column sort on a 2-D box: z=$viaZ x=$viaX")
   }
+
+  test("clusteringStats: exact quadrant math on a full 16x16 grid") {
+    import spark.implicits._
+    // every (x, y) in [0,16)²; 4 value-range files over domain 16.
+    // linear: 4 x-slabs → span (4, 16); zorder: z/64 = Morton quadrants
+    // → span (8, 8). est_files = Σ span / domain.
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x, y))
+      .toDF("x", "y")
+    val rows = graft.sinks.Layout.clusteringStats(
+      grid, col("x"), col("y"), nFiles = 4, domain = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(rows("linear") === ((4L, 4.0, 16.0, 1.0, 4.0, 1.0)))
+    assert(rows("zorder") === ((4L, 8.0, 8.0, 2.0, 2.0, 1.0)))
+  }
 }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** Data-governance operators a training-data release pipeline runs before
   * publishing a table: a declarative data-quality expectations suite, a
   * referential-integrity audit, a k-anonymity / l-diversity re-identification
-  * report, and a differentially-private (seeded-Laplace) count release.
+  * report, and a seeded pseudo-noise (Laplace-shaped) count release for
+  * replayable masking tests.
   *
   * These complete the curation surface (gate → dedup → select → pack) with
   * the *publish* step: the checks a dataset must pass and the privacy report
@@ -25,11 +26,12 @@ import org.apache.spark.sql.functions._
   *  - [[kAnonymityReport]] is two chained aggregations (rows → equivalence
   *    classes → class-size histogram); the output is bounded by the number of
   *    DISTINCT class sizes, never by table or class count.
-  *  - [[noisyCounts]] adds hash-seeded Laplace noise per group on the
-  *    already-aggregated counts — noise cost is O(groups), and the seeded
-  *    generator (md5 → uniform → inverse-CDF) makes the release replayable
-  *    by an independent engine, a property real DP releases get from
-  *    committed PRNG seeds.
+  *  - [[seededNoisyCounts]] adds hash-seeded Laplace-shaped noise per group
+  *    on the already-aggregated counts — noise cost is O(groups), and the
+  *    seeded generator (md5 → uniform → inverse-CDF) makes the release
+  *    replayable by an independent engine. NOT differential privacy: the
+  *    noise is a public function of (group key, seed), so anyone holding the
+  *    seed can subtract it; see the method doc.
   */
 object Governance {
 
@@ -80,9 +82,11 @@ object Governance {
   final case class UniqueKey(columns: Seq[String]) extends Check {
     val name = "unique_key"
     val column: String = columns.mkString("+")
+    // try_divide: ANSI mode errors on 0/0 for an empty input, where the
+    // metric should be null (the gate then fails explicitly on n=0)
     private[operators] def plan =
-      (lit(1.0) - countDistinct(struct(columns.map(col): _*))
-        .cast("double") / count(lit(1)), 0.0, true)
+      (lit(1.0) - try_divide(countDistinct(struct(columns.map(col): _*))
+        .cast("double"), count(lit(1)).cast("double")), 0.0, true)
   }
 
   /** Distinct non-null values of `column` must be >= `atLeast`. */
@@ -93,21 +97,31 @@ object Governance {
   }
 
   /** Evaluate all `checks` in one scan.
+    *
+    * The pass verdict is computed on the UNROUNDED aggregate (at billions of
+    * rows a violation rate below 5e-7 would round to 0.0 and sneak past a
+    * zero threshold — the exact failure a DQ gate exists to catch); only the
+    * reported `metric` column is rounded to 6 for display/replay. An empty
+    * input — exactly when a publish gate should fire — yields explicit
+    * `pass = false` rows (metrics null), never null verdicts.
+    *
     * @return (check, column, metric, threshold, pass) one row per check,
     *         ordered by (check, column); metric rounded to 6.
     */
   def expectations(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
-    val aggs = checks.zipWithIndex.map { case (c, i) =>
-      round(c.plan._1, 6).as(s"m_$i")
+    val aggs = count(lit(1)).as("__n") +: checks.zipWithIndex.map {
+      case (c, i) => c.plan._1.as(s"m_$i")
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = checks.zipWithIndex.map { case (c, i) =>
       val (_, threshold, atMost) = c.plan
       val metric = col(s"m_$i")
+      val rawPass = if (atMost) metric <= threshold else metric >= threshold
       struct(lit(c.name).as("check"), lit(c.column).as("column"),
-        metric.as("metric"), lit(threshold).as("threshold"),
-        (if (atMost) metric <= threshold else metric >= threshold).as("pass"))
+        round(metric, 6).as("metric"), lit(threshold).as("threshold"),
+        when(col("__n") === 0, lit(false))
+          .otherwise(coalesce(rawPass, lit(false))).as("pass"))
     }
     one.select(explode(array(rows: _*)).as("r")).select("r.*")
       .orderBy("check", "column")
@@ -129,15 +143,18 @@ object Governance {
     require(rels.nonEmpty, "need at least one relationship")
     val perRel = rels.map { r =>
       val total = r.child.agg(count(lit(1)).as("n_child"))
+      // parent pk projected under a unique alias: when fk and pk share a
+      // name (user_id->user_id, self-referencing tables) an unqualified
+      // col(pk) is ambiguous across both join sides
       val orphans = r.child
-        .join(r.parent.select(col(r.pk)), r.child(r.fk) === col(r.pk),
-          "left_anti")
+        .join(r.parent.select(col(r.pk).as("__graft_pk")),
+          r.child(r.fk) === col("__graft_pk"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
       total.crossJoin(orphans)
         .select(lit(r.relation).as("relation"), col("n_child"),
           col("n_orphans"),
-          round(col("n_orphans").cast("double") / col("n_child"), 6)
-            .as("orphan_rate"))
+          round(try_divide(col("n_orphans").cast("double"),
+            col("n_child").cast("double")), 6).as("orphan_rate"))
     }
     perRel.reduce(_.union(_)).orderBy("relation")
   }
@@ -179,14 +196,22 @@ object Governance {
     (conv(substring(md5(concat(lit(s"lap|$seed|"), key)), 1, 8), 16, 10)
       .cast("double") + 0.5) / pow(lit(2.0), 32)
 
-  /** Differentially-private count release: per-group counts + Laplace(1/ε)
-    * noise via the inverse CDF over a hash-seeded uniform, clamped at 0 and
-    * rounded to integers (the standard post-processing, which DP survives).
-    * Count queries have sensitivity 1, so scale b = 1/ε.
+  /** Seeded pseudo-noise count release: per-group counts + Laplace(1/ε)-
+    * SHAPED noise via the inverse CDF over a hash-seeded uniform, clamped at
+    * 0 and rounded to integers. Deterministic by construction so an
+    * independent engine (the DuckDB oracle) can replay the release
+    * bit-for-bit — the point is testable masking plumbing, not privacy.
+    *
+    * This is NOT ε-differential privacy: the noise is a pure public function
+    * of (group key, seed), so anyone holding the seed recomputes and
+    * subtracts it, recovering exact counts. A real DP release draws the
+    * noise from secret PRNG state (committed seeds are published only as
+    * hash commitments); swap [[seededUniform]] for a secret-seeded draw and
+    * keep everything downstream to get one.
     *
     * @return (group, noisy_count) one row per group, ordered by group.
     */
-  def noisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+  def seededNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
       seed: Long): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
     val u = seededUniform(col(groupCol).cast("string"), seed)

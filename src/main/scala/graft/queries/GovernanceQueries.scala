@@ -9,7 +9,9 @@ import graft.operators.Governance._
 /** Governance registrations — the publish-side checks and reports of the
   * curation pipeline: data-quality expectations (one-scan suite),
   * referential-integrity audit, k-anonymity/l-diversity re-identification
-  * report, and a seeded-Laplace differentially-private count release.
+  * report, and a seeded Laplace-shaped pseudo-noise count release
+  * (replayable masking-test plumbing — deliberately not ε-DP, see
+  * `Governance.seededNoisyCounts`).
   *
   * The expectations set deliberately includes one genuinely FAILING check:
   * (l_orderkey, l_linenumber) is NOT a unique key in the synthetic lineitem
@@ -62,10 +64,11 @@ object GovernanceQueries extends QueryPack {
         Seq(col("c_nationkey"), col("c_mktsegment")),
         sensitive = floor(col("c_acctbal") / 2000), k = KAnon)),
 
-    // DP count release: per-event-type counts + Laplace(1/eps) noise from
-    // a committed seed — replayable by an independent engine.
+    // Seeded pseudo-noise count release: per-event-type counts +
+    // Laplace(1/eps)-shaped noise from a committed seed — replayable by an
+    // independent engine (not ε-DP; the seed makes the noise public).
     "privacy_noisy_counts" -> ((s, dir) =>
-      Governance.noisyCounts(t(s, dir, "events"), "event_type",
+      Governance.seededNoisyCounts(t(s, dir, "events"), "event_type",
         epsilon = NoiseEps, seed = NoiseSeed)),
 
     // Z-ORDER vs linear layout: what file-level min/max pruning admits
@@ -80,18 +83,20 @@ object GovernanceQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
 
+    // pass is computed on the UNROUNDED metric (mirrors Governance
+    // .expectations); only the reported metric column rounds to 6.
     "dq_expectations" ->
       """WITH m AS (SELECT
-        |  round(avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END), 6) AS m_nn,
-        |  round(avg(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1.0 ELSE 0.0 END), 6) AS m_disc,
-        |  round(avg(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1.0 ELSE 0.0 END), 6) AS m_qty,
-        |  round(avg(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0.0 OR l_tax > 0.08) THEN 1.0 ELSE 0.0 END), 6) AS m_tax,
-        |  round(avg(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1.0 ELSE 0.0 END), 6) AS m_rf,
-        |  round(avg(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F') THEN 1.0 ELSE 0.0 END), 6) AS m_ls,
-        |  round(1.0 - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*), 6) AS m_uk,
-        |  round(CAST(count(DISTINCT l_suppkey) AS DOUBLE), 6) AS m_ndv
+        |  avg(CASE WHEN l_shipdate IS NULL THEN 1.0 ELSE 0.0 END) AS m_nn,
+        |  avg(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1.0 ELSE 0.0 END) AS m_disc,
+        |  avg(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1.0 ELSE 0.0 END) AS m_qty,
+        |  avg(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0.0 OR l_tax > 0.08) THEN 1.0 ELSE 0.0 END) AS m_tax,
+        |  avg(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1.0 ELSE 0.0 END) AS m_rf,
+        |  avg(CASE WHEN l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O','F') THEN 1.0 ELSE 0.0 END) AS m_ls,
+        |  1.0 - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) AS m_uk,
+        |  CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS m_ndv
         |FROM lineitem)
-        |SELECT "check", "column", metric, threshold, pass FROM (
+        |SELECT "check", "column", round(metric, 6) AS metric, threshold, pass FROM (
         |  SELECT 'not_null' AS "check", 'l_shipdate' AS "column", m_nn AS metric, 0.0 AS threshold, m_nn <= 0.0 AS pass FROM m
         |  UNION ALL SELECT 'in_range', 'l_discount', m_disc, 0.0, m_disc <= 0.0 FROM m
         |  UNION ALL SELECT 'in_range', 'l_quantity', m_qty, 0.0, m_qty <= 0.0 FROM m

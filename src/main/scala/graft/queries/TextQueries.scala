@@ -483,7 +483,7 @@ object TextQueries extends QueryPack {
     "text_perplexity_gate" ->
       s"""$trigramScoredSql
          |SELECT d.source, count(*) AS n_docs,
-         |  sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS n_kept,
+         |  CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  round(avg(s.ppl), 6) AS mean_ppl,
          |  round(CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS keep_share

@@ -75,6 +75,12 @@ object Layout {
     */
   def clusteringStats(df: DataFrame, xCol: Column, yCol: Column,
       nFiles: Int, domain: Int = 256): DataFrame = {
+    // The z-side binning divides by domain² as the Morton key space, which
+    // is exact only when domain is a power of two (otherwise the key of
+    // (domain-1, domain-1) exceeds domain² and file ids spill past nFiles,
+    // skewing the report — e.g. domain=100 puts (99,99) at 16383 > 10000).
+    require(domain > 0 && (domain & (domain - 1)) == 0,
+      s"domain must be a power of two (Morton key space = domain^2), got $domain")
     val keyed = df.select(xCol.cast("long").as("bx"), yCol.cast("long").as("by"))
       .withColumn("z", zValue2(col("bx"), col("by")))
     val assigned = keyed.select(col("bx"), col("by"),

@@ -37,6 +37,41 @@ class GovernanceSpec extends SparkSpec {
     assert(rep.contains(("min_ndv", "flag", 3.0, 3.0, true)))
   }
 
+  test("expectations passes on the unrounded metric, not the round-6 report") {
+    // 1 violation in 4M rows: rate 2.5e-7 rounds to 0.0 at 6 digits — the
+    // report shows 0.0 but the gate must still fail a zero threshold
+    val df = spark.range(4000000)
+      .select(when(col("id") === 0L, lit(null)).otherwise(col("id")).as("v"))
+    val r = Governance.expectations(df, Seq(NotNull("v"))).collect().head
+    assert(r.getDouble(2) == 0.0)   // reported metric rounds to zero...
+    assert(!r.getBoolean(4))        // ...but the verdict sees the violation
+  }
+
+  test("expectations over an empty table fails explicitly, never null") {
+    val df = Seq((1L, 2.0)).toDF("id", "v").where(lit(false))
+    val rep = Governance.expectations(df, Seq(
+      NotNull("v"), InRange("v", 0.0, 1.0), UniqueKey(Seq("id")),
+      MinNdv("id", 1L))).collect()
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(!r.isNullAt(4), s"pass must not be null: $r")
+      assert(!r.getBoolean(4), s"empty publish must fail the gate: $r")
+    }
+  }
+
+  test("referentialAudit handles fk and pk sharing a column name") {
+    // self-referencing shape: manager_id -> id within one table, both read
+    // from frames where the join key name collides
+    val emp = Seq((1L, Option.empty[Long]), (2L, Some(1L)), (3L, Some(99L)))
+      .toDF("id", "manager_id")
+    val parent = emp.select(col("id").as("manager_id"))
+    val r = Governance.referentialAudit(Seq(
+      FkRel("emp->mgr", emp, "manager_id", parent, "manager_id")))
+      .collect().head
+    assert(r.getLong(1) == 3L)  // n_child
+    assert(r.getLong(2) == 2L)  // orphans: null + 99
+  }
+
   test("expectations plans as a single aggregation over one scan") {
     val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")
     val plan = Governance.expectations(df, Seq(
@@ -77,23 +112,23 @@ class GovernanceSpec extends SparkSpec {
       (3L, 2L, 6L, 1L, false))) // classes a+c: min l-diversity = 1 (c)
   }
 
-  test("noisyCounts is deterministic, integer, clamped at zero") {
+  test("seededNoisyCounts is deterministic, integer, clamped at zero") {
     val df = (1 to 100).map(i => ("g" + (i % 3), i)).toDF("g", "v")
-    val a = Governance.noisyCounts(df, "g", epsilon = 0.5, seed = 7L).collect()
-    val b = Governance.noisyCounts(df, "g", epsilon = 0.5, seed = 7L).collect()
+    val a = Governance.seededNoisyCounts(df, "g", epsilon = 0.5, seed = 7L).collect()
+    val b = Governance.seededNoisyCounts(df, "g", epsilon = 0.5, seed = 7L).collect()
     assert(a.sameElements(b))
     assert(a.forall(_.getLong(1) >= 0L))
     // noise is bounded by b*ln(2^31) ~ 43 at eps=0.5; counts are ~33
     assert(a.forall(r => math.abs(r.getLong(1) - 33L) <= 90L))
     // a different seed should perturb at least one group differently
-    val c = Governance.noisyCounts(df, "g", epsilon = 0.5, seed = 8L).collect()
+    val c = Governance.seededNoisyCounts(df, "g", epsilon = 0.5, seed = 8L).collect()
     assert(!a.sameElements(c))
   }
 
-  test("noisyCounts clamps heavily-negative noise on tiny counts to zero") {
+  test("seededNoisyCounts clamps heavily-negative noise on tiny counts to zero") {
     // eps small enough that some group's noise can exceed its count
     val df = Seq(("x", 1), ("y", 1)).toDF("g", "v")
-    val rows = Governance.noisyCounts(df, "g", epsilon = 0.01, seed = 3L)
+    val rows = Governance.seededNoisyCounts(df, "g", epsilon = 0.01, seed = 3L)
       .collect()
     assert(rows.forall(_.getLong(1) >= 0L))
   }

@@ -153,4 +153,17 @@ class LayoutSkippingSpec extends SparkSpec {
     assert(rows("linear") === ((4L, 4.0, 16.0, 1.0, 4.0, 1.0)))
     assert(rows("zorder") === ((4L, 8.0, 8.0, 2.0, 2.0, 1.0)))
   }
+
+  test("clusteringStats rejects non-power-of-two domains") {
+    import spark.implicits._
+    // z-binning divides by domain², valid only for pow2 domains: at
+    // domain=100 the Morton key of (99,99) is 16383 > 100², which would
+    // assign file ids >= nFiles and skew the report
+    val df = Seq((1, 2)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      graft.sinks.Layout.clusteringStats(df, col("x"), col("y"),
+        nFiles = 4, domain = 100)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
 }

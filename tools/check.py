@@ -65,14 +65,40 @@ for name in names:
         print(f'FAIL {name}: err: {open(f"{pdir}/_error").read()[:200]}')
         fail += 1; continue
     try:
-        exp = con.execute(sql).fetchdf()
+        exp_at = con.execute(sql).arrow()
     except Exception as e:
         print(f'FAIL {name}: oracle error: {e}'); fail += 1; continue
-    got = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").fetchdf()
+    got_at = con.execute(f"SELECT * FROM '{pdir}/*.parquet'").arrow()
+    # dtype-strict at the driver's actual granularity: the driver's hash
+    # merges integer widths (int32 vs int64 green in r9) and converts
+    # DECIMAL to float (decimal threshold vs double green in r9), but
+    # keeps int-family vs float-family distinct — DuckDB types an uncast
+    # integer sum() HUGEINT (arrow decimal128(38,0) -> float on the
+    # driver) where Spark emits int64, the r9 text_perplexity_gate
+    # escape. Compare the per-column type CLASS under that map.
+    def tclass(t):
+        s = str(t)
+        if s.startswith(('int', 'uint')): return 'int'
+        if s.startswith(('float', 'double', 'halffloat', 'decimal')):
+            return 'float'
+        if s.startswith(('timestamp', 'date')): return 'timestamp'
+        if s.startswith(('string', 'large_string', 'utf8')): return 'str'
+        if s.startswith(('list', 'large_list', 'struct', 'map')):
+            return 'nested'
+        return s
+    exp_types = {f.name: tclass(f.type) for f in exp_at.schema}
+    got_types = {f.name: tclass(f.type) for f in got_at.schema}
+    exp = exp_at.to_pandas()
+    got = got_at.to_pandas()
     exp = exp.reindex(sorted(exp.columns), axis=1)
     got = got.reindex(sorted(got.columns), axis=1)
     if list(exp.columns) != list(got.columns):
         print(f'FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}'); fail += 1; continue
+    tmis = {c: (exp_types[c], got_types[c]) for c in exp.columns
+            if exp_types[c] != got_types[c]}
+    if tmis:
+        print(f'FAIL {name}: dtype mismatch (oracle vs spark): {tmis}')
+        fail += 1; continue
     es = sorted([tuple(norm(v) for v in row) for row in exp.itertuples(index=False)])
     gs = sorted([tuple(norm(v) for v in row) for row in got.itertuples(index=False)])
     if es == gs:

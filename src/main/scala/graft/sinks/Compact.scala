@@ -9,16 +9,23 @@ import org.apache.spark.sql.SparkSession
   * a parquet row group, and scan parallelism/planning cost degrade with
   * file count (every file is an open+footer-read at plan time).
   *
-  * Rewrite-and-swap: read the directory, `repartition` to
-  * ceil(total_bytes / targetBytes) partitions, write to a temp dir, then
-  * swap directories. The temp and set-aside dirs use a leading-dot
-  * sibling name, which Spark's file listing and partition discovery
-  * ignore — so a crash mid-swap can never surface duplicate or phantom
-  * partitions; the worst case is a transiently missing partition whose
-  * data survives in the hidden set-aside dir. Data is byte-identical
-  * modulo row order (parquet re-encode). Partitioned layouts
-  * (`col=value` subdirs) are compacted per-partition so pruning
-  * survives. Single-writer per directory by contract.
+  * Two commit strategies:
+  *  - [[compactParquet]] / [[compactPartitioned]] — rewrite-and-swap for
+  *    plain parquet directories on a REAL filesystem (HDFS, local):
+  *    write to a hidden-sibling temp dir, then swap via directory
+  *    renames, which are atomic there. The temp and set-aside dirs use a
+  *    leading-dot name Spark's listing ignores, so a crash mid-swap can
+  *    never surface duplicate or phantom partitions. NOT for S3-class
+  *    object stores, which have no atomic rename.
+  *  - [[compactGenerations]] — for tables kept under the [[Generations]]
+  *    pointer-file protocol: the compacted snapshot becomes a new
+  *    immutable generation and the commit is one pointer object, correct
+  *    on object stores too (and the read side never observes a swap
+  *    window at all). This is the 100 TB-posture path.
+  *
+  * Data is byte-identical modulo row order (parquet re-encode).
+  * Partitioned layouts (`col=value` subdirs) are compacted per-partition
+  * so pruning survives. Single-writer per directory by contract.
   */
 object Compact {
 
@@ -49,6 +56,32 @@ object Compact {
     fs.delete(old, true)
 
     val after = fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    (before, after)
+  }
+
+  /** Compact a [[Generations]] table: if the live generation holds more
+    * files than ceil(total_bytes / targetBytes), rewrite it as a new
+    * generation at that width and pointer-commit it (then GC history).
+    * No renames of data anywhere — object-store safe.
+    * @return (files before, files after) of the live generation
+    */
+  def compactGenerations(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val cur = Generations.latest(spark, table).getOrElse(return (0, 0))
+    val genDir = new Path(Generations.genPath(table, cur))
+    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(genDir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val before = dataFiles.length
+    if (before <= 1) return (before, before)
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (parts >= before) return (before, before)
+    val next = Generations.writeAndCommit(spark,
+      spark.read.parquet(genDir.toString).repartition(parts), table)
+    Generations.gc(spark, table, keep = 2)
+    val after = fs.listStatus(new Path(Generations.genPath(table, next)))
       .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
     (before, after)
   }

@@ -69,25 +69,46 @@ object ObjectSink {
     if (!rows.isEmpty) rows.write.mode("append").parquet(manifestPath(root))
   }
 
-  /** The manifest's names for one strategy prefix, as a distributed
-    * frame — None when no manifest exists yet (bootstrap/legacy sink).
-    * Explicit schema: a manifest dir holding only _SUCCESS (possible
-    * after an all-error batch) must read as empty, not fail inference.
-    * If a crash between [[compactManifest]]'s two renames left only the
-    * displaced `.old` generation behind, it is restored first — the
-    * guard never silently loses its history to a half-finished swap.
+  /** Root of the manifest's compacted-snapshot generation table (pointer-
+    * file committed via [[Generations]] — no directory renames, so the
+    * compaction commit is safe on S3-class stores too). The full manifest
+    * is snapshot ∪ delta dir.
     */
-  def manifestNames(spark: SparkSession, root: String,
-      prefix: String): Option[DataFrame] = {
+  def manifestSnapPath(root: String): String = s"$root/_manifest_snap"
+
+  /** The whole manifest as one distributed frame — the committed snapshot
+    * (if any compaction ever ran) unioned with the append-only delta dir.
+    * None when neither exists yet (bootstrap/legacy sink). Explicit
+    * schema: a delta dir holding only _SUCCESS (possible after an
+    * all-error batch) must read as empty, not fail inference. If a crash
+    * of the PRE-generation compactor's rename pair left only a displaced
+    * `.old` dir behind, it is restored first — the guard never silently
+    * loses legacy history to a half-finished old-protocol swap.
+    */
+  def manifestAll(spark: SparkSession, root: String): Option[DataFrame] = {
     val path = Paths.get(manifestPath(root))
     val old = path.resolveSibling(path.getFileName.toString + ".old")
     if (!Files.isDirectory(path) && Files.isDirectory(old))
       Files.move(old, path)
-    if (!Files.isDirectory(path)) None
-    else Some(spark.read.schema("prefix STRING, name STRING")
-      .parquet(manifestPath(root))
-      .filter(col("prefix") === prefix).select(col("name")))
+    val delta =
+      if (Files.isDirectory(path))
+        Some(spark.read.schema("prefix STRING, name STRING")
+          .parquet(manifestPath(root)))
+      else None
+    val snap = Generations.read(spark, manifestSnapPath(root))
+    (snap, delta) match {
+      case (Some(s), Some(d)) => Some(s.unionByName(d))
+      case (s, d)             => s.orElse(d)
+    }
   }
+
+  /** The manifest's names for one strategy prefix, as a distributed
+    * frame — None when no manifest exists yet (bootstrap/legacy sink).
+    */
+  def manifestNames(spark: SparkSession, root: String,
+      prefix: String): Option[DataFrame] =
+    manifestAll(spark, root)
+      .map(_.filter(col("prefix") === prefix).select(col("name")))
 
   /** Seed the manifest with names discovered OUTSIDE it (a legacy sink's
     * pre-manifest objects, found by one bounded directory listing) so
@@ -103,47 +124,58 @@ object ObjectSink {
         .write.mode("append").parquet(manifestPath(root))
   }
 
-  /** Compact the append-only manifest: rewrite all accumulated
-    * (prefix, name) rows — one small file per batch per branch — into a
-    * deduplicated snapshot, atomically swapped in (write to a side dir,
-    * then two renames). Run it like any table-maintenance job (size- or
-    * count-triggered); the guard's read path is unchanged. Distinct
-    * shuffles only manifest rows (names, never objects), and the swap
-    * window is the same replace-in-place pattern as
-    * [[graft.sources.Catalog.replaceInPlace]].
+  /** Compact the manifest: fold the accumulated delta files — one small
+    * parquet file per batch per branch — plus the previous snapshot into
+    * one deduplicated snapshot generation, published via [[Generations]]'
+    * pointer-file commit, then delete the folded delta files. Run it like
+    * any table-maintenance job (size- or count-triggered); the guard's
+    * read path ([[manifestAll]]) is unchanged.
     *
-    * Crash safety: stale `.compact`/`.old` generations from an earlier
-    * interrupted run are cleaned (or restored — see [[manifestNames]])
-    * up front, so a crash can neither wedge the next compaction nor
-    * lose history; if the swap itself fails after the live manifest was
-    * displaced, it is rolled back in place.
+    * No directory is ever renamed (the old protocol's rename-pair swap
+    * is gone), so the commit is correct on S3-class object stores, which
+    * have no atomic rename — the deployment target the reference's own
+    * wiki assumes (`wiki.md:139-141`). Crash windows: before the pointer
+    * commit → an orphaned generation [[Generations.gc]] removes, deltas
+    * untouched; between commit and delta deletion → folded rows exist in
+    * both snapshot and delta, harmless to the guard (anti-join/Bloom
+    * membership) and removed by the next compaction. The delta file list
+    * is captured BEFORE the fold, so batches appending concurrently are
+    * never deleted unfolded.
     *
     * @return number of rows in the compacted snapshot. */
   def compactManifest(spark: SparkSession, root: String): Long = {
     val path = Paths.get(manifestPath(root))
-    val tmp = path.resolveSibling(path.getFileName.toString + ".compact")
     val old = path.resolveSibling(path.getFileName.toString + ".old")
-    def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-      val s = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      } finally s.close()
-    }
-    // recover/clean any half-finished earlier swap BEFORE starting
+    // restore a legacy (pre-generation protocol) half-finished swap
     if (!Files.isDirectory(path) && Files.isDirectory(old)) Files.move(old, path)
-    rmTree(tmp); rmTree(old)
-    if (!Files.isDirectory(path)) return 0L
-    val snapshot = spark.read.schema("prefix STRING, name STRING")
-      .parquet(manifestPath(root)).distinct()
-    snapshot.write.mode("overwrite").parquet(tmp.toString)
-    val n = spark.read.parquet(tmp.toString).count()
-    Files.move(path, old)
-    try Files.move(tmp, path)
-    catch { case e: Exception => Files.move(old, path); throw e }
-    try rmTree(old) catch { case _: Exception => () } // manifestNames restores if a crash leaves only .old
-    n
+    val deltaFiles: Seq[java.nio.file.Path] =
+      if (!Files.isDirectory(path)) Seq.empty
+      else {
+        val s = Files.list(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq
+        } finally s.close()
+      }
+    val snap = Generations.read(spark, manifestSnapPath(root))
+    val delta =
+      if (deltaFiles.isEmpty) None
+      else Some(spark.read.schema("prefix STRING, name STRING")
+        .parquet(deltaFiles.map(_.toString): _*))
+    val all = (snap, delta) match {
+      case (Some(s), Some(d)) => s.unionByName(d)
+      case (Some(s), None)    => s
+      case (None, Some(d))    => d
+      case (None, None)       => return 0L
+    }
+    val c = Generations.writeAndCommit(spark, all.distinct(),
+      manifestSnapPath(root))
+    deltaFiles.foreach(Files.deleteIfExists(_))
+    Generations.gc(spark, manifestSnapPath(root), keep = 2)
+    c.rows
   }
 
   /** Names already present under `<root>/<prefix>/` — the D1 dup-guard's

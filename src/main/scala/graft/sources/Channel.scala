@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Pluggable task-queue channel — the enqueue/dequeue surface of the
   * reference's SQS handoff (K1/K2), abstracted so transports swap
-  * without touching the pipeline: the directory queue ships here
-  * ([[DirectoryChannel]]); a production deployment drops in a Kafka
-  * implementation (`spark.readStream.format("kafka")` + topic/bootstrap
-  * config and `to_json`/`from_json` over the same task schema) with no
-  * change to [[graft.streaming.DownloadPipeline]] — no Kafka dependency
-  * is needed until then.
+  * without touching the pipeline. Two implementations ship:
+  * [[DirectoryChannel]] (plain JSON-lines directory) and
+  * [[OffsetLogChannel]] (partitioned offset log with Kafka's exact
+  * consumption model — key-hash partitions, per-partition offsets,
+  * consumer-group commits). A production Kafka deployment drops in
+  * `spark.readStream.format("kafka")` + topic/bootstrap config and
+  * `to_json`/`from_json` over the same task schema with no change to
+  * [[graft.streaming.DownloadPipeline]] — no Kafka dependency is needed
+  * until then, and the OffsetLogChannel pins the semantics it must have.
   *
   * Contract: `enqueue` appends task rows durably; `dequeue` returns up
   * to `max` pending tasks (≤ 0 = everything) without consuming them —

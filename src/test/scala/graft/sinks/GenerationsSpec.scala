@@ -1,0 +1,133 @@
+package graft.sinks
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** The pointer-file commit protocol's contract: atomic visibility, crash
+  * windows that never lose or tear a snapshot, deletion-only GC.
+  */
+class GenerationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(): String =
+    Files.createTempDirectory("graft-gen").resolve("t").toString
+
+  test("writeAndCommit publishes snapshots with monotonic versions") {
+    val t = mkTable()
+    assert(Generations.read(spark, t).isEmpty)
+    val c1 = Generations.writeAndCommit(spark, Seq(1, 2, 3).toDF("v"), t)
+    assert(c1.version === 1L && c1.rows === 3L)
+    val c2 = Generations.writeAndCommit(spark, Seq(9).toDF("v"), t)
+    assert(c2.version === 2L && c2.rows === 1L)
+    // reader sees exactly the newest committed snapshot
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet === Set(9))
+  }
+
+  test("a crash before the pointer commit leaves the old snapshot live") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(1, 2).toDF("v"), t)
+    // simulate: the data write of generation 2 finished, but the process
+    // died before the pointer was published — an orphaned gen dir
+    Seq(7, 8, 9).toDF("v").write.parquet(s"$t/data/g00000002-deadbeef")
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet
+      === Set(1, 2), "orphaned (uncommitted) generation must be invisible")
+    // and a stale pointer TEMP file is equally invisible
+    Files.write(Paths.get(t, "_commits", ".v0000000000000002.x.tmp"),
+      "2 g00000002-deadbeef 3\n".getBytes("UTF-8"))
+    assert(Generations.latest(spark, t).get.version === 1L)
+    // the next writer proceeds normally over the debris
+    val c = Generations.writeAndCommit(spark, Seq(5).toDF("v"), t)
+    assert(c.version === 2L)
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet === Set(5))
+  }
+
+  test("gc prunes old commits, orphaned generations, and stale temps only") {
+    val t = mkTable()
+    val c1 = Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
+    val c2 = Generations.writeAndCommit(spark, Seq(2).toDF("v"), t)
+    val c3 = Generations.writeAndCommit(spark, Seq(3).toDF("v"), t)
+    // debris: an orphaned gen dir + a stale pointer temp
+    Seq(0).toDF("v").write.parquet(s"$t/data/g00000009-orphaned")
+    Files.write(Paths.get(t, "_commits", ".v9.x.tmp"), "junk".getBytes)
+    val (nc, ng) = Generations.gc(spark, t, keep = 2)
+    assert(nc === 2) // commit v1 + the stale temp
+    assert(ng === 2) // gen of v1 + the orphan
+    // kept: v2 (rollback target) and the live v3, both readable
+    assert(Generations.latest(spark, t).get === c3)
+    assert(spark.read.parquet(Generations.genPath(t, c2))
+      .as[Int].collect().toSet === Set(2))
+    assert(!Files.exists(Paths.get(Generations.genPath(t, c1))))
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet === Set(3))
+    // idempotent: a second (crash-resumed) gc is a no-op
+    assert(Generations.gc(spark, t, keep = 2) === ((0, 0)))
+  }
+
+  test("a duplicate version commit is refused (single-writer contract)") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
+    // a lost writer that still thinks the table is empty tries to commit
+    // version 1 again via the raw protocol: same-name pointer rename fails
+    val cd = new Path(s"$t/_commits")
+    val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cd, ".v0000000000000001.dup.tmp")
+    val out = fs.create(tmp, false)
+    out.write("1 g00000001-dup 0\n".getBytes("UTF-8")); out.close()
+    assert(!fs.rename(tmp, new Path(cd, "v0000000000000001")),
+      "renaming onto an existing commit must fail, protecting the winner")
+  }
+
+  test("manifest compaction crash windows never lose or duplicate guards") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-mc").resolve("out").toString
+    def names(prefix: String): Set[String] =
+      ObjectSink.manifestNames(spark, root, prefix).get
+        .as[String].collect().toSet
+
+    // two append batches → two delta files
+    Seq(("P", "a")).toDF("prefix", "name")
+      .write.mode("append").parquet(ObjectSink.manifestPath(root))
+    Seq(("P", "b")).toDF("prefix", "name")
+      .write.mode("append").parquet(ObjectSink.manifestPath(root))
+    assert(names("P") === Set("a", "b"))
+
+    // crash window 1: snapshot generation written but pointer never
+    // published → manifest still reads complete from the deltas
+    Seq(("P", "a"), ("P", "b")).toDF("prefix", "name")
+      .write.parquet(s"${ObjectSink.manifestSnapPath(root)}/data/g00000001-dead")
+    assert(names("P") === Set("a", "b"))
+
+    // a real compaction over the debris: snapshot commits, deltas gone
+    assert(ObjectSink.compactManifest(spark, root) === 2L)
+    assert(names("P") === Set("a", "b"))
+
+    // crash window 2: commit succeeded but the folded delta files were
+    // not deleted — rows exist in snapshot AND delta; the guard's view
+    // (a membership set) is unchanged, and the next compaction heals it
+    Seq(("P", "a")).toDF("prefix", "name")
+      .write.mode("append").parquet(ObjectSink.manifestPath(root))
+    assert(names("P") === Set("a", "b"))
+    assert(ObjectSink.compactManifest(spark, root) === 2L)
+    assert(names("P") === Set("a", "b"))
+
+    // appends after compaction keep working (snapshot ∪ delta)
+    Seq(("P", "c")).toDF("prefix", "name")
+      .write.mode("append").parquet(ObjectSink.manifestPath(root))
+    assert(names("P") === Set("a", "b", "c"))
+  }
+
+  test("compactGenerations rewrites wide generations via pointer commit") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark,
+      spark.range(1000).toDF("v").repartition(16), t)
+    val (b, a) = Compact.compactGenerations(spark, t)
+    assert(b === 16 && a === 1)
+    assert(Generations.read(spark, t).get.count() === 1000L)
+    assert(Generations.latest(spark, t).get.version === 2L)
+    // already compact → no-op, no new generation
+    assert(Compact.compactGenerations(spark, t) === ((1, 1)))
+    assert(Generations.latest(spark, t).get.version === 2L)
+  }
+}

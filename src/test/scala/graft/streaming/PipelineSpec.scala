@@ -122,14 +122,21 @@ class PipelineSpec extends SparkSpec {
       "guard consulted the sink directory instead of the manifest")
     assert(!Files.exists(Paths.get(root, "out/LINK/b.zip")))
 
-    // Compaction rewrites the accumulated per-batch files into one
-    // deduplicated snapshot; the guard must behave identically after.
+    // Compaction folds the accumulated per-batch delta files into one
+    // deduplicated pointer-committed snapshot generation and deletes the
+    // folded deltas; the guard must behave identically after.
     val n = graft.sinks.ObjectSink.compactManifest(spark, s"$root/out")
     assert(n === 2L)
-    val after = spark.read
-      .parquet(graft.sinks.ObjectSink.manifestPath(s"$root/out"))
+    val after = graft.sinks.ObjectSink.manifestAll(spark, s"$root/out").get
       .select(col("prefix"), col("name")).as[(String, String)].collect().toSet
     assert(after === manifest)
+    // the folded delta files are gone (only markers like _SUCCESS remain)
+    import scala.jdk.CollectionConverters._
+    val leftover = Files.list(Paths.get(
+      graft.sinks.ObjectSink.manifestPath(s"$root/out")))
+    try assert(!leftover.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("part-")))
+    finally leftover.close()
     DownloadPipeline.processBatch(tasks, root)
     assert(!Files.exists(Paths.get(root, "out/LINK/a.csv")),
       "guard regressed after manifest compaction")
@@ -270,5 +277,31 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")))
     assert(!Files.exists(Paths.get(root, "alerts")) ||
       spark.read.text(s"$root/alerts").isEmpty)
+  }
+
+  test("streaming: the offset-log (Kafka-model) transport is a drop-in") {
+    val tmp = Files.createTempDirectory("graft-stream-olog")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    val channel = graft.sources.OffsetLogChannel(s"$root/olog", nPartitions = 2)
+
+    import spark.implicits._
+    val u = src.toUri.toString
+    channel.enqueue(
+      Seq(("s-direct", s"${u}direct.bin", "DIRECT", "direct_out.bin", "0", 0),
+        ("s-links", s"${u}page.html", "LINKS", "ignore", "0", 0))
+        .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts"))
+
+    DownloadPipeline.runStream(spark, channel, root, s"$root/checkpoint", None)
+    assert(read(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")) === "direct-payload")
+    assert(read(Paths.get(root, "out/LINK/a.csv")) === "alpha,1")
+
+    // the checkpoint is the ack: a second drain re-processes nothing
+    Files.delete(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin"))
+    Files.delete(src.resolve("direct.bin"))
+    DownloadPipeline.runStream(spark, channel, root, s"$root/checkpoint", None)
+    assert(!Files.exists(Paths.get(root, "out/LINKS_DIRECT/direct_out.bin")))
   }
 }

@@ -45,7 +45,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Generations {
 
-  final case class Commit(version: Long, gen: String, rows: Long)
+  /** `tag` is free metadata recorded in the pointer: "-" for plain
+    * snapshot commits, a caller id (e.g. `batch=7`) for idempotent log
+    * appends, [[SquashTag]] for a log-folding snapshot.
+    */
+  final case class Commit(version: Long, gen: String, rows: Long,
+      tag: String = "-")
+
+  /** Tag marking a commit that supersedes ALL earlier commits of a log
+    * table (the Delta-checkpoint analog): [[readLog]] starts here.
+    */
+  val SquashTag = "=squash"
 
   private def commitsDir(table: Path) = new Path(table, "_commits")
   private def dataDir(table: Path) = new Path(table, "data")
@@ -54,23 +64,29 @@ object Generations {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The newest committed generation, or None for an empty/new table. */
-  def latest(spark: SparkSession, table: String): Option[Commit] = {
+  private def parseCommit(fs: FileSystem, cd: Path, name: String): Commit = {
+    val in = fs.open(new Path(cd, name))
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().next() finally in.close()
+    val parts = line.trim.split(" ")
+    Commit(parts(0).toLong, parts(1), parts(2).toLong,
+      if (parts.length > 3) parts(3) else "-")
+  }
+
+  /** Every commit of the table, version-ascending. */
+  def commits(spark: SparkSession, table: String): Seq[Commit] = {
     val cd = commitsDir(new Path(table))
     val fs = fsOf(spark, cd)
-    if (!fs.exists(cd)) return None
-    val names = fs.listStatus(cd).map(_.getPath.getName)
+    if (!fs.exists(cd)) return Seq.empty
+    fs.listStatus(cd).map(_.getPath.getName)
       .filter(_.matches("v\\d{16}"))
-    if (names.isEmpty) None
-    else {
-      val top = names.maxBy(_.drop(1).toLong)
-      val in = fs.open(new Path(cd, top))
-      val line = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next() finally in.close()
-      val Array(v, gen, rows) = line.trim.split(" ")
-      Some(Commit(v.toLong, gen, rows.toLong))
-    }
+      .sortBy(_.drop(1).toLong)
+      .map(parseCommit(fs, cd, _)).toSeq
   }
+
+  /** The newest committed generation, or None for an empty/new table. */
+  def latest(spark: SparkSession, table: String): Option[Commit] =
+    commits(spark, table).lastOption
 
   /** Path of a commit's generation directory. */
   def genPath(table: String, c: Commit): String =
@@ -87,7 +103,8 @@ object Generations {
     * kind that is atomic-equivalent on object stores too.
     */
   def writeAndCommit(spark: SparkSession, df: DataFrame,
-      table: String): Commit = {
+      table: String, tag: String = "-"): Commit = {
+    require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
     val t = new Path(table)
     val fs = fsOf(spark, t)
     val version = latest(spark, table).map(_.version + 1).getOrElse(1L)
@@ -100,7 +117,7 @@ object Generations {
     val tmp = new Path(cd,
       s".${commitName(version)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
-    try out.write(s"$version $gen $rows\n".getBytes("UTF-8"))
+    try out.write(s"$version $gen $rows $tag\n".getBytes("UTF-8"))
     finally out.close()
     val finalP = new Path(cd, commitName(version))
     if (!fs.rename(tmp, finalP)) {
@@ -109,12 +126,68 @@ object Generations {
         s"commit $finalP already exists — concurrent writer? " +
           "(single writer per table by contract)")
     }
-    Commit(version, gen, rows)
+    Commit(version, gen, rows, tag)
   }
 
-  /** Prune history: keep the newest `keep` commits (and their gen dirs),
-    * delete everything older plus any unreferenced gen dir and stale
-    * commit temp files. Deletes only — idempotent and crash-safe.
+  // ------------------------------------------------------------ log tables
+  //
+  // The same protocol also carries APPEND-ONLY (log) tables: each commit is
+  // a delta whose rows add to the table, and a SquashTag commit folds all
+  // history into one generation (the Delta-checkpoint analog). This is the
+  // exactly-once answer for Structured Streaming's foreachBatch on object
+  // stores: Spark re-delivers a micro-batch after a crash with the SAME
+  // batchId, so committing each batch under tag `batch=<id>` makes the
+  // replay a visible no-op — no duplicated rows, no torn files.
+
+  /** Commits a [[readLog]] union spans: everything from the newest
+    * squash (inclusive) onward.
+    */
+  def logCommits(spark: SparkSession, table: String): Seq[Commit] = {
+    val all = commits(spark, table)
+    val lastSquash = all.lastIndexWhere(_.tag == SquashTag)
+    if (lastSquash < 0) all else all.drop(lastSquash)
+  }
+
+  /** Idempotent log append: if some commit already carries `tag`, this is
+    * a no-op returning None (the re-delivered batch was already durable);
+    * otherwise append `df` as a new delta commit. The foreachBatch body is
+    * one line: `appendCommitted(spark, batchDf, table, s"batch=$id")`.
+    */
+  def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
+      tag: String): Option[Commit] = {
+    require(tag != SquashTag && tag != "-", s"reserved tag: '$tag'")
+    if (commits(spark, table).exists(_.tag == tag)) None
+    else Some(writeAndCommit(spark, df, table, tag))
+  }
+
+  /** The log table's content: union of every commit since the last
+    * squash. None = never committed.
+    */
+  def readLog(spark: SparkSession, table: String): Option[DataFrame] = {
+    val cs = logCommits(spark, table)
+    if (cs.isEmpty) None
+    else Some(spark.read.parquet(cs.map(genPath(table, _)): _*))
+  }
+
+  /** Fold the log's live commits into ONE generation committed under
+    * [[SquashTag]], then GC superseded history. Bounds both the commit
+    * listing and the per-read file count — run it like any table
+    * maintenance job. Readers are never disturbed: until the squash
+    * pointer lands they union the old commits; after, they start at it.
+    */
+  def squash(spark: SparkSession, table: String): Option[Commit] = {
+    val cur = readLog(spark, table).getOrElse(return None)
+    val c = writeAndCommit(spark, cur, table, SquashTag)
+    gc(spark, table, keep = 1)
+    Some(c)
+  }
+
+  /** Prune history: keep the newest `keep` commits (and their gen dirs)
+    * — plus, always, every LIVE log commit (at/after the last squash; for
+    * a snapshot table, whose newest commit supersedes all others, that
+    * adds nothing beyond the newest) — delete everything older plus any
+    * unreferenced gen dir and stale commit temp files. Deletes only —
+    * idempotent and crash-safe.
     * @return (commit files deleted, gen dirs deleted)
     */
   def gc(spark: SparkSession, table: String, keep: Int = 2): (Int, Int) = {
@@ -124,14 +197,20 @@ object Generations {
     val cd = commitsDir(t)
     if (!fs.exists(cd)) return (0, 0)
     val all = fs.listStatus(cd).map(_.getPath.getName)
-    val commits = all.filter(_.matches("v\\d{16}")).sortBy(_.drop(1).toLong)
+    val commitNames = all.filter(_.matches("v\\d{16}")).sortBy(_.drop(1).toLong)
     val stale = all.filter(n => n.startsWith(".") && n.endsWith(".tmp"))
-    val (drop, kept) = commits.splitAt(math.max(0, commits.length - keep))
-    val keptGens = kept.map { n =>
-      val in = fs.open(new Path(cd, n))
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim.split(" ")(1) finally in.close()
-    }.toSet
+    val parsed = commitNames.map(parseCommit(fs, cd, _))
+    // a log table's live span must survive any `keep`: a squash commit
+    // supersedes what precedes it, nothing supersedes what follows it
+    val lastSquash = parsed.lastIndexWhere(_.tag == SquashTag)
+    val liveFrom =
+      if (parsed.isEmpty) 0
+      else if (lastSquash >= 0) lastSquash
+      else if (parsed.exists(_.tag != "-")) 0 // unsquashed log: all live
+      else parsed.length - 1                  // snapshot: newest only
+    val cut = math.min(math.max(0, commitNames.length - keep), liveFrom)
+    val drop = commitNames.take(cut)
+    val keptGens = parsed.drop(cut).map(_.gen).toSet
     (drop ++ stale).foreach(n => fs.delete(new Path(cd, n), false))
     val dd = dataDir(t)
     val orphans =

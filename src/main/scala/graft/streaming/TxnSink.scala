@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sinks.Generations
+
+/** Exactly-once micro-batch parquet sink for `foreachBatch`.
+  *
+  * Structured Streaming's foreachBatch contract is at-least-once: after a
+  * crash between the user write and the checkpoint commit, the SAME
+  * batchId is re-delivered, and a plain `df.write.mode("append")` then
+  * duplicates the batch — the classic object-store streaming-sink bug.
+  * Committing each batch as a [[Generations]] log delta under the tag
+  * `batch=<id>` makes the replay a durable no-op: the pointer commit for
+  * that batchId already exists, so the second delivery writes nothing
+  * visible. End-to-end exactly-once with nothing but the checkpoint and
+  * the commit log — no transactional filesystem required, and every
+  * object written is immutable (S3-class safe, same argument as
+  * [[Generations]]).
+  *
+  * Read the table with `Generations.readLog`; bound the commit count with
+  * periodic `Generations.squash` (the Delta-checkpoint analog).
+  */
+object TxnSink {
+
+  /** The foreachBatch body: `.foreachBatch(TxnSink.parquetLog(table))`. */
+  def parquetLog(table: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      Generations.appendCommitted(df.sparkSession, df, table,
+        s"batch=$batchId")
+      ()
+    }
+}

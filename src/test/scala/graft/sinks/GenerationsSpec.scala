@@ -118,6 +118,72 @@ class GenerationsSpec extends SparkSpec {
     assert(names("P") === Set("a", "b", "c"))
   }
 
+  test("log appends are idempotent by tag; readLog unions deltas") {
+    val t = mkTable()
+    assert(Generations.readLog(spark, t).isEmpty)
+    assert(Generations.appendCommitted(spark, Seq(1, 2).toDF("v"), t,
+      "batch=0").isDefined)
+    assert(Generations.appendCommitted(spark, Seq(3).toDF("v"), t,
+      "batch=1").isDefined)
+    // re-delivery of batch 0 (crash replay): durable no-op
+    assert(Generations.appendCommitted(spark, Seq(1, 2).toDF("v"), t,
+      "batch=0").isEmpty)
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(1, 2, 3))
+    assert(Generations.commits(spark, t).length === 2)
+  }
+
+  test("squash folds the log into one commit and gc keeps the live span") {
+    val t = mkTable()
+    (0 to 3).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    // unsquashed log: every commit is live — gc must not prune any
+    assert(Generations.gc(spark, t, keep = 1) === ((0, 0)))
+    val sq = Generations.squash(spark, t).get
+    assert(sq.tag === Generations.SquashTag && sq.rows === 4L)
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(0, 1, 2, 3))
+    // history superseded by the squash is gone; the log is one commit
+    assert(Generations.logCommits(spark, t).map(_.version) === Seq(sq.version))
+    assert(Generations.commits(spark, t).length === 1)
+    // appends continue after the squash and union with it
+    Generations.appendCommitted(spark, Seq(9).toDF("v"), t, "batch=9")
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(0, 1, 2, 3, 9))
+  }
+
+  test("TxnSink.parquetLog is exactly-once through a real restarted stream") {
+    import graft.streaming.TxnSink
+    val dir = Files.createTempDirectory("graft-txn")
+    val in = dir.resolve("in"); Files.createDirectories(in)
+    val table = dir.resolve("t").toString
+    val ck = dir.resolve("ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("v INT").json(in.toString)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(TxnSink.parquetLog(table))
+        .start()
+      q.awaitTermination()
+    }
+    Files.write(in.resolve("a.json"), "{\"v\":1}\n{\"v\":2}\n".getBytes)
+    runOnce()
+    assert(Generations.readLog(spark, table).get.count() === 2L)
+    // restart with the same checkpoint, no new data: no growth
+    runOnce()
+    assert(Generations.readLog(spark, table).get.count() === 2L)
+    // crash-replay simulation: foreachBatch re-delivers an already-
+    // committed batchId — the sink must not duplicate it
+    TxnSink.parquetLog(table)(Seq(1, 2).toDF("v"), 0L)
+    assert(Generations.readLog(spark, table).get.count() === 2L)
+    // new data flows as a new batch
+    Files.write(in.resolve("b.json"), "{\"v\":3}\n".getBytes)
+    runOnce()
+    assert(Generations.readLog(spark, table).get.as[Int].collect().sorted
+      === Array(1, 2, 3))
+  }
+
   test("compactGenerations rewrites wide generations via pointer commit") {
     val t = mkTable()
     Generations.writeAndCommit(spark,

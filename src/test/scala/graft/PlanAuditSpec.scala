@@ -80,6 +80,10 @@ class PlanAuditSpec extends SparkSpec {
   // an exemption that no query's plan actually needs must be deleted
   private val usedExemptions = scala.collection.mutable.Set.empty[String]
 
+  // populated by the audit test (one plan build covers every check),
+  // compared against tools/shuffle_budget.json by the budget test below
+  private val exchangeCounts = scala.collection.mutable.Map.empty[String, Int]
+
   private def attrOf(e: Expression): Option[Attribute] = e match {
     case a: Attribute => Some(a)
     case c: Cast => attrOf(c.child)
@@ -133,6 +137,7 @@ class PlanAuditSpec extends SparkSpec {
         case Left(e) => Seq(s"$name: PLAN_FAILED: $e")
         case Right(df) =>
           val exec = df.queryExecution.executedPlan.toString
+          exchangeCounts(name) = ShuffleBudget.countExchanges(exec)
           val basic = Seq(
             "CartesianProduct" -> exec.contains("CartesianProduct"),
             "PythonEval" -> exec.contains("BatchEvalPython"),
@@ -167,6 +172,39 @@ class PlanAuditSpec extends SparkSpec {
     val unused = enumAggExemptions.keySet -- usedExemptions
     assert(unused.isEmpty,
       s"exemptions no plan needs (delete them): ${unused.mkString(", ")}")
+  }
+
+  test("shuffle budget: no query exceeds its committed exchange count") {
+    // tools/shuffle_budget.json pins each query's shuffle-exchange count
+    // in the initial physical plan at sf0.001 (ReusedExchange excluded —
+    // reuse consumes an existing materialization). Every shuffle is a
+    // full network round of the data at 100 TB, so a count increase is a
+    // scale regression that must be a REVIEWED decision: regenerate via
+    // `runMain graft.ShuffleBudget > tools/shuffle_budget.json` only
+    // after explaining the delta. New queries must declare a budget;
+    // deleted queries must leave it. (Runs after the audit test, which
+    // populates the counts from the same single plan build.)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/shuffle_budget.json")), "UTF-8")
+    val budget = """"([A-Za-z0-9_]+)":\s*(\d+)""".r
+      .findAllMatchIn(src).map(m => m.group(1) -> m.group(2).toInt).toMap
+    val missing = exchangeCounts.keySet -- budget.keySet
+    val stale = budget.keySet -- exchangeCounts.keySet
+    val over = exchangeCounts.collect {
+      case (q, n) if budget.get(q).exists(n > _) =>
+        s"$q: $n exchanges > budget ${budget(q)}"
+    }
+    val shrunk = exchangeCounts.collect {
+      case (q, n) if budget.get(q).exists(n < _) =>
+        s"$q: $n < budget ${budget(q)}"
+    }
+    if (shrunk.nonEmpty) // tighten on the next regen; improvement, not failure
+      info(s"queries under budget (regen to ratchet down): ${shrunk.mkString("; ")}")
+    assert(missing.isEmpty && stale.isEmpty && over.isEmpty,
+      (over.toSeq
+        ++ missing.toSeq.sorted.map(q => s"$q: no committed shuffle budget")
+        ++ stale.toSeq.sorted.map(q => s"$q: budget entry for unregistered query"))
+        .mkString("\n"))
   }
 
   test("streaming pipeline sources force no broadcast (sink history grows without bound)") {

@@ -449,25 +449,78 @@ object Learn {
   /** k-fold cross-validated Naive Bayes: deterministic md5 fold
     * assignment, one closed-form model per fold-complement, confusion
     * metrics on each held-out fold — the model-selection loop that tells
-    * you whether a single split's metrics were luck. Every fold's
-    * train/score pass is aggregation-only, so the whole CV is `folds`
-    * scans with no iterative state.
+    * you whether a single split's metrics were luck.
+    *
+    * Scale shape — NOT `folds` independent train/score pipelines (the
+    * r≤9 form: 15 corpus passes and 75 shuffles at folds=5): Naive Bayes
+    * sufficient statistics are ADDITIVE, so ONE per-(fold, bucket)
+    * aggregation yields every fold's statistics, and each complement
+    * model is just totals − fold on a folds×dims frame. All statistics
+    * are exact integer-valued sums (token counts, distinct doc counts),
+    * so complement-by-subtraction is bit-identical to training on the
+    * complement rows directly — the weights, scores and metrics are
+    * unchanged. The whole CV is now 3 corpus passes (per-fold-bucket
+    * counts, per-fold totals, scoring) and its cost no longer grows with
+    * `folds` — the property that makes CV affordable at 100 TB.
     *
     * @return one finalized metrics row per fold, ordered by fold.
     */
   def crossValNB(docs: DataFrame, labelCol: Column, dims: Int = 64,
-      folds: Int = 5): DataFrame = {
+      folds: Int = 5, alpha: Double = 1.0): DataFrame = {
     require(folds >= 2, s"need >= 2 folds, got $folds")
-    val withFold = docs.withColumn("_fold",
-      TextAnalysis.hashBucket(col("doc_id"), folds))
-    (0 until folds).map { f =>
-      val model = trainNaiveBayes(
-        withFold.filter(col("_fold") =!= f), labelCol, dims)
-      val preds = predictNaiveBayes(
-        withFold.filter(col("_fold") === f), model, labelCol, dims)
-      val m = evalMetrics(preds)
-      m.select(lit(f.toLong).as("fold") +: m.columns.toSeq.map(col): _*)
-    }.reduce(_ unionByName _).orderBy("fold")
+    val spark = docs.sparkSession
+    val lab = docs.select(col("doc_id"), labelCol.cast("double").as("y"),
+      TextAnalysis.hashBucket(col("doc_id"), folds).as("fold"))
+    val fc = hashedCounts(docs, dims).join(lab, "doc_id")
+    // one corpus aggregation → every fold's per-bucket class counts
+    val pfb = fc.groupBy(col("fold"), col("bucket")).agg(
+      sum(when(col("y") === 1.0, col("cnt")).otherwise(0.0)).as("c1"),
+      sum(when(col("y") === 0.0, col("cnt")).otherwise(0.0)).as("c0"))
+    // one corpus aggregation → every fold's totals and doc counts
+    val pft = fc.groupBy(col("fold")).agg(
+      sum(when(col("y") === 1.0, col("cnt")).otherwise(0.0)).as("t1"),
+      sum(when(col("y") === 0.0, col("cnt")).otherwise(0.0)).as("t0"),
+      countDistinct(when(col("y") === 1.0, col("doc_id")))
+        .cast("double").as("n1"),
+      countDistinct(when(col("y") === 0.0, col("doc_id")))
+        .cast("double").as("n0"))
+    // complement statistics on tiny frames: totals − fold (exact ints)
+    val totB = pfb.groupBy(col("bucket"))
+      .agg(sum(col("c1")).as("tc1"), sum(col("c0")).as("tc0"))
+    val totF = pft.agg(sum(col("t1")).as("tt1"), sum(col("t0")).as("tt0"),
+      sum(col("n1")).as("tn1"), sum(col("n0")).as("tn0"))
+    val grid = spark.range(dims.toLong * folds).select(
+      (col("id") % dims).as("bucket"),
+      floor(col("id") / dims).cast("long").as("fold"))
+    val compB = grid
+      .join(pfb, Seq("fold", "bucket"), "left")
+      .join(totB, Seq("bucket"), "left")
+      .select(col("fold"), col("bucket"),
+        (coalesce(col("tc1"), lit(0.0)) - coalesce(col("c1"), lit(0.0))).as("c1c"),
+        (coalesce(col("tc0"), lit(0.0)) - coalesce(col("c0"), lit(0.0))).as("c0c"))
+    val compF = pft.crossJoin(broadcast(totF))
+      .select(col("fold"),
+        (col("tt1") - col("t1")).as("t1c"), (col("tt0") - col("t0")).as("t0c"),
+        (col("tn1") - col("n1")).as("n1c"), (col("tn0") - col("n0")).as("n0c"))
+    // same weight/prior expressions as trainNaiveBayes, per fold
+    val model = compB.join(compF, "fold").select(
+      col("fold"), col("bucket"),
+      (log((col("c1c") + lit(alpha)) / (col("t1c") + lit(alpha * dims))) -
+        log((col("c0c") + lit(alpha)) / (col("t0c") + lit(alpha * dims))))
+        .as("w"),
+      log(col("n1c") / col("n0c")).as("prior"))
+    // one scoring pass: each doc scored by ITS fold's complement model
+    val preds = fc.join(broadcast(model), Seq("fold", "bucket"))
+      .groupBy(col("doc_id"), col("fold"), col("y").cast("long").as("y"))
+      .agg(round(max(col("prior")) + sum(col("cnt") * col("w")), 6).as("score"))
+      .withColumn("pred", when(col("score") >= 0.0, 1L).otherwise(0L))
+    confusionFinalize(preds.groupBy(col("fold")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L)).as("tn")),
+      keyCols = Seq("fold")).orderBy("fold")
   }
 
   /** Exact ROC AUC via the Mann-Whitney U statistic over a QUANTIZED

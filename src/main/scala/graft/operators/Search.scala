@@ -114,38 +114,82 @@ object Search {
     * nDCG@k (DCG = Σ_hits 1/log2(rank+1), ideal = the same sum over
     * ranks 1..min(|relevant|, k)).
     *
-    * Scale shape: the query set is a bounded eval-suite artifact (the
-    * contamination-probe precedent), looped on the driver; per query the
-    * corpus work is one bm25TopK (probe-pruned postings) and one narrow
-    * containment filter, each reduced to a ONE-ROW aggregate before the
-    * single-row crossJoin — nothing per-doc ever reaches the driver.
+    * Scale shape — the whole eval suite in ONE shared pipeline, not a
+    * bm25TopK per query (the r≤9 form: |queries| tokenize/postings/rank
+    * pipelines, 27 shuffles for 3 queries): postings and document
+    * frequencies are per-TERM statistics independent of which query asks,
+    * so one tokenize pass (pruned to the union of all eval terms) and one
+    * postings aggregation feed every query via a |query,term|-row
+    * LocalRelation join; scoring, per-query ranking (a partitioned
+    * window, never a global sort), relevance (a doc is relevant iff its
+    * matched-term count equals the query's term count — containment
+    * re-derived from the same postings) and the metric aggregates are
+    * each ONE pass over the |queries|×|matching docs| frame. Cost no
+    * longer grows with the size of the eval suite — the property a
+    * production retrieval-eval harness needs.
     */
   def evalRetrieval(docs: DataFrame, querySet: Seq[(Int, Seq[String])],
-      k: Int, textCol: String = "text", idCol: String = "doc_id")
-      : DataFrame = {
-    querySet.map { case (qid, terms) =>
-      val ranked = bm25TopK(docs, terms, k, textCol = textCol, idCol = idCol)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id"))))
-      val rel = docs
-        .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
-        .filter(terms.map(t => array_contains(col("toks"), t)).reduce(_ && _))
-      val relAgg = rel.agg(count(lit(1)).as("n_rel"))
-      val hitAgg = ranked.join(rel.select(col("doc_id")), Seq("doc_id"))
-        .agg(count(lit(1)).cast("double").as("n_hits"),
-          min(col("rank")).as("first_rank"),
-          sum(lit(1.0) / log(2.0, col("rank") + lit(1.0))).as("dcg"))
-      val idcg = aggregate(
-        sequence(lit(1), least(col("n_rel"), lit(k)).cast("int")),
-        lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1.0))
-      relAgg.crossJoin(hitAgg).select(
-        lit(qid).as("query_id"),
-        col("n_rel"),
-        round(when(col("n_rel") > 0, coalesce(col("n_hits"), lit(0.0)) / col("n_rel"))
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val allTerms = querySet.flatMap(_._2).distinct
+    val qt = querySet.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val nTerms = querySet.map { case (q, ts) => (q, ts.size.toLong) }
+      .toDF("query_id", "n_terms")
+    val qids = querySet.map(_._1).toDF("query_id")
+    // ONE tokenize pass, pruned to the union of every query's terms
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        filter(col("toks"), t => t.isin(allTerms: _*)).as("ptoks"))
+      .localCheckpoint()
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val postings = perDoc
+      .select(col("doc_id"), col("dl"), explode(col("ptoks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    // per-(query, doc): BM25 over the query's matched terms + containment
+    val perQD = postings
+      .join(broadcast(qt), "term")
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", idf * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("score")), 6).as("bm25"),
+        count(lit(1)).as("n_match"))
+      .join(broadcast(nTerms), "query_id")
+      .withColumn("rel", col("n_match") === col("n_terms"))
+    val ranked = perQD.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+    val relAgg = perQD.filter(col("rel"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hitAgg = ranked.filter(col("rel"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).cast("double").as("n_hits"),
+        min(col("rank")).as("first_rank"),
+        sum(lit(1.0) / log(2.0, col("rank") + lit(1.0))).as("dcg"))
+    val nRel = coalesce(col("n_rel"), lit(0L))
+    val idcg = aggregate(
+      sequence(lit(1), greatest(least(nRel, lit(k.toLong)), lit(0L)).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log(2.0, i.cast("double") + 1.0))
+    qids.join(relAgg, Seq("query_id"), "left")
+      .join(hitAgg, Seq("query_id"), "left")
+      .select(
+        col("query_id").cast("int").as("query_id"),
+        nRel.as("n_rel"),
+        round(when(nRel > 0, coalesce(col("n_hits"), lit(0.0)) / nRel)
           .otherwise(0.0), 6).as("recall_at_k"),
         round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6).as("mrr_at_k"),
-        round(when(col("n_rel") > 0, coalesce(col("dcg"), lit(0.0)) / idcg)
+        round(when(nRel > 0, coalesce(col("dcg"), lit(0.0)) / idcg)
           .otherwise(0.0), 6).as("ndcg_at_k"))
-    }.reduce(_ unionByName _)
   }
 }

@@ -190,6 +190,31 @@ object AnalyticsQueries extends QueryPack {
         nBuckets = 10)
     }),
 
+    // Lakehouse MERGE INTO as a pure relation (operators/Merge.scala):
+    // a deterministic CDC changeset over orders — urgent orders'
+    // status updated, every 97th key deleted, every 101st key cloned as
+    // an insert under a shifted key — applied as ONE key anti-join +
+    // union (no window, no global sort; the committing form is
+    // Generations.mergeAndCommit, spec-gated).
+    "merge_upsert_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val upd = o
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("_deleted", lit(false))
+      val del = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("_deleted", lit(true))
+      val ins = o
+        .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("_deleted", lit(false))
+      graft.operators.Merge.mergeApply(o,
+        upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -1225,6 +1250,28 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n
         |FROM cls GROUP BY event_type, bucket, mn, mx
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "merge_upsert_orders" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM chg WHERE NOT _deleted
+        |ORDER BY o_orderkey""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

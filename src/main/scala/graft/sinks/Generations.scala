@@ -96,6 +96,19 @@ object Generations {
   def read(spark: SparkSession, table: String): Option[DataFrame] =
     latest(spark, table).map(c => spark.read.parquet(genPath(table, c)))
 
+  /** Time travel: the snapshot as of commit `version` (None if that
+    * version was never committed or its generation has been GC'd). What
+    * history is travelable is exactly [[gc]]'s `keep` dial — the
+    * Delta/Iceberg retention trade.
+    */
+  def readAt(spark: SparkSession, table: String,
+      version: Long): Option[DataFrame] =
+    commits(spark, table).find(_.version == version).flatMap { c =>
+      val p = new Path(genPath(table, c))
+      val fs = fsOf(spark, p)
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+
   /** Materialize `df` as the table's next generation and publish it.
     * The data write targets a fresh uniquely-named dir (never touching
     * the live generation); the publish is one temp-write + SAME-DIRECTORY
@@ -167,6 +180,25 @@ object Generations {
     val cs = logCommits(spark, table)
     if (cs.isEmpty) None
     else Some(spark.read.parquet(cs.map(genPath(table, _)): _*))
+  }
+
+  /** MERGE INTO for snapshot tables: apply a whole-row upsert/delete
+    * changeset ([[graft.operators.Merge.mergeApply]]) to the current
+    * generation and commit the result as the next one. On a
+    * never-committed table the changeset's non-deleted rows ARE the
+    * first snapshot. Readers are snapshot-isolated throughout (they hold
+    * the previous pointer until the new one lands).
+    */
+  def mergeAndCommit(spark: SparkSession, table: String, changes: DataFrame,
+      keys: Seq[String], deleteCol: String = "_deleted",
+      tag: String = "-"): Commit = {
+    val next = read(spark, table) match {
+      case Some(cur) =>
+        graft.operators.Merge.mergeApply(cur, changes, keys, deleteCol)
+      case None => changes.filter(!org.apache.spark.sql.functions
+        .col(deleteCol)).drop(deleteCol)
+    }
+    writeAndCommit(spark, next, table, tag)
   }
 
   /** Fold the log's live commits into ONE generation committed under

@@ -55,8 +55,12 @@ class GenerationsSpec extends SparkSpec {
     val (nc, ng) = Generations.gc(spark, t, keep = 2)
     assert(nc === 2) // commit v1 + the stale temp
     assert(ng === 2) // gen of v1 + the orphan
-    // kept: v2 (rollback target) and the live v3, both readable
+    // kept: v2 (rollback target) and the live v3, both readable — v2
+    // also via time travel; GC'd v1 travels to None, not garbage
     assert(Generations.latest(spark, t).get === c3)
+    assert(Generations.readAt(spark, t, 2L).get.as[Int].collect().toSet
+      === Set(2))
+    assert(Generations.readAt(spark, t, 1L).isEmpty)
     assert(spark.read.parquet(Generations.genPath(t, c2))
       .as[Int].collect().toSet === Set(2))
     assert(!Files.exists(Paths.get(Generations.genPath(t, c1))))
@@ -150,6 +154,28 @@ class GenerationsSpec extends SparkSpec {
     Generations.appendCommitted(spark, Seq(9).toDF("v"), t, "batch=9")
     assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
       === Array(0, 1, 2, 3, 9))
+  }
+
+  test("mergeAndCommit applies upserts/deletes as a snapshot-isolated generation") {
+    val t = mkTable()
+    val c1 = Generations.writeAndCommit(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    val changes = Seq((2, "B", false), (3, "c", true), (4, "d", false))
+      .toDF("k", "v", "_deleted")
+    val c2 = Generations.mergeAndCommit(spark, t, changes, Seq("k"))
+    assert(c2.rows === 3L)
+    assert(Generations.read(spark, t).get.as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "B"), (4, "d")))
+    // snapshot isolation: the pre-merge generation is still intact for
+    // readers holding the old pointer
+    assert(spark.read.parquet(Generations.genPath(t, c1))
+      .as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "b"), (3, "c")))
+    // merge into a never-committed table: the inserts are the snapshot
+    val t2 = mkTable()
+    Generations.mergeAndCommit(spark, t2, changes, Seq("k"))
+    assert(Generations.read(spark, t2).get.as[(Int, String)].collect().toSet
+      === Set((2, "B"), (4, "d")))
   }
 
   test("TxnSink.parquetLog is exactly-once through a real restarted stream") {

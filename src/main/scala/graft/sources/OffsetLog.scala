@@ -148,6 +148,50 @@ case class OffsetLogChannel(dir: String, nPartitions: Int = 4,
     }
   }
 
+  /** Consumer lag, the Kafka monitoring primitive: per partition, the
+    * high-water mark, this group's committed next-offset, and their
+    * difference (records enqueued but not yet acked). Listing-only —
+    * no segment is opened.
+    */
+  def lag(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    (0 until nPartitions).map { k =>
+      val h = hwm(k); val c = committed(k)
+      (k, h, c, h - c)
+    }.toDF("partition", "hwm", "committed", "lag")
+  }
+
+  /** Retention maintenance: delete segments every group in `groups` has
+    * committed past (segment end ≤ each group's next-offset). Deletion
+    * only — idempotent, and offsets are never renumbered, so in-flight
+    * consumers are unaffected. The remaining log is bounded by the
+    * slowest group's lag, exactly Kafka's min-committed retention. The
+    * newest segment of a partition is never pruned even when fully
+    * consumed: its name is the listing-derived high-water mark, and
+    * deleting it would reset offset assignment onto already-committed
+    * ranges (records silently invisible to every caught-up group).
+    * @return number of segment files deleted
+    */
+  def pruneConsumed(groups: Seq[String]): Int = {
+    require(groups.nonEmpty, "need at least one group to retain for")
+    (0 until nPartitions).map { k =>
+      val minNext = groups.map { g =>
+        val f = Paths.get(dir, "_groups", g, s"p$k")
+        if (Files.exists(f))
+          new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+        else 0L
+      }.min
+      val segs = segments(partDir(k))
+      val consumed = segs.takeWhile {
+        case (_, start, count) => start + count <= minNext
+      }
+      val drop = // keep the hwm witness
+        if (consumed.size == segs.size) consumed.dropRight(1) else consumed
+      drop.foreach { case (f, _, _) => Files.deleteIfExists(f) }
+      drop.size
+    }.sum
+  }
+
   /** Streaming consumption: file source over the segment files; the
     * Structured Streaming checkpoint is the group offset (exactly the
     * Kafka-source arrangement). `maxFilesPerTrigger` bounds a micro-batch

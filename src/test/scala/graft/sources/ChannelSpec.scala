@@ -94,6 +94,30 @@ class ChannelSpec extends SparkSpec {
       === Set("s-3", "s-4", "s-5"))
   }
 
+  test("offset-log: lag reports and min-committed retention pruning") {
+    val dir = Files.createTempDirectory("graft-olog-l").toString
+    val fast = OffsetLogChannel(s"$dir/q", nPartitions = 2, group = "fast")
+    val slow = OffsetLogChannel(s"$dir/q", nPartitions = 2, group = "slow")
+    fast.enqueue(tasks(6))
+    fast.enqueue(tasks(6, from = 20))
+    // nothing committed: lag == hwm on every partition
+    assert(fast.lag(spark).select("lag").as[Long].collect().sum === 12L)
+    fast.commit(fast.dequeueWithOffsets(spark, max = 0))
+    assert(fast.lag(spark).select("lag").as[Long].collect().sum === 0L)
+    // slow group never committed → retention keeps everything
+    assert(fast.pruneConsumed(Seq("fast", "slow")) === 0)
+    slow.commit(slow.dequeueWithOffsets(spark, max = 0))
+    // both caught up: consumed segments go, but the newest segment per
+    // partition survives as the high-water-mark witness
+    val pruned = fast.pruneConsumed(Seq("fast", "slow"))
+    assert(pruned > 0)
+    // offsets keep climbing from the preserved hwm — no collision with
+    // committed ranges, so new records are still delivered
+    fast.enqueue(tasks(3, from = 40))
+    assert(fast.dequeue(spark, max = 0).count() === 3)
+    assert(slow.dequeue(spark, max = 0).count() === 3)
+  }
+
   test("offset-log: consumer groups are isolated") {
     val dir = Files.createTempDirectory("graft-olog-g").toString
     val a = OffsetLogChannel(s"$dir/q", nPartitions = 2, group = "a")

@@ -41,6 +41,17 @@ object Schemas {
     StructField("attempts", IntegerType)
   ))
 
+  /** Corrupt-record capture column for task reads. Without it, Spark's
+    * PERMISSIVE JSON mode turns a malformed queue line into an all-null
+    * PHANTOM TASK that flows into the pipeline (routes to the
+    * unknown-type error path with null ID — an alert nobody can act on).
+    * Reading with this schema + `columnNameOfCorruptRecord` lets every
+    * consumer split good rows from quarantinable raw lines instead.
+    */
+  val taskCorruptCol = "_corrupt"
+  val taskWithCorrupt: StructType =
+    StructType(task.fields :+ StructField(taskCorruptCol, StringType))
+
   /** Alert (error notification) record — corrected well-formed shape of the
     * reference's hand-built payload (`data_downloader.py:52-56`).
     */

@@ -174,12 +174,17 @@ object Generations {
   }
 
   /** The log table's content: union of every commit since the last
-    * squash. None = never committed.
+    * squash. None = never committed. Read with `mergeSchema`, so
+    * ADDITIVE schema evolution works the lakehouse way: a commit may add
+    * columns, older generations surface them as null, and the next
+    * [[squash]] bakes the widened schema into one generation. (Renames/
+    * type changes are rewrites, not evolution — same rule as Delta.)
     */
   def readLog(spark: SparkSession, table: String): Option[DataFrame] = {
     val cs = logCommits(spark, table)
     if (cs.isEmpty) None
-    else Some(spark.read.parquet(cs.map(genPath(table, _)): _*))
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(cs.map(genPath(table, _)): _*))
   }
 
   /** MERGE INTO for snapshot tables: apply a whole-row upsert/delete

@@ -61,6 +61,16 @@ object Catalog {
     * (SURVEY.md §7.3); later batches re-read the swapped file, so flags
     * from earlier batches accumulate instead of being recomputed from the
     * original catalog.
+    *
+    * Commit posture: these are SINGLE-FILE renames — atomic on a real
+    * filesystem, which is this method's target (mirrors the reference's
+    * local catalog rewrite). On an S3-class store the right form is
+    * simpler, not harder: one overwrite PUT of the rewritten object
+    * (`put_object`, exactly what the reference's own S3 path does at
+    * `data_downloader.py:169`) — a PUT is all-or-nothing, so the aside/
+    * restore dance is unnecessary there. Multi-file TREES are the case
+    * that needs [[graft.sinks.Generations]]; a one-object catalog does
+    * not.
     */
   def replaceInPlace(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -80,6 +80,16 @@ case class OffsetLogChannel(dir: String, nPartitions: Int = 4,
       // partitionBy drops its column from the data files; clone it so the
       // records themselves stay self-describing
       .withColumn("_pdir", col("_partition"))
+    // Single producer by contract, so any surviving staging dir is a
+    // dead producer's debris — clean it so crashes can't accumulate
+    // garbage. A crash mid-publish leaves SOME partitions' segments
+    // visible (a partial batch): the producer's retry then re-enqueues
+    // the whole batch under fresh offsets — duplicate tasks, which is
+    // the at-least-once contract (Kafka without idempotent-producer);
+    // the D1 dup guard downstream is what absorbs redelivery.
+    listFiles(Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith(".staging-"))
+      .foreach(rmTree)
     val staging = Paths.get(dir,
       s".staging-${java.util.UUID.randomUUID.toString.take(8)}")
     withOffsets.repartition(nPartitions, col("_pdir"))
@@ -120,7 +130,11 @@ case class OffsetLogChannel(dir: String, nPartitions: Int = 4,
       new java.util.ArrayList[Row](), recordSchema)
     if (pending.isEmpty) return empty
     val nexts = typedLit((0 until nPartitions).map(k => k -> committed(k)).toMap)
-    val df = spark.read.schema(recordSchema).json(pending: _*)
+    // corrupt segment lines (torn/bit-rotted files) are excluded, same
+    // as Queue.dequeue: never surface phantom null records
+    val df = Queue.parseTaskLines(spark.read.text(pending: _*), readSchema)
+      .filter(col(Schemas.taskCorruptCol).isNull)
+      .select(recordSchema.fieldNames.toSeq.map(col): _*)
       .filter(col("_offset") >= element_at(nexts, col("_partition")))
       .orderBy("_partition", "_offset")
     if (max > 0) df.limit(max) else df
@@ -200,10 +214,13 @@ case class OffsetLogChannel(dir: String, nPartitions: Int = 4,
   override def dequeueStream(spark: SparkSession,
       maxPerTrigger: Int = 5): DataFrame = {
     (0 until nPartitions).foreach(k => Files.createDirectories(partDir(k)))
-    spark.readStream.schema(recordSchema)
-      .option("maxFilesPerTrigger", maxPerTrigger)
-      .option("pathGlobFilter", "seg-*.jsonl")
-      .json(Paths.get(dir, "p*").toString)
+    Queue.parseTaskLines(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxPerTrigger)
+        .option("pathGlobFilter", "seg-*.jsonl")
+        .text(Paths.get(dir, "p*").toString),
+      readSchema)
+      .filter(col(Schemas.taskCorruptCol).isNull)
       .select(Schemas.task.fieldNames.map(col).toSeq: _*)
   }
 }
@@ -214,6 +231,10 @@ object OffsetLogChannel {
   val recordSchema: StructType = StructType(Schemas.task.fields ++ Seq(
     StructField("_partition", IntegerType),
     StructField("_offset", LongType)))
+
+  /** [[recordSchema]] + the corrupt-record capture column (read-side). */
+  private val readSchema: StructType = StructType(recordSchema.fields :+
+    StructField(Schemas.taskCorruptCol, org.apache.spark.sql.types.StringType))
 
   private val SegName = """seg-(\d{16})-(\d+)\.jsonl""".r
 

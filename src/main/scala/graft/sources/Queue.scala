@@ -27,21 +27,53 @@ object Queue {
       .write.mode("append").json(queueDir)
   }
 
+  private def taskCols = Schemas.task.fieldNames.toSeq.map(col)
+
+  /** Parse JSON-lines text into the task-with-corrupt shape. Reading as
+    * TEXT + `from_json` (rather than the json datasource with a corrupt
+    * column) sidesteps Spark's query-only-corrupt-column restriction,
+    * which otherwise fires whenever column pruning reduces the scan to
+    * the corrupt column alone (e.g. any `.count()` on the filtered
+    * frame). Blank lines are dropped, not quarantined.
+    */
+  private[graft] def parseTaskLines(raw: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.filter(length(col("value")) > 0)
+      .select(from_json(col("value"), schema,
+        Map("columnNameOfCorruptRecord" -> Schemas.taskCorruptCol)).as("r"))
+      .select(col("r.*"))
+
   /** Batch dequeue with the reference's poll cap (≤5/invocation,
     * `data_downloader.py:210-213`); `max <= 0` reads everything.
+    * Malformed lines are EXCLUDED (never surfaced as all-null phantom
+    * tasks); [[quarantined]] returns them for the error path.
     */
   def dequeue(spark: SparkSession, queueDir: String, max: Int = 5): DataFrame = {
-    val df = spark.read.schema(Schemas.task).json(queueDir)
+    val df = parseTaskLines(spark.read.text(queueDir), Schemas.taskWithCorrupt)
+      .filter(col(Schemas.taskCorruptCol).isNull)
+      .select(taskCols: _*)
     if (max > 0) df.limit(max) else df
   }
 
+  /** The raw malformed queue lines [[dequeue]] excluded — the poison
+    * messages an operator inspects/alerts on (`raw` = the line verbatim).
+    */
+  def quarantined(spark: SparkSession, queueDir: String): DataFrame =
+    parseTaskLines(spark.read.text(queueDir), Schemas.taskWithCorrupt)
+      .filter(col(Schemas.taskCorruptCol).isNotNull)
+      .select(col(Schemas.taskCorruptCol).as("raw"))
+
   /** Streaming dequeue: file source over the queue directory;
     * `maxFilesPerTrigger` bounds each micro-batch like the poll cap.
+    * Same malformed-line exclusion as [[dequeue]].
     */
   def dequeueStream(spark: SparkSession, queueDir: String,
       maxFilesPerTrigger: Int = 5): DataFrame =
-    spark.readStream
-      .schema(Schemas.task)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .json(queueDir)
+    parseTaskLines(
+      spark.readStream
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .text(queueDir),
+      Schemas.taskWithCorrupt)
+      .filter(col(Schemas.taskCorruptCol).isNull)
+      .select(taskCols: _*)
 }

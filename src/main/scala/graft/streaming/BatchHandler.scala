@@ -53,8 +53,15 @@ object BatchHandler {
     if (claimed.isEmpty)
       return DownloadPipeline.BatchReport(0, 0, 0, 0, 0)
 
-    val tasks = spark.read.schema(graft.model.Schemas.task)
-      .json(claimed.map(_.toString): _*)
+    // Malformed lines are dropped, and their files still ack to done/
+    // below — poison messages must not redeliver forever (the SQS DLQ
+    // rationale); Queue.quarantined surfaces them for inspection.
+    import org.apache.spark.sql.functions.col
+    val tasks = graft.sources.Queue.parseTaskLines(
+        spark.read.text(claimed.map(_.toString): _*),
+        graft.model.Schemas.taskWithCorrupt)
+      .filter(col(graft.model.Schemas.taskCorruptCol).isNull)
+      .select(graft.model.Schemas.task.fieldNames.toSeq.map(col): _*)
     val report = DownloadPipeline.processBatch(tasks, root, catalogPath)
 
     // ack: processing/ → done/ (the delete_message analog)

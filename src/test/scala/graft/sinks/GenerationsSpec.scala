@@ -156,6 +156,23 @@ class GenerationsSpec extends SparkSpec {
       === Array(0, 1, 2, 3, 9))
   }
 
+  test("log tables evolve additively: new columns, old gens read as null") {
+    val t = mkTable()
+    Generations.appendCommitted(spark, Seq((1, "a")).toDF("k", "v"), t,
+      "batch=0")
+    // a later batch adds a column — the lakehouse additive evolution
+    Generations.appendCommitted(spark,
+      Seq((2, "b", "en")).toDF("k", "v", "lang"), t, "batch=1")
+    val rows = Generations.readLog(spark, t).get
+      .select("k", "v", "lang").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(rows === Set((1, "a", None), (2, "b", Some("en"))))
+    // squash bakes the widened schema into one generation
+    Generations.squash(spark, t)
+    assert(Generations.read(spark, t).get.columns.toSet
+      === Set("k", "v", "lang"))
+  }
+
   test("mergeAndCommit applies upserts/deletes as a snapshot-isolated generation") {
     val t = mkTable()
     val c1 = Generations.writeAndCommit(spark,

@@ -47,6 +47,29 @@ class ChannelSpec extends SparkSpec {
     }
   }
 
+  test("malformed queue lines quarantine instead of becoming phantom tasks") {
+    val dir = Files.createTempDirectory("graft-chan-q").toString
+    val ch = DirectoryChannel(s"$dir/q")
+    ch.enqueue(tasks(2))
+    // a torn/garbage line lands in the queue dir (partial write, bit rot)
+    Files.write(java.nio.file.Paths.get(s"$dir/q/garbage.json"),
+      "{this is not json\n".getBytes("UTF-8"))
+    val polled = ch.dequeue(spark, max = 0)
+    assert(polled.count() === 2, "corrupt line must not surface as a task")
+    assert(polled.filter(polled("ID").isNull).count() === 0,
+      "no all-null phantom rows")
+    val q = Queue.quarantined(spark, s"$dir/q").collect().map(_.getString(0))
+    assert(q.toSeq === Seq("{this is not json"))
+    // streaming path drops it too
+    val out = s"$dir/out"
+    ch.dequeueStream(spark).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
   test("offset-log: key partitioning is stable and offsets are contiguous") {
     val dir = Files.createTempDirectory("graft-olog").toString
     val ch = OffsetLogChannel(s"$dir/q", nPartitions = 3)

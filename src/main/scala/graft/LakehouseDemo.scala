@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{Compact, Generations}
+import graft.sources.OffsetLogChannel
+import graft.streaming.TxnSink
+
+/** Runnable end-to-end demo of the lakehouse/transport tier added on top
+  * of the reference dataflow: tasks flow through the Kafka-model offset
+  * log (consumer-group commits, lag, retention), results land through
+  * the exactly-once foreachBatch sink into a generation log table, and
+  * the table then exercises the full pointer-file lifecycle — squash,
+  * MERGE INTO, time travel, generational compaction — with every commit
+  * object-store-safe (no directory renames anywhere).
+  * Usage: `runMain graft.LakehouseDemo [workDir]`.
+  */
+object LakehouseDemo {
+
+  def main(args: Array[String]): Unit = {
+    val work = Paths.get(args.headOption.getOrElse(
+      Files.createTempDirectory("graft-lakehouse").toString))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1. Kafka-model transport: enqueue two task batches, consume with a
+    //    group, commit, show lag + retention pruning.
+    val chan = OffsetLogChannel(s"$work/queue", nPartitions = 2, group = "demo")
+    def batch(from: Int, n: Int) =
+      (from until from + n).map(i =>
+        (s"s-$i", s"file:///artifact/$i", "DIRECT", s"a$i.bin", "0", 0))
+        .toDF("ID", "URL", "TYPE", "PATTERN", "UTC", "attempts")
+    chan.enqueue(batch(1, 4))
+    chan.enqueue(batch(10, 3))
+    println("== offset-log lag before consuming ==")
+    chan.lag(spark).show()
+    val polled = chan.dequeueWithOffsets(spark, max = 0)
+    println(s"consumed ${polled.count()} tasks; committing")
+    chan.commit(polled)
+    chan.lag(spark).show()
+    println(s"retention pruned ${chan.pruneConsumed(Seq("demo"))} segments")
+
+    // 2. Exactly-once sink: stream micro-batches into a generation log
+    //    table; a replayed batchId is a durable no-op.
+    val table = s"$work/events_table"
+    val in = work.resolve("in"); Files.createDirectories(in)
+    Files.writeString(in.resolve("a.json"),
+      "{\"k\":1,\"v\":\"alpha\"}\n{\"k\":2,\"v\":\"beta\"}\n")
+    def drain(): Unit = spark.readStream.schema("k INT, v STRING")
+      .json(in.toString).writeStream
+      .option("checkpointLocation", s"$work/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(TxnSink.parquetLog(table)).start().awaitTermination()
+    drain()
+    TxnSink.parquetLog(table)(Seq((1, "alpha"), (2, "beta")).toDF("k", "v"), 0L)
+    println(s"== log table after drain + simulated batch-0 replay " +
+      s"(no dupes) == rows=${Generations.readLog(spark, table).get.count()}")
+    Files.writeString(in.resolve("b.json"), "{\"k\":3,\"v\":\"gamma\"}\n")
+    drain()
+
+    // 3. Lifecycle: squash the log, MERGE a CDC changeset, time-travel.
+    val squashed = Generations.squash(spark, table).get
+    println(s"squashed at v${squashed.version} (${squashed.rows} rows)")
+    val changes = Seq((2, "BETA", false), (3, "", true), (4, "delta", false))
+      .toDF("k", "v", "_deleted")
+    val merged = Generations.mergeAndCommit(spark, table, changes, Seq("k"))
+    println(s"== merged v${merged.version} ==")
+    Generations.read(spark, table).get.orderBy("k").show()
+    println(s"== time travel back to v${squashed.version} ==")
+    Generations.readAt(spark, table, squashed.version).get.orderBy("k").show()
+    val (b, a) = Compact.compactGenerations(spark, table)
+    println(s"compaction: $b files -> $a; commits now: " +
+      Generations.commits(spark, table).map(c => s"v${c.version}[${c.tag}]")
+        .mkString(", "))
+    spark.stop()
+  }
+}

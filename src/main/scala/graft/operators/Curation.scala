@@ -147,10 +147,13 @@ object Curation {
     * streaming-legal: the gate and split are narrow per-row transforms;
     * dedup keeps only 32-byte digest state within the watermark
     * (`dropDuplicatesWithinWatermark`), so state is bounded on an
-    * unbounded ingest. Near-dup clustering needs a corpus self-join and
-    * is deliberately NOT here — at scale it runs as the periodic batch
-    * compaction over the accumulated sink ([[curate]]), the standard
-    * lambda split for this workload.
+    * unbounded ingest. WITHIN-window near-dup detection is streaming-
+    * legal too — [[graft.streaming.NearDupStream.candidatePairs]] keys
+    * MinHash state by LSH band bucket (k strings per doc per band, never
+    * shingle sets) and catches bursts/re-crawls in-flight; CROSS-window
+    * near-dup clustering still needs the corpus self-join and runs as
+    * the periodic batch compaction over the accumulated sink
+    * ([[curate]]), the standard lambda split for this workload.
     */
   def curateStream(docs: DataFrame, minTokens: Int = 10,
       minQuality: Double = 0.5, watermark: String = "1 hour",

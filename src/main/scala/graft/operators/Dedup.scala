@@ -112,6 +112,50 @@ object Dedup {
     * batch; fan-out is bounded by shingle frequency, and zero-overlap
     * pairs never materialize.
     */
+  /** Band candidates verified by BOTH estimators side by side: the
+    * MinHash signature estimate (matching components / k — unbiased for
+    * true Jaccard, and the only verification whose state stays bounded
+    * regardless of document length, which is why
+    * [[graft.streaming.NearDupStream]] uses it in-flight) and the exact
+    * shingle-set Jaccard. The threshold applies to the ESTIMATOR, so
+    * this emits precisely the pairs the streaming detector would, with
+    * the exact value alongside — the estimator-quality table for tuning
+    * k against the admission threshold.
+    *
+    * Scale shape: banded candidates (never all-pairs), one k-element
+    * signature zip per surviving pair (bounded arrays — the HOF rule),
+    * exact Jaccard only for pairs past the estimator gate.
+    *
+    * @return (a, b, sig_est, jaccard) ordered pairs, a < b.
+    */
+  def sigEstimatorPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val shingled = shingleFrame(docs, n, textCol, idCol).localCheckpoint()
+    val sigs = shingled.select(col("doc_id"),
+      graft.functions.TextFns.minhashSignature(col("shingles"), k).as("sig"))
+    val banded = bandIndex(shingled, k, bands)
+    val cands = banded
+      .select(col("doc_id").as("a"), col("band_id"), col("band_hash"))
+      .join(banded.select(col("doc_id").as("b"), col("band_id"),
+        col("band_hash")), Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val matches = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val est = cands
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
+      .withColumn("sig_est", round(matches.cast("double") / k, 6))
+      .filter(col("sig_est") >= threshold)
+      .select(col("a"), col("b"), col("sig_est"))
+    jaccardVerify(est.select(col("a"), col("b")), shingled)
+      .join(est, Seq("a", "b"))
+      .select(col("a"), col("b"), col("sig_est"), col("jaccard"))
+  }
+
   def lshRecall(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, minRecall: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

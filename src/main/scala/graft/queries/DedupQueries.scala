@@ -82,6 +82,15 @@ object DedupQueries extends QueryPack {
         Dedup.nearDupPairs(docs(s, dir), n = 3, k = K, bands = BANDS, threshold = 0.5))
         .orderBy("doc_id")),
 
+    // Estimator-quality table: the pairs the STREAMING near-dup detector
+    // admits (signature estimate >= 0.5 — its bounded-state
+    // verification), with the exact shingle Jaccard alongside
+    // (operators/Dedup.sigEstimatorPairs; streaming/NearDupStream).
+    "dedup_sig_estimator" -> ((s, dir) =>
+      Dedup.sigEstimatorPairs(docs(s, dir), n = 3, k = K, bands = BANDS,
+        threshold = 0.5)
+        .orderBy("a", "b")),
+
     // Measured LSH recall contract: of ALL true Jaccard >= 0.5 pairs
     // (shingle-overlap inverted index — the exact side), the fraction
     // the banded pipeline surfaces — the (k, bands) dial quantified,
@@ -234,6 +243,21 @@ object DedupQueries extends QueryPack {
          |SELECT a, b, jaccard FROM verified
          |WHERE jaccard >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_sig_estimator" ->
+      s"""WITH $lshChainCtes,
+         |est AS (
+         |  SELECT c.a, c.b,
+         |    round(CAST(list_sum(list_transform(range(1, $K + 1),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+         |      AS DOUBLE) / $K, 6) AS sig_est
+         |  FROM cands c
+         |  JOIN sigs sa ON c.a = sa.doc_id
+         |  JOIN sigs sb ON c.b = sb.doc_id)
+         |SELECT e.a, e.b, e.sig_est, v.jaccard
+         |FROM est e JOIN verified v ON e.a = v.a AND e.b = v.b
+         |WHERE e.sig_est >= 0.5
+         |ORDER BY e.a, e.b""".stripMargin,
 
     "dedup_near_clusters" ->
       s"""WITH RECURSIVE $lshChainCtes,

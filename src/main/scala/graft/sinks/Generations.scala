@@ -84,9 +84,20 @@ object Generations {
       .map(parseCommit(fs, cd, _)).toSeq
   }
 
-  /** The newest committed generation, or None for an empty/new table. */
-  def latest(spark: SparkSession, table: String): Option[Commit] =
-    commits(spark, table).lastOption
+  /** The newest committed generation, or None for an empty/new table.
+    * Opens exactly ONE commit file (the max-named): [[writeAndCommit]]
+    * calls this per append, so on a long-lived log table it must not be
+    * O(commits) parses the way [[commits]] necessarily is.
+    */
+  def latest(spark: SparkSession, table: String): Option[Commit] = {
+    val cd = commitsDir(new Path(table))
+    val fs = fsOf(spark, cd)
+    if (!fs.exists(cd)) return None
+    val names = fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.matches("v\\d{16}"))
+    if (names.isEmpty) None
+    else Some(parseCommit(fs, cd, names.maxBy(_.drop(1).toLong)))
+  }
 
   /** Path of a commit's generation directory. */
   def genPath(table: String, c: Commit): String =
@@ -165,6 +176,11 @@ object Generations {
     * a no-op returning None (the re-delivered batch was already durable);
     * otherwise append `df` as a new delta commit. The foreachBatch body is
     * one line: `appendCommitted(spark, batchDf, table, s"batch=$id")`.
+    * The duplicate-tag check reads every commit file — O(live commits),
+    * which is exactly what periodic [[squash]] keeps small (after a
+    * squash only the live span remains); an unsquashed log pays a
+    * linearly growing check, the same pressure that motivates Delta's
+    * checkpoints.
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {
@@ -211,11 +227,18 @@ object Generations {
     * listing and the per-read file count — run it like any table
     * maintenance job. Readers are never disturbed: until the squash
     * pointer lands they union the old commits; after, they start at it.
+    *
+    * GC keeps the newest PRE-squash commit too: Structured Streaming can
+    * only ever replay the LATEST batchId (its checkpoint is monotonic),
+    * so preserving the commit that carries that batch's tag keeps
+    * [[appendCommitted]]'s idempotence intact even when a squash lands
+    * in the crash window between a batch's data commit and the stream's
+    * checkpoint commit — without it, the replayed batch would re-append.
     */
   def squash(spark: SparkSession, table: String): Option[Commit] = {
     val cur = readLog(spark, table).getOrElse(return None)
     val c = writeAndCommit(spark, cur, table, SquashTag)
-    gc(spark, table, keep = 1)
+    gc(spark, table, keep = 2)
     Some(c)
   }
 

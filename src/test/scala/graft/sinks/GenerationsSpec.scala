@@ -147,9 +147,14 @@ class GenerationsSpec extends SparkSpec {
     assert(sq.tag === Generations.SquashTag && sq.rows === 4L)
     assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
       === Array(0, 1, 2, 3))
-    // history superseded by the squash is gone; the log is one commit
+    // superseded history is gone EXCEPT the newest pre-squash commit:
+    // only the latest batchId can ever replay, and its tag must survive
+    // the squash or the replay would re-append (exactly-once hole)
     assert(Generations.logCommits(spark, t).map(_.version) === Seq(sq.version))
-    assert(Generations.commits(spark, t).length === 1)
+    assert(Generations.commits(spark, t).map(_.tag)
+      === Seq("batch=3", Generations.SquashTag))
+    assert(Generations.appendCommitted(spark, Seq(3).toDF("v"), t,
+      "batch=3").isEmpty, "latest pre-squash batch replay must stay a no-op")
     // appends continue after the squash and union with it
     Generations.appendCommitted(spark, Seq(9).toDF("v"), t, "batch=9")
     assert(Generations.readLog(spark, t).get.as[Int].collect().sorted

@@ -97,6 +97,14 @@ object ReferenceQueries extends QueryPack {
     }),
 
     // X6/X7 + F3: FTP listing scan, last-token filename, glob filter.
+    // XML sibling of the X2 anchor path: a sitemap-shaped artifact feed
+    // parsed by Spark 4's NATIVE XML source (rowTag, declared schema,
+    // real entity decoding), projected to download candidates. The
+    // oracle re-derives the same rows from the raw fixture text.
+    "xml_feed_tasks" -> ((s, _) =>
+      graft.sources.XmlFeed.tasks(graft.sources.XmlFeed.read(s))
+        .orderBy("url")),
+
     "ftp_listing_glob" -> ((s, _) => {
       val listing = s.range(1).select(lit(Fixtures.ftpListing).as("listing"))
       listing.select(explode(Extract.listingNames(col("listing"))).as("file_name"))
@@ -170,6 +178,18 @@ object ReferenceQueries extends QueryPack {
          |SELECT file_url, string_split(file_url, '/')[-1] AS file_name
          |FROM resolved WHERE length(string_split(file_url, '/')[-1]) > 0
          |ORDER BY file_url""".stripMargin,
+
+    "xml_feed_tasks" ->
+      s"""WITH blocks AS (
+         |  SELECT unnest(regexp_extract_all(content, '(?s)<url>(.*?)</url>', 1)) AS blk
+         |  FROM read_text('${graft.sources.XmlFeed.fixturePath}')),
+         |e AS (SELECT
+         |  replace(regexp_extract(blk, '<loc>([^<]*)</loc>', 1), '&amp;', '&') AS url,
+         |  regexp_extract(blk, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+         |  FROM blocks)
+         |SELECT url, list_extract(string_split(url, '/'), -1) AS name, lastmod
+         |FROM e WHERE url IS NOT NULL AND len(url) > 0
+         |ORDER BY url""".stripMargin,
 
     "ftp_listing_glob" ->
       s"""WITH listing AS (SELECT ${Fixtures.ftpListingSql} AS listing),

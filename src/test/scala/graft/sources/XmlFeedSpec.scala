@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The XML feed source's contract: fixture parse + projection, entity
+  * decoding done by the real parser, multi-file distributed scans, and
+  * malformed-element quarantine (the Queue phantom-task rule applied to
+  * XML).
+  */
+class XmlFeedSpec extends SparkSpec {
+
+  test("fixture feed parses to download candidates with decoded entities") {
+    val rows = XmlFeed.tasks(XmlFeed.read(spark)).orderBy("url").collect()
+    assert(rows.length === 3)
+    // the parser, not a regex, decodes &amp; — the query-string URL
+    val vol = rows.find(_.getString(1).startsWith("vol.zip")).get
+    assert(vol.getString(0) === "https://feeds.example.com/volumes/vol.zip?a=1&b=2")
+    assert(vol.getString(1) === "vol.zip?a=1&b=2")
+    assert(rows.map(_.getString(2)).sorted ===
+      Array("2026-08-10", "2026-08-11", "2026-08-12"))
+  }
+
+  test("a directory of feed snapshots scans as one distributed source") {
+    val dir = Files.createTempDirectory("graft-xmlfeed")
+    def feed(name: String, locs: Seq[String]): Unit =
+      Files.writeString(dir.resolve(name),
+        "<urlset>" + locs.map(l =>
+          s"<url><loc>$l</loc><lastmod>2026-01-01</lastmod></url>").mkString
+          + "</urlset>")
+    feed("a.xml", Seq("https://h/x/a1.csv", "https://h/x/a2.csv"))
+    feed("b.xml", Seq("https://h/y/b1.csv"))
+    val names = XmlFeed.tasks(XmlFeed.read(spark, dir.toString))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("a1.csv", "a2.csv", "b1.csv"))
+  }
+
+  test("malformed elements yield null fields, not phantom rows with data") {
+    val dir = Files.createTempDirectory("graft-xmlbad")
+    Files.writeString(dir.resolve("feed.xml"),
+      """<urlset>
+        |<url><loc>https://h/ok.csv</loc><lastmod>2026-01-01</lastmod></url>
+        |<url><notloc>garbage</notloc></url>
+        |</urlset>""".stripMargin)
+    val rows = XmlFeed.read(spark, dir.toString)
+    // the no-loc element parses with null loc; tasks() filters it out —
+    // same rule as the queue's corrupt-line quarantine
+    assert(rows.count() === 2)
+    val tasks = XmlFeed.tasks(rows).collect()
+    assert(tasks.length === 1)
+    assert(tasks.head.getString(1) === "ok.csv")
+  }
+}

@@ -184,10 +184,20 @@ case class OffsetLogChannel(dir: String, nPartitions: Int = 4,
     * consumed: its name is the listing-derived high-water mark, and
     * deleting it would reset offset assignment onto already-committed
     * ranges (records silently invisible to every caught-up group).
+    * Groups default to every group that has ever committed (discovered
+    * from `_groups/`) — a consumer that exists but has NOT yet made its
+    * first commit is invisible to discovery (exactly Kafka's situation
+    * before a group's first offset commit) and must be passed
+    * explicitly, or it will see only post-prune records.
     * @return number of segment files deleted
     */
-  def pruneConsumed(groups: Seq[String]): Int = {
-    require(groups.nonEmpty, "need at least one group to retain for")
+  def pruneConsumed(groupsArg: Seq[String] = Seq.empty): Int = {
+    val groups =
+      if (groupsArg.nonEmpty) groupsArg
+      else OffsetLogChannel.listFiles(Paths.get(dir, "_groups"))
+        .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+    require(groups.nonEmpty,
+      "no committed groups discovered and none given — nothing to retain for")
     (0 until nPartitions).map { k =>
       val minNext = groups.map { g =>
         val f = Paths.get(dir, "_groups", g, s"p$k")

@@ -137,6 +137,11 @@ class ChannelSpec extends SparkSpec {
     // offsets keep climbing from the preserved hwm — no collision with
     // committed ranges, so new records are still delivered
     fast.enqueue(tasks(3, from = 40))
+    // group discovery: with no explicit list, retention protects every
+    // group that has ever committed — neither group acked the new batch,
+    // so pruning (which may now drop the superseded hwm witnesses) must
+    // leave every unacked record visible to both groups
+    fast.pruneConsumed()
     assert(fast.dequeue(spark, max = 0).count() === 3)
     assert(slow.dequeue(spark, max = 0).count() === 3)
   }

@@ -18,7 +18,7 @@ class XmlFeedSpec extends SparkSpec {
     assert(rows.length === 3)
     // the parser, not a regex, decodes &amp; — the query-string URL
     val vol = rows.find(_.getString(1).startsWith("vol.zip")).get
-    assert(vol.getString(0) === "https://feeds.example.com/volumes/vol.zip?a=1&b=2")
+    assert(vol.getString(0) === "https://example.com/volumes/vol.zip?a=1&b=2")
     assert(vol.getString(1) === "vol.zip?a=1&b=2")
     assert(rows.map(_.getString(2)).sorted ===
       Array("2026-08-10", "2026-08-11", "2026-08-12"))

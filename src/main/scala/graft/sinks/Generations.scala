@@ -23,7 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout under `<table>/`:
   *  - `data/g{version}-{uuid}/` — immutable parquet generation dirs
   *  - `_commits/v{%016d}`      — one immutable pointer file per commit:
-  *                               `version gen rows` on one line
+  *                               `version gen rows tag` on one line
   *
   * Protocol:
   *  - WRITE: materialize the new snapshot into a fresh `data/g…` dir,
@@ -247,7 +247,11 @@ object Generations {
     * a snapshot table, whose newest commit supersedes all others, that
     * adds nothing beyond the newest) — delete everything older plus any
     * unreferenced gen dir and stale commit temp files. Deletes only —
-    * idempotent and crash-safe.
+    * idempotent and crash-safe. On a log table a LIVE STREAM appends to,
+    * use `keep >= 2` (what [[squash]] itself does): `keep = 1` right
+    * after a squash would drop the newest pre-squash commit, whose tag
+    * is the replay guard for a batch caught in the data-commit /
+    * checkpoint-commit crash window.
     * @return (commit files deleted, gen dirs deleted)
     */
   def gc(spark: SparkSession, table: String, keep: Int = 2): (Int, Int) = {

@@ -41,4 +41,21 @@ object XmlFeed {
       .filter(col("loc").isNotNull && length(col("loc")) > 0)
       .select(col("loc").as("url"), Urls.basename(col("loc")).as("name"),
         col("lastmod"))
+
+  /** Feed candidates → queue-ready task rows (the harvester's message
+    * shape, `Schemas.task`): the feed becomes a first-class harvest
+    * source — enqueue the result on any [[TaskChannel]] and the download
+    * pipeline fetches, dedup-guards, and sinks the artifacts exactly as
+    * it does catalog-driven work. DIRECT strategy: the feed names
+    * concrete artifact URLs, so no anchor/listing extraction step
+    * remains; PATTERN carries the artifact name the sink will use.
+    */
+  def toTasks(feed: DataFrame, sourceId: String): DataFrame =
+    tasks(feed).select(
+      concat_ws("-", lit(sourceId), col("name")).as("ID"),
+      col("url").as("URL"),
+      lit("DIRECT").as("TYPE"),
+      col("name").as("PATTERN"),
+      lit("0").as("UTC"),
+      lit(0).as("attempts"))
 }

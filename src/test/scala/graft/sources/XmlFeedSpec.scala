@@ -38,6 +38,30 @@ class XmlFeedSpec extends SparkSpec {
     assert(names === Set("a1.csv", "a2.csv", "b1.csv"))
   }
 
+  test("feed-driven harvest: XML feed → tasks → download pipeline → sink") {
+    import graft.streaming.{DownloadPipeline, Workspace}
+    val tmp = Files.createTempDirectory("graft-xmlharvest")
+    val art = tmp.resolve("artifacts"); Files.createDirectories(art)
+    Files.writeString(art.resolve("q1.csv"), "sym,px\nAAA,9.5")
+    Files.writeString(art.resolve("q2.csv"), "sym,px\nBBB,1.5")
+    val u = art.toUri.toString
+    Files.writeString(tmp.resolve("feed.xml"),
+      s"""<urlset>
+         |<url><loc>${u}q1.csv</loc><lastmod>2026-08-14</lastmod></url>
+         |<url><loc>${u}q2.csv</loc><lastmod>2026-08-14</lastmod></url>
+         |</urlset>""".stripMargin)
+    val root = tmp.resolve("ws").toString
+    Workspace.provision(root)
+    val feedTasks = XmlFeed.toTasks(
+      XmlFeed.read(spark, tmp.resolve("feed.xml").toString), "feed-a")
+    val report = DownloadPipeline.processBatch(feedTasks, root)
+    assert(report.downloaded === 2)
+    assert(Files.readString(
+      Paths.get(root, "out/LINKS_DIRECT/q1.csv")) === "sym,px\nAAA,9.5")
+    assert(Files.readString(
+      Paths.get(root, "out/LINKS_DIRECT/q2.csv")) === "sym,px\nBBB,1.5")
+  }
+
   test("malformed elements yield null fields, not phantom rows with data") {
     val dir = Files.createTempDirectory("graft-xmlbad")
     Files.writeString(dir.resolve("feed.xml"),

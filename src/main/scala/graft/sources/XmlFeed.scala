@@ -42,6 +42,21 @@ object XmlFeed {
       .select(col("loc").as("url"), Urls.basename(col("loc")).as("name"),
         col("lastmod"))
 
+  /** Incremental consumption: only entries whose `lastmod` is strictly
+    * after the given high-water mark (ISO dates compare lexically). The
+    * caller persists the max lastmod it enqueued (one tiny value per
+    * feed — a [[Generations]] pointer or a channel-offset-style file)
+    * and passes it on the next poll, so re-reading a growing feed
+    * re-enqueues nothing: the feed analog of the queue's committed
+    * offset. Entries carrying NO lastmod are always returned — an
+    * unannotated entry can't be proven already-seen, and the D1
+    * name-level dup guard downstream absorbs the re-delivery
+    * (at-least-once, never silent loss).
+    */
+  def newSince(feed: DataFrame, lastmodWatermark: String): DataFrame =
+    feed.filter(col("lastmod").isNull ||
+      col("lastmod") > lit(lastmodWatermark))
+
   /** Feed candidates → queue-ready task rows (the harvester's message
     * shape, `Schemas.task`): the feed becomes a first-class harvest
     * source — enqueue the result on any [[TaskChannel]] and the download

@@ -38,6 +38,20 @@ class XmlFeedSpec extends SparkSpec {
     assert(names === Set("a1.csv", "a2.csv", "b1.csv"))
   }
 
+  test("newSince consumes a growing feed incrementally by lastmod watermark") {
+    val feed = XmlFeed.read(spark) // fixture lastmods: 08-10, 08-11, 08-12
+    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-10"))
+      .count() === 2) // strictly after the mark
+    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-12"))
+      .count() === 0) // fully caught up
+    // an entry with no lastmod is never silently skipped
+    val dir = Files.createTempDirectory("graft-xmlinc")
+    Files.writeString(dir.resolve("f.xml"),
+      "<urlset><url><loc>https://h/z.csv</loc></url></urlset>")
+    assert(XmlFeed.tasks(XmlFeed.newSince(
+      XmlFeed.read(spark, dir.toString), "2026-08-12")).count() === 1)
+  }
+
   test("feed-driven harvest: XML feed → tasks → download pipeline → sink") {
     import graft.streaming.{DownloadPipeline, Workspace}
     val tmp = Files.createTempDirectory("graft-xmlharvest")

@@ -57,6 +57,13 @@ object Bench {
     // untouched code. Waiting is capped (default 90 s, env-tunable) so a
     // permanently-busy host still produces a report, just an annotated one.
     val loadWaitCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "90").toInt
+    // Quiet = loadavg <= 2.0 flat, NOT cpus/4: the r10 official bench ran
+    // at loadavg 7.5 on 32 cpus and the cpus/4=8 gate stamped it "quiet",
+    // which manufactured 6 phantom per-query regressions on code untouched
+    // that round (VERDICT r10). An absolute low-single-digit bar is what
+    // "nothing else is running" actually looks like; env-tunable for hosts
+    // with known background hum.
+    val quietTarget = sys.env.getOrElse("SPARK_GRAFT_LOAD_TARGET", "2.0").toDouble
     def awaitQuietHost(target: Double): Boolean = {
       val deadline = System.nanoTime() + loadWaitCap * 1e9.toLong
       var l = loadavg1()
@@ -66,7 +73,7 @@ object Bench {
       l >= 0 && l <= target
     }
     // Give the main sweep the same chance at a quiet host (bounded).
-    awaitQuietHost(cpus.toInt / 4.0)
+    awaitQuietHost(quietTarget)
     val loadBefore = loadavg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -141,7 +148,7 @@ object Bench {
         // vacuously quiet when there was nothing to re-measure — a clean
         // run must not be recorded as contaminated
         val quiet =
-          if (flagged0.isEmpty) true else awaitQuietHost(cpus.toInt / 4.0)
+          if (flagged0.isEmpty) true else awaitQuietHost(quietTarget)
         val loadSecondPass = loadavg()
         val deltas = deltas0.map { case t @ (name, p, c, _) =>
           if (!flagged0.contains(name)) t

@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Measured scaling evidence: run a representative query subset at
-  * sf0.001 / sf0.01 / sf0.1 (10× data per step) and report each query's
-  * scaling exponent between the two largest SFs —
-  * slope = log10(t(0.1) / t(0.01)), so 1.0 = linear in data, < 1 =
-  * sub-linear (fixed overhead still amortizing), > 1 = super-linear (a
-  * shape that would NOT survive a 100× scale-up and needs a plan fix).
-  * The committed table lives in SCALING.md.
+  * sf0.001 / sf0.01 / sf0.1 (10× data per step) — plus the synthesized
+  * sf1 ([[ScaleData]], another 10×) when present — and report each
+  * query's scaling exponent per step: slope = log10(t(big)/t(small)),
+  * so 1.0 = linear in data, < 1 = sub-linear (fixed overhead still
+  * amortizing), > 1 = super-linear (a shape that would NOT survive a
+  * 100× scale-up and needs a plan fix or a granularity-dial note).
+  * The sf0.1→sf1 step is the DATA-DOMINATED measurement the smaller
+  * steps can't give (VERDICT r10: at sf0.1 fixed overhead still
+  * dominates, so linearity was extrapolated); at sf1 the largest
+  * fact table is 6M rows and per-query data work is seconds, not
+  * milliseconds. The committed table lives in SCALING.md.
   *
   * `runMain graft.ScalingProbe [reps]` — min of `reps` (default 2) per
   * (query, sf); one warm-up of the whole subset at the smallest SF.
@@ -28,13 +33,16 @@ object ScalingProbe {
     "sim_ivf_topk",           // cell-blocked ANN
     "text_tfidf_keywords",    // tokenize + per-term stats
     "tok_bpe_segment",        // vocab-bounded segmentation
-    "learn_kfold_cv",         // one-pass CV (this round's collapse)
-    "search_eval_ndcg",       // batched retrieval eval (ditto)
+    "learn_kfold_cv",         // one-pass CV
+    "search_eval_ndcg",       // batched retrieval eval
     "graph_bfs_hops",         // iterative frontier
     "merge_upsert_orders")    // MERGE anti-join + union
 
-  private val SfDirs = Seq(
+  private val BaseSfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  /** The synthesized big step (generate with `runMain graft.ScaleData`). */
+  val Sf1Dir = "var/sf1"
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(2)
@@ -47,11 +55,15 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val sfDirs = BaseSfDirs ++
+      (if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(Sf1Dir))) Seq(Sf1Dir) else Nil)
+
     // warm-up (JIT, codegen caches) at the smallest SF
-    Subset.foreach(q => SparkEntry.queries(q)(spark, SfDirs.head).count())
+    Subset.foreach(q => SparkEntry.queries(q)(spark, sfDirs.head).count())
 
     val times: Map[(String, String), Double] = (for {
-      sf <- SfDirs; q <- Subset
+      sf <- sfDirs; q <- Subset
     } yield {
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -61,11 +73,19 @@ object ScalingProbe {
       (q, sf) -> t
     }).toMap
 
-    println("query,t_sf0001,t_sf001,t_sf01,slope_001_to_01")
+    val hasSf1 = sfDirs.contains(Sf1Dir)
+    val header = "query,t_sf0001,t_sf001,t_sf01" +
+      (if (hasSf1) ",t_sf1" else "") +
+      ",slope_001_to_01" + (if (hasSf1) ",slope_01_to_1" else "")
+    println(header)
     Subset.foreach { q =>
-      val Seq(a, b, c) = SfDirs.map(sf => times((q, sf)))
-      val slope = math.log10(c / b)
-      println(f"$q,$a%.3f,$b%.3f,$c%.3f,$slope%.3f")
+      val ts = sfDirs.map(sf => times((q, sf)))
+      val s1 = math.log10(ts(2) / ts(1))
+      val cols = ts.map(t => f"$t%.3f").mkString(",")
+      val slopes =
+        if (hasSf1) f"$s1%.3f,${math.log10(ts(3) / ts(2))}%.3f"
+        else f"$s1%.3f"
+      println(s"$q,$cols,$slopes")
     }
     spark.stop()
   }

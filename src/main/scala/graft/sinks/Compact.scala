@@ -60,30 +60,53 @@ object Compact {
     (before, after)
   }
 
-  /** Compact a [[Generations]] table: if the live generation holds more
-    * files than ceil(total_bytes / targetBytes), rewrite it as a new
-    * generation at that width and pointer-commit it (then GC history).
-    * No renames of data anywhere — object-store safe.
-    * @return (files before, files after) of the live generation
+  /** Compact a [[Generations]] table: if the LIVE CONTENT (the log span
+    * — for a snapshot table that is just the newest generation; for a
+    * log table, every delta since the last snapshot-kind commit) holds
+    * more files than ceil(total_bytes / targetBytes), rewrite it as one
+    * new generation at that width and pointer-commit it (then GC
+    * history). The commit is a snapshot-kind `-`, which SUPERSEDES the
+    * compacted span in the log view (and carries the span's replay
+    * witness — see [[Generations.Commit]]), so on a log table this is a
+    * squash-at-target-width, never a duplicate delta. Optimistic
+    * concurrency: the commit is pinned to the version the compaction
+    * read; a concurrent append aborts-and-redoes it rather than being
+    * silently folded away. No renames of data anywhere — object-store
+    * safe.
+    * @return (files before, files after) of the live content
     */
   def compactGenerations(spark: SparkSession, table: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val cur = Generations.latest(spark, table).getOrElse(return (0, 0))
-    val genDir = new Path(Generations.genPath(table, cur))
-    val fs = genDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(genDir)
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxRetries: Int = 5): (Int, Int) = {
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(dir: Path) = fs.listStatus(dir)
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    val before = dataFiles.length
-    if (before <= 1) return (before, before)
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    if (parts >= before) return (before, before)
-    val next = Generations.writeAndCommit(spark,
-      spark.read.parquet(genDir.toString).repartition(parts), table)
-    Generations.gc(spark, table, keep = 2)
-    val after = fs.listStatus(new Path(Generations.genPath(table, next)))
-      .count(f => f.isFile && f.getPath.getName.startsWith("part-"))
-    (before, after)
+    var attempt = 0
+    while (true) {
+      val base = Generations.latest(spark, table)
+        .map(_.version).getOrElse(return (0, 0))
+      val span = Generations.logCommits(spark, table)
+      val dataFiles = span
+        .flatMap(c => partFiles(new Path(Generations.genPath(table, c))))
+      val before = dataFiles.length
+      if (before <= 1) return (before, before)
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (parts >= before) return (before, before)
+      try {
+        val next = Generations.writeAndCommit(spark,
+          Generations.readLog(spark, table).get.repartition(parts), table,
+          expectedBase = Some(base))
+        Generations.gc(spark, table, keep = 2)
+        val after = partFiles(new Path(Generations.genPath(table, next))).length
+        return (before, after)
+      } catch {
+        case _: Generations.CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Compact every `col=value` partition directory of a partitioned

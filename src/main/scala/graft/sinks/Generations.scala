@@ -1,7 +1,10 @@
 package graft.sinks
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Pointer-file ("generation") commit protocol for snapshot-replaced
   * tables — the object-store-safe alternative to rename-swapping a
@@ -21,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never bytes of both).
   *
   * Layout under `<table>/`:
-  *  - `data/g{version}-{uuid}/` — immutable parquet generation dirs
-  *  - `_commits/v{%016d}`      — one immutable pointer file per commit:
-  *                               `version gen rows tag` on one line
+  *  - `data/g{nnnnnnnn}-{uuid}/` — immutable parquet generation dirs
+  *    (the numeric prefix is the version the writer EXPECTED when it
+  *    wrote the data — advisory/debug only; under concurrent committers
+  *    the published version may be higher)
+  *  - `_commits/v{%016d}`       — one immutable pointer file per commit:
+  *    `version gen rows tag [carried...]` on one line
   *
   * Protocol:
   *  - WRITE: materialize the new snapshot into a fresh `data/g…` dir,
@@ -39,23 +45,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reader observe a missing, partial, or duplicated snapshot — the
   * failure mode of the rename-pair swap this replaces.
   *
-  * Single writer per table by contract (same as the swap it replaces).
-  * For multi-writer on S3, publish the pointer with a conditional PUT
-  * (If-None-Match: *) and retry on conflict — the protocol is unchanged.
+  * Concurrency: MULTIPLE writers per table are supported. The pointer
+  * namespace is the lock — two writers racing to publish the same
+  * version see exactly one rename succeed (same-directory single-object
+  * rename fails if the target exists; on S3 the equivalent is a
+  * conditional PUT with If-None-Match: *). The loser re-reads `latest`,
+  * bumps, and re-publishes its already-written generation under the next
+  * version — blind snapshot/append commits never lose data, only order.
+  * Read-modify-write commits (MERGE, squash, compaction) additionally
+  * pass the version they READ as `expectedBase`: if someone else
+  * committed meanwhile, the publish aborts with
+  * [[CommitConflictException]] and the caller re-reads and redoes the
+  * whole transform — optimistic concurrency, the Delta/Iceberg commit
+  * loop.
   */
 object Generations {
 
   /** `tag` is free metadata recorded in the pointer: "-" for plain
     * snapshot commits, a caller id (e.g. `batch=7`) for idempotent log
-    * appends, [[SquashTag]] for a log-folding snapshot.
+    * appends, [[SquashTag]] for a log-folding snapshot. `carried` (only
+    * ever non-empty on snapshot-kind commits) preserves the newest
+    * superseded append tag per writer prefix — the idempotence witness
+    * that lets [[appendCommitted]] detect a replay without any
+    * pre-snapshot commit file surviving GC.
     */
   final case class Commit(version: Long, gen: String, rows: Long,
-      tag: String = "-")
+      tag: String = "-", carried: Seq[String] = Nil)
 
   /** Tag marking a commit that supersedes ALL earlier commits of a log
     * table (the Delta-checkpoint analog): [[readLog]] starts here.
     */
   val SquashTag = "=squash"
+
+  /** Thrown when a commit built on `expectedBase` finds the table has
+    * advanced past it — the caller's read-modify-write is stale and must
+    * be redone from the new head.
+    */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** A snapshot-KIND commit supersedes everything before it in the log
+    * view: explicit squashes and plain `-` snapshot commits alike (a
+    * MERGE or compaction rewrites the WHOLE table content, so commits
+    * landing on a log table via [[mergeAndCommit]]/
+    * [[graft.sinks.Compact.compactGenerations]] fold history exactly the
+    * way a squash does — treating them otherwise pinned GC retention
+    * forever and made [[readLog]] double-count the compacted rows).
+    */
+  def isSnapshotCommit(c: Commit): Boolean =
+    c.tag == "-" || c.tag == SquashTag
 
   private def commitsDir(table: Path) = new Path(table, "_commits")
   private def dataDir(table: Path) = new Path(table, "data")
@@ -64,24 +102,34 @@ object Generations {
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Commit files opened+parsed since JVM start — observability for the
+    * O(1)-replay-check contract (specs assert how many pointer reads an
+    * operation costs; a real deployment would surface this as a metric).
+    */
+  val commitFileReads = new AtomicLong(0)
+
   private def parseCommit(fs: FileSystem, cd: Path, name: String): Commit = {
+    commitFileReads.incrementAndGet()
     val in = fs.open(new Path(cd, name))
     val line = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().next() finally in.close()
     val parts = line.trim.split(" ")
     Commit(parts(0).toLong, parts(1), parts(2).toLong,
-      if (parts.length > 3) parts(3) else "-")
+      if (parts.length > 3) parts(3) else "-",
+      if (parts.length > 4) parts.drop(4).toSeq else Nil)
   }
+
+  private def commitNames(fs: FileSystem, cd: Path): Array[String] =
+    if (!fs.exists(cd)) Array.empty
+    else fs.listStatus(cd).map(_.getPath.getName)
+      .filter(_.matches("v\\d{16}"))
+      .sortBy(_.drop(1).toLong)
 
   /** Every commit of the table, version-ascending. */
   def commits(spark: SparkSession, table: String): Seq[Commit] = {
     val cd = commitsDir(new Path(table))
     val fs = fsOf(spark, cd)
-    if (!fs.exists(cd)) return Seq.empty
-    fs.listStatus(cd).map(_.getPath.getName)
-      .filter(_.matches("v\\d{16}"))
-      .sortBy(_.drop(1).toLong)
-      .map(parseCommit(fs, cd, _)).toSeq
+    commitNames(fs, cd).map(parseCommit(fs, cd, _)).toSeq
   }
 
   /** The newest committed generation, or None for an empty/new table.
@@ -92,11 +140,8 @@ object Generations {
   def latest(spark: SparkSession, table: String): Option[Commit] = {
     val cd = commitsDir(new Path(table))
     val fs = fsOf(spark, cd)
-    if (!fs.exists(cd)) return None
-    val names = fs.listStatus(cd).map(_.getPath.getName)
-      .filter(_.matches("v\\d{16}"))
-    if (names.isEmpty) None
-    else Some(parseCommit(fs, cd, names.maxBy(_.drop(1).toLong)))
+    val names = commitNames(fs, cd)
+    if (names.isEmpty) None else Some(parseCommit(fs, cd, names.last))
   }
 
   /** Path of a commit's generation directory. */
@@ -120,81 +165,168 @@ object Generations {
       if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
 
+  /** The newest tag per writer prefix (`prefix=value` tags key on the
+    * prefix; bare tags on themselves) across `prev` (an earlier witness)
+    * overlaid by the live tagged commits in commit order — bounded by
+    * the number of distinct WRITERS, never by history length.
+    */
+  private def carryTags(prev: Seq[String], live: Seq[Commit]): Seq[String] = {
+    def keyOf(t: String) = {
+      val i = t.lastIndexOf('=')
+      if (i > 0) t.substring(0, i) else t
+    }
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    prev.foreach(t => m(keyOf(t)) = t)
+    live.filterNot(isSnapshotCommit).foreach(c => m(keyOf(c.tag)) = c.tag)
+    m.values.toSeq
+  }
+
   /** Materialize `df` as the table's next generation and publish it.
     * The data write targets a fresh uniquely-named dir (never touching
-    * the live generation); the publish is one temp-write + SAME-DIRECTORY
-    * single-object rename — the only rename in the protocol, and the one
-    * kind that is atomic-equivalent on object stores too.
+    * the live generation) and counts its rows IN the write itself
+    * (`observe` + CollectMetrics — committing is one data scan, not a
+    * write-then-recount double scan); the publish is one temp-write +
+    * SAME-DIRECTORY single-object rename — the only rename in the
+    * protocol, and the one kind that is atomic-equivalent on object
+    * stores too. On a publish collision with a concurrent writer the
+    * already-written generation is re-published under the next free
+    * version (bounded retries); when `expectedBase` is given and the
+    * table advanced past it, [[CommitConflictException]] is thrown
+    * instead and the orphaned generation is left for [[gc]].
+    *
+    * Snapshot-kind commits (`-`/[[SquashTag]]) automatically carry the
+    * newest superseded append tag per writer prefix (see [[Commit]]) so
+    * replay idempotence survives any later GC.
     */
   def writeAndCommit(spark: SparkSession, df: DataFrame,
-      table: String, tag: String = "-"): Commit = {
+      table: String, tag: String = "-",
+      expectedBase: Option[Long] = None, maxRetries: Int = 20,
+      options: Map[String, String] = Map.empty): Commit = {
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
     val t = new Path(table)
     val fs = fsOf(spark, t)
-    val version = latest(spark, table).map(_.version + 1).getOrElse(1L)
-    val gen = f"g$version%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+    val baseVersion = latest(spark, table).map(_.version).getOrElse(0L)
+    expectedBase.foreach { b =>
+      if (baseVersion != b) throw new CommitConflictException(
+        s"$table advanced to v$baseVersion past expected base v$b")
+    }
+    val gen = f"g${baseVersion + 1}%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     val genDir = new Path(dataDir(t), gen)
-    df.write.parquet(genDir.toString)
-    val rows = spark.read.parquet(genDir.toString).count()
+    val obs = Observation("gen_rows_" + java.util.UUID.randomUUID.toString.take(8))
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.options(options).parquet(genDir.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val cd = commitsDir(t)
     fs.mkdirs(cd)
-    val tmp = new Path(cd,
-      s".${commitName(version)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(s"$version $gen $rows $tag\n".getBytes("UTF-8"))
-    finally out.close()
-    val finalP = new Path(cd, commitName(version))
-    if (!fs.rename(tmp, finalP)) {
+    var version = baseVersion + 1
+    var attempt = 0
+    while (true) {
+      val snapshotKind = tag == "-" || tag == SquashTag
+      val carried =
+        if (!snapshotKind) Nil
+        else carryTags(
+          prev = headSnapshot(spark, table).map(_.carried).getOrElse(Nil),
+          live = logCommits(spark, table))
+      val line = (Seq(version.toString, gen, rows.toString, tag) ++ carried)
+        .mkString(" ") + "\n"
+      val tmp = new Path(cd,
+        s".${commitName(version)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+      val finalP = new Path(cd, commitName(version))
+      if (fs.rename(tmp, finalP))
+        return Commit(version, gen, rows, tag, carried)
       fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"commit $finalP already exists — concurrent writer? " +
-          "(single writer per table by contract)")
+      // collision: someone else published this version first
+      attempt += 1
+      expectedBase.foreach { b =>
+        throw new CommitConflictException(
+          s"$table v$version published by a concurrent writer; expected base v$b is stale")
+      }
+      if (attempt >= maxRetries) throw new IllegalStateException(
+        s"gave up publishing $table after $maxRetries version collisions")
+      version = latest(spark, table).map(_.version).getOrElse(version) + 1
     }
-    Commit(version, gen, rows, tag)
+    throw new IllegalStateException("unreachable")
   }
 
   // ------------------------------------------------------------ log tables
   //
   // The same protocol also carries APPEND-ONLY (log) tables: each commit is
-  // a delta whose rows add to the table, and a SquashTag commit folds all
-  // history into one generation (the Delta-checkpoint analog). This is the
-  // exactly-once answer for Structured Streaming's foreachBatch on object
-  // stores: Spark re-delivers a micro-batch after a crash with the SAME
-  // batchId, so committing each batch under tag `batch=<id>` makes the
-  // replay a visible no-op — no duplicated rows, no torn files.
+  // a delta whose rows add to the table, and a snapshot-kind commit
+  // (SquashTag or "-") folds all history into one generation (the
+  // Delta-checkpoint analog). This is the exactly-once answer for
+  // Structured Streaming's foreachBatch on object stores: Spark
+  // re-delivers a micro-batch after a crash with the SAME batchId, so
+  // committing each batch under tag `batch=<id>` makes the replay a
+  // visible no-op — no duplicated rows, no torn files.
+
+  /** The newest snapshot-kind commit (what the live log span starts at),
+    * or None if the table has only ever appended.
+    */
+  private def headSnapshot(spark: SparkSession, table: String): Option[Commit] =
+    logCommits(spark, table).headOption.filter(isSnapshotCommit)
 
   /** Commits a [[readLog]] union spans: everything from the newest
-    * squash (inclusive) onward.
+    * snapshot-kind commit (inclusive) onward — parsed by walking the
+    * commit listing BACKWARD from the newest name, so the cost is
+    * O(live span), not O(history).
     */
   def logCommits(spark: SparkSession, table: String): Seq[Commit] = {
-    val all = commits(spark, table)
-    val lastSquash = all.lastIndexWhere(_.tag == SquashTag)
-    if (lastSquash < 0) all else all.drop(lastSquash)
+    val cd = commitsDir(new Path(table))
+    val fs = fsOf(spark, cd)
+    val names = commitNames(fs, cd)
+    val span = scala.collection.mutable.ListBuffer.empty[Commit]
+    var i = names.length - 1
+    while (i >= 0) {
+      val c = parseCommit(fs, cd, names(i))
+      c +=: span
+      if (isSnapshotCommit(c)) i = -1 else i -= 1
+    }
+    span.toList
   }
 
-  /** Idempotent log append: if some commit already carries `tag`, this is
-    * a no-op returning None (the re-delivered batch was already durable);
-    * otherwise append `df` as a new delta commit. The foreachBatch body is
-    * one line: `appendCommitted(spark, batchDf, table, s"batch=$id")`.
-    * The duplicate-tag check reads every commit file — O(live commits),
-    * which is exactly what periodic [[squash]] keeps small (after a
-    * squash only the live span remains); an unsquashed log pays a
-    * linearly growing check, the same pressure that motivates Delta's
-    * checkpoints.
+  /** Idempotent log append: if `tag` was already committed — visible
+    * either as a live commit or through the carried witness of the head
+    * snapshot — this is a no-op returning None (the re-delivered batch
+    * was already durable); otherwise append `df` as a new delta commit.
+    * The foreachBatch body is one line:
+    * `appendCommitted(spark, batchDf, table, s"batch=$id")`.
+    *
+    * Cost of the duplicate check: the backward walk stops at the FIRST
+    * match or the head snapshot, so a replay of the newest batch parses
+    * ONE commit file, and any replayable batch (streaming can only
+    * re-deliver the latest per writer) is decided within the live span +
+    * the snapshot's carried tags — never the full history the pre-r11
+    * all-commits scan paid.
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {
     require(tag != SquashTag && tag != "-", s"reserved tag: '$tag'")
-    if (commits(spark, table).exists(_.tag == tag)) None
+    require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
+    val cd = commitsDir(new Path(table))
+    val fs = fsOf(spark, cd)
+    val names = commitNames(fs, cd)
+    var i = names.length - 1
+    var seen = false
+    var done = false
+    while (i >= 0 && !done) {
+      val c = parseCommit(fs, cd, names(i))
+      if (c.tag == tag) { seen = true; done = true }
+      else if (isSnapshotCommit(c)) { seen = c.carried.contains(tag); done = true }
+      else i -= 1
+    }
+    if (seen) None
     else Some(writeAndCommit(spark, df, table, tag))
   }
 
   /** The log table's content: union of every commit since the last
-    * squash. None = never committed. Read with `mergeSchema`, so
-    * ADDITIVE schema evolution works the lakehouse way: a commit may add
-    * columns, older generations surface them as null, and the next
-    * [[squash]] bakes the widened schema into one generation. (Renames/
-    * type changes are rewrites, not evolution — same rule as Delta.)
+    * snapshot-kind commit. None = never committed. Read with
+    * `mergeSchema`, so ADDITIVE schema evolution works the lakehouse
+    * way: a commit may add columns, older generations surface them as
+    * null, and the next [[squash]] bakes the widened schema into one
+    * generation. (Renames/type changes are rewrites, not evolution —
+    * same rule as Delta.)
     */
   def readLog(spark: SparkSession, table: String): Option[DataFrame] = {
     val cs = logCommits(spark, table)
@@ -203,23 +335,38 @@ object Generations {
       .parquet(cs.map(genPath(table, _)): _*))
   }
 
-  /** MERGE INTO for snapshot tables: apply a whole-row upsert/delete
-    * changeset ([[graft.operators.Merge.mergeApply]]) to the current
-    * generation and commit the result as the next one. On a
-    * never-committed table the changeset's non-deleted rows ARE the
-    * first snapshot. Readers are snapshot-isolated throughout (they hold
-    * the previous pointer until the new one lands).
+  /** MERGE INTO: apply a whole-row upsert/delete changeset
+    * ([[graft.operators.Merge.mergeApply]]) to the current table content
+    * — [[readLog]], which equals the live generation for a snapshot
+    * table and the folded union for a log table — and commit the result
+    * as the next snapshot. On a never-committed table the changeset's
+    * non-deleted rows ARE the first snapshot. Readers are
+    * snapshot-isolated throughout (they hold the previous pointer until
+    * the new one lands). Concurrency: optimistic — the commit carries
+    * the version the merge READ; if another writer landed meanwhile the
+    * whole merge re-reads and re-applies (bounded retries), so no
+    * concurrent commit is silently overwritten by a stale basis.
     */
   def mergeAndCommit(spark: SparkSession, table: String, changes: DataFrame,
       keys: Seq[String], deleteCol: String = "_deleted",
-      tag: String = "-"): Commit = {
-    val next = read(spark, table) match {
-      case Some(cur) =>
-        graft.operators.Merge.mergeApply(cur, changes, keys, deleteCol)
-      case None => changes.filter(!org.apache.spark.sql.functions
-        .col(deleteCol)).drop(deleteCol)
+      tag: String = "-", maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      val base = latest(spark, table).map(_.version).getOrElse(0L)
+      val next = readLog(spark, table) match {
+        case Some(cur) =>
+          graft.operators.Merge.mergeApply(cur, changes, keys, deleteCol)
+        case None => changes.filter(!org.apache.spark.sql.functions
+          .col(deleteCol)).drop(deleteCol)
+      }
+      try return writeAndCommit(spark, next, table, tag,
+        expectedBase = Some(base))
+      catch {
+        case _: CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
     }
-    writeAndCommit(spark, next, table, tag)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Fold the log's live commits into ONE generation committed under
@@ -227,31 +374,44 @@ object Generations {
     * listing and the per-read file count — run it like any table
     * maintenance job. Readers are never disturbed: until the squash
     * pointer lands they union the old commits; after, they start at it.
+    * Optimistic like [[mergeAndCommit]]: a concurrent append between
+    * the fold's read and its publish aborts-and-redoes the fold, so an
+    * in-flight batch is never silently folded away or double-counted.
     *
-    * GC keeps the newest PRE-squash commit too: Structured Streaming can
-    * only ever replay the LATEST batchId (its checkpoint is monotonic),
-    * so preserving the commit that carries that batch's tag keeps
-    * [[appendCommitted]]'s idempotence intact even when a squash lands
-    * in the crash window between a batch's data commit and the stream's
-    * checkpoint commit — without it, the replayed batch would re-append.
+    * Replay idempotence across the squash is carried IN the squash
+    * commit (newest superseded tag per writer — see [[Commit]]), so GC
+    * may prune every pre-squash commit file without opening the
+    * data-commit / checkpoint-commit crash window.
     */
-  def squash(spark: SparkSession, table: String): Option[Commit] = {
-    val cur = readLog(spark, table).getOrElse(return None)
-    val c = writeAndCommit(spark, cur, table, SquashTag)
-    gc(spark, table, keep = 2)
-    Some(c)
+  def squash(spark: SparkSession, table: String,
+      maxRetries: Int = 5): Option[Commit] = {
+    var attempt = 0
+    while (true) {
+      val base = latest(spark, table).map(_.version).getOrElse(return None)
+      val cur = readLog(spark, table).getOrElse(return None)
+      try {
+        val c = writeAndCommit(spark, cur, table, SquashTag,
+          expectedBase = Some(base))
+        gc(spark, table, keep = 2)
+        return Some(c)
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Prune history: keep the newest `keep` commits (and their gen dirs)
-    * — plus, always, every LIVE log commit (at/after the last squash; for
-    * a snapshot table, whose newest commit supersedes all others, that
-    * adds nothing beyond the newest) — delete everything older plus any
-    * unreferenced gen dir and stale commit temp files. Deletes only —
-    * idempotent and crash-safe. On a log table a LIVE STREAM appends to,
-    * use `keep >= 2` (what [[squash]] itself does): `keep = 1` right
-    * after a squash would drop the newest pre-squash commit, whose tag
-    * is the replay guard for a batch caught in the data-commit /
-    * checkpoint-commit crash window.
+    * — plus, always, every LIVE log commit (at/after the last
+    * snapshot-kind commit; for a snapshot table, whose newest commit
+    * supersedes all others, that adds nothing beyond the newest) —
+    * delete everything older plus any unreferenced gen dir and stale
+    * commit temp files. Deletes only — idempotent and crash-safe.
+    * Because snapshot commits carry their replay witness, pruning
+    * pre-snapshot commits never breaks [[appendCommitted]]'s
+    * idempotence; `keep >= 2` is a time-travel nicety, not a
+    * correctness requirement.
     * @return (commit files deleted, gen dirs deleted)
     */
   def gc(spark: SparkSession, table: String, keep: Int = 2): (Int, Int) = {
@@ -261,19 +421,17 @@ object Generations {
     val cd = commitsDir(t)
     if (!fs.exists(cd)) return (0, 0)
     val all = fs.listStatus(cd).map(_.getPath.getName)
-    val commitNames = all.filter(_.matches("v\\d{16}")).sortBy(_.drop(1).toLong)
+    val names = all.filter(_.matches("v\\d{16}")).sortBy(_.drop(1).toLong)
     val stale = all.filter(n => n.startsWith(".") && n.endsWith(".tmp"))
-    val parsed = commitNames.map(parseCommit(fs, cd, _))
-    // a log table's live span must survive any `keep`: a squash commit
-    // supersedes what precedes it, nothing supersedes what follows it
-    val lastSquash = parsed.lastIndexWhere(_.tag == SquashTag)
-    val liveFrom =
-      if (parsed.isEmpty) 0
-      else if (lastSquash >= 0) lastSquash
-      else if (parsed.exists(_.tag != "-")) 0 // unsquashed log: all live
-      else parsed.length - 1                  // snapshot: newest only
-    val cut = math.min(math.max(0, commitNames.length - keep), liveFrom)
-    val drop = commitNames.take(cut)
+    val parsed = names.map(parseCommit(fs, cd, _))
+    // a log table's live span must survive any `keep`: a snapshot-kind
+    // commit supersedes what precedes it, nothing supersedes what
+    // follows it. An unsquashed log (no snapshot commit at all) is
+    // entirely live.
+    val lastSnapshot = parsed.lastIndexWhere(isSnapshotCommit)
+    val liveFrom = math.max(lastSnapshot, 0)
+    val cut = math.min(math.max(0, names.length - keep), liveFrom)
+    val drop = names.take(cut)
     val keptGens = parsed.drop(cut).map(_.gen).toSet
     (drop ++ stale).foreach(n => fs.delete(new Path(cd, n), false))
     val dd = dataDir(t)

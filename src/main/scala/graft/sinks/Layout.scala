@@ -123,9 +123,69 @@ object Layout {
   def writeZOrderedN(df: DataFrame, colNames: Seq[String], path: String,
       numFiles: Int = 1, options: Map[String, String] = Map.empty,
       bitsPerCol: Int = 16): Unit =
+    zOrdered(df, colNames, numFiles, bitsPerCol)
+      .write.options(options).parquet(path)
+
+  /** The Z-clustering transform itself: Morton key → range partition →
+    * sort within partitions → drop key. Pure plan (one range shuffle);
+    * callers pick the sink.
+    */
+  def zOrdered(df: DataFrame, colNames: Seq[String], numFiles: Int,
+      bitsPerCol: Int = 16): DataFrame =
     df.withColumn("_z", zValueN(colNames.map(col), bitsPerCol))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
-      .write.options(options).parquet(path)
+
+  /** `OPTIMIZE ... ZORDER BY (cols)` for a [[Generations]] table — the
+    * lakehouse maintenance op that joins the layout technique above to
+    * the pointer-file commit protocol: rewrite the table's LIVE content
+    * ([[Generations.readLog]] — the newest generation for a snapshot
+    * table, the folded log span for a log table) Z-clustered on
+    * `colNames`, commit it as one new snapshot-kind generation, then GC
+    * superseded history. Readers are snapshot-isolated throughout and
+    * pruning evidence survives reading through `Generations.read` — the
+    * commit changes WHICH directory the pointer names, not how parquet
+    * stats work. Optimistic concurrency like every other read-modify-
+    * write commit: a concurrent append aborts-and-redoes the rewrite.
+    *
+    * File width: ceil(live bytes / targetBytes), so file-level min/max
+    * pruning and row-group pruning both align with the curve. Inputs
+    * must already be scaled to `bitsPerCol` bits (same contract as
+    * [[writeZOrderedN]]).
+    *
+    * @return the optimize commit, or None for a never-committed table
+    */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession, table: String,
+      colNames: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      bitsPerCol: Int = 16, options: Map[String, String] = Map.empty,
+      maxRetries: Int = 5): Option[Generations.Commit] = {
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (true) {
+      val base = Generations.latest(spark, table)
+        .map(_.version).getOrElse(return None)
+      val span = Generations.logCommits(spark, table)
+      val bytes = span.map { c =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(
+            Generations.genPath(table, c)))
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+          .map(_.getLen).sum
+      }.sum
+      val numFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      val zdf = zOrdered(Generations.readLog(spark, table).get, colNames,
+        numFiles, bitsPerCol)
+      try {
+        val c = Generations.writeAndCommit(spark, zdf, table,
+          expectedBase = Some(base), options = options)
+        Generations.gc(spark, table, keep = 2)
+        return Some(c)
+      } catch {
+        case _: Generations.CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

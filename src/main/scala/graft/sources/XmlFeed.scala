@@ -33,6 +33,12 @@ object XmlFeed {
       .schema("loc STRING, lastmod STRING")
       .load(path)
 
+  /** The artifact name of a feed entry (X4 basename) — the identity the
+    * D1 dup guard and [[FeedOffsets]]' seen-set both key on.
+    */
+  def entryName(loc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    Urls.basename(loc)
+
   /** Feed entries → (url, name, lastmod) download candidates: the same
     * projection the HTML-anchor path feeds the router (X4 basename).
     */
@@ -42,20 +48,27 @@ object XmlFeed {
       .select(col("loc").as("url"), Urls.basename(col("loc")).as("name"),
         col("lastmod"))
 
-  /** Incremental consumption: only entries whose `lastmod` is strictly
+  /** Incremental consumption: only entries whose `lastmod` is at or
     * after the given high-water mark (ISO dates compare lexically). The
     * caller persists the max lastmod it enqueued (one tiny value per
-    * feed — a [[Generations]] pointer or a channel-offset-style file)
-    * and passes it on the next poll, so re-reading a growing feed
-    * re-enqueues nothing: the feed analog of the queue's committed
-    * offset. Entries carrying NO lastmod are always returned — an
-    * unannotated entry can't be proven already-seen, and the D1
-    * name-level dup guard downstream absorbs the re-delivery
-    * (at-least-once, never silent loss).
+    * feed — [[FeedOffsets]] is the turnkey form) and passes it on the
+    * next poll: the feed analog of the queue's committed offset.
+    *
+    * The boundary is INCLUSIVE (`>=`), deliberately: sitemap lastmod is
+    * typically date-granular, so a feed that adds a second entry later
+    * the same day carries a lastmod EQUAL to the persisted watermark — a
+    * strict `>` would skip it silently forever. Entries at the boundary
+    * re-deliver on every poll until the watermark date elapses; the D1
+    * name-level dup guard downstream absorbs the redelivery, exactly as
+    * it does for NO-lastmod entries, which are always returned (an
+    * unannotated entry can't be proven already-seen). At-least-once,
+    * never silent loss. For exact re-poll-enqueues-nothing semantics,
+    * use [[FeedOffsets.newEntries]], which additionally remembers the
+    * names already seen AT the watermark date.
     */
   def newSince(feed: DataFrame, lastmodWatermark: String): DataFrame =
     feed.filter(col("lastmod").isNull ||
-      col("lastmod") > lit(lastmodWatermark))
+      col("lastmod") >= lit(lastmodWatermark))
 
   /** Feed candidates → queue-ready task rows (the harvester's message
     * shape, `Schemas.task`): the feed becomes a first-class harvest

@@ -55,12 +55,23 @@ object BatchHandler {
 
     // Malformed lines are dropped, and their files still ack to done/
     // below — poison messages must not redeliver forever (the SQS DLQ
-    // rationale); Queue.quarantined surfaces them for inspection.
+    // rationale). Because the ack MOVES the claimed files out of the
+    // queue dir, Queue.quarantined(queueDir) would never see them again:
+    // the corrupt raw lines are therefore copied to an explicit
+    // `quarantine/` dir BEFORE the ack, so every dropped poison line has
+    // a durable, inspectable record (the DLQ-body analog).
     import org.apache.spark.sql.functions.col
-    val tasks = graft.sources.Queue.parseTaskLines(
+    val parsed = graft.sources.Queue.parseTaskLines(
         spark.read.text(claimed.map(_.toString): _*),
         graft.model.Schemas.taskWithCorrupt)
-      .filter(col(graft.model.Schemas.taskCorruptCol).isNull)
+    val corruptCol = graft.model.Schemas.taskCorruptCol
+    val corrupt = parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).cast("string").as("value"))
+    if (!corrupt.isEmpty)
+      corrupt.write.mode("append")
+        .text(Paths.get(root, "quarantine").toString)
+    val tasks = parsed
+      .filter(col(corruptCol).isNull)
       .select(graft.model.Schemas.task.fieldNames.toSeq.map(col): _*)
     val report = DownloadPipeline.processBatch(tasks, root, catalogPath)
 

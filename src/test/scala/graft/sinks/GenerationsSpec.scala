@@ -69,7 +69,7 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.gc(spark, t, keep = 2) === ((0, 0)))
   }
 
-  test("a duplicate version commit is refused (single-writer contract)") {
+  test("a duplicate version publish loses the rename race (the commit lock)") {
     val t = mkTable()
     Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
     // a lost writer that still thinks the table is empty tries to commit
@@ -81,6 +81,149 @@ class GenerationsSpec extends SparkSpec {
     out.write("1 g00000001-dup 0\n".getBytes("UTF-8")); out.close()
     assert(!fs.rename(tmp, new Path(cd, "v0000000000000001")),
       "renaming onto an existing commit must fail, protecting the winner")
+  }
+
+  test("two concurrent committers both land, consecutive versions, no loss") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(0).toDF("v"), t)
+    // both threads read latest=v1, write their generations, then race the
+    // v2 pointer: the loser must re-publish as v3, not fail or overwrite
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Generations.Commit] {
+          def call(): Generations.Commit =
+            Generations.writeAndCommit(spark, Seq(i * 10).toDF("v"), t)
+        })
+      }
+      val landed = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(landed.map(_.version).sorted === Seq(2L, 3L))
+      assert(landed.map(_.gen).distinct.size === 2, "no lost generation")
+      // every committed version time-travels to its own writer's data
+      val v2 = Generations.readAt(spark, t, 2L).get.as[Int].collect().toSet
+      val v3 = Generations.readAt(spark, t, 3L).get.as[Int].collect().toSet
+      assert(Set(v2, v3) === Set(Set(10), Set(20)))
+    } finally pool.shutdownNow()
+  }
+
+  test("concurrent MERGEs are optimistic: neither update is lost") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq((1, "a")).toDF("k", "v"), t)
+    // two writers merge DIFFERENT keys concurrently; without the
+    // expectedBase CAS + redo loop, the stale merge basis would silently
+    // drop the other writer's row (classic lost update)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fs = Seq((2, "b"), (3, "c")).map { case (k, v) =>
+        pool.submit(new java.util.concurrent.Callable[Generations.Commit] {
+          def call(): Generations.Commit = Generations.mergeAndCommit(spark, t,
+            Seq((k, v, false)).toDF("k", "v", "_deleted"), Seq("k"))
+        })
+      }
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+    assert(Generations.read(spark, t).get.as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("a stale expectedBase aborts with CommitConflictException") {
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
+    Generations.writeAndCommit(spark, Seq(2).toDF("v"), t) // table advances
+    intercept[Generations.CommitConflictException] {
+      Generations.writeAndCommit(spark, Seq(9).toDF("v"), t,
+        expectedBase = Some(1L)) // built on v1, but head is v2
+    }
+    // the aborted writer's orphan generation is invisible and GC-able
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet === Set(2))
+    Generations.gc(spark, t, keep = 1)
+    assert(Generations.read(spark, t).get.as[Int].collect().toSet === Set(2))
+  }
+
+  test("committing is one data scan: no write-then-recount double read") {
+    val t = mkTable()
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = seen.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = seen.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val c = Generations.writeAndCommit(spark,
+        spark.range(100).toDF("v"), t)
+      assert(c.rows === 100L, "row count must come from the write itself")
+      // listener delivery is async: wait for the write's execution event,
+      // then assert nothing FURTHER arrives (the old implementation's
+      // re-read count() would be a second QueryExecution)
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (seen.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(seen.get() === 1,
+        s"expected exactly one query execution (the write), saw ${seen.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("replay idempotence survives FULL gc via the carried-tag witness") {
+    val t = mkTable()
+    (0 to 3).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    Generations.squash(spark, t)
+    // prune EVERYTHING but the squash itself — no pre-squash commit file
+    // survives, so the no-op below can only come from the carried witness
+    Generations.gc(spark, t, keep = 1)
+    assert(Generations.commits(spark, t).map(_.tag)
+      === Seq(Generations.SquashTag))
+    assert(Generations.latest(spark, t).get.carried === Seq("batch=3"))
+    val reads0 = Generations.commitFileReads.get()
+    assert(Generations.appendCommitted(spark, Seq(3).toDF("v"), t,
+      "batch=3").isEmpty, "latest batch replay must stay a no-op")
+    assert(Generations.commitFileReads.get() - reads0 <= 2,
+      "replay check must read O(live span) pointer files, not history")
+    // and a genuinely new batch still appends
+    assert(Generations.appendCommitted(spark, Seq(4).toDF("v"), t,
+      "batch=4").isDefined)
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(0, 1, 2, 3, 4))
+  }
+
+  test("witness carries the newest tag per WRITER prefix independently") {
+    val t = mkTable()
+    Generations.appendCommitted(spark, Seq(1).toDF("v"), t, "streamA=5")
+    Generations.appendCommitted(spark, Seq(2).toDF("v"), t, "streamB=9")
+    Generations.appendCommitted(spark, Seq(3).toDF("v"), t, "streamA=6")
+    Generations.squash(spark, t)
+    Generations.gc(spark, t, keep = 1)
+    val carried = Generations.latest(spark, t).get.carried.toSet
+    assert(carried === Set("streamA=6", "streamB=9"),
+      "each writer's newest tag survives; stale streamA=5 is dropped")
+    assert(Generations.appendCommitted(spark, Seq(3).toDF("v"), t,
+      "streamA=6").isEmpty)
+    assert(Generations.appendCommitted(spark, Seq(2).toDF("v"), t,
+      "streamB=9").isEmpty)
+  }
+
+  test("squash-then-snapshot lifecycle keeps retention bounded (no gc pinning)") {
+    val t = mkTable()
+    (0 to 2).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    Generations.squash(spark, t)
+    // the LakehouseDemo lifecycle: plain '-' snapshot commits keep landing
+    // after the squash (MERGE, compaction). Each supersedes history — gc
+    // must keep pruning down to `keep`, not pin at the old squash forever.
+    (1 to 5).foreach(i => Generations.writeAndCommit(spark,
+      spark.range(i).toDF("v"), t))
+    Generations.gc(spark, t, keep = 2)
+    val remaining = Generations.commits(spark, t)
+    assert(remaining.length === 2,
+      s"retention must stay bounded at keep=2, got ${remaining.map(_.tag)}")
+    assert(Generations.read(spark, t).get.count() === 5L)
+    // and the carried witness still blocks a replay of the last batch
+    assert(Generations.appendCommitted(spark, Seq(2).toDF("v"), t,
+      "batch=2").isEmpty)
   }
 
   test("manifest compaction crash windows never lose or duplicate guards") {
@@ -230,6 +373,27 @@ class GenerationsSpec extends SparkSpec {
     runOnce()
     assert(Generations.readLog(spark, table).get.as[Int].collect().sorted
       === Array(1, 2, 3))
+  }
+
+  test("compactGenerations on a LIVE LOG table folds, never duplicates") {
+    val t = mkTable()
+    (0 to 3).foreach(i => Generations.appendCommitted(spark,
+      Seq.fill(50)(i).toDF("v").repartition(4), t, s"batch=$i"))
+    assert(Generations.readLog(spark, t).get.count() === 200L)
+    // 16 part files across the live span → compaction folds the WHOLE
+    // log view into one snapshot-kind generation. Before r11 this
+    // committed a '-' DELTA that readLog unioned as a duplicate of the
+    // latest generation — the row count would have doubled.
+    val (b, a) = Compact.compactGenerations(spark, t)
+    assert(b === 16 && a === 1)
+    assert(Generations.readLog(spark, t).get.count() === 200L,
+      "compaction must not double-count the compacted rows")
+    // replay protection survives the compaction (carried witness)
+    assert(Generations.appendCommitted(spark, Seq(3).toDF("v"), t,
+      "batch=3").isEmpty)
+    // and appends continue on top of the compacted snapshot
+    Generations.appendCommitted(spark, Seq(7).toDF("v"), t, "batch=7")
+    assert(Generations.readLog(spark, t).get.count() === 201L)
   }
 
   test("compactGenerations rewrites wide generations via pointer commit") {

@@ -138,6 +138,41 @@ class LayoutSkippingSpec extends SparkSpec {
       s"z-order should out-prune single-column sort on a 2-D box: z=$viaZ x=$viaX")
   }
 
+  test("optimizeZOrder commits a Z-clustered generation with the same pruning") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-zopt")
+    val rows = spark.range(400000)
+      .select(col("id"),
+        pmod(hash(lit("x"), col("id")), lit(65536)).cast("long").as("x"),
+        pmod(hash(lit("y"), col("id")), lit(65536)).cast("long").as("y"))
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    // the pre-optimize table: committed under Generations, x-sorted only
+    val table = base.resolve("t").toString
+    Generations.writeAndCommit(spark, rows.orderBy(col("x")).coalesce(1),
+      table, options = opts)
+
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val q = df.filter(col("x") < 4096 && col("y") < 4096)
+      val scan = q.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.head
+      assert(q.collect().nonEmpty)
+      scan.metrics("numOutputRows").value
+    }
+
+    val before = scannedRows(Generations.read(spark, table).get)
+    val c = Layout.optimizeZOrder(spark, table, Seq("x", "y"),
+      targetBytes = Long.MaxValue, options = opts).get
+    assert(c.rows === 400000L)
+    assert(Generations.latest(spark, table).get.version === c.version)
+    // SAME multiplicative pruning as a direct writeZOrdered, read through
+    // the generation pointer — the optimize is a layout change only
+    val after = scannedRows(Generations.read(spark, table).get)
+    assert(after < before / 2,
+      s"optimized layout should out-prune the x-sort: after=$after before=$before")
+    assert(Generations.read(spark, table).get.count() === 400000L)
+  }
+
   test("clusteringStats: exact quadrant math on a full 16x16 grid") {
     import spark.implicits._
     // every (x, y) in [0,16)²; 4 value-range files over domain 16.

@@ -40,16 +40,73 @@ class XmlFeedSpec extends SparkSpec {
 
   test("newSince consumes a growing feed incrementally by lastmod watermark") {
     val feed = XmlFeed.read(spark) // fixture lastmods: 08-10, 08-11, 08-12
-    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-10"))
-      .count() === 2) // strictly after the mark
-    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-12"))
-      .count() === 0) // fully caught up
+    // INCLUSIVE boundary: lastmod is date-granular, so entries dated at
+    // the watermark are kept (a same-day addition must never be skipped
+    // silently; the D1 dup guard absorbs the redelivery)
+    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-11")).count() === 2)
+    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-12")).count() === 1)
+    assert(XmlFeed.tasks(XmlFeed.newSince(feed, "2026-08-13")).count() === 0)
     // an entry with no lastmod is never silently skipped
     val dir = Files.createTempDirectory("graft-xmlinc")
     Files.writeString(dir.resolve("f.xml"),
       "<urlset><url><loc>https://h/z.csv</loc></url></urlset>")
     assert(XmlFeed.tasks(XmlFeed.newSince(
       XmlFeed.read(spark, dir.toString), "2026-08-12")).count() === 1)
+  }
+
+  test("a same-day late addition at the watermark is delivered, not lost") {
+    // the exact scenario the strict-> boundary got wrong: poll a feed,
+    // persist watermark = its max lastmod, then the publisher adds a
+    // SECOND entry with that same (date-granular) lastmod
+    val dir = Files.createTempDirectory("graft-xmlsameday")
+    Files.writeString(dir.resolve("f.xml"),
+      """<urlset><url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url></urlset>""")
+    val wm = "2026-08-14" // persisted after the first poll
+    Files.writeString(dir.resolve("f.xml"),
+      """<urlset>
+        |<url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url>
+        |<url><loc>https://h/b.csv</loc><lastmod>2026-08-14</lastmod></url>
+        |</urlset>""".stripMargin)
+    val names = XmlFeed.tasks(XmlFeed.newSince(
+        XmlFeed.read(spark, dir.toString), wm))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names === Set("a.csv", "b.csv")) // b.csv delivered; a.csv redelivery absorbed downstream
+  }
+
+  test("FeedOffsets: re-polling an unchanged feed enqueues nothing") {
+    val dir = Files.createTempDirectory("graft-feedoff")
+    val feedPath = dir.resolve("f.xml").toString
+    val offDir = dir.resolve("offsets").toString
+    Files.writeString(Paths.get(feedPath),
+      """<urlset>
+        |<url><loc>https://h/a.csv</loc><lastmod>2026-08-13</lastmod></url>
+        |<url><loc>https://h/b.csv</loc><lastmod>2026-08-14</lastmod></url>
+        |</urlset>""".stripMargin)
+    val first = FeedOffsets.poll(spark, feedPath, offDir, "feed-a")
+    assert(first.count() === 2)
+    // unchanged feed, new poll: the persisted mark (watermark + names
+    // seen at it) filters everything — exact, not merely at-least-once
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "feed-a").count() === 0)
+  }
+
+  test("FeedOffsets: same-day addition delivered exactly once across polls") {
+    val dir = Files.createTempDirectory("graft-feedoff2")
+    val feedPath = dir.resolve("f.xml").toString
+    val offDir = dir.resolve("offsets").toString
+    Files.writeString(Paths.get(feedPath),
+      """<urlset><url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url></urlset>""")
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "f").count() === 1)
+    // publisher adds b.csv under the SAME date-granular lastmod
+    Files.writeString(Paths.get(feedPath),
+      """<urlset>
+        |<url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url>
+        |<url><loc>https://h/b.csv</loc><lastmod>2026-08-14</lastmod></url>
+        |</urlset>""".stripMargin)
+    val second = FeedOffsets.poll(spark, feedPath, offDir, "f")
+      .select("loc").collect().map(_.getString(0))
+    assert(second.toSeq === Seq("https://h/b.csv")) // only the addition
+    // and a third poll is quiet again
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "f").count() === 0)
   }
 
   test("feed-driven harvest: XML feed → tasks → download pipeline → sink") {

@@ -249,6 +249,28 @@ class PipelineSpec extends SparkSpec {
     try assert(doneFiles.count() > 0) finally doneFiles.close()
   }
 
+  test("batch handler: poison lines land in quarantine/ before their file acks") {
+    val tmp = Files.createTempDirectory("graft-poison")
+    val src = tmp.resolve("src")
+    val root = tmp.resolve("ws").toString
+    setupSource(src)
+    Workspace.provision(root)
+    val u = src.toUri.toString
+    // one good task and one corrupt line in the same queue file
+    write(Paths.get(root, "queue", "mixed.json"),
+      s"""{"ID":"s-ok","URL":"${u}direct.bin","TYPE":"DIRECT","PATTERN":"direct_out.bin","UTC":"0","attempts":0}
+         |{not json at all""".stripMargin)
+    val report = BatchHandler.runOnce(spark, root)
+    assert(report.downloaded === 1)
+    // the file acked away (poison must not redeliver forever) ...
+    assert(Files.exists(Paths.get(root, "done", "mixed.json")))
+    // ... but the dropped raw line has a durable record the error path
+    // can inspect — Queue.quarantined(queueDir) can no longer see it
+    // because the ack moved the file out of queue/
+    val q = spark.read.text(s"$root/quarantine").collect().map(_.getString(0))
+    assert(q.toSeq === Seq("{not json at all"))
+  }
+
   test("streaming: harvest → queue → AvailableNow drain; checkpoint acks") {
     val tmp = Files.createTempDirectory("graft-stream")
     val src = tmp.resolve("src")

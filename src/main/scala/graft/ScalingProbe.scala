@@ -74,6 +74,30 @@ object ScalingProbe {
     }).toMap
 
     val hasSf1 = sfDirs.contains(Sf1Dir)
+
+    // Granularity-dial evidence for the IVF-cell-blocked graph family:
+    // the registered graph queries pin nCells=16 (oracle determinism),
+    // which at fixed cells makes within-cell candidate work grow
+    // ~quadratically with vectors-per-cell. The operator's dial is
+    // nCells ~ sqrt(n) (the standard IVF rule) — measure the SAME
+    // kNN-edge build + BFS at sf1 with the dial applied, so the
+    // "documented if supra-linear" caveat is a number, not prose.
+    if (hasSf1) {
+      import org.apache.spark.sql.functions.col
+      def bfsAt(dir: String, nCells: Int): Double = {
+        val emb = Tables.load(spark, dir, "embeddings")
+        val t0 = System.nanoTime()
+        graft.operators.Graph.bfsHops(
+          graft.operators.Graph.knnEdges(emb, k = 4, nCells = nCells),
+          seeds = emb.select(col("vec_id").as("v")).filter(col("v") % 25 === 0),
+          maxHops = 4).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val fixed = (1 to reps).map(_ => bfsAt(Sf1Dir, 16)).min
+      // sf1 has 10x the vectors: sqrt-scaled dial = 16 * sqrt(10) ~= 50
+      val scaled = (1 to reps).map(_ => bfsAt(Sf1Dir, 50)).min
+      println(f"graph_bfs_dial,sf1,nCells16,$fixed%.3f,nCells50,$scaled%.3f")
+    }
     val header = "query,t_sf0001,t_sf001,t_sf01" +
       (if (hasSf1) ",t_sf1" else "") +
       ",slope_001_to_01" + (if (hasSf1) ",slope_01_to_1" else "")

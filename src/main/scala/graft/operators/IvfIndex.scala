@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.sinks.{Generations, Layout}
+
+/** Persistent IVF index — the ANN layout [[Similarity.ivfTopKProbe]]
+  * computes in-plan, made a durable artifact so the quantizer trains
+  * ONCE and queries/upserts amortize it (the Faiss build-once
+  * query-many lifecycle, on lakehouse storage):
+  *
+  *  - `<dir>/centroids` — snapshot [[graft.sinks.Generations]] table of
+  *    the Lloyd-refined coarse quantizer (≤ nCells rows; the codebook
+  *    Faiss serializes with an index).
+  *  - `<dir>/postings`  — LOG Generations table of (vec_id, label,
+  *    embedding, cell), written CELL-CLUSTERED (range-partitioned +
+  *    sorted by cell via [[Layout.zOrdered]] — 1-D Z-order = plain
+  *    cluster-by), so a probe's cell predicate prunes files and row
+  *    groups instead of scanning the corpus.
+  *
+  * Scale story, piece by piece: build is one quantizer train (sample-
+  * capped) + one corpus assignment + one range shuffle; a query reads
+  * nProbe/nCells of the postings (file-level min/max pruning on the
+  * cell column does the skipping); incremental UPSERT assigns only the
+  * new batch against the persisted centroids and appends it as an
+  * idempotent tagged delta commit (exactly-once under foreachBatch
+  * replay, like any Generations log); [[optimize]] re-clusters the
+  * accumulated deltas back into one cell-sorted generation with the
+  * usual optimistic-concurrency commit. Readers are snapshot-isolated
+  * throughout; no maintenance op disturbs a running query.
+  *
+  * IndexSpec proves build+query ≡ the in-plan [[Similarity.ivfTopKProbe]]
+  * (same quantizer, same data ⇒ same top-k), upsert visibility +
+  * replay idempotence, and optimize invariance; the pure assignment
+  * math is under the DuckDB oracle gate as `sim_index_upsert_assign`.
+  */
+object IvfIndex {
+
+  def centroidsTable(dir: String): String = s"$dir/centroids"
+  def postingsTable(dir: String): String = s"$dir/postings"
+
+  /** Train the quantizer on `embeddings` and materialize both index
+    * tables. `numFiles` dials postings granularity: at corpus scale use
+    * ~bytes/128MB so cell pruning is file-level first.
+    */
+  def build(spark: SparkSession, embeddings: DataFrame, nCells: Int,
+      dir: String, numFiles: Int = 4): Unit = {
+    val cents = Similarity.refinedCentroids(embeddings, nCells)
+    Generations.writeAndCommit(spark, cents, centroidsTable(dir))
+    Generations.writeAndCommit(spark,
+      Layout.zOrdered(Similarity.assignCellsTo(embeddings, cents),
+        Seq("cell"), numFiles),
+      postingsTable(dir))
+  }
+
+  /** The persisted quantizer (None: index never built). */
+  def centroids(spark: SparkSession, dir: String): Option[DataFrame] =
+    Generations.read(spark, centroidsTable(dir))
+
+  /** The postings log view: base generation ∪ upsert deltas. */
+  def postings(spark: SparkSession, dir: String): Option[DataFrame] =
+    Generations.readLog(spark, postingsTable(dir))
+
+  /** Incremental maintenance: assign ONLY the new vectors against the
+    * persisted centroids (no retrain, no corpus touch) and append them
+    * as an idempotent tagged delta — a replayed batch is a no-op.
+    * Returns None on replay, like [[Generations.appendCommitted]].
+    */
+  def upsert(spark: SparkSession, dir: String, newVectors: DataFrame,
+      tag: String): Option[Generations.Commit] = {
+    val cents = centroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index at $dir — build first"))
+    Generations.appendCommitted(spark,
+      Similarity.assignCellsTo(newVectors, cents), postingsTable(dir), tag)
+  }
+
+  /** Fold accumulated upsert deltas back into one cell-clustered
+    * generation at an explicit file width (restores the file-level cell
+    * pruning the deltas dilute). Same optimistic commit loop as
+    * [[Layout.optimizeZOrder]] — a concurrent upsert aborts-and-redoes
+    * the fold rather than being folded away.
+    */
+  def optimize(spark: SparkSession, dir: String, numFiles: Int = 4,
+      maxRetries: Int = 5): Option[Generations.Commit] = {
+    val table = postingsTable(dir)
+    var attempt = 0
+    while (true) {
+      val base = Generations.latest(spark, table)
+        .map(_.version).getOrElse(return None)
+      val clustered = Layout.zOrdered(
+        Generations.readLog(spark, table).get, Seq("cell"), numFiles)
+      try {
+        val c = Generations.writeAndCommit(spark, clustered, table,
+          expectedBase = Some(base))
+        Generations.gc(spark, table, keep = 2)
+        return Some(c)
+      } catch {
+        case _: Generations.CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Multi-probe top-k against the PERSISTED index: rank the stored
+    * centroids by the query vector (bounded broadcast), read only the
+    * nProbe probed cells of the postings (pruned scan), score, top-k.
+    * Identical math to [[Similarity.ivfTopKProbe]] — the only
+    * difference is WHERE the quantizer/assignments come from.
+    */
+  def topK(spark: SparkSession, dir: String, queryId: Long, k: Int,
+      nProbe: Int): DataFrame = {
+    val cents = centroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index at $dir — build first"))
+    val post = postings(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no postings at $dir"))
+    val q = post.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell"))
+    post
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -31,4 +31,55 @@ object Merge {
     survivors.unionByName(
       changes.filter(!col(deleteCol)).drop(deleteCol))
   }
+
+  /** Change data feed — the INVERSE of [[mergeApply]]: the row-level
+    * changeset that turns snapshot `before` into snapshot `after`
+    * (Delta's CDF / `table_changes` analog). Output = `after`'s columns
+    * plus `_change_type` ∈ {insert, update_postimage, delete}: keys only
+    * in `after` are inserts, keys only in `before` are deletes (payload =
+    * the before-image, the row a downstream consumer must retract), keys
+    * in both with any non-key column differing are updates (payload =
+    * the after-image). Unchanged rows are absent. Column comparison is
+    * null-safe (`<=>`), so null→value and value→null both register.
+    *
+    * Scale shape: ONE full-outer join shuffled on the key and a narrow
+    * comparison projection — no window, no global sort, no collect;
+    * comparing N columns is a codegen'd boolean chain, not a serialized
+    * struct. Round-trip law (spec + oracle-gated):
+    * `mergeApply(before, asChangeset(diff(before, after, k)), k) ≡ after`.
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(keys.nonEmpty, "need at least one diff key")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"diff needs identical schemas, got ${before.columns.toSeq} vs $cols")
+    val b = before.alias("b")
+    val a = after.alias("a")
+    val cond = keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _)
+    val nonKeys = cols.filterNot(keys.contains)
+    // presence flags that survive all-null payload rows: key columns are
+    // non-null by merge contract, so a null join-side key means "absent"
+    val bPresent = col(s"b.${keys.head}").isNotNull
+    val aPresent = col(s"a.${keys.head}").isNotNull
+    val changed = nonKeys.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    b.join(a, cond, "full_outer")
+      .select(
+        (when(!bPresent, lit("insert"))
+          .when(!aPresent, lit("delete"))
+          .when(changed, lit("update_postimage"))).as(changeCol) +:
+        cols.map(c =>
+          when(aPresent, col(s"a.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+      .filter(col(changeCol).isNotNull)
+  }
+
+  /** A [[diff]] result re-shaped into [[mergeApply]]'s changeset form
+    * (`deleteCol` boolean instead of the change-type label).
+    */
+  def asChangeset(changes: DataFrame, changeCol: String = "_change_type",
+      deleteCol: String = "_deleted"): DataFrame =
+    changes
+      .withColumn(deleteCol, col(changeCol) === "delete")
+      .drop(changeCol)
 }

@@ -25,6 +25,26 @@ object AnalyticsQueries extends QueryPack {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
+  /** The deterministic CDC changeset over orders shared by the MERGE and
+    * change-feed queries: urgent orders' status updated, every 97th key
+    * deleted, every 101st key cloned as an insert under a shifted key.
+    */
+  private def ordersCdcChangeset(o: DataFrame): DataFrame = {
+    val upd = o
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("_deleted", lit(false))
+    val del = o.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("_deleted", lit(true))
+    val ins = o
+      .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("_deleted", lit(false))
+    upd.unionByName(del).unionByName(ins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Ordered funnel: view → click → purchase with first-touch ordering;
@@ -198,20 +218,39 @@ object AnalyticsQueries extends QueryPack {
     // Generations.mergeAndCommit, spec-gated).
     "merge_upsert_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val upd = o
-        .filter(col("o_orderpriority") === "1-URGENT" &&
-          col("o_orderkey") % 97 =!= 0)
-        .withColumn("o_orderstatus", lit("U"))
-        .withColumn("_deleted", lit(false))
-      val del = o.filter(col("o_orderkey") % 97 === 0)
-        .withColumn("_deleted", lit(true))
-      val ins = o
-        .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
-        .withColumn("o_orderstatus", lit("N"))
-        .withColumn("_deleted", lit(false))
+      graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Change data feed (operators/Merge.diff — Delta's table_changes
+    // analog, the INVERSE of MERGE): the row-level changeset between the
+    // orders snapshot and its merged successor. ONE key-shuffled
+    // full-outer join + a codegen'd null-safe column-compare chain; the
+    // oracle re-derives the same feed with FULL OUTER JOIN + IS NOT
+    // DISTINCT FROM. The committing/time-travel form is
+    // Generations.changesBetween (spec-gated).
+    "cdc_orders_changes" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      graft.operators.Merge.diff(o, after, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // The CDC round-trip LAW under the oracle gate: re-applying the
+    // change feed to the before-image must reproduce the after-image
+    // exactly — mergeApply(before, asChangeset(diff(before, after))) ≡
+    // after. The oracle is the merged result itself, so any diff defect
+    // (lost delete, phantom update, wrong payload image) hash-fails.
+    "cdc_roundtrip_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
       graft.operators.Merge.mergeApply(o,
-        upd.unionByName(del).unionByName(ins), Seq("o_orderkey"))
+          graft.operators.Merge.asChangeset(
+            graft.operators.Merge.diff(o, after, Seq("o_orderkey"))),
+          Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
 
@@ -1252,6 +1291,76 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY event_type, bucket""".stripMargin,
 
     "merge_upsert_orders" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM chg WHERE NOT _deleted
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_orders_changes" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM chg WHERE NOT _deleted),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |      WHEN a.o_orderkey IS NULL THEN 'delete'
+        |      WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+        |        AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+        |        AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+        |        AND b.o_orderdate IS NOT DISTINCT FROM a.o_orderdate
+        |        AND b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority)
+        |      THEN 'update_postimage' END AS _change_type,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderkey
+        |      ELSE b.o_orderkey END AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_custkey
+        |      ELSE b.o_custkey END AS o_custkey,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderstatus
+        |      ELSE b.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_totalprice
+        |      ELSE b.o_totalprice END AS o_totalprice,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderdate
+        |      ELSE b.o_orderdate END AS o_orderdate,
+        |    CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderpriority
+        |      ELSE b.o_orderpriority END AS o_orderpriority
+        |  FROM orders b FULL OUTER JOIN m a ON b.o_orderkey = a.o_orderkey)
+        |SELECT * FROM d WHERE _change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // round trip ≡ the merged snapshot: same result as merge_upsert_orders
+    "cdc_roundtrip_orders" ->
       """WITH chg AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
         |    o_orderdate, o_orderpriority, false AS _deleted

@@ -198,6 +198,22 @@ object SimilarityQueries extends QueryPack {
       Similarity.ivfTopKProbe(emb(s, dir), QUERY_ID, TOP_K,
         nCells = N_CELLS, nProbe = 2)),
 
+    // Persistent-index incremental maintenance, pure form (operators/
+    // IvfIndex.upsert is the committing twin, IvfIndexSpec-gated): the
+    // quantizer trains on the BASE corpus only, and the arriving batch
+    // (every vec_id ending in 9) is assigned against those frozen
+    // centroids — no retrain, no base-corpus touch. The oracle replays
+    // the base-trained quantizer and the batch-only assignment.
+    "sim_index_upsert_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 10 =!= 9)
+      val fresh = e.filter(col("vec_id") % 10 === 9)
+      Similarity.assignCellsTo(fresh,
+          Similarity.refinedCentroids(base, N_CELLS))
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // k-NN label classification (semi-supervised labeling / label-noise
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
@@ -299,15 +315,22 @@ object SimilarityQueries extends QueryPack {
     * Similarity.refinedCentroids, then the final full-corpus assignment.
     * The final centroid set keeps the name `cents` so probe-ranking
     * oracles (nprobe/ivfpq/recall) read refined centroids unchanged.
+    *
+    * `baseWhere` restricts which vectors TRAIN the quantizer (seeds and
+    * Lloyd sample), `assignWhere` restricts which vectors the final
+    * `assigned` CTE assigns — both default to everything, which is the
+    * shape every pre-r11 caller uses; the persistent-index oracle
+    * trains on the base corpus and assigns only the upsert batch.
     */
-  private def assignedCtes(nCells: Int = N_CELLS) = {
+  private def assignedCtes(nCells: Int = N_CELLS, baseWhere: String = "true",
+      assignWhere: String = "true") = {
     val iters = Similarity.LLOYD_ITERS
     val cap = Similarity.LLOYD_TRAIN_CAP
     val lloyd = (0 until iters).map { i =>
       s"""asg$i AS (
          |  SELECT e.vec_id, e.de, c.cell
          |  FROM embs e CROSS JOIN cents$i c
-         |  WHERE e.vec_id < $cap
+         |  WHERE e.vec_id < $cap AND ($baseWhere)
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
          |cents${i + 1} AS (
@@ -316,12 +339,14 @@ object SimilarityQueries extends QueryPack {
          |    FROM asg$i, range(0, $DIM) d GROUP BY cell, d.range)
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
-    s"""cents0 AS (SELECT vec_id AS cell, de AS c_emb FROM embs WHERE vec_id < $nCells),
+    s"""cents0 AS (SELECT vec_id AS cell, de AS c_emb FROM embs
+       |  WHERE vec_id < $nCells AND ($baseWhere)),
        |$lloyd,
        |cents AS (SELECT cell, c_emb FROM cents$iters),
        |assigned AS (
        |  SELECT e.vec_id, e.label, e.de, c.cell
        |  FROM embs e CROSS JOIN cents c
+       |  WHERE ($assignWhere)
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)""".stripMargin
   }
@@ -789,6 +814,12 @@ object SimilarityQueries extends QueryPack {
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |WHERE a.vec_id <> $QUERY_ID
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
+
+    "sim_index_upsert_assign" ->
+      s"""WITH $embsCte,
+         |${assignedCtes(N_CELLS, baseWhere = "vec_id % 10 <> 9",
+             assignWhere = "e.vec_id % 10 = 9")}
+         |SELECT vec_id, cell FROM assigned ORDER BY vec_id""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH $embsCte

@@ -165,6 +165,21 @@ object Generations {
       if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
 
+  /** Change data feed between two committed versions (Delta's
+    * `table_changes` analog): the row-level changeset
+    * ([[graft.operators.Merge.diff]] — insert / update_postimage /
+    * delete) that turns the `fromVersion` snapshot into the `toVersion`
+    * one. None if either version is unknown or its generation has been
+    * GC'd — CDC reach is exactly [[gc]]'s `keep` dial, same as time
+    * travel. One key-shuffled full-outer join; no history replay.
+    */
+  def changesBetween(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+    for {
+      b <- readAt(spark, table, fromVersion)
+      a <- readAt(spark, table, toVersion)
+    } yield graft.operators.Merge.diff(b, a, keys)
+
   /** The newest tag per writer prefix (`prefix=value` tags key on the
     * prefix; bare tags on themselves) across `prev` (an earlier witness)
     * overlaid by the live tagged commits in commit order — bounded by

@@ -21,7 +21,14 @@ import graft.functions.Urls
   */
 object XmlFeed {
 
-  val fixturePath = "/root/repo/fixtures/sitemap.xml"
+  /** The committed sitemap fixture `xml_feed_tasks` and its oracle both
+    * read (the oracle re-derives from the raw text, so both sides must
+    * name the same file). Env-overridable so a checkout at another path
+    * stays runnable.
+    */
+  val fixturePath: String =
+    sys.env.getOrElse("SPARK_GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/sitemap.xml"
 
   /** Read a sitemap-shaped feed: one row per `<url>` element with string
     * (loc, lastmod). Explicit schema — inference would type lastmod as a

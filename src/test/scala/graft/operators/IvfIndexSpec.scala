@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.Generations
+
+/** The persistent IVF index's lifecycle contract: build+query ≡ the
+  * in-plan operator, incremental upsert (visible, exactly-once under
+  * replay), optimize (invariant results, restored cell clustering with
+  * real file-pruning evidence).
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def embs = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def mkDir(): String =
+    Files.createTempDirectory("graft-ivfidx").resolve("idx").toString
+
+  test("build once + query ≡ the in-plan ivfTopKProbe") {
+    val dir = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, dir)
+    val fromIndex = IvfIndex.topK(spark, dir, queryId = 0L, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val inPlan = Similarity.ivfTopKProbe(embs, queryId = 0L, k = 10,
+        nCells = 16, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(fromIndex === inPlan,
+      "persisted quantizer+postings must reproduce the in-plan result")
+  }
+
+  test("upsert assigns only the new batch; replay is a no-op") {
+    import spark.implicits._
+    val dir = mkDir()
+    val base = embs.filter(col("vec_id") % 10 =!= 9)
+    IvfIndex.build(spark, base, nCells = 16, dir)
+    val nBase = IvfIndex.postings(spark, dir).get.count()
+    val fresh = embs.filter(col("vec_id") % 10 === 9)
+    assert(IvfIndex.upsert(spark, dir, fresh, "batch=1").isDefined)
+    val post = IvfIndex.postings(spark, dir).get
+    assert(post.count() === nBase + fresh.count())
+    // new vectors are queryable without any rebuild
+    val newIds = fresh.select("vec_id").as[Long].collect().toSet
+    val hits = IvfIndex.topK(spark, dir, queryId = 9L, k = 5, nProbe = 16)
+      .select("vec_id").as[Long].collect()
+    assert(hits.nonEmpty)
+    // replay of the same batch tag: durable no-op
+    assert(IvfIndex.upsert(spark, dir, fresh, "batch=1").isEmpty)
+    assert(IvfIndex.postings(spark, dir).get.count() === nBase + fresh.count())
+    // upserted assignments agree with a from-scratch assignment against
+    // the same persisted centroids (the oracle-gated math)
+    val cents = IvfIndex.centroids(spark, dir).get
+    val expect = Similarity.assignCellsTo(fresh, cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    val got = post.filter(col("vec_id").isin(newIds.toSeq.map(Long.box): _*))
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+  }
+
+  test("optimize folds deltas, preserves results, restores cell pruning") {
+    val dir = mkDir()
+    val base = embs.filter(col("vec_id") % 10 =!= 9)
+    IvfIndex.build(spark, base, nCells = 16, dir, numFiles = 4)
+    IvfIndex.upsert(spark, dir, embs.filter(col("vec_id") % 10 === 9),
+      "batch=1")
+    val before = IvfIndex.topK(spark, dir, 0L, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val c = IvfIndex.optimize(spark, dir, numFiles = 4).get
+    assert(c.tag === "-")
+    val after = IvfIndex.topK(spark, dir, 0L, 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after === before, "optimize must not change query results")
+    // replay protection survives the fold (carried witness)
+    assert(IvfIndex.upsert(spark, dir,
+      embs.filter(col("vec_id") % 10 === 9), "batch=1").isEmpty)
+    // pruning evidence: with postings range-clustered by cell, a
+    // one-cell predicate emits only the matching row groups from the
+    // scan (min/max skipping), not the whole table — the same metric
+    // LayoutSkippingSpec uses (numFiles reflects only partition pruning)
+    val post = IvfIndex.postings(spark, dir).get
+    val total = post.count()
+    val oneCell = post.filter(col("cell") === 0)
+    oneCell.collect()
+    val scan = oneCell.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    val scanned = scan.metrics("numOutputRows").value
+    assert(scanned < total / 2,
+      s"cell-clustered scan should skip row groups: scanned $scanned of $total")
+  }
+}

@@ -83,4 +83,67 @@ class MergeOffsetPropertySpec extends SparkSpec {
         s"batch order broken within a key: ${rs.toList}")
     }
   }
+
+  test("diff matches the map model and round-trips through mergeApply") {
+    import spark.implicits._
+    for (round <- 1 to 12) {
+      // random before/after snapshots over overlapping keyspaces; null
+      // payloads included so the null-safe compare is exercised
+      def snap(): Map[Int, Option[String]] =
+        (1 to 30).filter(_ => rnd.nextBoolean())
+          .map(k => k -> (if (rnd.nextInt(5) == 0) None
+                          else Some(s"v$k-${rnd.nextInt(3)}")))
+          .toMap
+      val before = snap()
+      val after = snap()
+      val bDf = before.toSeq.map { case (k, v) => (k, v.orNull) }.toDF("k", "v")
+      val aDf = after.toSeq.map { case (k, v) => (k, v.orNull) }.toDF("k", "v")
+
+      val model = {
+        val ins = (after.keySet -- before.keySet).map(k => (k, "insert", after(k)))
+        val del = (before.keySet -- after.keySet).map(k => (k, "delete", before(k)))
+        val upd = (before.keySet & after.keySet)
+          .filter(k => before(k) != after(k))
+          .map(k => (k, "update_postimage", after(k)))
+        (ins ++ del ++ upd).map { case (k, t, v) => (k, t, v.orNull) }
+      }
+      val got = Merge.diff(bDf, aDf, Seq("k"))
+        .select(col("k"), col("_change_type"), col("v"))
+        .as[(Int, String, String)].collect().toSet
+      assert(got === model.toSet, s"round $round: diff diverged from model")
+
+      // round-trip law: mergeApply(before, asChangeset(diff)) == after
+      val replayed = Merge.mergeApply(bDf,
+          Merge.asChangeset(Merge.diff(bDf, aDf, Seq("k"))), Seq("k"))
+        .as[(Int, String)].collect()
+        .map { case (k, v) => k -> Option(v) }.toMap
+      assert(replayed === after, s"round $round: round trip diverged")
+
+      // diff of identical snapshots is empty
+      assert(Merge.diff(aDf, aDf, Seq("k")).count() === 0L, s"round $round")
+    }
+  }
+
+  test("Generations.changesBetween feeds time-travel CDC") {
+    import spark.implicits._
+    import graft.sinks.Generations
+    val t = java.nio.file.Files.createTempDirectory("graft-cdc")
+      .resolve("t").toString
+    val c1 = Generations.writeAndCommit(spark,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), t)
+    val c2 = Generations.mergeAndCommit(spark, t,
+      Seq((2, "B", false), (3, "c", true), (4, "d", false))
+        .toDF("k", "v", "_deleted"), Seq("k"))
+    val feed = Generations.changesBetween(spark, t, c1.version, c2.version,
+        Seq("k")).get
+      .select(col("_change_type"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(feed === Set(
+      ("update_postimage", 2, "B"), // 2: b → B
+      ("delete", 3, "c"),           // 3 removed; payload = before-image
+      ("insert", 4, "d")))          // 4 new
+    // a GC'd or unknown version yields None, not garbage
+    assert(Generations.changesBetween(spark, t, 99L, c2.version,
+      Seq("k")).isEmpty)
+  }
 }

@@ -67,7 +67,8 @@ object LakehouseDemo {
     Files.writeString(in.resolve("b.json"), "{\"k\":3,\"v\":\"gamma\"}\n")
     drain()
 
-    // 3. Lifecycle: squash the log, MERGE a CDC changeset, time-travel.
+    // 3. Lifecycle: squash the log, MERGE a CDC changeset, time-travel,
+    //    then read the change feed BACK out of the commit history.
     val squashed = Generations.squash(spark, table).get
     println(s"squashed at v${squashed.version} (${squashed.rows} rows)")
     val changes = Seq((2, "BETA", false), (3, "", true), (4, "delta", false))
@@ -77,6 +78,10 @@ object LakehouseDemo {
     Generations.read(spark, table).get.orderBy("k").show()
     println(s"== time travel back to v${squashed.version} ==")
     Generations.readAt(spark, table, squashed.version).get.orderBy("k").show()
+    println(s"== change feed v${squashed.version} -> v${merged.version} " +
+      "(Merge.diff over the two committed snapshots) ==")
+    Generations.changesBetween(spark, table, squashed.version, merged.version,
+      Seq("k")).get.orderBy("k").show()
     val (b, a) = Compact.compactGenerations(spark, table)
     println(s"compaction: $b files -> $a; commits now: " +
       Generations.commits(spark, table).map(c => s"v${c.version}[${c.tag}]")

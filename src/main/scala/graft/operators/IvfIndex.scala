@@ -112,21 +112,38 @@ object IvfIndex {
     */
   def topK(spark: SparkSession, dir: String, queryId: Long, k: Int,
       nProbe: Int): DataFrame = {
+    val post = postings(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no postings at $dir"))
+    search(spark, dir,
+      post.filter(col("vec_id") === queryId)
+        .select(col("embedding").as("q_emb")),
+      k, nProbe, excludeId = Some(queryId))
+  }
+
+  /** [[topK]] for an EXTERNAL query vector (the common serving shape —
+    * the query embeds fresh text/images, it is not an indexed row).
+    */
+  def topKVec(spark: SparkSession, dir: String, queryVec: Seq[Float],
+      k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    search(spark, dir, Seq(queryVec).toDF("q_emb"), k, nProbe,
+      excludeId = None)
+  }
+
+  private def search(spark: SparkSession, dir: String, q: DataFrame,
+      k: Int, nProbe: Int, excludeId: Option[Long]): DataFrame = {
     val cents = centroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"no index at $dir — build first"))
     val post = postings(spark, dir).getOrElse(
       throw new IllegalStateException(s"no postings at $dir"))
-    val q = post.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
     val probed = cents.crossJoin(broadcast(q))
       .select(col("cell"),
         round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell"))
-    post
+    excludeId.map(id => post.filter(col("vec_id") =!= id)).getOrElse(post)
       .join(broadcast(probed), Seq("cell"))
-      .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
         round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))

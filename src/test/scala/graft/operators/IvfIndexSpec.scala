@@ -33,6 +33,21 @@ class IvfIndexSpec extends SparkSpec {
       "persisted quantizer+postings must reproduce the in-plan result")
   }
 
+  test("topKVec serves an external query vector (not an indexed row)") {
+    import spark.implicits._
+    val dir = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, dir)
+    val v0 = embs.filter(col("vec_id") === 0L)
+      .select("embedding").as[Seq[Float]].collect().head
+    val got = IvfIndex.topKVec(spark, dir, v0, k = 11, nProbe = 2).collect()
+    // the indexed copy of the same vector ranks first at cosine 1.0 ...
+    assert(got.head.getLong(0) === 0L && got.head.getDouble(2) === 1.0)
+    // ... and the rest is exactly the by-id search's answer
+    val byId = IvfIndex.topK(spark, dir, queryId = 0L, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.tail.map(_.getLong(0)).toSeq === byId)
+  }
+
   test("upsert assigns only the new batch; replay is a no-op") {
     import spark.implicits._
     val dir = mkDir()

@@ -133,6 +133,40 @@ class XmlFeedSpec extends SparkSpec {
       Paths.get(root, "out/LINKS_DIRECT/q2.csv")) === "sym,px\nBBB,1.5")
   }
 
+  test("FeedPoller: feed → channel → pipeline, incremental across polls") {
+    import graft.streaming.{BatchHandler, FeedPoller, Workspace}
+    val tmp = Files.createTempDirectory("graft-feedpoll")
+    val art = tmp.resolve("artifacts"); Files.createDirectories(art)
+    Files.writeString(art.resolve("d1.csv"), "sym,px\nAAA,1.0")
+    Files.writeString(art.resolve("d2.csv"), "sym,px\nBBB,2.0")
+    val u = art.toUri.toString
+    val feedPath = tmp.resolve("feed.xml").toString
+    Files.writeString(Paths.get(feedPath),
+      s"""<urlset><url><loc>${u}d1.csv</loc><lastmod>2026-08-14</lastmod></url></urlset>""")
+    val root = tmp.resolve("ws").toString
+    Workspace.provision(root)
+    val chan = DirectoryChannel(s"$root/queue")
+    val off = tmp.resolve("offsets").toString
+
+    assert(FeedPoller.pollOnce(spark, feedPath, off, "feed-x", chan) === 1)
+    // re-poll of the unchanged feed enqueues nothing
+    assert(FeedPoller.pollOnce(spark, feedPath, off, "feed-x", chan) === 0)
+    // the publisher announces a second artifact under the SAME lastmod
+    Files.writeString(Paths.get(feedPath),
+      s"""<urlset>
+         |<url><loc>${u}d1.csv</loc><lastmod>2026-08-14</lastmod></url>
+         |<url><loc>${u}d2.csv</loc><lastmod>2026-08-14</lastmod></url>
+         |</urlset>""".stripMargin)
+    assert(FeedPoller.pollOnce(spark, feedPath, off, "feed-x", chan) === 1)
+    // drain the channel through the batch handler: both artifacts land
+    val r1 = BatchHandler.runOnce(spark, root)
+    assert(r1.downloaded === 2)
+    assert(Files.readString(
+      Paths.get(root, "out/LINKS_DIRECT/d1.csv")) === "sym,px\nAAA,1.0")
+    assert(Files.readString(
+      Paths.get(root, "out/LINKS_DIRECT/d2.csv")) === "sym,px\nBBB,2.0")
+  }
+
   test("malformed elements yield null fields, not phantom rows with data") {
     val dir = Files.createTempDirectory("graft-xmlbad")
     Files.writeString(dir.resolve("feed.xml"),

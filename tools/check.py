@@ -27,7 +27,12 @@ import duckdb
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem',
           'events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    src = f'{SF}/{t}.parquet'
+    # driver tables are single files; ScaleData's sf1 tables are
+    # Spark-written directories — glob those for DuckDB
+    if os.path.isdir(src):
+        src = f'{src}/*.parquet'
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f'{OUT}/oracle_sql.json'))
 

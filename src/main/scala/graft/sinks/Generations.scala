@@ -417,19 +417,35 @@ object Generations {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Default [[gc]] orphan grace: an UNREFERENCED generation dir
+    * younger than this is left alone — it may be a live concurrent
+    * writer's data whose pointer publish hasn't happened yet, and
+    * deleting it would let that writer commit a pointer to nothing.
+    * Crash debris older than the grace is collected as before. This is
+    * the Delta/Iceberg VACUUM retention rule scaled to a commit's
+    * duration rather than a reader's.
+    */
+  val OrphanGraceMs: Long = 15L * 60 * 1000
+
   /** Prune history: keep the newest `keep` commits (and their gen dirs)
     * — plus, always, every LIVE log commit (at/after the last
     * snapshot-kind commit; for a snapshot table, whose newest commit
     * supersedes all others, that adds nothing beyond the newest) —
-    * delete everything older plus any unreferenced gen dir and stale
-    * commit temp files. Deletes only — idempotent and crash-safe.
+    * delete everything older plus stale commit temp files and
+    * unreferenced gen dirs past `orphanGraceMs` (see [[OrphanGraceMs]]:
+    * a YOUNG unreferenced dir may be a concurrent writer mid-commit,
+    * never collectable). Deletes only — idempotent and crash-safe.
     * Because snapshot commits carry their replay witness, pruning
     * pre-snapshot commits never breaks [[appendCommitted]]'s
     * idempotence; `keep >= 2` is a time-travel nicety, not a
-    * correctness requirement.
+    * correctness requirement. Generations superseded by the commit
+    * pruning itself are referenced (by the dropped pointers), not
+    * orphans — they delete regardless of age, which is safe: no writer
+    * is mid-commit on an already-published generation.
     * @return (commit files deleted, gen dirs deleted)
     */
-  def gc(spark: SparkSession, table: String, keep: Int = 2): (Int, Int) = {
+  def gc(spark: SparkSession, table: String, keep: Int = 2,
+      orphanGraceMs: Long = OrphanGraceMs): (Int, Int) = {
     require(keep >= 1, "must keep at least the live generation")
     val t = new Path(table)
     val fs = fsOf(spark, t)
@@ -447,14 +463,23 @@ object Generations {
     val liveFrom = math.max(lastSnapshot, 0)
     val cut = math.min(math.max(0, names.length - keep), liveFrom)
     val drop = names.take(cut)
+    val dropped = parsed.take(cut).map(_.gen).toSet
     val keptGens = parsed.drop(cut).map(_.gen).toSet
     (drop ++ stale).foreach(n => fs.delete(new Path(cd, n), false))
     val dd = dataDir(t)
-    val orphans =
+    val ageCut = System.currentTimeMillis() - orphanGraceMs
+    val victims =
       if (!fs.exists(dd)) Array.empty[Path]
-      else fs.listStatus(dd).map(_.getPath)
-        .filter(p => !keptGens.contains(p.getName))
-    orphans.foreach(fs.delete(_, true))
-    (drop.length + stale.length, orphans.length)
+      else fs.listStatus(dd)
+        .filter { s =>
+          val name = s.getPath.getName
+          !keptGens.contains(name) &&
+            // superseded-by-this-gc: always collectable; true orphans
+            // (never referenced): only past the grace window
+            (dropped.contains(name) || s.getModificationTime < ageCut)
+        }
+        .map(_.getPath)
+    victims.foreach(fs.delete(_, true))
+    (drop.length + stale.length, victims.length)
   }
 }

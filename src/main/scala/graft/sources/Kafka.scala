@@ -61,6 +61,11 @@ case class KafkaChannel(bootstrapServers: String, topic: String)
 
   override def enqueue(tasks: DataFrame): Unit =
     tasks
+      // same attempts-default rule as Queue.enqueue: harvest output has
+      // no attempts column yet, redeliveries carry one
+      .withColumn("attempts", coalesce(
+        tasks.columns.find(_ == "attempts").map(col)
+          .getOrElse(lit(null).cast("int")), lit(0)))
       .select(col("ID").cast("string").as("key"),
         to_json(struct(Schemas.task.fieldNames.toSeq.map(col): _*)).as("value"))
       .write.format("kafka")

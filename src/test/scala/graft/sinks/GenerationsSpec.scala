@@ -52,9 +52,17 @@ class GenerationsSpec extends SparkSpec {
     // debris: an orphaned gen dir + a stale pointer temp
     Seq(0).toDF("v").write.parquet(s"$t/data/g00000009-orphaned")
     Files.write(Paths.get(t, "_commits", ".v9.x.tmp"), "junk".getBytes)
-    val (nc, ng) = Generations.gc(spark, t, keep = 2)
-    assert(nc === 2) // commit v1 + the stale temp
-    assert(ng === 2) // gen of v1 + the orphan
+    // default grace: the FRESH unreferenced dir is indistinguishable
+    // from a concurrent writer mid-commit, so gc must leave it — only
+    // the superseded v1 gen (referenced by the dropped pointer) and the
+    // stale temp go
+    val (nc0, ng0) = Generations.gc(spark, t, keep = 2)
+    assert(nc0 === 2) // commit v1 + the stale temp
+    assert(ng0 === 1, "fresh orphan must survive the grace window")
+    assert(Files.exists(Paths.get(t, "data", "g00000009-orphaned")))
+    // past the grace (simulated with 0): true crash debris is collected
+    val (nc, ng) = Generations.gc(spark, t, keep = 2, orphanGraceMs = 0L)
+    assert(nc === 0 && ng === 1)
     // kept: v2 (rollback target) and the live v3, both readable — v2
     // also via time travel; GC'd v1 travels to None, not garbage
     assert(Generations.latest(spark, t).get === c3)

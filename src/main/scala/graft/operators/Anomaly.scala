@@ -73,19 +73,26 @@ object Anomaly {
       keyCol: String = "user_id", valCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
     val v = col(valCol)
+    // The median/MAD are SNAPPED to 6 decimals BEFORE any downstream
+    // arithmetic (not just on output): two engines' exact interpolated
+    // percentiles can disagree by 1 ulp in the (1−f)·a + f·b evaluation,
+    // and unsnapped that ulp flips 6th-decimal roundings and threshold
+    // booleans wherever the interpolation lands ON a data value —
+    // exactly what the sf1 probe measured (r11). Snapping makes every
+    // derived quantity a pure function of identical inputs on both
+    // engines; same rule the IVF quantizer uses for its centroids.
     val med = events.groupBy(col(keyCol)).agg(
-      expr(s"percentile($valCol, 0.5)").as("med"),
+      round(expr(s"percentile($valCol, 0.5)"), 6).as("med"),
       count(v).as("n"))
     val dev = events.join(med, Seq(keyCol))
       .withColumn("adev", abs(v - col("med")))
     val mad = dev.groupBy(col(keyCol))
-      .agg(expr("percentile(adev, 0.5)").as("mad"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
     val rz = when(col("n") >= 3 && col("mad") > 0.0,
       lit(0.6745) * (v - col("med")) / col("mad"))
     dev.join(mad, Seq(keyCol))
       .select(col(idCol), col(keyCol),
-        round(col("med"), 6).as("med"),
-        round(col("mad"), 6).as("mad"),
+        col("med"), col("mad"),
         round(rz, 6).as("robust_z"),
         (abs(rz) > thresh).as("is_outlier"))
   }
@@ -147,9 +154,13 @@ object Anomaly {
     require(pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       s"need 0 <= pLow < pHigh <= 1, got [$pLow, $pHigh]")
     val v = col(valCol)
+    // fences snapped to 6 before use — see madOutliers: an interpolated
+    // percentile landing 1 ulp off a data value would otherwise flip
+    // the strict < / > fence classification between engines (measured
+    // at sf1, where duplicated value multisets make that landing certain)
     val bounds = events.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valCol, $pLow)").as("_lo"),
-      expr(s"percentile($valCol, $pHigh)").as("_hi"))
+      round(expr(s"percentile($valCol, $pLow)"), 6).as("_lo"),
+      round(expr(s"percentile($valCol, $pHigh)"), 6).as("_hi"))
     events.join(bounds, groupCol)
       .select(col(idCol), col(groupCol), v,
         round(greatest(col("_lo"), least(col("_hi"), v)), 6).as("clipped"),

@@ -895,6 +895,33 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("r_name")
     }),
 
+    // The DECIMAL-EXACT aggregation path (TPC-H's own answer to float
+    // money): inputs snapped to DECIMAL(18,4) at the scan edge, the
+    // revenue term and its SUM computed entirely in decimal — exact,
+    // summation-order-independent, identical on any engine at ANY scale.
+    // Motivated by the r11 sf1 probe, where the double-sum form's
+    // cents-rounding flipped on 11-digit totals (engines sum doubles in
+    // different orders); the double form stays the bench default (faster,
+    // and exact at the driver gate's SFs), this is the scale-proof path.
+    "agg_revenue_decimal_exact" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val r = t(s, dir, "region")
+      val price = col("l_extendedprice").cast("decimal(18,4)")
+      val disc = col("l_discount").cast("decimal(18,4)")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(price * (lit(BigDecimal(1)).cast("decimal(18,4)") - disc))
+          .cast("decimal(38,2)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
     // Part-dimension revenue: top-10 brands by discounted revenue.
     "join_part_brand_revenue" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -1081,9 +1108,12 @@ object AnalyticsQueries extends QueryPack {
 
     // quantile_cont replays Spark's exact interpolated percentile
     // bit-for-bit (the agg_percentiles precedent).
+    // med/mad snapped to 6 BEFORE derived arithmetic, mirroring the
+    // operator: interpolated-percentile ULP disagreement between engines
+    // otherwise flips fence booleans (measured at sf1)
     "anomaly_mad_outliers" ->
       """WITH med AS (
-        |  SELECT user_id, quantile_cont(value, 0.5) AS med,
+        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med,
         |    count(value) AS n
         |  FROM events GROUP BY user_id),
         |dev AS (
@@ -1091,7 +1121,7 @@ object AnalyticsQueries extends QueryPack {
         |    abs(e.value - m.med) AS adev
         |  FROM events e JOIN med m USING (user_id)),
         |mad AS (
-        |  SELECT user_id, quantile_cont(adev, 0.5) AS mad
+        |  SELECT user_id, round(quantile_cont(adev, 0.5), 6) AS mad
         |  FROM dev GROUP BY user_id),
         |sc AS (
         |  SELECT d.event_id, d.user_id, d.med, m.mad,
@@ -1099,8 +1129,7 @@ object AnalyticsQueries extends QueryPack {
         |      0.6745 * (d.value - d.med) / m.mad
         |    END AS rz
         |  FROM dev d JOIN mad m USING (user_id))
-        |SELECT event_id, user_id, round(med, 6) AS med,
-        |  round(mad, 6) AS mad, round(rz, 6) AS robust_z,
+        |SELECT event_id, user_id, med, mad, round(rz, 6) AS robust_z,
         |  (abs(rz) > 3.5) AS is_outlier
         |FROM sc ORDER BY event_id""".stripMargin,
 
@@ -1230,10 +1259,11 @@ object AnalyticsQueries extends QueryPack {
 
     // quantile_cont replays Spark's exact interpolated percentile
     // bit-for-bit (the agg_percentiles precedent)
+    // fences snapped to 6 before use, mirroring the operator (sf1 ULP rule)
     "anomaly_winsorize" ->
       """WITH b AS (
-        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
-        |    quantile_cont(value, 0.95) AS hi
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
+        |    round(quantile_cont(value, 0.95), 6) AS hi
         |  FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type, e.value,
         |  round(greatest(b.lo, least(b.hi, e.value)), 6) AS clipped,
@@ -1878,6 +1908,23 @@ object AnalyticsQueries extends QueryPack {
     "join_revenue_by_region" ->
       """SELECT r_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // exact decimal arithmetic end-to-end: order-independent, any SF.
+    // round() before the final cast: DuckDB's decimal->decimal
+    // scale-reduction cast TRUNCATES (0.2199 -> 0.21), Spark's rounds
+    // HALF_UP — round() is the engine-agreed half-away operation
+    "agg_revenue_decimal_exact" ->
+      """SELECT r_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -8,7 +8,9 @@ Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 import json, math, sys, subprocess, os
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
-OUT = '/tmp/graft_verify'
+# dump dir keyed by SF: two gates at different SFs must never share dumps
+# (a concurrent run's overwrite mid-compare manufactures phantom FAILs)
+OUT = '/tmp/graft_verify_' + SF.strip('/').replace('/', '_')
 args = [a for a in sys.argv[2:]]
 skip = '--skip-verify' in args
 only = [a for a in args if not a.startswith('-')]

@@ -41,8 +41,14 @@ object ScalingProbe {
   private val BaseSfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
-  /** The synthesized big step (generate with `runMain graft.ScaleData`). */
-  val Sf1Dir = "var/sf1"
+  /** Synthesized big steps (generate with `runMain graft.ScaleData
+    * /root/testdata/sf0.1 var/sf1 10` / `… var/sf10 100`); each is
+    * included when present. Queries whose name appears in
+    * `SPARK_GRAFT_PROBE_SKIP` (comma-separated) are skipped at the
+    * LARGEST dir only — the dial-bound graph family at sf10 runs via
+    * the dial check below instead of the fixed-nCells registered form.
+    */
+  val SynthDirs = Seq("var/sf1", "var/sf10")
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(2)
@@ -55,15 +61,19 @@ object ScalingProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val sfDirs = BaseSfDirs ++
-      (if (java.nio.file.Files.isDirectory(
-        java.nio.file.Paths.get(Sf1Dir))) Seq(Sf1Dir) else Nil)
+    val synth = SynthDirs.filter(d =>
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    val sfDirs = BaseSfDirs ++ synth
+    val skipAtLargest = sys.env.get("SPARK_GRAFT_PROBE_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
     // warm-up (JIT, codegen caches) at the smallest SF
     Subset.foreach(q => SparkEntry.queries(q)(spark, sfDirs.head).count())
 
     val times: Map[(String, String), Double] = (for {
       sf <- sfDirs; q <- Subset
+      if !(sf == sfDirs.last && sfDirs.size > 4 && skipAtLargest.contains(q))
     } yield {
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -73,15 +83,17 @@ object ScalingProbe {
       (q, sf) -> t
     }).toMap
 
-    val hasSf1 = sfDirs.contains(Sf1Dir)
+    val hasSf1 = sfDirs.contains(SynthDirs.head)
 
     // Granularity-dial evidence for the IVF-cell-blocked graph family:
     // the registered graph queries pin nCells=16 (oracle determinism),
     // which at fixed cells makes within-cell candidate work grow
     // ~quadratically with vectors-per-cell. The operator's dial is
     // nCells ~ sqrt(n) (the standard IVF rule) — measure the SAME
-    // kNN-edge build + BFS at sf1 with the dial applied, so the
-    // "documented if supra-linear" caveat is a number, not prose.
+    // kNN-edge build + BFS at each synthesized step with the dial
+    // applied, so the "documented if supra-linear" caveat is a number,
+    // not prose. (At sf10 the FIXED-cell form is deliberately only run
+    // if not skipped — the dial form is the production configuration.)
     if (hasSf1) {
       import org.apache.spark.sql.functions.col
       def bfsAt(dir: String, nCells: Int): Double = {
@@ -93,23 +105,29 @@ object ScalingProbe {
           maxHops = 4).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val fixed = (1 to reps).map(_ => bfsAt(Sf1Dir, 16)).min
-      // sf1 has 10x the vectors: sqrt-scaled dial = 16 * sqrt(10) ~= 50
-      val scaled = (1 to reps).map(_ => bfsAt(Sf1Dir, 50)).min
-      println(f"graph_bfs_dial,sf1,nCells16,$fixed%.3f,nCells50,$scaled%.3f")
+      synth.zipWithIndex.foreach { case (dir, i) =>
+        // dir i holds 10^(i+1) x the sf0.1 vectors: dial = 16·sqrt(10^(i+1))
+        val dialed = math.round(16 * math.pow(10, (i + 1) / 2.0)).toInt
+        val scaled = (1 to reps).map(_ => bfsAt(dir, dialed)).min
+        val fixed =
+          if (skipAtLargest.contains("graph_bfs_hops") && dir == synth.last &&
+            synth.size > 1) -1.0
+          else (1 to reps).map(_ => bfsAt(dir, 16)).min
+      println(f"graph_bfs_dial,$dir,nCells16,$fixed%.3f,nCells$dialed,$scaled%.3f")
+      }
     }
-    val header = "query,t_sf0001,t_sf001,t_sf01" +
-      (if (hasSf1) ",t_sf1" else "") +
-      ",slope_001_to_01" + (if (hasSf1) ",slope_01_to_1" else "")
+    val tag = (d: String) => d.replace("/root/testdata/", "").replace("var/", "")
+    val header = "query," + sfDirs.map(d => "t_" + tag(d)).mkString(",") + "," +
+      sfDirs.sliding(2).map(p => s"slope_${tag(p(0))}_${tag(p(1))}").mkString(",")
     println(header)
     Subset.foreach { q =>
-      val ts = sfDirs.map(sf => times((q, sf)))
-      val s1 = math.log10(ts(2) / ts(1))
-      val cols = ts.map(t => f"$t%.3f").mkString(",")
-      val slopes =
-        if (hasSf1) f"$s1%.3f,${math.log10(ts(3) / ts(2))}%.3f"
-        else f"$s1%.3f"
-      println(s"$q,$cols,$slopes")
+      val ts = sfDirs.map(sf => times.get((q, sf)))
+      def fmt(o: Option[Double]) = o.map(t => f"$t%.3f").getOrElse("-")
+      val slopes = ts.sliding(2).map {
+        case Seq(Some(a), Some(b)) => f"${math.log10(b / a)}%.3f"
+        case _ => "-"
+      }.mkString(",")
+      println(s"$q,${ts.map(fmt).mkString(",")},$slopes")
     }
     spark.stop()
   }

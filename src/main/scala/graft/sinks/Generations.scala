@@ -314,6 +314,12 @@ object Generations {
     * re-deliver the latest per writer) is decided within the live span +
     * the snapshot's carried tags — never the full history the pre-r11
     * all-commits scan paid.
+    *
+    * Idempotence scope: PER WRITER. Each writer (each streaming query's
+    * foreachBatch) is serial, so its own replays always see their prior
+    * commit. Two DIFFERENT writers racing the SAME tag are not fenced —
+    * use distinct tag prefixes per writer (the carried witness is keyed
+    * that way too).
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {

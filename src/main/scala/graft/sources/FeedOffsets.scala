@@ -52,7 +52,12 @@ object FeedOffsets {
   }
 
   /** Persist `mark` (atomic single-object replace; last writer wins —
-    * one poller per feed is the natural deployment).
+    * one poller per feed is the natural deployment). The replace is
+    * delete + rename because a same-name rename fails on local
+    * filesystems: a reader in the tiny delete→rename window sees NO
+    * mark and re-polls the whole feed — at-least-once, absorbed by the
+    * D1 dup guard, never silent loss (on an object store the equivalent
+    * overwrite PUT has no such window at all).
     */
   def write(spark: SparkSession, dir: String, feedId: String,
       mark: FeedMark): Unit = {

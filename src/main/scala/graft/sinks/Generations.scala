@@ -180,19 +180,31 @@ object Generations {
       a <- readAt(spark, table, toVersion)
     } yield graft.operators.Merge.diff(b, a, keys)
 
+  /** Split a tag into its witness key (the writer prefix of a
+    * `prefix=value` tag; the whole tag otherwise) and, when the value
+    * part is a decimal number, that number — the replay-ordering id of
+    * `batch=<id>`-style streaming tags.
+    */
+  private def tagKeyId(t: String): (String, Option[Long]) = {
+    val i = t.lastIndexOf('=')
+    if (i <= 0) (t, None)
+    else (t.substring(0, i),
+      Option(t.substring(i + 1)).filter(_.matches("\\d{1,18}")).map(_.toLong))
+  }
+
   /** The newest tag per writer prefix (`prefix=value` tags key on the
-    * prefix; bare tags on themselves) across `prev` (an earlier witness)
-    * overlaid by the live tagged commits in commit order — bounded by
-    * the number of distinct WRITERS, never by history length.
+    * prefix) across `prev` (an earlier witness) overlaid by the live
+    * tagged commits in commit order — bounded by the number of distinct
+    * WRITERS, never by history length. [[appendCommitted]] enforces the
+    * `prefix=value` form, so the witness stays writer-bounded; a BARE
+    * tag (possible only via a direct non-snapshot [[writeAndCommit]])
+    * keys on itself and is carried forever — don't mint unbounded bare
+    * tags.
     */
   private def carryTags(prev: Seq[String], live: Seq[Commit]): Seq[String] = {
-    def keyOf(t: String) = {
-      val i = t.lastIndexOf('=')
-      if (i > 0) t.substring(0, i) else t
-    }
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    prev.foreach(t => m(keyOf(t)) = t)
-    live.filterNot(isSnapshotCommit).foreach(c => m(keyOf(c.tag)) = c.tag)
+    prev.foreach(t => m(tagKeyId(t)._1) = t)
+    live.filterNot(isSnapshotCommit).foreach(c => m(tagKeyId(c.tag)._1) = c.tag)
     m.values.toSeq
   }
 
@@ -227,6 +239,31 @@ object Generations {
     }
     val gen = f"g${baseVersion + 1}%08d-${java.util.UUID.randomUUID.toString.take(8)}"
     val genDir = new Path(dataDir(t), gen)
+    // in-flight marker: tells a concurrent gc this generation has a LIVE
+    // writer even while the data write runs arbitrarily long (the gen
+    // dir's own mtime stalls at creation — task output lands under
+    // _temporary, which never touches the parent dir). A daemon thread
+    // re-touches the marker so its mtime tracks wall-clock; gc treats a
+    // fresh marker as "never collectable" and only a STALE one (writer
+    // dead past the grace window) as crash debris.
+    fs.mkdirs(dataDir(t))
+    val marker = inflightMarker(t, gen)
+    fs.create(marker, false).close()
+    val toucher = startMarkerToucher(fs, marker)
+    try {
+      writeAndCommitInner(spark, df, t, fs, gen, genDir, tag, expectedBase,
+        maxRetries, options, baseVersion)
+    } finally {
+      toucher.interrupt()
+      fs.delete(marker, false)
+    }
+  }
+
+  private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
+      t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,
+      expectedBase: Option[Long], maxRetries: Int,
+      options: Map[String, String], baseVersion: Long): Commit = {
+    val table = t.toString
     val obs = Observation("gen_rows_" + java.util.UUID.randomUUID.toString.take(8))
     df.observe(obs, count(lit(1)).as("rows"))
       .write.options(options).parquet(genDir.toString)
@@ -319,12 +356,32 @@ object Generations {
     * foreachBatch) is serial, so its own replays always see their prior
     * commit. Two DIFFERENT writers racing the SAME tag are not fenced —
     * use distinct tag prefixes per writer (the carried witness is keyed
-    * that way too).
+    * that way too). The `prefix=value` form is REQUIRED: the carried
+    * witness keys on the prefix, so a bare tag would pin itself in every
+    * later snapshot forever.
+    *
+    * Ordering hardening for numeric ids (`batch=<n>`): a replay of an
+    * OLDER batch — a checkpoint rolled back or rebuilt, so Spark
+    * re-delivers ids the table already absorbed — is also a no-op: any
+    * same-prefix commit or carried witness with id >= the offered id
+    * proves the offered batch (from a serial, ascending-id writer) was
+    * already committed, even though squash+gc kept only the newest tag.
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {
     require(tag != SquashTag && tag != "-", s"reserved tag: '$tag'")
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
+    val (myKey, myId) = tagKeyId(tag)
+    require(tag.lastIndexOf('=') > 0,
+      s"append tags must be prefix=value form (witness is prefix-keyed): '$tag'")
+    // true when `other` (a live tag or carried witness) proves `tag` is
+    // already durable: exact match, or same writer prefix with a numeric
+    // id at least as new (serial writers commit ascending ids).
+    def supersedes(other: String): Boolean =
+      other == tag || {
+        val (k, id) = tagKeyId(other)
+        k == myKey && (for (a <- id; b <- myId) yield a >= b).getOrElse(false)
+      }
     val cd = commitsDir(new Path(table))
     val fs = fsOf(spark, cd)
     val names = commitNames(fs, cd)
@@ -333,8 +390,8 @@ object Generations {
     var done = false
     while (i >= 0 && !done) {
       val c = parseCommit(fs, cd, names(i))
-      if (c.tag == tag) { seen = true; done = true }
-      else if (isSnapshotCommit(c)) { seen = c.carried.contains(tag); done = true }
+      if (isSnapshotCommit(c)) { seen = c.carried.exists(supersedes); done = true }
+      else if (supersedes(c.tag)) { seen = true; done = true }
       else i -= 1
     }
     if (seen) None
@@ -423,15 +480,41 @@ object Generations {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Default [[gc]] orphan grace: an UNREFERENCED generation dir
-    * younger than this is left alone — it may be a live concurrent
-    * writer's data whose pointer publish hasn't happened yet, and
-    * deleting it would let that writer commit a pointer to nothing.
-    * Crash debris older than the grace is collected as before. This is
-    * the Delta/Iceberg VACUUM retention rule scaled to a commit's
-    * duration rather than a reader's.
+  /** Default [[gc]] orphan grace: an UNREFERENCED generation dir whose
+    * in-flight marker (or, lacking one, whose own mtime) is younger
+    * than this is left alone — it may be a live concurrent writer's
+    * data whose pointer publish hasn't happened yet, and deleting it
+    * would let that writer commit a pointer to nothing. Crash debris
+    * older than the grace is collected as before. VACUUM-style long by
+    * default (Delta's retention default is DAYS, and a large snapshot
+    * write can legitimately run for hours): the marker's toucher thread
+    * keeps a LIVE writer fresh at any grace, so the dial only bounds
+    * how long genuinely dead debris lingers.
     */
-  val OrphanGraceMs: Long = 15L * 60 * 1000
+  val OrphanGraceMs: Long = 24L * 60 * 60 * 1000
+
+  /** How often a live writer re-touches its in-flight marker. */
+  private val MarkerTouchMs: Long = 30L * 1000
+
+  private def inflightMarker(table: Path, gen: String): Path =
+    new Path(dataDir(table), s".inflight-$gen")
+
+  private def startMarkerToucher(fs: FileSystem, marker: Path): Thread = {
+    val th = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(MarkerTouchMs)
+          fs.setTimes(marker, System.currentTimeMillis(), -1)
+        }
+      } catch {
+        case _: InterruptedException => () // commit finished — normal exit
+        case _: java.io.IOException => () // marker gone / fs issue: stop
+      }
+    }, s"graft-inflight-${marker.getName}")
+    th.setDaemon(true)
+    th.start()
+    th
+  }
 
   /** Prune history: keep the newest `keep` commits (and their gen dirs)
     * — plus, always, every LIVE log commit (at/after the last
@@ -439,8 +522,12 @@ object Generations {
     * supersedes all others, that adds nothing beyond the newest) —
     * delete everything older plus stale commit temp files and
     * unreferenced gen dirs past `orphanGraceMs` (see [[OrphanGraceMs]]:
-    * a YOUNG unreferenced dir may be a concurrent writer mid-commit,
-    * never collectable). Deletes only — idempotent and crash-safe.
+    * a gen whose in-flight marker is fresh — or, pre-marker, whose own
+    * mtime is young — may be a concurrent writer mid-commit, never
+    * collectable; and immediately before deleting any true orphan the
+    * commit listing is re-checked so a pointer published AFTER this
+    * gc's snapshot is honored, closing the check→delete race). Deletes
+    * only — idempotent and crash-safe.
     * Because snapshot commits carry their replay witness, pruning
     * pre-snapshot commits never breaks [[appendCommitted]]'s
     * idempotence; `keep >= 2` is a time-travel nicety, not a
@@ -448,10 +535,17 @@ object Generations {
     * pruning itself are referenced (by the dropped pointers), not
     * orphans — they delete regardless of age, which is safe: no writer
     * is mid-commit on an already-published generation.
+    *
+    * `protect`: versions that must survive regardless of `keep` —
+    * everything from the OLDEST protected version onward is kept. This
+    * is how a catalog ([[Catalog.gc]]) keeps root-referenced table
+    * versions readable while per-table history prunes: the Iceberg
+    * "snapshots the catalog references survive VACUUM" rule.
     * @return (commit files deleted, gen dirs deleted)
     */
   def gc(spark: SparkSession, table: String, keep: Int = 2,
-      orphanGraceMs: Long = OrphanGraceMs): (Int, Int) = {
+      orphanGraceMs: Long = OrphanGraceMs,
+      protect: Set[Long] = Set.empty): (Int, Int) = {
     require(keep >= 1, "must keep at least the live generation")
     val t = new Path(table)
     val fs = fsOf(spark, t)
@@ -467,25 +561,59 @@ object Generations {
     // entirely live.
     val lastSnapshot = parsed.lastIndexWhere(isSnapshotCommit)
     val liveFrom = math.max(lastSnapshot, 0)
-    val cut = math.min(math.max(0, names.length - keep), liveFrom)
+    val protFrom = parsed.indexWhere(c => protect.contains(c.version))
+    val cut0 = math.min(math.max(0, names.length - keep), liveFrom)
+    val cut = if (protFrom >= 0) math.min(cut0, protFrom) else cut0
     val drop = names.take(cut)
     val dropped = parsed.take(cut).map(_.gen).toSet
     val keptGens = parsed.drop(cut).map(_.gen).toSet
     (drop ++ stale).foreach(n => fs.delete(new Path(cd, n), false))
     val dd = dataDir(t)
     val ageCut = System.currentTimeMillis() - orphanGraceMs
-    val victims =
-      if (!fs.exists(dd)) Array.empty[Path]
-      else fs.listStatus(dd)
-        .filter { s =>
-          val name = s.getPath.getName
-          !keptGens.contains(name) &&
-            // superseded-by-this-gc: always collectable; true orphans
-            // (never referenced): only past the grace window
-            (dropped.contains(name) || s.getModificationTime < ageCut)
+    if (!fs.exists(dd)) return (drop.length + stale.length, 0)
+    val entries = fs.listStatus(dd)
+    val markers = entries.filter(_.getPath.getName.startsWith(".inflight-"))
+      .map(s => s.getPath.getName.stripPrefix(".inflight-") -> s).toMap
+    val genStats = entries.filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("."))
+    // Known-at-listing commit names: anything that appears in _commits
+    // AFTER this snapshot was taken is a racing writer's fresh publish —
+    // re-checked per orphan below before any delete.
+    val listedNames = names.toSet
+    def publishedSinceListing(genName: String): Boolean =
+      commitNames(fs, cd).exists(n =>
+        !listedNames.contains(n) && parseCommit(fs, cd, n).gen == genName)
+    var genDeletes = 0
+    genStats.foreach { s =>
+      val name = s.getPath.getName
+      if (!keptGens.contains(name)) {
+        val markerFresh =
+          markers.get(name).exists(_.getModificationTime >= ageCut)
+        val collectable =
+          if (dropped.contains(name)) true // superseded by this gc's pruning
+          else if (markerFresh) false // live writer mid-commit: never
+          else markers.contains(name) || s.getModificationTime < ageCut
+        // Final guard against the check→delete race: a writer may have
+        // published its pointer between our commit listing and now.
+        // Re-list _commits and parse only names NEW since the snapshot;
+        // if one references this gen, it is committed — skip it.
+        if (collectable &&
+            (dropped.contains(name) || !publishedSinceListing(name))) {
+          markers.get(name).foreach(m => fs.delete(m.getPath, false))
+          fs.delete(s.getPath, true)
+          genDeletes += 1
         }
-        .map(_.getPath)
-    victims.foreach(fs.delete(_, true))
-    (drop.length + stale.length, victims.length)
+      }
+    }
+    // stale markers whose gen is kept (writer crashed between the
+    // pointer publish and the marker delete) or already gone: junk
+    markers.foreach { case (genName, m) =>
+      val genExists = genStats.exists(_.getPath.getName == genName)
+      val kept = keptGens.contains(genName)
+      if (m.getModificationTime < ageCut && (kept || !genExists) &&
+          fs.exists(m.getPath))
+        fs.delete(m.getPath, false)
+    }
+    (drop.length + stale.length, genDeletes)
   }
 }

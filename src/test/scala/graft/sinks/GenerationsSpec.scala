@@ -2,6 +2,8 @@ package graft.sinks
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 
 import graft.SparkSpec
@@ -402,6 +404,64 @@ class GenerationsSpec extends SparkSpec {
     // and appends continue on top of the compacted snapshot
     Generations.appendCommitted(spark, Seq(7).toDF("v"), t, "batch=7")
     assert(Generations.readLog(spark, t).get.count() === 201L)
+  }
+
+  test("OLDER-batch replay after squash+gc is a no-op (numeric witness order)") {
+    val t = mkTable()
+    (0 to 3).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    Generations.squash(spark, t)
+    Generations.gc(spark, t, keep = 1)
+    // only batch=3 survives as the carried witness — yet a rolled-back /
+    // rebuilt checkpoint re-offering an OLDER id must still be a no-op:
+    // a serial writer commits ascending ids, so witness id 3 proves 1
+    assert(Generations.appendCommitted(spark, Seq(1).toDF("v"), t,
+      "batch=1").isEmpty, "older-id replay vs carried witness must no-op")
+    // same rule against a LIVE same-prefix commit (no snapshot between)
+    Generations.appendCommitted(spark, Seq(4).toDF("v"), t, "batch=4")
+    assert(Generations.appendCommitted(spark, Seq(2).toDF("v"), t,
+      "batch=2").isEmpty, "older-id replay vs live commit must no-op")
+    // a genuinely new id still lands, and content stays exactly-once
+    assert(Generations.appendCommitted(spark, Seq(5).toDF("v"), t,
+      "batch=5").isDefined)
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(0, 1, 2, 3, 4, 5))
+    // other writers' ids don't fence this one (prefix-scoped ordering)
+    assert(Generations.appendCommitted(spark, Seq(9).toDF("v"), t,
+      "other=1").isDefined)
+  }
+
+  test("bare append tags are rejected (the witness is prefix-keyed)") {
+    val t = mkTable()
+    intercept[IllegalArgumentException] {
+      Generations.appendCommitted(spark, Seq(1).toDF("v"), t, "justatag")
+    }
+  }
+
+  test("gc honors a fresh in-flight marker over the gen dir's stale mtime") {
+    import java.nio.file.attribute.FileTime
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
+    // a completed commit leaves no marker behind
+    assert(!Files.list(Paths.get(t, "data")).iterator().asScala
+      .exists(_.getFileName.toString.startsWith(".inflight-")))
+    // simulate a concurrent writer deep in a LONG data write: the gen
+    // dir's mtime stalled at creation (task output lands under
+    // _temporary) — far past any grace — but its marker is fresh
+    Seq(0).toDF("v").write.parquet(s"$t/data/g00000009-midwrite")
+    val gen = Paths.get(t, "data", "g00000009-midwrite")
+    val marker = Paths.get(t, "data", ".inflight-g00000009-midwrite")
+    Files.createFile(marker)
+    val old = FileTime.fromMillis(System.currentTimeMillis() - 100L * 3600 * 1000)
+    Files.setLastModifiedTime(gen, old)
+    val (_, ng) = Generations.gc(spark, t, keep = 1, orphanGraceMs = 60000L)
+    assert(ng === 0, "live writer's generation must never be collected")
+    assert(Files.exists(gen) && Files.exists(marker))
+    // the writer dies (marker goes stale): now it IS crash debris
+    Files.setLastModifiedTime(marker, old)
+    val (_, ng2) = Generations.gc(spark, t, keep = 1, orphanGraceMs = 60000L)
+    assert(ng2 === 1)
+    assert(!Files.exists(gen) && !Files.exists(marker))
   }
 
   test("compactGenerations rewrites wide generations via pointer commit") {

@@ -117,20 +117,31 @@ object FeedOffsets {
     Some(FeedMark(wm, carried ++ atWm))
   }
 
-  /** One turnkey poll: read the persisted mark, filter the feed to new
-    * entries, advance + persist the mark, and return the new entries.
-    * Deliberately NOT cached: a feed snapshot is tiny (re-scanning it
-    * per action is noise), and pinning it in the CacheManager would
-    * serve a later poll of the same path STALE content. The persist
-    * happens before the caller's enqueue completes only in the caller's
-    * failure window; a crash there re-delivers nothing dated — callers
-    * that need at-least-once across their own crash should enqueue first
-    * and call [[advance]]/[[write]] themselves.
+  /** One turnkey poll with the SAFE ordering built in: read the
+    * persisted mark, filter the feed to new entries, hand them to
+    * `enqueue`, and only AFTER it returns advance + persist the mark.
+    * Any caller-side failure — an exception inside `enqueue` or a crash
+    * anywhere in its window — leaves the mark untouched, so the next
+    * poll re-delivers the same entries (at-least-once, absorbed by the
+    * D1 name-level dup guard downstream). The reverse ordering would
+    * silently lose that poll's dated entries forever, which the module
+    * contract forbids; that unsafe convenience form was removed in r12.
+    *
+    * The feed snapshot is deliberately NOT cached: it is tiny
+    * (re-scanning per action is noise), and pinning it in the
+    * CacheManager would serve a later poll of the same path STALE
+    * content. The poll assumes the snapshot is stable for its duration
+    * — fetch feeds a publisher rewrites in place to a local snapshot
+    * first.
+    *
+    * @return the new entries delivered to `enqueue` (the mark is already
+    *         advanced past them when this returns)
     */
   def poll(spark: SparkSession, feedPath: String, dir: String,
-      feedId: String): DataFrame = {
+      feedId: String)(enqueue: DataFrame => Unit): DataFrame = {
     val mark = read(spark, dir, feedId)
     val fresh = newEntries(XmlFeed.read(spark, feedPath), mark)
+    enqueue(fresh)
     advance(fresh, mark).foreach(write(spark, dir, feedId, _))
     fresh
   }

@@ -25,21 +25,22 @@ object FeedPoller {
 
   /** Poll once; returns the number of tasks enqueued.
     *
-    * The feed path is scanned per action (count, enqueue, advance — it
-    * is deliberately never cached, see [[FeedOffsets.poll]]): the poll
-    * assumes the snapshot is stable for its duration. Polling a file a
-    * publisher rewrites IN PLACE mid-poll can skew the mark vs the
-    * enqueued set — fetch such feeds to a local snapshot first (the
-    * fetch kernels do exactly this).
+    * The enqueue-before-advance ordering comes from [[FeedOffsets.poll]]
+    * itself (since r12 the callback form is the only form, so the safe
+    * ordering is structural, not a caller convention). The feed path is
+    * scanned per action (count, enqueue, advance — it is deliberately
+    * never cached): the poll assumes the snapshot is stable for its
+    * duration. Polling a file a publisher rewrites IN PLACE mid-poll can
+    * skew the mark vs the enqueued set — fetch such feeds to a local
+    * snapshot first (the fetch kernels do exactly this).
     */
   def pollOnce(spark: SparkSession, feedPath: String, offsetsDir: String,
       feedId: String, channel: TaskChannel): Long = {
-    val mark = FeedOffsets.read(spark, offsetsDir, feedId)
-    val fresh = FeedOffsets.newEntries(XmlFeed.read(spark, feedPath), mark)
-    val n = fresh.count()
-    if (n > 0) channel.enqueue(XmlFeed.toTasks(fresh, feedId))
-    FeedOffsets.advance(fresh, mark)
-      .foreach(FeedOffsets.write(spark, offsetsDir, feedId, _))
+    var n = 0L
+    FeedOffsets.poll(spark, feedPath, offsetsDir, feedId) { fresh =>
+      n = fresh.count()
+      if (n > 0) channel.enqueue(XmlFeed.toTasks(fresh, feedId))
+    }
     n
   }
 }

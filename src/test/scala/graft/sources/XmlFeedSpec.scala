@@ -82,11 +82,34 @@ class XmlFeedSpec extends SparkSpec {
         |<url><loc>https://h/a.csv</loc><lastmod>2026-08-13</lastmod></url>
         |<url><loc>https://h/b.csv</loc><lastmod>2026-08-14</lastmod></url>
         |</urlset>""".stripMargin)
-    val first = FeedOffsets.poll(spark, feedPath, offDir, "feed-a")
+    val first = FeedOffsets.poll(spark, feedPath, offDir, "feed-a")(_ => ())
     assert(first.count() === 2)
     // unchanged feed, new poll: the persisted mark (watermark + names
     // seen at it) filters everything — exact, not merely at-least-once
-    assert(FeedOffsets.poll(spark, feedPath, offDir, "feed-a").count() === 0)
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "feed-a")(_ => ())
+      .count() === 0)
+  }
+
+  test("FeedOffsets.poll advances the mark only AFTER enqueue succeeds") {
+    val dir = Files.createTempDirectory("graft-feedoff3")
+    val feedPath = dir.resolve("f.xml").toString
+    val offDir = dir.resolve("offsets").toString
+    Files.writeString(Paths.get(feedPath),
+      """<urlset><url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url></urlset>""")
+    // the caller's enqueue fails — the mark must NOT advance, so nothing
+    // is silently lost: the next poll re-delivers the same entries
+    intercept[RuntimeException] {
+      FeedOffsets.poll(spark, feedPath, offDir, "f") { _ =>
+        throw new RuntimeException("queue down")
+      }
+    }
+    assert(FeedOffsets.read(spark, offDir, "f").isEmpty,
+      "a failed enqueue must leave the mark untouched")
+    var delivered = 0L
+    FeedOffsets.poll(spark, feedPath, offDir, "f")(f => delivered = f.count())
+    assert(delivered === 1L, "the failed poll's entries re-deliver")
+    // and only now is the mark durable
+    assert(FeedOffsets.read(spark, offDir, "f").get.watermark === "2026-08-14")
   }
 
   test("FeedOffsets: same-day addition delivered exactly once across polls") {
@@ -95,18 +118,20 @@ class XmlFeedSpec extends SparkSpec {
     val offDir = dir.resolve("offsets").toString
     Files.writeString(Paths.get(feedPath),
       """<urlset><url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url></urlset>""")
-    assert(FeedOffsets.poll(spark, feedPath, offDir, "f").count() === 1)
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "f")(_ => ())
+      .count() === 1)
     // publisher adds b.csv under the SAME date-granular lastmod
     Files.writeString(Paths.get(feedPath),
       """<urlset>
         |<url><loc>https://h/a.csv</loc><lastmod>2026-08-14</lastmod></url>
         |<url><loc>https://h/b.csv</loc><lastmod>2026-08-14</lastmod></url>
         |</urlset>""".stripMargin)
-    val second = FeedOffsets.poll(spark, feedPath, offDir, "f")
+    val second = FeedOffsets.poll(spark, feedPath, offDir, "f")(_ => ())
       .select("loc").collect().map(_.getString(0))
     assert(second.toSeq === Seq("https://h/b.csv")) // only the addition
     // and a third poll is quiet again
-    assert(FeedOffsets.poll(spark, feedPath, offDir, "f").count() === 0)
+    assert(FeedOffsets.poll(spark, feedPath, offDir, "f")(_ => ())
+      .count() === 0)
   }
 
   test("feed-driven harvest: XML feed → tasks → download pipeline → sink") {

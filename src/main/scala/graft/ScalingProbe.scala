@@ -71,9 +71,14 @@ object ScalingProbe {
     // warm-up (JIT, codegen caches) at the smallest SF
     Subset.foreach(q => SparkEntry.queries(q)(spark, sfDirs.head).count())
 
+    // the skip applies at the largest SYNTHESIZED dir regardless of how
+    // many synth steps exist (pre-r12 it required BOTH var/sf1 and
+    // var/sf10, so an sf10-only run silently ignored the env var and
+    // measured the configuration it was asked not to)
     val times: Map[(String, String), Double] = (for {
       sf <- sfDirs; q <- Subset
-      if !(sf == sfDirs.last && sfDirs.size > 4 && skipAtLargest.contains(q))
+      if !(sf == sfDirs.last && sfDirs.size > BaseSfDirs.size &&
+        skipAtLargest.contains(q))
     } yield {
       val t = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -82,8 +87,6 @@ object ScalingProbe {
       }.min
       (q, sf) -> t
     }).toMap
-
-    val hasSf1 = sfDirs.contains(SynthDirs.head)
 
     // Granularity-dial evidence for the IVF-cell-blocked graph family:
     // the registered graph queries pin nCells=16 (oracle determinism),
@@ -94,7 +97,7 @@ object ScalingProbe {
     // applied, so the "documented if supra-linear" caveat is a number,
     // not prose. (At sf10 the FIXED-cell form is deliberately only run
     // if not skipped — the dial form is the production configuration.)
-    if (hasSf1) {
+    if (synth.nonEmpty) { // keyed on ANY synth step, not var/sf1 presence
       import org.apache.spark.sql.functions.col
       def bfsAt(dir: String, nCells: Int): Double = {
         val emb = Tables.load(spark, dir, "embeddings")
@@ -105,13 +108,14 @@ object ScalingProbe {
           maxHops = 4).count()
         (System.nanoTime() - t0) / 1e9
       }
-      synth.zipWithIndex.foreach { case (dir, i) =>
-        // dir i holds 10^(i+1) x the sf0.1 vectors: dial = 16·sqrt(10^(i+1))
-        val dialed = math.round(16 * math.pow(10, (i + 1) / 2.0)).toInt
+      synth.foreach { dir =>
+        // var/sfN holds N·10 x the sf0.1 vectors: dial = 16·sqrt(N·10)
+        val mult = dir.stripPrefix("var/sf").toDouble * 10
+        val dialed = math.round(16 * math.sqrt(mult)).toInt
         val scaled = (1 to reps).map(_ => bfsAt(dir, dialed)).min
         val fixed =
-          if (skipAtLargest.contains("graph_bfs_hops") && dir == synth.last &&
-            synth.size > 1) -1.0
+          if (skipAtLargest.contains("graph_bfs_hops") && dir == synth.last)
+            -1.0
           else (1 to reps).map(_ => bfsAt(dir, 16)).min
       println(f"graph_bfs_dial,$dir,nCells16,$fixed%.3f,nCells$dialed,$scaled%.3f")
       }

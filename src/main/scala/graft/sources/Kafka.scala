@@ -31,8 +31,18 @@ import graft.model.Schemas
   *    `value`; `key` = task ID, so a partition preserves per-source
   *    order exactly like [[OffsetLog]]'s key-hash routing.
   *  - dequeue (batch) → `read.format("kafka")` over
-  *    `startingOffsets=earliest`; the poll cap is a `limit`, matching
-  *    [[Queue.dequeue]].
+  *    `startingOffsets=earliest`; the poll cap is a `limit`. PINNED
+  *    SEMANTIC DIVERGENCE: this is a NON-CONSUMING PEEK, not a claim.
+  *    Spark's batch Kafka source tracks no consumed offset (no group
+  *    commit, no checkpoint), so every batch dequeue re-reads the topic
+  *    from earliest and the `limit` keeps an engine-chosen subset —
+  *    repeated batch dequeues redeliver head rows, unlike
+  *    [[DirectoryChannel]]/[[OffsetLogChannel]] whose batch dequeue
+  *    claims. Use [[dequeueStream]] (checkpointed, exactly the channel
+  *    ack model) for consuming reads; batch dequeue is for inspection
+  *    and tests. (Offset-tracked batch consumption would need the
+  *    connector present to resolve end offsets — unverifiable in this
+  *    sandbox, so the peek contract is pinned rather than half-built.)
   *  - dequeueStream → `readStream.format("kafka")` with
   *    `maxOffsetsPerTrigger` as the per-trigger cap; the CONSUMER GROUP
   *    COMMIT is the Structured Streaming checkpoint (Spark's Kafka
@@ -73,6 +83,9 @@ case class KafkaChannel(bootstrapServers: String, topic: String)
       .option("topic", topic)
       .save()
 
+  /** Non-consuming peek — see the class doc's pinned divergence; use
+    * [[dequeueStream]] for consuming (claim-semantics) reads.
+    */
   override def dequeue(spark: SparkSession, max: Int = 5): DataFrame = {
     val df = decode(spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)

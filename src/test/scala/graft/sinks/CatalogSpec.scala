@@ -1,0 +1,155 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** The cross-table atomic-commit contract: a transaction's tables become
+  * visible together or not at all, concurrent disjoint transactions
+  * merge, overlapping ones re-run, and catalog retention never breaks a
+  * kept root's resolution.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkRoot(): String =
+    Files.createTempDirectory("graft-cat").resolve("cat").toString
+
+  private def tableSet(root: String, name: String): Set[Int] =
+    Catalog.readTable(spark, root, name).map(_.as[Int].collect().toSet)
+      .getOrElse(Set.empty)
+
+  test("a transaction's tables appear atomically, reads are root-pinned") {
+    val root = mkRoot()
+    val rc1 = Catalog.transact(spark, root) { txn =>
+      txn.put("a", Seq(1, 2).toDF("v"))
+      txn.put("b", Seq(10).toDF("v"))
+    }
+    assert(rc1.version === 1L && rc1.tables.keySet === Set("a", "b"))
+    assert(tableSet(root, "a") === Set(1, 2))
+    assert(tableSet(root, "b") === Set(10))
+    // second txn updates both; readers at the old root still see v1 of BOTH
+    val rc2 = Catalog.transact(spark, root) { txn =>
+      txn.put("a", Seq(3).toDF("v"))
+      txn.put("b", Seq(30).toDF("v"))
+    }
+    assert(tableSet(root, "a") === Set(3) && tableSet(root, "b") === Set(30))
+    assert(Catalog.readTableAt(spark, root, "a", rc1).get
+      .as[Int].collect().toSet === Set(1, 2), "catalog-grain time travel")
+    assert(Catalog.readTableAt(spark, root, "b", rc1).get
+      .as[Int].collect().toSet === Set(10))
+  }
+
+  test("the reference failure path is one logical action: flag+alert+ack") {
+    import org.apache.spark.sql.functions.col
+    val root = mkRoot()
+    Catalog.transact(spark, root) { txn =>
+      txn.put("catalog", Seq(("s1", 1), ("s2", 1)).toDF("id", "active"))
+      txn.put("alerts", Seq.empty[(String, String)].toDF("ID", "REASON"))
+      txn.put("acks", Seq.empty[String].toDF("task"))
+    }
+    // the E1/E2/E3 composite the reference runs as three separate writes
+    // (data_downloader.py:40-58) — here one atomic commit
+    Catalog.transact(spark, root) { txn =>
+      val flagged = graft.operators.ErrorPath.flagBroken(
+        txn.read("catalog").get, Seq("s2"))
+      txn.put("catalog", flagged)
+      txn.put("alerts", txn.read("alerts").get.union(
+        Seq(("s2", "http 500")).toDF("ID", "REASON")))
+      txn.put("acks", txn.read("acks").get.union(Seq("t-s2").toDF("task")))
+    }
+    val cat = Catalog.readTable(spark, root, "catalog").get
+      .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(cat.toSeq === Seq(("s1", 1), ("s2", 2)))
+    assert(Catalog.readTable(spark, root, "alerts").get.count() === 1L)
+    assert(Catalog.readTable(spark, root, "acks").get.count() === 1L)
+  }
+
+  test("a crash between table commits and the root publish is invisible") {
+    val root = mkRoot()
+    Catalog.transact(spark, root) { txn =>
+      txn.put("a", Seq(1).toDF("v")); txn.put("b", Seq(10).toDF("v"))
+    }
+    // simulate the crash window: the per-table generation commits land
+    // (durable!) but the process dies before the root pointer publish —
+    // exactly what a half-run transact leaves behind
+    Generations.writeAndCommit(spark, Seq(2).toDF("v"),
+      Catalog.tablePath(root, "a"))
+    Generations.writeAndCommit(spark, Seq(20).toDF("v"),
+      Catalog.tablePath(root, "b"))
+    assert(tableSet(root, "a") === Set(1), "in-flight version catalog-invisible")
+    assert(tableSet(root, "b") === Set(10))
+    // ...even though a DIRECT (non-catalog) read sees the newer version —
+    // the catalog is the transactional boundary
+    assert(Generations.read(spark, Catalog.tablePath(root, "a")).get
+      .as[Int].collect().toSet === Set(2))
+    // the next transaction proceeds normally over the debris
+    Catalog.transact(spark, root)(t => t.put("a", Seq(3).toDF("v")))
+    assert(tableSet(root, "a") === Set(3))
+    assert(tableSet(root, "b") === Set(10), "untouched table stays at its root")
+  }
+
+  test("concurrent DISJOINT transactions both commit (root rebase)") {
+    val root = mkRoot()
+    Catalog.transact(spark, root) { txn =>
+      txn.put("a", Seq(1).toDF("v")); txn.put("b", Seq(10).toDF("v"))
+    }
+    // interleave: txn X (writes a) reads its base, then txn Y (writes b)
+    // commits first. X's publish collides and must rebase, not abort.
+    var yDone = false
+    Catalog.transact(spark, root) { txn =>
+      txn.put("a", Seq(2).toDF("v"))
+      if (!yDone) { // runs inside X's body, i.e. after X read its base
+        Catalog.transact(spark, root)(t => t.put("b", Seq(20).toDF("v")))
+        yDone = true
+      }
+    }
+    assert(tableSet(root, "a") === Set(2) && tableSet(root, "b") === Set(20))
+    assert(Catalog.latestRoot(spark, root).get.version === 3L)
+  }
+
+  test("concurrent OVERLAPPING transactions re-run the loser's body") {
+    val root = mkRoot()
+    Catalog.transact(spark, root)(t => t.put("n", Seq(0).toDF("v")))
+    var bodies = 0
+    var injected = false
+    Catalog.transact(spark, root) { txn =>
+      bodies += 1
+      val cur = txn.read("n").get.as[Int].collect().head
+      if (!injected) { // a racing increment of the SAME table
+        Catalog.transact(spark, root) { t =>
+          t.put("n", Seq(t.read("n").get.as[Int].collect().head + 1).toDF("v"))
+        }
+        injected = true
+      }
+      txn.put("n", Seq(cur + 1).toDF("v"))
+    }
+    assert(bodies === 2, "overlap must re-run the body on the new base")
+    assert(tableSet(root, "n") === Set(2),
+      "no lost update: both increments applied")
+  }
+
+  test("gc keeps every kept root resolvable while pruning older history") {
+    val root = mkRoot()
+    val rcs = (1 to 5).map { i =>
+      Catalog.transact(spark, root) { txn =>
+        txn.put("a", Seq(i).toDF("v"))
+        if (i % 2 == 1) txn.put("b", Seq(i * 10).toDF("v"))
+      }
+    }
+    Catalog.gc(spark, root, keepRoots = 2, keepPerTable = 1,
+      orphanGraceMs = 0L)
+    assert(Catalog.roots(spark, root).map(_.version) === Seq(4L, 5L))
+    // both kept roots resolve BOTH tables, even though root 4 references
+    // b's root-3 write — older than keepPerTable=1 would retain alone
+    rcs.takeRight(2).foreach(rc =>
+      assert(Catalog.readTableAt(spark, root, "a", rc).isDefined))
+    assert(Catalog.readTableAt(spark, root, "b", rcs(3)).get
+      .as[Int].collect().toSet === Set(30))
+    assert(Catalog.readTableAt(spark, root, "b", rcs(4)).get
+      .as[Int].collect().toSet === Set(50))
+    // pruned: root 1-3 are gone, and a's first generations are collected
+    assert(Generations.commits(spark, Catalog.tablePath(root, "a"))
+      .map(_.version) === Seq(4L, 5L))
+  }
+}

@@ -391,6 +391,27 @@ object Multimodal {
     AviMjpeg.write(jpegs, w, h, fixtureAviUsPerFrame)
   }
 
+  /** Deterministic fixture MP4: the [[fixtureGif]]/[[fixtureAvi]] dims
+    * and frame-count formulas packed as an ISO-BMFF container
+    * ([[Mp4.write]]) whose SAMPLES are opaque deterministic bytes (no
+    * in-JDK H.264 encoder — the one documented stub), while the
+    * container metadata around them — brand, codec id rotating through
+    * the stub family avc1/hev1/vp09, tkhd/stsd dims, mvhd duration,
+    * stts timing, stsz sizes — is real and byte-exact, so oracles check
+    * everything [[Mp4.parseMeta]] extracts without any frame decode.
+    */
+  val fixtureMp4MsPerSample: Long = 40L // 25 fps, matching the AVI fixture
+  def fixtureMp4(id: Long, patternMod: Long = 50L): Array[Byte] = {
+    val pk = (id % patternMod).toInt
+    val codec = Seq("avc1", "hev1", "vp09")(pk % 3)
+    val samples = (0 until fixtureVideoFrames(id, patternMod)).map { i =>
+      val sz = 100 + ((pk * 31 + i * 17) % 50)
+      Array.tabulate(sz)(j => ((pk + i * 7 + j) % 256).toByte)
+    }
+    Mp4.write(samples, fixtureWidth(id, patternMod),
+      fixtureHeight(id, patternMod), codec, fixtureMp4MsPerSample)
+  }
+
   /** REAL video transcode kernel: multi-frame GIF container → MJPEG AVI.
     * Every frame is genuinely decoded from the GIF bitstream, JPEG
     * re-encoded (JDK writer), and packed into a hand-assembled RIFF/AVI

@@ -211,6 +211,44 @@ object MultimodalQueries extends QueryPack {
         Multimodal.transcodeGifToAvi(fixtureBlobs(s, dir)(Multimodal.fixtureGif(_))),
         graft.multimodal.AviMjpegCodec, AVI_MS_PER_FRAME)),
 
+    // REAL ISO-BMFF container metadata, no frame decode: fixture MP4 →
+    // Mp4.parseMeta moov walk — brand, codec id (stsd), dims (sample
+    // entry), movie duration (mvhd), sample count + total payload bytes
+    // (stsz). This is the metadata half of the H.264/VP9 surface: the
+    // bitstream decode stays the one documented stub, but the container
+    // around it parses for real, at O(moov bytes) cost per object —
+    // payload-size-independent, the property that matters at 100 TB.
+    "mm_mp4_metadata" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val m = graft.multimodal.Mp4.parseMeta(Multimodal.fixtureMp4(id))
+          val t = m.videoTrack.get
+          (id, m.brand, t.codec, t.width.toLong, t.height.toLong,
+            t.nSamples, m.durationMs, t.totalSampleBytes)
+        })
+        .toDF("media_id", "brand", "codec", "width", "height",
+          "n_samples", "duration_ms", "sample_bytes")
+        .orderBy("media_id")
+    }),
+
+    // The sample-table walk (stts × stsz): one row per sample with its
+    // byte size and decode timestamp — the 1:N shape a seek index /
+    // partial-fetch planner reads, again without touching the payload.
+    "mm_mp4_samples" -> ((s, dir) => {
+      import s.implicits._
+      media(s, dir).select(col("media_id")).as[Long]
+        .mapPartitions(_.flatMap { id =>
+          val t = graft.multimodal.Mp4.parseMeta(Multimodal.fixtureMp4(id))
+            .videoTrack.get
+          t.sampleSizes.zip(t.sampleDtsMs).zipWithIndex.map {
+            case ((sz, dts), i) => (id, i, sz, dts)
+          }
+        })
+        .toDF("media_id", "sample_idx", "sample_bytes", "dts_ms")
+        .orderBy("media_id", "sample_idx")
+    }),
+
     // REAL frame extraction end-to-end: GIF container → GifCodec
     // sampleFrameFeatures — each frame's dims + perceptual hash read
     // straight off the decoded raster (one decode per frame, no PNG
@@ -388,6 +426,39 @@ object MultimodalQueries extends QueryPack {
     // (pattern key = doc_id % 50; frames = 2 + pk % 4, 40 ms/frame): a
     // misparsed RIFF size chain, avih header, or chunk walk shifts them.
     "mm_mjpeg_decode" -> videoMetaOracle("avi", AVI_MS_PER_FRAME),
+
+    // Every moov-walk field must equal the generator formulas: a wrong
+    // box offset (stsd entry, 16.16 tkhd dims, mvhd duration, stsz
+    // sizes) shifts a value. duration_ms = n·40 exactly (movie
+    // timescale 1000); sample_bytes replays the per-sample size formula.
+    "mm_mp4_metadata" ->
+      """WITH p AS (SELECT doc_id AS media_id, (doc_id % 50)::BIGINT AS pk
+        |  FROM documents),
+        |f AS (SELECT media_id, pk, 2 + pk % 4 AS n,
+        |    8 + (pk % 5) * 4 AS w, 8 + (pk % 3) * 4 AS h FROM p),
+        |sb AS (SELECT media_id,
+        |    sum(100 + ((pk * 31 + i.range * 17) % 50))::BIGINT AS sample_bytes
+        |  FROM f, range(0, 8) i WHERE i.range < n GROUP BY media_id)
+        |SELECT media_id, 'isom' AS brand,
+        |  CASE pk % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+        |    ELSE 'vp09' END AS codec,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 40 AS BIGINT) AS duration_ms, sb.sample_bytes
+        |FROM f JOIN sb USING (media_id) ORDER BY media_id""".stripMargin,
+
+    // The stts×stsz expansion: per-sample size from the size formula,
+    // dts = i·40 ms exactly (delta 3600 at media timescale 90000).
+    "mm_mp4_samples" ->
+      """WITH p AS (SELECT doc_id AS media_id, (doc_id % 50)::BIGINT AS pk
+        |  FROM documents),
+        |f AS (SELECT media_id, pk, 2 + pk % 4 AS n FROM p)
+        |SELECT media_id, i.range::INTEGER AS sample_idx,
+        |  CAST(100 + ((pk * 31 + i.range * 17) % 50) AS BIGINT)
+        |    AS sample_bytes,
+        |  CAST(i.range * 40 AS BIGINT) AS dts_ms
+        |FROM f, range(0, 8) i WHERE i.range < n
+        |ORDER BY media_id, sample_idx""".stripMargin,
 
     // Transcode preserves dims/frame-count/timing: the GIF source's
     // generator formulas must survive decode → JPEG → AVI → re-decode.

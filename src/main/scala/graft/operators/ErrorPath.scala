@@ -58,4 +58,32 @@ object ErrorPath {
     val dead = tasks.filter(col("attempts") >= maxAttempts)
     (retry, dead)
   }
+
+  /** E1+E2+E3 as ONE logical action. The reference executes flag the
+    * catalog, publish the alert, ack as three INDEPENDENT writes
+    * (`data_downloader.py:40-58`), so a crash between them leaves a
+    * flagged catalog with no alert row (or an alert with no flag) —
+    * committed through [[graft.sinks.Catalog.transact]] they become a
+    * single root publish: a catalog reader observes all three effects
+    * or none.
+    *
+    * Member tables: `catalog` (flagged in place when present — seed it
+    * with the source catalog first), `alerts`, `acks` (both read ∪
+    * delta snapshot members: rewrite cost per commit is ALERT-scale,
+    * never data-scale; drain/archive them periodically like any DLQ).
+    * `errors` needs (ID, URL, REASON); `acks` any task-identifying rows.
+    */
+  def failAtomically(spark: org.apache.spark.sql.SparkSession,
+      txnRoot: String, errors: DataFrame,
+      acks: DataFrame): graft.sinks.Catalog.RootCommit =
+    graft.sinks.Catalog.transact(spark, txnRoot, tag = "errorpath") { txn =>
+      txn.read("catalog").foreach { cat =>
+        txn.put("catalog", flagBroken(cat, errors.select(col("ID").as("id"))))
+      }
+      val fresh = alerts(errors)
+      txn.put("alerts", txn.read("alerts")
+        .map(_.unionByName(fresh)).getOrElse(fresh))
+      txn.put("acks", txn.read("acks")
+        .map(_.unionByName(acks)).getOrElse(acks))
+    }
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions.col
   * failure path exposes: flag the catalog, publish the alert, ack
   * (`data_downloader.py:40-58`) must be all-or-nothing, but independent
   * per-table pointer publishes leave a crash window between them.
+  * (Naming: this is a TABLE catalog in the Iceberg/Nessie sense — the
+  * root of a lakehouse namespace; the harvest SOURCE catalog, the
+  * reference's CSV of sources, is the unrelated
+  * [[graft.sources.Catalog]].)
   *
   * Design (the Nessie / Iceberg-REST-catalog root-pointer model, built
   * from the same public primitive as [[Generations]]): a catalog root

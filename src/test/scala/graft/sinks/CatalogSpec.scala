@@ -41,28 +41,32 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("the reference failure path is one logical action: flag+alert+ack") {
-    import org.apache.spark.sql.functions.col
     val root = mkRoot()
-    Catalog.transact(spark, root) { txn =>
-      txn.put("catalog", Seq(("s1", 1), ("s2", 1)).toDF("id", "active"))
-      txn.put("alerts", Seq.empty[(String, String)].toDF("ID", "REASON"))
-      txn.put("acks", Seq.empty[String].toDF("task"))
-    }
+    Catalog.transact(spark, root)(txn =>
+      txn.put("catalog", Seq(("s1", 1), ("s2", 1)).toDF("id", "active")))
     // the E1/E2/E3 composite the reference runs as three separate writes
-    // (data_downloader.py:40-58) — here one atomic commit
-    Catalog.transact(spark, root) { txn =>
-      val flagged = graft.operators.ErrorPath.flagBroken(
-        txn.read("catalog").get, Seq("s2"))
-      txn.put("catalog", flagged)
-      txn.put("alerts", txn.read("alerts").get.union(
-        Seq(("s2", "http 500")).toDF("ID", "REASON")))
-      txn.put("acks", txn.read("acks").get.union(Seq("t-s2").toDF("task")))
-    }
+    // (data_downloader.py:40-58) — here ONE atomic root publish
+    graft.operators.ErrorPath.failAtomically(spark, root,
+      errors = Seq(("s2", "ftp://h/x.csv", "said \"boom\""))
+        .toDF("ID", "URL", "REASON"),
+      acks = Seq("t-s2").toDF("task"))
     val cat = Catalog.readTable(spark, root, "catalog").get
       .orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(cat.toSeq === Seq(("s1", 1), ("s2", 2)))
-    assert(Catalog.readTable(spark, root, "alerts").get.count() === 1L)
+    val alert = Catalog.readTable(spark, root, "alerts").get.collect()
+    assert(alert.length === 1)
+    assert(alert.head.getAs[String]("REASON") === "said 'boom'",
+      "alert reason sanitized (E2)")
     assert(Catalog.readTable(spark, root, "acks").get.count() === 1L)
+    // a second failure accumulates: both flags, both alerts, both acks
+    graft.operators.ErrorPath.failAtomically(spark, root,
+      errors = Seq(("s1", "http://h/y.csv", "http 500"))
+        .toDF("ID", "URL", "REASON"),
+      acks = Seq("t-s1").toDF("task"))
+    assert(Catalog.readTable(spark, root, "catalog").get
+      .orderBy("id").collect().map(_.getInt(1)).toSeq === Seq(2, 2))
+    assert(Catalog.readTable(spark, root, "alerts").get.count() === 2L)
+    assert(Catalog.readTable(spark, root, "acks").get.count() === 2L)
   }
 
   test("a crash between table commits and the root publish is invisible") {
@@ -127,6 +131,28 @@ class CatalogSpec extends SparkSpec {
     assert(bodies === 2, "overlap must re-run the body on the new base")
     assert(tableSet(root, "n") === Set(2),
       "no lost update: both increments applied")
+  }
+
+  test("REAL THREADS: racing transactions lose no update on a contended table") {
+    val root = mkRoot()
+    Catalog.transact(spark, root)(t => t.put("n", Seq(0).toDF("v")))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 3).map { i =>
+      new Thread(() => {
+        try (1 to 2).foreach { _ =>
+          Catalog.transact(spark, root, maxRetries = 64) { txn =>
+            val cur = txn.read("n").get.as[Int].collect().head
+            txn.put("n", Seq(cur + 1).toDF("v"))
+            txn.put(s"t$i", Seq(i).toDF("v")) // plus a per-thread member
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      }, s"cat-race-$i")
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"racing txns must retry, not fail: ${errors.peek()}")
+    assert(tableSet(root, "n") === Set(6),
+      "every increment must survive the contention (no lost update)")
+    (1 to 3).foreach(i => assert(tableSet(root, s"t$i") === Set(i)))
   }
 
   test("gc keeps every kept root resolvable while pruning older history") {

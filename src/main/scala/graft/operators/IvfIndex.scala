@@ -130,6 +130,27 @@ object IvfIndex {
       excludeId = None)
   }
 
+  /** Batched multi-query search against the PERSISTED index — the
+    * retrieval-eval shape ([[search]] for one query is N driver-looped
+    * jobs for a batch of N; this is one). `queries`: (query_id, q_emb).
+    * Probe selection ranks the stored centroids per query (one
+    * |Q| × nCells pass against the broadcast codebook), the postings are
+    * read ONCE for the whole batch via a (cell) equi-join, and per-query
+    * top-k is a WindowGroupLimit rank filter — all in
+    * [[Similarity.ivfBatchTopK]], which IvfIndexSpec proves equal to the
+    * union of per-query [[topK]] results. `excludeSelf` drops the row
+    * whose vec_id equals the query_id (the internal-query convention of
+    * [[topK]]); external query batches pass false.
+    */
+  def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
+    val cents = centroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index at $dir — build first"))
+    val post = postings(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no postings at $dir"))
+    Similarity.ivfBatchTopK(post, cents, queries, k, nProbe, excludeSelf)
+  }
+
   private def search(spark: SparkSession, dir: String, q: DataFrame,
       k: Int, nProbe: Int, excludeId: Option[Long]): DataFrame = {
     val cents = centroids(spark, dir).getOrElse(

@@ -360,6 +360,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched multi-probe IVF search — [[ivfTopKProbe]] for a whole
+    * retrieval-eval batch in ONE pass instead of |Q| driver-looped jobs.
+    *
+    * `assigned` is the cell layout ((vec_id, label, embedding, cell) —
+    * [[assignCellsTo]] output or persisted index postings), `cents` the
+    * ≤ nCells quantizer, `queries` the batch as (query_id, q_emb).
+    *
+    * Shape, stage by stage: probe-cell selection is one |Q| × nCells
+    * pass against the BROADCAST quantizer (bounded — the codebook, never
+    * the corpus), cut to nProbe cells per query by a per-query-partitioned
+    * rank. The candidate join touches the postings ONCE for the whole
+    * batch — (cell) equi-join against the |Q| × nProbe probe list — so
+    * the corpus-sized side is scanned exactly once however many queries
+    * ride along (vs |Q| scans for the looped form). No broadcast is
+    * forced on the probe list: Catalyst/AQE picks broadcast at eval-batch
+    * sizes and a shuffle join on cell when |Q| grows, and cell cardinality
+    * scales with the corpus (nCells ≈ √n), so the shuffle key never
+    * degenerates (PLANS.md hazard #5). Per-query top-k is a rank-filter
+    * window, which plans as Partial+Final WindowGroupLimit — each map
+    * task keeps its own top-k per query BEFORE the shuffle, O(|Q| × k)
+    * shuffled rows, not O(candidates).
+    *
+    * Tie semantics match the single-query form exactly ((cosine DESC,
+    * vec_id), probe cells by (sim DESC, cell)), so batch output ≡ the
+    * union of |Q| [[ivfTopKProbe]] runs — IvfIndexSpec pins that law
+    * against the persisted index via [[IvfIndex.topKBatch]].
+    */
+  def ivfBatchTopK(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame = {
+    val centRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("cell"))
+    val probed = queries.select(col("query_id"), col("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("q_sim", round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6))
+      .withColumn("_rn", row_number().over(centRank))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell"), col("q_emb"))
+    val cand = assigned.join(probed, Seq("cell"))
+    val scored =
+      (if (excludeSelf) cand.filter(col("vec_id") =!= col("query_id")) else cand)
+        .withColumn("cosine",
+          round(VectorFns.cosine(col("embedding"), col("q_emb")), 6))
+    val simRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("_rn", row_number().over(simRank))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   /** Embedding preprocessing for ANN storage: L2-normalize (so dot ==
     * cosine downstream) and symmetric int8 quantization (x/‖x‖ × 127) —
     * 4× smaller vectors with bounded error.

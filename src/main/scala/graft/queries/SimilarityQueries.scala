@@ -20,6 +20,9 @@ object SimilarityQueries extends QueryPack {
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val QUERY_ID = 0L
+  // Retrieval-eval batch for the batched index search (arbitrary but
+  // deterministic internal vec_ids; spread so they probe distinct cells).
+  private val BATCH_IDS = Seq(0L, 11L, 23L)
   private val TOP_K = 10
   private val N_PLANES = 4
   private val DIM = 64
@@ -212,6 +215,21 @@ object SimilarityQueries extends QueryPack {
           Similarity.refinedCentroids(base, N_CELLS))
         .select(col("vec_id"), col("cell"))
         .orderBy("vec_id")
+    }),
+
+    // Batched multi-probe index search: the whole 3-query eval batch in
+    // ONE postings pass (probe cells ranked per query against the
+    // broadcast quantizer, single (cell) equi-join, WindowGroupLimit
+    // per-query top-k) — vs |Q| driver-looped single-query jobs. Same
+    // math as sim_ivf_nprobe_topk per query; IvfIndexSpec pins batch ≡
+    // union-of-singles against the persisted index.
+    "sim_index_batch_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.refinedCentroids(e, N_CELLS)
+      Similarity.ivfBatchTopK(Similarity.assignCellsTo(e, cents), cents,
+        e.filter(col("vec_id").isin(BATCH_IDS: _*))
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        TOP_K, nProbe = 2, excludeSelf = true)
     }),
 
     // k-NN label classification (semi-supervised labeling / label-noise
@@ -820,6 +838,25 @@ object SimilarityQueries extends QueryPack {
          |${assignedCtes(N_CELLS, baseWhere = "vec_id % 10 <> 9",
              assignWhere = "e.vec_id % 10 = 9")}
          |SELECT vec_id, cell FROM assigned ORDER BY vec_id""".stripMargin,
+
+    "sim_index_batch_topk" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |q AS (SELECT vec_id AS query_id, de AS qe FROM embs
+         |  WHERE vec_id IN (${BATCH_IDS.mkString(", ")})),
+         |probed AS (
+         |  SELECT q.query_id, c.cell, q.qe
+         |  FROM cents c CROSS JOIN q
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY round(${cosSql("c.c_emb", "q.qe")}, 6) DESC, c.cell) <= 2)
+         |SELECT query_id, vec_id, cell, cosine FROM (
+         |  SELECT p.query_id, a.vec_id, a.cell,
+         |    round(${cosSql("a.de", "p.qe")}, 6) AS cosine
+         |  FROM assigned a JOIN probed p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id
+         |  QUALIFY row_number() OVER (PARTITION BY p.query_id
+         |    ORDER BY round(${cosSql("a.de", "p.qe")}, 6) DESC, a.vec_id) <= $TOP_K)
+         |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH $embsCte

@@ -76,6 +76,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("topKBatch ≡ union of single-query searches, one postings scan") {
+    val dir = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, dir)
+    val ids = Seq(0L, 11L, 23L)
+    val queries = embs.filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val batch = IvfIndex.topKBatch(spark, dir, queries, k = 10, nProbe = 2,
+      excludeSelf = true)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    // ids ascending matches the batch's (query_id, cosine DESC, vec_id) order
+    val singles = ids.flatMap { id =>
+      IvfIndex.topK(spark, dir, id, k = 10, nProbe = 2)
+        .collect().map(r => (id, r.getLong(0), r.getDouble(2))).toSeq
+    }
+    assert(got === singles,
+      "batch search must equal the union of per-query searches")
+    // the whole batch reads the postings ONCE (the looped form reads |Q|×).
+    // AQE's executed-plan string appends an "== Initial Plan ==" section
+    // that duplicates every scan line — count the final plan only.
+    val planStr = batch.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val postingsScans = planStr.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("/postings/"))
+    assert(postingsScans === 1,
+      s"expected exactly one postings scan, got $postingsScans")
+  }
+
   test("optimize folds deltas, preserves results, restores cell pruning") {
     val dir = mkDir()
     val base = embs.filter(col("vec_id") % 10 =!= 9)

@@ -73,11 +73,17 @@ object Compact {
     * read; a concurrent append aborts-and-redoes it rather than being
     * silently folded away. No renames of data anywhere — object-store
     * safe.
+    * `minRatio` guards against over-eager rewrites: the compaction only
+    * runs when the live file count exceeds `minRatio ×` the target
+    * width (at 1.0, any reduction at all triggers it — the original
+    * semantics; [[Generations.maintain]] passes its fragmentation
+    * ratio so a wide snapshot plus one small delta is NOT rewritten
+    * wholesale every schedule tick).
     * @return (files before, files after) of the live content
     */
   def compactGenerations(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      maxRetries: Int = 5): (Int, Int) = {
+      maxRetries: Int = 5, minRatio: Double = 1.0): (Int, Int) = {
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(dir: Path) = fs.listStatus(dir)
@@ -93,7 +99,7 @@ object Compact {
       if (before <= 1) return (before, before)
       val totalBytes = dataFiles.map(_.getLen).sum
       val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      if (parts >= before) return (before, before)
+      if (parts * minRatio >= before) return (before, before)
       try {
         val next = Generations.writeAndCommit(spark,
           Generations.readLog(spark, table).get.repartition(parts), table,

@@ -480,6 +480,82 @@ object Generations {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Knobs for [[maintain]] — one value a scheduler configures per
+    * table. `squashAfterCommits`: fold the live log span once it is
+    * longer than this many commits. `targetBytes`: file width for
+    * compaction/optimize rewrites. `clusterBy` non-empty: folds are
+    * Z-clustered on these columns ([[Layout.optimizeZOrder]] — inputs
+    * must satisfy its `bitsPerCol` scaling contract) so file-level
+    * min/max pruning is restored by the same rewrite that bounds the
+    * log. `keep`/`orphanGraceMs`: [[gc]] retention.
+    */
+  final case class MaintenancePolicy(
+      squashAfterCommits: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil,
+      bitsPerCol: Int = 16,
+      keep: Int = 2,
+      orphanGraceMs: Long = OrphanGraceMs,
+      fragmentationRatio: Double = 2.0)
+
+  final case class MaintenanceReport(folded: Boolean, compacted: Boolean,
+      commitsBefore: Int, commitsAfter: Int,
+      gcCommitFiles: Int, gcGenDirs: Int)
+
+  /** The single scheduled maintenance entry per table. [[squash]],
+    * [[graft.sinks.Compact.compactGenerations]],
+    * [[graft.sinks.Layout.optimizeZOrder]] and [[gc]] exist as separate
+    * knobs; `maintain` is the policy-driven composition operations
+    * actually runs — one call per table per schedule tick:
+    *
+    *  - live log span longer than `policy.squashAfterCommits` → fold
+    *    it: Z-clustered at target width when `clusterBy` is configured
+    *    (the OPTIMIZE ZORDER form), otherwise squash-at-width via
+    *    compaction — and when compaction declines because files are
+    *    already at width, an explicit [[squash]] still bounds the
+    *    commit listing (wide files do not excuse unbounded metadata);
+    *  - span within bounds → width-compact only if the live content
+    *    has fragmented past `targetBytes` granularity;
+    *  - always finish with [[gc]] under the policy's retention.
+    *
+    * Safe beside live writers: every constituent op is an optimistic
+    * expectedBase commit, so a concurrent append aborts-and-redoes the
+    * fold instead of being folded away, and replay idempotence is
+    * carried through every fold (snapshot commits carry the witness).
+    * MaintenanceSpec drives a mixed append/merge workload to a bounded
+    * commit count via `maintain` alone.
+    */
+  def maintain(spark: SparkSession, table: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val before = commits(spark, table).size
+    val span = logCommits(spark, table).size
+    var folded = false
+    var compacted = false
+    if (span > policy.squashAfterCommits) {
+      if (policy.clusterBy.nonEmpty) {
+        folded = Layout.optimizeZOrder(spark, table, policy.clusterBy,
+          policy.targetBytes, policy.bitsPerCol).isDefined
+      } else {
+        val (b, a) = Compact.compactGenerations(spark, table,
+          policy.targetBytes)
+        compacted = a < b
+        folded = compacted || squash(spark, table).isDefined
+      }
+    } else {
+      // span within bounds: width-compact ONLY on real fragmentation
+      // (file count > fragmentationRatio × target width) — a wide
+      // snapshot plus one small delta must not trigger a full rewrite
+      // every schedule tick
+      val (b, a) = Compact.compactGenerations(spark, table,
+        policy.targetBytes, minRatio = policy.fragmentationRatio)
+      compacted = a < b
+    }
+    val (cf, gd) = gc(spark, table, keep = policy.keep,
+      orphanGraceMs = policy.orphanGraceMs)
+    MaintenanceReport(folded, compacted, before,
+      commits(spark, table).size, cf, gd)
+  }
+
   /** Default [[gc]] orphan grace: an UNREFERENCED generation dir whose
     * in-flight marker (or, lacking one, whose own mtime) is younger
     * than this is left alone — it may be a live concurrent writer's

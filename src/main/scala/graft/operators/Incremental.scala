@@ -41,4 +41,53 @@ object Incremental {
   def finalize(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
       round(col("sum_v") / col("cnt_v"), 6).as("avg_v"))
+
+  /** CDC-driven maintenance: apply a change feed to an aggregate view by
+    * RETRACTION — the Flink "retract aggregate" / Materialize delta-join
+    * shape, and the piece [[aggState]]/[[merge]] (append-only) cannot
+    * express: deletes and updates subtract their old contribution.
+    *
+    * `changes` is a 4-type feed ([[Merge.diff]] with
+    * `includePreimages = true` — REQUIRED: a postimage without its
+    * preimage would double-count the old row); `sumCols` maps each
+    * stored sum column in `mv` to the payload column it sums; `countCol`
+    * is the stored per-group row count. insert/update_postimage
+    * contribute +1, delete/update_preimage −1; groups whose maintained
+    * count reaches 0 leave the view (they no longer exist downstream).
+    * A key-moving update retracts from the old group and adds to the
+    * new one through its two images — group keys need no special case.
+    *
+    * Only sum/count (and read-time derivations like avg) maintain under
+    * retraction; min/max are not retractable monoids — a deployment
+    * re-aggregates just the DIRTY groups for those (bounded by changed
+    * keys), or keeps them approximate. Use EXACT addition types (decimal
+    * / integer) for retracted sums: float retraction drifts, and the
+    * maintained ≡ recomputed law (oracle-gated as
+    * `mv_cdc_incremental_revenue`) only holds exactly.
+    *
+    * Scale shape: one groupBy over the DELTA (map-side partial, shuffled
+    * on the view key) + one key full-outer join against the view —
+    * history is never re-scanned, cost is O(changes) + O(|view|), the
+    * whole point of a maintained view.
+    */
+  def maintainAgg(mv: DataFrame, changes: DataFrame, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      changeCol: String = "_change_type"): DataFrame = {
+    require(mvKeys.nonEmpty, "need at least one view key")
+    val sign = when(col(changeCol).isin("insert", "update_postimage"), 1)
+      .when(col(changeCol).isin("delete", "update_preimage"), -1)
+    val deltaAggs = sumCols.toSeq.map { case (out, src) =>
+        sum(col("_sign") * col(src)).as(s"_d_$out")
+      } :+ sum(col("_sign")).cast("long").as("_d_n")
+    val delta = changes.withColumn("_sign", sign)
+      .groupBy(mvKeys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val outCols = mvKeys.map(col) ++ sumCols.keys.toSeq.sorted.map { out =>
+      (coalesce(col(out), lit(0)) + coalesce(col(s"_d_$out"), lit(0))).as(out)
+    } :+ (coalesce(col(countCol), lit(0L)) +
+      coalesce(col("_d_n"), lit(0L))).as(countCol)
+    mv.join(delta, mvKeys, "full_outer")
+      .select(outCols: _*)
+      .filter(col(countCol) > 0)
+  }
 }

@@ -49,7 +49,8 @@ object Merge {
     * `mergeApply(before, asChangeset(diff(before, after, k)), k) ≡ after`.
     */
   def diff(before: DataFrame, after: DataFrame, keys: Seq[String],
-      changeCol: String = "_change_type"): DataFrame = {
+      changeCol: String = "_change_type",
+      includePreimages: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "need at least one diff key")
     val cols = after.columns.toSeq
     require(before.columns.toSeq == cols,
@@ -64,14 +65,32 @@ object Merge {
     val aPresent = col(s"a.${keys.head}").isNotNull
     val changed = nonKeys.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    b.join(a, cond, "full_outer")
-      .select(
+    val joined = b.join(a, cond, "full_outer")
+    if (!includePreimages)
+      joined.select(
         (when(!bPresent, lit("insert"))
           .when(!aPresent, lit("delete"))
           .when(changed, lit("update_postimage"))).as(changeCol) +:
         cols.map(c =>
           when(aPresent, col(s"a.$c")).otherwise(col(s"b.$c")).as(c)): _*)
-      .filter(col(changeCol).isNotNull)
+        .filter(col(changeCol).isNotNull)
+    else {
+      // Delta CDF's 4-type form: updates emit BOTH images (the preimage
+      // is what a retraction-based consumer — incremental aggregate
+      // maintenance — must subtract). Emitted via one explode over a
+      // per-row change array: an unchanged row's null array explodes to
+      // zero rows, so the shape stays the single full-outer join + a
+      // narrow generate, no second join and no union re-scan.
+      def tagged(label: String, side: String) =
+        struct(lit(label).as(changeCol) +:
+          cols.map(c => col(s"$side.$c").as(c)): _*)
+      val rows =
+        when(!bPresent, array(tagged("insert", "a")))
+          .when(!aPresent, array(tagged("delete", "b")))
+          .when(changed, array(tagged("update_preimage", "b"),
+            tagged("update_postimage", "a")))
+      joined.select(explode(rows).as("_r")).select(col("_r.*"))
+    }
   }
 
   /** A [[diff]] result re-shaped into [[mergeApply]]'s changeset form

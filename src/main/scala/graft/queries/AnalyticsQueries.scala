@@ -254,6 +254,46 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // The 4-type change feed (Delta CDF's full form): updates emit BOTH
+    // images, because a retraction-based consumer must subtract the
+    // preimage. Same single full-outer join as the 3-type feed plus one
+    // narrow explode — the oracle re-derives all four classes from
+    // membership/inequality subqueries.
+    "cdc_orders_preimages" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+          includePreimages = true)
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
+    // Incremental MV maintenance under the oracle gate — the LAW that
+    // makes a maintained view trustworthy: applying the 4-type change
+    // feed to the pre-change aggregate by retraction
+    // (Incremental.maintainAgg) must equal a fresh aggregate of the
+    // post-change snapshot, which is exactly what the oracle computes.
+    // Revenue is DECIMAL on both sides: retraction arithmetic must be
+    // exact or the law only holds approximately (the float-sum limit
+    // quantified at sf1). Cost shape: one groupBy over the DELTA + one
+    // key join against the view — the post-change table is never
+    // re-aggregated.
+    "mv_cdc_incremental_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      def priced(df: DataFrame) = df.withColumn("price",
+        col("o_totalprice").cast("decimal(18,4)"))
+      val mv0 = priced(o).groupBy("o_custkey")
+        .agg(sum(col("price")).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val changes = graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+        includePreimages = true)
+      graft.operators.Incremental.maintainAgg(mv0, priced(changes),
+          Seq("o_custkey"), Map("revenue" -> "price"), "n_orders")
+        .orderBy("o_custkey")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -1411,6 +1451,78 @@ object AnalyticsQueries extends QueryPack {
         |  o_orderdate, o_orderpriority
         |FROM chg WHERE NOT _deleted
         |ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_orders_preimages" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM chg WHERE NOT _deleted),
+        |updk AS (
+        |  SELECT b.o_orderkey FROM orders b JOIN m a
+        |    ON b.o_orderkey = a.o_orderkey
+        |  WHERE NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey
+        |    AND b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus
+        |    AND b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice
+        |    AND b.o_orderdate IS NOT DISTINCT FROM a.o_orderdate
+        |    AND b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority))
+        |SELECT 'insert' AS _change_type, * FROM m
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m)
+        |UNION ALL
+        |SELECT 'update_preimage', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority FROM orders
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM updk)
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority FROM m
+        |  WHERE o_orderkey IN (SELECT o_orderkey FROM updk)
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // the LAW's oracle: a FRESH aggregate of the merged snapshot — any
+    // retraction defect (double-counted postimage, unretracted delete,
+    // lingering empty group) value-fails
+    "mv_cdc_incremental_revenue" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM chg WHERE NOT _deleted)
+        |SELECT o_custkey,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n_orders
+        |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

@@ -91,9 +91,23 @@ object Generations {
     * [[graft.sinks.Compact.compactGenerations]] fold history exactly the
     * way a squash does — treating them otherwise pinned GC retention
     * forever and made [[readLog]] double-count the compacted rows).
+    * ANY `=`-prefixed tag is snapshot-kind: `=squash`, and the
+    * METADATA-snapshot form `=name=value` — a full-replace commit whose
+    * tag records a caller watermark (e.g. a maintained view's applied
+    * source version, [[graft.streaming.ChangeFeed]]'s `=cdcv=<v>`).
+    * The `=` prefix is reserved ([[appendCommitted]] rejects it), so a
+    * log append can never be mistaken for a replace.
     */
   def isSnapshotCommit(c: Commit): Boolean =
-    c.tag == "-" || c.tag == SquashTag
+    c.tag == "-" || c.tag.startsWith("=")
+
+  /** `=name=value` metadata snapshot tags: snapshot-kind AND carried
+    * forward through later squashes (keyed on `=name` in the witness,
+    * like any prefix=value tag), so a caller watermark survives folds
+    * and GC the same way append-replay witnesses do.
+    */
+  private def isMetaTag(t: String): Boolean =
+    t.startsWith("=") && t != SquashTag && t.lastIndexOf('=') > 0
 
   private def commitsDir(table: Path) = new Path(table, "_commits")
   private def dataDir(table: Path) = new Path(table, "data")
@@ -174,11 +188,13 @@ object Generations {
     * travel. One key-shuffled full-outer join; no history replay.
     */
   def changesBetween(spark: SparkSession, table: String, fromVersion: Long,
-      toVersion: Long, keys: Seq[String]): Option[DataFrame] =
+      toVersion: Long, keys: Seq[String],
+      includePreimages: Boolean = false): Option[DataFrame] =
     for {
       b <- readAt(spark, table, fromVersion)
       a <- readAt(spark, table, toVersion)
-    } yield graft.operators.Merge.diff(b, a, keys)
+    } yield graft.operators.Merge.diff(b, a, keys,
+      includePreimages = includePreimages)
 
   /** Split a tag into its witness key (the writer prefix of a
     * `prefix=value` tag; the whole tag otherwise) and, when the value
@@ -273,11 +289,15 @@ object Generations {
     var version = baseVersion + 1
     var attempt = 0
     while (true) {
-      val snapshotKind = tag == "-" || tag == SquashTag
+      val snapshotKind = tag == "-" || tag.startsWith("=")
       val carried =
         if (!snapshotKind) Nil
         else carryTags(
-          prev = headSnapshot(spark, table).map(_.carried).getOrElse(Nil),
+          // the head snapshot's OWN tag joins the witness when it is a
+          // metadata tag (=name=value) — a later squash/compaction must
+          // not drop a caller watermark like ChangeFeed's =cdcv=<v>
+          prev = headSnapshot(spark, table).map(h =>
+            h.carried ++ Some(h.tag).filter(isMetaTag)).getOrElse(Nil),
           live = logCommits(spark, table))
       val line = (Seq(version.toString, gen, rows.toString, tag) ++ carried)
         .mkString(" ") + "\n"
@@ -369,7 +389,8 @@ object Generations {
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {
-    require(tag != SquashTag && tag != "-", s"reserved tag: '$tag'")
+    require(tag != "-" && !tag.startsWith("="),
+      s"reserved (snapshot-kind) tag: '$tag'")
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
     val (myKey, myId) = tagKeyId(tag)
     require(tag.lastIndexOf('=') > 0,

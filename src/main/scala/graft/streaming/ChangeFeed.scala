@@ -1,0 +1,162 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Incremental
+import graft.sinks.Generations
+
+/** Incremental consumption of a [[Generations]] table's change feed —
+  * the Delta "streaming read of a CDF-enabled table" shape, built on
+  * [[Generations.changesBetween]] (one full-outer key join per poll, no
+  * history replay).
+  *
+  * Two consumption tiers:
+  *
+  *  - [[pollOnce]]: generic at-least-once delivery to an arbitrary
+  *    consumer, with a single-object cursor file advanced only AFTER the
+  *    deliver callback returns (deliver-first, the
+  *    [[FeedPoller.pollOnce]] ordering) — a crash or throw inside the
+  *    consumer re-delivers the same version window next poll, never
+  *    drops it. Downstream dedup is the consumer's job (e.g. an
+  *    idempotent tagged append keyed on `toVersion`).
+  *  - [[maintainAggOnce]]: EXACTLY-once maintenance of an aggregate
+  *    view, with no separate cursor at all — the applied source version
+  *    rides in the view table's own commit tag (`=cdcv=<version>`, the metadata-snapshot form), so
+  *    state and offset commit atomically (the store-offsets-with-the-
+  *    data pattern [[TxnSink]] uses for streams). A replayed poll sees
+  *    the tag and no-ops; concurrent maintainers race on the view
+  *    table's `expectedBase` CAS and the loser aborts cleanly.
+  *
+  * Feed reach is [[Generations.gc]]'s `keep` dial, exactly like time
+  * travel: if the applied-from version has been collected,
+  * [[maintainAggOnce]] falls back to a full recompute of the view from
+  * the current snapshot (correct at any time — the view law is
+  * maintained ≡ recomputed), and generic [[pollOnce]] surfaces the gap
+  * to its consumer instead of silently skipping.
+  */
+object ChangeFeed {
+
+  /** A change-feed delivery: the 4-type changeset (insert /
+    * update_preimage / update_postimage / delete) turning the source's
+    * `fromVersion` snapshot into `toVersion`. `changes = None` means
+    * `fromVersion`'s generation was GC'd and the changeset could not be
+    * derived (the consumer must re-sync from a snapshot).
+    */
+  final case class Delivery(fromVersion: Long, toVersion: Long,
+      changes: Option[DataFrame])
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The cursor's last-delivered source version (0 = never delivered). */
+  def cursor(spark: SparkSession, cursorPath: String): Long = {
+    val p = new Path(cursorPath)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeCursor(spark: SparkSession, cursorPath: String,
+      v: Long): Unit = {
+    val p = new Path(cursorPath)
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write((v.toString + "\n").getBytes("UTF-8")) finally out.close()
+    // same-directory single-object rename; last-writer-wins is fine for
+    // a monotone cursor owned by one consumer group
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false)
+      throw new java.io.IOException(s"cursor publish lost a race: $cursorPath") }
+  }
+
+  /** Deliver everything committed past the cursor, then advance it.
+    * At-least-once: the cursor moves only after `deliver` returns, so a
+    * throw (or crash) inside the consumer re-delivers the same window on
+    * the next poll. Returns the delivered (from, to) window, or None if
+    * the source has nothing new. A GC'd from-version arrives as a
+    * `Delivery` with `changes = None` — the consumer decides how to
+    * re-sync (e.g. re-read the full snapshot); the cursor still advances
+    * so the gap is crossed exactly once.
+    */
+  def pollOnce(spark: SparkSession, source: String, keys: Seq[String],
+      cursorPath: String)(deliver: Delivery => Unit): Option[(Long, Long)] = {
+    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    val from = cursor(spark, cursorPath)
+    if (head <= from) return None
+    val changes =
+      if (from == 0L)
+        // first poll: the whole current snapshot is the insert set
+        Generations.read(spark, source).map(df =>
+          df.select(org.apache.spark.sql.functions.lit("insert")
+            .as("_change_type") +: df.columns.toSeq.map(df.col): _*))
+      else Generations.changesBetween(spark, source, from, head, keys,
+        includePreimages = true)
+    deliver(Delivery(from, head, changes))
+    writeCursor(spark, cursorPath, head)
+    Some((from, head))
+  }
+
+  /** The source version a maintained view has applied: from its newest
+    * commit's `=cdcv=<version>` tag, or — after a squash/compaction of
+    * the view table folded that commit away — from the snapshot commit's
+    * CARRIED witness (the same mechanism that keeps append replays
+    * idempotent across GC keeps the applied-version watermark alive).
+    * 0 for an empty view table.
+    */
+  def appliedVersion(spark: SparkSession, mvTable: String): Long =
+    Generations.latest(spark, mvTable).toSeq
+      .flatMap(c => c.tag +: c.carried)
+      .filter(_.startsWith("=cdcv="))
+      .flatMap(t => scala.util.Try(t.stripPrefix("=cdcv=").toLong).toOption)
+      .sorted.lastOption.getOrElse(0L)
+
+  /** Advance an aggregate view to the source's current version —
+    * bootstrap on first call (full aggregate of the current snapshot),
+    * retraction-maintenance ([[Incremental.maintainAgg]]) after, full
+    * recompute when GC has cut the feed under the view. Exactly-once by
+    * construction: the new state and the applied source version publish
+    * in ONE commit (tag `=cdcv=<version>`, `expectedBase` CAS on the view
+    * table), so there is no window where one exists without the other;
+    * a concurrent maintainer's CAS loss throws
+    * [[Generations.CommitConflictException]] — redo by calling again.
+    *
+    * @param aggOf the full-recompute form of the view (used for
+    *   bootstrap and GC-gap recovery); `sumCols`/`countCol` describe its
+    *   stored state for the incremental path, as in
+    *   [[Incremental.maintainAgg]]
+    * @return the view commit made, or None if already current
+    */
+  def maintainAggOnce(spark: SparkSession, source: String,
+      sourceKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String)
+      (aggOf: DataFrame => DataFrame): Option[Generations.Commit] = {
+    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    val current =
+      if (applied == 0L) None else Generations.read(spark, mvTable)
+    val next = (current, if (applied == 0L) None
+      else Generations.changesBetween(spark, source, applied, head,
+        sourceKeys, includePreimages = true)) match {
+      case (Some(mv), Some(changes)) =>
+        Incremental.maintainAgg(mv, changes, mvKeys, sumCols, countCol)
+      case _ =>
+        // bootstrap, or the applied version's generation is GC'd (feed
+        // reach = gc keep): recompute from the snapshot — same result by
+        // the maintained ≡ recomputed law, just not incremental
+        aggOf(Generations.read(spark, source).get)
+    }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+  }
+}

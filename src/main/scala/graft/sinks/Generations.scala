@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
 
 /** Pointer-file ("generation") commit protocol for snapshot-replaced
   * tables — the object-store-safe alternative to rename-swapping a
@@ -82,6 +82,15 @@ object Generations {
     * be redone from the new head.
     */
   final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Thrown when a commit violates the table's declared constraints
+    * ([[setChecks]]) or append-path schema enforcement. The offending
+    * generation is never published — readers cannot observe the bad
+    * rows — and its orphaned data dir is ordinary [[gc]] debris.
+    */
+  final class ConstraintViolationException(msg: String,
+      val violations: Seq[(String, Long)] = Nil)
     extends RuntimeException(msg)
 
   /** A snapshot-KIND commit supersedes everything before it in the log
@@ -248,6 +257,24 @@ object Generations {
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
     val t = new Path(table)
     val fs = fsOf(spark, t)
+    // Append-path schema enforcement (the Delta rule): a DELTA commit
+    // may add columns (additive evolution — older generations surface
+    // them as null) but must not CHANGE the type of a column the live
+    // table already has, or every reader's mergeSchema union breaks. A
+    // snapshot-kind commit rewrites the whole table, so it may reshape
+    // the schema freely (Delta's overwriteSchema).
+    if (!(tag == "-" || tag.startsWith("="))) {
+      readLog(spark, table).foreach { live =>
+        val liveTypes = live.schema.map(f => f.name -> f.dataType).toMap
+        val clashes = df.schema.flatMap { f =>
+          liveTypes.get(f.name).filter(_ != f.dataType)
+            .map(t0 => s"${f.name}: $t0 -> ${f.dataType}")
+        }
+        if (clashes.nonEmpty) throw new ConstraintViolationException(
+          s"append to $table changes column types (rewrite via a " +
+            s"snapshot commit instead): ${clashes.mkString(", ")}")
+      }
+    }
     val baseVersion = latest(spark, table).map(_.version).getOrElse(0L)
     expectedBase.foreach { b =>
       if (baseVersion != b) throw new CommitConflictException(
@@ -275,15 +302,85 @@ object Generations {
     }
   }
 
+  /** Declare CHECK constraints (Delta invariants) for a table: named
+    * boolean SQL expressions every committed row must satisfy (NOT NULL
+    * is `col IS NOT NULL`). Persisted in a `_constraints` file beside
+    * the commit log, so EVERY writer through this protocol enforces
+    * them — violation counting rides the commit's own single data scan
+    * (extra `observe` metrics, no second pass), and a violating
+    * generation is never published: the bad rows are unreadable, the
+    * orphaned dir is gc debris, and the writer gets
+    * [[ConstraintViolationException]] with per-check counts.
+    * Replaces any previous declaration (tmp+rename publish).
+    */
+  def setChecks(spark: SparkSession, table: String,
+      checks: Seq[(String, String)]): Unit = {
+    checks.foreach { case (n, s) =>
+      require(n.nonEmpty && !n.contains("\t") && !n.contains("\n"),
+        s"check name must be tab/newline-free: '$n'")
+      require(!s.contains("\n"), s"check sql must be one line: '$s'") }
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    fs.mkdirs(t)
+    val p = constraintsFile(t)
+    val tmp = new Path(t,
+      s"._constraints.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(checks.map { case (n, s) => s"$n\t$s\n" }.mkString
+      .getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false)
+      throw new java.io.IOException(s"constraints publish lost a race: $table") }
+  }
+
+  /** The table's declared CHECK constraints (empty when none). */
+  def getChecks(spark: SparkSession, table: String): Seq[(String, String)] = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    val p = constraintsFile(t)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.contains("\t")).map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }
+    }
+  }
+
+  private def constraintsFile(table: Path) = new Path(table, "_constraints")
+
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
       t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,
       expectedBase: Option[Long], maxRetries: Int,
       options: Map[String, String], baseVersion: Long): Commit = {
     val table = t.toString
     val obs = Observation("gen_rows_" + java.util.UUID.randomUUID.toString.take(8))
-    df.observe(obs, count(lit(1)).as("rows"))
+    val checks = getChecks(spark, table)
+    // violation counts ride the SAME scan as the row count: a check is
+    // violated when its predicate is not strictly true (null = violated,
+    // the ANSI CHECK-on-write posture Delta takes for invariants)
+    val checkMetrics = checks.zipWithIndex.map { case ((_, sql), i) =>
+      sum(when(coalesce(expr(sql).cast("boolean"), lit(false)), 0L)
+        .otherwise(1L)).as(s"viol_$i")
+    }
+    df.observe(obs, count(lit(1)).as("rows"), checkMetrics: _*)
       .write.options(options).parquet(genDir.toString)
     val rows = obs.get("rows").asInstanceOf[Long]
+    val violations = checks.zipWithIndex.map { case ((name, _), i) =>
+      name -> Option(obs.get(s"viol_$i")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+    }.filter(_._2 > 0)
+    if (violations.nonEmpty) {
+      // never publish: the generation stays invisible; delete it now
+      // (best-effort — a crash here just leaves ordinary gc debris)
+      fs.delete(genDir, true)
+      throw new ConstraintViolationException(
+        s"commit to $table rejected by CHECK constraints: " +
+          violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "),
+        violations)
+    }
     val cd = commitsDir(t)
     fs.mkdirs(cd)
     var version = baseVersion + 1

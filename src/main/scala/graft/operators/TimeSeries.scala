@@ -146,4 +146,78 @@ object TimeSeries {
           col("acs") / (col("sigma") * sqrt(col("n")))), 4)
           .as("peak_stat"))
   }
+
+  /** Classical additive seasonal decomposition per series at an hourly
+    * grain with a daily (period-24) cycle: x = trend + seasonal + resid.
+    *
+    *  - trend: the textbook centered 2×24 moving average for an even
+    *    period — the mean of the two off-by-one 24-bucket window sums,
+    *    defined only where BOTH windows are full (edges → null);
+    *  - seasonal: the mean detrended value per (series, hour-of-day)
+    *    cell, CENTERED by subtracting the series' mean seasonal (so the
+    *    components sum back to x up to the residual, the identification
+    *    constraint);
+    *  - resid: x − trend − seasonal where both exist.
+    *
+    * Windows are ROW-based over the OBSERVED hourly buckets (a missing
+    * hour shifts neighbours in, it does not widen the window) — the
+    * deterministic choice both engines replay identically; a
+    * gap-sensitive deployment densifies the calendar upstream.
+    *
+    * Scale shape: the hourly roll-up is a partial+final hash agg keyed
+    * (series, bucket) — shuffle volume is bucket count, not event count
+    * — and both MA windows share its exchange via one sort on the
+    * series key; the seasonal cells and their centering means are
+    * |series|·24- and |series|-row frames joined back planner-chosen
+    * (AQE broadcasts; no hint, per the broadcast ratchet).
+    */
+  def seasonalDecompose(events: DataFrame,
+      seriesCol: String = "event_type", tsCol: String = "ts",
+      valCol: String = "value"): DataFrame = {
+    // Engine-independence pattern for every mean in the chain, learned
+    // from this operator's first two cuts failing the oracle on single
+    // ulps: (1) SUM in DECIMAL — exact, so summation order cannot
+    // matter; (2) divide as ONE double op — both engines now hold the
+    // IDENTICAL double; (3) snap to 6 decimals with floor(v·1e6+0.5)/1e6
+    // rather than round() — Spark's round() rounds the SHORTEST decimal
+    // representation (BigDecimal.valueOf) while DuckDB rounds the binary
+    // value, and a mean that lands exactly on a 7th-decimal half (which
+    // /48 and /count produce constantly from 6-decimal inputs) flips
+    // between them; the floor form is pure double arithmetic, identical
+    // everywhere.
+    def snap6(c: org.apache.spark.sql.Column) =
+      floor(c * 1e6 + 0.5) / 1e6
+    val hourly = events
+      .groupBy(col(seriesCol), date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(sum(col(valCol).cast("decimal(24,6)")).as("sv"),
+        count(lit(1)).as("nv"))
+      .select(col(seriesCol), col("bucket"),
+        snap6(col("sv").cast("double") / col("nv")).as("x"))
+    val ord = Window.partitionBy(col(seriesCol)).orderBy(col("bucket"))
+    val wA = ord.rowsBetween(-12, 11)
+    val wB = ord.rowsBetween(-11, 12)
+    val full = count(col("x")).over(wA) === 24 &&
+      count(col("x")).over(wB) === 24
+    val xd = col("x").cast("decimal(24,6)")
+    val trended = hourly.withColumn("trend",
+        snap6(when(full,
+          (sum(xd).over(wA) + sum(xd).over(wB)).cast("double") / 48.0)))
+      .withColumn("hod", hour(col("bucket")))
+    // x and trend are 6-decimal values; their difference in decimal is
+    // exact, so the cell sums below are order-independent too
+    val det = (xd - col("trend").cast("decimal(24,6)"))
+    val cells = trended.filter(col("trend").isNotNull)
+      .groupBy(col(seriesCol), col("hod"))
+      .agg(snap6(sum(det).cast("double") / count(det)).as("s_raw"))
+    val centers = cells.groupBy(col(seriesCol))
+      .agg(snap6(sum(col("s_raw").cast("decimal(24,6)")).cast("double") /
+        count(col("s_raw"))).as("s_mean"))
+    val seasonal = cells.join(centers, seriesCol)
+      .select(col(seriesCol), col("hod"),
+        (col("s_raw") - col("s_mean")).as("seasonal"))
+    trended.join(seasonal, Seq(seriesCol, "hod"), "left")
+      .select(col(seriesCol), col("bucket"), col("x"), col("trend"),
+        snap6(col("seasonal")).as("seasonal"),
+        snap6(col("x") - col("trend") - col("seasonal")).as("resid"))
+  }
 }

@@ -98,6 +98,15 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.TimeSeries.cusumChangepoint(t(s, dir, "events"))
         .orderBy("event_type")),
 
+    // Classical additive decomposition at the hourly grain: centered
+    // 2×24-MA trend (null at edges), centered hour-of-day seasonal,
+    // residual — one (series,bucket) roll-up agg, one shared series
+    // window sort, two bounded cell frames joined back planner-chosen
+    // (operators/TimeSeries.seasonalDecompose).
+    "ts_seasonal_decompose" -> ((s, dir) =>
+      graft.operators.TimeSeries.seasonalDecompose(t(s, dir, "events"))
+        .orderBy("event_type", "bucket")),
+
     // Hour-of-day seasonal baseline + per-event seasonal z: |types|·24
     // cell frame joined back planner-chosen, explicit-sums variance
     // (operators/TimeSeries.seasonalZ).
@@ -1296,6 +1305,47 @@ object AnalyticsQueries extends QueryPack {
         |SELECT event_id, event_type, hod, round(z, 6) AS seasonal_z,
         |  (abs(z) > 3.0) AS is_anomaly
         |FROM sc ORDER BY event_id""".stripMargin,
+
+    "ts_seasonal_decompose" ->
+      """WITH hourly AS (
+        |  SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+        |    floor(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+        |      / count(*) * 1e6 + 0.5) / 1e6 AS x
+        |  FROM events GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT event_type, bucket, x,
+        |    floor(CASE WHEN count(x) OVER wa = 24 AND count(x) OVER wb = 24
+        |      THEN CAST(sum(CAST(x AS DECIMAL(24,6))) OVER wa
+        |        + sum(CAST(x AS DECIMAL(24,6))) OVER wb AS DOUBLE) / 48.0
+        |      END * 1e6 + 0.5) / 1e6 AS trend,
+        |    hour(bucket) AS hod
+        |  FROM hourly
+        |  WINDOW wa AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |    wb AS (PARTITION BY event_type ORDER BY bucket
+        |      ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |cells AS (
+        |  SELECT event_type, hod,
+        |    floor(CAST(sum(CAST(x AS DECIMAL(24,6))
+        |      - CAST(trend AS DECIMAL(24,6))) AS DOUBLE) / count(*)
+        |      * 1e6 + 0.5) / 1e6 AS s_raw
+        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT event_type,
+        |    floor(CAST(sum(CAST(s_raw AS DECIMAL(24,6))) AS DOUBLE)
+        |      / count(*) * 1e6 + 0.5) / 1e6 AS s_mean
+        |  FROM cells GROUP BY 1),
+        |seas AS (
+        |  SELECT c.event_type, c.hod, c.s_raw - ce.s_mean AS seasonal
+        |  FROM cells c JOIN cent ce USING (event_type))
+        |SELECT t.event_type AS event_type, t.bucket AS bucket, t.x AS x,
+        |  t.trend AS trend,
+        |  floor(s.seasonal * 1e6 + 0.5) / 1e6 AS seasonal,
+        |  floor((t.x - t.trend - s.seasonal) * 1e6 + 0.5) / 1e6 AS resid
+        |FROM tr t LEFT JOIN seas s
+        |  ON t.event_type = s.event_type AND t.hod = s.hod
+        |ORDER BY t.event_type, t.bucket""".stripMargin,
 
     // quantile_cont replays Spark's exact interpolated percentile
     // bit-for-bit (the agg_percentiles precedent)

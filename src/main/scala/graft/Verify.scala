@@ -17,9 +17,13 @@ object Verify {
       queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        hashes += name -> rowSha256(spark, s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
           .linesIterator.take(3).mkString(" | ")
@@ -38,7 +42,28 @@ object Verify {
     val failJson = failed
       .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failJson)
+    val hashJson = hashes
+      .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/row_sha256.json"), hashJson)
     failed.toSeq
+  }
+
+  /** Builder-side content fingerprint of a dumped result, emitted to
+    * `row_sha256.json` so the driver's hash path can be DIFFED against a
+    * documented one when a hash-only mismatch appears (r12's
+    * `mv_cdc_incremental_revenue`: rows+schema green, hash red, yet
+    * value-exact vs DuckDB at three SFs). Canonical form: read the dump
+    * back (hash exactly what the driver will compare), project columns
+    * in name order, render each row as its Spark JSON document, sort the
+    * row strings, sha256 the newline-joined UTF-8 bytes.
+    */
+  def rowSha256(spark: SparkSession, dumpDir: String): String = {
+    val df = spark.read.parquet(dumpDir)
+    val rows = df.select(df.columns.sorted.map(df.col).toSeq: _*)
+      .toJSON.collect().sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

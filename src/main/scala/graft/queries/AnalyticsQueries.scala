@@ -300,6 +300,12 @@ object AnalyticsQueries extends QueryPack {
         includePreimages = true)
       graft.operators.Incremental.maintainAgg(mv0, priced(changes),
           Seq("o_custkey"), Map("revenue" -> "price"), "n_orders")
+        // pin the output type: Spark derives the sum through
+        // decimal(28,4) + the maintenance add → (38,4) while DuckDB sums
+        // straight to (38,4) — same values, but the derivation chain is
+        // engine-specific, so both sides CAST to one exact type and the
+        // hasher sees identical bytes (r12 driver-hash-only red row)
+        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
         .orderBy("o_custkey")
     }),
 
@@ -1570,7 +1576,8 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT o_orderkey, o_custkey, o_totalprice
         |  FROM chg WHERE NOT _deleted)
         |SELECT o_custkey,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS revenue,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS revenue,
         |  count(*) AS n_orders
         |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 

@@ -39,11 +39,14 @@ import org.apache.spark.sql.functions.col
   *
   * Concurrency: optimistic at the ROOT. Two transactions race the next
   * root version; the rename loser re-reads the new head and (a) if the
-  * winner touched none of the loser's tables, REBASES — merges the maps
-  * and re-publishes, no work redone (the Nessie disjoint-commit merge);
+  * winner touched none of the loser's FOOTPRINT — tables it wrote OR
+  * read via [[Txn.read]]/[[Txn.merge]] — REBASES: merges the maps and
+  * re-publishes, no work redone (the Nessie disjoint-commit merge);
   * (b) on overlap, [[transact]] re-runs the whole body against the new
   * base (bounded retries), so no committed write is ever built on a
-  * stale read. Per-table `expectedBase` CAS is deliberately NOT used
+  * stale read — reads are part of the conflict check precisely so that
+  * read-A-write-B cannot rebase past a concurrent A-writer (write
+  * skew). Per-table `expectedBase` CAS is deliberately NOT used
   * inside transactions — conflict detection lives at the root, the only
   * place cross-table consistency is defined.
   */
@@ -94,21 +97,45 @@ object Catalog {
     RootCommit(head(0).toLong, tables, if (head.length > 1) head(1) else "-")
   }
 
-  /** Every root commit, version-ascending. */
+  /** [[parseRoot]] tolerating a concurrent [[gc]]: a root file listed a
+    * moment ago may be pruned before we open it — that is ordinary
+    * retention progress, not an error, so it reads as None instead of
+    * surfacing FileNotFoundException to a time-traveling reader.
+    */
+  private def parseRootOpt(fs: FileSystem, rd: Path,
+      name: String): Option[RootCommit] =
+    try Some(parseRoot(fs, rd, name))
+    catch { case _: java.io.FileNotFoundException => None }
+
+  /** Every root commit still on disk, version-ascending. Roots pruned by
+    * a gc racing the listing are skipped, not thrown.
+    */
   def roots(spark: SparkSession, root: String): Seq[RootCommit] = {
     val rd = rootDir(new Path(root))
     val fs = fsOf(spark, rd)
-    rootNames(fs, rd).map(parseRoot(fs, rd, _)).toSeq
+    rootNames(fs, rd).flatMap(parseRootOpt(fs, rd, _)).toSeq
   }
 
   /** The newest root commit (one pointer read), or None for a new
-    * catalog.
+    * catalog. The newest root is never gc-eligible (`keepRoots >= 1`),
+    * but a STALE listing can still name one that a concurrent gc pruned
+    * after a newer publish — re-list and retry rather than throw.
     */
   def latestRoot(spark: SparkSession, root: String): Option[RootCommit] = {
     val rd = rootDir(new Path(root))
     val fs = fsOf(spark, rd)
-    val names = rootNames(fs, rd)
-    if (names.isEmpty) None else Some(parseRoot(fs, rd, names.last))
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val names = rootNames(fs, rd)
+      if (names.isEmpty) return None
+      parseRootOpt(fs, rd, names.last) match {
+        case some @ Some(_) => return some
+        case None => // vanished between list and open: list again
+      }
+    }
+    throw new java.io.IOException(
+      s"$root: newest root kept vanishing between list and open")
   }
 
   /** Catalog-consistent read: `name`'s content at the newest root.
@@ -138,13 +165,34 @@ object Catalog {
       val base: Option[RootCommit]) {
     private[Catalog] val staged =
       scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    // every table this txn READ from the base root — part of the
+    // conflict footprint (see transact: read-write conflicts abort too)
+    private[Catalog] val readSet =
+      scala.collection.mutable.LinkedHashSet.empty[String]
 
     /** Staged content if this txn wrote `name`, else the base root's
-      * snapshot — never a concurrent writer's in-flight version.
+      * snapshot — never a concurrent writer's in-flight version. The
+      * read is recorded in the txn's conflict footprint. If the base
+      * root REFERENCES the table but its generation was pruned (a
+      * mis-dialed per-table gc run outside [[Catalog.gc]]'s protection),
+      * this throws rather than return None — None means "table absent",
+      * and conflating the two let a merge treat a populated table as
+      * empty and commit only the changeset (silent data loss).
       */
-    def read(name: String): Option[DataFrame] =
-      staged.get(name).orElse(
-        base.flatMap(readTableAt(spark, root, name, _)))
+    def read(name: String): Option[DataFrame] = {
+      staged.get(name).orElse {
+        readSet += name
+        base.flatMap { rc =>
+          rc.tables.get(name).map { v =>
+            Generations.readAt(spark, tablePath(root, name), v).getOrElse(
+              throw new IllegalStateException(
+                s"$root/$name@v$v is referenced by root v${rc.version} but its " +
+                  "generation is gone (pruned outside Catalog.gc?) — " +
+                  "refusing to treat the table as empty; re-sync required"))
+          }
+        }
+      }
+    }
 
     /** Stage a full-snapshot replace of `name`. */
     def put(name: String, df: DataFrame): Unit = {
@@ -190,7 +238,7 @@ object Catalog {
         name -> Generations
           .writeAndCommit(spark, df, tablePath(root, name)).version
       }.toMap
-      publishRoot(spark, root, base, written, tag) match {
+      publishRoot(spark, root, base, written, txn.readSet.toSet, tag) match {
         case Some(rc) => return rc
         case None => // overlap: orphaned table versions are just
           // catalog-invisible history; redo the body on the new base
@@ -203,13 +251,20 @@ object Catalog {
   }
 
   /** CAS-publish `base.tables ++ written` as the next root. On a rename
-    * collision: rebase over the winner when it touched none of
-    * `written`'s tables (map-merge, no body re-run), give up (None)
-    * when it did.
+    * collision: rebase over the winner when it touched none of the
+    * transaction's FOOTPRINT — `written`'s tables AND `readTables`
+    * (map-merge, no body re-run) — give up (None) when it did. Reads
+    * count because a body that read A and wrote B derived B from A's
+    * base snapshot: letting it rebase past a concurrent A-writer would
+    * publish B built on a stale read (snapshot-isolation write skew) —
+    * the r12 ADVICE finding. With reads in the overlap check the
+    * detected conflicts are serializable-equivalent, matching the doc's
+    * "no committed write is ever built on a stale read".
     */
   private def publishRoot(spark: SparkSession, root: String,
       base: Option[RootCommit], written: Map[String, Long],
-      tag: String, maxRebase: Int = 20): Option[RootCommit] = {
+      readTables: Set[String], tag: String,
+      maxRebase: Int = 20): Option[RootCommit] = {
     val rd = rootDir(new Path(root))
     val fs = fsOf(spark, rd)
     fs.mkdirs(rd)
@@ -230,7 +285,7 @@ object Catalog {
       fs.delete(tmp, false)
       // collision: someone else published this root version first
       val head = latestRoot(spark, root)
-      val disjoint = written.keys.forall { t =>
+      val disjoint = (written.keySet ++ readTables).forall { t =>
         head.flatMap(_.tables.get(t)) == onto.flatMap(_.tables.get(t))
       }
       if (!disjoint) return None
@@ -260,7 +315,7 @@ object Catalog {
     val all = fs.listStatus(rd).map(_.getPath.getName)
     val names = all.filter(_.matches("v\\d{16}")).sortBy(_.drop(1).toLong)
     val stale = all.filter(n => n.startsWith(".") && n.endsWith(".tmp"))
-    val keptRoots = names.takeRight(keepRoots).map(parseRoot(fs, rd, _))
+    val keptRoots = names.takeRight(keepRoots).flatMap(parseRootOpt(fs, rd, _))
     (names.dropRight(keepRoots) ++ stale)
       .foreach(n => fs.delete(new Path(rd, n), false))
     // every table any kept root references, plus on-disk member tables

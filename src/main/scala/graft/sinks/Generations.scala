@@ -311,7 +311,10 @@ object Generations {
     * generation is never published: the bad rows are unreadable, the
     * orphaned dir is gc debris, and the writer gets
     * [[ConstraintViolationException]] with per-check counts.
-    * Replaces any previous declaration (tmp+rename publish).
+    * Replaces any previous declaration ATOMICALLY ([[Pointers]]): a
+    * concurrent writer observes the old set or the new set, never none
+    * — the delete-then-rename window (in which commits slipped through
+    * unchecked, and a crash dropped the constraints for good) is gone.
     */
   def setChecks(spark: SparkSession, table: String,
       checks: Seq[(String, String)]): Unit = {
@@ -321,35 +324,20 @@ object Generations {
       require(!s.contains("\n"), s"check sql must be one line: '$s'") }
     val t = new Path(table)
     val fs = fsOf(spark, t)
-    fs.mkdirs(t)
-    val p = constraintsFile(t)
-    val tmp = new Path(t,
-      s"._constraints.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write(checks.map { case (n, s) => s"$n\t$s\n" }.mkString
-      .getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) { fs.delete(tmp, false)
-      throw new java.io.IOException(s"constraints publish lost a race: $table") }
+    Pointers.replace(fs, t, "_constraints",
+      checks.map { case (n, s) => s"$n\t$s\n" }.mkString)
   }
 
   /** The table's declared CHECK constraints (empty when none). */
   def getChecks(spark: SparkSession, table: String): Seq[(String, String)] = {
     val t = new Path(table)
     val fs = fsOf(spark, t)
-    val p = constraintsFile(t)
-    if (!fs.exists(p)) Nil
-    else {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      lines.filter(_.contains("\t")).map { l =>
+    Pointers.read(fs, t, "_constraints").toSeq
+      .flatMap(_.linesIterator)
+      .filter(_.contains("\t")).map { l =>
         val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
       }
-    }
   }
-
-  private def constraintsFile(table: Path) = new Path(table, "_constraints")
 
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
       t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,

@@ -49,32 +49,26 @@ object ChangeFeed {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The cursor's last-delivered source version (0 = never delivered). */
+  /** The cursor's last-delivered source version (0 = never delivered).
+    * Backed by [[graft.sinks.Pointers]] — an atomic replaceable pointer,
+    * so a crash mid-advance can never LOSE the cursor (the r12 ADVICE
+    * finding: the old delete-then-rename left a window in which the next
+    * poll re-delivered the entire snapshot as a from=0 insert delivery).
+    */
   def cursor(spark: SparkSession, cursorPath: String): Long = {
     val p = new Path(cursorPath)
     val fs = fsOf(spark, p)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    graft.sinks.Pointers.read(fs, p.getParent, p.getName)
+      .map(_.trim.toLong).getOrElse(0L)
   }
 
   private def writeCursor(spark: SparkSession, cursorPath: String,
       v: Long): Unit = {
     val p = new Path(cursorPath)
     val fs = fsOf(spark, p)
-    fs.mkdirs(p.getParent)
-    val tmp = new Path(p.getParent,
-      s".${p.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, false)
-    try out.write((v.toString + "\n").getBytes("UTF-8")) finally out.close()
-    // same-directory single-object rename; last-writer-wins is fine for
-    // a monotone cursor owned by one consumer group
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) { fs.delete(tmp, false)
-      throw new java.io.IOException(s"cursor publish lost a race: $cursorPath") }
+    // last-writer-wins is fine for a monotone cursor owned by one
+    // consumer group; atomicity (never absent, never torn) is Pointers'
+    graft.sinks.Pointers.replace(fs, p.getParent, p.getName, v.toString + "\n")
   }
 
   /** Deliver everything committed past the cursor, then advance it.
@@ -93,8 +87,11 @@ object ChangeFeed {
     if (head <= from) return None
     val changes =
       if (from == 0L)
-        // first poll: the whole current snapshot is the insert set
-        Generations.read(spark, source).map(df =>
+        // first poll: the whole snapshot AT `head` is the insert set —
+        // pinned at the version the cursor will record, never a fresher
+        // read() (a commit landing between latest() and the read would
+        // be delivered here AND re-delivered as changes next poll)
+        Generations.readAt(spark, source, head).map(df =>
           df.select(org.apache.spark.sql.functions.lit("insert")
             .as("_change_type") +: df.columns.toSeq.map(df.col): _*))
       else Generations.changesBetween(spark, source, from, head, keys,
@@ -152,9 +149,14 @@ object ChangeFeed {
         Incremental.maintainAgg(mv, changes, mvKeys, sumCols, countCol)
       case _ =>
         // bootstrap, or the applied version's generation is GC'd (feed
-        // reach = gc keep): recompute from the snapshot — same result by
-        // the maintained ≡ recomputed law, just not incremental
-        aggOf(Generations.read(spark, source).get)
+        // reach = gc keep): recompute from the snapshot AT `head` — the
+        // version the =cdcv= tag records. A plain read() here would bake
+        // in any commit landing between latest() and the read while
+        // tagging only `head`, so the next poll re-applies it as changes
+        // and double-counts (exactly-once would be broken at bootstrap).
+        aggOf(Generations.readAt(spark, source, head).getOrElse(
+          throw new IllegalStateException(
+            s"$source v$head (the latest commit) has no readable generation")))
     }
     Some(Generations.writeAndCommit(spark, next, mvTable,
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))

@@ -155,6 +155,73 @@ class CatalogSpec extends SparkSpec {
     (1 to 3).foreach(i => assert(tableSet(root, s"t$i") === Set(i)))
   }
 
+  test("READ-write conflicts re-run the body too (no write skew)") {
+    val root = mkRoot()
+    Catalog.transact(spark, root) { t =>
+      t.put("a", Seq(1).toDF("v")); t.put("b", Seq(0).toDF("v"))
+    }
+    // txn X reads a and writes b := a*10; a racing txn updates a AFTER X
+    // read it. X's tables are disjoint from the winner's WRITE set, so a
+    // write-only conflict check would let X rebase and publish b derived
+    // from the stale a (snapshot-isolation write skew). With reads in
+    // the footprint, X's body must re-run against the new a.
+    var bodies = 0
+    var injected = false
+    Catalog.transact(spark, root) { txn =>
+      bodies += 1
+      val a = txn.read("a").get.as[Int].collect().head
+      if (!injected) {
+        Catalog.transact(spark, root)(t => t.put("a", Seq(2).toDF("v")))
+        injected = true
+      }
+      txn.put("b", Seq(a * 10).toDF("v"))
+    }
+    assert(bodies === 2, "read-write overlap must re-run the body")
+    assert(tableSet(root, "b") === Set(20),
+      "b must derive from the CURRENT a, not the stale read")
+  }
+
+  test("a root-referenced table whose generation was pruned fails loudly") {
+    val root = mkRoot()
+    Catalog.transact(spark, root)(t => t.put("a", Seq(1, 2, 3).toDF("v")))
+    // mis-dialed maintenance OUTSIDE Catalog.gc: direct commits advance
+    // the table, then a per-table gc without the root's protect set
+    // prunes the version root v1 references
+    val ap = Catalog.tablePath(root, "a")
+    Generations.writeAndCommit(spark, Seq(4).toDF("v"), ap)
+    Generations.writeAndCommit(spark, Seq(5).toDF("v"), ap)
+    Generations.gc(spark, ap, keep = 1, orphanGraceMs = 0L)
+    // a merge through the txn must NOT treat the populated table as
+    // empty and commit only the changeset (silent loss of rows 1-3) —
+    // it throws, forcing an operator-visible re-sync
+    val e = intercept[IllegalStateException] {
+      Catalog.transact(spark, root) { txn =>
+        txn.merge("a", Seq((9, false)).toDF("v", "_deleted"), Seq("v"))
+      }
+    }
+    assert(e.getMessage.contains("pruned outside Catalog.gc"))
+    // absent-from-root stays a plain None — only referenced-but-missing throws
+    Catalog.transact(spark, root) { txn =>
+      assert(txn.read("nonexistent").isEmpty)
+      txn.put("c", Seq(7).toDF("v"))
+    }
+    assert(tableSet(root, "c") === Set(7))
+  }
+
+  test("roots listing tolerates a concurrent gc pruning between list and open") {
+    val root = mkRoot()
+    (1 to 4).foreach(i =>
+      Catalog.transact(spark, root)(t => t.put("a", Seq(i).toDF("v"))))
+    // simulate the race: delete an older root AFTER it would be listed —
+    // here simply delete it out from under roots(); the listing-based
+    // readers must skip it, not throw FileNotFoundException
+    val rd = new org.apache.hadoop.fs.Path(root, "_root")
+    val fs = rd.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(rd, f"v${2L}%016d"), false)
+    assert(Catalog.roots(spark, root).map(_.version) === Seq(1L, 3L, 4L))
+    assert(Catalog.latestRoot(spark, root).get.version === 4L)
+  }
+
   test("gc keeps every kept root resolvable while pruning older history") {
     val root = mkRoot()
     val rcs = (1 to 5).map { i =>

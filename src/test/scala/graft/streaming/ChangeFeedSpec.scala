@@ -166,6 +166,30 @@ class ChangeFeedSpec extends SparkSpec {
     assert(types === Seq(("update_postimage", 1L), ("update_preimage", 1L)))
   }
 
+  test("first delivery is pinned at the version the cursor records") {
+    val t = mkDir("t")
+    val cur = mkDir("cursor") + "/c"
+    Generations.writeAndCommit(spark, src((1, 10, 5)), t)
+    // a commit lands WHILE the first delivery is being consumed — it must
+    // not leak into the from=0 insert set (that set is pinned at the head
+    // the cursor will record), and the next poll must deliver exactly it
+    var firstKeys = Set.empty[Long]
+    val w = ChangeFeed.pollOnce(spark, t, Seq("k"), cur) { d =>
+      Generations.writeAndCommit(spark, src((1, 10, 5), (2, 20, 9)), t)
+      firstKeys = d.changes.get.select(col("k")).as[Long].collect().toSet
+    }
+    assert(w === Some((0L, 1L)))
+    assert(firstKeys === Set(1L),
+      "first delivery must be the snapshot AT the recorded head, not fresher")
+    var second = Seq.empty[(String, Long)]
+    ChangeFeed.pollOnce(spark, t, Seq("k"), cur) { d =>
+      second = d.changes.get.select(col("_change_type"), col("k"))
+        .as[(String, Long)].collect().toSeq.sorted
+    }
+    assert(second === Seq(("insert", 2L)),
+      "the concurrent commit arrives exactly once, as the next window")
+  }
+
   test("pollOnce surfaces a GC gap instead of silently skipping") {
     val t = mkDir("t")
     val cur = mkDir("cursor") + "/c"

@@ -86,6 +86,31 @@ object LakehouseDemo {
     println(s"compaction: $b files -> $a; commits now: " +
       Generations.commits(spark, table).map(c => s"v${c.version}[${c.tag}]")
         .mkString(", "))
+
+    // 4. Catalog-consistent maintained view: each source delta and its
+    //    incrementally-maintained aggregate advance in ONE root commit —
+    //    a catalog reader can never observe the source ahead of the view.
+    val root = s"$work/catalog"
+    val aggOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.groupBy("grp").agg(
+        sum(col("v")).as("sum_v"), count(lit(1)).as("n"),
+        max(col("v")).as("max_v"))
+    def step(rows: (Long, Long, Long, Boolean)*): Unit =
+      graft.streaming.ChangeFeed.transactMaintainAgg(spark, root,
+        "facts", Seq("k"),
+        rows.toDF("k", "grp", "v", "_deleted")
+          .withColumn("v", col("v").cast("decimal(18,4)")),
+        "facts_agg", Seq("grp"), Map("sum_v" -> "v"), "n",
+        maxCols = Map("max_v" -> "v"))(aggOf)
+    step((1, 10, 9, false), (2, 10, 5, false), (3, 20, 1, false))
+    step((1, 10, 9, true), (4, 20, 7, false)) // retracts grp 10's max
+    println("== catalog-consistent maintained view (max re-aggregated " +
+      "from the dirty group only) ==")
+    graft.sinks.Catalog.readTable(spark, root, "facts_agg").get
+      .orderBy("grp").show()
+    println("roots: " + graft.sinks.Catalog.roots(spark, root)
+      .map(rc => s"v${rc.version}{${rc.tables.keys.toSeq.sorted.mkString(",")}}")
+      .mkString(", "))
     spark.stop()
   }
 }

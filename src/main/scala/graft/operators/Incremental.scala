@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized-view maintenance via algebraic partial
@@ -58,9 +58,9 @@ object Incremental {
     * new one through its two images — group keys need no special case.
     *
     * Only sum/count (and read-time derivations like avg) maintain under
-    * retraction; min/max are not retractable monoids — a deployment
+    * retraction; min/max are not retractable monoids — [[maintainAggMinMax]]
     * re-aggregates just the DIRTY groups for those (bounded by changed
-    * keys), or keeps them approximate. Use EXACT addition types (decimal
+    * keys). Use EXACT addition types (decimal
     * / integer) for retracted sums: float retraction drifts, and the
     * maintained ≡ recomputed law (oracle-gated as
     * `mv_cdc_incremental_revenue`) only holds exactly.
@@ -87,6 +87,74 @@ object Incremental {
     } :+ (coalesce(col(countCol), lit(0L)) +
       coalesce(col("_d_n"), lit(0L))).as(countCol)
     mv.join(delta, mvKeys, "full_outer")
+      .select(outCols: _*)
+      .filter(col(countCol) > 0)
+  }
+
+  /** [[maintainAgg]] extended to MIN/MAX columns — the non-retractable
+    * monoids the plain retraction path cannot maintain (subtracting a
+    * deleted row tells you nothing about the new extreme).
+    *
+    * Strategy, per group touched by the change feed:
+    *  - INSERT-only groups (no retraction): the extremes move
+    *    monotonically, so they merge for free — `least(old_min,
+    *    min(inserted))` / `greatest(old_max, max(inserted))`, computed in
+    *    the same delta groupBy the sums already pay for. An append-mostly
+    *    workload re-aggregates NOTHING.
+    *  - DIRTY groups (at least one delete/update_preimage): the current
+    *    extreme may have been retracted, so exactly these keys are
+    *    re-aggregated from `postSource` (the post-change snapshot) via
+    *    one semi-join — cost bounded by the changed groups' rows, never
+    *    the table (the fallback the [[maintainAgg]] scaladoc prescribed).
+    *  - Untouched groups keep their stored extremes unread.
+    *
+    * `minCols`/`maxCols` map stored extreme columns in `mv` to the
+    * payload column they range over, like `sumCols`. Plan shape: the
+    * delta groupBy + full-outer view join of [[maintainAgg]], plus one
+    * `left_semi` + groupBy over the dirty keys and one left join of its
+    * (dirty-group-sized) result — all shuffled on the SAME view key, so
+    * the exchanges line up and history is still never re-scanned except
+    * for the dirty groups' own rows.
+    */
+  def maintainAggMinMax(mv: DataFrame, changes: DataFrame,
+      postSource: DataFrame, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String], maxCols: Map[String, String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(mvKeys.nonEmpty, "need at least one view key")
+    val sign = when(col(changeCol).isin("insert", "update_postimage"), 1)
+      .when(col(changeCol).isin("delete", "update_preimage"), -1)
+    val deltaAggs = (sumCols.toSeq.map { case (out, src) =>
+        sum(col("_sign") * col(src)).as(s"_d_$out")
+      } :+ sum(col("_sign")).cast("long").as("_d_n") :+
+      max(when(col("_sign") === -1, 1).otherwise(0)).as("_retr")) ++
+      minCols.toSeq.map { case (out, src) =>
+        min(when(col("_sign") === 1, col(src))).as(s"_i_$out") } ++
+      maxCols.toSeq.map { case (out, src) =>
+        max(when(col("_sign") === 1, col(src))).as(s"_i_$out") }
+    val delta = changes.withColumn("_sign", sign)
+      .groupBy(mvKeys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    // exactly the groups whose extreme might have been retracted
+    val dirtyKeys = delta.filter(col("_retr") === 1).select(mvKeys.map(col): _*)
+    val freshAggs = minCols.toSeq.map { case (out, src) =>
+        min(col(src)).as(s"_f_$out") } ++
+      maxCols.toSeq.map { case (out, src) =>
+        max(col(src)).as(s"_f_$out") }
+    val fresh = postSource.join(dirtyKeys, mvKeys, "left_semi")
+      .groupBy(mvKeys.map(col): _*)
+      .agg(freshAggs.head, freshAggs.tail: _*)
+    val mergeExtreme = (out: String, fn: (Column, Column) => Column) =>
+      when(col("_retr") === 1, col(s"_f_$out"))
+        .otherwise(fn(col(out), col(s"_i_$out"))).as(out)
+    val outCols = mvKeys.map(col) ++ sumCols.keys.toSeq.sorted.map { out =>
+      (coalesce(col(out), lit(0)) + coalesce(col(s"_d_$out"), lit(0))).as(out)
+    } ++ Seq((coalesce(col(countCol), lit(0L)) +
+      coalesce(col("_d_n"), lit(0L))).as(countCol)) ++
+      minCols.keys.toSeq.sorted.map(mergeExtreme(_, least(_, _))) ++
+      maxCols.keys.toSeq.sorted.map(mergeExtreme(_, greatest(_, _)))
+    mv.join(delta, mvKeys, "full_outer")
+      .join(fresh, mvKeys, "left")
       .select(outCols: _*)
       .filter(col(countCol) > 0)
   }

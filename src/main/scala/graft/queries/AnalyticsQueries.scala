@@ -309,6 +309,34 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("o_custkey")
     }),
 
+    // Non-retractable monoids under CDC maintenance: min/max cannot be
+    // maintained by retraction (deleting a row says nothing about the
+    // new extreme), so Incremental.maintainAggMinMax re-aggregates
+    // exactly the DIRTY groups (those touched by a delete/preimage)
+    // from the post-change snapshot — insert-only groups merge their
+    // extremes monotonically for free. The oracle is a fresh aggregate
+    // of the merged snapshot: any stale extreme (a retracted max still
+    // standing) value-fails.
+    "mv_cdc_minmax" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      def priced(df: DataFrame) = df.withColumn("price",
+        col("o_totalprice").cast("decimal(18,4)"))
+      val mv0 = priced(o).groupBy("o_custkey")
+        .agg(sum(col("price")).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"))
+      val changes = graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+        includePreimages = true)
+      graft.operators.Incremental.maintainAggMinMax(mv0, priced(changes),
+          priced(after), Seq("o_custkey"), Map("revenue" -> "price"),
+          "n_orders", Map("min_price" -> "price"), Map("max_price" -> "price"))
+        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        .orderBy("o_custkey")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -1579,6 +1607,35 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
         |    AS revenue,
         |  count(*) AS n_orders
+        |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // min/max law oracle: fresh extremes of the merged snapshot — a
+    // retracted extreme left standing by the maintenance value-fails
+    "mv_cdc_minmax" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+        |    o_orderdate, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM chg WHERE NOT _deleted)
+        |SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS revenue,
+        |  count(*) AS n_orders,
+        |  min(CAST(o_totalprice AS DECIMAL(18,4))) AS min_price,
+        |  max(CAST(o_totalprice AS DECIMAL(18,4))) AS max_price
         |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "scd2_order_status" ->

@@ -129,11 +129,16 @@ object ChangeFeed {
     *   bootstrap and GC-gap recovery); `sumCols`/`countCol` describe its
     *   stored state for the incremental path, as in
     *   [[Incremental.maintainAgg]]
+    * @param minCols/maxCols stored MIN/MAX state columns (may be empty):
+    *   maintained via [[Incremental.maintainAggMinMax]]'s dirty-group
+    *   re-aggregation against the source snapshot at the applied head
     * @return the view commit made, or None if already current
     */
   def maintainAggOnce(spark: SparkSession, source: String,
       sourceKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
-      sumCols: Map[String, String], countCol: String)
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
       (aggOf: DataFrame => DataFrame): Option[Generations.Commit] = {
     val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
     if (head == 0L) return None
@@ -145,8 +150,14 @@ object ChangeFeed {
     val next = (current, if (applied == 0L) None
       else Generations.changesBetween(spark, source, applied, head,
         sourceKeys, includePreimages = true)) match {
-      case (Some(mv), Some(changes)) =>
+      case (Some(mv), Some(changes)) if minCols.isEmpty && maxCols.isEmpty =>
         Incremental.maintainAgg(mv, changes, mvKeys, sumCols, countCol)
+      case (Some(mv), Some(changes)) =>
+        Incremental.maintainAggMinMax(mv, changes,
+          postSource = Generations.readAt(spark, source, head).getOrElse(
+            throw new IllegalStateException(
+              s"$source v$head (the latest commit) has no readable generation")),
+          mvKeys, sumCols, countCol, minCols, maxCols)
       case _ =>
         // bootstrap, or the applied version's generation is GC'd (feed
         // reach = gc keep): recompute from the snapshot AT `head` — the
@@ -161,4 +172,51 @@ object ChangeFeed {
     Some(Generations.writeAndCommit(spark, next, mvTable,
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
   }
+
+  /** Source delta and maintained view in ONE atomic catalog commit —
+    * the composition of [[maintainAggOnce]]'s incremental maintenance
+    * with [[graft.sinks.Catalog.transact]]'s cross-table atomicity.
+    *
+    * [[maintainAggOnce]] alone is exactly-once, but its per-table CAS
+    * leaves a READ-consistency gap: between the source commit and the
+    * view commit, a reader can observe the source ahead of its view.
+    * Here both tables advance in one root publish, so a CATALOG reader
+    * can never see the source's new version without the view that
+    * reflects it — and a crash anywhere leaves both at the old root.
+    * No `=cdcv=` watermark is needed: consistency is BY the root (the
+    * base root's source snapshot is the maintenance's from-state).
+    *
+    * The view is maintained incrementally (retraction for sums/counts,
+    * dirty-group re-aggregation for min/max when `minCols`/`maxCols`
+    * are given) from the 4-type diff of the staged merge — O(changes) +
+    * O(|view|), the source history never re-aggregated except at
+    * bootstrap, where `aggOf` computes the first full aggregate. On a
+    * root conflict the whole body re-runs against the new base
+    * (transact's contract), so a concurrent source writer can never
+    * interleave between the merge and the maintenance.
+    */
+  def transactMaintainAgg(spark: SparkSession, root: String,
+      source: String, sourceKeys: Seq[String], changeset: DataFrame,
+      mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty,
+      deleteCol: String = "_deleted")
+      (aggOf: DataFrame => DataFrame): graft.sinks.Catalog.RootCommit =
+    graft.sinks.Catalog.transact(spark, root) { txn =>
+      val before = txn.read(source)
+      txn.merge(source, changeset, sourceKeys, deleteCol)
+      val after = txn.read(source).get
+      val next = (before, txn.read(mvTable)) match {
+        case (Some(b), Some(view)) =>
+          val changes = graft.operators.Merge.diff(b, after, sourceKeys,
+            includePreimages = true)
+          if (minCols.isEmpty && maxCols.isEmpty)
+            Incremental.maintainAgg(view, changes, mvKeys, sumCols, countCol)
+          else Incremental.maintainAggMinMax(view, changes, after, mvKeys,
+            sumCols, countCol, minCols, maxCols)
+        case _ => aggOf(after) // first delta or first view: bootstrap
+      }
+      txn.put(mvTable, next)
+    }
 }

@@ -166,6 +166,62 @@ class ChangeFeedSpec extends SparkSpec {
     assert(types === Seq(("update_postimage", 1L), ("update_preimage", 1L)))
   }
 
+  test("min/max maintain via dirty-group re-aggregation (non-retractable monoids)") {
+    val t = mkDir("t"); val mv = mkDir("mv")
+    val aggMM: DataFrame => DataFrame =
+      df => df.groupBy("grp").agg(sum(col("v")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+    def maintainMM() = ChangeFeed.maintainAggOnce(spark, t, Seq("k"), mv,
+      Seq("grp"), Map("sum_v" -> "v"), "n",
+      minCols = Map("min_v" -> "v"), maxCols = Map("max_v" -> "v"))(aggMM)
+    def state(): Map[Long, (BigDecimal, Long, BigDecimal, BigDecimal)] =
+      Generations.read(spark, mv).get
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+          col("min_v").cast("decimal(18,4)"), col("max_v").cast("decimal(18,4)"))
+        .as[(Long, BigDecimal, Long, BigDecimal, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    def expected(): Map[Long, (BigDecimal, Long, BigDecimal, BigDecimal)] =
+      aggMM(Generations.read(spark, t).get)
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+          col("min_v").cast("decimal(18,4)"), col("max_v").cast("decimal(18,4)"))
+        .as[(Long, BigDecimal, Long, BigDecimal, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // bootstrap: k=1 holds grp 10's max (9), k=3 holds grp 20's min (1)
+    Generations.writeAndCommit(spark,
+      src((1, 10, 9), (2, 10, 5), (3, 20, 1), (4, 20, 4)), t)
+    assert(maintainMM().nonEmpty)
+    assert(state() === expected())
+
+    // DELETE the rows holding the extremes: retraction must not leave
+    // the stale max/min standing — dirty groups re-aggregate
+    Generations.writeAndCommit(spark, src((2, 10, 5), (4, 20, 4)), t)
+    assert(maintainMM().nonEmpty)
+    assert(state() === expected())
+    assert(state()(10L)._4 === BigDecimal("5.0000"), "retracted max gone")
+    assert(state()(20L)._3 === BigDecimal("4.0000"), "retracted min gone")
+
+    // insert-only tick: extremes extend monotonically (no re-agg path)
+    Generations.writeAndCommit(spark,
+      src((2, 10, 5), (4, 20, 4), (5, 10, 11), (6, 30, 2)), t)
+    assert(maintainMM().nonEmpty)
+    assert(state() === expected())
+    assert(state()(10L)._4 === BigDecimal("11.0000"))
+    assert(state()(30L) === ((BigDecimal("2.0000"), 1L,
+      BigDecimal("2.0000"), BigDecimal("2.0000"))), "new group appears")
+
+    // a key MOVES groups (delete+insert through its two images) and a
+    // group empties entirely
+    Generations.writeAndCommit(spark,
+      src((2, 30, 5), (4, 20, 4), (5, 10, 11), (6, 30, 2)), t)
+    assert(maintainMM().nonEmpty)
+    assert(state() === expected())
+    assert(!state().contains(50L) && state()(30L)._2 === 2L)
+    // already current: no-op
+    assert(maintainMM().isEmpty)
+  }
+
   test("first delivery is pinned at the version the cursor records") {
     val t = mkDir("t")
     val cur = mkDir("cursor") + "/c"
@@ -188,6 +244,59 @@ class ChangeFeedSpec extends SparkSpec {
     }
     assert(second === Seq(("insert", 2L)),
       "the concurrent commit arrives exactly once, as the next window")
+  }
+
+  test("transactMaintainAgg: source and view advance in ONE root commit") {
+    import graft.sinks.Catalog
+    val root = mkDir("cat")
+    def chg(rows: (Long, Long, Long, Boolean)*): DataFrame =
+      rows.toDF("k", "grp", "v", "_deleted")
+        .withColumn("v", col("v").cast("decimal(18,4)"))
+    def step(c: DataFrame) = ChangeFeed.transactMaintainAgg(spark, root,
+      "orders", Seq("k"), c, "rev_mv", Seq("grp"),
+      Map("sum_v" -> "v"), "n")(aggOf)
+
+    step(chg((1, 10, 5, false), (2, 10, 7, false), (3, 20, 1, false)))
+    step(chg((2, 10, 8, false), (4, 20, 2, false)))  // update + insert
+    step(chg((3, 20, 1, true)))                       // delete
+    // the LAW at EVERY kept root: view ≡ fresh aggregate of the source
+    // AT THAT ROOT — no root ever shows the source ahead of its view
+    val roots = Catalog.roots(spark, root)
+    assert(roots.size === 3)
+    roots.foreach { rc =>
+      val srcAt = Catalog.readTableAt(spark, root, "orders", rc).get
+      val viewAt = Catalog.readTableAt(spark, root, "rev_mv", rc).get
+      val want = aggOf(srcAt).select(col("grp"),
+          col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect().toSet
+      val got = viewAt.select(col("grp"),
+          col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect().toSet
+      assert(got === want, s"root v${rc.version} view out of sync")
+    }
+    // crash window: per-table generation commits land (durable) but the
+    // process dies before the root publish — catalog readers still see
+    // the old CONSISTENT pair, never a fresher source with a stale view
+    Generations.writeAndCommit(spark,
+      src((9, 10, 100)), Catalog.tablePath(root, "orders"))
+    val srcSeen = Catalog.readTable(spark, root, "orders").get
+      .select(col("k")).as[Long].collect().toSet
+    assert(!srcSeen.contains(9L), "half-committed source catalog-invisible")
+    // min/max variant holds the law too
+    val aggMM: DataFrame => DataFrame =
+      df => df.groupBy("grp").agg(sum(col("v")).as("sum_v"),
+        count(lit(1)).as("n"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+    val root2 = mkDir("cat2")
+    def stepMM(c: DataFrame) = ChangeFeed.transactMaintainAgg(spark, root2,
+      "orders", Seq("k"), c, "mm_mv", Seq("grp"), Map("sum_v" -> "v"), "n",
+      minCols = Map("min_v" -> "v"), maxCols = Map("max_v" -> "v"))(aggMM)
+    stepMM(chg((1, 10, 9, false), (2, 10, 5, false)))
+    stepMM(chg((1, 10, 9, true)))  // delete the max holder
+    val mm = Catalog.readTable(spark, root2, "mm_mv").get
+      .select(col("grp"), col("max_v").cast("decimal(18,4)"))
+      .as[(Long, BigDecimal)].collect().toMap
+    assert(mm(10L) === BigDecimal("5.0000"), "retracted max re-aggregated")
   }
 
   test("pollOnce surfaces a GC gap instead of silently skipping") {

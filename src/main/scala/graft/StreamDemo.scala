@@ -51,6 +51,26 @@ object StreamDemo {
     println(s"sessions emitted: ${s.count()}")
     s.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
       .orderBy(desc("n_sessions")).show(5)
+    // Changelog tailer: a Generations table's change feed drained into a
+    // downstream sink table, the sink's own tag as the cursor (one
+    // commit = state + offset, exactly-once). Kill the loop anywhere
+    // and rerun: no loss, no double-apply — ChangeFeedSpec proves it.
+    val work = java.nio.file.Files.createTempDirectory("graft-tail")
+    val srcT = s"$work/facts"; val sinkT = s"$work/facts_changes"
+    import spark.implicits._
+    import graft.sinks.Generations
+    import graft.streaming.ChangeFeed
+    Generations.writeAndCommit(spark,
+      Seq((1L, 5L), (2L, 7L)).toDF("k", "v"), srcT)
+    ChangeFeed.tailOnce(spark, srcT, Seq("k"), sinkT)
+    Generations.writeAndCommit(spark,
+      Seq((1L, 6L), (3L, 1L)).toDF("k", "v"), srcT) // update + delete + insert
+    ChangeFeed.tailOnce(spark, srcT, Seq("k"), sinkT)
+    println("== changelog sink after two tailer ticks ==")
+    Generations.readLog(spark, sinkT).get
+      .orderBy("k", "_change_type").show(truncate = false)
+    println("consumed through source v" +
+      Generations.lastAppendId(spark, sinkT, "cdc").get)
     spark.stop()
   }
 }

@@ -53,17 +53,29 @@ object Verify {
     * documented one when a hash-only mismatch appears (r12's
     * `mv_cdc_incremental_revenue`: rows+schema green, hash red, yet
     * value-exact vs DuckDB at three SFs). Canonical form: read the dump
-    * back (hash exactly what the driver will compare), project columns
-    * in name order, render each row as its Spark JSON document, sort the
-    * row strings, sha256 the newline-joined UTF-8 bytes.
+    * back (fingerprint exactly what the driver will compare), project
+    * columns in name order, render each row as its Spark JSON document,
+    * sha256 each row, and combine the digests as an unsigned sum mod
+    * 2^256 — a MULTISET fingerprint: order-independent (so no global
+    * sort), duplicate-sensitive (sum, not xor), and computed
+    * distributed with no driver collect, so it holds at any dump size
+    * (the first cut collected+concatenated and broke the >2 GB dumps at
+    * sf10).
     */
   def rowSha256(spark: SparkSession, dumpDir: String): String = {
     val df = spark.read.parquet(dumpDir)
-    val rows = df.select(df.columns.sorted.map(df.col).toSeq: _*)
-      .toJSON.collect().sorted
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(rows.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    val mod = BigInt(1) << 256
+    val sum = df.select(df.columns.sorted.map(df.col).toSeq: _*)
+      .toJSON.rdd.mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var acc = BigInt(0)
+        it.foreach { s =>
+          md.reset()
+          acc = (acc + BigInt(1, md.digest(s.getBytes("UTF-8")))) % mod
+        }
+        Iterator.single(acc)
+      }.fold(BigInt(0))((a, b) => (a + b) % mod)
+    f"$sum%064x"
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -504,6 +504,28 @@ object Generations {
     else Some(writeAndCommit(spark, df, table, tag))
   }
 
+  /** The newest committed numeric id for a writer prefix: the max
+    * `prefix=<id>` over the live log span's tags plus the head
+    * snapshot's carried witness — i.e. "how far has this serial writer
+    * gotten", surviving squash and GC exactly like append idempotence
+    * does. None if the writer never committed. Cost: the live span's
+    * commit files (the same walk [[logCommits]] pays), never full
+    * history. This is the offset-read half of the
+    * store-offsets-with-the-data pattern: a consumer that appends under
+    * `prefix=<sourceVersion>` tags re-derives its cursor from the sink
+    * itself, so state and offset can never disagree.
+    */
+  def lastAppendId(spark: SparkSession, table: String,
+      prefix: String): Option[Long] = {
+    val ids = logCommits(spark, table).flatMap { c =>
+      (c.tag +: c.carried).flatMap { t =>
+        val (k, id) = tagKeyId(t)
+        if (k == prefix) id else None
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
   /** The log table's content: union of every commit since the last
     * snapshot-kind commit. None = never committed. Read with
     * `mergeSchema`, so ADDITIVE schema evolution works the lakehouse
@@ -545,6 +567,45 @@ object Generations {
       }
       try return writeAndCommit(spark, next, table, tag,
         expectedBase = Some(base))
+      catch {
+        case _: CommitConflictException if attempt < maxRetries - 1 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The SANCTIONED live-column type change: the append-path schema gate
+    * rejects a delta that retypes a column (readers' mergeSchema union
+    * would break), and the documented escape hatch is a full snapshot
+    * rewrite — this is that hatch as an API. Reads the current content
+    * ([[readLog]] — the folded union for a log table), casts `colName`
+    * to `castTo`, and commits the result as the next snapshot under the
+    * same optimistic expectedBase loop as [[mergeAndCommit]], so a
+    * concurrent append (possibly still in the OLD type) is never folded
+    * away half-cast — the rewrite redoes itself on the new head.
+    * Readers are snapshot-isolated throughout; replay witnesses carry
+    * (snapshot commits always do); subsequent appends must use the new
+    * type, which the gate now enforces in the other direction.
+    *
+    * Cost: one full rewrite of the live content — the honest price of a
+    * type change on an immutable-file table (Delta's `overwriteSchema`;
+    * at 100 TB you schedule it like a compaction, not an append).
+    * Throws if the cast is not possible for the column's current type
+    * (Spark's cast resolution), or the column doesn't exist.
+    */
+  def rewriteColumn(spark: SparkSession, table: String, colName: String,
+      castTo: String, maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      val base = latest(spark, table).map(_.version).getOrElse(
+        throw new IllegalArgumentException(s"$table: never committed"))
+      val cur = readLog(spark, table).get
+      require(cur.columns.contains(colName),
+        s"$table has no column '$colName' (has: ${cur.columns.mkString(", ")})")
+      val next = cur.withColumn(colName,
+        org.apache.spark.sql.functions.col(colName).cast(castTo))
+      try return writeAndCommit(spark, next, table, expectedBase = Some(base))
       catch {
         case _: CommitConflictException if attempt < maxRetries - 1 =>
           attempt += 1

@@ -173,6 +173,61 @@ object ChangeFeed {
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
   }
 
+  /** One tick of the turnkey changelog tailer — the [[FeedPoller]]
+    * treatment for a [[Generations]] change feed: everything committed
+    * to `source` past this consumer's watermark lands in `sinkTable` as
+    * ONE idempotent tagged append (`consumerId=<sourceVersion>`), and
+    * that tag IS the cursor: [[graft.sinks.Generations.lastAppendId]]
+    * re-derives the consumed-through version from the sink itself, so
+    * there is no separate cursor object whose advance could race the
+    * delivery. Exactly-once BY CONSTRUCTION, not by replay dedup alone:
+    * a crash before the append re-delivers (the watermark never moved);
+    * a crash after it is a visible no-op (the append witness). The
+    * deliver-then-advance pair a cursor file needs ([[pollOnce]]) isn't
+    * merely ordered here — it is one atomic commit, which also closes
+    * the widened-window hazard: if the source advances between a crash
+    * and the retry, the retry's window STARTS at the sink's witness, so
+    * the already-appended changes are never re-derived into an
+    * overlapping batch.
+    *
+    * Sink rows are the 4-type changeset plus a `_resync` flag: normally
+    * false; when GC has cut the feed under the watermark the tick
+    * appends the full snapshot at the source head as `insert` rows with
+    * `_resync = true` — a re-baseline the downstream applier must treat
+    * as a fresh base image, the standard changelog-stream answer to a
+    * retention gap.
+    *
+    * Schedule it like any harvester tick (cron / AvailableNow loop).
+    * Each tick: one pointer read on each side + the changes join.
+    * Returns the (from, to] window applied, or None when current.
+    */
+  def tailOnce(spark: SparkSession, source: String, keys: Seq[String],
+      sinkTable: String, consumerId: String = "cdc"): Option[(Long, Long)] = {
+    require(!consumerId.contains("=") && !consumerId.contains(" ") &&
+      consumerId.nonEmpty, s"consumerId must be a bare prefix: '$consumerId'")
+    import org.apache.spark.sql.functions.lit
+    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    val from = Generations.lastAppendId(spark, sinkTable, consumerId)
+      .getOrElse(0L)
+    if (head <= from) return None
+    val batch = (if (from == 0L) None
+      else Generations.changesBetween(spark, source, from, head, keys,
+        includePreimages = true).map(_.withColumn("_resync", lit(false)))
+    ).getOrElse {
+      // first delivery, or the watermark's generation was GC'd: the
+      // snapshot AT head is the (re-)base image
+      val snap = Generations.readAt(spark, source, head).getOrElse(
+        throw new IllegalStateException(
+          s"$source v$head (the latest commit) has no readable generation"))
+      snap.select(lit("insert").as("_change_type") +:
+          snap.columns.toSeq.map(snap.col): _*)
+        .withColumn("_resync", lit(from != 0L))
+    }
+    Generations.appendCommitted(spark, batch, sinkTable,
+      s"$consumerId=$head")
+    Some((from, head))
+  }
+
   /** Source delta and maintained view in ONE atomic catalog commit —
     * the composition of [[maintainAggOnce]]'s incremental maintenance
     * with [[graft.sinks.Catalog.transact]]'s cross-table atomicity.

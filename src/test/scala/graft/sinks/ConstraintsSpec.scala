@@ -101,4 +101,38 @@ class ConstraintsSpec extends SparkSpec {
     assert(Generations.read(spark, t).get.schema("k").dataType ===
       org.apache.spark.sql.types.IntegerType)
   }
+
+  test("rewriteColumn is the sanctioned type change: rejected append, rewrite, accepted") {
+    val t = mkTable()
+    Generations.appendCommitted(spark,
+      Seq((1L, "0.5"), (2L, "1.5")).toDF("k", "score"), t, "batch=1")
+    // the gate rejects the retyping delta...
+    intercept[Generations.ConstraintViolationException] {
+      Generations.appendCommitted(spark,
+        Seq((3L, 2.5)).toDF("k", "score"), t, "batch=2")
+    }
+    // ...rewriteColumn commits the cast snapshot (witness carried)...
+    val c = Generations.rewriteColumn(spark, t, "score", "double")
+    assert(Generations.read(spark, t).get.schema("score").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(c.carried.exists(_.startsWith("batch=")),
+      "replay witness must ride the rewrite snapshot")
+    // ...and the same append now lands; values survived the cast exactly
+    assert(Generations.appendCommitted(spark,
+      Seq((3L, 2.5)).toDF("k", "score"), t, "batch=2").nonEmpty)
+    assert(Generations.readLog(spark, t).get
+      .select("score").as[Double].collect().toSet === Set(0.5, 1.5, 2.5))
+    // a replay of the PRE-rewrite batch is still a no-op
+    assert(Generations.appendCommitted(spark,
+      Seq((1L, 0.5)).toDF("k", "score"), t, "batch=1").isEmpty)
+    // the gate now guards the NEW type: the old string shape is rejected
+    intercept[Generations.ConstraintViolationException] {
+      Generations.appendCommitted(spark,
+        Seq((4L, "3.5")).toDF("k", "score"), t, "batch=3")
+    }
+    // unknown column fails fast
+    intercept[IllegalArgumentException] {
+      Generations.rewriteColumn(spark, t, "nope", "int")
+    }
+  }
 }

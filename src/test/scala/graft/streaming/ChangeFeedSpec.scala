@@ -246,6 +246,61 @@ class ChangeFeedSpec extends SparkSpec {
       "the concurrent commit arrives exactly once, as the next window")
   }
 
+  test("tailOnce: the sink's tag IS the cursor — exactly-once across crash, restart, widened window") {
+    val t = mkDir("t"); val sink = mkDir("sink")
+    def tail() = ChangeFeed.tailOnce(spark, t, Seq("k"), sink)
+    def sinkRows(): Seq[(String, Long, Boolean)] =
+      Generations.readLog(spark, sink).get
+        .select(col("_change_type"), col("k"), col("_resync"))
+        .as[(String, Long, Boolean)].collect().toSeq.sorted
+
+    Generations.writeAndCommit(spark, src((1, 10, 5), (2, 20, 7)), t)
+    assert(tail() === Some((0L, 1L)))
+    assert(tail().isEmpty, "current: no duplicate delivery")
+    assert(sinkRows() === Seq(("insert", 1L, false), ("insert", 2L, false)))
+
+    // consumer CRASHES mid-batch: the append itself fails (here: a
+    // constraint rejects it) — no sink commit, so the watermark stays
+    Generations.writeAndCommit(spark, src((1, 10, 6), (2, 20, 7)), t)
+    Generations.setChecks(spark, sink, Seq(("never", "false")))
+    intercept[Generations.ConstraintViolationException] { tail() }
+    assert(Generations.lastAppendId(spark, sink, "cdc") === Some(1L),
+      "failed delivery must not advance the watermark")
+    // ...and the source advances BEFORE the restart (widened window):
+    // the retry must start at the sink's witness, not re-derive overlap
+    Generations.writeAndCommit(spark,
+      src((1, 10, 6), (2, 20, 7), (3, 30, 1)), t)
+    Generations.setChecks(spark, sink, Nil)
+    assert(tail() === Some((1L, 3L)))
+    assert(sinkRows() === Seq(("insert", 1L, false), ("insert", 2L, false),
+      ("insert", 3L, false), ("update_postimage", 1L, false),
+      ("update_preimage", 1L, false)),
+      "one net batch for the widened window, no double-applied changes")
+
+    // a replayed whole delivery (same tag) is a durable no-op
+    assert(Generations.appendCommitted(spark,
+      Seq(("insert", 99L, 0L, BigDecimal(0), false))
+        .toDF("_change_type", "k", "grp", "v", "_resync"),
+      sink, "cdc=3").isEmpty)
+
+    // the witness survives a squash of the SINK: still current after
+    Generations.squash(spark, sink)
+    assert(tail().isEmpty)
+
+    // GC cuts the feed under the watermark: the tick re-baselines with
+    // the full snapshot at head, flagged _resync = true
+    Generations.writeAndCommit(spark,
+      src((1, 10, 6), (3, 30, 2)), t)
+    Generations.writeAndCommit(spark,
+      src((1, 10, 6), (3, 30, 3)), t)
+    Generations.gc(spark, t, keep = 1, orphanGraceMs = 0L)
+    assert(tail() === Some((3L, 5L)))
+    val resync = sinkRows().filter(_._3)
+    assert(resync === Seq(("insert", 1L, true), ("insert", 3L, true)),
+      "retention gap re-baselines as a flagged full snapshot")
+    assert(tail().isEmpty)
+  }
+
   test("transactMaintainAgg: source and view advance in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

@@ -93,7 +93,14 @@ object Anomaly {
     dev.join(mad, Seq(keyCol))
       .select(col(idCol), col(keyCol),
         col("med"), col("mad"),
-        round(rz, 6).as("robust_z"),
+        // floor-snap, not round(·,6): Spark's round ties on the SHORTEST
+        // DECIMAL repr of the double (BigDecimal HALF_UP) while other
+        // engines round the binary value, so a score landing exactly on
+        // a 6th-decimal tie (measured at sf10: -0.2529375) flips the
+        // last digit between engines. floor(x·1e6 + 0.5)/1e6 is pure
+        // IEEE arithmetic every engine replays bit-for-bit — the same
+        // engine-agnostic rule seasonalDecompose pinned in r12.
+        (floor(rz * lit(1e6) + lit(0.5)) / lit(1e6)).as("robust_z"),
         (abs(rz) > thresh).as("is_outlier"))
   }
 

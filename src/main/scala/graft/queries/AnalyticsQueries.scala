@@ -1212,7 +1212,8 @@ object AnalyticsQueries extends QueryPack {
         |      0.6745 * (d.value - d.med) / m.mad
         |    END AS rz
         |  FROM dev d JOIN mad m USING (user_id))
-        |SELECT event_id, user_id, med, mad, round(rz, 6) AS robust_z,
+        |SELECT event_id, user_id, med, mad,
+        |  floor(rz * 1e6 + 0.5) / 1e6 AS robust_z,
         |  (abs(rz) > 3.5) AS is_outlier
         |FROM sc ORDER BY event_id""".stripMargin,
 

@@ -295,6 +295,56 @@ object Catalog {
     None
   }
 
+  /** Catalog-wide scheduled maintenance — [[Generations.maintain]] for
+    * every member table under kept-root PROTECTION, then a best-effort
+    * root re-point, then catalog retention ([[gc]]): the one call an
+    * operations schedule drives per catalog tick.
+    *
+    * Per table: the protect set is every version a kept root references,
+    * so folds/compactions/GC can never break catalog time travel within
+    * `keepRoots` commits. Maintenance commits (squash, compaction,
+    * Z-order) are content-preserving, so after they land the newest root
+    * is RE-POINTED at them in one CAS publish (tag `maintain`) — catalog
+    * readers get the compacted layout immediately instead of after the
+    * table's next transaction. The re-point only covers tables whose
+    * root-referenced version WAS the newest commit before maintenance
+    * (a root pointing below the head means catalog-invisible in-flight
+    * versions exist above it — re-pointing would expose them), and it
+    * yields to any concurrent transaction: on a publish conflict over
+    * the same table the transaction's version wins and the re-point is
+    * simply skipped (maintenance is an optimization; the next tick
+    * folds again).
+    */
+  def maintain(spark: SparkSession, root: String, keepRoots: Int = 2,
+      policy: Generations.MaintenancePolicy = Generations.MaintenancePolicy(),
+      perTable: Map[String, Generations.MaintenancePolicy] = Map.empty)
+      : Map[String, Generations.MaintenanceReport] = {
+    require(keepRoots >= 1, "must keep the live root")
+    val rd = rootDir(new Path(root))
+    val fs = fsOf(spark, rd)
+    val head = latestRoot(spark, root).getOrElse(
+      return Map.empty) // empty catalog: nothing to maintain
+    val names = rootNames(fs, rd)
+    val kept = names.takeRight(keepRoots).flatMap(parseRootOpt(fs, rd, _))
+    val reports = head.tables.map { case (name, rootV) =>
+      val tp = tablePath(root, name)
+      val latestBefore = Generations.latest(spark, tp).map(_.version)
+      val protect = kept.flatMap(_.tables.get(name)).toSet
+      val report = Generations.maintain(spark, tp,
+        perTable.getOrElse(name, policy), protect)
+      val latestAfter = Generations.latest(spark, tp).map(_.version)
+      val repoint = latestBefore.contains(rootV) && // root WAS the head
+        latestAfter.exists(_ > rootV) // and maintenance advanced it
+      (name, report, if (repoint) latestAfter else None)
+    }
+    val updates = reports.collect { case (n, _, Some(v)) => n -> v }.toMap
+    if (updates.nonEmpty)
+      publishRoot(spark, root, Some(head), updates, Set.empty, "maintain")
+    gc(spark, root, keepRoots = keepRoots, keepPerTable = policy.keep,
+      orphanGraceMs = policy.orphanGraceMs)
+    reports.map { case (n, r, _) => n -> r }.toMap
+  }
+
   /** Catalog retention: keep the newest `keepRoots` root pointers,
     * delete older ones and stale temps, then run per-table
     * [[Generations.gc]] PROTECTING every table version a kept root

@@ -693,7 +693,8 @@ object Generations {
     * commit count via `maintain` alone.
     */
   def maintain(spark: SparkSession, table: String,
-      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+      policy: MaintenancePolicy = MaintenancePolicy(),
+      protect: Set[Long] = Set.empty): MaintenanceReport = {
     val before = commits(spark, table).size
     val span = logCommits(spark, table).size
     var folded = false
@@ -718,7 +719,7 @@ object Generations {
       compacted = a < b
     }
     val (cf, gd) = gc(spark, table, keep = policy.keep,
-      orphanGraceMs = policy.orphanGraceMs)
+      orphanGraceMs = policy.orphanGraceMs, protect = protect)
     MaintenanceReport(folded, compacted, before,
       commits(spark, table).size, cf, gd)
   }

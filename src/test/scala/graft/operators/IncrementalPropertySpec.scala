@@ -1,0 +1,120 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Seeded-random property tests for incremental MV maintenance: across
+  * arbitrary chains of random changesets (inserts, updates —
+  * key-moving included — and deletes, with exact-tie values to stress
+  * the extremes), the maintained view must equal a fresh aggregate of
+  * the post-change snapshot at EVERY step. This is the maintained ≡
+  * recomputed law the oracle gate pins at one changeset shape
+  * (`mv_cdc_incremental_revenue`, `mv_cdc_minmax`), here exercised
+  * over 10 random multi-step histories including group-emptying and
+  * extreme-retracting interleavings the fixed shape cannot cover.
+  */
+class IncrementalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(20260815)
+
+  private def toDf(rows: Seq[(Int, Int, Int)]): DataFrame =
+    rows.toDF("k", "grp", "v")
+      .withColumn("v", col("v").cast("decimal(18,4)"))
+
+  private def aggOf(df: DataFrame): DataFrame =
+    df.groupBy("grp").agg(sum(col("v")).as("sum_v"),
+      count(lit(1)).as("n"), min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+
+  private type State = Map[Int, (BigDecimal, Long, BigDecimal, BigDecimal)]
+
+  private def collect(df: DataFrame): State =
+    df.select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+      col("min_v").cast("decimal(18,4)"), col("max_v").cast("decimal(18,4)"))
+      .as[(Int, BigDecimal, Long, BigDecimal, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("maintainAggMinMax ≡ recompute across random multi-step histories") {
+    for (history <- 1 to 10) {
+      // snapshot model: key -> (grp, v); values from a SMALL set so
+      // duplicated extremes and exact ties are common (the hard case:
+      // deleting one holder of a duplicated max must keep the max)
+      var snap: Map[Int, (Int, Int)] = (1 to 20).map(k =>
+        k -> (rnd.nextInt(4), rnd.nextInt(5) * 10)).toMap
+      var mv = aggOf(toDf(snap.toSeq.map { case (k, (g, v)) => (k, g, v) }))
+      for (step <- 1 to 4) {
+        val next = {
+          var m = snap
+          // deletes (some phantom), updates (value and/or GROUP moves),
+          // inserts — each key at most once per step (diff contract)
+          rnd.shuffle((1 to 30).toList).take(8).foreach { k =>
+            rnd.nextInt(3) match {
+              case 0 => m -= k
+              case 1 if m.contains(k) =>
+                m += k -> (rnd.nextInt(4), rnd.nextInt(5) * 10)
+              case _ =>
+                m += k -> (rnd.nextInt(4), rnd.nextInt(5) * 10)
+            }
+          }
+          m
+        }
+        val before = toDf(snap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val after = toDf(next.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val changes = Merge.diff(before, after, Seq("k"),
+          includePreimages = true)
+        mv = Incremental.maintainAggMinMax(mv, changes, after, Seq("grp"),
+          Map("sum_v" -> "v"), "n",
+          Map("min_v" -> "v"), Map("max_v" -> "v"))
+        // materialize the maintained state so the next step's plan does
+        // not grow (exactly what a committed view table does)
+        val state = collect(mv)
+        assert(state === collect(aggOf(after)),
+          s"history $history step $step: maintained != recomputed")
+        mv = state.toSeq.map { case (g, (s, n, mn, mx)) => (g, s, n, mn, mx) }
+          .toDF("grp", "sum_v", "n", "min_v", "max_v")
+        snap = next
+      }
+    }
+  }
+
+  test("maintainAgg (sum/count) ≡ recompute across random histories") {
+    for (history <- 1 to 6) {
+      var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>
+        k -> (rnd.nextInt(3), rnd.nextInt(100))).toMap
+      def agg(df: DataFrame) = df.groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      var mv = agg(toDf(snap.toSeq.map { case (k, (g, v)) => (k, g, v) }))
+      for (step <- 1 to 3) {
+        val next = {
+          var m = snap
+          rnd.shuffle((1 to 25).toList).take(6).foreach { k =>
+            if (rnd.nextBoolean() && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(3), rnd.nextInt(100))
+          }
+          m
+        }
+        val before = toDf(snap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val after = toDf(next.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        mv = Incremental.maintainAgg(mv,
+          Merge.diff(before, after, Seq("k"), includePreimages = true),
+          Seq("grp"), Map("sum_v" -> "v"), "n")
+        val got = mv.select(col("grp"), col("sum_v").cast("decimal(18,4)"),
+          col("n")).as[(Int, BigDecimal, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val want = agg(after).select(col("grp"),
+          col("sum_v").cast("decimal(18,4)"), col("n"))
+          .as[(Int, BigDecimal, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got === want, s"history $history step $step diverged")
+        mv = got.toSeq.map { case (g, (s, n)) => (g, s, n) }
+          .toDF("grp", "sum_v", "n")
+        snap = next
+      }
+    }
+  }
+}

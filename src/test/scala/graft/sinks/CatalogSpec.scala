@@ -222,6 +222,42 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.latestRoot(spark, root).get.version === 4L)
   }
 
+  test("catalog maintain: folds under root protection, re-points, yields to debris") {
+    val root = mkRoot()
+    // six transactions = six snapshot commits on table a; the last one
+    // lands deliberately fragmented (20 files) so maintain must compact
+    (1 to 6).foreach(i =>
+      Catalog.transact(spark, root)(t =>
+        t.put("a", Seq.fill(200)(i).toDF("v").repartition(20))))
+    val headBefore = Catalog.latestRoot(spark, root).get
+    val reports = Catalog.maintain(spark, root, keepRoots = 2,
+      policy = Generations.MaintenancePolicy(keep = 1, orphanGraceMs = 0L))
+    assert(reports.keySet === Set("a"))
+    // retention: only the kept roots remain, and both still resolve a
+    val roots = Catalog.roots(spark, root)
+    assert(roots.size === 2)
+    roots.foreach(rc =>
+      assert(Catalog.readTableAt(spark, root, "a", rc).isDefined,
+        s"kept root v${rc.version} must stay resolvable after maintain"))
+    assert(tableSet(root, "a") === Set(6), "content unchanged")
+    // the fragmented put compacts; maintain RE-POINTS the root at the
+    // compacted (content-identical) version so catalog readers get the
+    // new layout immediately
+    val headAfter = Catalog.latestRoot(spark, root).get
+    assert(headAfter.version > headBefore.version &&
+      headAfter.tag === "maintain",
+      s"expected a maintain re-point above v${headBefore.version}, " +
+        s"got v${headAfter.version}[${headAfter.tag}]")
+    // catalog-invisible debris above the root (crashed txn): maintain
+    // must NOT re-point onto it
+    Generations.writeAndCommit(spark, Seq(99).toDF("v"),
+      Catalog.tablePath(root, "a"))
+    Catalog.maintain(spark, root, keepRoots = 2,
+      policy = Generations.MaintenancePolicy(keep = 1, orphanGraceMs = 0L))
+    assert(tableSet(root, "a") === Set(6),
+      "in-flight version must stay catalog-invisible through maintain")
+  }
+
   test("gc keeps every kept root resolvable while pruning older history") {
     val root = mkRoot()
     val rcs = (1 to 5).map { i =>

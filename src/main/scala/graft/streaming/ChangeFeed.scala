@@ -173,6 +173,63 @@ object ChangeFeed {
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
   }
 
+  /** [[maintainAggOnce]] for an APPEND-ONLY (log) source — the streaming
+    * ingest shape, where each commit is a delta whose rows simply add
+    * ([[graft.streaming.TxnSink]]'s `batch=<id>` tables). The change
+    * feed needs no diff at all: the changes between the applied version
+    * and head ARE the delta commits in that window, read directly as
+    * `insert` rows (zero joins to derive the feed — cheaper than the
+    * snapshot form, which is why log sources get their own path instead
+    * of a snapshot diff that would be WRONG here: `readAt` on a log
+    * table yields one commit's delta, not the accumulated content).
+    *
+    * Falls back to a full recompute (`aggOf` over [[Generations.readLog]])
+    * whenever the window cannot be proven a pure delta: bootstrap, a
+    * squash/snapshot commit inside the window (its generation folds rows
+    * already applied — unioning it would double-count), or GC-pruned
+    * window commits. Exactly-once identically to [[maintainAggOnce]]:
+    * the applied version rides the view's `=cdcv=<v>` tag + expectedBase
+    * CAS.
+    */
+  def maintainAggOnceLog(spark: SparkSession, source: String,
+      mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
+      (aggOf: DataFrame => DataFrame): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.lit
+    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    val window = Generations.logCommits(spark, source)
+      .filter(c => c.version > applied && c.version <= head)
+    val pureDelta = applied > 0L &&
+      window.forall(!Generations.isSnapshotCommit(_)) &&
+      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val next =
+      if (!pureDelta)
+        aggOf(Generations.readLog(spark, source).getOrElse(return None))
+      else {
+        val delta = spark.read.option("mergeSchema", "true")
+          .parquet(window.map(Generations.genPath(source, _)): _*)
+        val changes = delta.select(lit("insert").as("_change_type") +:
+          delta.columns.toSeq.map(delta.col): _*)
+        val mv = Generations.read(spark, mvTable).getOrElse(
+          return None) // tagged view table vanished: nothing sane to do
+        if (minCols.isEmpty && maxCols.isEmpty)
+          Incremental.maintainAgg(mv, changes, mvKeys, sumCols, countCol)
+        else Incremental.maintainAggMinMax(mv, changes,
+          // insert-only feed ⇒ no dirty groups ⇒ the post-source scan
+          // prunes to nothing at runtime; passed for the general shape
+          Generations.readLog(spark, source).get,
+          mvKeys, sumCols, countCol, minCols, maxCols)
+      }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+  }
+
   /** One tick of the turnkey changelog tailer — the [[FeedPoller]]
     * treatment for a [[Generations]] change feed: everything committed
     * to `source` past this consumer's watermark lands in `sinkTable` as

@@ -30,4 +30,29 @@ object TxnSink {
         s"batch=$batchId")
       ()
     }
+
+  /** [[parquetLog]] + a maintained aggregate view in the same
+    * foreachBatch body: each micro-batch lands exactly-once in the
+    * append-only source, then [[ChangeFeed.maintainAggOnceLog]] advances
+    * the view from exactly the unapplied delta commits (no diff, no
+    * history re-scan). Both halves are independently replay-safe — the
+    * append by its `batch=<id>` witness, the view by its `=cdcv=<v>` tag
+    * — so ANY crash/replay interleaving converges: a replay after both
+    * committed is two no-ops; a crash between them leaves the view one
+    * tick behind, and the next delivery (or a manual
+    * `maintainAggOnceLog` call) catches it up. The view lags the source
+    * by at most one in-flight batch, never diverges.
+    */
+  def parquetLogMaintained(source: String, mvTable: String,
+      mvKeys: Seq[String], sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
+      (aggOf: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      Generations.appendCommitted(df.sparkSession, df, source,
+        s"batch=$batchId")
+      ChangeFeed.maintainAggOnceLog(df.sparkSession, source, mvTable,
+        mvKeys, sumCols, countCol, minCols, maxCols)(aggOf)
+      ()
+    }
 }

@@ -246,6 +246,50 @@ class ChangeFeedSpec extends SparkSpec {
       "the concurrent commit arrives exactly once, as the next window")
   }
 
+  test("parquetLogMaintained: streaming ingest + maintained view converge through replay, crash, squash") {
+    val t = mkDir("log"); val mv = mkDir("logmv")
+    val aggMM: DataFrame => DataFrame =
+      df => df.groupBy("grp").agg(sum(col("v")).as("sum_v"),
+        count(lit(1)).as("n"), max(col("v")).as("max_v"))
+    val sink = TxnSink.parquetLogMaintained(t, mv, Seq("grp"),
+      Map("sum_v" -> "v"), "n", maxCols = Map("max_v" -> "v"))(aggMM)
+    def state(df: DataFrame): Map[Long, (BigDecimal, Long, BigDecimal)] =
+      df.select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+        col("max_v").cast("decimal(18,4)"))
+        .as[(Long, BigDecimal, Long, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def check(where: String): Unit =
+      assert(state(Generations.read(spark, mv).get) ===
+        state(aggMM(Generations.readLog(spark, t).get)), where)
+
+    sink(src((1, 10, 5), (2, 20, 7)), 0L)
+    check("bootstrap batch")
+    sink(src((3, 10, 9)), 1L)
+    check("incremental batch (insert-only delta, no diff)")
+    // foreachBatch replay of the SAME batch: both halves durable no-ops
+    val vMv = Generations.latest(spark, mv).get.version
+    val vT = Generations.latest(spark, t).get.version
+    sink(src((3, 10, 9)), 1L)
+    assert(Generations.latest(spark, t).get.version === vT &&
+      Generations.latest(spark, mv).get.version === vMv,
+      "replayed batch must commit nothing on either table")
+    // crash BETWEEN append and maintenance: source advances, view lags…
+    Generations.appendCommitted(spark, src((4, 20, 1)), t, "batch=2")
+    assert(ChangeFeed.appliedVersion(spark, mv) <
+      Generations.latest(spark, t).get.version)
+    // …and the next delivery catches the view up over BOTH deltas
+    sink(src((5, 30, 2)), 3L)
+    check("catch-up after a crash between append and maintenance")
+    // squash folds the source log: the next tick's window is not a pure
+    // delta, so maintenance recomputes — still exact
+    Generations.squash(spark, t)
+    sink(src((6, 30, 8)), 4L)
+    check("post-squash batch (recompute path)")
+    // manual catch-up call with nothing new: no-op
+    assert(ChangeFeed.maintainAggOnceLog(spark, t, mv, Seq("grp"),
+      Map("sum_v" -> "v"), "n", maxCols = Map("max_v" -> "v"))(aggMM).isEmpty)
+  }
+
   test("tailOnce: the sink's tag IS the cursor — exactly-once across crash, restart, widened window") {
     val t = mkDir("t"); val sink = mkDir("sink")
     def tail() = ChangeFeed.tailOnce(spark, t, Seq("k"), sink)

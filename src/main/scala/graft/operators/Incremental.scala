@@ -141,7 +141,14 @@ object Incremental {
         min(col(src)).as(s"_f_$out") } ++
       maxCols.toSeq.map { case (out, src) =>
         max(col(src)).as(s"_f_$out") }
-    val fresh = postSource.join(dirtyKeys, mvKeys, "left_semi")
+    // INNER join, not left_semi, deliberately: dirtyKeys is unique per
+    // key (it is a groupBy output), so the two are equivalent — but
+    // Catalyst pushes a left_semi below a Union in postSource
+    // (PushdownLeftSemiAntiJoin), re-planning the ENTIRE dirty-keys
+    // subtree (the change-feed derivation) once per union branch; a
+    // MERGE-shaped postSource (anti-join ∪ changeset) tripled it. The
+    // inner form keeps one instance of each subtree.
+    val fresh = dirtyKeys.join(postSource, mvKeys)
       .groupBy(mvKeys.map(col): _*)
       .agg(freshAggs.head, freshAggs.tail: _*)
     val mergeExtreme = (out: String, fn: (Column, Column) => Column) =>

@@ -36,7 +36,9 @@ object ScalingProbe {
     "learn_kfold_cv",         // one-pass CV
     "search_eval_ndcg",       // batched retrieval eval
     "graph_bfs_hops",         // iterative frontier
-    "merge_upsert_orders")    // MERGE anti-join + union
+    "merge_upsert_orders",    // MERGE anti-join + union
+    "cdc_orders_preimages",   // 4-type change feed (full-outer + explode)
+    "mv_cdc_minmax")          // retraction MV + dirty-group min/max re-agg
 
   private val BaseSfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

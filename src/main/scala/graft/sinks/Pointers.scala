@@ -98,6 +98,17 @@ object Pointers {
           fs.delete(new Path(dir, n), false))
         val legacy = new Path(dir, name)
         if (fs.exists(legacy)) fs.delete(legacy, false)
+        // crash debris: temp files from writers that died before their
+        // rename. Age-gated to an hour so a LIVE concurrent replacer's
+        // in-flight temp is never yanked (deleting it would only cost
+        // that writer a retry, but why cause one).
+        val ageCut = System.currentTimeMillis() - 60L * 60 * 1000
+        fs.listStatus(dir).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith(s".$name.") && n.endsWith(".tmp") &&
+              n != tmp.getName && s.getModificationTime < ageCut)
+            fs.delete(s.getPath, false)
+        }
         return
       }
       fs.delete(tmp, false) // lost the version race: bump and retry

@@ -25,6 +25,10 @@ import Multimodal.{Codec, MediaMeta}
   */
 object AviMjpeg {
 
+  // see Multimodal: ImageIO's disk-backed stream cache serializes
+  // concurrent in-memory decodes on temp-file churn — force memory
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Parsed container: dims/timing from the real `avih` header plus the
     * raw per-frame JPEG payloads in stream order. */
   case class Avi(width: Int, height: Int, microSecPerFrame: Long,

@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is disk-backed: every
+  // read/createImageInputStream/createImageOutputStream over an
+  // in-memory image creates (and deletes) a temp FILE in java.io.tmpdir
+  // — per image, per task. Under 32 codec threads that serializes on
+  // the filesystem and made identical codec queries swing 1.2 → 16 s
+  // run-to-run (measured r13; GC was <0.5 s total, so allocation was
+  // not the cause). Every stream this module touches is a byte array,
+  // so the memory cache is strictly better; the flag is JVM-global and
+  // set on first use of the object on each executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(kind: String, format: String, width: Int, height: Int,
       durationMs: Long, sizeBytes: Long)
 

@@ -165,4 +165,62 @@ object Incremental {
       .select(outCols: _*)
       .filter(col(countCol) > 0)
   }
+
+  /** Signed delta join — the change feed of a JOIN view, from the change
+    * feeds of its inputs. For `V = A ⋈ B` (inner equi-join on
+    * `joinKeys`), the multiset algebra gives
+    *
+    * {{{ (A+ΔA) ⋈ (B+ΔB) = A⋈B + ΔA⋈B + A⋈ΔB + ΔA⋈ΔB }}}
+    *
+    * so `ΔV = ΔA⋈B_pre + A_pre⋈ΔB + ΔA⋈ΔB`, with row signs MULTIPLYING
+    * (a retracted A-row joined to a retracted B-row is a net insert —
+    * both retractions of the joined row would double-subtract it). This
+    * is the z-set/DBSP delta-join identity; it is what lets the join
+    * tier of a maintained view advance without re-joining the tables.
+    *
+    * `aChanges`/`bChanges` are 4-type feeds over `aPre`/`bPre`
+    * ([[Merge.diff]] with `includePreimages = true` — updates MUST carry
+    * both images or the old joined rows are never retracted). The result
+    * is a 2-type feed (`insert`/`delete`; updates have already been
+    * decomposed into their images by the input feeds) with the join's
+    * columns — directly consumable by [[maintainAgg]] /
+    * [[maintainAggMinMax]], so an aggregate OVER a join is maintained by
+    * composing the two: `maintainAgg(mv, deltaJoin(…), …)`. Non-key
+    * column names must be disjoint across A and B (the join's own
+    * output contract).
+    *
+    * Scale shape: each base table is scanned ONCE, joined against a
+    * DELTA-sized side — AQE broadcasts the delta, so neither base
+    * shuffles; the `ΔA⋈ΔB` term is delta×delta. Cost is
+    * O(|A| + |B| + |ΔV|) with no large shuffle, vs a full key-shuffled
+    * re-join for recompute. A multiset row with multiplicity > 1 simply
+    * appears that many times with its sign; downstream aggregation sums
+    * signed contributions, so duplicates need no special casing.
+    */
+  def deltaJoin(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val aCols = aPre.columns.toSeq
+    val bCols = bPre.columns.toSeq
+    val overlap = (aCols.toSet & bCols.toSet) -- joinKeys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across the join, shared: $overlap")
+    def signed(changes: DataFrame, sgn: String): DataFrame =
+      changes.withColumn(sgn,
+        when(col(changeCol).isin("insert", "update_postimage"), 1)
+          .when(col(changeCol).isin("delete", "update_preimage"), -1))
+        .drop(changeCol)
+    val sA = signed(aChanges, "_sa")
+    val sB = signed(bChanges, "_sb")
+    val outCols = (aCols ++ bCols.filterNot(joinKeys.contains)).map(col)
+    val t1 = sA.join(bPre, joinKeys).select(outCols :+ col("_sa").as("_s"): _*)
+    val t2 = aPre.join(sB, joinKeys).select(outCols :+ col("_sb").as("_s"): _*)
+    val t3 = sA.join(sB, joinKeys)
+      .select(outCols :+ (col("_sa") * col("_sb")).as("_s"): _*)
+    t1.unionByName(t2).unionByName(t3)
+      .withColumn(changeCol,
+        when(col("_s") === 1, "insert").otherwise("delete"))
+      .drop("_s")
+  }
 }

@@ -45,6 +45,27 @@ object AnalyticsQueries extends QueryPack {
     upd.unionByName(del).unionByName(ins)
   }
 
+  /** Deterministic CDC changeset over the (c_custkey, c_nationkey)
+    * projection of customer, for the join-view maintenance law: every
+    * 13th customer moves nation (a KEY-MOVING update for a view grouped
+    * by nation), every 53rd is deleted (orphaning its orders out of the
+    * inner join), every 29th is cloned under a shifted key (an insert
+    * matching no orders — the zero-match path).
+    */
+  private def customerCdcChangeset(c2: DataFrame): DataFrame = {
+    val upd = c2
+      .filter(col("c_custkey") % 13 === 0 && col("c_custkey") % 53 =!= 0)
+      .withColumn("c_nationkey", (col("c_nationkey") + 7) % 25)
+      .withColumn("_deleted", lit(false))
+    val del = c2.filter(col("c_custkey") % 53 === 0)
+      .withColumn("_deleted", lit(true))
+    val ins = c2.filter(col("c_custkey") % 29 === 0)
+      .withColumn("c_custkey", col("c_custkey") + lit(50000000L))
+      .withColumn("c_nationkey", lit(0).cast("int"))
+      .withColumn("_deleted", lit(false))
+    upd.unionByName(del).unionByName(ins)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Ordered funnel: view → click → purchase with first-touch ordering;
@@ -335,6 +356,51 @@ object AnalyticsQueries extends QueryPack {
           "n_orders", Map("min_price" -> "price"), Map("max_price" -> "price"))
         .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
         .orderBy("o_custkey")
+    }),
+
+    // Multi-table IVM: an aggregate OVER A JOIN maintained from the
+    // change feeds of BOTH inputs — Incremental.deltaJoin turns ΔA/ΔB
+    // into the join view's own feed (ΔV = ΔA⋈B + A⋈ΔB + ΔA⋈ΔB, signs
+    // multiplying), which maintainAgg then applies by retraction. The
+    // law (= the oracle): maintained state ≡ fresh aggregate of the
+    // post-change orders ⋈ post-change customer. Exercises every hard
+    // path at once: a key-moving dimension update (customer changes
+    // nation → revenue retracts from one group and lands in another
+    // through the update's two images), a dimension delete orphaning
+    // fact rows out of the inner join, fact inserts/deletes/updates,
+    // and cancelling update pairs on columns the projection dropped.
+    // Cost shape: each base is scanned once against a broadcast-sized
+    // delta — the post-change tables are never re-joined.
+    "mv_cdc_join_revenue" -> ((s, dir) => {
+      val oFull = t(s, dir, "orders")
+      val oAfterFull = graft.operators.Merge.mergeApply(oFull,
+        ordersCdcChangeset(oFull), Seq("o_orderkey"))
+      def proj(df: DataFrame) = df.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val oChanges = graft.operators.Merge.diff(oFull, oAfterFull,
+        Seq("o_orderkey"), includePreimages = true)
+      val c2 = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2.withColumnRenamed("o_custkey", "c_custkey"))
+          .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("o_custkey"),
+        includePreimages = true)
+      val mv0 = proj(oFull).join(c2, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_orders"))
+      // projecting a signed delta is still a valid delta of the
+      // projection: images differing only in dropped columns become
+      // cancelling ± pairs the downstream aggregation nets to zero
+      val oChangesProj = oChanges.select(col("_change_type"),
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val feed = graft.operators.Incremental.deltaJoin(
+        proj(oFull), oChangesProj, c2, cChanges, Seq("o_custkey"))
+      graft.operators.Incremental.maintainAgg(mv0, feed,
+          Seq("c_nationkey"), Map("revenue" -> "price"), "n_orders")
+        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        .orderBy("c_nationkey")
     }),
 
     // SCD2 dimension history: customer order-status change log collapsed
@@ -1638,6 +1704,49 @@ object AnalyticsQueries extends QueryPack {
         |  min(CAST(o_totalprice AS DECIMAL(18,4))) AS min_price,
         |  max(CAST(o_totalprice AS DECIMAL(18,4))) AS max_price
         |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // join-view law oracle: fresh aggregate over post-change orders ⋈
+    // post-change customer — any delta-join defect (missed retraction
+    // through a key-moving dimension update, orphaned fact rows still
+    // counted after a dimension delete, double-counted ΔA⋈ΔB term)
+    // value-fails
+    "mv_cdc_join_revenue" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
+        |SELECT c_nationkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

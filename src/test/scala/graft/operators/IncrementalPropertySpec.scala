@@ -82,6 +82,77 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("deltaJoin: pre-join ⊎ ΔV ≡ post-join, and composed maintenance " +
+      "≡ recompute, across random two-table histories") {
+    // A(k, g, v) ⋈ B(g, w) on g — dimension-shaped B (unique g) so the
+    // inner-join multiset is easy to model; random churn on BOTH sides
+    // including key-moving updates and deletes that orphan A-rows.
+    def adf(rows: Seq[(Int, Int, Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("g", "w")
+    def joined(a: DataFrame, b: DataFrame): DataFrame = a.join(b, "g")
+    def multiset(df: DataFrame): Map[(Int, Int, BigDecimal, Int), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Int, Int, BigDecimal, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (history <- 1 to 6) {
+      var aSnap: Map[Int, (Int, Int)] = (1 to 20).map(k =>
+        k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)).toMap
+      var bSnap: Map[Int, Int] = (0 to 5).map(g => g -> rnd.nextInt(100)).toMap
+      for (step <- 1 to 3) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 28).toList).take(7).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(8), rnd.nextInt(5) * 10) // g 6,7: no match
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          rnd.shuffle((0 to 7).toList).take(3).foreach { g =>
+            if (rnd.nextInt(3) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(100)
+          }
+          m
+        }
+        val aPre = adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val aPost = adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val bPre = bdf(bSnap.toSeq)
+        val bPost = bdf(bNext.toSeq)
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+          .select(col("_change_type"), col("k"), col("g"), col("v"))
+        val dB = Merge.diff(bPre, bPost, Seq("g"), includePreimages = true)
+        val feed = Incremental.deltaJoin(aPre, dA, bPre, dB, Seq("g"))
+        // law 1: joined(pre) + signed feed = joined(post), as multisets
+        val pre = multiset(joined(aPre, bPre))
+        val post = multiset(joined(aPost, bPost))
+        val delta = feed.select(col("g"), col("k"),
+            col("v").cast("decimal(18,4)"), col("w"), col("_change_type"))
+          .as[(Int, Int, BigDecimal, Int, String)].collect()
+          .groupBy(t => (t._1, t._2, t._3, t._4)).view
+          .mapValues(_.map(t => if (t._5 == "insert") 1L else -1L).sum).toMap
+        val applied = (pre.keySet ++ delta.keySet).map(r =>
+          r -> (pre.getOrElse(r, 0L) + delta.getOrElse(r, 0L)))
+          .filter(_._2 != 0L).toMap
+        assert(applied === post,
+          s"history $history step $step: delta-join law broken")
+        // law 2: maintainAgg over the feed ≡ fresh aggregate of the
+        // post-change join (the composed multi-table IVM path)
+        def agg(df: DataFrame) = df.groupBy("g")
+          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        val maintained = Incremental.maintainAgg(agg(joined(aPre, bPre)),
+          feed, Seq("g"), Map("sum_v" -> "v"), "n")
+        def st(df: DataFrame) = df.select(col("g"),
+            col("sum_v").cast("decimal(18,4)"), col("n"))
+          .as[(Int, BigDecimal, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(st(maintained) === st(agg(joined(aPost, bPost))),
+          s"history $history step $step: composed agg-over-join diverged")
+        aSnap = aNext; bSnap = bNext
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

@@ -38,7 +38,8 @@ object ScalingProbe {
     "graph_bfs_hops",         // iterative frontier
     "merge_upsert_orders",    // MERGE anti-join + union
     "cdc_orders_preimages",   // 4-type change feed (full-outer + explode)
-    "mv_cdc_minmax")          // retraction MV + dirty-group min/max re-agg
+    "mv_cdc_minmax",          // retraction MV + dirty-group min/max re-agg
+    "mv_cdc_join_revenue")    // multi-table IVM: signed delta-join feed
 
   private val BaseSfDirs = Seq(
     "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")

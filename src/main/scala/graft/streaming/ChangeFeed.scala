@@ -285,6 +285,116 @@ object ChangeFeed {
     Some((from, head))
   }
 
+  /** The (sourceA, sourceB) version pair a maintained JOIN view has
+    * applied — the two-source form of [[appliedVersion]], parsed from
+    * the view's `=cdcv2=<vA>-<vB>` commit tag (or its carried witness
+    * after a squash). (0, 0) for an empty or never-maintained view.
+    * Both components advance monotonically together (one maintenance
+    * tick applies both heads), so the pairwise max is well-defined.
+    */
+  def appliedVersions2(spark: SparkSession, mvTable: String): (Long, Long) =
+    Generations.latest(spark, mvTable).toSeq
+      .flatMap(c => c.tag +: c.carried)
+      .filter(_.startsWith("=cdcv2="))
+      .flatMap(t => t.stripPrefix("=cdcv2=").split("-", 2) match {
+        case Array(a, b) =>
+          scala.util.Try((a.toLong, b.toLong)).toOption
+        case _ => None
+      })
+      .sorted.lastOption.getOrElse((0L, 0L))
+
+  // an empty 4-type feed over `pre`'s schema, for the source whose
+  // applied version is already at head when only the OTHER input moved
+  private def emptyFeed(pre: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    pre.limit(0).select(lit("insert").as("_change_type") +:
+      pre.columns.toSeq.map(pre.col): _*)
+  }
+
+  /** Advance an aggregate-over-JOIN view `V = agg(A ⋈ B)` to both
+    * sources' current versions — the multi-table IVM tier, composing
+    * [[Incremental.deltaJoin]] (the signed delta-join identity turns
+    * ΔA/ΔB into the join's own change feed) with
+    * [[Incremental.maintainAgg]]'s retraction maintenance. Exactly-once
+    * identically to [[maintainAggOnce]], except the watermark is the
+    * version PAIR: `=cdcv2=<vA>-<vB>` rides the view's own commit (one
+    * atomic state+offset publish, `expectedBase` CAS against concurrent
+    * maintainers, carried through squash/GC by the witness).
+    *
+    * Incremental path per tick: each source's change feed is derived at
+    * its own pace (a tick where only A moved joins an EMPTY B-delta —
+    * two of the three delta-join terms prune to nothing at runtime),
+    * each PRE snapshot is read once via time travel at the applied
+    * version, and the view advances by one delta groupBy + one key
+    * join — the post-change tables are never re-joined. Falls back to a
+    * full `aggOf(A, B)` recompute at the heads on bootstrap or when GC
+    * cut either feed under the watermark (the law makes recompute
+    * always correct).
+    *
+    * Non-key column names must be disjoint across A and B
+    * ([[Incremental.deltaJoin]]'s contract). With `minCols`/`maxCols`,
+    * dirty groups re-aggregate against the post-change JOIN
+    * (`A_head ⋈ B_head`) — that join is dirty-key-pruned by the
+    * maintenance's inner join, so its cost is bounded by the changed
+    * groups' rows, not the tables.
+    *
+    * @param aggOf full-recompute form over (A, B) snapshots, used at
+    *   bootstrap and for GC-gap recovery
+    */
+  def maintainJoinAggOnce(spark: SparkSession,
+      sourceA: String, aKeys: Seq[String],
+      sourceB: String, bKeys: Seq[String], joinKeys: Seq[String],
+      mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
+      (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
+    val headA = Generations.latest(spark, sourceA).map(_.version).getOrElse(0L)
+    val headB = Generations.latest(spark, sourceB).map(_.version).getOrElse(0L)
+    if (headA == 0L || headB == 0L) return None // need both inputs committed
+    val (appA, appB) = appliedVersions2(spark, mvTable)
+    if (appA >= headA && appB >= headB) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    def feedOf(source: String, from: Long, to: Long, keys: Seq[String],
+        pre: DataFrame): Option[DataFrame] =
+      if (from == to) Some(emptyFeed(pre))
+      else Generations.changesBetween(spark, source, from, to, keys,
+        includePreimages = true)
+    val incremental: Option[DataFrame] =
+      if (appA == 0L || appB == 0L) None // never maintained: bootstrap
+      else for {
+        mv <- Generations.read(spark, mvTable)
+        aPre <- Generations.readAt(spark, sourceA, appA)
+        bPre <- Generations.readAt(spark, sourceB, appB)
+        aChanges <- feedOf(sourceA, appA, headA, aKeys, aPre)
+        bChanges <- feedOf(sourceB, appB, headB, bKeys, bPre)
+      } yield {
+        val feed = Incremental.deltaJoin(aPre, aChanges, bPre, bChanges,
+          joinKeys)
+        if (minCols.isEmpty && maxCols.isEmpty)
+          Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
+        else {
+          def headSnap(source: String, head: Long) =
+            Generations.readAt(spark, source, head).getOrElse(
+              throw new IllegalStateException(
+                s"$source v$head (the latest commit) has no readable generation"))
+          Incremental.maintainAggMinMax(mv, feed,
+            postSource = headSnap(sourceA, headA)
+              .join(headSnap(sourceB, headB), joinKeys),
+            mvKeys, sumCols, countCol, minCols, maxCols)
+        }
+      }
+    val next = incremental.getOrElse {
+      def headSnap(source: String, head: Long) =
+        Generations.readAt(spark, source, head).getOrElse(
+          throw new IllegalStateException(
+            s"$source v$head (the latest commit) has no readable generation"))
+      aggOf(headSnap(sourceA, headA), headSnap(sourceB, headB))
+    }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
+  }
+
   /** Source delta and maintained view in ONE atomic catalog commit —
     * the composition of [[maintainAggOnce]]'s incremental maintenance
     * with [[graft.sinks.Catalog.transact]]'s cross-table atomicity.
@@ -328,6 +438,51 @@ object ChangeFeed {
           else Incremental.maintainAggMinMax(view, changes, after, mvKeys,
             sumCols, countCol, minCols, maxCols)
         case _ => aggOf(after) // first delta or first view: bootstrap
+      }
+      txn.put(mvTable, next)
+    }
+
+  /** [[transactMaintainAgg]] for an aggregate-over-JOIN view: BOTH
+    * source deltas and the maintained view advance in one root publish.
+    * A catalog reader can never observe either source ahead of the view
+    * (or the two sources at inconsistent roots) — the read-consistency
+    * guarantee per-table maintenance ([[maintainJoinAggOnce]]) cannot
+    * give across THREE tables. The view is maintained incrementally via
+    * [[Incremental.deltaJoin]] over the two staged merges' 4-type
+    * diffs; on a root conflict the whole body re-runs against the new
+    * base, so no concurrent writer interleaves between a merge and the
+    * maintenance. Bootstrap (any of the three tables absent) recomputes
+    * via `aggOf` over the post-merge snapshots.
+    */
+  def transactMaintainJoinAgg(spark: SparkSession, root: String,
+      sourceA: String, aKeys: Seq[String], aChangeset: DataFrame,
+      sourceB: String, bKeys: Seq[String], bChangeset: DataFrame,
+      joinKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty,
+      deleteCol: String = "_deleted")
+      (aggOf: (DataFrame, DataFrame) => DataFrame): graft.sinks.Catalog.RootCommit =
+    graft.sinks.Catalog.transact(spark, root) { txn =>
+      val aBefore = txn.read(sourceA)
+      txn.merge(sourceA, aChangeset, aKeys, deleteCol)
+      val aAfter = txn.read(sourceA).get
+      val bBefore = txn.read(sourceB)
+      txn.merge(sourceB, bChangeset, bKeys, deleteCol)
+      val bAfter = txn.read(sourceB).get
+      val next = (aBefore, bBefore, txn.read(mvTable)) match {
+        case (Some(a0), Some(b0), Some(view)) =>
+          val feed = Incremental.deltaJoin(
+            a0, graft.operators.Merge.diff(a0, aAfter, aKeys,
+              includePreimages = true),
+            b0, graft.operators.Merge.diff(b0, bAfter, bKeys,
+              includePreimages = true), joinKeys)
+          if (minCols.isEmpty && maxCols.isEmpty)
+            Incremental.maintainAgg(view, feed, mvKeys, sumCols, countCol)
+          else Incremental.maintainAggMinMax(view, feed,
+            aAfter.join(bAfter, joinKeys), mvKeys, sumCols, countCol,
+            minCols, maxCols)
+        case _ => aggOf(aAfter, bAfter) // first delta or first view
       }
       txn.put(mvTable, next)
     }

@@ -398,6 +398,154 @@ class ChangeFeedSpec extends SparkSpec {
     assert(mm(10L) === BigDecimal("5.0000"), "retracted max re-aggregated")
   }
 
+  test("maintainJoinAggOnce: agg-over-join advances from either input's feed, exactly once") {
+    val fa = mkDir("fact"); val db = mkDir("dim"); val mv = mkDir("jmv")
+    // fact(k, ck, v) ⋈ dim(ck, grp) — revenue per dim group
+    def fact(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("k", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def dim(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "grp")
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (a, b) =>
+      a.join(b, "ck").groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    def maintainJ() = ChangeFeed.maintainJoinAggOnce(spark, fa, Seq("k"),
+      db, Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+    def state(): Map[Long, (BigDecimal, Long)] = mvState(mv)
+    def expected(): Map[Long, (BigDecimal, Long)] =
+      aggOf(Generations.read(spark, fa).get, Generations.read(spark, db).get)
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+
+    // only one input committed: not maintainable yet
+    Generations.writeAndCommit(spark, fact((1, 100, 5), (2, 100, 7), (3, 200, 1)), fa)
+    assert(maintainJ().isEmpty)
+    Generations.writeAndCommit(spark, dim((100, 10), (200, 20)), db)
+    // bootstrap
+    val c1 = maintainJ()
+    assert(c1.nonEmpty && c1.get.tag === "=cdcv2=1-1")
+    assert(state() === expected())
+    assert(maintainJ().isEmpty, "current: no-op")
+
+    // only the FACT side moves: insert + update + delete
+    Generations.writeAndCommit(spark, fact((1, 100, 6), (3, 200, 1), (4, 200, 2)), fa)
+    val c2 = maintainJ()
+    assert(c2.nonEmpty && c2.get.tag === "=cdcv2=2-1")
+    assert(state() === expected())
+    assert(ChangeFeed.appliedVersions2(spark, mv) === ((2L, 1L)))
+
+    // only the DIM side moves: ck=200 moves grp 20→30 (key-moving
+    // update retracts its fact revenue from one group into another)
+    Generations.writeAndCommit(spark, dim((100, 10), (200, 30)), db)
+    val c3 = maintainJ()
+    assert(c3.nonEmpty && c3.get.tag === "=cdcv2=2-2")
+    assert(state() === expected())
+    assert(state()(30L) === ((BigDecimal(3), 2L)))
+    assert(!state().contains(20L), "emptied group leaves the view")
+
+    // BOTH move in one tick, including a dim delete orphaning fact rows
+    // out of the inner join (ck=100 gone) and a fact insert for it that
+    // must NOT appear (ΔA⋈ΔB term with a retracted dim row)
+    Generations.writeAndCommit(spark,
+      fact((1, 100, 6), (4, 200, 2), (5, 100, 9), (6, 200, 4)), fa)
+    Generations.writeAndCommit(spark, dim((200, 30)), db)
+    val c4 = maintainJ()
+    assert(c4.nonEmpty && c4.get.tag === "=cdcv2=3-3")
+    assert(state() === expected())
+    assert(state() === Map(30L -> ((BigDecimal(6), 2L))))
+
+    // GC cuts the fact feed under the watermark: recompute fallback
+    Generations.writeAndCommit(spark, fact((6, 200, 5)), fa)
+    Generations.gc(spark, fa, keep = 1, orphanGraceMs = 0L)
+    assert(Generations.readAt(spark, fa, 3L).isEmpty, "v3 must be GC'd")
+    val c5 = maintainJ()
+    assert(c5.nonEmpty && c5.get.tag === "=cdcv2=4-3")
+    assert(state() === expected())
+
+    // the pair watermark survives a squash of the VIEW table
+    Generations.squash(spark, mv)
+    Generations.gc(spark, mv, keep = 1, orphanGraceMs = 0L)
+    assert(ChangeFeed.appliedVersions2(spark, mv) === ((4L, 3L)),
+      "the cdcv2 watermark must ride the squash's carried witness")
+    assert(maintainJ().isEmpty)
+  }
+
+  test("maintainJoinAggOnce with min/max: dirty groups re-aggregate against the post-change join") {
+    val fa = mkDir("fact"); val db = mkDir("dim"); val mv = mkDir("jmv")
+    def fact(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("k", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def dim(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "grp")
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (a, b) =>
+      a.join(b, "ck").groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"),
+          max(col("v")).as("max_v"))
+    def maintainJ() = ChangeFeed.maintainJoinAggOnce(spark, fa, Seq("k"),
+      db, Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n",
+      maxCols = Map("max_v" -> "v"))(aggOf)
+    def state(): Map[Long, (BigDecimal, Long, BigDecimal)] =
+      Generations.read(spark, mv).get
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+          col("max_v").cast("decimal(18,4)"))
+        .as[(Long, BigDecimal, Long, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def expected(): Map[Long, (BigDecimal, Long, BigDecimal)] =
+      aggOf(Generations.read(spark, fa).get, Generations.read(spark, db).get)
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"),
+          col("max_v").cast("decimal(18,4)"))
+        .as[(Long, BigDecimal, Long, BigDecimal)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    Generations.writeAndCommit(spark, fact((1, 100, 9), (2, 100, 5)), fa)
+    Generations.writeAndCommit(spark, dim((100, 10)), db)
+    assert(maintainJ().nonEmpty)
+    assert(state() === expected())
+    // delete the fact row holding the max: the stale extreme must fall
+    Generations.writeAndCommit(spark, fact((2, 100, 5)), fa)
+    assert(maintainJ().nonEmpty)
+    assert(state() === expected())
+    assert(state()(10L)._3 === BigDecimal("5.0000"), "retracted max gone")
+    // insert-only tick extends the extreme without the re-agg path
+    Generations.writeAndCommit(spark, fact((2, 100, 5), (3, 100, 11)), fa)
+    assert(maintainJ().nonEmpty)
+    assert(state()(10L)._3 === BigDecimal("11.0000"))
+  }
+
+  test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
+    import graft.sinks.Catalog
+    val root = mkDir("cat")
+    def factChg(rows: (Long, Long, Long, Boolean)*): DataFrame =
+      rows.toDF("k", "ck", "v", "_deleted")
+        .withColumn("v", col("v").cast("decimal(18,4)"))
+    def dimChg(rows: (Long, Long, Boolean)*): DataFrame =
+      rows.toDF("ck", "grp", "_deleted")
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (a, b) =>
+      a.join(b, "ck").groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    def step(fc: DataFrame, dc: DataFrame) =
+      ChangeFeed.transactMaintainJoinAgg(spark, root,
+        "fact", Seq("k"), fc, "dim", Seq("ck"), dc, Seq("ck"),
+        "rev_mv", Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+
+    step(factChg((1, 100, 5, false), (2, 200, 7, false)),
+      dimChg((100, 10, false), (200, 20, false)))
+    step(factChg((3, 100, 2, false)), dimChg((200, 30, false))) // both move
+    step(factChg((2, 200, 7, true)), dimChg())                   // fact delete
+    // the LAW at EVERY kept root: view ≡ agg of the join AT THAT ROOT
+    val roots = Catalog.roots(spark, root)
+    assert(roots.size === 3)
+    roots.foreach { rc =>
+      val fAt = Catalog.readTableAt(spark, root, "fact", rc).get
+      val dAt = Catalog.readTableAt(spark, root, "dim", rc).get
+      val vAt = Catalog.readTableAt(spark, root, "rev_mv", rc).get
+      val want = aggOf(fAt, dAt).select(col("grp"),
+          col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect().toSet
+      val got = vAt.select(col("grp"),
+          col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect().toSet
+      assert(got === want, s"root v${rc.version} join view out of sync")
+    }
+  }
+
   test("pollOnce surfaces a GC gap instead of silently skipping") {
     val t = mkDir("t")
     val cur = mkDir("cursor") + "/c"

@@ -166,6 +166,41 @@ object Incremental {
       .filter(col(countCol) > 0)
   }
 
+  /** COUNT DISTINCT under retraction — the aggregate that is NOT a
+    * retractable monoid on its own (subtracting a deleted value says
+    * nothing about whether ANOTHER row still supplies it), maintained
+    * the standard streaming-SQL way (Flink's distinct-agg state,
+    * Materialize's reduce): a SUPPORT table keyed on
+    * (view keys…, distinct cols…) whose per-key row count is maintained
+    * by plain retraction, with the distinct count DERIVED as the number
+    * of surviving support rows per view key. [[maintainAgg]] with an
+    * empty `sumCols` IS exactly that support maintenance — this wrapper
+    * just fixes the key layout so the two layers can't drift.
+    *
+    * The support table is the MV's stored state (commit it like any
+    * view; at most one row per distinct value per group — bounded by
+    * the true distinct cardinality, not history); [[distinctOf]] is the
+    * read-time finalization. Scale shape: maintenance is one delta
+    * groupBy + one key join on the SUPPORT key (both shuffles on the
+    * same key); the derived count is one groupBy over the support —
+    * all bounded by |distinct values|, never by history.
+    */
+  def maintainDistinct(support: DataFrame, changes: DataFrame,
+      mvKeys: Seq[String], distinctCols: Seq[String],
+      countCol: String = "_support_n",
+      changeCol: String = "_change_type"): DataFrame = {
+    require(distinctCols.nonEmpty, "need at least one distinct column")
+    maintainAgg(support, changes, mvKeys ++ distinctCols,
+      sumCols = Map.empty, countCol = countCol, changeCol = changeCol)
+  }
+
+  /** Read-time finalization of a [[maintainDistinct]] support table:
+    * the per-group distinct count (rows retracted to zero have already
+    * left the support, so this is a plain count). */
+  def distinctOf(support: DataFrame, mvKeys: Seq[String],
+      as: String = "n_distinct"): DataFrame =
+    support.groupBy(mvKeys.map(col): _*).agg(count(lit(1)).as(as))
+
   /** Signed delta join — the change feed of a JOIN view, from the change
     * feeds of its inputs. For `V = A ⋈ B` (inner equi-join on
     * `joinKeys`), the multiset algebra gives

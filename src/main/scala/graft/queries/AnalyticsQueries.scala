@@ -403,6 +403,92 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("c_nationkey")
     }),
 
+    // COUNT DISTINCT under retraction — not a retractable monoid on its
+    // own (a deleted value may still be supplied by another row), so the
+    // stored state is a SUPPORT table keyed (group, value) whose row
+    // count maintains by plain retraction; the distinct count is derived
+    // as surviving support rows per group (Incremental.maintainDistinct
+    // / distinctOf — the Flink distinct-agg-state shape). The law: the
+    // maintained support's derived count ≡ a fresh COUNT(DISTINCT) of
+    // the merged snapshot. The changeset exercises the hard cases: a
+    // delete removing a customer's LAST order in a priority (distinct
+    // drops), a delete removing one of several (distinct must NOT
+    // drop), and status updates that net to cancelling ± support pairs.
+    // Cost shape: delta groupBy + key join on the support key, derived
+    // count one groupBy over the support — all |distinct|-bounded.
+    "mv_cdc_distinct_custs" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      val support0 = o.groupBy("o_orderpriority", "o_custkey")
+        .agg(count(lit(1)).as("_support_n"))
+      val changes = graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+        includePreimages = true)
+      val support1 = graft.operators.Incremental.maintainDistinct(
+        support0, changes, Seq("o_orderpriority"), Seq("o_custkey"))
+      graft.operators.Incremental.distinctOf(support1,
+          Seq("o_orderpriority"), "n_custs")
+        .orderBy("o_orderpriority")
+    }),
+
+    // THREE-way join view maintained by COMPOSING the delta join with
+    // itself: Δ(A⋈B⋈C) = deltaJoin((A⋈B)_pre, deltaJoin(ΔA, ΔB), C_pre,
+    // ΔC) — the z-set identity is closed under composition, so an
+    // arbitrary join tree maintains by folding deltaJoin up the tree
+    // with each internal node's pre-state as the static side. The
+    // changeset moves keys at EVERY level: fact updates/deletes/
+    // inserts, a key-moving customer nation update, a nation RENAME (a
+    // key-moving update for a view grouped by name), a nation delete
+    // orphaning a whole country's orders, and zero-match inserts at
+    // both dimension levels. Oracle: fresh aggregate of the post-change
+    // three-way join.
+    "mv_cdc_join3_revenue" -> ((s, dir) => {
+      val oFull = t(s, dir, "orders")
+      val oAfterFull = graft.operators.Merge.mergeApply(oFull,
+        ordersCdcChangeset(oFull), Seq("o_orderkey"))
+      def proj(df: DataFrame) = df.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val oChanges = graft.operators.Merge.diff(oFull, oAfterFull,
+          Seq("o_orderkey"), includePreimages = true)
+        .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val c2 = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2.withColumnRenamed("o_custkey", "c_custkey"))
+          .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("o_custkey"),
+        includePreimages = true)
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+      val nChangeset = n2
+        .filter(col("c_nationkey") % 5 === 0 && col("c_nationkey") =!= 13)
+        .withColumn("n_name", concat(col("n_name"), lit("_X")))
+        .withColumn("_deleted", lit(false))
+        .unionByName(n2.filter(col("c_nationkey") === 13)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(n2.filter(col("c_nationkey") === 0)
+          .withColumn("c_nationkey", col("c_nationkey") + lit(100))
+          .withColumn("n_name", lit("ATLANTIS"))
+          .withColumn("_deleted", lit(false)))
+      val nAfter = graft.operators.Merge.mergeApply(n2, nChangeset,
+        Seq("c_nationkey"))
+      val nChanges = graft.operators.Merge.diff(n2, nAfter,
+        Seq("c_nationkey"), includePreimages = true)
+      val abPre = proj(oFull).join(c2, "o_custkey")
+      val feedAB = graft.operators.Incremental.deltaJoin(
+        proj(oFull), oChanges, c2, cChanges, Seq("o_custkey"))
+      val feedABC = graft.operators.Incremental.deltaJoin(
+        abPre, feedAB, n2, nChanges, Seq("c_nationkey"))
+      val mv0 = abPre.join(n2, "c_nationkey")
+        .groupBy("n_name")
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_orders"))
+      graft.operators.Incremental.maintainAgg(mv0, feedABC,
+          Seq("n_name"), Map("revenue" -> "price"), "n_orders")
+        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        .orderBy("n_name")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -1747,6 +1833,84 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_orders
         |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // distinct-count law oracle: a fresh COUNT(DISTINCT) of the merged
+    // snapshot — a support row wrongly retained (distinct too high) or
+    // wrongly retracted (too low) value-fails
+    "mv_cdc_distinct_custs" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderpriority, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority
+        |  FROM chg WHERE NOT _deleted)
+        |SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs
+        |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // 3-way join-view law oracle: fresh aggregate of the post-change
+    // orders ⋈ customer ⋈ nation — a composition defect at either join
+    // level (a renamed nation's revenue left under the old name, a
+    // deleted nation's orders still counted) value-fails
+    "mv_cdc_join3_revenue" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted),
+        |nchg AS (
+        |  SELECT n_nationkey, n_name || '_X' AS n_name, false AS _deleted
+        |  FROM nation WHERE n_nationkey % 5 = 0 AND n_nationkey <> 13
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, true FROM nation WHERE n_nationkey = 13
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, 'ATLANTIS', false
+        |  FROM nation WHERE n_nationkey = 0),
+        |nm AS (
+        |  SELECT n_nationkey, n_name
+        |  FROM nation n WHERE n.n_nationkey NOT IN (SELECT n_nationkey FROM nchg)
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name FROM nchg WHERE NOT _deleted)
+        |SELECT n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |    AS revenue,
+        |  count(*) AS n_orders
+        |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
+        |JOIN nm ON cm.c_nationkey = nm.n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

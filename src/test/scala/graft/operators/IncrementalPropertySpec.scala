@@ -153,6 +153,117 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("maintainDistinct ≡ fresh COUNT DISTINCT across random histories") {
+    // values from a SMALL set so the hard cases are common: a delete
+    // removing ONE of several rows supplying a distinct value (count
+    // must NOT drop) vs the LAST one (count must drop)
+    for (history <- 1 to 8) {
+      var snap: Map[Int, (Int, Int)] = (1 to 20).map(k =>
+        k -> (rnd.nextInt(3), rnd.nextInt(4))).toMap
+      def snapDf(m: Map[Int, (Int, Int)]) =
+        m.toSeq.map { case (k, (g, v)) => (k, g, v) }.toDF("k", "grp", "v")
+      var support = snapDf(snap).groupBy("grp", "v")
+        .agg(count(lit(1)).as("_support_n"))
+      for (step <- 1 to 4) {
+        val next = {
+          var m = snap
+          rnd.shuffle((1 to 28).toList).take(7).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(3), rnd.nextInt(4))
+          }
+          m
+        }
+        val changes = Merge.diff(snapDf(snap), snapDf(next), Seq("k"),
+          includePreimages = true)
+        support = Incremental.maintainDistinct(support, changes,
+          Seq("grp"), Seq("v"))
+        val got = Incremental.distinctOf(support, Seq("grp"))
+          .as[(Int, Long)].collect().toMap
+        val want = snapDf(next).groupBy("grp")
+          .agg(countDistinct(col("v")).as("n_distinct"))
+          .as[(Int, Long)].collect().toMap
+        assert(got === want, s"history $history step $step diverged")
+        // the support itself must hold exact per-value row counts (the
+        // invariant that makes the NEXT step's retraction correct)
+        val supGot = support.select(col("grp"), col("v"), col("_support_n"))
+          .as[(Int, Int, Long)].collect()
+          .map { case (g, v, n) => (g, v) -> n }.toMap
+        val supWant = snapDf(next).groupBy("grp", "v").count()
+          .as[(Int, Int, Long)].collect()
+          .map { case (g, v, n) => (g, v) -> n }.toMap
+        assert(supGot === supWant, s"history $history step $step support drift")
+        // materialize like a committed view table
+        support = supGot.toSeq.map { case ((g, v), n) => (g, v, n) }
+          .toDF("grp", "v", "_support_n")
+        snap = next
+      }
+    }
+  }
+
+  test("deltaJoin composes: three-table maintenance ≡ recompute across random histories") {
+    // A(k, g, v) ⋈ B(g, r) ⋈ C(r, w): Δ(A⋈B⋈C) is deltaJoin applied
+    // twice, with (A⋈B)_pre as the static side of the outer call —
+    // churn on ALL THREE levels including dimension deletes that orphan
+    // whole subtrees and key-moving updates at each level.
+    def adf(rows: Seq[(Int, Int, Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("g", "r")
+    def cdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("r", "w")
+    for (history <- 1 to 5) {
+      var aSnap: Map[Int, (Int, Int)] = (1 to 18).map(k =>
+        k -> (rnd.nextInt(5), rnd.nextInt(5) * 10)).toMap
+      var bSnap: Map[Int, Int] = (0 to 4).map(g => g -> rnd.nextInt(4)).toMap
+      var cSnap: Map[Int, Int] = (0 to 3).map(r => r -> rnd.nextInt(100)).toMap
+      for (step <- 1 to 3) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 24).toList).take(6).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          rnd.shuffle((0 to 6).toList).take(2).foreach { g =>
+            if (rnd.nextInt(3) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(4)
+          }
+          m
+        }
+        val cNext = {
+          var m = cSnap
+          rnd.shuffle((0 to 4).toList).take(2).foreach { r =>
+            if (rnd.nextInt(3) == 0 && m.contains(r)) m -= r
+            else m += r -> rnd.nextInt(100)
+          }
+          m
+        }
+        val (aPre, aPost) = (adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) }),
+          adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) }))
+        val (bPre, bPost) = (bdf(bSnap.toSeq), bdf(bNext.toSeq))
+        val (cPre, cPost) = (cdf(cSnap.toSeq), cdf(cNext.toSeq))
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+        val dB = Merge.diff(bPre, bPost, Seq("g"), includePreimages = true)
+        val dC = Merge.diff(cPre, cPost, Seq("r"), includePreimages = true)
+        val feedAB = Incremental.deltaJoin(aPre, dA, bPre, dB, Seq("g"))
+        val feedABC = Incremental.deltaJoin(aPre.join(bPre, "g"), feedAB,
+          cPre, dC, Seq("r"))
+        def agg(a: DataFrame, b: DataFrame, c: DataFrame) =
+          a.join(b, "g").join(c, "r").groupBy("w")
+            .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+        val maintained = Incremental.maintainAgg(agg(aPre, bPre, cPre),
+          feedABC, Seq("w"), Map("sum_v" -> "v"), "n")
+        def st(df: DataFrame) = df.select(col("w"),
+            col("sum_v").cast("decimal(18,4)"), col("n"))
+          .as[(Int, BigDecimal, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(st(maintained) === st(agg(aPost, bPost, cPost)),
+          s"history $history step $step: three-way composition diverged")
+        aSnap = aNext; bSnap = bNext; cSnap = cNext
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

@@ -232,6 +232,81 @@ object Incremental {
     * appears that many times with its sign; downstream aggregation sums
     * signed contributions, so duplicates need no special casing.
     */
+  /** [[deltaJoin]] for a LEFT OUTER join view `V = A ⟕ B` — the shape a
+    * fact-with-optional-dimension view needs, and the one the inner
+    * identity alone cannot give: a left-join view contains
+    * NULL-EXTENDED rows (A-rows whose key has no B match, B's non-key
+    * columns null), and those rows appear/disappear when a key's
+    * B-match count CROSSES zero, not merely when rows churn.
+    *
+    * Decomposition: `V = (A ⋈ B) ⊎ N` where `N` = A-rows at B-empty
+    * keys, null-extended. The inner part's feed is [[deltaJoin]]; for
+    * the null part, with `empty(k) = [cntB(k) = 0]`,
+    *
+    * {{{ ΔN = A_pre · (empty_post − empty_pre) + ΔA · empty_post }}}
+    *
+    * — term 1 is every A_pre row at a key whose B-emptiness FLIPPED
+    * (+1 when B emptied under it, −1 when B matched it for the first
+    * time; the inner feed independently supplies/retracts the matched
+    * images, so the two balance to one net transition), term 2 is the
+    * A-side churn at keys that END B-empty. Both terms are
+    * delta-bounded: match counts are computed ONLY at the keys of
+    * interest (ΔA ∪ ΔB keys — `cnt_pre` from one semi-join-restricted
+    * aggregate over B, `cnt_post = cnt_pre + Σ signs(ΔB)`), `flipped`
+    * is ≤ |ΔB keys| and joins A_pre as a planner-broadcast small side.
+    *
+    * Output: 2-type feed with the LEFT join's columns (B non-keys null
+    * on null-extension rows) — consumable by [[maintainAgg]] etc.
+    * exactly like the inner feed (SQL aggregate semantics compose:
+    * sum/min/max ignore the nulls symmetrically on insert and delete,
+    * count counts the row). Scale shape: A scanned twice (inner terms
+    * + flipped-key probe), B scanned twice (inner terms + restricted
+    * count), every join against a delta-sized side.
+    */
+  def deltaJoinLeft(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val aCols = aPre.columns.toSeq
+    val bNonKey = bPre.columns.toSeq.filterNot(joinKeys.contains)
+    val bTypes = bPre.schema.map(f => f.name -> f.dataType).toMap
+    val inner = deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys, changeCol)
+    val sign = when(col(changeCol).isin("insert", "update_postimage"), 1L)
+      .when(col(changeCol).isin("delete", "update_preimage"), -1L)
+    // B-match counts at exactly the keys that can matter: ΔA ∪ ΔB keys
+    val keysOfInterest = aChanges.select(joinKeys.map(col): _*)
+      .unionByName(bChanges.select(joinKeys.map(col): _*)).distinct()
+    val cntPre = bPre.join(keysOfInterest, joinKeys) // inner: restrict, keep dups
+      .groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("_cnt_pre"))
+    val dB = bChanges.withColumn("_s", sign)
+      .groupBy(joinKeys.map(col): _*).agg(sum(col("_s")).as("_cnt_d"))
+    val cnt = keysOfInterest
+      .join(cntPre, joinKeys, "left").join(dB, joinKeys, "left")
+      .select(joinKeys.map(col) :+
+        coalesce(col("_cnt_pre"), lit(0L)).as("_cnt_pre") :+
+        (coalesce(col("_cnt_pre"), lit(0L)) +
+          coalesce(col("_cnt_d"), lit(0L))).as("_cnt_post"): _*)
+    // term 1: every A_pre row at a key whose B-emptiness flipped
+    val flipped = cnt
+      .filter((col("_cnt_pre") === 0L) =!= (col("_cnt_post") === 0L))
+      .select(joinKeys.map(col) :+
+        when(col("_cnt_post") === 0L, 1L).otherwise(-1L).as("_s"): _*)
+    val nullExt = bNonKey.map(c => lit(null).cast(bTypes(c)).as(c))
+    val t1 = aPre.join(flipped, joinKeys)
+      .select(aCols.map(col) ++ nullExt :+ col("_s"): _*)
+    // term 2: signed A churn at keys that END B-empty (a key absent
+    // from `cnt` cannot occur: every ΔA key is a key of interest)
+    val t2 = aChanges.withColumn("_s", sign).drop(changeCol)
+      .join(cnt.filter(col("_cnt_post") === 0L)
+        .select(joinKeys.map(col): _*), joinKeys)
+      .select(aCols.map(col) ++ nullExt :+ col("_s"): _*)
+    val nulls = t1.unionByName(t2)
+      .withColumn(changeCol,
+        when(col("_s") === 1L, "insert").otherwise("delete"))
+      .drop("_s")
+    inner.unionByName(nulls)
+  }
+
   def deltaJoin(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
       changeCol: String = "_change_type"): DataFrame = {

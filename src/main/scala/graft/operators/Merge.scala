@@ -29,7 +29,12 @@ object Merge {
     val survivors = current.join(changes.select(keys.map(col): _*),
       keys, "left_anti")
     survivors.unionByName(
-      changes.filter(!col(deleteCol)).drop(deleteCol))
+        changes.filter(!col(deleteCol)).drop(deleteCol))
+      // the using-column anti-join surfaces the merge keys FIRST; restore
+      // `current`'s column order so merge output composes positionally
+      // (diff requires identical schemas by position — a MERGE whose key
+      // is not the leading column used to break the diff downstream)
+      .select(current.columns.toSeq.map(col): _*)
   }
 
   /** Change data feed — the INVERSE of [[mergeApply]]: the row-level

@@ -489,6 +489,56 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("n_name")
     }),
 
+    // LEFT-join view under IVM: customer ⟕ orders per nation — the
+    // shape the inner delta join cannot give, because NULL-EXTENDED
+    // rows (customers with no orders; ~1/3 of TPC-H customers) appear
+    // and disappear when a customer's order-match count CROSSES zero,
+    // not merely when rows churn. deltaJoinLeft adds the two
+    // null-extension terms (A_pre at emptiness-flipped keys + A-churn
+    // at post-empty keys, both delta-bounded). The changeset forces
+    // crossings in BOTH directions: order deletes empty some customers
+    // (1→0: null-extension appears), order inserts are cloned onto
+    // custkey+1 so previously order-less customers gain a first order
+    // (0→1: null-extension retracts), customer deletes remove matched
+    // AND null-extended rows, customer inserts land order-less. The
+    // law: maintained ≡ fresh LEFT-join aggregate; revenue COALESCEd on
+    // both sides (SQL sum over an all-null group is NULL, retraction
+    // arithmetic carries 0).
+    "mv_cdc_leftjoin_revenue" -> ((s, dir) => {
+      val c2 = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2), Seq("c_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("c_custkey"),
+        includePreimages = true)
+      val bPre = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+        col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val bChangeset = bPre
+        .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 97 =!= 0)
+        .withColumn("price", (col("price") + lit(1)).cast("decimal(18,4)"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(bPre.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(bPre
+          .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("c_custkey", col("c_custkey") + lit(1))
+          .withColumn("_deleted", lit(false)))
+      val bAfter = graft.operators.Merge.mergeApply(bPre, bChangeset,
+        Seq("o_orderkey"))
+      val bChanges = graft.operators.Merge.diff(bPre, bAfter,
+        Seq("o_orderkey"), includePreimages = true)
+      val mv0 = c2.join(bPre, Seq("c_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_rows"))
+      val feed = graft.operators.Incremental.deltaJoinLeft(
+        c2, cChanges, bPre, bChanges, Seq("c_custkey"))
+      graft.operators.Incremental.maintainAgg(mv0, feed,
+          Seq("c_nationkey"), Map("revenue" -> "price"), "n_rows")
+        .withColumn("revenue",
+          coalesce(col("revenue"), lit(0)).cast("decimal(38,4)"))
+        .orderBy("c_nationkey")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -1911,6 +1961,50 @@ object AnalyticsQueries extends QueryPack {
         |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
         |JOIN nm ON cm.c_nationkey = nm.n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // left-join law oracle: fresh LEFT-join aggregate of the merged
+    // snapshots — a null-extension row left standing after its customer
+    // gained a first order, or never materialized after the last order
+    // died, value-fails (n_rows counts null-extended rows; revenue
+    // COALESCEd: all-null SQL sum is NULL, retraction arithmetic is 0)
+    "mv_cdc_leftjoin_revenue" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice,
+        |    false AS _deleted
+        |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey + 1, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
+        |SELECT c_nationkey,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |    AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM cm LEFT JOIN om ON cm.c_custkey = om.o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

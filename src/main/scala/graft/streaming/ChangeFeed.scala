@@ -338,6 +338,14 @@ object ChangeFeed {
     * maintenance's inner join, so its cost is bounded by the changed
     * groups' rows, not the tables.
     *
+    * `leftOuter = true` maintains `V = agg(A ⟕ B)` instead, via
+    * [[Incremental.deltaJoinLeft]] — null-extension rows (A-rows whose
+    * key has no B match) enter and leave the view as their key's
+    * B-match count crosses zero; `aggOf` and any min/max post-source
+    * re-aggregation use the left join accordingly. Stored sums over
+    * B-payload columns should be COALESCEd at read time (an all-null
+    * group's SQL sum is NULL; retraction arithmetic carries 0).
+    *
     * @param aggOf full-recompute form over (A, B) snapshots, used at
     *   bootstrap and for GC-gap recovery
     */
@@ -347,7 +355,8 @@ object ChangeFeed {
       mvTable: String, mvKeys: Seq[String],
       sumCols: Map[String, String], countCol: String,
       minCols: Map[String, String] = Map.empty,
-      maxCols: Map[String, String] = Map.empty)
+      maxCols: Map[String, String] = Map.empty,
+      leftOuter: Boolean = false)
       (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
     val headA = Generations.latest(spark, sourceA).map(_.version).getOrElse(0L)
     val headB = Generations.latest(spark, sourceB).map(_.version).getOrElse(0L)
@@ -369,8 +378,10 @@ object ChangeFeed {
         aChanges <- feedOf(sourceA, appA, headA, aKeys, aPre)
         bChanges <- feedOf(sourceB, appB, headB, bKeys, bPre)
       } yield {
-        val feed = Incremental.deltaJoin(aPre, aChanges, bPre, bChanges,
-          joinKeys)
+        val feed =
+          if (leftOuter)
+            Incremental.deltaJoinLeft(aPre, aChanges, bPre, bChanges, joinKeys)
+          else Incremental.deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys)
         if (minCols.isEmpty && maxCols.isEmpty)
           Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
         else {
@@ -380,7 +391,8 @@ object ChangeFeed {
                 s"$source v$head (the latest commit) has no readable generation"))
           Incremental.maintainAggMinMax(mv, feed,
             postSource = headSnap(sourceA, headA)
-              .join(headSnap(sourceB, headB), joinKeys),
+              .join(headSnap(sourceB, headB), joinKeys,
+                if (leftOuter) "left" else "inner"),
             mvKeys, sumCols, countCol, minCols, maxCols)
         }
       }
@@ -461,7 +473,7 @@ object ChangeFeed {
       sumCols: Map[String, String], countCol: String,
       minCols: Map[String, String] = Map.empty,
       maxCols: Map[String, String] = Map.empty,
-      deleteCol: String = "_deleted")
+      deleteCol: String = "_deleted", leftOuter: Boolean = false)
       (aggOf: (DataFrame, DataFrame) => DataFrame): graft.sinks.Catalog.RootCommit =
     graft.sinks.Catalog.transact(spark, root) { txn =>
       val aBefore = txn.read(sourceA)
@@ -472,16 +484,18 @@ object ChangeFeed {
       val bAfter = txn.read(sourceB).get
       val next = (aBefore, bBefore, txn.read(mvTable)) match {
         case (Some(a0), Some(b0), Some(view)) =>
-          val feed = Incremental.deltaJoin(
-            a0, graft.operators.Merge.diff(a0, aAfter, aKeys,
-              includePreimages = true),
-            b0, graft.operators.Merge.diff(b0, bAfter, bKeys,
-              includePreimages = true), joinKeys)
+          val dA = graft.operators.Merge.diff(a0, aAfter, aKeys,
+            includePreimages = true)
+          val dB = graft.operators.Merge.diff(b0, bAfter, bKeys,
+            includePreimages = true)
+          val feed =
+            if (leftOuter) Incremental.deltaJoinLeft(a0, dA, b0, dB, joinKeys)
+            else Incremental.deltaJoin(a0, dA, b0, dB, joinKeys)
           if (minCols.isEmpty && maxCols.isEmpty)
             Incremental.maintainAgg(view, feed, mvKeys, sumCols, countCol)
           else Incremental.maintainAggMinMax(view, feed,
-            aAfter.join(bAfter, joinKeys), mvKeys, sumCols, countCol,
-            minCols, maxCols)
+            aAfter.join(bAfter, joinKeys, if (leftOuter) "left" else "inner"),
+            mvKeys, sumCols, countCol, minCols, maxCols)
         case _ => aggOf(aAfter, bAfter) // first delta or first view
       }
       txn.put(mvTable, next)

@@ -264,6 +264,82 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("deltaJoinLeft: left-join multiset law and composed maintenance across random histories") {
+    // A(k, g, v) ⟕ B(g, w): null-extension rows (A-rows at B-empty g)
+    // must appear/disappear exactly when a key's B-match count crosses
+    // zero. B keys from a SMALL range with churn so crossings in BOTH
+    // directions are common, including simultaneous two-sided churn.
+    def adf(rows: Seq[(Int, Int, Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("g", "w")
+    def leftJoined(a: DataFrame, b: DataFrame): DataFrame = a.join(b, Seq("g"), "left")
+    def multiset(df: DataFrame): Map[(Int, Int, BigDecimal, Option[Int]), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Int, Int, BigDecimal, Option[Int])].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (history <- 1 to 6) {
+      var aSnap: Map[Int, (Int, Int)] = (1 to 16).map(k =>
+        k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)).toMap
+      // sparse B: many g have no match, so the view starts with nulls
+      var bSnap: Map[Int, Int] = rnd.shuffle((0 to 5).toList).take(3)
+        .map(g => g -> rnd.nextInt(100)).toMap
+      for (step <- 1 to 3) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 22).toList).take(6).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          rnd.shuffle((0 to 5).toList).take(3).foreach { g =>
+            if (rnd.nextInt(2) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(100)
+          }
+          m
+        }
+        val aPre = adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val aPost = adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val bPre = bdf(bSnap.toSeq)
+        val bPost = bdf(bNext.toSeq)
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+          .select(col("_change_type"), col("k"), col("g"), col("v"))
+        val dB = Merge.diff(bPre, bPost, Seq("g"), includePreimages = true)
+        val feed = Incremental.deltaJoinLeft(aPre, dA, bPre, dB, Seq("g"))
+        // law 1: leftJoined(pre) + signed feed = leftJoined(post)
+        val pre = multiset(leftJoined(aPre, bPre))
+        val post = multiset(leftJoined(aPost, bPost))
+        val delta = feed.select(col("g"), col("k"),
+            col("v").cast("decimal(18,4)"), col("w"), col("_change_type"))
+          .as[(Int, Int, BigDecimal, Option[Int], String)].collect()
+          .groupBy(t => (t._1, t._2, t._3, t._4)).view
+          .mapValues(_.map(t => if (t._5 == "insert") 1L else -1L).sum).toMap
+        val applied = (pre.keySet ++ delta.keySet).map(r =>
+          r -> (pre.getOrElse(r, 0L) + delta.getOrElse(r, 0L)))
+          .filter(_._2 != 0L).toMap
+        assert(applied === post,
+          s"history $history step $step: left delta-join law broken")
+        // law 2: maintained agg over the LEFT feed ≡ fresh aggregate —
+        // count(*) counts null-extended rows, sum skips their null w.
+        // COALESCE the stored sum on both sides: SQL sum over an
+        // all-null group is NULL, maintainAgg's retraction arithmetic
+        // carries 0 — the documented convention for nullable payloads
+        def agg(df: DataFrame) = df.groupBy("g")
+          .agg(coalesce(sum(col("w")), lit(0L)).as("sum_w"),
+            count(lit(1)).as("n"))
+        val maintained = Incremental.maintainAgg(agg(leftJoined(aPre, bPre)),
+          feed, Seq("g"), Map("sum_w" -> "w"), "n")
+        def st(df: DataFrame) = df.select(col("g"), col("sum_w"), col("n"))
+          .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(st(maintained) === st(agg(leftJoined(aPost, bPost))),
+          s"history $history step $step: composed left-join agg diverged")
+        aSnap = aNext; bSnap = bNext
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

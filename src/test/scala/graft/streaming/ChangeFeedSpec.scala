@@ -509,6 +509,63 @@ class ChangeFeedSpec extends SparkSpec {
     assert(state()(10L)._3 === BigDecimal("11.0000"))
   }
 
+  test("maintainJoinAggOnce(leftOuter): null-extension rows cross with the match count") {
+    val fa = mkDir("dimA"); val db = mkDir("factB"); val mv = mkDir("ljmv")
+    // customer-shaped A(k=ck, grp) ⟕ order-shaped B(ck, ok, v): the view
+    // keeps order-less customers as null-extended rows
+    def cust(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "grp")
+    def ord(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("ok", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (a, b) =>
+      a.join(b, Seq("ck"), "left").groupBy("grp")
+        .agg(coalesce(sum(col("v")), lit(0).cast("decimal(28,4)")).as("sum_v"),
+          count(lit(1)).as("n"))
+    def maintainL() = ChangeFeed.maintainJoinAggOnce(spark, fa, Seq("ck"),
+      db, Seq("ok"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n",
+      leftOuter = true)(aggOf)
+    def state(): Map[Long, (BigDecimal, Long)] =
+      Generations.read(spark, mv).get
+        .select(col("grp"),
+          coalesce(col("sum_v"), lit(0)).cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+    def expected(): Map[Long, (BigDecimal, Long)] =
+      aggOf(Generations.read(spark, fa).get, Generations.read(spark, db).get)
+        .select(col("grp"),
+          coalesce(col("sum_v"), lit(0)).cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+
+    // bootstrap: ck=2 has no orders — null-extended into grp 10's count
+    Generations.writeAndCommit(spark, cust((1, 10), (2, 10), (3, 20)), fa)
+    Generations.writeAndCommit(spark, ord((100, 1, 5), (101, 3, 7)), db)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+    assert(state()(10L) === ((BigDecimal(5), 2L)), "null-extended row counted")
+
+    // 0→1 crossing: ck=2 gains its first order — its null-extension
+    // must retract while the matched row arrives (net n unchanged)
+    Generations.writeAndCommit(spark,
+      ord((100, 1, 5), (101, 3, 7), (102, 2, 11)), db)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+    assert(state()(10L) === ((BigDecimal(16), 2L)))
+
+    // 1→0 crossing: ck=3's only order dies — null-extension appears,
+    // revenue retracts but the customer row stays counted
+    Generations.writeAndCommit(spark, ord((100, 1, 5), (102, 2, 11)), db)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+    assert(state()(20L) === ((BigDecimal(0), 1L)))
+
+    // A-side churn at an empty key: order-less customer moves group
+    Generations.writeAndCommit(spark, cust((1, 10), (2, 10), (3, 30)), fa)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+    assert(!state().contains(20L) && state()(30L) === ((BigDecimal(0), 1L)))
+    assert(maintainL().isEmpty, "current: no-op")
+  }
+
   test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

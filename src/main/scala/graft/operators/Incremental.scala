@@ -267,10 +267,78 @@ object Incremental {
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
       changeCol: String = "_change_type"): DataFrame = {
     require(joinKeys.nonEmpty, "need at least one join key")
-    val aCols = aPre.columns.toSeq
     val bNonKey = bPre.columns.toSeq.filterNot(joinKeys.contains)
     val bTypes = bPre.schema.map(f => f.name -> f.dataType).toMap
     val inner = deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys, changeCol)
+    val nulls = membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys,
+      changeCol, keepWhenEmpty = true,
+      extendCols = bNonKey.map(c => lit(null).cast(bTypes(c)).as(c)))
+    inner.unionByName(nulls)
+  }
+
+  /** FULL outer join under IVM: [[deltaJoinLeft]]'s feed plus the
+    * mirrored B-side null extensions (B-rows at A-empty keys, A's
+    * non-key columns null). Output columns are the join's
+    * (`joinKeys ++ A-non-keys ++ B-non-keys`). Same delta-bounded
+    * shape, applied symmetrically. */
+  def deltaJoinFull(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val aNonKey = aPre.columns.toSeq.filterNot(joinKeys.contains)
+    val aTypes = aPre.schema.map(f => f.name -> f.dataType).toMap
+    val left = deltaJoinLeft(aPre, aChanges, bPre, bChanges, joinKeys,
+      changeCol)
+    val bNulls = membershipDelta(bPre, bChanges, aPre, aChanges, joinKeys,
+      changeCol, keepWhenEmpty = true,
+      extendCols = aNonKey.map(c => lit(null).cast(aTypes(c)).as(c)))
+      // align to the left feed's column order (select is by name)
+      .select(left.columns.toSeq.map(col): _*)
+    left.unionByName(bNulls)
+  }
+
+  /** LEFT SEMI join under IVM: the feed of `V = A ⋉ B` — every A-row at
+    * a key with AT LEAST one B match, A's columns only, multiplicity
+    * per A-row (not per match). Membership crosses with the match
+    * count, exactly like [[deltaJoinLeft]]'s null extensions but with
+    * the emptiness test inverted. Delta-bounded identically. */
+  def deltaSemiJoin(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame =
+    membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys, changeCol,
+      keepWhenEmpty = false, extendCols = Nil)
+
+  /** LEFT ANTI join under IVM: the feed of `V = A ▷ B` (A-rows with NO
+    * B match — the not-exists view, e.g. customers with no orders,
+    * maintained instead of recomputed). The exact null-extension delta
+    * of [[deltaJoinLeft]], without the null columns. Sanity identity:
+    * semi-feed ⊎ anti-feed ≡ ΔA. */
+  def deltaAntiJoin(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame =
+    membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys, changeCol,
+      keepWhenEmpty = true, extendCols = Nil)
+
+  /** The shared membership-crossing delta: A-rows whose view membership
+    * is `[cntB(key) = 0] == keepWhenEmpty`. With
+    * `member(k) = [empty(k) == keepWhenEmpty]`,
+    *
+    * {{{ ΔV = A_pre · (member_post − member_pre) + ΔA · member_post }}}
+    *
+    * — term 1 is every A_pre row at a key whose membership FLIPPED
+    * (flips exactly when B-emptiness flips), term 2 the signed A churn
+    * at keys that END member. B-match counts are computed ONLY at the
+    * keys of interest (ΔA ∪ ΔB keys): one semi-restricted aggregate
+    * over B plus the signed ΔB per-key sums; `flipped` is ≤ |ΔB keys|
+    * and joins A_pre as a planner-broadcast small side. Output: 2-type
+    * feed of A's columns (++ `extendCols`, for null extension).
+    */
+  private def membershipDelta(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String, keepWhenEmpty: Boolean,
+      extendCols: Seq[Column]): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val aCols = aPre.columns.toSeq
     val sign = when(col(changeCol).isin("insert", "update_postimage"), 1L)
       .when(col(changeCol).isin("delete", "update_preimage"), -1L)
     // B-match counts at exactly the keys that can matter: ΔA ∪ ΔB keys
@@ -286,25 +354,24 @@ object Incremental {
         coalesce(col("_cnt_pre"), lit(0L)).as("_cnt_pre") :+
         (coalesce(col("_cnt_pre"), lit(0L)) +
           coalesce(col("_cnt_d"), lit(0L))).as("_cnt_post"): _*)
-    // term 1: every A_pre row at a key whose B-emptiness flipped
+    val memberPost =
+      if (keepWhenEmpty) col("_cnt_post") === 0L else col("_cnt_post") > 0L
+    // term 1: every A_pre row at a key whose membership flipped
     val flipped = cnt
       .filter((col("_cnt_pre") === 0L) =!= (col("_cnt_post") === 0L))
       .select(joinKeys.map(col) :+
-        when(col("_cnt_post") === 0L, 1L).otherwise(-1L).as("_s"): _*)
-    val nullExt = bNonKey.map(c => lit(null).cast(bTypes(c)).as(c))
+        when(memberPost, 1L).otherwise(-1L).as("_s"): _*)
     val t1 = aPre.join(flipped, joinKeys)
-      .select(aCols.map(col) ++ nullExt :+ col("_s"): _*)
-    // term 2: signed A churn at keys that END B-empty (a key absent
+      .select(aCols.map(col) ++ extendCols :+ col("_s"): _*)
+    // term 2: signed A churn at keys that END member (a key absent
     // from `cnt` cannot occur: every ΔA key is a key of interest)
     val t2 = aChanges.withColumn("_s", sign).drop(changeCol)
-      .join(cnt.filter(col("_cnt_post") === 0L)
-        .select(joinKeys.map(col): _*), joinKeys)
-      .select(aCols.map(col) ++ nullExt :+ col("_s"): _*)
-    val nulls = t1.unionByName(t2)
+      .join(cnt.filter(memberPost).select(joinKeys.map(col): _*), joinKeys)
+      .select(aCols.map(col) ++ extendCols :+ col("_s"): _*)
+    t1.unionByName(t2)
       .withColumn(changeCol,
         when(col("_s") === 1L, "insert").otherwise("delete"))
       .drop("_s")
-    inner.unionByName(nulls)
   }
 
   def deltaJoin(aPre: DataFrame, aChanges: DataFrame,

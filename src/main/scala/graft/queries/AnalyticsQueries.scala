@@ -512,11 +512,15 @@ object AnalyticsQueries extends QueryPack {
         includePreimages = true)
       val bPre = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
         col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
+      // %31-custkey deletes empty ENTIRE customers (real 1->0
+      // crossings); upd/del branches guarded disjoint per orderkey
       val bChangeset = bPre
-        .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 97 =!= 0)
+        .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 97 =!= 0 &&
+          col("c_custkey") % 31 =!= 0)
         .withColumn("price", (col("price") + lit(1)).cast("decimal(18,4)"))
         .withColumn("_deleted", lit(false))
-        .unionByName(bPre.filter(col("o_orderkey") % 97 === 0)
+        .unionByName(bPre.filter(col("o_orderkey") % 97 === 0 ||
+            col("c_custkey") % 31 === 0)
           .withColumn("_deleted", lit(true)))
         .unionByName(bPre
           .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
@@ -537,6 +541,95 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("revenue",
           coalesce(col("revenue"), lit(0)).cast("decimal(38,4)"))
         .orderBy("c_nationkey")
+    }),
+
+    // ANTI-join under IVM: the customers-with-no-orders view (the
+    // reference's anti_customers_no_orders family) MAINTAINED instead
+    // of recomputed — a customer enters/leaves the not-exists set
+    // exactly when its order-match count crosses zero
+    // (Incremental.deltaAntiJoin = the membership-crossing delta with
+    // no null extension). The count view maintains with maintainAgg's
+    // empty-sums form. Oracle: fresh NOT IN count per nation.
+    "mv_cdc_anti_no_orders" -> ((s, dir) => {
+      val c2 = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2), Seq("c_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("c_custkey"),
+        includePreimages = true)
+      val bPre = t(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      // %31-custkey deletes take a customer's ENTIRE order set: real
+      // 1->0 crossings across many nations (the driver's orders cover
+      // nearly every customer, so without this the anti set would be
+      // only the inserted customers)
+      val bChangeset = bPre.filter(col("o_orderkey") % 97 === 0 ||
+          col("c_custkey") % 31 === 0)
+        .withColumn("_deleted", lit(true))
+        .unionByName(bPre
+          .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("c_custkey", col("c_custkey") + lit(1))
+          .withColumn("_deleted", lit(false)))
+      val bAfter = graft.operators.Merge.mergeApply(bPre, bChangeset,
+        Seq("o_orderkey"))
+      val bChanges = graft.operators.Merge.diff(bPre, bAfter,
+        Seq("o_orderkey"), includePreimages = true)
+      val mv0 = c2.join(bPre, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_custs"))
+      val feed = graft.operators.Incremental.deltaAntiJoin(
+        c2, cChanges, bPre, bChanges, Seq("c_custkey"))
+      graft.operators.Incremental.maintainAgg(mv0, feed,
+          Seq("c_nationkey"), Map.empty, "n_custs")
+        .orderBy("c_nationkey")
+    }),
+
+    // FULL-outer join under IVM: customer ⟗ orders per nation — BOTH
+    // orphan directions live in the view (order-less customers
+    // null-extend B's columns; orders of deleted customers null-extend
+    // A's, landing in the sentinel nation −1). deltaJoinFull =
+    // deltaJoinLeft + the mirrored B-side membership delta. The group
+    // key is COALESCEd to the sentinel on both the view and the feed
+    // (group keys must be non-null: maintainAgg's full-outer state join
+    // is null-unsafe by SQL semantics, the documented convention).
+    "mv_cdc_fulljoin_revenue" -> ((s, dir) => {
+      val c2 = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2), Seq("c_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("c_custkey"),
+        includePreimages = true)
+      val bPre = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"),
+        col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
+      // %31-custkey deletes empty ENTIRE customers (real 1->0
+      // crossings); upd/del branches guarded disjoint per orderkey
+      val bChangeset = bPre
+        .filter(col("o_orderkey") % 89 === 0 && col("o_orderkey") % 97 =!= 0 &&
+          col("c_custkey") % 31 =!= 0)
+        .withColumn("price", (col("price") + lit(1)).cast("decimal(18,4)"))
+        .withColumn("_deleted", lit(false))
+        .unionByName(bPre.filter(col("o_orderkey") % 97 === 0 ||
+            col("c_custkey") % 31 === 0)
+          .withColumn("_deleted", lit(true)))
+        .unionByName(bPre
+          .filter(col("o_orderkey") % 101 === 0 && col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("c_custkey", col("c_custkey") + lit(1))
+          .withColumn("_deleted", lit(false)))
+      val bAfter = graft.operators.Merge.mergeApply(bPre, bChangeset,
+        Seq("o_orderkey"))
+      val bChanges = graft.operators.Merge.diff(bPre, bAfter,
+        Seq("o_orderkey"), includePreimages = true)
+      def nat(df: DataFrame) = df.withColumn("nat",
+        coalesce(col("c_nationkey"), lit(-1)))
+      val mv0 = nat(c2.join(bPre, Seq("c_custkey"), "full"))
+        .groupBy("nat")
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_rows"))
+      val feed = nat(graft.operators.Incremental.deltaJoinFull(
+        c2, cChanges, bPre, bChanges, Seq("c_custkey")))
+      graft.operators.Incremental.maintainAgg(mv0, feed,
+          Seq("nat"), Map("revenue" -> "price"), "n_rows")
+        .withColumn("revenue",
+          coalesce(col("revenue"), lit(0)).cast("decimal(38,4)"))
+        .orderBy("nat")
     }),
 
     // SCD2 dimension history: customer order-status change log collapsed
@@ -1972,9 +2065,10 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice,
         |    false AS _deleted
         |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |    AND o_custkey % 31 <> 0
         |  UNION ALL
         |  SELECT o_orderkey, o_custkey, o_totalprice, true
-        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  FROM orders WHERE o_orderkey % 97 = 0 OR o_custkey % 31 = 0
         |  UNION ALL
         |  SELECT o_orderkey + 100000000, o_custkey + 1, o_totalprice, false
         |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
@@ -2005,6 +2099,82 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_rows
         |FROM cm LEFT JOIN om ON cm.c_custkey = om.o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // anti-join law oracle: fresh NOT-IN count of the merged snapshots —
+    // a customer wrongly kept in (or dropped from) the no-orders set
+    // after its match count crossed zero value-fails
+    "mv_cdc_anti_no_orders" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, true AS _deleted
+        |  FROM orders WHERE o_orderkey % 97 = 0 OR o_custkey % 31 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey + 1, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
+        |SELECT c_nationkey, count(*) AS n_custs
+        |FROM cm WHERE c_custkey NOT IN (SELECT o_custkey FROM om)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // full-outer law oracle: fresh FULL JOIN aggregate of the merged
+    // snapshots, orphans of BOTH directions under the sentinel group
+    "mv_cdc_fulljoin_revenue" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice,
+        |    false AS _deleted
+        |  FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+        |    AND o_custkey % 31 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0 OR o_custkey % 31 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey + 1, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
+        |SELECT coalesce(c_nationkey, -1) AS nat,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |    AS DECIMAL(38,4)) AS revenue,
+        |  count(*) AS n_rows
+        |FROM cm FULL JOIN om ON cm.c_custkey = om.o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

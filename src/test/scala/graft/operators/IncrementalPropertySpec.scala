@@ -340,6 +340,97 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("deltaSemiJoin / deltaAntiJoin / deltaJoinFull: membership laws across random histories") {
+    // shared random two-table histories; at each step assert ALL the
+    // join-type feeds against their fresh recomputes as multisets, plus
+    // the partition identity semi ⊎ anti ≡ ΔA
+    def adf(rows: Seq[(Int, Int, Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("g", "w")
+    def msA(df: DataFrame): Map[(Int, Int, BigDecimal), Long] =
+      df.select(col("k"), col("g"), col("v").cast("decimal(18,4)"))
+        .as[(Int, Int, BigDecimal)].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def msFull(df: DataFrame): Map[(Int, Option[Int], Option[BigDecimal], Option[Int]), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Int, Option[Int], Option[BigDecimal], Option[Int])].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def signedA(feed: DataFrame): Map[(Int, Int, BigDecimal), Long] =
+      feed.select(col("k"), col("g"), col("v").cast("decimal(18,4)"),
+          col("_change_type"))
+        .as[(Int, Int, BigDecimal, String)].collect()
+        .groupBy(t => (t._1, t._2, t._3)).view
+        .mapValues(_.map(t => if (t._4 == "insert") 1L else -1L).sum)
+        .filter(_._2 != 0L).toMap
+    def signedFull(feed: DataFrame): Map[(Int, Option[Int], Option[BigDecimal], Option[Int]), Long] =
+      feed.select(col("g"), col("k"), col("v").cast("decimal(18,4)"),
+          col("w"), col("_change_type"))
+        .as[(Int, Option[Int], Option[BigDecimal], Option[Int], String)].collect()
+        .groupBy(t => (t._1, t._2, t._3, t._4)).view
+        .mapValues(_.map(t => if (t._5 == "insert") 1L else -1L).sum).toMap
+    def applied[K](pre: Map[K, Long], delta: Map[K, Long]): Map[K, Long] =
+      (pre.keySet ++ delta.keySet).map(r =>
+        r -> (pre.getOrElse(r, 0L) + delta.getOrElse(r, 0L)))
+        .filter(_._2 != 0L).toMap
+    for (history <- 1 to 5) {
+      var aSnap: Map[Int, (Int, Int)] = (1 to 16).map(k =>
+        k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)).toMap
+      var bSnap: Map[Int, Int] = rnd.shuffle((0 to 5).toList).take(3)
+        .map(g => g -> rnd.nextInt(100)).toMap
+      for (step <- 1 to 3) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 22).toList).take(6).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(6), rnd.nextInt(5) * 10)
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          rnd.shuffle((0 to 5).toList).take(3).foreach { g =>
+            if (rnd.nextInt(2) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(100)
+          }
+          m
+        }
+        val aPre = adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val aPost = adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val bPre = bdf(bSnap.toSeq)
+        val bPost = bdf(bNext.toSeq)
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+          .select(col("_change_type"), col("k"), col("g"), col("v"))
+        val dB = Merge.diff(bPre, bPost, Seq("g"), includePreimages = true)
+        // semi law
+        val semi = Incremental.deltaSemiJoin(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msA(aPre.join(bPre, Seq("g"), "left_semi")), signedA(semi))
+          === msA(aPost.join(bPost, Seq("g"), "left_semi")),
+          s"history $history step $step: semi-join law broken")
+        // anti law
+        val anti = Incremental.deltaAntiJoin(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msA(aPre.join(bPre, Seq("g"), "left_anti")), signedA(anti))
+          === msA(aPost.join(bPost, Seq("g"), "left_anti")),
+          s"history $history step $step: anti-join law broken")
+        // partition identity: semi ⊎ anti ≡ ΔA (as signed multisets)
+        val dAsigned = signedA(dA.withColumn("_change_type",
+          when(col("_change_type").isin("insert", "update_postimage"),
+            "insert").otherwise("delete")))
+        val both = (signedA(semi).keySet ++ signedA(anti).keySet).map(r =>
+          r -> (signedA(semi).getOrElse(r, 0L) + signedA(anti).getOrElse(r, 0L)))
+          .filter(_._2 != 0L).toMap
+        assert(both === dAsigned,
+          s"history $history step $step: semi ⊎ anti != ΔA")
+        // full-outer law
+        val full = Incremental.deltaJoinFull(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msFull(aPre.join(bPre, Seq("g"), "full_outer")),
+            signedFull(full))
+          === msFull(aPost.join(bPost, Seq("g"), "full_outer")),
+          s"history $history step $step: full-outer law broken")
+        aSnap = aNext; bSnap = bNext
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

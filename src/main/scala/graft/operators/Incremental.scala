@@ -166,6 +166,41 @@ object Incremental {
       .filter(col(countCol) > 0)
   }
 
+  /** Apply a signed change feed to a MATERIALIZED row-level view (a
+    * multiset, not an aggregate): `V' = V ⊎ feed`, where
+    * insert/update_postimage rows add one instance and
+    * delete/update_preimage rows cancel one. This is what turns every
+    * delta-join feed ([[deltaJoin]]/[[deltaJoinLeft]]/[[deltaJoinFull]]/
+    * [[deltaSemiJoin]]/[[deltaAntiJoin]]) into a maintained
+    * MATERIALIZED join — the row-level complement of [[maintainAgg]].
+    *
+    * Works on keyless multisets: rows are cancelled by FULL-ROW
+    * equality (groupBy is null-safe, so null-extended outer-join rows
+    * cancel correctly — unlike a join, which could not match them).
+    * Multiplicity is restored by explode(array_repeat(…)), so duplicate
+    * rows survive with exact counts.
+    *
+    * Cost: one groupBy over view ∪ feed — the view re-shuffles each
+    * application, the honest floor for a KEYLESS multiset. A view with
+    * a primary key should use [[Merge.mergeApply]] with the feed's
+    * postimages instead (one anti-join, no full-view groupBy); this is
+    * the general fallback the keyed form cannot cover.
+    */
+  def applyFeed(view: DataFrame, feed: DataFrame,
+      changeCol: String = "_change_type"): DataFrame = {
+    val cols = view.columns.toSeq
+    val sign = when(col(changeCol).isin("insert", "update_postimage"), 1L)
+      .when(col(changeCol).isin("delete", "update_preimage"), -1L)
+    val counted = view.withColumn("_n", lit(1L))
+      .unionByName(feed.withColumn("_n", sign)
+        .select((cols :+ "_n").map(col): _*))
+      .groupBy(cols.map(col): _*).agg(sum(col("_n")).as("_n"))
+      .filter(col("_n") > 0L)
+    counted
+      .withColumn("_rep", explode(array_repeat(lit(1), col("_n").cast("int"))))
+      .select(cols.map(col): _*)
+  }
+
   /** COUNT DISTINCT under retraction — the aggregate that is NOT a
     * retractable monoid on its own (subtracting a deleted value says
     * nothing about whether ANOTHER row still supplies it), maintained

@@ -632,6 +632,71 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("nat")
     }),
 
+    // MATERIALIZED join maintenance — the row-level complement of the
+    // aggregate tier: Incremental.applyFeed applies the signed
+    // delta-join feed to the stored JOIN ROWSET itself (full-row
+    // null-safe cancellation, multiplicity-exact), so a downstream
+    // consumer reads maintained join ROWS, not just maintained
+    // aggregates. The law: applyFeed(pre-join, deltaJoin feed) ≡ the
+    // fresh post-change join, row for row.
+    "mv_cdc_materialized_join" -> ((s, dir) => {
+      val oFull = t(s, dir, "orders")
+      val oAfterFull = graft.operators.Merge.mergeApply(oFull,
+        ordersCdcChangeset(oFull), Seq("o_orderkey"))
+      def proj(df: DataFrame) = df.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val oChanges = graft.operators.Merge.diff(oFull, oAfterFull,
+          Seq("o_orderkey"), includePreimages = true)
+        .select(col("_change_type"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val c2 = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val cAfter = graft.operators.Merge.mergeApply(c2,
+        customerCdcChangeset(c2.withColumnRenamed("o_custkey", "c_custkey"))
+          .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"))
+      val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("o_custkey"),
+        includePreimages = true)
+      val view0 = proj(oFull).join(c2, "o_custkey")
+      val feed = graft.operators.Incremental.deltaJoin(
+        proj(oFull), oChanges, c2, cChanges, Seq("o_custkey"))
+      graft.operators.Incremental.applyFeed(view0, feed)
+        .orderBy("o_orderkey")
+    }),
+
+    // Second moments under retraction: variance/stddev derive from
+    // maintained (sum x, sum x², count) — x² is just another retracted
+    // decimal sum, so the algebra needs nothing new; the derivation to
+    // stddev happens at read time in DOUBLE from the decimal-exact
+    // sums with one fixed formula + floor-snap on BOTH sides (IEEE ops
+    // over identical inputs are engine-deterministic, the established
+    // rounding rule).
+    "mv_cdc_stddev" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      def priced(df: DataFrame) = df
+        .withColumn("x", col("o_totalprice").cast("decimal(18,4)"))
+        .withColumn("x2", col("x") * col("x"))
+      val mv0 = priced(o).groupBy("o_orderpriority")
+        .agg(sum(col("x")).as("sum_price"), sum(col("x2")).as("sum_sq"),
+          count(lit(1)).as("n_orders"))
+      val changes = graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+        includePreimages = true)
+      val maintained = graft.operators.Incremental.maintainAgg(mv0,
+        priced(changes), Seq("o_orderpriority"),
+        Map("sum_price" -> "x", "sum_sq" -> "x2"), "n_orders")
+      val sumD = col("sum_price").cast("decimal(38,4)").cast("double")
+      val sqD = col("sum_sq").cast("decimal(38,8)").cast("double")
+      maintained
+        .withColumn("stddev_price", floor(sqrt(greatest(
+            (sqD - sumD * sumD / col("n_orders")) / col("n_orders"),
+            lit(0.0))) * 1e6 + 0.5) / 1e6)
+        .select(col("o_orderpriority"),
+          col("sum_price").cast("decimal(38,4)").as("sum_price"),
+          col("n_orders"), col("stddev_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -2175,6 +2240,84 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_rows
         |FROM cm FULL JOIN om ON cm.c_custkey = om.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // materialized-join law oracle: the fresh post-change join, row for
+    // row — one wrongly-cancelled or ghost row value-fails
+    "mv_cdc_materialized_join" ->
+      """WITH ochg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |om AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ochg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM ochg WHERE NOT _deleted),
+        |cchg AS (
+        |  SELECT c_custkey, CAST((c_nationkey + 7) % 25 AS INTEGER)
+        |    AS c_nationkey, false AS _deleted
+        |  FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, true
+        |  FROM customer WHERE c_custkey % 53 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 50000000, CAST(0 AS INTEGER), false
+        |  FROM customer WHERE c_custkey % 29 = 0),
+        |cm AS (
+        |  SELECT c_custkey, c_nationkey
+        |  FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM cchg)
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
+        |SELECT om.o_orderkey, om.o_custkey,
+        |  CAST(om.o_totalprice AS DECIMAL(18,4)) AS price, cm.c_nationkey
+        |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
+        |ORDER BY om.o_orderkey""".stripMargin,
+
+    // second-moment law oracle: fresh decimal sums of x and x² over the
+    // merged snapshot, stddev derived with the SAME double formula and
+    // floor-snap — identical exact inputs ⇒ identical IEEE outputs
+    "mv_cdc_stddev" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice,
+        |    false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderpriority,
+        |    o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM chg WHERE NOT _deleted),
+        |agg AS (
+        |  SELECT o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_x,
+        |    -- DECIMAL(19,4) forces DuckDB's int128 path: an 18-wide
+        |    -- product stays in int64 and overflows on real totalprices
+        |    sum(CAST(o_totalprice AS DECIMAL(19,4)) *
+        |        CAST(o_totalprice AS DECIMAL(19,4))) AS sum_x2,
+        |    count(*) AS n_orders
+        |  FROM m GROUP BY o_orderpriority)
+        |SELECT o_orderpriority,
+        |  CAST(sum_x AS DECIMAL(38,4)) AS sum_price,
+        |  n_orders,
+        |  floor(sqrt(greatest(
+        |    (CAST(CAST(sum_x2 AS DECIMAL(38,8)) AS DOUBLE)
+        |      - CAST(CAST(sum_x AS DECIMAL(38,4)) AS DOUBLE)
+        |        * CAST(CAST(sum_x AS DECIMAL(38,4)) AS DOUBLE) / n_orders)
+        |      / n_orders, 0)) * 1e6 + 0.5) / 1e6 AS stddev_price
+        |FROM agg ORDER BY o_orderpriority""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

@@ -407,6 +407,96 @@ object ChangeFeed {
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }
 
+  /** [[maintainJoinAggOnce]] for a streaming FACT LOG joined to a
+    * snapshot DIMENSION — the production shape of a micro-batch ingest
+    * feeding an enriched view: the fact source is an append-only
+    * [[Generations]] log ([[TxnSink]]'s `batch=<id>` tables), whose
+    * change feed IS the unapplied delta commits read as inserts (zero
+    * joins to derive — [[maintainAggOnceLog]]'s observation), while the
+    * dimension side diffs between snapshots like any merge table. The
+    * delta join then advances `agg(fact ⋈ dim)` with each base scanned
+    * once against a delta-sized side.
+    *
+    * Fact PRE-state reconstruction: the accumulated log at the applied
+    * version = the live log span's commits ≤ that version — valid only
+    * when the span's snapshot boundary is not newer than the watermark
+    * and the window is a pure contiguous delta; otherwise (bootstrap,
+    * squash inside or after the watermark, GC gap on either side) the
+    * view recomputes from the current snapshots, which the law makes
+    * always correct. Exactly-once via the same `=cdcv2=<vF>-<vD>` pair
+    * watermark + expectedBase CAS as the snapshot form.
+    */
+  def maintainJoinAggOnceLog(spark: SparkSession,
+      factLog: String, dimTable: String, dimKeys: Seq[String],
+      joinKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty,
+      leftOuter: Boolean = false)
+      (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.lit
+    val headF = Generations.latest(spark, factLog).map(_.version).getOrElse(0L)
+    val headD = Generations.latest(spark, dimTable).map(_.version).getOrElse(0L)
+    if (headF == 0L || headD == 0L) return None
+    val (appF, appD) = appliedVersions2(spark, mvTable)
+    if (appF >= headF && appD >= headD) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    val span = Generations.logCommits(spark, factLog)
+    val window = span.filter(c => c.version > appF && c.version <= headF)
+    val preSpan = span.filter(_.version <= appF)
+    // pre-state reconstructable: the live span STARTS at or below the
+    // watermark (the span begins at the last snapshot fold — a fold
+    // newer than the watermark has eaten the pre-state) and the window
+    // above it is a contiguous all-delta run
+    val factPreOk = appF > 0L && span.nonEmpty &&
+      span.head.version <= appF &&
+      window.forall(!Generations.isSnapshotCommit(_)) &&
+      window.map(_.version).toSet == (appF + 1 to headF).toSet
+    val incremental: Option[DataFrame] =
+      if (!factPreOk || appD == 0L) None
+      else for {
+        mv <- Generations.read(spark, mvTable)
+        dimPre <- Generations.readAt(spark, dimTable, appD)
+        dimChanges <-
+          if (appD == headD) Some(emptyFeed(dimPre))
+          else Generations.changesBetween(spark, dimTable, appD, headD,
+            dimKeys, includePreimages = true)
+      } yield {
+        val factPre = spark.read.option("mergeSchema", "true")
+          .parquet(preSpan.map(Generations.genPath(factLog, _)): _*)
+        val factFeed =
+          if (window.isEmpty) emptyFeed(factPre)
+          else {
+            val delta = spark.read.option("mergeSchema", "true")
+              .parquet(window.map(Generations.genPath(factLog, _)): _*)
+            delta.select(lit("insert").as("_change_type") +:
+              delta.columns.toSeq.map(delta.col): _*)
+          }
+        val feed =
+          if (leftOuter) Incremental.deltaJoinLeft(factPre, factFeed,
+            dimPre, dimChanges, joinKeys)
+          else Incremental.deltaJoin(factPre, factFeed, dimPre, dimChanges,
+            joinKeys)
+        if (minCols.isEmpty && maxCols.isEmpty)
+          Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
+        else Incremental.maintainAggMinMax(mv, feed,
+          postSource = Generations.readLog(spark, factLog).get
+            .join(Generations.readAt(spark, dimTable, headD).getOrElse(
+              throw new IllegalStateException(
+                s"$dimTable v$headD (the latest commit) has no readable generation")),
+              joinKeys, if (leftOuter) "left" else "inner"),
+          mvKeys, sumCols, countCol, minCols, maxCols)
+      }
+    val next = incremental.getOrElse {
+      aggOf(Generations.readLog(spark, factLog).getOrElse(return None),
+        Generations.readAt(spark, dimTable, headD).getOrElse(
+          throw new IllegalStateException(
+            s"$dimTable v$headD (the latest commit) has no readable generation")))
+    }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv2=$headF-$headD", expectedBase = Some(mvBase)))
+  }
+
   /** Source delta and maintained view in ONE atomic catalog commit —
     * the composition of [[maintainAggOnce]]'s incremental maintenance
     * with [[graft.sinks.Catalog.transact]]'s cross-table atomicity.

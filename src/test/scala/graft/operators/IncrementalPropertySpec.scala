@@ -431,6 +431,74 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("applyFeed: materialized rowset maintenance ≡ recompute, duplicates and nulls exact") {
+    // duplicate-instance cancellation: a multiset view with repeated
+    // rows must lose exactly ONE instance per delete
+    val view = Seq((1, 10), (1, 10), (1, 10), (2, 20)).toDF("k", "v")
+    val feed = Seq(("delete", 1, 10), ("insert", 3, 30), ("delete", 2, 20))
+      .toDF("_change_type", "k", "v")
+    val got = Incremental.applyFeed(view, feed)
+      .as[(Int, Int)].collect().toSeq.sorted
+    assert(got === Seq((1, 10), (1, 10), (3, 30)),
+      "one instance cancelled, one group emptied, one inserted")
+
+    // null-safe cancellation: null-extended rows (outer-join shape)
+    // must cancel by full-row equality — a join could never match them
+    val nview = Seq((1, Some(10)), (2, None), (3, None)).toDF("k", "v")
+    val nfeed = Seq(("delete", 2, None: Option[Int]), ("insert", 2, Some(7)))
+      .toDF("_change_type", "k", "v")
+    val ngot = Incremental.applyFeed(nview, nfeed)
+      .as[(Int, Option[Int])].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(ngot === Seq((1, Some(10)), (2, Some(7)), (3, None)),
+      "null row cancelled, non-null sibling inserted, other null kept")
+
+    // and across random left-join histories: applyFeed(pre-join rowset,
+    // deltaJoinLeft feed) ≡ the fresh post-change left join
+    def adf(rows: Seq[(Int, Int, Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Int, Int)]): DataFrame = rows.toDF("g", "w")
+    def ms(df: DataFrame): Map[(Int, Int, BigDecimal, Option[Int]), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Int, Int, BigDecimal, Option[Int])].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    for (history <- 1 to 3) {
+      var aSnap: Map[Int, (Int, Int)] = (1 to 14).map(k =>
+        k -> (rnd.nextInt(5), rnd.nextInt(4) * 10)).toMap
+      var bSnap: Map[Int, Int] = rnd.shuffle((0 to 4).toList).take(3)
+        .map(g => g -> rnd.nextInt(50)).toMap
+      for (step <- 1 to 2) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 18).toList).take(5).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (rnd.nextInt(5), rnd.nextInt(4) * 10)
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          rnd.shuffle((0 to 4).toList).take(2).foreach { g =>
+            if (rnd.nextInt(2) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(50)
+          }
+          m
+        }
+        val aPre = adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val aPost = adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val bPre = bdf(bSnap.toSeq); val bPost = bdf(bNext.toSeq)
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+          .select(col("_change_type"), col("k"), col("g"), col("v"))
+        val dB = Merge.diff(bPre, bPost, Seq("g"), includePreimages = true)
+        val pre = aPre.join(bPre, Seq("g"), "left")
+        val maintained = Incremental.applyFeed(pre,
+          Incremental.deltaJoinLeft(aPre, dA, bPre, dB, Seq("g")))
+        assert(ms(maintained) === ms(aPost.join(bPost, Seq("g"), "left")),
+          s"history $history step $step: materialized left join diverged")
+        aSnap = aNext; bSnap = bNext
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

@@ -566,6 +566,67 @@ class ChangeFeedSpec extends SparkSpec {
     assert(maintainL().isEmpty, "current: no-op")
   }
 
+  test("maintainJoinAggOnceLog: streaming fact log ⋈ snapshot dimension, exactly once") {
+    val fl = mkDir("factlog"); val dt = mkDir("dim"); val mv = mkDir("ljmv2")
+    def fact(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("ok", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def dim(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "grp")
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (f, d) =>
+      f.join(d, "ck").groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    def maintainL() = ChangeFeed.maintainJoinAggOnceLog(spark, fl, dt,
+      Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+    def state(): Map[Long, (BigDecimal, Long)] = mvState(mv)
+    def expected(): Map[Long, (BigDecimal, Long)] =
+      aggOf(Generations.readLog(spark, fl).get, Generations.read(spark, dt).get)
+        .select(col("grp"), col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(Long, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+
+    // streaming appends (batch-tagged deltas) + a committed dimension
+    Generations.appendCommitted(spark, fact((100, 1, 5), (101, 2, 7)), fl, "batch=0")
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 20)), dt)
+    assert(maintainL().nonEmpty) // bootstrap
+    assert(state() === expected())
+    assert(maintainL().isEmpty, "current: no-op")
+
+    // fact-only tick: the feed is the delta commit itself, no diff
+    Generations.appendCommitted(spark, fact((102, 1, 9)), fl, "batch=1")
+    val c2 = maintainL()
+    assert(c2.nonEmpty && c2.get.tag === "=cdcv2=2-1")
+    assert(state() === expected())
+
+    // a foreachBatch REPLAY of the same batch: append no-ops, view current
+    assert(Generations.appendCommitted(spark, fact((102, 1, 9)), fl,
+      "batch=1").isEmpty)
+    assert(maintainL().isEmpty)
+
+    // dim-only tick: ck=2 moves grp 20→30 (its fact revenue must move)
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 30)), dt)
+    val c3 = maintainL()
+    assert(c3.nonEmpty && c3.get.tag === "=cdcv2=2-2")
+    assert(state() === expected())
+    assert(state()(30L) === ((BigDecimal(7), 1L)))
+
+    // BOTH move in one tick
+    Generations.appendCommitted(spark, fact((103, 2, 4)), fl, "batch=2")
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 30), (3, 40)), dt)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+
+    // squash folds the fact log: window not a pure delta → recompute path
+    Generations.squash(spark, fl)
+    Generations.appendCommitted(spark, fact((104, 1, 2)), fl, "batch=3")
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+
+    // dim GC under the watermark: recompute fallback, still exact
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 30)), dt)
+    Generations.gc(spark, dt, keep = 1, orphanGraceMs = 0L)
+    assert(maintainL().nonEmpty)
+    assert(state() === expected())
+  }
+
   test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

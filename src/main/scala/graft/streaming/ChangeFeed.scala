@@ -407,6 +407,33 @@ object ChangeFeed {
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }
 
+  /** EXACTLY-once maintenance of a COUNT-DISTINCT view: the stored
+    * state is the SUPPORT table ([[Incremental.maintainDistinct]] —
+    * one row per (view key, distinct value) with its live row count,
+    * maintained by plain retraction), advanced from the source's change
+    * feed under the same `=cdcv=<v>`-tag watermark as
+    * [[maintainAggOnce]]. Read the user-facing distinct counts with
+    * [[distinctView]] — one groupBy over the |distinct|-bounded
+    * support, derived at read time exactly like avg over sum/count.
+    */
+  def maintainDistinctOnce(spark: SparkSession, source: String,
+      sourceKeys: Seq[String], supportTable: String, mvKeys: Seq[String],
+      distinctCols: Seq[String]): Option[Generations.Commit] =
+    maintainAggOnce(spark, source, sourceKeys, supportTable,
+      mvKeys ++ distinctCols, sumCols = Map.empty,
+      countCol = "_support_n") { snap =>
+      import org.apache.spark.sql.functions.{col, count, lit}
+      snap.groupBy((mvKeys ++ distinctCols).map(col): _*)
+        .agg(count(lit(1)).as("_support_n"))
+    }
+
+  /** The distinct counts a [[maintainDistinctOnce]] support table
+    * holds, derived at read time. None if never maintained. */
+  def distinctView(spark: SparkSession, supportTable: String,
+      mvKeys: Seq[String], as: String = "n_distinct"): Option[DataFrame] =
+    Generations.read(spark, supportTable)
+      .map(Incremental.distinctOf(_, mvKeys, as))
+
   /** [[maintainJoinAggOnce]] for a streaming FACT LOG joined to a
     * snapshot DIMENSION — the production shape of a micro-batch ingest
     * feeding an enriched view: the fact source is an append-only

@@ -627,6 +627,39 @@ class ChangeFeedSpec extends SparkSpec {
     assert(state() === expected())
   }
 
+  test("maintainDistinctOnce: support table tracks distinct counts exactly once") {
+    val t = mkDir("t"); val sup = mkDir("support")
+    def distinctState(): Map[Long, Long] =
+      ChangeFeed.distinctView(spark, sup, Seq("grp")).get
+        .as[(Long, Long)].collect().toMap
+    def expected(): Map[Long, Long] =
+      Generations.read(spark, t).get.groupBy("grp")
+        .agg(countDistinct(col("v")).as("n")).as[(Long, Long)].collect().toMap
+    def maintainD() = ChangeFeed.maintainDistinctOnce(spark, t, Seq("k"),
+      sup, Seq("grp"), Seq("v"))
+
+    // bootstrap: grp 10 supplies v∈{5,7} (5 twice), grp 20 v∈{5}
+    Generations.writeAndCommit(spark,
+      src((1, 10, 5), (2, 10, 5), (3, 10, 7), (4, 20, 5)), t)
+    assert(maintainD().nonEmpty)
+    assert(distinctState() === expected())
+    assert(distinctState()(10L) === 2L)
+    assert(maintainD().isEmpty, "current: no-op")
+
+    // delete ONE of grp 10's two v=5 rows: distinct must NOT drop
+    Generations.writeAndCommit(spark,
+      src((2, 10, 5), (3, 10, 7), (4, 20, 5)), t)
+    assert(maintainD().nonEmpty)
+    assert(distinctState() === expected())
+    assert(distinctState()(10L) === 2L, "one of two suppliers survives")
+
+    // delete the LAST v=7 row: distinct drops; grp 20 empties entirely
+    Generations.writeAndCommit(spark, src((2, 10, 5)), t)
+    assert(maintainD().nonEmpty)
+    assert(distinctState() === expected())
+    assert(distinctState() === Map(10L -> 1L))
+  }
+
   test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

@@ -407,6 +407,94 @@ object ChangeFeed {
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }
 
+  /** One input of [[maintainJoinsAggOnce]]: a committed
+    * [[Generations]] table and the PRIMARY keys its change feed diffs
+    * on (its merge keys — distinct from the join keys linking it into
+    * the chain). */
+  final case class JoinSource(table: String, keys: Seq[String])
+
+  /** The applied version VECTOR of an N-way maintained join view, from
+    * its `=cdcvn=<v1>-<v2>-…` commit tag (or carried witness). All
+    * zeros when never maintained. */
+  def appliedVersionsN(spark: SparkSession, mvTable: String,
+      n: Int): Seq[Long] =
+    Generations.latest(spark, mvTable).toSeq
+      .flatMap(c => c.tag +: c.carried)
+      .filter(_.startsWith("=cdcvn="))
+      .flatMap { t =>
+        val parts = t.stripPrefix("=cdcvn=").split("-")
+        if (parts.length != n) None
+        else scala.util.Try(parts.toSeq.map(_.toLong)).toOption
+      }
+      .sortBy(_.max).lastOption.getOrElse(Seq.fill(n)(0L))
+
+  /** [[maintainJoinAggOnce]] generalized to an N-way LINEAR join chain
+    * `V = agg(S₁ ⋈ S₂ ⋈ … ⋈ Sₙ)` (inner equi-joins; `joinKeys(i)`
+    * links the accumulated left side to `sources(i + 1)`). The feed is
+    * the delta-join identity FOLDED up the chain —
+    * Δ(L ⋈ Sᵢ) = deltaJoin(L_pre, ΔL, Sᵢ_pre, ΔSᵢ) with the
+    * accumulated pre-join as each step's static side — which is
+    * exactly the composition the `mv_cdc_join3_revenue` law pins, here
+    * under the exactly-once machinery: the applied version VECTOR
+    * `=cdcvn=<v1>-…-<vn>` rides the view's own commit (expectedBase
+    * CAS, squash/GC-surviving witness). Any input's GC gap or a
+    * bootstrap falls back to `aggOf` over the head snapshots.
+    *
+    * Scale shape per tick: each source read once at its applied
+    * version; each fold step joins pre-states against delta-sized
+    * sides. Non-key columns must be disjoint across all sources.
+    */
+  def maintainJoinsAggOnce(spark: SparkSession, sources: Seq[JoinSource],
+      joinKeys: Seq[Seq[String]], mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String)
+      (aggOf: Seq[DataFrame] => DataFrame): Option[Generations.Commit] = {
+    require(sources.size >= 2, "need at least two join inputs")
+    require(joinKeys.size == sources.size - 1,
+      s"need ${sources.size - 1} join-key sets for ${sources.size} inputs")
+    val heads = sources.map(s =>
+      Generations.latest(spark, s.table).map(_.version).getOrElse(0L))
+    if (heads.contains(0L)) return None // every input must be committed
+    val applied = appliedVersionsN(spark, mvTable, sources.size)
+    if (applied.zip(heads).forall { case (a, h) => a >= h }) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    def headSnap(i: Int): DataFrame =
+      Generations.readAt(spark, sources(i).table, heads(i)).getOrElse(
+        throw new IllegalStateException(
+          s"${sources(i).table} v${heads(i)} (the latest commit) has no readable generation"))
+    val incremental: Option[DataFrame] =
+      if (applied.contains(0L)) None // never maintained: bootstrap
+      else {
+        val parts: Seq[Option[(DataFrame, DataFrame)]] =
+          sources.indices.map { i =>
+            for {
+              pre <- Generations.readAt(spark, sources(i).table, applied(i))
+              changes <-
+                if (applied(i) == heads(i)) Some(emptyFeed(pre))
+                else Generations.changesBetween(spark, sources(i).table,
+                  applied(i), heads(i), sources(i).keys,
+                  includePreimages = true)
+            } yield (pre, changes)
+          }
+        if (parts.exists(_.isEmpty)) None // a GC gap somewhere: recompute
+        else Generations.read(spark, mvTable).map { mv =>
+          val ps = parts.map(_.get)
+          var (preAcc, feedAcc) = (ps.head._1,
+            Incremental.deltaJoin(ps.head._1, ps.head._2,
+              ps(1)._1, ps(1)._2, joinKeys.head))
+          preAcc = preAcc.join(ps(1)._1, joinKeys.head)
+          for (i <- 2 until sources.size) {
+            feedAcc = Incremental.deltaJoin(preAcc, feedAcc,
+              ps(i)._1, ps(i)._2, joinKeys(i - 1))
+            preAcc = preAcc.join(ps(i)._1, joinKeys(i - 1))
+          }
+          Incremental.maintainAgg(mv, feedAcc, mvKeys, sumCols, countCol)
+        }
+      }
+    val next = incremental.getOrElse(aggOf(sources.indices.map(headSnap)))
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcvn=${heads.mkString("-")}", expectedBase = Some(mvBase)))
+  }
+
   /** EXACTLY-once maintenance of a COUNT-DISTINCT view: the stored
     * state is the SUPPORT table ([[Incremental.maintainDistinct]] —
     * one row per (view key, distinct value) with its live row count,

@@ -660,6 +660,74 @@ class ChangeFeedSpec extends SparkSpec {
     assert(distinctState() === Map(10L -> 1L))
   }
 
+  test("maintainJoinsAggOnce: a 3-way join chain advances from any level's feed") {
+    val ft = mkDir("fact"); val ct = mkDir("cust"); val nt = mkDir("nat")
+    val mv = mkDir("chainmv")
+    def fact(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("ok", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def cust(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "nk")
+    def nat(rows: (Long, String)*): DataFrame = rows.toDF("nk", "name")
+    val aggOf: Seq[DataFrame] => DataFrame = { case Seq(f, c, n) =>
+      f.join(c, "ck").join(n, "nk").groupBy("name")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    }
+    def maintainC() = ChangeFeed.maintainJoinsAggOnce(spark,
+      Seq(ChangeFeed.JoinSource(ft, Seq("ok")),
+        ChangeFeed.JoinSource(ct, Seq("ck")),
+        ChangeFeed.JoinSource(nt, Seq("nk"))),
+      Seq(Seq("ck"), Seq("nk")), mv, Seq("name"),
+      Map("sum_v" -> "v"), "n")(aggOf)
+    def state(): Map[String, (BigDecimal, Long)] =
+      Generations.read(spark, mv).get
+        .select(col("name"), col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(String, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+    def expected(): Map[String, (BigDecimal, Long)] =
+      aggOf(Seq(ft, ct, nt).map(Generations.read(spark, _).get))
+        .select(col("name"), col("sum_v").cast("decimal(18,4)"), col("n"))
+        .as[(String, BigDecimal, Long)].collect()
+        .map { case (g, s, n) => g -> (s, n) }.toMap
+
+    Generations.writeAndCommit(spark, fact((100, 1, 5), (101, 2, 7)), ft)
+    Generations.writeAndCommit(spark, cust((1, 0), (2, 1)), ct)
+    assert(maintainC().isEmpty, "all inputs must be committed first")
+    Generations.writeAndCommit(spark, nat((0, "A"), (1, "B")), nt)
+    val c1 = maintainC()
+    assert(c1.nonEmpty && c1.get.tag === "=cdcvn=1-1-1")
+    assert(state() === expected())
+    assert(maintainC().isEmpty, "current: no-op")
+
+    // bottom level only: nation rename (key-move for a name-grouped view)
+    Generations.writeAndCommit(spark, nat((0, "A"), (1, "B2")), nt)
+    val c2 = maintainC()
+    assert(c2.nonEmpty && c2.get.tag === "=cdcvn=1-1-2")
+    assert(state() === expected())
+    assert(state().contains("B2") && !state().contains("B"))
+
+    // middle level: ck=1 moves nation 0→1; top level: fact churn — one tick
+    Generations.writeAndCommit(spark, cust((1, 1), (2, 1)), ct)
+    Generations.writeAndCommit(spark,
+      fact((100, 1, 5), (102, 2, 3)), ft)
+    val c3 = maintainC()
+    assert(c3.nonEmpty && c3.get.tag === "=cdcvn=2-2-2")
+    assert(state() === expected())
+    assert(state() === Map("B2" -> ((BigDecimal(8), 2L))))
+
+    // the vector watermark survives a squash of the view table
+    Generations.squash(spark, mv)
+    Generations.gc(spark, mv, keep = 1, orphanGraceMs = 0L)
+    assert(ChangeFeed.appliedVersionsN(spark, mv, 3) === Seq(2L, 2L, 2L))
+    assert(maintainC().isEmpty)
+
+    // GC under any input's watermark: recompute fallback, still exact
+    Generations.writeAndCommit(spark, fact((102, 2, 3)), ft)
+    Generations.writeAndCommit(spark, fact((102, 2, 4)), ft)
+    Generations.gc(spark, ft, keep = 1, orphanGraceMs = 0L)
+    val c4 = maintainC()
+    assert(c4.nonEmpty && c4.get.tag === "=cdcvn=4-2-2")
+    assert(state() === expected())
+  }
+
   test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

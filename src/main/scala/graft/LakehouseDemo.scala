@@ -111,6 +111,37 @@ object LakehouseDemo {
     println("roots: " + graft.sinks.Catalog.roots(spark, root)
       .map(rc => s"v${rc.version}{${rc.tables.keys.toSeq.sorted.mkString(",")}}")
       .mkString(", "))
+
+    // 5. Multi-table IVM: an aggregate OVER A JOIN maintained from both
+    //    inputs' change feeds (signed delta join), exactly-once under
+    //    the version-pair watermark riding the view's own commit — and
+    //    a COUNT DISTINCT view via its retraction-maintained support.
+    val ordersT = s"$work/orders"; val custT = s"$work/cust"
+    val joinMv = s"$work/rev_by_grp"; val support = s"$work/cust_support"
+    def ordRows(rows: (Long, Long, Long)*) =
+      rows.toDF("ok", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    Generations.writeAndCommit(spark, ordRows((100, 1, 5), (101, 2, 7)), ordersT)
+    Generations.writeAndCommit(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("ck", "grp"), custT)
+    def maintainJoin() = graft.streaming.ChangeFeed.maintainJoinAggOnce(
+      spark, ordersT, Seq("ok"), custT, Seq("ck"), Seq("ck"),
+      joinMv, Seq("grp"), Map("sum_v" -> "v"), "n") { (o, c) =>
+        o.join(c, "ck").groupBy("grp")
+          .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+      }
+    maintainJoin()
+    // the DIMENSION moves: ck=2 changes group — its revenue must follow
+    Generations.writeAndCommit(spark,
+      Seq((1L, 10L), (2L, 30L)).toDF("ck", "grp"), custT)
+    maintainJoin()
+    println("== maintained agg-over-join after a dimension key-move " +
+      s"(watermark ${graft.streaming.ChangeFeed.appliedVersions2(spark, joinMv)}) ==")
+    Generations.read(spark, joinMv).get.orderBy("grp").show()
+    graft.streaming.ChangeFeed.maintainDistinctOnce(spark, ordersT,
+      Seq("ok"), support, Seq("ck"), Seq("v"))
+    println("== distinct order values per customer (support-table view) ==")
+    graft.streaming.ChangeFeed.distinctView(spark, support, Seq("ck")).get
+      .orderBy("ck").show()
     spark.stop()
   }
 }

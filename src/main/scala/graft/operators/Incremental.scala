@@ -166,6 +166,57 @@ object Incremental {
       .filter(col(countCol) > 0)
   }
 
+  /** TOP-K rows per group under CDC maintenance — the ranking analogue
+    * of [[maintainAggMinMax]] (min/max IS k = 1): the stored view holds
+    * each group's current top-k ROWS by `orderCol` descending
+    * (`tieCol` ascending breaks ties deterministically), and a
+    * retracted row may have been one of them with its replacement (the
+    * k+1-th) not stored, so:
+    *
+    *  - INSERT-only groups merge for free: `topk(A ∪ B) =
+    *    topk(topk(A) ∪ B)` (rank is monotone), so the stored k rows
+    *    union the group's inserts and re-rank — never touching the
+    *    source.
+    *  - DIRTY groups (any delete/update_preimage) re-rank from
+    *    `postSource` restricted to exactly those keys — cost bounded by
+    *    the changed groups' rows.
+    *
+    * Output: the maintained view rows (same columns as `view`). Plan
+    * shape: one delta pass to split clean/dirty keys, one
+    * WindowGroupLimit-shaped rank over (stored ∪ inserts) for clean
+    * groups, one dirty-key-pruned rank over the source — all
+    * partitioned on the SAME group key.
+    */
+  def maintainTopK(view: DataFrame, changes: DataFrame,
+      postSource: DataFrame, mvKeys: Seq[String], orderCol: String,
+      tieCol: String, k: Int,
+      changeCol: String = "_change_type"): DataFrame = {
+    require(mvKeys.nonEmpty, "need at least one view key")
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cols = view.columns.toSeq
+    val sign = when(col(changeCol).isin("insert", "update_postimage"), 1)
+      .when(col(changeCol).isin("delete", "update_preimage"), -1)
+    val signed = changes.withColumn("_sign", sign)
+    val dirtyKeys = signed.filter(col("_sign") === -1)
+      .select(mvKeys.map(col): _*).distinct()
+    val inserted = signed.filter(col("_sign") === 1)
+      .select(cols.map(col): _*)
+    val w = Window.partitionBy(mvKeys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieCol).asc)
+    def topk(df: DataFrame): DataFrame =
+      df.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= k).drop("_r")
+    val clean = topk(view.unionByName(inserted)
+      .join(dirtyKeys, mvKeys, "left_anti"))
+    // inner join, not left_semi: dirtyKeys is unique per key (distinct
+    // output), and the semi form replans union-shaped postSource
+    // subtrees per branch (the r13 min/max lesson)
+    val dirty = topk(dirtyKeys.join(postSource.select(cols.map(col): _*),
+      mvKeys))
+    clean.unionByName(dirty)
+  }
+
   /** Apply a signed change feed to a MATERIALIZED row-level view (a
     * multiset, not an aggregate): `V' = V ⊎ feed`, where
     * insert/update_postimage rows add one instance and

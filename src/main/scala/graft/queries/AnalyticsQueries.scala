@@ -697,6 +697,35 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // TOP-K rows per group under CDC maintenance (the ranking analogue
+    // of the min/max dirty-group strategy — min/max IS k=1): the stored
+    // top-3 orders per priority advance by rank-merging insert-only
+    // groups (topk(A∪B) = topk(topk(A)∪B)) and re-ranking exactly the
+    // retraction-touched groups from the post-change snapshot. The
+    // changeset deletes rows that sit INSIDE current top-3s (every 97th
+    // order includes some group leaders), so a stale stored row
+    // value-fails against the fresh window-rank oracle.
+    "mv_cdc_topk_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val after = graft.operators.Merge.mergeApply(o, ordersCdcChangeset(o),
+        Seq("o_orderkey"))
+      def proj(df: DataFrame) = df.select(col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val view0 = proj(o)
+        .withColumn("_r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderpriority")
+            .orderBy(col("price").desc, col("o_orderkey").asc)))
+        .filter(col("_r") <= 3).drop("_r")
+      val changes = graft.operators.Merge.diff(o, after, Seq("o_orderkey"),
+          includePreimages = true)
+        .select(col("_change_type"), col("o_orderpriority"),
+          col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
+      graft.operators.Incremental.maintainTopK(view0, changes, proj(after),
+          Seq("o_orderpriority"), "price", "o_orderkey", 3)
+        .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))
+    }),
+
     // SCD2 dimension history: customer order-status change log collapsed
     // into versioned rows with effective ranges — one key shuffle, two
     // windows sharing its sort (operators/History.scala).
@@ -2318,6 +2347,35 @@ object AnalyticsQueries extends QueryPack {
         |        * CAST(CAST(sum_x AS DECIMAL(38,4)) AS DOUBLE) / n_orders)
         |      / n_orders, 0)) * 1e6 + 0.5) / 1e6 AS stddev_price
         |FROM agg ORDER BY o_orderpriority""".stripMargin,
+
+    // top-k law oracle: fresh window rank over the merged snapshot — a
+    // retracted leader left in the stored top-3 value-fails
+    "mv_cdc_topk_orders" ->
+      """WITH chg AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice, false AS _deleted
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice, true
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice, false
+        |  FROM orders WHERE o_orderkey % 101 = 0 AND o_orderkey % 97 <> 0),
+        |m AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders o WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM chg)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM chg WHERE NOT _deleted),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
+        |        o_orderkey ASC) AS rnk
+        |  FROM m)
+        |SELECT o_orderpriority, o_orderkey, price
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
 
     "scd2_order_status" ->
       """WITH w AS (

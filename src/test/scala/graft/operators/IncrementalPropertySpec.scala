@@ -499,6 +499,50 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("maintainTopK ≡ fresh top-k across random histories, ties and small groups included") {
+    // values from a SMALL set so exact ties are common (the tiebreak
+    // column must make ranking deterministic) and groups often hold
+    // fewer than k rows
+    val k = 3
+    def topkOf(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("v").desc, col("k").asc)
+      df.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= k).drop("_r")
+    }
+    def rows(df: DataFrame): Set[(Int, Int, Int)] =
+      df.select(col("grp"), col("k"), col("v"))
+        .as[(Int, Int, Int)].collect().toSet
+    for (history <- 1 to 6) {
+      var snap: Map[Int, (Int, Int)] = (1 to 18).map(kk =>
+        kk -> (rnd.nextInt(4), rnd.nextInt(6) * 10)).toMap
+      def df(m: Map[Int, (Int, Int)]) =
+        m.toSeq.map { case (kk, (g, v)) => (kk, g, v) }.toDF("k", "grp", "v")
+      var view = topkOf(df(snap))
+      for (step <- 1 to 4) {
+        val next = {
+          var m = snap
+          rnd.shuffle((1 to 26).toList).take(7).foreach { kk =>
+            if (rnd.nextInt(3) == 0 && m.contains(kk)) m -= kk
+            else m += kk -> (rnd.nextInt(4), rnd.nextInt(6) * 10)
+          }
+          m
+        }
+        val changes = Merge.diff(df(snap), df(next), Seq("k"),
+          includePreimages = true)
+        view = Incremental.maintainTopK(view, changes, df(next),
+          Seq("grp"), "v", "k", k)
+        val got = rows(view)
+        assert(got === rows(topkOf(df(next))),
+          s"history $history step $step: maintained top-k diverged")
+        // materialize like a committed view table
+        view = got.toSeq.map { case (g, kk, v) => (kk, g, v) }
+          .toDF("k", "grp", "v")
+        snap = next
+      }
+    }
+  }
+
   test("maintainAgg (sum/count) ≡ recompute across random histories") {
     for (history <- 1 to 6) {
       var snap: Map[Int, (Int, Int)] = (1 to 15).map(k =>

@@ -407,6 +407,51 @@ object ChangeFeed {
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }
 
+  /** EXACTLY-once maintenance of a TOP-K-rows-per-group view
+    * ([[Incremental.maintainTopK]] — insert-only groups rank-merge,
+    * retraction-touched groups re-rank from the source snapshot at the
+    * head being applied), under the same `=cdcv=<v>` watermark
+    * machinery as [[maintainAggOnce]]. The view stores `viewCols` of
+    * the source row (all columns when empty; must include the group,
+    * ranking and tiebreak columns) — [[Incremental.maintainTopK]]
+    * narrows the feed and the re-rank source to the view's own schema,
+    * so images differing only in dropped columns become harmless dirty
+    * marks (a re-rank that finds nothing changed).
+    */
+  def maintainTopKOnce(spark: SparkSession, source: String,
+      sourceKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      orderCol: String, tieCol: String, k: Int,
+      viewCols: Seq[String] = Nil): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
+    def headSnap: DataFrame =
+      Generations.readAt(spark, source, head).getOrElse(
+        throw new IllegalStateException(
+          s"$source v$head (the latest commit) has no readable generation"))
+    def narrow(df: DataFrame): DataFrame =
+      if (viewCols.isEmpty) df else df.select(viewCols.map(col): _*)
+    val next = (if (applied == 0L) None
+      else for {
+        view <- Generations.read(spark, mvTable)
+        changes <- Generations.changesBetween(spark, source, applied, head,
+          sourceKeys, includePreimages = true)
+      } yield Incremental.maintainTopK(view, changes, headSnap,
+        mvKeys, orderCol, tieCol, k)
+      ).getOrElse {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(mvKeys.map(col): _*)
+          .orderBy(col(orderCol).desc, col(tieCol).asc)
+        narrow(headSnap).withColumn("_r", row_number().over(w))
+          .filter(col("_r") <= k).drop("_r")
+      }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+  }
+
   /** One input of [[maintainJoinsAggOnce]]: a committed
     * [[Generations]] table and the PRIMARY keys its change feed diffs
     * on (its merge keys — distinct from the join keys linking it into

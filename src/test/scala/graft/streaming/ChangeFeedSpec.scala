@@ -728,6 +728,42 @@ class ChangeFeedSpec extends SparkSpec {
     assert(state() === expected())
   }
 
+  test("maintainTopKOnce: stored leaders replaced exactly once when retracted") {
+    val t = mkDir("t"); val mv = mkDir("topkmv")
+    def maintainT() = ChangeFeed.maintainTopKOnce(spark, t, Seq("k"), mv,
+      Seq("grp"), "v", "k", k = 2, viewCols = Seq("grp", "k", "v"))
+    def state(): Set[(Long, Long, BigDecimal)] =
+      Generations.read(spark, mv).get
+        .select(col("grp"), col("k"), col("v").cast("decimal(18,4)"))
+        .as[(Long, Long, BigDecimal)].collect().toSet
+    def expected(): Set[(Long, Long, BigDecimal)] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy(col("v").desc, col("k").asc)
+      Generations.read(spark, t).get
+        .withColumn("_r", row_number().over(w)).filter(col("_r") <= 2)
+        .select(col("grp"), col("k"), col("v").cast("decimal(18,4)"))
+        .as[(Long, Long, BigDecimal)].collect().toSet
+    }
+    Generations.writeAndCommit(spark,
+      src((1, 10, 9), (2, 10, 5), (3, 10, 3), (4, 20, 1)), t)
+    val c1 = maintainT()
+    assert(c1.nonEmpty && c1.get.tag === "=cdcv=1")
+    assert(state() === expected())
+    assert(maintainT().isEmpty, "current: no-op")
+    // delete the group leader: the k+1-th (not stored) must surface
+    Generations.writeAndCommit(spark,
+      src((2, 10, 5), (3, 10, 3), (4, 20, 1)), t)
+    assert(maintainT().nonEmpty)
+    assert(state() === expected())
+    assert(state().contains((10L, 3L, BigDecimal("3.0000"))),
+      "the unstored k+1-th row replaces the retracted leader")
+    // insert-only tick: rank-merge without touching the source
+    Generations.writeAndCommit(spark,
+      src((2, 10, 5), (3, 10, 3), (4, 20, 1), (5, 10, 7)), t)
+    assert(maintainT().nonEmpty)
+    assert(state() === expected())
+  }
+
   test("transactMaintainJoinAgg: two sources and their join view in ONE root commit") {
     import graft.sinks.Catalog
     val root = mkDir("cat")

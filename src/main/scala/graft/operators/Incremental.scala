@@ -351,7 +351,17 @@ object Incremental {
     */
   def deltaJoinLeft(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
-      changeCol: String = "_change_type"): DataFrame = {
+      changeCol: String = "_change_type"): DataFrame =
+    deltaJoinLeftImpl(aPre, materializeDelta(aChanges),
+      bPre, materializeDelta(bChanges), joinKeys, changeCol)
+
+  /** [[deltaJoinLeft]] body over ALREADY-materialized change feeds —
+    * [[deltaJoinFull]] materializes once and reuses them for the
+    * mirrored B-side terms, so the wrapper split keeps a full-join plan
+    * from checkpointing (= copying) each delta twice. */
+  private def deltaJoinLeftImpl(aPre: DataFrame, aChanges: DataFrame,
+      bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String): DataFrame = {
     require(joinKeys.nonEmpty, "need at least one join key")
     val bNonKey = bPre.columns.toSeq.filterNot(joinKeys.contains)
     val bTypes = bPre.schema.map(f => f.name -> f.dataType).toMap
@@ -362,6 +372,18 @@ object Incremental {
     inner.unionByName(nulls)
   }
 
+  /** Materialize a change feed once before a multi-term delta-join plan
+    * fans out over it. A feed is delta-bounded by the IVM contract, but
+    * its LINEAGE need not be cheap: fed from [[graft.operators.Merge.diff]]
+    * it is a full pre⋈post comparison that the outer-join feeds would
+    * otherwise re-plan 4-5× (inner terms, keys-of-interest union, signed
+    * per-key sums, A-churn term — the r13 70-exchange
+    * mv_cdc_fulljoin_revenue plan). `localCheckpoint` truncates the
+    * lineage to the materialized delta (the `Graph.scala` iteration
+    * pattern); cost is one extra pass over a DELTA-sized frame. */
+  private def materializeDelta(changes: DataFrame): DataFrame =
+    changes.localCheckpoint()
+
   /** FULL outer join under IVM: [[deltaJoinLeft]]'s feed plus the
     * mirrored B-side null extensions (B-rows at A-empty keys, A's
     * non-key columns null). Output columns are the join's
@@ -371,11 +393,12 @@ object Incremental {
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
       changeCol: String = "_change_type"): DataFrame = {
     require(joinKeys.nonEmpty, "need at least one join key")
+    val aC = materializeDelta(aChanges)
+    val bC = materializeDelta(bChanges)
     val aNonKey = aPre.columns.toSeq.filterNot(joinKeys.contains)
     val aTypes = aPre.schema.map(f => f.name -> f.dataType).toMap
-    val left = deltaJoinLeft(aPre, aChanges, bPre, bChanges, joinKeys,
-      changeCol)
-    val bNulls = membershipDelta(bPre, bChanges, aPre, aChanges, joinKeys,
+    val left = deltaJoinLeftImpl(aPre, aC, bPre, bC, joinKeys, changeCol)
+    val bNulls = membershipDelta(bPre, bC, aPre, aC, joinKeys,
       changeCol, keepWhenEmpty = true,
       extendCols = aNonKey.map(c => lit(null).cast(aTypes(c)).as(c)))
       // align to the left feed's column order (select is by name)
@@ -391,7 +414,8 @@ object Incremental {
   def deltaSemiJoin(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
       changeCol: String = "_change_type"): DataFrame =
-    membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys, changeCol,
+    membershipDelta(aPre, materializeDelta(aChanges),
+      bPre, materializeDelta(bChanges), joinKeys, changeCol,
       keepWhenEmpty = false, extendCols = Nil)
 
   /** LEFT ANTI join under IVM: the feed of `V = A ▷ B` (A-rows with NO
@@ -402,7 +426,8 @@ object Incremental {
   def deltaAntiJoin(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
       changeCol: String = "_change_type"): DataFrame =
-    membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys, changeCol,
+    membershipDelta(aPre, materializeDelta(aChanges),
+      bPre, materializeDelta(bChanges), joinKeys, changeCol,
       keepWhenEmpty = true, extendCols = Nil)
 
   /** The shared membership-crossing delta: A-rows whose view membership
@@ -434,12 +459,16 @@ object Incremental {
       .groupBy(joinKeys.map(col): _*).agg(count(lit(1)).as("_cnt_pre"))
     val dB = bChanges.withColumn("_s", sign)
       .groupBy(joinKeys.map(col): _*).agg(sum(col("_s")).as("_cnt_d"))
+    // materialized once: |ΔA ∪ ΔB|-keys small, but its lineage (the
+    // restricted B count + both signed delta scans) is re-planned by
+    // BOTH consumers below (flipped probe + A-churn filter) without it
     val cnt = keysOfInterest
       .join(cntPre, joinKeys, "left").join(dB, joinKeys, "left")
       .select(joinKeys.map(col) :+
         coalesce(col("_cnt_pre"), lit(0L)).as("_cnt_pre") :+
         (coalesce(col("_cnt_pre"), lit(0L)) +
           coalesce(col("_cnt_d"), lit(0L))).as("_cnt_post"): _*)
+      .localCheckpoint()
     val memberPost =
       if (keepWhenEmpty) col("_cnt_post") === 0L else col("_cnt_post") > 0L
     // term 1: every A_pre row at a key whose membership flipped

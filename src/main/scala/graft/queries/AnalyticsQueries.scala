@@ -321,12 +321,18 @@ object AnalyticsQueries extends QueryPack {
         includePreimages = true)
       graft.operators.Incremental.maintainAgg(mv0, priced(changes),
           Seq("o_custkey"), Map("revenue" -> "price"), "n_orders")
-        // pin the output type: Spark derives the sum through
-        // decimal(28,4) + the maintenance add → (38,4) while DuckDB sums
-        // straight to (38,4) — same values, but the derivation chain is
-        // engine-specific, so both sides CAST to one exact type and the
-        // hasher sees identical bytes (r12 driver-hash-only red row)
-        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        // OUTPUT PROFILE (r14): the maintenance arithmetic is decimal-
+        // exact end-to-end; only the EMITTED column is cast to DOUBLE.
+        // The r13 bisection showed the driver's oracle path floats all
+        // DuckDB decimals while the Spark parquet dump keeps Decimal
+        // objects at dump scale — any decimal output column whose
+        // rendering differs from the float's ("123.4500" vs "123.45")
+        // hash-fails even when values are exact. DOUBLE-on-both-sides is
+        // the ~200-query proven-green profile; a single cast of value-
+        // identical exact decimals is engine-deterministic (scaled int
+        // < 2^53 through sf10, so the cast is correctly rounded on both
+        // engines). See probe_hash_* family + BASELINE.md.
+        .withColumn("revenue", col("revenue").cast("double"))
         .orderBy("o_custkey")
     }),
 
@@ -354,7 +360,11 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Incremental.maintainAggMinMax(mv0, priced(changes),
           priced(after), Seq("o_custkey"), Map("revenue" -> "price"),
           "n_orders", Map("min_price" -> "price"), Map("max_price" -> "price"))
-        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        // emitted columns in the proven-green DOUBLE profile (internal
+        // state stays decimal-exact) — see mv_cdc_incremental_revenue
+        .withColumn("revenue", col("revenue").cast("double"))
+        .withColumn("min_price", col("min_price").cast("double"))
+        .withColumn("max_price", col("max_price").cast("double"))
         .orderBy("o_custkey")
     }),
 
@@ -399,7 +409,9 @@ object AnalyticsQueries extends QueryPack {
         proj(oFull), oChangesProj, c2, cChanges, Seq("o_custkey"))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("c_nationkey"), Map("revenue" -> "price"), "n_orders")
-        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        // proven-green DOUBLE output profile (internal state decimal-
+        // exact) — see mv_cdc_incremental_revenue
+        .withColumn("revenue", col("revenue").cast("double"))
         .orderBy("c_nationkey")
     }),
 
@@ -485,7 +497,9 @@ object AnalyticsQueries extends QueryPack {
         .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_orders"))
       graft.operators.Incremental.maintainAgg(mv0, feedABC,
           Seq("n_name"), Map("revenue" -> "price"), "n_orders")
-        .withColumn("revenue", col("revenue").cast("decimal(38,4)"))
+        // proven-green DOUBLE output profile (internal state decimal-
+        // exact) — see mv_cdc_incremental_revenue
+        .withColumn("revenue", col("revenue").cast("double"))
         .orderBy("n_name")
     }),
 
@@ -538,8 +552,10 @@ object AnalyticsQueries extends QueryPack {
         c2, cChanges, bPre, bChanges, Seq("c_custkey"))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("c_nationkey"), Map("revenue" -> "price"), "n_rows")
+        // proven-green DOUBLE output profile (internal state decimal-
+        // exact) — see mv_cdc_incremental_revenue
         .withColumn("revenue",
-          coalesce(col("revenue"), lit(0)).cast("decimal(38,4)"))
+          coalesce(col("revenue"), lit(0)).cast("double"))
         .orderBy("c_nationkey")
     }),
 
@@ -627,8 +643,10 @@ object AnalyticsQueries extends QueryPack {
         c2, cChanges, bPre, bChanges, Seq("c_custkey")))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("nat"), Map("revenue" -> "price"), "n_rows")
+        // proven-green DOUBLE output profile (internal state decimal-
+        // exact) — see mv_cdc_incremental_revenue
         .withColumn("revenue",
-          coalesce(col("revenue"), lit(0)).cast("decimal(38,4)"))
+          coalesce(col("revenue"), lit(0)).cast("double"))
         .orderBy("nat")
     }),
 
@@ -660,6 +678,10 @@ object AnalyticsQueries extends QueryPack {
       val feed = graft.operators.Incremental.deltaJoin(
         proj(oFull), oChanges, c2, cChanges, Seq("o_custkey"))
       graft.operators.Incremental.applyFeed(view0, feed)
+        // row-level cancellation runs on the exact decimal price; only
+        // the emitted column is floated (proven-green DOUBLE profile —
+        // see mv_cdc_incremental_revenue)
+        .withColumn("price", col("price").cast("double"))
         .orderBy("o_orderkey")
     }),
 
@@ -692,7 +714,9 @@ object AnalyticsQueries extends QueryPack {
             (sqD - sumD * sumD / col("n_orders")) / col("n_orders"),
             lit(0.0))) * 1e6 + 0.5) / 1e6)
         .select(col("o_orderpriority"),
-          col("sum_price").cast("decimal(38,4)").as("sum_price"),
+          // proven-green DOUBLE output profile (the decimal-exact sum is
+          // cast once) — see mv_cdc_incremental_revenue
+          col("sum_price").cast("double").as("sum_price"),
           col("n_orders"), col("stddev_price"))
         .orderBy("o_orderpriority")
     }),
@@ -723,6 +747,10 @@ object AnalyticsQueries extends QueryPack {
           col("o_orderkey"), col("o_totalprice").cast("decimal(18,4)").as("price"))
       graft.operators.Incremental.maintainTopK(view0, changes, proj(after),
           Seq("o_orderpriority"), "price", "o_orderkey", 3)
+        // rank maintenance runs on the exact decimal price; only the
+        // emitted column is floated (proven-green DOUBLE profile — see
+        // mv_cdc_incremental_revenue); the cast is order-preserving
+        .withColumn("price", col("price").cast("double"))
         .orderBy(col("o_orderpriority"), col("price").desc, col("o_orderkey"))
     }),
 
@@ -1994,7 +2022,7 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT o_orderkey, o_custkey, o_totalprice
         |  FROM chg WHERE NOT _deleted)
         |SELECT o_custkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n_orders
         |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
@@ -2021,11 +2049,13 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT o_orderkey, o_custkey, o_totalprice
         |  FROM chg WHERE NOT _deleted)
         |SELECT o_custkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n_orders,
-        |  min(CAST(o_totalprice AS DECIMAL(18,4))) AS min_price,
-        |  max(CAST(o_totalprice AS DECIMAL(18,4))) AS max_price
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS max_price
         |FROM m GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // join-view law oracle: fresh aggregate over post-change orders ⋈
@@ -2065,7 +2095,7 @@ object AnalyticsQueries extends QueryPack {
         |  UNION ALL
         |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
         |SELECT c_nationkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n_orders
         |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
@@ -2142,7 +2172,7 @@ object AnalyticsQueries extends QueryPack {
         |  UNION ALL
         |  SELECT n_nationkey, n_name FROM nchg WHERE NOT _deleted)
         |SELECT n_name,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
         |    AS revenue,
         |  count(*) AS n_orders
         |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
@@ -2189,7 +2219,7 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
         |SELECT c_nationkey,
         |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-        |    AS DECIMAL(38,4)) AS revenue,
+        |    AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM cm LEFT JOIN om ON cm.c_custkey = om.o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
@@ -2265,7 +2295,7 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
         |SELECT coalesce(c_nationkey, -1) AS nat,
         |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-        |    AS DECIMAL(38,4)) AS revenue,
+        |    AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM cm FULL JOIN om ON cm.c_custkey = om.o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2304,7 +2334,8 @@ object AnalyticsQueries extends QueryPack {
         |  UNION ALL
         |  SELECT c_custkey, c_nationkey FROM cchg WHERE NOT _deleted)
         |SELECT om.o_orderkey, om.o_custkey,
-        |  CAST(om.o_totalprice AS DECIMAL(18,4)) AS price, cm.c_nationkey
+        |  CAST(CAST(om.o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+        |  cm.c_nationkey
         |FROM om JOIN cm ON om.o_custkey = cm.c_custkey
         |ORDER BY om.o_orderkey""".stripMargin,
 
@@ -2339,7 +2370,7 @@ object AnalyticsQueries extends QueryPack {
         |    count(*) AS n_orders
         |  FROM m GROUP BY o_orderpriority)
         |SELECT o_orderpriority,
-        |  CAST(sum_x AS DECIMAL(38,4)) AS sum_price,
+        |  CAST(sum_x AS DOUBLE) AS sum_price,
         |  n_orders,
         |  floor(sqrt(greatest(
         |    (CAST(CAST(sum_x2 AS DECIMAL(38,8)) AS DOUBLE)
@@ -2373,7 +2404,7 @@ object AnalyticsQueries extends QueryPack {
         |      ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC,
         |        o_orderkey ASC) AS rnk
         |  FROM m)
-        |SELECT o_orderpriority, o_orderkey, price
+        |SELECT o_orderpriority, o_orderkey, CAST(price AS DOUBLE) AS price
         |FROM r WHERE rnk <= 3
         |ORDER BY o_orderpriority, price DESC, o_orderkey""".stripMargin,
 

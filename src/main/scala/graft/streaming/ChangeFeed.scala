@@ -183,13 +183,17 @@ object ChangeFeed {
     * of a snapshot diff that would be WRONG here: `readAt` on a log
     * table yields one commit's delta, not the accumulated content).
     *
-    * Falls back to a full recompute (`aggOf` over [[Generations.readLog]])
-    * whenever the window cannot be proven a pure delta: bootstrap, a
-    * squash/snapshot commit inside the window (its generation folds rows
-    * already applied — unioning it would double-count), or GC-pruned
-    * window commits. Exactly-once identically to [[maintainAggOnce]]:
-    * the applied version rides the view's `=cdcv=<v>` tag + expectedBase
-    * CAS.
+    * Falls back to a full recompute (`aggOf` over the log content AT
+    * the recorded head — the tick's single [[Generations.logCommits]]
+    * listing, whose last entry defines the head; a separate live
+    * [[Generations.readLog]] would bake a concurrently-landed commit
+    * into a view whose `=cdcv=` watermark doesn't record it and
+    * double-count it next tick) whenever the window cannot be proven a
+    * pure delta: bootstrap, a squash/snapshot commit inside the window
+    * (its generation folds rows already applied — unioning it would
+    * double-count), or GC-pruned window commits. Exactly-once
+    * identically to [[maintainAggOnce]]: the applied version rides the
+    * view's `=cdcv=<v>` tag + expectedBase CAS.
     */
   def maintainAggOnceLog(spark: SparkSession, source: String,
       mvTable: String, mvKeys: Seq[String],
@@ -198,19 +202,31 @@ object ChangeFeed {
       maxCols: Map[String, String] = Map.empty)
       (aggOf: DataFrame => DataFrame): Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.lit
-    val head = Generations.latest(spark, source).map(_.version).getOrElse(0L)
+    // ONE commit listing is this tick's entire view of the source:
+    // `head` is ITS last entry, never a separate latest() sample — a
+    // commit landing between two listings would otherwise be baked into
+    // a view tagged =cdcv=head without being recorded in the watermark,
+    // and the next tick would re-apply it as a delta and double-count
+    // (the race maintainAggOnce closes with readAt(head); latest() and
+    // logCommits read the same _commits dir, so deriving head from the
+    // span removes the race structurally instead of pinning around it).
+    val span = Generations.logCommits(spark, source)
+    val head = span.lastOption.map(_.version).getOrElse(0L)
     if (head == 0L) return None
     val applied = appliedVersion(spark, mvTable)
     if (applied >= head) return None
     val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
-    val window = Generations.logCommits(spark, source)
-      .filter(c => c.version > applied && c.version <= head)
+    val window = span.filter(c => c.version > applied && c.version <= head)
+    // the span IS the content at head (it ends there by construction)
+    def contentAtHead: Option[DataFrame] =
+      Some(spark.read.option("mergeSchema", "true")
+        .parquet(span.map(Generations.genPath(source, _)): _*))
     val pureDelta = applied > 0L &&
       window.forall(!Generations.isSnapshotCommit(_)) &&
       window.map(_.version).toSet == (applied + 1 to head).toSet
     val next =
       if (!pureDelta)
-        aggOf(Generations.readLog(spark, source).getOrElse(return None))
+        aggOf(contentAtHead.getOrElse(return None))
       else {
         val delta = spark.read.option("mergeSchema", "true")
           .parquet(window.map(Generations.genPath(source, _)): _*)
@@ -223,7 +239,8 @@ object ChangeFeed {
         else Incremental.maintainAggMinMax(mv, changes,
           // insert-only feed ⇒ no dirty groups ⇒ the post-source scan
           // prunes to nothing at runtime; passed for the general shape
-          Generations.readLog(spark, source).get,
+          // (pinned at head like every other read of this tick)
+          contentAtHead.getOrElse(return None),
           mvKeys, sumCols, countCol, minCols, maxCols)
       }
     Some(Generations.writeAndCommit(spark, next, mvTable,
@@ -595,15 +612,25 @@ object ChangeFeed {
       leftOuter: Boolean = false)
       (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.lit
-    val headF = Generations.latest(spark, factLog).map(_.version).getOrElse(0L)
+    // headF is the LAST ENTRY of the one fact-log listing every read of
+    // this tick derives from (see maintainAggOnceLog — a separate
+    // latest() sample would let a concurrent commit into a view tagged
+    // =cdcv2=headF-· unrecorded, double-counting it next tick); headD is
+    // safe as a point sample because every dim read below is readAt /
+    // changesBetween pinned at the sampled versions.
+    val span = Generations.logCommits(spark, factLog)
+    val headF = span.lastOption.map(_.version).getOrElse(0L)
     val headD = Generations.latest(spark, dimTable).map(_.version).getOrElse(0L)
     if (headF == 0L || headD == 0L) return None
     val (appF, appD) = appliedVersions2(spark, mvTable)
     if (appF >= headF && appD >= headD) return None
     val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
-    val span = Generations.logCommits(spark, factLog)
     val window = span.filter(c => c.version > appF && c.version <= headF)
     val preSpan = span.filter(_.version <= appF)
+    // the span IS the fact content at headF (≡ preSpan ∪ window)
+    def factAtHead: Option[DataFrame] =
+      Some(spark.read.option("mergeSchema", "true")
+        .parquet(span.map(Generations.genPath(factLog, _)): _*))
     // pre-state reconstructable: the live span STARTS at or below the
     // watermark (the span begins at the last snapshot fold — a fold
     // newer than the watermark has eaten the pre-state) and the window
@@ -640,7 +667,9 @@ object ChangeFeed {
         if (minCols.isEmpty && maxCols.isEmpty)
           Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
         else Incremental.maintainAggMinMax(mv, feed,
-          postSource = Generations.readLog(spark, factLog).get
+          postSource = factAtHead.getOrElse(
+              throw new IllegalStateException(
+                s"$factLog span at v$headF vanished mid-tick"))
             .join(Generations.readAt(spark, dimTable, headD).getOrElse(
               throw new IllegalStateException(
                 s"$dimTable v$headD (the latest commit) has no readable generation")),
@@ -648,7 +677,7 @@ object ChangeFeed {
           mvKeys, sumCols, countCol, minCols, maxCols)
       }
     val next = incremental.getOrElse {
-      aggOf(Generations.readLog(spark, factLog).getOrElse(return None),
+      aggOf(factAtHead.getOrElse(return None),
         Generations.readAt(spark, dimTable, headD).getOrElse(
           throw new IllegalStateException(
             s"$dimTable v$headD (the latest commit) has no readable generation")))

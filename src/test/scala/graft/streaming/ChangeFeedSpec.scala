@@ -117,6 +117,39 @@ class ChangeFeedSpec extends SparkSpec {
     assert(mvState(mv) === recomputed(t))
   }
 
+  test("log recompute is pinned at the tick's own listing: a commit " +
+      "landing mid-tick stays out, then arrives exactly once") {
+    // the r13 ADVICE race: maintainAggOnceLog's recompute fallback read
+    // the LIVE log while tagging =cdcv=<head> from an earlier sample, so
+    // a commit landing between the two was baked into the view but not
+    // the watermark — and re-applied (double-counted) next tick. The fix
+    // derives head and every source read from ONE logCommits listing;
+    // this pins that contract: the aggOf callback (which runs after the
+    // listing, before the view commit — the widest injectable window)
+    // lands a concurrent append, which must stay OUT of this tick's view
+    // and arrive via the next tick exactly once.
+    val t = mkDir("t"); val mv = mkDir("mv")
+    Generations.appendCommitted(spark, src((1, 10, 5)), t, "batch=0")
+    val injecting: DataFrame => DataFrame = df => {
+      Generations.appendCommitted(spark, src((2, 20, 9)), t, "batch=1")
+      aggOf(df)
+    }
+    val c = ChangeFeed.maintainAggOnceLog(spark, t, mv, Seq("grp"),
+      Map("sum_v" -> "v"), "n")(injecting)
+    assert(c.nonEmpty && c.get.tag === "=cdcv=1",
+      "the watermark must record the listed head, not the mid-tick commit")
+    assert(mvState(mv) === Map(10L -> (BigDecimal(5), 1L)),
+      "the mid-tick commit must not leak into the view it isn't recorded in")
+    // next tick: pure-delta window {v2}, applied exactly once
+    assert(ChangeFeed.maintainAggOnceLog(spark, t, mv, Seq("grp"),
+      Map("sum_v" -> "v"), "n")(aggOf).nonEmpty)
+    assert(mvState(mv) ===
+      Map(10L -> (BigDecimal(5), 1L), 20L -> (BigDecimal(9), 1L)))
+    // and a third tick is a durable no-op (nothing double-counts)
+    assert(ChangeFeed.maintainAggOnceLog(spark, t, mv, Seq("grp"),
+      Map("sum_v" -> "v"), "n")(aggOf).isEmpty)
+  }
+
   test("appliedVersion survives a squash of the view table") {
     val t = mkDir("t"); val mv = mkDir("mv")
     Generations.writeAndCommit(spark, src((1, 10, 5)), t)

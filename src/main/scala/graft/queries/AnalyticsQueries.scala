@@ -1403,6 +1403,13 @@ object AnalyticsQueries extends QueryPack {
     // cents-rounding flipped on 11-digit totals (engines sum doubles in
     // different orders); the double form stays the bench default (faster,
     // and exact at the driver gate's SFs), this is the scale-proof path.
+    // Emitted as STRING (r15): the r14 probe family proved the driver's
+    // hash raw-stringifies dump values (probe_hash_decimal_s2_tz red), so
+    // DECIMAL(38,2) is latently red on any group sum with trailing-zero
+    // cents. A decimal→string cast on BOTH sides renders the exact value
+    // identically at any scale (probe_hash_string green) — exactness law
+    // preserved, hash data-independence restored. Rule: BASELINE.md
+    // "Driver hash canonicalization".
     "agg_revenue_decimal_exact" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -1417,7 +1424,7 @@ object AnalyticsQueries extends QueryPack {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(sum(price * (lit(BigDecimal(1)).cast("decimal(18,4)") - disc))
-          .cast("decimal(38,2)").as("revenue"),
+          .cast("decimal(38,2)").cast("string").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
@@ -2915,12 +2922,16 @@ object AnalyticsQueries extends QueryPack {
     // exact decimal arithmetic end-to-end: order-independent, any SF.
     // round() before the final cast: DuckDB's decimal->decimal
     // scale-reduction cast TRUNCATES (0.2199 -> 0.21), Spark's rounds
-    // HALF_UP — round() is the engine-agreed half-away operation
+    // HALF_UP — round() is the engine-agreed half-away operation.
+    // Final VARCHAR cast mirrors the Spark side's string profile: the
+    // driver hash raw-stringifies, and DuckDB's pandas bridge floats
+    // decimals ("10.00"→"10.0") — casting inside the SQL renders the
+    // exact decimal before the bridge can (BASELINE.md hash rule).
     "agg_revenue_decimal_exact" ->
       """SELECT r_name,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
-        |    AS DECIMAL(38,2)) AS revenue,
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -22,18 +22,23 @@ import org.apache.spark.sql.functions._
   * Each probe emits the SAME deterministic values (nation ⊕ exact
   * decimal literals, 25 rows) in one profile per query, so a single
   * driver artifact pins the canonicalization rule for good
-  * (VERDICT r13 task #2). Expected outcome, to be recorded in
-  * BASELINE.md when CORRECTNESS_r14 lands:
+  * (VERDICT r13 task #2).
   *
-  *  - probe_hash_double / probe_hash_string / probe_hash_decimal_s2:
-  *    green (the profiles production queries rely on);
-  *  - probe_hash_decimal_s4: RED by design — it documents the class
-  *    that red-flagged r12/r13 and proves the rule, it is NOT a defect
-  *    (values are exact; rows/schema green);
-  *  - probe_hash_decimal_s2_tz (trailing-zero cents): discriminates
-  *    raw-stringify (red) from float-normalize (green) hashing; its
-  *    color decides whether scale-2 decimals are ever safe for
-  *    wide-value outputs.
+  * RESULT (CORRECTNESS_r14, recorded in BASELINE.md "Driver hash
+  * canonicalization"): probe_hash_double / probe_hash_string /
+  * probe_hash_decimal_s2 GREEN; probe_hash_decimal_s4 RED (dump
+  * renders "x.3700", floated oracle renders "x.37");
+  * probe_hash_decimal_s2_tz RED (trailing-zero cents "x.50" vs the
+  * float's "x.5") — the driver raw-stringifies, so NO decimal output
+  * column is ever hash-safe. Safe profiles: DOUBLE (floor-snapped for
+  * derived floats), INT/BIGINT, STRING, DATE.
+  *
+  * The experiment is complete, so the two red-by-design probes are NO
+  * LONGER REGISTERED in [[queries]] (a standing expected-red row in the
+  * driver gate normalizes red and can mask a real regression — r14
+  * ADVICE). They live on in [[diagnostics]], exercised by ProbeSpec
+  * (value exactness + the rendering divergence that makes them red) and
+  * by tools/check.py's EXPECTED_RED self-test list.
   *
   * All arithmetic is decimal-exact on both sides (string-constructed
   * BigDecimal literals; DuckDB decimal literals), so any mismatch is
@@ -58,15 +63,11 @@ object ProbeQueries extends QueryPack {
         (col("n_nationkey").cast("decimal(18,2)") +
           lit(BigDecimal("0.50")).cast("decimal(18,2)")).as("v0"))
 
+  /** The three GREEN profiles — the only ones registered at the driver
+    * gate; they keep the pinned rule continuously regression-tested. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "probe_hash_decimal_s4" -> ((s, dir) =>
-      base(s, dir).select(col("n_nationkey"),
-        col("v0").cast("decimal(38,4)").as("v")).orderBy("n_nationkey")),
     "probe_hash_decimal_s2" -> ((s, dir) =>
       base(s, dir).select(col("n_nationkey"),
-        col("v0").cast("decimal(38,2)").as("v")).orderBy("n_nationkey")),
-    "probe_hash_decimal_s2_tz" -> ((s, dir) =>
-      baseTz(s, dir).select(col("n_nationkey"),
         col("v0").cast("decimal(38,2)").as("v")).orderBy("n_nationkey")),
     "probe_hash_double" -> ((s, dir) =>
       base(s, dir).select(col("n_nationkey"),
@@ -76,21 +77,36 @@ object ProbeQueries extends QueryPack {
         col("v0").cast("decimal(38,4)").cast("string").as("v"))
         .orderBy("n_nationkey")))
 
-  def oracles: Map[String, String] = {
-    def sql(castExpr: String, lit: String = "0.37") =
-      s"""SELECT n_nationkey,
-         |  $castExpr AS v
-         |FROM nation ORDER BY n_nationkey""".stripMargin
-    Map(
-      "probe_hash_decimal_s4" -> sql(
-        "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,4))"),
-      "probe_hash_decimal_s2" -> sql(
-        "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,2))"),
-      "probe_hash_decimal_s2_tz" -> sql(
-        "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.50 AS DECIMAL(18,2)) AS DECIMAL(38,2))"),
-      "probe_hash_double" -> sql(
-        "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DOUBLE)"),
-      "probe_hash_string" -> sql(
-        "CAST(CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS VARCHAR)"))
-  }
+  /** The two RED-by-design profiles, DEREGISTERED after they pinned the
+    * rule in CORRECTNESS_r14 (values exact, hash red — see object doc).
+    * Kept runnable for ProbeSpec and future re-probing; never part of
+    * the production pack again. */
+  def diagnostics: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "probe_hash_decimal_s4" -> ((s, dir) =>
+      base(s, dir).select(col("n_nationkey"),
+        col("v0").cast("decimal(38,4)").as("v")).orderBy("n_nationkey")),
+    "probe_hash_decimal_s2_tz" -> ((s, dir) =>
+      baseTz(s, dir).select(col("n_nationkey"),
+        col("v0").cast("decimal(38,2)").as("v")).orderBy("n_nationkey")))
+
+  private def sql(castExpr: String) =
+    s"""SELECT n_nationkey,
+       |  $castExpr AS v
+       |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "probe_hash_decimal_s2" -> sql(
+      "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,2))"),
+    "probe_hash_double" -> sql(
+      "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DOUBLE)"),
+    "probe_hash_string" -> sql(
+      "CAST(CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS VARCHAR)"))
+
+  /** Oracles for [[diagnostics]] — consumed by tools/check.py's
+    * EXPECTED_RED self-test, not by the driver. */
+  def diagnosticOracles: Map[String, String] = Map(
+    "probe_hash_decimal_s4" -> sql(
+      "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.37 AS DECIMAL(18,2)) AS DECIMAL(38,4))"),
+    "probe_hash_decimal_s2_tz" -> sql(
+      "CAST(CAST(n_nationkey AS DECIMAL(18,2)) + CAST(0.50 AS DECIMAL(18,2)) AS DECIMAL(38,2))"))
 }

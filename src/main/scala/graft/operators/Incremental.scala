@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** Incremental materialized-view maintenance via algebraic partial
   * aggregates — the batch half of the lambda pattern: a long-lived
@@ -378,11 +379,23 @@ object Incremental {
     * it is a full pre⋈post comparison that the outer-join feeds would
     * otherwise re-plan 4-5× (inner terms, keys-of-interest union, signed
     * per-key sums, A-churn term — the r13 70-exchange
-    * mv_cdc_fulljoin_revenue plan). `localCheckpoint` truncates the
-    * lineage to the materialized delta (the `Graph.scala` iteration
-    * pattern); cost is one extra pass over a DELTA-sized frame. */
+    * mv_cdc_fulljoin_revenue plan). `localCheckpoint(eager = false)`
+    * truncates the lineage to the materialized delta (the `Graph.scala`
+    * iteration pattern) but defers the materializing job to the FIRST
+    * ACTION — feed construction stays free, so a plan that is later
+    * discarded (a lost CAS publish, a bail-out tick) never runs Spark
+    * jobs. Cost at use is one extra pass over a DELTA-sized frame.
+    *
+    * Cluster trade (r14 ADVICE): localCheckpoint stores blocks
+    * UNREPLICATED on executors with lineage truncated — a lost executor
+    * makes downstream actions on the feed unrecoverable (fail, not
+    * recompute). That is the right trade for IVM ticks, which are
+    * idempotently re-runnable by design (the `=cdc=`/`=cdcv2=` watermark
+    * + expectedBase CAS make a crashed tick a no-op to retry); for
+    * multi-hour non-rerunnable jobs prefer [[graft.operators.Iterate]]'s
+    * reliable-checkpoint opt-in (SCALING.md "Checkpoint durability"). */
   private def materializeDelta(changes: DataFrame): DataFrame =
-    changes.localCheckpoint()
+    changes.materializedLazy
 
   /** FULL outer join under IVM: [[deltaJoinLeft]]'s feed plus the
     * mirrored B-side null extensions (B-rows at A-empty keys, A's
@@ -468,7 +481,7 @@ object Incremental {
         coalesce(col("_cnt_pre"), lit(0L)).as("_cnt_pre") :+
         (coalesce(col("_cnt_pre"), lit(0L)) +
           coalesce(col("_cnt_d"), lit(0L))).as("_cnt_post"): _*)
-      .localCheckpoint()
+      .materialized
     val memberPost =
       if (keepWhenEmpty) col("_cnt_post") === 0L else col("_cnt_post") > 0L
     // term 1: every A_pre row at a key whose membership flipped
@@ -483,7 +496,21 @@ object Incremental {
     val t2 = aChanges.withColumn("_s", sign).drop(changeCol)
       .join(cnt.filter(memberPost).select(joinKeys.map(col): _*), joinKeys)
       .select(aCols.map(col) ++ extendCols :+ col("_s"): _*)
-    t1.unionByName(t2)
+    // term 3: NULL-KEYED A churn. SQL equi-join semantics: a row with
+    // any NULL key component matches NOTHING (NULL = x is unknown), so
+    // its membership is CONSTANT — always a member of the
+    // null-extension/anti side (keepWhenEmpty), never of a semi join.
+    // The equi-join machinery above silently DROPS such rows (t2's key
+    // join can't match a NULL), so a LEFT/FULL/ANTI view would lose the
+    // null-keyed rows a real outer join retains (r13 ADVICE). Membership
+    // never flips (no term-1 analogue); the churn passes through signed.
+    val anyNullKey = joinKeys.map(col(_).isNull).reduce(_ || _)
+    val t3 =
+      if (!keepWhenEmpty) None
+      else Some(aChanges.filter(anyNullKey).withColumn("_s", sign)
+        .drop(changeCol)
+        .select(aCols.map(col) ++ extendCols :+ col("_s"): _*))
+    t3.foldLeft(t1.unionByName(t2))(_ unionByName _)
       .withColumn(changeCol,
         when(col("_s") === 1L, "insert").otherwise("delete"))
       .drop("_s")

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncating materialization with a cluster-durability dial.
+  *
+  * Iterative operators (kNN-graph loops, LSH band reuse, tokenizer merge
+  * rounds, IVM delta reuse) must cut lineage every few steps or the plan
+  * tree grows without bound. The default cut is `localCheckpoint`:
+  * blocks live UNREPLICATED on executors, which is the cheap and correct
+  * choice single-host and for idempotently re-runnable ticks — but on a
+  * cluster with dynamic allocation one lost executor makes every
+  * downstream action UNRECOVERABLE (lineage is gone, blocks are not
+  * replicated), which is the wrong trade for a multi-hour graph job.
+  *
+  * Opt-in durability, one session-level dial (r14 ADVICE; SCALING.md
+  * "Checkpoint durability"):
+  *
+  * {{{
+  * spark.conf.set(Iterate.DurableKey, "true")
+  * spark.sparkContext.setCheckpointDir("hdfs://…/ckpt") // or DirKey
+  * }}}
+  *
+  * flips EVERY `.materialized` site in the library to a reliable
+  * `Dataset.checkpoint` (files on the checkpoint dir's fault-tolerant
+  * store, recomputable-after-executor-loss because nothing needs
+  * recomputing). Cost: one write+read of the materialized frame per cut
+  * vs an in-memory block copy — worth it exactly when the job outlives
+  * executor churn.
+  */
+object Iterate {
+
+  /** `"true"` → reliable `checkpoint()`; default localCheckpoint. */
+  val DurableKey = "spark.graft.checkpoint.durable"
+
+  /** Checkpoint directory used when [[DurableKey]] is on and the
+    * SparkContext has none set (convenience for config-only setups). */
+  val DirKey = "spark.graft.checkpoint.dir"
+
+  def materialize(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(DurableKey, "false").toBoolean)
+      df.localCheckpoint(eager)
+    else {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.getOption(DirKey).getOrElse(
+          throw new IllegalStateException(
+            s"$DurableKey=true needs a checkpoint dir: call " +
+              s"sparkContext.setCheckpointDir or set $DirKey")))
+      df.checkpoint(eager)
+    }
+  }
+
+  /** `df.materialized` ≡ eager lineage cut; `df.materializedLazy`
+    * defers the job to the first action (plans that may be discarded).
+    */
+  implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = materialize(df)
+    def materializedLazy: DataFrame = materialize(df, eager = false)
+  }
+}

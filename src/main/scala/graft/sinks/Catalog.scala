@@ -328,13 +328,22 @@ object Catalog {
     val kept = names.takeRight(keepRoots).flatMap(parseRootOpt(fs, rd, _))
     val reports = head.tables.map { case (name, rootV) =>
       val tp = tablePath(root, name)
-      val latestBefore = Generations.latest(spark, tp).map(_.version)
       val protect = kept.flatMap(_.tables.get(name)).toSet
       val report = Generations.maintain(spark, tp,
         perTable.getOrElse(name, policy), protect)
       val latestAfter = Generations.latest(spark, tp).map(_.version)
-      val repoint = latestBefore.contains(rootV) && // root WAS the head
-        latestAfter.exists(_ > rootV) // and maintenance advanced it
+      // Re-point ONLY across a provably content-preserving chain: every
+      // version in (rootV, latestAfter] must be a commit THIS
+      // maintenance run produced (versions are dense, so a concurrent
+      // transaction in the window occupies a version ∉ produced and
+      // vetoes the re-point — it would have exposed catalog-invisible
+      // in-flight content). The previous guard sampled the head BEFORE
+      // maintenance (latestBefore == rootV), a TOCTOU: a transaction
+      // landing after the sample was folded into the maintenance
+      // commit and re-pointed into visibility (r13 ADVICE).
+      val produced = report.produced.toSet
+      val repoint = latestAfter.exists(after => after > rootV &&
+        (rootV + 1 to after).forall(produced.contains))
       (name, report, if (repoint) latestAfter else None)
     }
     val updates = reports.collect { case (n, _, Some(v)) => n -> v }.toMap

@@ -84,6 +84,21 @@ object Compact {
   def compactGenerations(spark: SparkSession, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
       maxRetries: Int = 5, minRatio: Double = 1.0): (Int, Int) = {
+    val r = compactGenerationsDetailed(spark, table, targetBytes,
+      maxRetries, minRatio)
+    (r._1, r._2)
+  }
+
+  /** [[compactGenerations]] plus the commit it produced (None when it
+    * declined) — [[Generations.maintain]] records produced versions so
+    * [[Catalog.maintain]] can prove a re-point candidate chain is
+    * maintenance-only (content-preserving) rather than trusting a
+    * pre-maintenance head sample (TOCTOU vs a concurrent transaction).
+    */
+  def compactGenerationsDetailed(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      maxRetries: Int = 5, minRatio: Double = 1.0)
+      : (Int, Int, Option[Generations.Commit]) = {
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partFiles(dir: Path) = fs.listStatus(dir)
@@ -91,22 +106,22 @@ object Compact {
     var attempt = 0
     while (true) {
       val base = Generations.latest(spark, table)
-        .map(_.version).getOrElse(return (0, 0))
+        .map(_.version).getOrElse(return (0, 0, None))
       val span = Generations.logCommits(spark, table)
       val dataFiles = span
         .flatMap(c => partFiles(new Path(Generations.genPath(table, c))))
       val before = dataFiles.length
-      if (before <= 1) return (before, before)
+      if (before <= 1) return (before, before, None)
       val totalBytes = dataFiles.map(_.getLen).sum
       val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      if (parts * minRatio >= before) return (before, before)
+      if (parts * minRatio >= before) return (before, before, None)
       try {
         val next = Generations.writeAndCommit(spark,
           Generations.readLog(spark, table).get.repartition(parts), table,
           expectedBase = Some(base))
         Generations.gc(spark, table, keep = 2)
         val after = partFiles(new Path(Generations.genPath(table, next))).length
-        return (before, after)
+        return (before, after, Some(next))
       } catch {
         case _: Generations.CommitConflictException if attempt < maxRetries - 1 =>
           attempt += 1

@@ -667,7 +667,8 @@ object Generations {
 
   final case class MaintenanceReport(folded: Boolean, compacted: Boolean,
       commitsBefore: Int, commitsAfter: Int,
-      gcCommitFiles: Int, gcGenDirs: Int)
+      gcCommitFiles: Int, gcGenDirs: Int,
+      produced: Seq[Long] = Nil)
 
   /** The single scheduled maintenance entry per table. [[squash]],
     * [[graft.sinks.Compact.compactGenerations]],
@@ -699,29 +700,42 @@ object Generations {
     val span = logCommits(spark, table).size
     var folded = false
     var compacted = false
+    // versions THIS run committed — [[Catalog.maintain]] re-points a
+    // catalog root only across a chain it can prove maintenance-produced
+    // (content-preserving); a head sample alone is a TOCTOU against
+    // concurrent transactions (r13 ADVICE)
+    val made = Seq.newBuilder[Long]
     if (span > policy.squashAfterCommits) {
       if (policy.clusterBy.nonEmpty) {
-        folded = Layout.optimizeZOrder(spark, table, policy.clusterBy,
-          policy.targetBytes, policy.bitsPerCol).isDefined
+        val z = Layout.optimizeZOrder(spark, table, policy.clusterBy,
+          policy.targetBytes, policy.bitsPerCol)
+        z.foreach(c => made += c.version)
+        folded = z.isDefined
       } else {
-        val (b, a) = Compact.compactGenerations(spark, table,
+        val (b, a, cc) = Compact.compactGenerationsDetailed(spark, table,
           policy.targetBytes)
+        cc.foreach(c => made += c.version)
         compacted = a < b
-        folded = compacted || squash(spark, table).isDefined
+        folded = compacted || {
+          val sq = squash(spark, table)
+          sq.foreach(c => made += c.version)
+          sq.isDefined
+        }
       }
     } else {
       // span within bounds: width-compact ONLY on real fragmentation
       // (file count > fragmentationRatio × target width) — a wide
       // snapshot plus one small delta must not trigger a full rewrite
       // every schedule tick
-      val (b, a) = Compact.compactGenerations(spark, table,
+      val (b, a, cc) = Compact.compactGenerationsDetailed(spark, table,
         policy.targetBytes, minRatio = policy.fragmentationRatio)
+      cc.foreach(c => made += c.version)
       compacted = a < b
     }
     val (cf, gd) = gc(spark, table, keep = policy.keep,
       orphanGraceMs = policy.orphanGraceMs, protect = protect)
     MaintenanceReport(folded, compacted, before,
-      commits(spark, table).size, cf, gd)
+      commits(spark, table).size, cf, gd, made.result())
   }
 
   /** Default [[gc]] orphan grace: an UNREFERENCED generation dir whose

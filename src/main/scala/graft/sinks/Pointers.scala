@@ -56,7 +56,18 @@ object Pointers {
         else { val legacy = new Path(dir, name)
           if (fs.exists(legacy)) Some(legacy) else None }
       target match {
-        case None => return None
+        case None =>
+          // r13-ADVICE race: a concurrent replace can publish the FIRST
+          // versioned file and prune the legacy one between our listing
+          // and the exists() probe — returning None here would read as
+          // "never written" though a versioned successor exists (cursor
+          // reset / unchecked commit downstream). Only return None once
+          // a FRESH listing confirms genuine emptiness; otherwise loop
+          // and read the successor.
+          val fresh = fs.listStatus(dir).map(_.getPath.getName)
+            .filter(versioned(name))
+          if (fresh.isEmpty && !fs.exists(new Path(dir, name))) return None
+        // else: retry against the new state
         case Some(p) =>
           try {
             val in = fs.open(p)

@@ -611,19 +611,49 @@ object ChangeFeed {
       maxCols: Map[String, String] = Map.empty,
       leftOuter: Boolean = false)
       (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
-    import org.apache.spark.sql.functions.lit
     // headF is the LAST ENTRY of the one fact-log listing every read of
     // this tick derives from (see maintainAggOnceLog — a separate
     // latest() sample would let a concurrent commit into a view tagged
     // =cdcv2=headF-· unrecorded, double-counting it next tick); headD is
     // safe as a point sample because every dim read below is readAt /
     // changesBetween pinned at the sampled versions.
-    val span = Generations.logCommits(spark, factLog)
+    maintainJoinAggOnceLogAt(spark,
+      Generations.logCommits(spark, factLog),
+      Generations.latest(spark, dimTable).map(_.version).getOrElse(0L),
+      factLog, dimTable, dimKeys, joinKeys, mvTable, mvKeys,
+      sumCols, countCol, minCols, maxCols, leftOuter)(aggOf)
+  }
+
+  /** [[maintainJoinAggOnceLog]] body over an ALREADY-sampled fact-log
+    * listing + dim head — package-private so ChangeFeedSpec can feed a
+    * STALE sample and pin the stale-listing bail (the r14-ADVICE race:
+    * a full concurrent tick completing between this tick's listing and
+    * its watermark read must make this tick a no-op, never a
+    * watermark-regressing commit). */
+  private[graft] def maintainJoinAggOnceLogAt(spark: SparkSession,
+      span: Seq[Generations.Commit], headD: Long,
+      factLog: String, dimTable: String, dimKeys: Seq[String],
+      joinKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      sumCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty,
+      leftOuter: Boolean = false)
+      (aggOf: (DataFrame, DataFrame) => DataFrame): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.lit
     val headF = span.lastOption.map(_.version).getOrElse(0L)
-    val headD = Generations.latest(spark, dimTable).map(_.version).getOrElse(0L)
     if (headF == 0L || headD == 0L) return None
     val (appF, appD) = appliedVersions2(spark, mvTable)
     if (appF >= headF && appD >= headD) return None
+    // stale-listing bail (r14 ADVICE): if a concurrent tick already
+    // advanced the view PAST either sampled head (appF > headF or
+    // appD > headD), this tick's span/dim listing predates that commit —
+    // proceeding would rebuild from a stale pre-state and commit a tag
+    // that REGRESSES the corresponding watermark, re-applying (and so
+    // double-counting) the commits in between on the next tick. The
+    // expectedBase CAS cannot fence this: the concurrent commit landed
+    // before mvBase is read below. Mirrors the single-source variant's
+    // strict applied>=head guard.
+    if (appF > headF || appD > headD) return None
     val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
     val window = span.filter(c => c.version > appF && c.version <= headF)
     val preSpan = span.filter(_.version <= appF)

@@ -578,4 +578,93 @@ class IncrementalPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("delta-join family: NULL-keyed rows churn exactly like a real outer join") {
+    // SQL equi-join semantics: a NULL key matches NOTHING, so a
+    // null-keyed A-row is a PERMANENT null-extension/anti member and
+    // never a semi/inner member. The r13-ADVICE defect: the feeds'
+    // equi-join machinery silently dropped null-keyed churn, so a
+    // maintained LEFT/FULL/ANTI view lost rows a recompute retains.
+    def adf(rows: Seq[(Int, Option[Int], Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Option[Int], Int)]): DataFrame = rows.toDF("g", "w")
+    def ms(df: DataFrame)
+        : Map[(Option[Int], Option[Int], Option[BigDecimal], Option[Int]), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Option[Int], Option[Int], Option[BigDecimal], Option[Int])]
+        .collect()
+        .groupBy(r => r).view.mapValues(_.length.toLong).toMap
+    def msA(df: DataFrame): Map[(Option[Int], Int, BigDecimal), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"))
+        .as[(Option[Int], Int, BigDecimal)].collect()
+        .groupBy(r => r).view.mapValues(_.length.toLong).toMap
+    def applyTo[R](pre: Map[R, Long], feed: Map[R, Long]): Map[R, Long] =
+      (pre.keySet ++ feed.keySet).map(r =>
+        r -> (pre.getOrElse(r, 0L) + feed.getOrElse(r, 0L)))
+        .filter(_._2 != 0L).toMap
+    def signed[R](rows: Seq[(R, String)]): Map[R, Long] =
+      rows.groupBy(_._1).view
+        .mapValues(_.map(t => if (t._2 == "insert") 1L else -1L).sum)
+        .filter(_._2 != 0L).toMap
+
+    // pre: one null-keyed A row (k=1); post: k=1 deleted, k=2 null-keyed
+    // inserted, k=3 moves FROM a matched key TO null, k=4 moves from
+    // null to a matched key; B churns a null-keyed row of its own
+    // (which must only affect the FULL join's B-side extension)
+    val aPre = adf(Seq((1, None, 10), (3, Some(7), 30), (4, None, 40),
+      (5, Some(7), 50)))
+    val aPost = adf(Seq((2, None, 20), (3, None, 30), (4, Some(7), 40),
+      (5, Some(7), 50)))
+    val bPre = bdf(Seq((Some(7), 700), (None, 999)))
+    val bPost = bdf(Seq((Some(7), 700), (None, 998)))
+    val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+      .select(col("_change_type"), col("k"), col("g"), col("v"))
+    // B's feed hand-built: Merge.diff's DIFF keys are non-null by
+    // contract (presence flags), but null JOIN keys legitimately arrive
+    // through insert/delete-tagged feeds (e.g. the fact-log path tags
+    // whole deltas "insert") — exactly what this test rides in on
+    val dB = Seq(("delete", Option.empty[Int], 999),
+      ("insert", Option.empty[Int], 998))
+      .toDF("_change_type", "g", "w")
+
+    // LEFT: null-keyed A rows ride null-extended
+    val leftFeed = Incremental.deltaJoinLeft(aPre, dA, bPre, dB, Seq("g"))
+    val leftApplied = applyTo(ms(aPre.join(bPre, Seq("g"), "left")),
+      signed(leftFeed.select(col("g"), col("k"),
+          col("v").cast("decimal(18,4)"), col("w"), col("_change_type"))
+        .as[(Option[Int], Option[Int], Option[BigDecimal], Option[Int], String)]
+        .collect().toSeq.map(t => ((t._1, t._2, t._3, t._4), t._5))))
+    assert(leftApplied === ms(aPost.join(bPost, Seq("g"), "left")),
+      "left feed lost null-keyed churn")
+
+    // FULL: both sides' null-keyed rows ride
+    val fullFeed = Incremental.deltaJoinFull(aPre, dA, bPre, dB, Seq("g"))
+    val fullApplied = applyTo(ms(aPre.join(bPre, Seq("g"), "full")),
+      signed(fullFeed.select(col("g"), col("k"),
+          col("v").cast("decimal(18,4)"), col("w"), col("_change_type"))
+        .as[(Option[Int], Option[Int], Option[BigDecimal], Option[Int], String)]
+        .collect().toSeq.map(t => ((t._1, t._2, t._3, t._4), t._5))))
+    assert(fullApplied === ms(aPost.join(bPost, Seq("g"), "full")),
+      "full feed lost null-keyed churn")
+
+    // ANTI: null-keyed A rows are permanent members
+    val antiFeed = Incremental.deltaAntiJoin(aPre, dA, bPre, dB, Seq("g"))
+    val antiApplied = applyTo(msA(aPre.join(bPre, Seq("g"), "left_anti")),
+      signed(antiFeed.select(col("g"), col("k"),
+          col("v").cast("decimal(18,4)"), col("_change_type"))
+        .as[(Option[Int], Int, BigDecimal, String)]
+        .collect().toSeq.map(t => ((t._1, t._2, t._3), t._4))))
+    assert(antiApplied === msA(aPost.join(bPost, Seq("g"), "left_anti")),
+      "anti feed lost null-keyed churn")
+
+    // SEMI: null-keyed A rows are never members — feed must NOT emit them
+    val semiFeed = Incremental.deltaSemiJoin(aPre, dA, bPre, dB, Seq("g"))
+    val semiApplied = applyTo(msA(aPre.join(bPre, Seq("g"), "left_semi")),
+      signed(semiFeed.select(col("g"), col("k"),
+          col("v").cast("decimal(18,4)"), col("_change_type"))
+        .as[(Option[Int], Int, BigDecimal, String)]
+        .collect().toSeq.map(t => ((t._1, t._2, t._3), t._4))))
+    assert(semiApplied === msA(aPost.join(bPost, Seq("g"), "left_semi")),
+      "semi feed must exclude null-keyed rows")
+  }
 }

@@ -258,6 +258,39 @@ class CatalogSpec extends SparkSpec {
       "in-flight version must stay catalog-invisible through maintain")
   }
 
+  test("REAL THREADS: maintain never re-points onto a racing foreign commit") {
+    // the r13-ADVICE TOCTOU: the old re-point guard sampled the head
+    // BEFORE maintenance ran, so a catalog-invisible transaction landing
+    // in the window was folded into the maintenance commit and then
+    // re-pointed into visibility. The guard now requires every version
+    // in (rootV, latestAfter] to be maintenance-produced (versions are
+    // dense, so a foreign commit occupies one and vetoes). Race real
+    // foreign commits against maintain and require the catalog content
+    // NEVER shows them — whatever the interleaving.
+    (1 to 8).foreach { round =>
+      val root = mkRoot()
+      (1 to 4).foreach(i =>
+        Catalog.transact(spark, root)(t =>
+          t.put("a", Seq.fill(50)(round).toDF("v").repartition(10))))
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val foreign = new Thread(() => {
+        gate.await()
+        // a concurrent writer committing directly (an in-flight txn's
+        // table commit whose root publish hasn't happened)
+        Generations.writeAndCommit(spark, Seq(-round).toDF("v"),
+          Catalog.tablePath(root, "a"))
+      }, s"foreign-$round")
+      foreign.start()
+      gate.await()
+      try Catalog.maintain(spark, root, keepRoots = 2,
+        policy = Generations.MaintenancePolicy(keep = 3, orphanGraceMs = 0L))
+      catch { case _: Generations.CommitConflictException => () }
+      foreign.join()
+      assert(tableSet(root, "a") === Set(round),
+        s"round $round: maintain exposed an in-flight foreign commit")
+    }
+  }
+
   test("gc keeps every kept root resolvable while pruning older history") {
     val root = mkRoot()
     val rcs = (1 to 5).map { i =>

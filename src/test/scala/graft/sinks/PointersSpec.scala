@@ -69,6 +69,40 @@ class PointersSpec extends SparkSpec {
     assert(Pointers.read(fs, d, "p").contains("v40"))
   }
 
+  test("REAL THREADS: legacy→versioned transition never reads as absence") {
+    // The r13-ADVICE race: read()'s listing finds no versioned file,
+    // then a concurrent replace publishes v1 AND prunes the legacy bare
+    // file before read()'s exists() probe — a naive read returns None
+    // ("never written") though a successor exists. read() must confirm
+    // emptiness against a FRESH listing before giving up. The window is
+    // one syscall wide, so drive many independent transitions with
+    // readers pinned on the window.
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    (1 to 60).foreach { i =>
+      val d = mkDir()
+      val legacy = new Path(d, "cur")
+      fs.mkdirs(d)
+      val out = fs.create(legacy, false)
+      out.write("old".getBytes("UTF-8")); out.close()
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val readers = (1 to 2).map(r => new Thread(() => {
+        start.await()
+        var n = 0
+        while (n < 50) {
+          if (Pointers.read(fs, d, "cur").isEmpty)
+            bad.add(s"round $i reader $r: read None mid-transition")
+          n += 1
+        }
+      }, s"ptr-legacy-reader-$i-$r"))
+      readers.foreach(_.start())
+      start.countDown()
+      Pointers.replace(fs, d, "cur", "new")
+      readers.foreach(_.join())
+      assert(Pointers.read(fs, d, "cur").contains("new"))
+    }
+    assert(bad.isEmpty, s"${bad.size} absence reads: ${bad.peek()}")
+  }
+
   test("version files are pruned: bounded metadata under many replaces") {
     val d = mkDir()
     (1 to 30).foreach(i => Pointers.replace(fs, d, "p", s"v$i"))

@@ -660,6 +660,59 @@ class ChangeFeedSpec extends SparkSpec {
     assert(state() === expected())
   }
 
+  test("maintainJoinAggOnceLog bails on a STALE listing instead of " +
+      "regressing a watermark") {
+    // the r14-ADVICE race: tick T lists the fact span at head v1, then a
+    // full concurrent tick (list at v2 + commit) completes before T
+    // proceeds. T's old guard only bailed when BOTH applied>=head, so
+    // with the dim moved (appD < headD) T would rebuild from the STALE
+    // v1 span and commit tag =cdcv2=1-·, REGRESSING the fact watermark —
+    // commits (1, 2] re-apply and double-count next tick. The CAS can't
+    // fence it (the concurrent commit precedes T's mvBase read). Feed
+    // the package-private seam a stale sample and require a no-op.
+    val fl = mkDir("factlog-stale"); val dt = mkDir("dim-stale")
+    val mv = mkDir("mv-stale")
+    def fact(rows: (Long, Long, Long)*): DataFrame =
+      rows.toDF("ok", "ck", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def dim(rows: (Long, Long)*): DataFrame = rows.toDF("ck", "grp")
+    val aggOf: (DataFrame, DataFrame) => DataFrame = (f, d) =>
+      f.join(d, "ck").groupBy("grp")
+        .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n"))
+    def maintainL() = ChangeFeed.maintainJoinAggOnceLog(spark, fl, dt,
+      Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+
+    Generations.appendCommitted(spark, fact((100, 1, 5)), fl, "batch=0")
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 20)), dt)
+    assert(maintainL().nonEmpty) // bootstrap: applied (1, 1)
+    val staleSpan = Generations.logCommits(spark, fl) // head v1
+    val staleHeadD = Generations.latest(spark, dt).get.version
+
+    // the "concurrent" tick: fact advances to v2 AND the view applies it
+    Generations.appendCommitted(spark, fact((101, 2, 7)), fl, "batch=1")
+    val c2 = maintainL()
+    assert(c2.nonEmpty && c2.get.tag === "=cdcv2=2-1")
+
+    // dim moves, so the stale tick is NOT short-circuited by the
+    // both-current guard (appD=1 < headD=2) — only the stale bail saves it
+    Generations.writeAndCommit(spark, dim((1, 10), (2, 30)), dt)
+    val stale = ChangeFeed.maintainJoinAggOnceLogAt(spark, staleSpan,
+      Generations.latest(spark, dt).get.version, fl, dt,
+      Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+    assert(stale.isEmpty, "a tick whose listing a concurrent tick " +
+      "overtook must be a no-op")
+    // the REAL tick then converges exactly once
+    assert(maintainL().nonEmpty)
+    val got = mvState(mv)
+    assert(got === Map(10L -> (BigDecimal(5), 1L),
+      30L -> (BigDecimal(7), 1L)), s"state diverged: $got")
+    // now the view's applied dim (2) is ahead of the stale sample (1)
+    assert(ChangeFeed.maintainJoinAggOnceLogAt(spark,
+      Generations.logCommits(spark, fl), staleHeadD, fl, dt,
+      Seq("ck"), Seq("ck"), mv, Seq("grp"), Map("sum_v" -> "v"), "n")(aggOf)
+      .isEmpty, "stale dim sample after the view passed it must no-op")
+    assert(maintainL().isEmpty, "everything applied: durable no-op")
+  }
+
   test("maintainDistinctOnce: support table tracks distinct counts exactly once") {
     val t = mkDir("t"); val sup = mkDir("support")
     def distinctState(): Map[Long, Long] =

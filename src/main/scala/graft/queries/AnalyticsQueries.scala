@@ -835,6 +835,34 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Profile.numericStats(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // EX5 × IVM: event-time streaming maintenance of an HOURLY windowed
+    // aggregate (streaming/StreamingIvm.scala) — the batch equivalent of
+    // the foreachBatch pipeline, exactly-once per micro-batch. Events
+    // arrive across 3 deterministic out-of-order batches (event_id % 3
+    // interleaves hours, so late rows for old buckets are common); each
+    // tick watermark-drops rows older than the committed high-mark minus
+    // 2 h, appends the admitted delta under a replay witness, and
+    // advances the view by the window delta only. The oracle replays the
+    // SAME admission rule batch-by-batch in SQL and aggregates fresh, so
+    // the hash compare proves maintained ≡ recomputed INCLUDING the
+    // late-data drop semantics. Sum state decimal-exact, emitted DOUBLE.
+    "mv_stream_hourly_revenue" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvstream").toString
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // Incremental MV maintenance: the view state is built from a base
     // partition and kept current by merging the delta batch's partials —
     // the oracle recomputes directly over the union, so the hash compare
@@ -2563,6 +2591,33 @@ object AnalyticsQueries extends QueryPack {
 
     // Direct recompute — deliberately NOT the merge path, so the compare
     // proves the two-phase maintenance equals a from-scratch aggregate.
+    // EX5 × IVM law: replay the 3-batch arrival with the SAME
+    // watermark-admission rule (high-mark of previously ADMITTED rows
+    // minus 2 h; batch 0 admits everything), aggregate the admitted
+    // union fresh. COALESCE guards the empty-batch edge the Spark side
+    // handles with an absent pointer.
+    "mv_stream_hourly_revenue" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM admitted GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
     "mv_incremental_pricing" ->
       """SELECT l_returnflag,
         |  round(sum(l_extendedprice), 2) AS sum_v,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.operators.Iterate.MaterializeOps
 
 /** End-to-end corpus curation — the canonical LLM training-data pipeline,
   * composing the north-star operators in filter-early order so each stage
@@ -35,13 +36,13 @@ object Curation {
       trainPct: Int = 90, materializeStages: Boolean = true): DataFrame = {
     val graded = qualityGate(docs, minTokens, minQuality)
     val exact = Dedup.exact(graded)
-    val exactKept = if (materializeStages) exact.localCheckpoint() else exact
+    val exactKept = if (materializeStages) exact.materialized else exact
     // Shingle ONCE per surviving doc: the near-dup stage references the
     // shingled frame four times (banded self-join a/b + Jaccard verify
     // a/b); without this boundary each reference re-tokenizes the corpus.
     val shingled = exactKept.select(col("doc_id"),
       graft.functions.TextFns.textShingles(col("text"), n).as("shingles"))
-    val shingledKept = if (materializeStages) shingled.localCheckpoint() else shingled
+    val shingledKept = if (materializeStages) shingled.materialized else shingled
     val nearKept = Dedup.nearDupSurvivors(exactKept, n, k, bands, threshold,
       shingled = Some(shingledKept))
     TextAnalysis.hashSplit(nearKept, trainPct = trainPct)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Deduplication operators for the LLM-data-pipeline surface (EX3/EX10 +
   * north-star dedup set): exact, minhash-LSH, simhash, n-gram Jaccard.
@@ -93,7 +94,7 @@ object Dedup {
     // in-session stand-in for the persisted shingle/band storage a 100 TB
     // deployment keeps per corpus generation (see bandIndex).
     nearDupPairsFromShingles(
-      shingleFrame(docs, n, textCol, idCol).localCheckpoint(),
+      shingleFrame(docs, n, textCol, idCol).materialized,
       k, bands, threshold)
 
   /** Measured LSH recall: of all TRUE near-dup pairs (exact n-gram
@@ -131,7 +132,7 @@ object Dedup {
   def sigEstimatorPairs(docs: DataFrame, n: Int = 3, k: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingled = shingleFrame(docs, n, textCol, idCol).localCheckpoint()
+    val shingled = shingleFrame(docs, n, textCol, idCol).materialized
     val sigs = shingled.select(col("doc_id"),
       graft.functions.TextFns.minhashSignature(col("shingles"), k).as("sig"))
     val banded = bandIndex(shingled, k, bands)
@@ -159,7 +160,7 @@ object Dedup {
   def lshRecall(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.5, minRecall: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val shingled = shingleFrame(docs, n, textCol, idCol).localCheckpoint()
+    val shingled = shingleFrame(docs, n, textCol, idCol).materialized
     val found = nearDupPairsFromShingles(shingled, k, bands, threshold)
       .agg(count(lit(1)).as("n_found"))
     val d = shingled.select(col("doc_id"),
@@ -237,7 +238,7 @@ object Dedup {
     // upstream plan (LSH banded join + Jaccard verify when called from
     // nearDupSurvivors) evaluated once per direction — measured ~2× the
     // whole pair-generation cost on dedup_near_clusters.
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val p = pairs.select(col("a"), col("b")).materialized
     val edgesRaw = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
     // Size the iteration frames to the ACTUAL edge count (known after the
@@ -246,7 +247,7 @@ object Dedup {
     // dozens of near-empty tasks per round × per join × per round
     // dominated the loop (~1 s/round at 508 edges / 32 partitions).
     val parts = math.max(1, (p.count() * 2 / 2000000L).toInt)
-    val edges = edgesRaw.repartition(parts, col("dst")).localCheckpoint()
+    val edges = edgesRaw.repartition(parts, col("dst")).materialized
     // Seed labels with round 1 already applied: comp₀(v) = min({v} ∪
     // neighbors) is exactly what the first loop round computes from the
     // identity seed (its pointer-jump is a no-op there) — but as ONE
@@ -256,7 +257,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("src").as("v"), least(col("src"), col("min_nbr")).as("comp"))
-      .repartition(parts, col("v")).localCheckpoint()
+      .repartition(parts, col("v")).materialized
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -274,7 +275,7 @@ object Dedup {
         .select(col("v"), col("comp").as("old_comp"),
           least(col("comp"), col("jump_comp"),
             coalesce(col("min_nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .materialized
       changed = next.filter(col("comp") < col("old_comp")).count()
       labels = next.select(col("v"), col("comp"))
       i += 1
@@ -498,14 +499,14 @@ object Dedup {
       k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id")
       (sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var cSh = shingleFrame(corpus, n, textCol, idCol).localCheckpoint()
+    var cSh = shingleFrame(corpus, n, textCol, idCol).materialized
     batchStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val bSh = shingleFrame(batch, n, textCol, idCol).localCheckpoint()
+      val bSh = shingleFrame(batch, n, textCol, idCol).materialized
       val verdicts = incrementalNearDupsFromShingles(cSh, bSh, k, bands, threshold)
-        .localCheckpoint()
+        .materialized
       sink(verdicts, batchId)
       val admitted = verdicts.filter(col("is_new")).select(col("doc_id"))
-      cSh = cSh.unionByName(bSh.join(admitted, "doc_id")).localCheckpoint()
+      cSh = cSh.unionByName(bSh.join(admitted, "doc_id")).materialized
     }
   }
 

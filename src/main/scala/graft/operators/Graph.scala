@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Graph analytics over DataFrame edge lists — the data-selection
   * complement to [[Dedup.connectedComponents]]: PageRank centrality over
@@ -62,7 +63,7 @@ object Graph {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
-      .localCheckpoint()
+      .materialized
     topk.unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
@@ -164,12 +165,12 @@ object Graph {
     * like [[pageRank]].
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
-    val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
+    val eRaw = edges.select(col("src"), col("dst")).materialized
     val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("dst")).localCheckpoint()
+    val e = eRaw.repartition(parts, col("dst")).materialized
     var labels = e.select(col("src").as("v")).distinct()
       .repartition(parts, col("v"))
-      .withColumn("lbl", col("v")).localCheckpoint()
+      .withColumn("lbl", col("v")).materialized
     for (_ <- 1 to iters) {
       labels = e
         .join(labels.select(col("v").as("dst"), col("lbl").as("nbr_lbl")), "dst")
@@ -179,7 +180,7 @@ object Graph {
         .agg(min_by(col("nbr_lbl"),
           struct((-col("votes")).as("neg_votes"), col("nbr_lbl"))).as("lbl"))
         .select(col("src").as("v"), col("lbl"))
-        .localCheckpoint()
+        .materialized
     }
     labels.select(col("v"), col("lbl").as("community"))
   }
@@ -187,7 +188,7 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eRaw = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      .select(col("src"), col("dst"), col("outdeg")).materialized
 
     // ONE aggregation over the edge endpoints yields the node set, the
     // dangling check (a vertex is dangling iff it appears as dst but
@@ -200,7 +201,7 @@ object Graph {
       .unionByName(eRaw.select(col("dst").as("v"), lit(0).as("o")))
       .groupBy(col("v"))
       .agg(max(col("o")).as("has_out"), sum(col("o")).as("out_rows"))
-      .localCheckpoint()
+      .materialized
     val Row(nNodes: Long, nDangling: Long, nEdges: Long) = verts
       .agg(count(lit(1)), sum(lit(1) - col("has_out")).cast("long"),
         sum(col("out_rows")).cast("long")).head()
@@ -210,9 +211,9 @@ object Graph {
     // One edge-frame reused every iteration: pre-partition on the join key
     // and checkpoint, so the per-iteration join reuses the layout instead
     // of re-shuffling the edges each round.
-    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
+    val e = eRaw.repartition(parts, col("src")).materialized
     val nodes = verts.select(col("v"))
-      .repartition(parts, col("v")).localCheckpoint()
+      .repartition(parts, col("v")).materialized
     val n = nNodes.toDouble
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
@@ -224,7 +225,7 @@ object Graph {
       ranks = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
         .select(col("v"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iters) ranks = ranks.materialized
     }
     ranks.select(col("v"), round(col("r") * n, 6).as("rank_norm"))
   }
@@ -249,19 +250,19 @@ object Graph {
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eRaw = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).localCheckpoint()
+      .select(col("src"), col("dst"), col("outdeg")).materialized
     val verts = eRaw.select(col("src").as("v"), lit(1).as("o"))
       .unionByName(eRaw.select(col("dst").as("v"), lit(0).as("o")))
       .groupBy(col("v"))
       .agg(max(col("o")).as("has_out"), sum(col("o")).cast("long").as("out_rows"))
-      .localCheckpoint()
+      .materialized
     val Row(nNodes: Long, nDangling: Long, nEdges: Long) = verts
       .agg(count(lit(1)), sum(lit(1) - col("has_out")).cast("long"),
         sum(col("out_rows")).cast("long")).head()
     require(nDangling == 0,
       s"$nDangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
     val parts = math.max(1, (nEdges / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
+    val e = eRaw.repartition(parts, col("src")).materialized
 
     val base = verts.select(col("v"))
       .join(seeds.select(col("v")).distinct().withColumn("_s", lit(1.0)),
@@ -270,7 +271,7 @@ object Graph {
     val nSeeds = base.agg(sum(col("flag"))).head().getDouble(0)
     require(nSeeds > 0, "seed set must intersect the graph's node set")
     val s = base.select(col("v"), (col("flag") / nSeeds).as("s"))
-      .repartition(parts, col("v")).localCheckpoint()
+      .repartition(parts, col("v")).materialized
 
     var ranks = s.select(col("v"), col("s").as("r"))
     for (i <- 1 to iters) {
@@ -282,7 +283,7 @@ object Graph {
         .select(s("v"),
           (lit(1 - damping) * col("s") +
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 && i < iters) ranks = ranks.materialized
     }
     ranks.select(col("v"), round(col("r") * nNodes.toDouble, 6).as("ppr_norm"))
   }
@@ -307,9 +308,9 @@ object Graph {
     * not graph-sized ones.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
-    val eRaw = edges.select(col("src"), col("dst")).localCheckpoint()
+    val eRaw = edges.select(col("src"), col("dst")).materialized
     val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("src")).localCheckpoint()
+    val e = eRaw.repartition(parts, col("src")).materialized
     // Node set from BOTH endpoints: on a directed edge list a seed that
     // appears only as a dst must still start at hops=0, or it would be
     // assigned a wrong (>=1) distance when reached from another seed.
@@ -317,13 +318,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .join(seeds.select(col("v")).distinct(), Seq("v"), "left_semi")
       .withColumn("hops", lit(0L))
-      .repartition(parts, col("v")).localCheckpoint()
+      .repartition(parts, col("v")).materialized
     for (_ <- 1 to maxHops) {
       val relax = e.join(dist, e("src") === dist("v"))
         .select(col("dst").as("v"), (col("hops") + lit(1L)).as("hops"))
       dist = dist.unionByName(relax)
         .groupBy(col("v")).agg(min(col("hops")).as("hops"))
-        .localCheckpoint()
+        .materialized
     }
     dist
   }
@@ -372,7 +373,7 @@ object Graph {
     val raw = edges.select(col("src"), col("dst"))
     val e = raw
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     val cn = e.alias("x")
       .join(e.alias("y"),
@@ -393,7 +394,7 @@ object Graph {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).materialized
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     // Orientation rank: (deg, id) as a lexicographic struct; symmetric
     // input means keeping rank(src) < rank(dst) rows keeps each

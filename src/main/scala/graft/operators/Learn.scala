@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{MomentsAgg, TextFns}
+import graft.operators.Iterate.MaterializeOps
 
 /** Distributed model training over hashed text features — the "train the
   * quality/language classifier ON the cluster" step of a curation
@@ -109,7 +110,7 @@ object Learn {
     val fl = hashedFeatures(docs, dims, textCol, idCol)
       .join(docs.select(col(idCol).as("doc_id"),
         labelCol.cast("double").as("y")), "doc_id")
-      .localCheckpoint()
+      .materialized
     val n = fl.select(countDistinct(col("doc_id"))).head().getLong(0).toDouble
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val w = new Array[Double](dims)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Keyword-search ranking over a document corpus (Okapi BM25).
   *
@@ -41,7 +42,7 @@ object Search {
       .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         filter(col("toks"), t => t.isin(terms: _*)).as("ptoks"))
-      .localCheckpoint()
+      .materialized
     val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
 
     // dl rides along as a grouping column (functionally dependent on
@@ -144,7 +145,7 @@ object Search {
       .select(col(idCol).as("doc_id"), TextFns.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
         filter(col("toks"), t => t.isin(allTerms: _*)).as("ptoks"))
-      .localCheckpoint()
+      .materialized
     val stats = perDoc.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val postings = perDoc

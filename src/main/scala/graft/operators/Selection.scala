@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Corpus SELECTION under a budget — the operators that turn scored
   * documents into a training set: weighted sampling (which documents,
@@ -133,7 +134,7 @@ object Selection {
         round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(m)
-      .localCheckpoint()
+      .materialized
 
     var picked: Seq[(Long, Double)] = Nil // (vec_id, score), in pick order
     var pickedDf: DataFrame = null
@@ -210,7 +211,7 @@ object Selection {
       oversample: Int = 8, nCells: Int = 16): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+      .materialized
     val seedId = base.agg(min(col("vec_id"))).head().getLong(0)
     val cents = base.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
@@ -288,7 +289,7 @@ object Selection {
         "use kCenterSelectOversampled")
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+      .materialized
     val seed = base.agg(min(col("vec_id"))).head().getLong(0)
 
     var picked: Seq[(Long, Double)] = Seq(seed -> -1.0)

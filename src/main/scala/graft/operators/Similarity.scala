@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Similarity search over embedding columns (EX6 + north-star ANN).
   *
@@ -319,7 +320,7 @@ object Similarity {
   def cellLayout(embeddings: DataFrame, nCells: Int): DataFrame =
     assignCells(embeddings, nCells)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+      .materialized
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nCells: Int): DataFrame = {
     val cells = assignCells(embeddings, nCells)
@@ -626,7 +627,7 @@ object Similarity {
     val cents = refinedCentroids(embeddings, nCells)
     val cells = assignCellsTo(embeddings, cents)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+      .materialized
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -693,7 +694,7 @@ object Similarity {
     val cents0 = refinedCentroids(embeddings, nCells)
     val cells = assignCellsTo(embeddings, cents0)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .localCheckpoint()
+      .materialized
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -720,7 +721,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("c_id"))
     val exactTop = pairs.withColumn("rk", row_number().over(wke))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
-      .localCheckpoint() // bounded |Q|·k rows, reused per probe level
+      .materialized // bounded |Q|·k rows, reused per probe level
     val probes = nProbes.toDF("n_probe")
     val wkp = Window.partitionBy(col("q_id"), col("n_probe"))
       .orderBy(col("cos").desc, col("c_id"))
@@ -781,7 +782,7 @@ object Similarity {
     val fullTop = pairs.withColumn("cos", cosAt(lit(fullDim)))
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
-      .localCheckpoint() // bounded |Q|·k baseline, reused per dims level
+      .materialized // bounded |Q|·k baseline, reused per dims level
     val wd = Window.partitionBy(col("q_id"), col("n_dims"))
       .orderBy(col("cos").desc, col("c_id"))
     val truncTop = pairs.crossJoin(broadcast(dimsDf))

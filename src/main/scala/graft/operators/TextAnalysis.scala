@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Text analysis for the LLM-data-pipeline surface: language-ID heuristic,
   * quality scoring, token counting, document fingerprinting. All per-row
@@ -874,7 +875,7 @@ object TextAnalysis {
     // re-tokenizes the corpus (the BM25 perDoc-snapshot pattern).
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))

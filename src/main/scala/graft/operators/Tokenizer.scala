@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.operators.Iterate.MaterializeOps
 
 /** Tokenizer INDUCTION over the corpus — byte-pair-encoding merge
   * learning (Sennrich et al. 2016), the step that turns a raw corpus
@@ -57,7 +58,7 @@ object Tokenizer {
     // trailing empty string — filter it (DuckDB's string_split does not).
     var seqs = wc.select(col("cnt"),
       array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
-      .localCheckpoint()
+      .materialized
 
     val picks = (1 to rounds).map { r =>
       val Row(pair: String, cnt: Long) = seqs
@@ -68,7 +69,7 @@ object Tokenizer {
         .select(col("best.pair"), col("best.c")).head()
       val merged = pair.replace(SEP, "")
       seqs = seqs.select(col("cnt"),
-        replace(col("s"), lit(pair), lit(merged)).as("s")).localCheckpoint()
+        replace(col("s"), lit(pair), lit(merged)).as("s")).materialized
       (r, pair.replace(SEP, " "), merged, cnt)
     }
 
@@ -119,11 +120,11 @@ object Tokenizer {
           sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i)),
           l => col("word").substr(i + lit(1), l))))).as("piece"))
     val counts = subs.groupBy(col("piece")).agg(sum(col("cnt")).as("cnt"))
-      .localCheckpoint() // vocab-bounded; feeds both branches + the total
+      .materialized // vocab-bounded; feeds both branches + the total
     val singles = counts.filter(length(col("piece")) === 1)
     val multis = counts.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece")).limit(topPieces)
-    val kept = singles.unionByName(multis).localCheckpoint()
+    val kept = singles.unionByName(multis).materialized
     val tot = kept.agg(sum(col("cnt")).cast("double").as("total"))
     kept.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
@@ -201,7 +202,7 @@ object Tokenizer {
     val wc = wordCounts(docs, textCol)
     var seqs = wc.select(col("cnt"),
       array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
-      .localCheckpoint()
+      .materialized
 
     val picks = (1 to rounds).map { r =>
       val syms = seqs
@@ -229,7 +230,7 @@ object Tokenizer {
             col("best.rc"), col("best.score")).head()
       val merged = pair.replace(SEP, "")
       seqs = seqs.select(col("cnt"),
-        replace(col("s"), lit(pair), lit(merged)).as("s")).localCheckpoint()
+        replace(col("s"), lit(pair), lit(merged)).as("s")).materialized
       (r, pair.replace(SEP, " "), merged, pc, lc, rc, score)
     }
 

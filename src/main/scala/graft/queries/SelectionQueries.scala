@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Selection, TextAnalysis}
+import graft.operators.Iterate.MaterializeOps
 
 /** Budgeted corpus-selection registrations: weighted sampling, token-
   * budget truncation and MMR diverse top-k ([[graft.operators.Selection]]).
@@ -47,7 +48,7 @@ object SelectionQueries extends QueryPack {
       val g = TextAnalysis.qualityMetrics(docs(s, dir))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality_score"))
-        .localCheckpoint()
+        .materialized
       val budget = g.agg(floor(sum(col("n_tokens")) * lit(0.1)).cast("long"))
         .head().getLong(0)
       Selection.tokenBudgetSelect(g, budget, "quality_score", "n_tokens")

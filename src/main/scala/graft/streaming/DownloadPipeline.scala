@@ -10,6 +10,7 @@ import graft.operators.{ErrorPath, Router}
 import graft.functions.{Extract, Globs, Urls}
 import graft.sinks.ObjectSink
 import graft.sources.{Catalog, Queue}
+import graft.operators.Iterate.MaterializeOps
 
 /** The download pipeline (reference `data_downloader.handler`, traced in
   * SURVEY.md §3.2), batch + streaming forms.
@@ -213,7 +214,7 @@ object DownloadPipeline {
             // plan would be invalidated by Spark's CacheManager recache,
             // silently re-running the side-effecting fetch against the
             // post-batch manifest (observed: downloads counted as 0).
-            val existing = manifest.localCheckpoint()
+            val existing = manifest.materialized
             val n = existing.count()
             if (n == 0) legacyBootstrap()
             else if (n > bloomGuardThreshold)

@@ -863,6 +863,29 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("bucket", "event_type")
     }),
 
+    // EX5 × IVM, SLIDING form: same 3-batch watermark-replayed pipeline,
+    // 1 h windows sliding every 30 min — each admitted event explodes
+    // into its 2 covering buckets at append time (Catalyst TimeWindowing
+    // Expand), and the maintenance machinery is UNCHANGED: window
+    // overlap is a data-shape concern, not a new operator. Proves the
+    // streaming-IVM tier composes across window kinds.
+    "mv_stream_sliding_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvslide").toString
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv,
+          keyCols = Nil, slide = Some("30 minutes"))
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n"), col("sum_value").cast("double").as("sum_value"))
+        .orderBy("bucket")
+    }),
+
     // Incremental MV maintenance: the view state is built from a base
     // partition and kept current by merging the delta batch's partials —
     // the oracle recomputes directly over the union, so the hash compare
@@ -2617,6 +2640,36 @@ object AnalyticsQueries extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM admitted GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    // sliding form: same admission replay, each admitted event unnested
+    // into its 2 covering 1h/30m windows (the time_sliding_windows
+    // convention), aggregated fresh.
+    "mv_stream_sliding_value" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |exploded AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts)
+        |                   - INTERVAL '30 minutes']) AS w,
+        |    value
+        |  FROM admitted)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM exploded GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "mv_incremental_pricing" ->
       """SELECT l_returnflag,

@@ -63,7 +63,8 @@ object StreamingIvm {
       logTable: String, mvTable: String,
       tsCol: String = "ts", keyCols: Seq[String] = Seq("event_type"),
       sumCol: String = "value", bucketWidth: String = "1 hour",
-      lateness: String = "2 hours"): Option[Generations.Commit] = {
+      lateness: String = "2 hours",
+      slide: Option[String] = None): Option[Generations.Commit] = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
@@ -75,8 +76,17 @@ object StreamingIvm {
         batch.filter(unix_micros(col(tsCol)) >= w - latenessMicros)
       case None => batch // first data: everything is on time
     }
+    // SLIDING windows generalize for free: window(ts, w, slide) in a
+    // projection explodes each row into its w/slide covering windows
+    // (Catalyst's TimeWindowing Expand), so the log simply carries one
+    // row per (event, covering bucket) and the maintenance below is
+    // unchanged — overlap is a data-shape concern, not a new operator.
+    val win = slide match {
+      case Some(s) => window(col(tsCol), bucketWidth, s)
+      case None => window(col(tsCol), bucketWidth)
+    }
     val bucketed = admitted.select(
-      window(col(tsCol), bucketWidth).getField("start").as("bucket") +:
+      win.getField("start").as("bucket") +:
         (keyCols.map(col) :+
           col(sumCol).cast("decimal(18,4)").as("_v") :+
           col(tsCol).as("_ts")): _*)

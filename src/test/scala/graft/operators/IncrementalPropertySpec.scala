@@ -431,6 +431,111 @@ class IncrementalPropertySpec extends SparkSpec {
     }
   }
 
+  test("delta-join family: membership laws hold across random NULL-keyed histories") {
+    // the randomized form of the deterministic null-key test above:
+    // ~20% of A rows carry a NULL join key (and B may carry a null-g
+    // row of its own), churned freely across steps — every feed must
+    // still match Spark's own join recomputes as multisets.
+    def adf(rows: Seq[(Int, Option[Int], Int)]): DataFrame =
+      rows.toDF("k", "g", "v").withColumn("v", col("v").cast("decimal(18,4)"))
+    def bdf(rows: Seq[(Option[Int], Int)]): DataFrame = rows.toDF("g", "w")
+    def msA(df: DataFrame): Map[(Int, Option[Int], BigDecimal), Long] =
+      df.select(col("k"), col("g"), col("v").cast("decimal(18,4)"))
+        .as[(Int, Option[Int], BigDecimal)].collect()
+        .groupBy(r => r).view.mapValues(_.length.toLong).toMap
+    def msFull(df: DataFrame)
+        : Map[(Option[Int], Option[Int], Option[BigDecimal], Option[Int]), Long] =
+      df.select(col("g"), col("k"), col("v").cast("decimal(18,4)"), col("w"))
+        .as[(Option[Int], Option[Int], Option[BigDecimal], Option[Int])]
+        .collect().groupBy(r => r).view.mapValues(_.length.toLong).toMap
+    def signedA(feed: DataFrame): Map[(Int, Option[Int], BigDecimal), Long] =
+      feed.select(col("k"), col("g"), col("v").cast("decimal(18,4)"),
+          col("_change_type"))
+        .as[(Int, Option[Int], BigDecimal, String)].collect()
+        .groupBy(t => (t._1, t._2, t._3)).view
+        .mapValues(_.map(t => if (t._4 == "insert") 1L else -1L).sum)
+        .filter(_._2 != 0L).toMap
+    def signedFull(feed: DataFrame)
+        : Map[(Option[Int], Option[Int], Option[BigDecimal], Option[Int]), Long] =
+      feed.select(col("g"), col("k"), col("v").cast("decimal(18,4)"),
+          col("w"), col("_change_type"))
+        .as[(Option[Int], Option[Int], Option[BigDecimal], Option[Int], String)]
+        .collect().groupBy(t => (t._1, t._2, t._3, t._4)).view
+        .mapValues(_.map(t => if (t._5 == "insert") 1L else -1L).sum).toMap
+    def applied[K](pre: Map[K, Long], delta: Map[K, Long]): Map[K, Long] =
+      (pre.keySet ++ delta.keySet).map(r =>
+        r -> (pre.getOrElse(r, 0L) + delta.getOrElse(r, 0L)))
+        .filter(_._2 != 0L).toMap
+    def randG(): Option[Int] =
+      if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(5))
+    for (history <- 1 to 4) {
+      var aSnap: Map[Int, (Option[Int], Int)] = (1 to 14).map(k =>
+        k -> (randG(), rnd.nextInt(5) * 10)).toMap
+      var bSnap: Map[Option[Int], Int] =
+        (rnd.shuffle((0 to 4).toList).take(2).map(g => Option(g) -> rnd.nextInt(100))
+          :+ (Option.empty[Int] -> rnd.nextInt(100))).toMap
+      for (step <- 1 to 3) {
+        val aNext = {
+          var m = aSnap
+          rnd.shuffle((1 to 18).toList).take(6).foreach { k =>
+            if (rnd.nextInt(3) == 0 && m.contains(k)) m -= k
+            else m += k -> (randG(), rnd.nextInt(5) * 10)
+          }
+          m
+        }
+        val bNext = {
+          var m = bSnap
+          (rnd.shuffle((0 to 4).toList).take(2).map(Option(_))
+            :+ Option.empty[Int]).foreach { g =>
+            if (rnd.nextInt(2) == 0 && m.contains(g)) m -= g
+            else m += g -> rnd.nextInt(100)
+          }
+          m
+        }
+        val aPre = adf(aSnap.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val aPost = adf(aNext.toSeq.map { case (k, (g, v)) => (k, g, v) })
+        val bPre = bdf(bSnap.toSeq)
+        val bPost = bdf(bNext.toSeq)
+        // A-side feed via diff (keyed on non-null k; g is payload and
+        // may be null); B-side feed HAND-BUILT (diff's key contract is
+        // non-null) as delete(old)+insert(new) per changed g
+        val dA = Merge.diff(aPre, aPost, Seq("k"), includePreimages = true)
+          .select(col("_change_type"), col("k"), col("g"), col("v"))
+        val dBrows =
+          (bSnap.keySet ++ bNext.keySet).toSeq.flatMap { g =>
+            (bSnap.get(g), bNext.get(g)) match {
+              case (Some(o), Some(n)) if o == n => Nil
+              case (o, n) =>
+                o.map(w => ("delete", g, w)).toSeq ++
+                  n.map(w => ("insert", g, w)).toSeq
+            }
+          }
+        val dB = dBrows.toDF("_change_type", "g", "w")
+        val leftF = Incremental.deltaJoinLeft(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msFull(aPre.join(bPre, Seq("g"), "left")),
+            signedFull(leftF))
+          === msFull(aPost.join(bPost, Seq("g"), "left")),
+          s"history $history step $step: left law broken under null keys")
+        val full = Incremental.deltaJoinFull(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msFull(aPre.join(bPre, Seq("g"), "full_outer")),
+            signedFull(full))
+          === msFull(aPost.join(bPost, Seq("g"), "full_outer")),
+          s"history $history step $step: full law broken under null keys")
+        val semi = Incremental.deltaSemiJoin(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msA(aPre.join(bPre, Seq("g"), "left_semi")),
+            signedA(semi))
+          === msA(aPost.join(bPost, Seq("g"), "left_semi")),
+          s"history $history step $step: semi law broken under null keys")
+        val anti = Incremental.deltaAntiJoin(aPre, dA, bPre, dB, Seq("g"))
+        assert(applied(msA(aPre.join(bPre, Seq("g"), "left_anti")),
+            signedA(anti))
+          === msA(aPost.join(bPost, Seq("g"), "left_anti")),
+          s"history $history step $step: anti law broken under null keys")
+        aSnap = aNext; bSnap = bNext
+      }
+    }
+  }
+
   test("applyFeed: materialized rowset maintenance ≡ recompute, duplicates and nulls exact") {
     // duplicate-instance cancellation: a multiset view with repeated
     // rows must lose exactly ONE instance per delete

@@ -29,6 +29,12 @@ case class DotProductExpr(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null also for NON-null inputs: length mismatch or a null element.
+  // Without this override a not-null-filtered child made the expression
+  // claim non-nullable and the generated `isNull = true` branch failed
+  // Janino compilation, dropping the projection to interpreted mode
+  // (the SimhashExpr bug, same class — see that scaladoc).
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

@@ -27,6 +27,13 @@ case class SimhashExpr(child: Expression)
     Seq(ArrayType(StringType))
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  // null also for a NON-null but empty/all-null token array — without
+  // this override, a not-null child (post-filter) made the expression
+  // claim non-nullable, and nullSafeCodeGen then emitted an assignment
+  // to a constant-false isNull: Janino failed ("not an rvalue") and the
+  // WHOLE projection fell back to interpreted mode (the r15 gate-log
+  // "Expr codegen error" — dedup_simhash's hot path).
+  override def nullable: Boolean = true
   override def prettyName: String = "simhash16"
 
   override protected def nullSafeEval(tokens: Any): Any =

@@ -863,6 +863,70 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("bucket", "event_type")
     }),
 
+    // EX5 × IVM over a JOIN: a fact STREAM maintained against a MUTATING
+    // dimension (StreamingIvm.ingestJoinBatch → maintainJoinAggOnceLog).
+    // The dimension is committed at v1, then every 13th user MOVES
+    // nation between batches 0 and 1 — a key-moving dimension update
+    // landing mid-stream, so the batch-1 tick advances from BOTH feeds
+    // at once (fact delta ⋈ dim ∪ dim delta ⋈ fact-pre, signed); the
+    // moved users' already-accumulated revenue must follow them. The
+    // oracle joins the watermark-admitted fact union to the POST-update
+    // dimension: the maintained ≡ recomputed law across a live
+    // two-sided history.
+    "mv_stream_join_nation_value" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      def dimOf(c: DataFrame) = c
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("user_id"), col("n_name"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvstreamjoin").toString
+      val log = s"$base/log"; val dim = s"$base/dim"; val mv = s"$base/mv"
+      graft.sinks.Generations.writeAndCommit(s, dimOf(cust), dim)
+      def tick(b: Long): Unit =
+        graft.streaming.StreamingIvm.ingestJoinBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, dim,
+          dimKeys = Seq("user_id"), joinKeys = Seq("user_id"),
+          mvTable = mv, mvKeys = Seq("n_name"))
+      tick(0L)
+      val moved = cust.withColumn("c_nationkey",
+        when(col("user_id") % 13 === 0, (col("c_nationkey") + 7) % 25)
+          .otherwise(col("c_nationkey")))
+      graft.sinks.Generations.writeAndCommit(s, dimOf(moved), dim)
+      tick(1L); tick(2L)
+      graft.sinks.Generations.read(s, mv).get
+        .select(col("n_name"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("n_name")
+    }),
+
+    // EX5 × IVM with MIN/MAX: extremes over an INSERT-ONLY stream merge
+    // monotonically (least/greatest with the batch's extremes — no
+    // retraction, so the non-retractable-monoid machinery never fires),
+    // maintained through the same watermark-replayed 3-batch arrival.
+    "mv_stream_hourly_minmax" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-mvstreammm").toString
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv,
+          trackMinMax = true)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"),
+          col("min_value").cast("double").as("min_value"),
+          col("max_value").cast("double").as("max_value"))
+        .orderBy("bucket", "event_type")
+    }),
+
     // EX5 × IVM, SLIDING form: same 3-batch watermark-replayed pipeline,
     // 1 h windows sliding every 30 min — each admitted event explodes
     // into its 2 covering buckets at append time (Catalyst TimeWindowing
@@ -2639,6 +2703,64 @@ object AnalyticsQueries extends QueryPack {
         |    AS bucket,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM admitted GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    // join law: watermark-admitted fact union ⋈ POST-update dimension —
+    // revenue accumulated under a user's OLD nation that failed to move
+    // with the key-moving dim update value-fails
+    "mv_stream_join_nation_value" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |dim AS (
+        |  SELECT c_custkey AS user_id,
+        |    CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 7) % 25
+        |         ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |named AS (
+        |  SELECT d.user_id, n.n_name FROM dim d
+        |  JOIN nation n ON d.nk = n.n_nationkey)
+        |SELECT d.n_name, count(*) AS n,
+        |  CAST(sum(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM admitted a JOIN named d ON a.user_id = d.user_id
+        |GROUP BY d.n_name ORDER BY d.n_name""".stripMargin,
+
+    // min/max law: fresh extremes of the admitted union — a stale or
+    // wrongly-merged extreme value-fails
+    "mv_stream_hourly_minmax" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS bucket,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+        |  CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
         |FROM admitted GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     // sliding form: same admission replay, each admitted event unnested

@@ -49,6 +49,38 @@ object StreamingIvm {
     Pointers.read(fs, dir, WmPointer).map(_.trim.toLong)
   }
 
+  private def latenessMicrosOf(lateness: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
+    require(iv.months == 0, s"lateness must be fixed-length: '$lateness'")
+    iv.days * 86400000000L + iv.microseconds
+  }
+
+  /** Watermark-drop against the COMMITTED high-mark: rows older than
+    * `mark − lateness` are dropped; an absent mark (first data) admits
+    * everything. */
+  private def admit(batch: DataFrame, mark: Option[Long], tsCol: String,
+      lateness: String): DataFrame = mark match {
+    case Some(w) =>
+      batch.filter(unix_micros(col(tsCol)) >= w - latenessMicrosOf(lateness))
+    case None => batch
+  }
+
+  /** Advance the committed high-mark from ADMITTED rows (never dropped
+    * ones). Monotonic max ∘ max is idempotent, so a crash between append
+    * and pointer update just re-writes the same value on replay. */
+  private def advanceMark(spark: SparkSession, logTable: String,
+      mark: Option[Long], admittedTs: DataFrame, tsCol: String): Unit = {
+    val mx = admittedTs.agg(max(unix_micros(col(tsCol)))).head()
+    if (!mx.isNullAt(0)) {
+      val dir = new Path(logTable, "_stream")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val next = math.max(mark.getOrElse(Long.MinValue), mx.getLong(0))
+      Pointers.replace(fs, dir, WmPointer, next.toString)
+    }
+  }
+
   /** One micro-batch of the maintained windowed aggregate: watermark-
     * drop → idempotent log append → exactly-once view advance. Returns
     * the view commit (None when everything was already applied — e.g. a
@@ -64,18 +96,10 @@ object StreamingIvm {
       tsCol: String = "ts", keyCols: Seq[String] = Seq("event_type"),
       sumCol: String = "value", bucketWidth: String = "1 hour",
       lateness: String = "2 hours",
-      slide: Option[String] = None): Option[Generations.Commit] = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
-    require(iv.months == 0, s"lateness must be fixed-length: '$lateness'")
-    val latenessMicros = iv.days * 86400000000L + iv.microseconds
+      slide: Option[String] = None,
+      trackMinMax: Boolean = false): Option[Generations.Commit] = {
     val mark = highMark(spark, logTable)
-    val admitted = mark match {
-      case Some(w) =>
-        batch.filter(unix_micros(col(tsCol)) >= w - latenessMicros)
-      case None => batch // first data: everything is on time
-    }
+    val admitted = admit(batch, mark, tsCol, lateness)
     // SLIDING windows generalize for free: window(ts, w, slide) in a
     // projection explodes each row into its w/slide covering windows
     // (Catalyst's TimeWindowing Expand), so the log simply carries one
@@ -90,24 +114,69 @@ object StreamingIvm {
         (keyCols.map(col) :+
           col(sumCol).cast("decimal(18,4)").as("_v") :+
           col(tsCol).as("_ts")): _*)
-    val appended = Generations.appendCommitted(spark, bucketed.drop("_ts"),
-      logTable, s"batch=$batchId")
-    if (appended.nonEmpty) {
-      // advance the committed high-mark from the ADMITTED rows (never
-      // from dropped ones). Monotonic max ∘ max is idempotent, so a
-      // crash between append and pointer update just re-writes the same
-      // value on replay.
-      val mx = bucketed.agg(max(unix_micros(col("_ts")))).head()
-      if (!mx.isNullAt(0)) {
-        val dir = new Path(logTable, "_stream")
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val next = math.max(mark.getOrElse(Long.MinValue), mx.getLong(0))
-        Pointers.replace(fs, dir, WmPointer, next.toString)
-      }
-    }
+    // an ALL-DROPPED batch appends nothing: an empty generation would
+    // still cost a commit + a view tick per all-late micro-batch —
+    // metadata churn with no information. Admission is deterministic,
+    // so a replay re-evaluates to empty and stays a no-op without the
+    // batch witness.
+    val appended =
+      if (bucketed.isEmpty) None
+      else Generations.appendCommitted(spark, bucketed.drop("_ts"),
+        logTable, s"batch=$batchId")
+    if (appended.nonEmpty)
+      advanceMark(spark, logTable, mark, bucketed, "_ts")
+    // insert-only log ⇒ min/max merge monotonically (no retraction, so
+    // the non-retractable-monoid problem never arises; the dirty-group
+    // re-aggregation path prunes to nothing at runtime)
+    val (minC, maxC) =
+      if (trackMinMax) (Map("min_value" -> "_v"), Map("max_value" -> "_v"))
+      else (Map.empty[String, String], Map.empty[String, String])
     ChangeFeed.maintainAggOnceLog(spark, logTable, mvTable,
-      "bucket" +: keyCols, Map("sum_value" -> "_v"), "n") { log =>
+      "bucket" +: keyCols, Map("sum_value" -> "_v"), "n",
+      minCols = minC, maxCols = maxC) { log =>
+      val base = Seq(sum(col("_v")).as("sum_value"), count(lit(1)).as("n"))
+      val aggs =
+        if (trackMinMax) base ++ Seq(min(col("_v")).as("min_value"),
+          max(col("_v")).as("max_value"))
+        else base
       log.groupBy(("bucket" +: keyCols).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** One micro-batch of a maintained JOIN view `V = factStream ⋈ dim`:
+    * the same watermark-drop + witnessed-append admission as
+    * [[ingestBatch]], then [[ChangeFeed.maintainJoinAggOnceLog]]
+    * advances the view from BOTH feeds — the fact window is the
+    * committed delta commits themselves (insert-tagged, no diff), the
+    * dimension feed is a committed-version diff, and the delta join
+    * retracts/moves joined rows exactly (a dimension row changing its
+    * group mid-stream moves its accumulated fact revenue with it).
+    * Exactly-once via the `=cdcv2=<vF>-<vD>` pair watermark + CAS.
+    *
+    * The log stores `joinKeys ++ _v` only — the view never needs the
+    * fact payload columns, so the append is projection-pruned at the
+    * source. Scale shape: per tick, fact-delta ⋈ dim + dim-delta ⋈
+    * fact-pre (AQE-broadcast delta sides), never a full re-join.
+    */
+  def ingestJoinBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      logTable: String, dimTable: String, dimKeys: Seq[String],
+      joinKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
+      tsCol: String = "ts", sumCol: String = "value",
+      lateness: String = "2 hours"): Option[Generations.Commit] = {
+    val mark = highMark(spark, logTable)
+    val admitted = admit(batch, mark, tsCol, lateness)
+    val logged = admitted.select(joinKeys.map(col) :+
+      col(sumCol).cast("decimal(18,4)").as("_v") :+ col(tsCol).as("_ts"): _*)
+    val appended = // empty-admitted batches append nothing (see ingestBatch)
+      if (logged.isEmpty) None
+      else Generations.appendCommitted(spark, logged.drop("_ts"),
+        logTable, s"batch=$batchId")
+    if (appended.nonEmpty)
+      advanceMark(spark, logTable, mark, logged, "_ts")
+    ChangeFeed.maintainJoinAggOnceLog(spark, logTable, dimTable, dimKeys,
+      joinKeys, mvTable, mvKeys, Map("sum_value" -> "_v"), "n") { (f, d) =>
+      f.join(d, joinKeys).groupBy(mvKeys.map(col): _*)
         .agg(sum(col("_v")).as("sum_value"), count(lit(1)).as("n"))
     }
   }

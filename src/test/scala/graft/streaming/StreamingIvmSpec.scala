@@ -70,6 +70,60 @@ class StreamingIvmSpec extends SparkSpec {
     assert(state(mv) === before, "replay must not double-count")
   }
 
+  test("min/max track insert-only extremes through late reopens") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    StreamingIvm.ingestBatch(spark, ev(
+      (1, ts(10), "click", 5.0), (2, ts(10, 30), "click", 1.0)),
+      0L, log, mv, trackMinMax = true)
+    // late row reopens hour 10 with a NEW max
+    StreamingIvm.ingestBatch(spark, ev(
+      (3, ts(10, 45), "click", 9.0), (4, ts(11), "click", 2.0)),
+      1L, log, mv, trackMinMax = true)
+    val st = Generations.read(spark, mv).get
+      .select(col("bucket"), col("event_type"), col("n"),
+        col("min_value").cast("double"), col("max_value").cast("double"))
+      .as[(Timestamp, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(st === Map(
+      (ts(10), "click") -> ((3L, 1.0, 9.0)),
+      (ts(11), "click") -> ((1L, 2.0, 2.0))))
+  }
+
+  test("join view: a key-moving dim update mid-stream moves revenue; " +
+      "replayed ticks are no-ops") {
+    val log = mkDir("log"); val dim = mkDir("dim"); val mv = mkDir("mv")
+    def dimDf(rows: (Long, String)*) = rows.toDF("user_id", "grp")
+    def evJ(rows: (Long, Timestamp, Long, Double)*) =
+      rows.toDF("event_id", "ts", "user_id", "value")
+    def tick(b: Long, batch: org.apache.spark.sql.DataFrame) =
+      StreamingIvm.ingestJoinBatch(spark, batch, b, log, dim,
+        dimKeys = Seq("user_id"), joinKeys = Seq("user_id"),
+        mvTable = mv, mvKeys = Seq("grp"))
+    def state(): Map[String, (Long, Double)] =
+      Generations.read(spark, mv).get
+        .select(col("grp"), col("n"), col("sum_value").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    Generations.writeAndCommit(spark, dimDf((1L, "a"), (2L, "b")), dim)
+    assert(tick(0L, evJ((1, ts(10), 1L, 5.0), (2, ts(10), 2L, 7.0))).nonEmpty)
+    assert(state() === Map("a" -> ((1L, 5.0)), "b" -> ((1L, 7.0))))
+    // user 1 MOVES a→b while the fact stream also advances: the batch-1
+    // tick must apply both feeds — user 1's accumulated 5.0 follows it
+    Generations.writeAndCommit(spark, dimDf((1L, "b"), (2L, "b")), dim)
+    assert(tick(1L, evJ((3, ts(11), 1L, 2.0))).nonEmpty)
+    assert(state() === Map("b" -> ((3L, 14.0))),
+      "moved user's accumulated revenue must follow the dim update")
+    // foreachBatch replay of batch 1: append no-ops AND the view tick
+    // no-ops (nothing re-applied)
+    assert(tick(1L, evJ((3, ts(11), 1L, 2.0))).isEmpty)
+    assert(state() === Map("b" -> ((3L, 14.0))))
+    // late row beyond lateness is dropped even through the join path
+    assert(tick(2L, evJ((4, ts(8), 1L, 100.0))).isEmpty,
+      "an all-dropped batch with current dim must be a view no-op")
+    assert(state() === Map("b" -> ((3L, 14.0))))
+  }
+
   test("REAL STREAM: foreachBatch pipeline converges across late data") {
     val log = mkDir("log"); val mv = mkDir("mv")
     implicit val sqlCtx = spark.sqlContext

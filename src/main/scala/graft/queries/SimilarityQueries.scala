@@ -65,7 +65,8 @@ object SimilarityQueries extends QueryPack {
     // key — no corpus-sized broadcast anywhere in the plan.
     "graph_knn_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS))
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))))
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
@@ -74,7 +75,8 @@ object SimilarityQueries extends QueryPack {
     // selection counterpart of DSIR weights).
     "graph_personalized_pagerank" -> ((s, dir) =>
       graft.operators.Graph.personalizedPageRank(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))),
           seeds = emb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 10 === 0))
         .select(col("v").as("vec_id"), col("ppr_norm"))
@@ -85,7 +87,8 @@ object SimilarityQueries extends QueryPack {
     // clustering vs. connectedComponents' merge-anything.
     "graph_label_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS), iters = 4)
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))), iters = 4)
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
 
@@ -95,7 +98,8 @@ object SimilarityQueries extends QueryPack {
     // 4 hops (e.g. whole cells holding no seed) drop out.
     "graph_bfs_hops" -> ((s, dir) =>
       graft.operators.Graph.bfsHops(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))),
           seeds = emb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 25 === 0),
           maxHops = 4)
@@ -117,7 +121,8 @@ object SimilarityQueries extends QueryPack {
     // anchor's true top-4 neighbours present among its knnEdges graph
     // neighbours.
     "graph_knn_recall" -> ((s, dir) =>
-      graft.operators.Graph.knnRecall(emb(s, dir), k = 4, nCells = N_CELLS,
+      graft.operators.Graph.knnRecall(emb(s, dir), k = 4,
+        nCells = graphCells(emb(s, dir)),
         anchorStride = 25, maxAnchors = 20, minMeanRecall = RECALL_FLOOR)),
 
     // The measured recall/cost curve: mean recall@10 at nProbe = 1/2/4
@@ -176,7 +181,8 @@ object SimilarityQueries extends QueryPack {
     // signal). Degree-ordered edge orientation bounds wedge fan-out.
     "graph_triangle_coeff" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS))
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))))
         .select(col("v").as("vec_id"), col("triangles"), col("clustering_coeff"))
         .orderBy("vec_id")),
 
@@ -186,7 +192,8 @@ object SimilarityQueries extends QueryPack {
     // one hop before they merge (operators/Graph.linkPredict).
     "graph_link_predict" -> ((s, dir) =>
       graft.operators.Graph.linkPredict(
-          graft.operators.Graph.knnEdges(emb(s, dir), k = 4, nCells = N_CELLS),
+          graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+            nCells = graphCells(emb(s, dir))),
           minCommon = 2L, topK = 50)
         .select(col("a"), col("b"), col("common"), col("jaccard"))),
 
@@ -340,7 +347,27 @@ object SimilarityQueries extends QueryPack {
     * shape every pre-r11 caller uses; the persistent-index oracle
     * trains on the base corpus and assigns only the upsert batch.
     */
-  private def assignedCtes(nCells: Int = N_CELLS, baseWhere: String = "true",
+  /** Quantizer width of the PAIR-GENERATING kNN-graph family, on both
+    * sides of the gate: C = ⌈√N⌉, floored at the fixed 16 every gate SF
+    * lands on (sf0.001/0.01 have ≤2000 vectors → unchanged results
+    * there). A FIXED C makes the within-cell candidate join N²/C —
+    * measured 1210 s for graph_knn_pagerank at sf10 (200k vectors,
+    * C=16) — while √N balances assignment (N·√N) against pair work
+    * (N^1.5), the standard IVF sizing. The IVF PROBE queries keep the
+    * fixed C=16 dial: with constant C their assignment and 1/C cell
+    * scans are linear in N, and C there is the documented recall knob,
+    * not a blow-up. */
+  private def graphCells(e: org.apache.spark.sql.DataFrame): Int =
+    math.max(N_CELLS, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+
+  /** Oracle twin of [[graphCells]], as a scalar subquery over embs —
+    * sqrt of a perfect square is IEEE-exact, so ceil agrees cross-engine
+    * at every boundary. */
+  private val graphCellsSql: String =
+    s"(SELECT greatest($N_CELLS, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embs)"
+
+  private def assignedCtes(nCellsSql: String = N_CELLS.toString,
+      baseWhere: String = "true",
       assignWhere: String = "true") = {
     val iters = Similarity.LLOYD_ITERS
     val cap = Similarity.LLOYD_TRAIN_CAP
@@ -358,7 +385,7 @@ object SimilarityQueries extends QueryPack {
          |  GROUP BY cell)""".stripMargin
     }.mkString(",\n")
     s"""cents0 AS (SELECT vec_id AS cell, de AS c_emb FROM embs
-       |  WHERE vec_id < $nCells AND ($baseWhere)),
+       |  WHERE vec_id < $nCellsSql AND ($baseWhere)),
        |$lloyd,
        |cents AS (SELECT cell, c_emb FROM cents$iters),
        |assigned AS (
@@ -418,7 +445,7 @@ object SimilarityQueries extends QueryPack {
          |    ORDER BY votes DESC, nbr_lbl) = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM ed),
        |$iterCtes
@@ -443,7 +470,7 @@ object SimilarityQueries extends QueryPack {
          |    GROUP BY ed.dst) c ON c.v = dg.src)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
@@ -469,7 +496,7 @@ object SimilarityQueries extends QueryPack {
          |    GROUP BY ed.dst) c ON c.v = s0.v)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |dg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
@@ -494,7 +521,7 @@ object SimilarityQueries extends QueryPack {
          |    FROM ed JOIN d${i - 1} d ON d.v = ed.src) GROUP BY v)""".stripMargin
     }.mkString(",\n")
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |d0 AS (SELECT v, CAST(0 AS BIGINT) AS hops FROM (
        |       SELECT src AS v FROM ed UNION SELECT dst FROM ed)
@@ -520,7 +547,7 @@ object SimilarityQueries extends QueryPack {
   // at its lowest vertex; closure via the canonical (src<dst) edge set.
   private lazy val triangleSql: String =
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |cn AS (SELECT src AS p, dst AS q FROM ed WHERE src < dst),
        |wd AS (SELECT x.p AS a, x.q AS b, y.q AS c
@@ -596,7 +623,7 @@ object SimilarityQueries extends QueryPack {
   // the adjacency, Jaccard from degrees — same tie-break chain.
   private lazy val linkPredictSql: String =
     s"""WITH $embsCte,
-       |${assignedCtes()},
+       |${assignedCtes(graphCellsSql)},
        |$knnEdgeCtes,
        |deg AS (SELECT src AS v, count(*) AS deg FROM ed GROUP BY src),
        |cn AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS common
@@ -664,7 +691,7 @@ object SimilarityQueries extends QueryPack {
 
     "graph_knn_recall" ->
       s"""WITH $embsCte,
-         |${assignedCtes()},
+         |${assignedCtes(graphCellsSql)},
          |$knnEdgeCtes,
          |q AS (SELECT vec_id AS q_id, de AS q_de
          |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
@@ -835,7 +862,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_index_upsert_assign" ->
       s"""WITH $embsCte,
-         |${assignedCtes(N_CELLS, baseWhere = "vec_id % 10 <> 9",
+         |${assignedCtes(N_CELLS.toString, baseWhere = "vec_id % 10 <> 9",
              assignWhere = "e.vec_id % 10 = 9")}
          |SELECT vec_id, cell FROM assigned ORDER BY vec_id""".stripMargin,
 
@@ -984,7 +1011,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte,
-         |${assignedCtes(NN_CELLS)}
+         |${assignedCtes(NN_CELLS.toString)}
          |SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
          |  round(${cosSql("a.de", "b.de")}, 6) AS cosine
          |FROM assigned a JOIN assigned b

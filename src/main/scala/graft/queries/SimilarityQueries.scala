@@ -45,7 +45,8 @@ object SimilarityQueries extends QueryPack {
     // vector still gets a neighbour (the recall dial documented on the
     // operator).
     "sim_nn_within_label" -> ((s, dir) =>
-      Similarity.nearestWithinLabel(emb(s, dir), nCells = NN_CELLS).orderBy("vec_id")),
+      Similarity.nearestWithinLabel(emb(s, dir), nCells = nnCells(emb(s, dir)))
+        .orderBy("vec_id")),
 
     // JL random projection 64→16 dims on the shared deterministic
     // Rademacher planes (the LSH signature's sign source); long format
@@ -242,7 +243,8 @@ object SimilarityQueries extends QueryPack {
     // k-NN label classification (semi-supervised labeling / label-noise
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
-      Similarity.knnClassify(emb(s, dir), k = 8, nCells = N_CELLS)
+      Similarity.knnClassify(emb(s, dir), k = 8,
+        nCells = graphCells(emb(s, dir)))
         .orderBy("vec_id")),
 
     // Product-quantization codes (m=4 subspaces × 16 codewords): the
@@ -265,7 +267,8 @@ object SimilarityQueries extends QueryPack {
     // Contrastive triplet mining: hard same-cell positive + deterministic
     // hash-picked negative from the successor cell, per anchor.
     "sim_triplets" -> ((s, dir) =>
-      Similarity.contrastiveTriplets(emb(s, dir), nCells = N_CELLS)
+      Similarity.contrastiveTriplets(emb(s, dir),
+        nCells = graphCells(emb(s, dir)))
         .orderBy("anchor_id")),
 
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
@@ -282,7 +285,8 @@ object SimilarityQueries extends QueryPack {
     // threshold sits inside the observed range to exercise the full
     // drop path deterministically.
     "sim_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(emb(s, dir), nCells = N_CELLS, threshold = 0.45)
+      Similarity.semanticDedup(emb(s, dir),
+        nCells = graphCells(emb(s, dir)), threshold = 0.45)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
@@ -365,6 +369,21 @@ object SimilarityQueries extends QueryPack {
     * at every boundary. */
   private val graphCellsSql: String =
     s"(SELECT greatest($N_CELLS, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embs)"
+
+  /** [[graphCells]] for the LABEL-BLOCKED nearest-neighbour pass: blocks
+    * are (label, cell), so the width targets √(N/L)-sized blocks —
+    * pair work N·√(N/L) instead of the fixed-width N²/(L·C). Both
+    * engines compute the same double (one IEEE division + sqrt + ceil),
+    * so the widths agree at every boundary. */
+  private def nnCells(e: org.apache.spark.sql.DataFrame): Int = {
+    val n = e.count().toDouble
+    val l = math.max(1L, e.select(col("label")).distinct().count()).toDouble
+    math.max(NN_CELLS, math.ceil(math.sqrt(n / l)).toInt)
+  }
+
+  private val nnCellsSql: String =
+    s"(SELECT greatest($NN_CELLS, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE) / " +
+      "greatest(1, count(DISTINCT label)))) AS BIGINT)) FROM embs)"
 
   private def assignedCtes(nCellsSql: String = N_CELLS.toString,
       baseWhere: String = "true",
@@ -899,7 +918,7 @@ object SimilarityQueries extends QueryPack {
     // rounded cosine.
     "sim_semantic_dedup" ->
       s"""WITH RECURSIVE $embsCte,
-         |${assignedCtes()},
+         |${assignedCtes(graphCellsSql)},
          |verified AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    round(${cosSql("x.de", "y.de")}, 6) AS jaccard
@@ -930,7 +949,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_knn_classify" ->
       s"""WITH $embsCte,
-         |${assignedCtes()},
+         |${assignedCtes(graphCellsSql)},
          |pr AS (SELECT a.vec_id, a.label, b.vec_id AS nn_vec_id,
          |    b.label AS nn_label,
          |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
@@ -971,7 +990,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_triplets" ->
       s"""WITH $embsCte,
-         |${assignedCtes()},
+         |${assignedCtes(graphCellsSql)},
          |posc AS (SELECT a.vec_id, b.vec_id AS pos_id,
          |    round(${cosSql("a.de", "b.de")}, 6) AS pos_cos
          |  FROM assigned a JOIN assigned b
@@ -983,7 +1002,7 @@ object SimilarityQueries extends QueryPack {
          |    round(${cosSql("a.de", "b.de")}, 6) AS neg_cos,
          |    md5(CAST(a.vec_id AS VARCHAR) || '|' || CAST(b.vec_id AS VARCHAR)) AS h
          |  FROM assigned a JOIN assigned b
-         |    ON b.cell = (a.cell + 1) % $N_CELLS),
+         |    ON b.cell = (a.cell + 1) % $graphCellsSql),
          |neg AS (SELECT vec_id, neg_id, neg_cos FROM negc
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY h, neg_id) = 1)
          |SELECT vec_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos
@@ -1011,7 +1030,7 @@ object SimilarityQueries extends QueryPack {
 
     "sim_nn_within_label" ->
       s"""WITH $embsCte,
-         |${assignedCtes(NN_CELLS.toString)}
+         |${assignedCtes(nnCellsSql)}
          |SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
          |  round(${cosSql("a.de", "b.de")}, 6) AS cosine
          |FROM assigned a JOIN assigned b

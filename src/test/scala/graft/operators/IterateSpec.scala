@@ -47,6 +47,30 @@ class IterateSpec extends SparkSpec {
     }
   }
 
+  test("durable mode composes through a real iterative operator") {
+    // the dial's actual use case: a multi-cut graph loop (knnEdges →
+    // pageRank re-checkpoints ranks every few iterations) under durable
+    // checkpointing must produce the SAME result as the default path
+    val dir = Files.createTempDirectory("graft-ckpt-graph").toString
+    def vecs = (0 until 40).map(i =>
+      (i.toLong, i % 4, Array.tabulate(8)(d =>
+        (math.sin(i * 0.7 + d) * 10).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    def ranks(): Map[Long, Double] =
+      Graph.pageRank(Graph.knnEdges(vecs, k = 2, nCells = 4))
+        .select(col("v"), col("rank_norm"))
+        .as[(Long, Double)].collect().toMap
+    val default = ranks()
+    spark.conf.set(Iterate.DurableKey, "true")
+    spark.conf.set(Iterate.DirKey, dir)
+    try assert(ranks() === default,
+      "durable checkpointing must not change any value")
+    finally {
+      spark.conf.set(Iterate.DurableKey, "false")
+      spark.conf.unset(Iterate.DirKey)
+    }
+  }
+
   test("durable without a dir fails loudly, not silently local") {
     // fresh session state: DurableKey on, no checkpoint dir anywhere
     spark.conf.set(Iterate.DurableKey, "true")

@@ -848,8 +848,8 @@ object AnalyticsQueries extends QueryPack {
     // late-data drop semantics. Sum state decimal-exact, emitted DOUBLE.
     "mv_stream_hourly_revenue" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-mvstream").toString
+      // scratch root: conf-routable for clusters (sinks/Scratch.scala)
+      val base = graft.sinks.Scratch.dir(s, "graft-mvstream")
       val log = s"$base/log"; val mv = s"$base/mv"
       (0L to 2L).foreach { b =>
         graft.streaming.StreamingIvm.ingestBatch(s,
@@ -882,8 +882,7 @@ object AnalyticsQueries extends QueryPack {
       def dimOf(c: DataFrame) = c
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .select(col("user_id"), col("n_name"))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-mvstreamjoin").toString
+      val base = graft.sinks.Scratch.dir(s, "graft-mvstreamjoin")
       val log = s"$base/log"; val dim = s"$base/dim"; val mv = s"$base/mv"
       graft.sinks.Generations.writeAndCommit(s, dimOf(cust), dim)
       def tick(b: Long): Unit =
@@ -909,8 +908,7 @@ object AnalyticsQueries extends QueryPack {
     // maintained through the same watermark-replayed 3-batch arrival.
     "mv_stream_hourly_minmax" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-mvstreammm").toString
+      val base = graft.sinks.Scratch.dir(s, "graft-mvstreammm")
       val log = s"$base/log"; val mv = s"$base/mv"
       (0L to 2L).foreach { b =>
         graft.streaming.StreamingIvm.ingestBatch(s,
@@ -935,8 +933,7 @@ object AnalyticsQueries extends QueryPack {
     // streaming-IVM tier composes across window kinds.
     "mv_stream_sliding_value" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-mvslide").toString
+      val base = graft.sinks.Scratch.dir(s, "graft-mvslide")
       val log = s"$base/log"; val mv = s"$base/mv"
       (0L to 2L).foreach { b =>
         graft.streaming.StreamingIvm.ingestBatch(s,
@@ -948,6 +945,33 @@ object AnalyticsQueries extends QueryPack {
           date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("n"), col("sum_value").cast("double").as("sum_value"))
         .orderBy("bucket")
+    }),
+
+    // EX5 × IVM, SESSION form (the last EX5×IVM shape): gap-based
+    // per-user sessions maintained over the same 3-batch
+    // watermark-replayed arrival. Sessions are NOT an abelian aggregate
+    // — a late admitted event can MERGE two existing sessions — so the
+    // maintenance is dirty-USER re-sessionization from the event log
+    // (ChangeFeed.maintainSessionsOnceLog); untouched users' rows are
+    // carried. The oracle replays the admission batch-by-batch, then
+    // sessionizes the admitted union fresh: maintained ≡ recomputed
+    // INCLUDING merge-under-late-data semantics.
+    "mv_stream_session_counts" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvsession")
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestSessionBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(col("user_id"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
     }),
 
     // Incremental MV maintenance: the view state is built from a base
@@ -2792,6 +2816,43 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM exploded GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // session law: the admitted union sessionized FRESH (30 min gap) —
+    // a stale pre-merge session row, a missed merge, or a leaked
+    // renumbered row all value-fail
+    "mv_stream_session_counts" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM admitted WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_seq
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM numbered GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "mv_incremental_pricing" ->
       """SELECT l_returnflag,

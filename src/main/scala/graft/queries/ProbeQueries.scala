@@ -37,8 +37,9 @@ import org.apache.spark.sql.functions._
   * LONGER REGISTERED in [[queries]] (a standing expected-red row in the
   * driver gate normalizes red and can mask a real regression — r14
   * ADVICE). They live on in [[diagnostics]], exercised by ProbeSpec
-  * (value exactness + the rendering divergence that makes them red) and
-  * by tools/check.py's EXPECTED_RED self-test list.
+  * (value exactness + the rendering divergence that makes them red);
+  * tools/check.py keeps an (empty) EXPECTED_RED list ready should an
+  * expected-red row ever need registering again.
   *
   * All arithmetic is decimal-exact on both sides (string-constructed
   * BigDecimal literals; DuckDB decimal literals), so any mismatch is

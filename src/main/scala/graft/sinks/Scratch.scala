@@ -1,0 +1,42 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Scratch-root allocation for queries that materialize intermediate
+  * [[Generations]] tables (the `mv_stream_*` family, durable-checkpoint
+  * twins, demos).
+  *
+  * On a real cluster the driver's `/tmp` is unreachable from executors,
+  * so `java.nio.file.Files.createTempDirectory` scratch makes a query
+  * driver-local-only (r15 VERDICT "what's wrong" #3). One conf key fixes
+  * the class:
+  *
+  * {{{
+  * spark.conf.set(Scratch.DirKey, "hdfs://…/graft-scratch") // or s3a://
+  * }}}
+  *
+  * routes every scratch allocation under that Hadoop-reachable root
+  * (unique UUID-suffixed subdir per allocation, created via the path's
+  * own FileSystem — any scheme Hadoop can mount works). Unset, the
+  * behavior is the previous one: a driver-local temp dir, correct for
+  * `local[*]` and the driver gate.
+  */
+object Scratch {
+
+  /** Hadoop-reachable root for intermediate tables; unset → driver-local
+    * temp (local-mode default). */
+  val DirKey = "spark.graft.scratch.dir"
+
+  /** A fresh, unique scratch directory for one query run. */
+  def dir(spark: SparkSession, prefix: String): String =
+    spark.conf.getOption(DirKey) match {
+      case Some(root) =>
+        val p = new Path(root, s"$prefix-${java.util.UUID.randomUUID()}")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p)
+        p.toString
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+}

@@ -247,6 +247,88 @@ object ChangeFeed {
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
   }
 
+  /** Advance a maintained gap-based SESSION-WINDOW view over an
+    * APPEND-ONLY event log — the last EX5×IVM shape. Sessions are NOT an
+    * abelian aggregate: one late event can MERGE two existing sessions
+    * (and merging chains transitively through any number of neighbours
+    * within a user), so the smallest closed re-aggregation unit is the
+    * ENTITY, not the session. Each tick re-sessionizes, from the full
+    * log at head, exactly the users that appear in the delta window and
+    * carries every other user's view rows untouched — the
+    * [[maintainAggOnceLog]] dirty-group path with re-sessionization as
+    * the group recompute.
+    *
+    * Per-tick cost: delta scan (dirty keys) + a log scan semi-joined to
+    * the dirty users + one anti join on the view — O(dirty users'
+    * history), never a full recompute while the window is a pure delta.
+    * At 100 TB the log is bucketed by `userCol` so the dirty-user
+    * semi-join prunes to their buckets; lateness (enforced upstream by
+    * the [[StreamingIvm]] admission mark) bounds how far back a session
+    * can reopen, exactly like a state-store watermark.
+    *
+    * View schema: (`userCol`, session_start, session_end, n_events).
+    * Exactly-once identically to [[maintainAggOnceLog]]: ONE commit
+    * listing defines the span, the applied version rides the view's
+    * `=cdcv=<head>` tag, and the expectedBase CAS rejects concurrent
+    * maintainers.
+    */
+  def maintainSessionsOnceLog(spark: SparkSession, source: String,
+      mvTable: String, userCol: String, tsCol: String,
+      gapMicros: Long): Option[Generations.Commit] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // ordering within equal timestamps is non-deterministic but the
+    // result is invariant: a 0-µs gap never opens a session, and
+    // min/max/count don't see row order
+    def sessionize(events: DataFrame): DataFrame = {
+      val byUser = Window.partitionBy(userCol).orderBy(tsCol)
+      val cum = byUser.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      events
+        .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
+        .withColumn("_new", (col("_prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapMicros)
+          .cast("int"))
+        .withColumn("_seq", sum(col("_new")).over(cum))
+        .groupBy(col(userCol), col("_seq"))
+        .agg(min(col(tsCol)).as("session_start"),
+          max(col(tsCol)).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .drop("_seq")
+    }
+    val span = Generations.logCommits(spark, source)
+    val head = span.lastOption.map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version)
+      .getOrElse(0L)
+    val window = span.filter(c => c.version > applied && c.version <= head)
+    def contentAtHead: DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(span.map(Generations.genPath(source, _)): _*)
+    val pureDelta = applied > 0L &&
+      window.forall(!Generations.isSnapshotCommit(_)) &&
+      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val next =
+      if (!pureDelta) sessionize(contentAtHead)
+      else {
+        val delta = spark.read.option("mergeSchema", "true")
+          .parquet(window.map(Generations.genPath(source, _)): _*)
+        val dirty = delta.select(col(userCol)).distinct()
+        val mv = Generations.read(spark, mvTable).getOrElse(return None)
+        val redone = sessionize(
+          contentAtHead.join(dirty, Seq(userCol), "left_semi"))
+        // re-project the carried rows to the recomputed column order —
+        // positional safety for the parquet write (using-join reorders)
+        mv.join(dirty, Seq(userCol), "left_anti")
+          .select(redone.columns.map(col).toIndexedSeq: _*)
+          .unionByName(redone)
+      }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+  }
+
   /** One tick of the turnkey changelog tailer — the [[FeedPoller]]
     * treatment for a [[Generations]] change feed: everything committed
     * to `source` past this consumer's watermark lands in `sinkTable` as

@@ -49,11 +49,11 @@ object StreamingIvm {
     Pointers.read(fs, dir, WmPointer).map(_.trim.toLong)
   }
 
-  private def latenessMicrosOf(lateness: String): Long = {
+  private def intervalMicros(lateness: String): Long = {
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(lateness))
-    require(iv.months == 0, s"lateness must be fixed-length: '$lateness'")
+    require(iv.months == 0, s"interval must be fixed-length: '$lateness'")
     iv.days * 86400000000L + iv.microseconds
   }
 
@@ -63,7 +63,7 @@ object StreamingIvm {
   private def admit(batch: DataFrame, mark: Option[Long], tsCol: String,
       lateness: String): DataFrame = mark match {
     case Some(w) =>
-      batch.filter(unix_micros(col(tsCol)) >= w - latenessMicrosOf(lateness))
+      batch.filter(unix_micros(col(tsCol)) >= w - intervalMicros(lateness))
     case None => batch
   }
 
@@ -97,7 +97,8 @@ object StreamingIvm {
       sumCol: String = "value", bucketWidth: String = "1 hour",
       lateness: String = "2 hours",
       slide: Option[String] = None,
-      trackMinMax: Boolean = false): Option[Generations.Commit] = {
+      trackMinMax: Boolean = false,
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     val mark = highMark(spark, logTable)
     val admitted = admit(batch, mark, tsCol, lateness)
     // SLIDING windows generalize for free: window(ts, w, slide) in a
@@ -118,13 +119,28 @@ object StreamingIvm {
     // still cost a commit + a view tick per all-late micro-batch —
     // metadata churn with no information. Admission is deterministic,
     // so a replay re-evaluates to empty and stays a no-op without the
-    // batch witness.
-    val appended =
-      if (bucketed.isEmpty) None
-      else Generations.appendCommitted(spark, bucketed.drop("_ts"),
+    // batch witness. Persisted so the isEmpty probe, the log write and
+    // the mark's max aggregate evaluate the admitted plan once, not
+    // three times (r15 ADVICE).
+    bucketed.persist()
+    try if (!bucketed.isEmpty) {
+      // The append may be a WITNESSED no-op (foreachBatch replay after
+      // a crash); the mark advance must NOT be gated on it committing —
+      // a crash between the log append and the pointer write would
+      // otherwise skip the advance forever on replay, and later batches
+      // would admit rows older than mark−lateness relative to the
+      // no-crash run (r15 ADVICE, medium). The pointer write is an
+      // idempotent monotonic max, so re-running it on replay is safe.
+      // `failpoint` is a crash-injection seam: StreamingIvmReplaySpec
+      // kills the tick at each commit boundary and proves the replay
+      // converges to the no-crash run.
+      failpoint("before-append")
+      Generations.appendCommitted(spark, bucketed.drop("_ts"),
         logTable, s"batch=$batchId")
-    if (appended.nonEmpty)
+      failpoint("after-append")
       advanceMark(spark, logTable, mark, bucketed, "_ts")
+      failpoint("after-mark")
+    } finally bucketed.unpersist()
     // insert-only log ⇒ min/max merge monotonically (no retraction, so
     // the non-retractable-monoid problem never arises; the dirty-group
     // re-aggregation path prunes to nothing at runtime)
@@ -163,22 +179,64 @@ object StreamingIvm {
       logTable: String, dimTable: String, dimKeys: Seq[String],
       joinKeys: Seq[String], mvTable: String, mvKeys: Seq[String],
       tsCol: String = "ts", sumCol: String = "value",
-      lateness: String = "2 hours"): Option[Generations.Commit] = {
+      lateness: String = "2 hours",
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     val mark = highMark(spark, logTable)
     val admitted = admit(batch, mark, tsCol, lateness)
     val logged = admitted.select(joinKeys.map(col) :+
       col(sumCol).cast("decimal(18,4)").as("_v") :+ col(tsCol).as("_ts"): _*)
-    val appended = // empty-admitted batches append nothing (see ingestBatch)
-      if (logged.isEmpty) None
-      else Generations.appendCommitted(spark, logged.drop("_ts"),
+    // empty-admitted batches append nothing; the mark advance is gated
+    // on the ADMITTED frame, never on the append committing — see
+    // ingestBatch for the crash-replay argument (r15 ADVICE, medium)
+    logged.persist()
+    try if (!logged.isEmpty) {
+      failpoint("before-append")
+      Generations.appendCommitted(spark, logged.drop("_ts"),
         logTable, s"batch=$batchId")
-    if (appended.nonEmpty)
+      failpoint("after-append")
       advanceMark(spark, logTable, mark, logged, "_ts")
+      failpoint("after-mark")
+    } finally logged.unpersist()
     ChangeFeed.maintainJoinAggOnceLog(spark, logTable, dimTable, dimKeys,
       joinKeys, mvTable, mvKeys, Map("sum_value" -> "_v"), "n") { (f, d) =>
       f.join(d, joinKeys).groupBy(mvKeys.map(col): _*)
         .agg(sum(col("_v")).as("sum_value"), count(lit(1)).as("n"))
     }
+  }
+
+  /** One micro-batch of a maintained gap-based SESSION-WINDOW view —
+    * the same committed-mark admission + witnessed append as
+    * [[ingestBatch]], then dirty-user re-sessionization
+    * ([[ChangeFeed.maintainSessionsOnceLog]]). A late event inside the
+    * lateness horizon can MERGE two of its user's existing sessions;
+    * the maintenance absorbs that by re-sessionizing exactly the users
+    * the delta touches, so merge + renumber never leak stale rows.
+    *
+    * The log keeps raw (`userCol`, `tsCol`) event rows — sessions are
+    * not foldable state, so the event log IS the state of record;
+    * `lateness` bounds how far back a session can reopen exactly like
+    * the windowed shapes (and like Spark's own session_window +
+    * watermark eviction, but with the state queryable as a table).
+    */
+  def ingestSessionBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, logTable: String, mvTable: String,
+      tsCol: String = "ts", userCol: String = "user_id",
+      gap: String = "30 minutes", lateness: String = "2 hours",
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
+    val mark = highMark(spark, logTable)
+    val logged = admit(batch, mark, tsCol, lateness)
+      .select(col(userCol), col(tsCol))
+    logged.persist()
+    try if (!logged.isEmpty) {
+      failpoint("before-append")
+      Generations.appendCommitted(spark, logged, logTable,
+        s"batch=$batchId")
+      failpoint("after-append")
+      advanceMark(spark, logTable, mark, logged, tsCol)
+      failpoint("after-mark")
+    } finally logged.unpersist()
+    ChangeFeed.maintainSessionsOnceLog(spark, logTable, mvTable, userCol,
+      tsCol, intervalMicros(gap))
   }
 
   /** The streaming entry: `readStream` source → `foreachBatch` →

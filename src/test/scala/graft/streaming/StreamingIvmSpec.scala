@@ -124,6 +124,41 @@ class StreamingIvmSpec extends SparkSpec {
     assert(state() === Map("b" -> ((3L, 14.0))))
   }
 
+  test("session view: a late arrival MERGES two sessions; untouched " +
+      "users carry; replay no-ops; too-late rows drop") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    def evS(rows: (Long, Timestamp, Long)*) =
+      rows.toDF("event_id", "ts", "user_id")
+    def sessions(): Map[(Long, Timestamp), (Timestamp, Long)] =
+      Generations.read(spark, mv).get
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def tick(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingIvm.ingestSessionBatch(spark, b, id, log, mv)
+    // batch 0: user 1 at 10:00 and 10:50 → TWO sessions (30 min gap);
+    // user 2 at 10:00 — the carried-untouched control
+    assert(tick(evS((1, ts(10), 1L), (2, ts(10, 50), 1L), (3, ts(10), 2L)),
+      0L).nonEmpty)
+    assert(sessions() === Map(
+      (1L, ts(10)) -> ((ts(10), 1L)),
+      (1L, ts(10, 50)) -> ((ts(10, 50), 1L)),
+      (2L, ts(10)) -> ((ts(10), 1L))))
+    // batch 1: 10:25 for user 1 — late (mark 10:50) but admitted, and it
+    // BRIDGES the two sessions (25 min to both sides ≤ gap): they must
+    // merge into ONE. An 8:00 row is beyond 10:50−2h → dropped.
+    assert(tick(evS((4, ts(10, 25), 1L), (5, ts(8), 1L)), 1L).nonEmpty)
+    assert(sessions() === Map(
+      (1L, ts(10)) -> ((ts(10, 50), 3L)), // merged span, 3 events
+      (2L, ts(10)) -> ((ts(10), 1L))), // carried verbatim
+      "the late bridge event must merge the user's two sessions")
+    // foreachBatch redelivery of batch 1: append witnessed, mark re-max,
+    // view already at head → full no-op
+    assert(tick(evS((4, ts(10, 25), 1L), (5, ts(8), 1L)), 1L).isEmpty)
+    assert(sessions().size === 2)
+  }
+
   test("REAL STREAM: foreachBatch pipeline converges across late data") {
     val log = mkDir("log"); val mv = mkDir("mv")
     implicit val sqlCtx = spark.sqlContext

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.operators.Iterate.MaterializeOps
+
+/** Engine-side VALUE evidence for the graph family at scales the
+  * single-node DuckDB oracle cannot reach (r15 VERDICT task #2: at sf10
+  * the oracle OOMs materializing the unrolled pair-join + 5-iteration
+  * CTE chains, so graph values above sf0.01 rested on formula replay
+  * alone). Instead of an external recompute, each operator is checked
+  * against invariants that are NOT tautologies of its own
+  * implementation — conservation laws, order-independence, and
+  * cross-operator consistency that a wrong join, a dropped partition, a
+  * double-counted edge, or a broken lineage cut would violate:
+  *
+  *  - kNN edge build: symmetry (u→v ⇔ v→u), no self-loops, no
+  *    duplicate edges.
+  *  - PageRank: rank mass Σr = 1 after EVERY iteration (damping
+  *    conserves mass exactly on a dangling-free graph) and final
+  *    rank_norm sums to N.
+  *  - Personalized PageRank: the same per-iteration mass law (teleport
+  *    goes to seeds, total still 1).
+  *  - BFS: every seed present in the graph sits at hops 0; every node
+  *    at hops h > 0 has an in-neighbour at exactly h−1 and none lower
+  *    (the shortest-path relaxation law); deepening maxHops 3→4 only
+  *    grows the reached set and never increases a distance.
+  *  - Triangles: per-vertex counts are invariant under an id relabeling
+  *    (v → maxId − v REVERSES every id comparison, so the
+  *    degree-ordered orientation enumerates each triangle at a
+  *    different vertex); Σ per-vertex counts ≡ 0 (mod 3).
+  *  - Label propagation: exactly one community row per graph node, and
+  *    every community id is itself a node.
+  *  - Link prediction: no predicted pair is an existing edge, scores
+  *    respect 0 < jaccard ≤ 1, common ≥ the floor.
+  *  - kNN recall: the measured-recall contract (exact |S|·N brute force
+  *    vs graph neighbours) holds its floor at this scale too.
+  *
+  * `runMain graft.GraphInvariants [sfDir]` (default `var/sf10`) — one
+  * kNN-edge build at the production √N dial, reused by every check;
+  * prints `INVARIANT,<name>,<PASS|FAIL>,<detail>` per law and exits
+  * non-zero on any FAIL. The committed sf10 transcript lives in
+  * SCALING.md.
+  */
+object GraphInvariants {
+
+  private var failed = 0
+
+  private def report(name: String, ok: Boolean, detail: String): Unit = {
+    if (!ok) failed += 1
+    println(s"INVARIANT,$name,${if (ok) "PASS" else "FAIL"},$detail")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("var/sf10")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val nVec = emb.count()
+    val dial = math.max(16, math.ceil(math.sqrt(nVec.toDouble)).toInt)
+    println(s"INFO,corpus,$nVec vectors,dial C=$dial")
+    val edges = Graph.knnEdges(emb, k = 4, nCells = dial).materialized
+    val nEdges = edges.count()
+
+    // 1. kNN edge build: undirected symmetry, irreflexivity, uniqueness
+    val swapped = edges.select(col("dst").as("src"), col("src").as("dst"))
+    val asym = edges.join(swapped, Seq("src", "dst"), "left_anti").count()
+    val loops = edges.filter(col("src") === col("dst")).count()
+    val dups = nEdges - edges.select(col("src"), col("dst")).distinct().count()
+    report("knn_edges_symmetric", asym == 0,
+      s"$nEdges edges, $asym missing reverse")
+    report("knn_edges_simple", loops == 0 && dups == 0,
+      s"$loops self-loops, $dups duplicates")
+
+    // 2. PageRank mass conservation, every iteration
+    val prMass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val pr = Graph.pageRank(edges,
+      onIteration = (_, ranks) =>
+        prMass += ranks.agg(sum(col("r"))).head().getDouble(0))
+    val prNormSum = pr.agg(sum(col("rank_norm"))).head().getDouble(0)
+    val nNodes = edges.select(col("src")).distinct().count()
+    report("pagerank_mass_per_iteration",
+      prMass.forall(m => math.abs(m - 1.0) < 1e-9),
+      prMass.map(m => f"$m%.12f").mkString(" "))
+    report("pagerank_norm_sum",
+      math.abs(prNormSum - nNodes) / nNodes < 1e-6,
+      f"sum(rank_norm)=$prNormSum%.6f over $nNodes nodes")
+
+    // 3. Personalized PageRank mass conservation
+    val pprMass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    Graph.personalizedPageRank(edges,
+      seeds = emb.select(col("vec_id").as("v")).filter(col("v") % 10 === 0),
+      onIteration = (_, ranks) =>
+        pprMass += ranks.agg(sum(col("r"))).head().getDouble(0)).count()
+    report("ppr_mass_per_iteration",
+      pprMass.forall(m => math.abs(m - 1.0) < 1e-9),
+      pprMass.map(m => f"$m%.12f").mkString(" "))
+
+    // 4. BFS relaxation law + monotone deepening
+    val seeds = emb.select(col("vec_id").as("v")).filter(col("v") % 25 === 0)
+    val bfs3 = Graph.bfsHops(edges, seeds, maxHops = 3).materialized
+    val bfs4 = Graph.bfsHops(edges, seeds, maxHops = 4).materialized
+    val seedsInGraph = seeds.join(
+      edges.select(col("src").as("v")).distinct(), Seq("v"), "left_semi")
+    val seedNonZero = bfs4.join(seedsInGraph, Seq("v"), "left_semi")
+      .filter(col("hops") =!= 0L).count()
+    report("bfs_seeds_at_zero", seedNonZero == 0,
+      s"$seedNonZero in-graph seeds with hops != 0")
+    // parent law: min over in-neighbours u→v of hops(u) must be exactly
+    // hops(v) − 1 for every reached v with hops > 0 (not lower: v would
+    // have relaxed; not higher: where did v's distance come from?)
+    val parentViol = bfs4.filter(col("hops") > 0L).as("d")
+      .join(edges.as("e"), col("e.dst") === col("d.v"))
+      .join(bfs4.select(col("v").as("u"), col("hops").as("u_hops")),
+        col("e.src") === col("u"), "left")
+      .groupBy(col("d.v"), col("d.hops"))
+      .agg(min(col("u_hops")).as("min_nbr"))
+      .filter(col("min_nbr").isNull || col("min_nbr") =!= col("d.hops") - 1L)
+      .count()
+    report("bfs_parent_law", parentViol == 0,
+      s"$parentViol nodes whose nearest in-neighbour is not hops-1")
+    val deepeningViol = bfs3.select(col("v"), col("hops").as("h3"))
+      .join(bfs4.select(col("v"), col("hops").as("h4")), Seq("v"), "left")
+      .filter(col("h4").isNull || col("h4") > col("h3")).count()
+    val (r3, r4) = (bfs3.count(), bfs4.count())
+    report("bfs_monotone_deepening", deepeningViol == 0 && r4 >= r3,
+      s"reached $r3 @3 hops -> $r4 @4 hops, $deepeningViol regressions")
+
+    // 5. Triangle counts: relabel-invariance + handshake mod 3
+    val tri = Graph.triangleStats(edges).materialized
+    val maxId = edges.agg(greatest(max(col("src")), max(col("dst"))))
+      .head().getLong(0)
+    val relabeled = edges.select((lit(maxId) - col("src")).as("src"),
+      (lit(maxId) - col("dst")).as("dst"))
+    val triRe = Graph.triangleStats(relabeled)
+      .select((lit(maxId) - col("v")).as("v"),
+        col("triangles").as("triangles_re"))
+    val triMismatch = tri.join(triRe, Seq("v"), "full")
+      .filter(coalesce(col("triangles"), lit(-1L)) =!=
+        coalesce(col("triangles_re"), lit(-2L))).count()
+    val triSum = tri.agg(sum(col("triangles"))).head().getLong(0)
+    report("triangles_relabel_invariant", triMismatch == 0,
+      s"$triMismatch vertices disagree under id reversal")
+    report("triangles_handshake", triSum % 3 == 0,
+      s"sum(per-vertex)=$triSum = 3x${triSum / 3}")
+
+    // 6. Label propagation: a partition of the node set
+    val lp = Graph.labelPropagation(edges).materialized
+    val lpRows = lp.count()
+    val lpForeign = lp.select(col("community").as("v"))
+      .join(edges.select(col("src").as("v")).distinct(),
+        Seq("v"), "left_anti").count()
+    report("labelprop_partition", lpRows == nNodes && lpForeign == 0,
+      s"$lpRows rows over $nNodes nodes, $lpForeign non-node communities")
+
+    // 7. Link prediction: non-adjacent, bounded scores
+    val lpred = Graph.linkPredict(edges).materialized
+    val adj = lpred.join(edges.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_semi").count()
+    val badScore = lpred.filter(col("jaccard") <= 0.0 ||
+      col("jaccard") > 1.0 || col("common") < 2L).count()
+    report("linkpredict_nonadjacent", adj == 0,
+      s"$adj predicted pairs already edges")
+    report("linkpredict_score_bounds", badScore == 0,
+      s"$badScore rows outside 0<jaccard<=1 or common<2")
+
+    // 8. Measured kNN recall holds its floor at this scale
+    val rec = Graph.knnRecall(emb, k = 4, nCells = dial,
+      anchorStride = 25, maxAnchors = 20, minMeanRecall = 0.1)
+      .head()
+    report("knn_recall_floor", rec.getBoolean(2),
+      s"mean_recall=${rec.getDouble(1)} over ${rec.getLong(0)} anchors")
+
+    spark.stop()
+    if (failed > 0) {
+      println(s"INVARIANTS FAILED: $failed")
+      sys.exit(1)
+    }
+    println("ALL INVARIANTS PASS")
+  }
+}

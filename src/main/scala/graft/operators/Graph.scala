@@ -185,7 +185,8 @@ object Graph {
     labels.select(col("v"), col("lbl").as("community"))
   }
 
-  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eRaw = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg")).materialized
@@ -226,6 +227,9 @@ object Graph {
         .select(col("v"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
       if (i % 3 == 0 && i < iters) ranks = ranks.materialized
+      // diagnostic seam (GraphInvariants): per-iteration rank frame for
+      // engine-side mass-conservation checks; default no-op costs nothing
+      onIteration(i, ranks)
     }
     ranks.select(col("v"), round(col("r") * n, 6).as("rank_norm"))
   }
@@ -247,7 +251,8 @@ object Graph {
     *         comparable across graph sizes), rounded to 6.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eRaw = edges.join(deg, "src")
       .select(col("src"), col("dst"), col("outdeg")).materialized
@@ -284,6 +289,7 @@ object Graph {
           (lit(1 - damping) * col("s") +
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
       if (i % 3 == 0 && i < iters) ranks = ranks.materialized
+      onIteration(i, ranks) // diagnostic seam, as in pageRank
     }
     ranks.select(col("v"), round(col("r") * nNodes.toDouble, 6).as("ppr_norm"))
   }

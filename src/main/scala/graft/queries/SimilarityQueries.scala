@@ -71,6 +71,32 @@ object SimilarityQueries extends QueryPack {
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
+    // Durable-checkpoint twin of graph_knn_pagerank (r15 VERDICT task
+    // #6): the SAME computation and oracle, run under
+    // spark.graft.checkpoint.durable=true with a reliable checkpoint dir
+    // allocated from the conf-routable scratch root — so the cluster
+    // fault-tolerance path (Dataset.checkpoint at every
+    // Iterate.materialize cut, survivable across executor loss) is
+    // driver-gate-proven equal to the localCheckpoint path, not just
+    // spec-proven (IterateSpec). The iteration runs EAGERLY inside the
+    // lambda, so the dial is restored before returning.
+    "graph_pagerank_durable" -> ((s, dir) => {
+      val prev = s.conf.getOption(graft.operators.Iterate.DurableKey)
+      s.conf.set(graft.operators.Iterate.DurableKey, "true")
+      s.sparkContext.setCheckpointDir(
+        graft.sinks.Scratch.dir(s, "graft-ckpt"))
+      try
+        graft.operators.Graph.pageRank(
+            graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
+              nCells = graphCells(emb(s, dir))))
+          .select(col("v").as("vec_id"), col("rank_norm"))
+          .orderBy("vec_id")
+      finally prev match {
+        case Some(v) => s.conf.set(graft.operators.Iterate.DurableKey, v)
+        case None => s.conf.unset(graft.operators.Iterate.DurableKey)
+      }
+    }),
+
     // Personalized PageRank from the vec_id%10==0 seed set over the same
     // kNN graph — graph-walk proximity to a trusted seed corpus (the
     // selection counterpart of DSIR weights).
@@ -697,6 +723,8 @@ object SimilarityQueries extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "graph_knn_pagerank" -> pagerankSql,
+    // identical law: durability of the lineage cut must not change values
+    "graph_pagerank_durable" -> pagerankSql,
     "graph_link_predict" -> linkPredictSql,
     "graph_personalized_pagerank" -> pprSql,
     "graph_label_communities" -> labelPropSql,

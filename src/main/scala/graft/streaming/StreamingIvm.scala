@@ -256,4 +256,20 @@ object StreamingIvm {
         ()
       }
       .start()
+
+  /** [[start]] for the session-window view: `readStream` →
+    * `foreachBatch` → [[ingestSessionBatch]]. */
+  def startSessions(events: DataFrame, logTable: String, mvTable: String,
+      checkpoint: String,
+      tsCol: String = "ts", userCol: String = "user_id",
+      gap: String = "30 minutes",
+      lateness: String = "2 hours"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        ingestSessionBatch(batch.sparkSession, batch.toDF(), id, logTable,
+          mvTable, tsCol, userCol, gap, lateness)
+        ()
+      }
+      .start()
 }

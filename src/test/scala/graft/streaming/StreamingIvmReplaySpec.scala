@@ -97,6 +97,42 @@ class StreamingIvmReplaySpec extends SparkSpec {
     }
   }
 
+  test("session path: kill at each boundary, replay converges " +
+      "(including a crash-interrupted session MERGE)") {
+    def evS(rows: (Long, Timestamp, Long)*): DataFrame =
+      rows.toDF("event_id", "ts", "user_id")
+    def sessions(mv: String): Map[(Long, Timestamp), (Timestamp, Long)] =
+      Generations.read(spark, mv).get
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // batch 1's late 10:25 row MERGES user 1's two sessions — the
+    // maintenance a crash must not half-apply
+    val batches = Seq(
+      evS((1, ts(10, 0), 1L), (2, ts(10, 50), 1L), (3, ts(10, 0), 2L)),
+      evS((4, ts(10, 25), 1L)))
+    def run(failAt: Option[String]): (Map[(Long, Timestamp), (Timestamp, Long)], Option[Long]) = {
+      val (log, mv) = (mkDir("slog"), mkDir("smv"))
+      def t(b: DataFrame, id: Long, fp: Option[String]): Unit =
+        try StreamingIvm.ingestSessionBatch(spark, b, id, log, mv,
+          failpoint = p => fp.filter(_ == p)
+            .foreach(x => throw SimulatedCrash(x)))
+        catch { case _: SimulatedCrash => () }
+      t(batches(0), 0L, None)
+      t(batches(1), 1L, failAt) // possibly killed mid-merge
+      t(batches(1), 1L, None)   // redelivery
+      (sessions(mv), StreamingIvm.highMark(spark, log))
+    }
+    val expected = run(None)
+    assert(expected._1 === Map( // sanity: the merge actually happened
+      (1L, ts(10, 0)) -> ((ts(10, 50), 3L)),
+      (2L, ts(10, 0)) -> ((ts(10, 0), 1L))))
+    CrashPoints.foreach { p =>
+      assert(run(Some(p)) === expected, s"session crash@$p diverged")
+    }
+  }
+
   test("join path: kill between append and mark, replay converges") {
     def evJ(rows: (Long, Timestamp, Long, Double)*): DataFrame =
       rows.toDF("event_id", "ts", "user_id", "value")

@@ -159,6 +159,50 @@ class StreamingIvmSpec extends SparkSpec {
     assert(sessions().size === 2)
   }
 
+  test("session view survives a log squash: the non-pure-delta tick " +
+      "recomputes instead of double-counting the fold") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    def evS(rows: (Long, Timestamp, Long)*) =
+      rows.toDF("event_id", "ts", "user_id")
+    StreamingIvm.ingestSessionBatch(spark, evS((1, ts(10), 1L)), 0L, log, mv)
+    StreamingIvm.ingestSessionBatch(spark,
+      evS((2, ts(10, 10), 1L), (3, ts(12), 2L)), 1L, log, mv)
+    // fold the whole log span into one snapshot commit: the next tick's
+    // window contains a snapshot, so pure-delta is unprovable and the
+    // maintenance must take the full-recompute path (unioning the fold
+    // would double-count rows already applied)
+    Generations.maintain(spark, log,
+      Generations.MaintenancePolicy(squashAfterCommits = 1))
+    StreamingIvm.ingestSessionBatch(spark, evS((4, ts(12, 5), 2L)), 2L, log, mv)
+    val st = Generations.read(spark, mv).get
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(st === Set(
+      (1L, ts(10), ts(10, 10), 2L),
+      (2L, ts(12), ts(12, 5), 2L)))
+  }
+
+  test("REAL STREAM, sessions: late bridge event merges mid-stream") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingIvm.startSessions(
+      input.toDF().toDF("event_id", "ts", "user_id"),
+      log, mv, mkDir("ckpt"))
+    try {
+      input.addData((1L, ts(10), 1L), (2L, ts(10, 50), 1L))
+      q.processAllAvailable()
+      input.addData((3L, ts(10, 25), 1L)) // late bridge → merge
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = Generations.read(spark, mv).get
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(st === Set((1L, ts(10), ts(10, 50), 3L)))
+  }
+
   test("REAL STREAM: foreachBatch pipeline converges across late data") {
     val log = mkDir("log"); val mv = mkDir("mv")
     implicit val sqlCtx = spark.sqlContext

@@ -280,7 +280,7 @@ object Catalog {
         s".${rootName(version)}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = fs.create(tmp, false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, new Path(rd, rootName(version))))
+      if (Pointers.publishNew(fs, tmp, new Path(rd, rootName(version))))
         return Some(RootCommit(version, tables, tag))
       fs.delete(tmp, false)
       // collision: someone else published this root version first

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
   * uniquely-named generation directories that are NEVER renamed or
   * rewritten, and the commit is the creation of one tiny immutable
   * pointer object naming the live generation. Single-object creation is
-  * atomic on both a local filesystem (temp + same-directory rename) and
+  * atomic on both a local filesystem ([[Pointers.publishNew]]: temp +
+  * link(2), because Hadoop's LOCAL rename silently replaces an existing
+  * destination and would let two same-version publishes both "win") and
   * S3 (a PUT is all-or-nothing; readers see the old or the new object,
   * never bytes of both).
   *
@@ -47,9 +49,9 @@ import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
   *
   * Concurrency: MULTIPLE writers per table are supported. The pointer
   * namespace is the lock — two writers racing to publish the same
-  * version see exactly one rename succeed (same-directory single-object
-  * rename fails if the target exists; on S3 the equivalent is a
-  * conditional PUT with If-None-Match: *). The loser re-reads `latest`,
+  * version see exactly one publish succeed ([[Pointers.publishNew]]:
+  * create-only, atomic-no-replace on every scheme; on S3 the equivalent
+  * is a conditional PUT with If-None-Match: *). The loser re-reads `latest`,
   * bumps, and re-publishes its already-written generation under the next
   * version — blind snapshot/append commits never lose data, only order.
   * Read-modify-write commits (MERGE, squash, compaction) additionally
@@ -238,9 +240,9 @@ object Generations {
     * the live generation) and counts its rows IN the write itself
     * (`observe` + CollectMetrics — committing is one data scan, not a
     * write-then-recount double scan); the publish is one temp-write +
-    * SAME-DIRECTORY single-object rename — the only rename in the
-    * protocol, and the one kind that is atomic-equivalent on object
-    * stores too. On a publish collision with a concurrent writer the
+    * SAME-DIRECTORY create-only publish ([[Pointers.publishNew]]) — the
+    * only name-mutation in the protocol, and the one kind that is
+    * atomic-equivalent on object stores too. On a publish collision with a concurrent writer the
     * already-written generation is re-published under the next free
     * version (bounded retries); when `expectedBase` is given and the
     * table advanced past it, [[CommitConflictException]] is thrown
@@ -391,7 +393,7 @@ object Generations {
       val out = fs.create(tmp, false)
       try out.write(line.getBytes("UTF-8")) finally out.close()
       val finalP = new Path(cd, commitName(version))
-      if (fs.rename(tmp, finalP))
+      if (Pointers.publishNew(fs, tmp, finalP))
         return Commit(version, gen, rows, tag, carried)
       fs.delete(tmp, false)
       // collision: someone else published this version first

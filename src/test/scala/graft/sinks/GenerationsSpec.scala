@@ -79,18 +79,49 @@ class GenerationsSpec extends SparkSpec {
     assert(Generations.gc(spark, t, keep = 2) === ((0, 0)))
   }
 
-  test("a duplicate version publish loses the rename race (the commit lock)") {
+  test("a duplicate version publish loses the publish race (the commit lock)") {
     val t = mkTable()
     Generations.writeAndCommit(spark, Seq(1).toDF("v"), t)
     // a lost writer that still thinks the table is empty tries to commit
-    // version 1 again via the raw protocol: same-name pointer rename fails
+    // version 1 again via the raw protocol: the create-only publish fails
     val cd = new Path(s"$t/_commits")
     val fs = cd.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(cd, ".v0000000000000001.dup.tmp")
     val out = fs.create(tmp, false)
     out.write("1 g00000001-dup 0\n".getBytes("UTF-8")); out.close()
-    assert(!fs.rename(tmp, new Path(cd, "v0000000000000001")),
-      "renaming onto an existing commit must fail, protecting the winner")
+    assert(!Pointers.publishNew(fs, tmp, new Path(cd, "v0000000000000001")),
+      "publishing onto an existing commit must fail, protecting the winner")
+    fs.delete(tmp, false)
+  }
+
+  test("SIMULTANEOUS same-name publishes: exactly one wins, every time") {
+    // Hadoop's local rename is a non-atomic exists-check + POSIX
+    // rename(2) (which REPLACES the destination): two threads racing the
+    // same commit name could BOTH report success (measured 1934/2000
+    // rounds on this host), the loser's pointer silently overwriting the
+    // winner's — the lost update the concurrent-MERGE test caught once
+    // under full-suite load. Pointers.publishNew must make the race
+    // single-winner on every scheme; this hammers the primitive itself.
+    val dir = new Path(Files.createTempDirectory("graft-pubrace").toString)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (i <- 0 until 500) {
+      val dst = new Path(dir, s"v$i")
+      val srcs = (0 to 1).map { j =>
+        val p = new Path(dir, s".v$i.$j.tmp")
+        val o = fs.create(p, false); o.write(j); o.close(); p
+      }
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = srcs.map { s =>
+        new Thread(() => {
+          barrier.await()
+          if (Pointers.publishNew(fs, s, dst)) wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(wins.get() === 1, s"round $i: ${wins.get()} writers won $dst")
+      srcs.foreach(fs.delete(_, false)) // loser's tmp (winner's is gone)
+    }
   }
 
   test("two concurrent committers both land, consecutive versions, no loss") {

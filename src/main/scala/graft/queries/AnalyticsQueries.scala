@@ -974,6 +974,34 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("user_id", "session_start")
     }),
 
+    // EX5 × IVM, SKETCH form: a per-hour KMV distinct-user sketch
+    // maintained over the same 3-batch watermark-replayed arrival —
+    // the FOLDABLE-state shape (StreamingIvm.ingestKmvBatch →
+    // maintainKmvOnceLog). KMV state is a bounded idempotent abelian
+    // monoid under union∘k-min, so each tick merges the delta's hashes
+    // into the CARRIED view state itself, never re-reading the log —
+    // the cheapest maintenance class of the family (sessions re-read
+    // dirty users; sums need the replay witness; KMV needs neither).
+    // The oracle replays the admission batch-by-batch, then computes
+    // the k-min cut + (k−1)·2⁶⁰/h₍ₖ₎ estimate fresh over the admitted
+    // union (same md5 60-bit hash family as sketch_kmv_distinct):
+    // maintained ≡ recomputed, value-exact cross-engine.
+    "mv_stream_kmv_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvkmv")
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestKmvBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("n_kept"), col("hk"),
+          (floor(col("est_kmv") * 1e6 + 0.5) / 1e6).as("est_kmv"))
+        .orderBy("bucket")
+    }),
+
     // Incremental MV maintenance: the view state is built from a base
     // partition and kept current by merging the delta batch's partials —
     // the oracle recomputes directly over the union, so the hash compare
@@ -2853,6 +2881,38 @@ object AnalyticsQueries extends QueryPack {
         |  count(*) AS n_events
         |FROM numbered GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // same 3-batch admission replay; then the KMV k-min cut + estimate
+    // over the admitted union, the exact hash family of
+    // sketch_kmv_distinct — maintained sketch state ≡ fresh recompute
+    "mv_stream_kmv_distinct" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |hb AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket,
+        |    (('0x' || substring(md5(user_id::VARCHAR), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM admitted),
+        |mins AS (SELECT bucket, count(*) AS n_kept, max(h) AS hk FROM (
+        |    SELECT bucket, h,
+        |      row_number() OVER (PARTITION BY bucket ORDER BY h) AS rn
+        |    FROM hb) WHERE rn <= 64 GROUP BY bucket)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket, n_kept, hk,
+        |  floor((CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+        |    ELSE 63 * 1152921504606846976.0 / hk END) * 1e6 + 0.5) / 1e6
+        |    AS est_kmv
+        |FROM mins ORDER BY bucket""".stripMargin,
 
     "mv_incremental_pricing" ->
       """SELECT l_returnflag,

@@ -329,6 +329,87 @@ object ChangeFeed {
       tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
   }
 
+  /** Advance a maintained KMV distinct-count sketch view over an
+    * APPEND-ONLY hash log — the FOLDABLE-state EX5×IVM shape, the
+    * algebraic opposite of [[maintainSessionsOnceLog]]: KMV state (each
+    * group's k smallest distinct 60-bit key hashes,
+    * [[graft.operators.Sketch.kmvDistinct]]) is a bounded idempotent
+    * commutative monoid under union∘k-min — the k smallest of
+    * (history ∪ delta) equal the k smallest of (k-min(history) ∪
+    * delta) — so the pure-delta tick merges the delta into THE CARRIED
+    * STATE ITSELF and never re-reads the log (sessions must re-read the
+    * dirty users' history; sums carry no per-row state but are not
+    * idempotent under replay without the witness). This is why sketch
+    * views are the streaming-distinct answer at 100 TB: per-tick cost
+    * is O(delta + dirty_groups·k), view state is groups·k longs
+    * regardless of stream length, and a re-merged delta is a no-op by
+    * algebra alone.
+    *
+    * The log carries (`groupCols…`, `_h`) rows — the 60-bit hash IS the
+    * logged fact; on the non-pure-delta path (bootstrap, squash in the
+    * window, GC gap) the sketch recomputes from the log content at
+    * head. View schema: (`groupCols…`, `hashes` ARRAY<LONG> ascending
+    * (≤ k), `n_kept`, `hk`, `est_kmv`), estimate (k−1)·2⁶⁰/h₍ₖ₎ (exact
+    * n_kept below k). Exactly-once identically to
+    * [[maintainAggOnceLog]]: one commit listing defines the span, the
+    * applied version rides the `=cdcv=<head>` tag + expectedBase CAS.
+    */
+  def maintainKmvOnceLog(spark: SparkSession, source: String,
+      mvTable: String, groupCols: Seq[String],
+      k: Int = 64): Option[Generations.Commit] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val twoPow60 = 1152921504606846976.0 // 2^60 as an exact double
+    val gCols = groupCols.map(col)
+    // k-min cut + estimate over (group, _h) rows; WindowGroupLimit makes
+    // the rank window forward ≤ k rows per group per map task
+    def kminOf(hashes: DataFrame): DataFrame = {
+      val w = Window.partitionBy(gCols: _*).orderBy(col("_h"))
+      hashes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .groupBy(gCols: _*)
+        .agg(sort_array(collect_list(col("_h"))).as("hashes"),
+          count(lit(1)).as("n_kept"), max(col("_h")).as("hk"))
+        .withColumn("est_kmv",
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit(k - 1) * lit(twoPow60) / col("hk")))
+    }
+    val span = Generations.logCommits(spark, source)
+    val head = span.lastOption.map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version)
+      .getOrElse(0L)
+    val window = span.filter(c => c.version > applied && c.version <= head)
+    val pureDelta = applied > 0L &&
+      window.forall(!Generations.isSnapshotCommit(_)) &&
+      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val next =
+      if (!pureDelta)
+        kminOf(spark.read.option("mergeSchema", "true")
+          .parquet(span.map(Generations.genPath(source, _)): _*)
+          .select(gCols :+ col("_h"): _*).distinct())
+      else {
+        val delta = spark.read.option("mergeSchema", "true")
+          .parquet(window.map(Generations.genPath(source, _)): _*)
+          .select(gCols :+ col("_h"): _*).distinct()
+        val dirty = delta.select(gCols: _*).distinct()
+        val mv = Generations.read(spark, mvTable).getOrElse(return None)
+        // carried sketch state of the dirty groups, exploded back to
+        // (group, _h) rows — the ONLY history this tick touches
+        val carriedState = mv.join(dirty, groupCols, "left_semi")
+          .select(gCols :+ explode(col("hashes")).as("_h"): _*)
+        val merged = kminOf(carriedState.unionByName(delta).distinct())
+        mv.join(dirty, groupCols, "left_anti")
+          .select(merged.columns.map(col).toIndexedSeq: _*)
+          .unionByName(merged)
+      }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+  }
+
   /** One tick of the turnkey changelog tailer — the [[FeedPoller]]
     * treatment for a [[Generations]] change feed: everything committed
     * to `source` past this consumer's watermark lands in `sinkTable` as

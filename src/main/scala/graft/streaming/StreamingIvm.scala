@@ -239,6 +239,42 @@ object StreamingIvm {
       tsCol, intervalMicros(gap))
   }
 
+  /** One micro-batch of a maintained per-window KMV DISTINCT-COUNT
+    * sketch view — the same committed-mark admission + witnessed append
+    * as [[ingestBatch]], then [[ChangeFeed.maintainKmvOnceLog]] merges
+    * the delta's hashes directly into the carried sketch state (KMV is
+    * a bounded idempotent abelian monoid, so the pure-delta tick never
+    * re-reads the log — the cheapest maintenance class of the EX5×IVM
+    * family). The log stores (`bucket`, `_h`) only: the key is hashed
+    * to its 60-bit md5 value at append time ([[graft.operators.Sketch
+    * .kmvDistinct]]'s hash family, cross-engine replayable), so the
+    * log is both minimal and the non-pure-delta recompute source.
+    */
+  def ingestKmvBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      logTable: String, mvTable: String,
+      tsCol: String = "ts", keyCol: String = "user_id",
+      bucketWidth: String = "1 hour", lateness: String = "2 hours",
+      k: Int = 64,
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
+    val mark = highMark(spark, logTable)
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val logged = admit(batch, mark, tsCol, lateness).select(
+      window(col(tsCol), bucketWidth).getField("start").as("bucket"),
+      h.as("_h"), col(tsCol).as("_ts"))
+    logged.persist()
+    try if (!logged.isEmpty) {
+      failpoint("before-append")
+      Generations.appendCommitted(spark, logged.drop("_ts"), logTable,
+        s"batch=$batchId")
+      failpoint("after-append")
+      advanceMark(spark, logTable, mark, logged, "_ts")
+      failpoint("after-mark")
+    } finally logged.unpersist()
+    ChangeFeed.maintainKmvOnceLog(spark, logTable, mvTable,
+      Seq("bucket"), k)
+  }
+
   /** The streaming entry: `readStream` source → `foreachBatch` →
     * [[ingestBatch]]. Checkpointed micro-batch ids + the `batch=<id>`
     * replay witness give end-to-end exactly-once into the view.

@@ -133,6 +133,38 @@ class StreamingIvmReplaySpec extends SparkSpec {
     }
   }
 
+  test("kmv path: kill at each boundary, replay converges " +
+      "(idempotent state merge absorbs the redelivered delta)") {
+    def evK(rows: (Long, Timestamp, Long)*): DataFrame =
+      rows.toDF("event_id", "ts", "user_id")
+    def kmvState(mv: String) = Generations.read(spark, mv).get
+      .select(col("bucket"), col("hashes"), col("n_kept"), col("hk"))
+      .as[(Timestamp, Seq[Long], Long, Long)].collect().toSet
+    // batch 1 touches BOTH an existing bucket (late row, dirty-state
+    // merge) and a new one — the two maintenance paths a half-applied
+    // crash could tear apart
+    val batches = Seq(
+      evK((1, ts(10, 0), 1L), (2, ts(10, 30), 2L), (3, ts(11, 0), 3L)),
+      evK((4, ts(10, 45), 4L), (5, ts(12, 0), 5L)))
+    def run(failAt: Option[String]): (Set[(Timestamp, Seq[Long], Long, Long)], Option[Long]) = {
+      val (log, mv) = (mkDir("klog"), mkDir("kmv"))
+      def t(b: DataFrame, id: Long, fp: Option[String]): Unit =
+        try StreamingIvm.ingestKmvBatch(spark, b, id, log, mv, k = 3,
+          failpoint = p => fp.filter(_ == p)
+            .foreach(x => throw SimulatedCrash(x)))
+        catch { case _: SimulatedCrash => () }
+      t(batches(0), 0L, None)
+      t(batches(1), 1L, failAt) // possibly killed mid-merge
+      t(batches(1), 1L, None)   // redelivery
+      (kmvState(mv), StreamingIvm.highMark(spark, log))
+    }
+    val expected = run(None)
+    assert(expected._1.size === 3, "3 hourly buckets expected")
+    CrashPoints.foreach { p =>
+      assert(run(Some(p)) === expected, s"kmv crash@$p diverged")
+    }
+  }
+
   test("join path: kill between append and mark, replay converges") {
     def evJ(rows: (Long, Timestamp, Long, Double)*): DataFrame =
       rows.toDF("event_id", "ts", "user_id", "value")

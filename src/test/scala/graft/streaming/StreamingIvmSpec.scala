@@ -183,6 +183,75 @@ class StreamingIvmSpec extends SparkSpec {
       (2L, ts(12), ts(12, 5), 2L)))
   }
 
+  test("KMV view: multi-tick state merge ≡ one-shot bootstrap, " +
+      "k-min cut enforced, replayed tick is a no-op") {
+    def evK(rows: (Long, Timestamp, Long)*) =
+      rows.toDF("event_id", "ts", "user_id")
+    val all = Seq[(Long, Timestamp, Long)](
+      (1, ts(10), 1L), (2, ts(10, 10), 2L), (3, ts(10, 20), 3L),
+      (4, ts(10, 30), 4L), (5, ts(10, 40), 5L),
+      (6, ts(11), 1L), (7, ts(11, 10), 6L))
+    def kmvState(mv: String) = Generations.read(spark, mv).get
+      .select(col("bucket"), col("hashes"), col("n_kept"), col("hk"),
+        col("est_kmv"))
+      .as[(Timestamp, Seq[Long], Long, Long, Double)].collect().toSet
+    val log = mkDir("klog"); val mv = mkDir("kmv")
+    StreamingIvm.ingestKmvBatch(spark, evK(all.take(3): _*), 0L, log, mv,
+      k = 3)
+    StreamingIvm.ingestKmvBatch(spark, evK(all.slice(3, 5): _*), 1L, log,
+      mv, k = 3)
+    StreamingIvm.ingestKmvBatch(spark, evK(all.drop(5): _*), 2L, log, mv,
+      k = 3)
+    // the incremental state-merge path must land exactly where a single
+    // bootstrap tick over the same rows does (union∘k-min is abelian +
+    // idempotent, so arrival shape cannot matter)
+    val log1 = mkDir("klog1"); val mv1 = mkDir("kmv1")
+    StreamingIvm.ingestKmvBatch(spark, evK(all: _*), 0L, log1, mv1, k = 3)
+    assert(kmvState(mv) === kmvState(mv1))
+    // hour 10 saw 5 distinct users but the sketch keeps k=3 hashes, and
+    // the estimate leaves the exact regime: est = (k−1)·2⁶⁰/h₍ₖ₎
+    val b10 = kmvState(mv).find(_._1 === ts(10)).get
+    assert(b10._2.size === 3 && b10._3 === 3L)
+    assert(b10._2 === b10._2.sorted && b10._4 === b10._2.max)
+    assert(math.abs(b10._5 - 2.0 * 1152921504606846976.0 / b10._4) < 1e-6)
+    // hour 11: 2 distinct users < k → exact readout
+    val b11 = kmvState(mv).find(_._1 === ts(11)).get
+    assert(b11._3 === 2L && b11._5 === 2.0)
+    // a redelivered micro-batch is a visible no-op: witnessed append +
+    // applied =cdcv= watermark, no new view version
+    val v = Generations.latest(spark, mv).get.version
+    assert(StreamingIvm.ingestKmvBatch(spark, evK(all.drop(5): _*), 2L,
+      log, mv, k = 3).isEmpty)
+    assert(Generations.latest(spark, mv).get.version === v)
+  }
+
+  test("KMV view survives a log squash: the non-pure-delta tick " +
+      "recomputes from the hash log") {
+    def evK(rows: (Long, Timestamp, Long)*) =
+      rows.toDF("event_id", "ts", "user_id")
+    def kmvState(mv: String) = Generations.read(spark, mv).get
+      .select(col("bucket"), col("hashes"), col("n_kept"), col("hk"),
+        col("est_kmv"))
+      .as[(Timestamp, Seq[Long], Long, Long, Double)].collect().toSet
+    val log = mkDir("klog"); val mv = mkDir("kmv")
+    StreamingIvm.ingestKmvBatch(spark,
+      evK((1, ts(10), 1L), (2, ts(10, 10), 2L)), 0L, log, mv, k = 3)
+    StreamingIvm.ingestKmvBatch(spark, evK((3, ts(10, 20), 3L)), 1L, log,
+      mv, k = 3)
+    // fold the log: the next window contains a snapshot commit, so the
+    // pure-delta state merge is unprovable and the tick must recompute
+    // from the folded hash log (which carries every (bucket, _h) row)
+    Generations.maintain(spark, log,
+      Generations.MaintenancePolicy(squashAfterCommits = 1))
+    StreamingIvm.ingestKmvBatch(spark, evK((4, ts(10, 40), 4L)), 2L, log,
+      mv, k = 3)
+    val log1 = mkDir("klog1"); val mv1 = mkDir("kmv1")
+    StreamingIvm.ingestKmvBatch(spark,
+      evK((1, ts(10), 1L), (2, ts(10, 10), 2L), (3, ts(10, 20), 3L),
+        (4, ts(10, 40), 4L)), 0L, log1, mv1, k = 3)
+    assert(kmvState(mv) === kmvState(mv1))
+  }
+
   test("REAL STREAM, sessions: late bridge event merges mid-stream") {
     val log = mkDir("log"); val mv = mkDir("mv")
     implicit val sqlCtx = spark.sqlContext

@@ -124,6 +124,44 @@ class GenerationsSpec extends SparkSpec {
     }
   }
 
+  test("two concurrent appendCommitted writers: both deltas land, " +
+      "both witnesses survive") {
+    // the streaming-ingest shape under writer concurrency: two distinct
+    // writer prefixes (the documented fencing unit) appending
+    // simultaneously must interleave without losing a commit line — the
+    // exact casualty of the local-rename replace race publishNew closes
+    // (a lost commit here silently drops the rows AND the replay
+    // witness, breaking exactly-once on the next redelivery)
+    val t = mkTable()
+    Generations.writeAndCommit(spark, Seq(0).toDF("v"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try (1 to 5).foreach { round =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val fs = Seq("wA", "wB").map { w =>
+        pool.submit(new java.util.concurrent.Callable[Option[Generations.Commit]] {
+          def call(): Option[Generations.Commit] = {
+            barrier.await()
+            Generations.appendCommitted(spark, Seq(round).toDF("v"), t,
+              s"$w=$round")
+          }
+        })
+      }
+      fs.foreach(f =>
+        assert(f.get(120, java.util.concurrent.TimeUnit.SECONDS).nonEmpty,
+          s"round $round: an append was silently swallowed"))
+    } finally pool.shutdownNow()
+    val commits = Generations.commits(spark, t)
+    assert(commits.map(_.version) === (1L to 11L), "no holes, no dups")
+    (1 to 5).foreach { r =>
+      assert(commits.exists(_.tag == s"wA=$r"), s"wA=$r commit lost")
+      assert(commits.exists(_.tag == s"wB=$r"), s"wB=$r commit lost")
+    }
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === (Seq(0) ++ (1 to 5).flatMap(r => Seq(r, r))).sorted.toSeq)
+    assert(Generations.lastAppendId(spark, t, "wA").contains(5L))
+    assert(Generations.lastAppendId(spark, t, "wB").contains(5L))
+  }
+
   test("two concurrent committers both land, consecutive versions, no loss") {
     val t = mkTable()
     Generations.writeAndCommit(spark, Seq(0).toDF("v"), t)

@@ -497,8 +497,16 @@ object Similarity {
     * every other vector with rounded cosine ≥ `threshold` (exact brute
     * force); a match is RECOVERED iff the quantizer puts it in the
     * anchor's cell — exactly when [[semanticDedup]]'s within-cell pair
-    * join can see it. Ordered pairs double-count symmetric matches
-    * uniformly, so the ratio is unchanged. One row out:
+    * join can see it. The measured quantity is ANCHOR-INCIDENT match
+    * recall: the hit ratio over directed (anchor → match) edges. When
+    * every vector is an anchor (the gate corpora fit inside the default
+    * cap) both directions of each pair are counted and the ratio equals
+    * unordered pair recall exactly; when anchors are a strict SUBSET
+    * (the sf10 sample), anchor↔anchor pairs contribute both directions
+    * while anchor↔non-anchor pairs contribute one — cell membership is
+    * symmetric, so each pair's per-direction hit value is identical and
+    * the subset estimate is the match-edge-weighted recall of the same
+    * blocking, not a differently-defined metric. One row out:
     * (n_true_pairs, pair_recall, recall_ok); no true pairs → vacuous
     * recall 1.0 (nothing was droppable).
     *

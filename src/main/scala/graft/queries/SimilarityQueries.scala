@@ -82,7 +82,12 @@ object SimilarityQueries extends QueryPack {
     // lambda, so the dial is restored before returning.
     "graph_pagerank_durable" -> ((s, dir) => {
       val prev = s.conf.getOption(graft.operators.Iterate.DurableKey)
+      val prevCkpt = s.sparkContext.getCheckpointDir
       s.conf.set(graft.operators.Iterate.DurableKey, "true")
+      // the returned frame reads the reliable-checkpoint files, so this
+      // run's scratch cannot self-clean — each run sweeps its
+      // PREDECESSORS' dirs instead, bounding the leak to one footprint
+      graft.sinks.Scratch.sweep(s, "graft-ckpt")
       s.sparkContext.setCheckpointDir(
         graft.sinks.Scratch.dir(s, "graft-ckpt"))
       try
@@ -91,9 +96,13 @@ object SimilarityQueries extends QueryPack {
               nCells = graphCells(emb(s, dir))))
           .select(col("v").as("vec_id"), col("rank_norm"))
           .orderBy("vec_id")
-      finally prev match {
-        case Some(v) => s.conf.set(graft.operators.Iterate.DurableKey, v)
-        case None => s.conf.unset(graft.operators.Iterate.DurableKey)
+      finally {
+        prev match {
+          case Some(v) => s.conf.set(graft.operators.Iterate.DurableKey, v)
+          case None => s.conf.unset(graft.operators.Iterate.DurableKey)
+        }
+        // un-hijack the global checkpoint root for any later caller
+        prevCkpt.foreach(s.sparkContext.setCheckpointDir)
       }
     }),
 

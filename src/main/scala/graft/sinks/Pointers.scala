@@ -48,6 +48,13 @@ object Pointers {
     * update the optimistic-concurrency tests only catch under load. On
     * `file:` schemes the atomic no-replace primitive is link(2), which
     * EEXIST-fails as one syscall; everything else keeps `fs.rename`.
+    *
+    * Degraded mounts: a `file:`-scheme filesystem WITHOUT hard links
+    * (vfat/exFAT, some FUSE/CIFS mounts) surfaces as a non-EEXIST
+    * IOException from createLink — those fall back to `fs.rename`, i.e.
+    * the pre-link behavior: still correct single-writer, racy only
+    * under concurrent same-name publishes on that exotic mount (the
+    * trade that keeps every environment committing).
     */
   def publishNew(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if ("file" == fs.getScheme) {
@@ -59,7 +66,8 @@ object Pointers {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException => fs.rename(tmp, dst)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          fs.rename(tmp, dst)
       }
     } else fs.rename(tmp, dst)
 

@@ -39,4 +39,23 @@ object Scratch {
       case None =>
         java.nio.file.Files.createTempDirectory(prefix).toString
     }
+
+  /** Best-effort deletion of PRIOR [[dir]] allocations with this prefix
+    * — for callers whose scratch (e.g. reliable checkpoint frames) must
+    * outlive their own return and so cannot self-clean: each run sweeps
+    * its predecessors, bounding the leak to one run's footprint. Only
+    * names this module mints (`<prefix>-…` / `<prefix><random>` temp
+    * dirs) are touched.
+    */
+  def sweep(spark: SparkSession, prefix: String): Unit = {
+    val root = spark.conf.getOption(DirKey)
+      .getOrElse("file:" + System.getProperty("java.io.tmpdir"))
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp))
+      fs.listStatus(rp).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith(prefix))
+          try fs.delete(s.getPath, true) catch { case _: Exception => () }
+      }
+  }
 }

@@ -202,34 +202,12 @@ object ChangeFeed {
       maxCols: Map[String, String] = Map.empty)
       (aggOf: DataFrame => DataFrame): Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.lit
-    // ONE commit listing is this tick's entire view of the source:
-    // `head` is ITS last entry, never a separate latest() sample — a
-    // commit landing between two listings would otherwise be baked into
-    // a view tagged =cdcv=head without being recorded in the watermark,
-    // and the next tick would re-apply it as a delta and double-count
-    // (the race maintainAggOnce closes with readAt(head); latest() and
-    // logCommits read the same _commits dir, so deriving head from the
-    // span removes the race structurally instead of pinning around it).
-    val span = Generations.logCommits(spark, source)
-    val head = span.lastOption.map(_.version).getOrElse(0L)
-    if (head == 0L) return None
-    val applied = appliedVersion(spark, mvTable)
-    if (applied >= head) return None
-    val mvBase = Generations.latest(spark, mvTable).map(_.version).getOrElse(0L)
-    val window = span.filter(c => c.version > applied && c.version <= head)
-    // the span IS the content at head (it ends there by construction)
-    def contentAtHead: Option[DataFrame] =
-      Some(spark.read.option("mergeSchema", "true")
-        .parquet(span.map(Generations.genPath(source, _)): _*))
-    val pureDelta = applied > 0L &&
-      window.forall(!Generations.isSnapshotCommit(_)) &&
-      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val st = logSpanState(spark, source, mvTable).getOrElse(return None)
     val next =
-      if (!pureDelta)
-        aggOf(contentAtHead.getOrElse(return None))
+      if (!st.pureDelta)
+        aggOf(st.contentAtHead(spark, source))
       else {
-        val delta = spark.read.option("mergeSchema", "true")
-          .parquet(window.map(Generations.genPath(source, _)): _*)
+        val delta = st.deltaWindow(spark, source)
         val changes = delta.select(lit("insert").as("_change_type") +:
           delta.columns.toSeq.map(delta.col): _*)
         val mv = Generations.read(spark, mvTable).getOrElse(
@@ -240,11 +218,77 @@ object ChangeFeed {
           // insert-only feed ⇒ no dirty groups ⇒ the post-source scan
           // prunes to nothing at runtime; passed for the general shape
           // (pinned at head like every other read of this tick)
-          contentAtHead.getOrElse(return None),
+          st.contentAtHead(spark, source),
           mvKeys, sumCols, countCol, minCols, maxCols)
       }
     Some(Generations.writeAndCommit(spark, next, mvTable,
-      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+      tag = s"=cdcv=${st.head}", expectedBase = Some(st.mvBase)))
+  }
+
+  /** The exactly-once prologue EVERY single-log-source maintainer
+    * shares ([[maintainAggOnceLog]] / [[maintainSessionsOnceLog]] /
+    * [[maintainKmvOnceLog]]) — factored so the two load-bearing race
+    * arguments live in exactly one place:
+    *
+    *  - ONE commit listing is the tick's entire view of the source:
+    *    `head` is the SPAN's last entry, never a separate `latest()`
+    *    sample — a commit landing between two listings would otherwise
+    *    be baked into a view tagged `=cdcv=head` without being recorded
+    *    in the watermark, and the next tick would re-apply it as a
+    *    delta and double-count (the race [[maintainAggOnce]] closes
+    *    with `readAt(head)`; deriving head from the span removes it
+    *    structurally).
+    *  - `pureDelta` is provable only when the window is gap-free,
+    *    snapshot-free, and the view has a real applied base — anything
+    *    else (bootstrap, a squash folding already-applied rows into the
+    *    window, a GC hole) forces the full recompute path; unioning a
+    *    fold as if it were a delta double-counts.
+    *
+    * None ⇒ nothing to do this tick (empty source or view current).
+    * The join-view maintainer ([[maintainJoinAggOnceLogAt]]) derives
+    * the same state pairwise and keeps its own two-source form.
+    */
+  private case class LogSpanState(span: Seq[Generations.Commit],
+      head: Long, mvBase: Long, window: Seq[Generations.Commit],
+      pureDelta: Boolean) {
+    /** Log content AT head — the span is the content by construction
+      * (it ends at head). */
+    def contentAtHead(spark: SparkSession, source: String): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(span.map(Generations.genPath(source, _)): _*)
+    /** The unapplied delta commits' rows (pure-delta path only). */
+    def deltaWindow(spark: SparkSession, source: String): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(window.map(Generations.genPath(source, _)): _*)
+  }
+
+  private def logSpanState(spark: SparkSession, source: String,
+      mvTable: String): Option[LogSpanState] = {
+    val span = Generations.logCommits(spark, source)
+    val head = span.lastOption.map(_.version).getOrElse(0L)
+    if (head == 0L) return None
+    val applied = appliedVersion(spark, mvTable)
+    if (applied >= head) return None
+    val mvBase = Generations.latest(spark, mvTable).map(_.version)
+      .getOrElse(0L)
+    val window = span.filter(c => c.version > applied && c.version <= head)
+    val pureDelta = applied > 0L &&
+      window.forall(!Generations.isSnapshotCommit(_)) &&
+      window.map(_.version).toSet == (applied + 1 to head).toSet
+    Some(LogSpanState(span, head, mvBase, window, pureDelta))
+  }
+
+  /** Dirty-group epilogue shared by the non-abelian/log maintainers:
+    * carry the untouched groups' view rows (anti join on the dirty
+    * keys), re-projected to the recomputed frame's column order
+    * (using-joins reorder; the parquet write is positional), unioned
+    * with the recomputed dirty groups. */
+  private def carryAndUnion(mv: DataFrame, dirty: DataFrame,
+      keys: Seq[String], redone: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    mv.join(dirty, keys, "left_anti")
+      .select(redone.columns.map(col).toIndexedSeq: _*)
+      .unionByName(redone)
   }
 
   /** Advance a maintained gap-based SESSION-WINDOW view over an
@@ -296,37 +340,19 @@ object ChangeFeed {
           count(lit(1)).as("n_events"))
         .drop("_seq")
     }
-    val span = Generations.logCommits(spark, source)
-    val head = span.lastOption.map(_.version).getOrElse(0L)
-    if (head == 0L) return None
-    val applied = appliedVersion(spark, mvTable)
-    if (applied >= head) return None
-    val mvBase = Generations.latest(spark, mvTable).map(_.version)
-      .getOrElse(0L)
-    val window = span.filter(c => c.version > applied && c.version <= head)
-    def contentAtHead: DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(span.map(Generations.genPath(source, _)): _*)
-    val pureDelta = applied > 0L &&
-      window.forall(!Generations.isSnapshotCommit(_)) &&
-      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val st = logSpanState(spark, source, mvTable).getOrElse(return None)
     val next =
-      if (!pureDelta) sessionize(contentAtHead)
+      if (!st.pureDelta) sessionize(st.contentAtHead(spark, source))
       else {
-        val delta = spark.read.option("mergeSchema", "true")
-          .parquet(window.map(Generations.genPath(source, _)): _*)
-        val dirty = delta.select(col(userCol)).distinct()
+        val dirty = st.deltaWindow(spark, source)
+          .select(col(userCol)).distinct()
         val mv = Generations.read(spark, mvTable).getOrElse(return None)
-        val redone = sessionize(
-          contentAtHead.join(dirty, Seq(userCol), "left_semi"))
-        // re-project the carried rows to the recomputed column order —
-        // positional safety for the parquet write (using-join reorders)
-        mv.join(dirty, Seq(userCol), "left_anti")
-          .select(redone.columns.map(col).toIndexedSeq: _*)
-          .unionByName(redone)
+        val redone = sessionize(st.contentAtHead(spark, source)
+          .join(dirty, Seq(userCol), "left_semi"))
+        carryAndUnion(mv, dirty, Seq(userCol), redone)
       }
     Some(Generations.writeAndCommit(spark, next, mvTable,
-      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+      tag = s"=cdcv=${st.head}", expectedBase = Some(st.mvBase)))
   }
 
   /** Advance a maintained KMV distinct-count sketch view over an
@@ -375,25 +401,13 @@ object ChangeFeed {
           when(col("n_kept") < k, col("n_kept").cast("double"))
             .otherwise(lit(k - 1) * lit(twoPow60) / col("hk")))
     }
-    val span = Generations.logCommits(spark, source)
-    val head = span.lastOption.map(_.version).getOrElse(0L)
-    if (head == 0L) return None
-    val applied = appliedVersion(spark, mvTable)
-    if (applied >= head) return None
-    val mvBase = Generations.latest(spark, mvTable).map(_.version)
-      .getOrElse(0L)
-    val window = span.filter(c => c.version > applied && c.version <= head)
-    val pureDelta = applied > 0L &&
-      window.forall(!Generations.isSnapshotCommit(_)) &&
-      window.map(_.version).toSet == (applied + 1 to head).toSet
+    val st = logSpanState(spark, source, mvTable).getOrElse(return None)
     val next =
-      if (!pureDelta)
-        kminOf(spark.read.option("mergeSchema", "true")
-          .parquet(span.map(Generations.genPath(source, _)): _*)
+      if (!st.pureDelta)
+        kminOf(st.contentAtHead(spark, source)
           .select(gCols :+ col("_h"): _*).distinct())
       else {
-        val delta = spark.read.option("mergeSchema", "true")
-          .parquet(window.map(Generations.genPath(source, _)): _*)
+        val delta = st.deltaWindow(spark, source)
           .select(gCols :+ col("_h"): _*).distinct()
         val dirty = delta.select(gCols: _*).distinct()
         val mv = Generations.read(spark, mvTable).getOrElse(return None)
@@ -402,12 +416,10 @@ object ChangeFeed {
         val carriedState = mv.join(dirty, groupCols, "left_semi")
           .select(gCols :+ explode(col("hashes")).as("_h"): _*)
         val merged = kminOf(carriedState.unionByName(delta).distinct())
-        mv.join(dirty, groupCols, "left_anti")
-          .select(merged.columns.map(col).toIndexedSeq: _*)
-          .unionByName(merged)
+        carryAndUnion(mv, dirty, groupCols, merged)
       }
     Some(Generations.writeAndCommit(spark, next, mvTable,
-      tag = s"=cdcv=$head", expectedBase = Some(mvBase)))
+      tag = s"=cdcv=${st.head}", expectedBase = Some(st.mvBase)))
   }
 
   /** One tick of the turnkey changelog tailer — the [[FeedPoller]]

@@ -293,6 +293,22 @@ object StreamingIvm {
       }
       .start()
 
+  /** [[start]] for the KMV distinct-sketch view: `readStream` →
+    * `foreachBatch` → [[ingestKmvBatch]]. */
+  def startKmv(events: DataFrame, logTable: String, mvTable: String,
+      checkpoint: String,
+      tsCol: String = "ts", keyCol: String = "user_id",
+      bucketWidth: String = "1 hour", lateness: String = "2 hours",
+      k: Int = 64): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        ingestKmvBatch(batch.sparkSession, batch.toDF(), id, logTable,
+          mvTable, tsCol, keyCol, bucketWidth, lateness, k)
+        ()
+      }
+      .start()
+
   /** [[start]] for the session-window view: `readStream` →
     * `foreachBatch` → [[ingestSessionBatch]]. */
   def startSessions(events: DataFrame, logTable: String, mvTable: String,

@@ -272,6 +272,33 @@ class StreamingIvmSpec extends SparkSpec {
     assert(st === Set((1L, ts(10), ts(10, 50), 3L)))
   }
 
+  test("REAL STREAM, KMV: sketch state merges across micro-batches") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val q = StreamingIvm.startKmv(
+      input.toDF().toDF("event_id", "ts", "user_id"),
+      log, mv, mkDir("ckpt"), k = 3)
+    try {
+      input.addData((1L, ts(10), 1L), (2L, ts(10, 10), 2L))
+      q.processAllAvailable()
+      // second batch: two more users in hour 10 → the carried state
+      // merges past the k=3 cut; plus a fresh hour-11 bucket
+      input.addData((3L, ts(10, 20), 3L), (4L, ts(10, 30), 4L),
+        (5L, ts(11), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val st = Generations.read(spark, mv).get
+      .select(col("bucket"), col("n_kept"), col("hk"), col("est_kmv"))
+      .as[(Timestamp, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(st.keySet === Set(ts(10), ts(11)))
+    assert(st(ts(10))._1 === 3L, "hour 10: 4 distinct users cut to k=3")
+    assert(math.abs(st(ts(10))._3 -
+      2.0 * 1152921504606846976.0 / st(ts(10))._2) < 1e-6)
+    assert(st(ts(11)) === ((1L, st(ts(11))._2, 1.0)))
+  }
+
   test("REAL STREAM: foreachBatch pipeline converges across late data") {
     val log = mkDir("log"); val mv = mkDir("mv")
     implicit val sqlCtx = spark.sqlContext

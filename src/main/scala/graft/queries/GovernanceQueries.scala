@@ -78,7 +78,65 @@ object GovernanceQueries extends QueryPack {
     "layout_zorder_stats" -> ((s, dir) =>
       graft.sinks.Layout.clusteringStats(t(s, dir, "lineitem"),
         pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256)),
-        nFiles = 32, domain = 256))
+        nFiles = 32, domain = 256)),
+
+    // FILE-LEVEL DATA SKIPPING (sinks/FileStats.scala): events committed
+    // ts-clustered into a Generations table with declared stats columns,
+    // then a 3-of-30-day range scan planned from the committed per-file
+    // min/max alone — Generations.readPruned never opens the excluded
+    // files' footers, the 100 TB scan-cost lever beyond partitioning.
+    // The query REQUIRES the plan to have skipped files (range
+    // clustering makes that scale-independent), and the oracle replays
+    // the same filter over the full raw table, so the hash compare
+    // proves the pruned scan lost no matching rows.
+    "lake_skipping_scan" -> ((s, dir) => {
+      import graft.sinks.{FileStats, Generations, Scratch}
+      val base = Scratch.dir(s, "graft-lakeskip")
+      val tab = s"$base/events_by_ts"
+      Generations.setStatsCols(s, tab, Seq("ts", "value"))
+      Generations.writeAndCommit(s, t(s, dir, "events")
+        .repartitionByRange(16, col("ts")).sortWithinPartitions("ts"), tab)
+      val preds = Seq(FileStats.Between("ts",
+        FileStats.tsMicros("2024-01-10T00:00:00"),
+        FileStats.tsMicros("2024-01-13T00:00:00")))
+      val (kept, total) = Generations.prunePlan(s, tab, preds).get
+      require(kept.size < total,
+        s"ts-clustered range scan must skip files (kept ${kept.size}/$total)")
+      Generations.readPruned(s, tab, preds).get
+        .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+          col("ts") < lit("2024-01-13 00:00:00"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // Data skipping × Z-ORDER: the same commit-time stats over a
+    // 2-D Morton-clustered layout (Layout.zOrdered on user_id ×
+    // floor(value)), so a 2-D box predicate prunes on BOTH dimensions
+    // multiplicatively — the full lakehouse OPTIMIZE ZORDER + skipping
+    // composition. Effectiveness is asserted in FileStatsSpec (the box
+    // fraction is corpus-dependent); correctness is the oracle's
+    // full-scan replay of the identical box filter.
+    "lake_zorder_skipping" -> ((s, dir) => {
+      import graft.sinks.{FileStats, Generations, Layout, Scratch}
+      val base = Scratch.dir(s, "graft-lakez")
+      val tab = s"$base/events_z"
+      Generations.setStatsCols(s, tab, Seq("user_id", "value"))
+      Generations.writeAndCommit(s, Layout.zOrdered(
+        t(s, dir, "events").withColumn("vbucket", floor(col("value"))),
+        Seq("user_id", "vbucket"), numFiles = 16), tab)
+      val preds = Seq(FileStats.Between("user_id", 2L, 9L),
+        FileStats.Between("value", 5.0, 60.0))
+      Generations.readPruned(s, tab, preds).get
+        .filter(col("user_id").between(2, 9) &&
+          col("value").between(5.0, 60.0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -175,6 +233,25 @@ object GovernanceQueries extends QueryPack {
         |  round(CAST(sum(span_y) AS DOUBLE) / 256, 6) AS est_files_y,
         |  round(CAST(max(n_rows) AS DOUBLE)
         |    / (CAST(sum(n_rows) AS DOUBLE) / count(*)), 6) AS row_skew
-        |FROM per_file GROUP BY layout ORDER BY layout""".stripMargin
+        |FROM per_file GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // full-scan replay of the pruned range scan: equality proves the
+    // file-skipping plan dropped no matching rows
+    "lake_skipping_scan" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ev
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "lake_zorder_skipping" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 5.0 AND 60.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

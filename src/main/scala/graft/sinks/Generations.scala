@@ -341,6 +341,80 @@ object Generations {
       }
   }
 
+  /** Declare the table's DATA-SKIPPING columns: every commit through
+    * this protocol then records per-file min/max/nullCount for them
+    * ([[FileStats]] — parquet footers only, no second data scan) in an
+    * immutable `_stats/<gen>` file published before the commit pointer,
+    * and [[readPruned]] plans range scans from that metadata alone.
+    * Declared once per table like [[setChecks]] (atomic replace); tables
+    * that never declare pay nothing. Columns missing from a given
+    * generation's schema simply record no stats there (never prune).
+    */
+  def setStatsCols(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    cols.foreach(c => require(c.nonEmpty && !c.contains("\n") &&
+      !c.contains(" "), s"stats column must be space/newline-free: '$c'"))
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.replace(fs, t, "_statscols", cols.mkString("\n"))
+  }
+
+  /** The table's declared data-skipping columns (empty when none). */
+  def getStatsCols(spark: SparkSession, table: String): Seq[String] = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.read(fs, t, "_statscols").toSeq
+      .flatMap(_.linesIterator).filter(_.nonEmpty)
+  }
+
+  /** Per-commit file-pruning report for `preds` over the live content
+    * ([[logCommits]] span): (kept parquet paths, total files). A
+    * generation without stats keeps all its files — pruning is always
+    * conservative, never required.
+    */
+  def prunePlan(spark: SparkSession, table: String,
+      preds: Seq[FileStats.Pred]): Option[(Seq[Path], Int)] = {
+    val cs = logCommits(spark, table)
+    if (cs.isEmpty) return None
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    var total = 0
+    val kept = Seq.newBuilder[Path]
+    cs.foreach { c =>
+      val gd = new Path(genPath(table, c))
+      val files = fs.listStatus(gd).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      total += files.length
+      FileStats.read(fs, t, c.gen) match {
+        case None => kept ++= files
+        case Some(entries) =>
+          val byName = entries.map(e => e.file -> e).toMap
+          files.foreach { p =>
+            val keep = byName.get(p.getName)
+              .forall(FileStats.mightMatchAll(_, preds))
+            if (keep) kept += p
+          }
+      }
+    }
+    Some((kept.result(), total))
+  }
+
+  /** [[readLog]] restricted to the files whose committed stats admit
+    * `preds` — the data-skipping scan. The CALLER still applies its real
+    * filter to the result (pruning is a conservative superset); an
+    * all-files-pruned plan returns an empty frame with the live schema.
+    */
+  def readPruned(spark: SparkSession, table: String,
+      preds: Seq[FileStats.Pred]): Option[DataFrame] =
+    prunePlan(spark, table, preds).map { case (kept, _) =>
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          readLog(spark, table).get.schema)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(kept.map(_.toString): _*)
+    }
+
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
       t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,
       expectedBase: Option[Long], maxRetries: Int,
@@ -355,8 +429,25 @@ object Generations {
       sum(when(coalesce(expr(sql).cast("boolean"), lit(false)), 0L)
         .otherwise(1L)).as(s"viol_$i")
     }
-    df.observe(obs, count(lit(1)).as("rows"), checkMetrics: _*)
+    // data-skipping stats columns declared for this table (filtered to
+    // this frame's schema — additive evolution writes what it has)
+    val statsCols = getStatsCols(spark, table)
+      .filter(df.schema.fieldNames.contains)
+    // Spark's default parquet timestamp encoding is INT96, which the
+    // parquet format records NO column statistics for — a declared
+    // TIMESTAMP stats column would silently never prune. Scope the
+    // micros encoding (INT64, fully stats-capable, readable by every
+    // engine) to stats-bearing writes via the session conf (there is no
+    // per-write option); concurrent writers momentarily observing
+    // micros output is value-identical either way.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val needsMicros = statsCols.exists(c => df.schema(c).dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val prevTs = if (needsMicros) Some(spark.conf.get(tsKey)) else None
+    if (needsMicros) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.observe(obs, count(lit(1)).as("rows"), checkMetrics: _*)
       .write.options(options).parquet(genDir.toString)
+    finally prevTs.foreach(spark.conf.set(tsKey, _))
     val rows = obs.get("rows").asInstanceOf[Long]
     val violations = checks.zipWithIndex.map { case ((name, _), i) =>
       name -> Option(obs.get(s"viol_$i")).map(_.asInstanceOf[Long])
@@ -371,6 +462,14 @@ object Generations {
           violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "),
         violations)
     }
+    // data-skipping stats: footer-only collection over the NEW
+    // generation's files, persisted before the pointer publish so a
+    // published commit always carries its stats (a crash in between
+    // leaves an orphan stats file — ordinary gc debris). Declared
+    // columns absent from this frame's schema record nothing.
+    if (statsCols.nonEmpty)
+      FileStats.write(fs, t, gen, FileStats.collect(
+        spark.sparkContext.hadoopConfiguration, fs, genDir, statsCols))
     val cd = commitsDir(t)
     fs.mkdirs(cd)
     var version = baseVersion + 1
@@ -861,6 +960,7 @@ object Generations {
             (dropped.contains(name) || !publishedSinceListing(name))) {
           markers.get(name).foreach(m => fs.delete(m.getPath, false))
           fs.delete(s.getPath, true)
+          FileStats.delete(fs, t, name)
           genDeletes += 1
         }
       }
@@ -873,6 +973,17 @@ object Generations {
       if (m.getModificationTime < ageCut && (kept || !genExists) &&
           fs.exists(m.getPath))
         fs.delete(m.getPath, false)
+    }
+    // stats files whose generation dir no longer exists (a crash between
+    // stats publish and pointer publish, or debris of a pre-hook delete):
+    // same age gate as orphan gen dirs — a LIVE writer's just-published
+    // stats must survive until its pointer lands
+    val liveGenNames = fs.listStatus(dd).filter(s =>
+      s.isDirectory && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    FileStats.orphans(fs, t, liveGenNames).foreach { p =>
+      if (fs.getFileStatus(p).getModificationTime < ageCut)
+        fs.delete(p, false)
     }
     (drop.length + stale.length, genDeletes)
   }

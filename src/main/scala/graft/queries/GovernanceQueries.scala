@@ -136,6 +136,33 @@ object GovernanceQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // CO-LOCATED JOIN (sinks/Bucketed.scala): both join sides persisted
+    // hash-clustered by the join key (bucketBy+sortBy), so the daily
+    // fact⋈dim join pays its shuffle ONCE at write time — the query
+    // REQUIRES the join plan to contain zero ShuffleExchanges (the
+    // 100 TB recurring-network-cost lever), and the oracle replays the
+    // same join+agg over the raw tables.
+    "lake_bucketed_join" -> ((s, dir) => {
+      import graft.sinks.{Bucketed, Scratch}
+      val base = Scratch.dir(s, "graft-bucket")
+      val sfx = java.util.UUID.randomUUID.toString.take(8)
+      val (to, tl) = (s"lake_b_orders_$sfx", s"lake_b_lineitem_$sfx")
+      Bucketed.writeBucketed(t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        to, s"$base/o", "o_orderkey", 8)
+      Bucketed.writeBucketed(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+        tl, s"$base/l", "o_orderkey", 8)
+      val joined = Bucketed.colocatedJoin(s, to, tl, "o_orderkey")
+      require(Bucketed.exchangeCount(joined) == 0,
+        "bucketed join must plan zero exchanges")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -252,6 +279,15 @@ object GovernanceQueries extends QueryPack {
         |  round(sum(value), 2) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 5.0 AND 60.0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // raw-table replay of the co-located join: equality proves the
+    // bucketed layout changed the plan, not the values
+    "lake_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -163,6 +163,34 @@ object GovernanceQueries extends QueryPack {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
           2).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
+    }),
+
+    // DYNAMIC file pruning (Generations.readPrunedByKeys — Delta's DFP
+    // analog): the fact predicate isn't known until the dim filter runs
+    // (one customer's ≤19 order keys), so the skip set is derived at
+    // plan time from the dim side and the key-clustered fact reads at
+    // most one file per key — REQUIRED below (≤19 keys over 32 files
+    // can never touch all 32). The oracle replays the raw join.
+    "lake_dfp_join" -> ((s, dir) => {
+      import graft.sinks.{Generations, Scratch}
+      val base = Scratch.dir(s, "graft-dfp")
+      val tab = s"$base/lineitem_by_okey"
+      Generations.setStatsCols(s, tab, Seq("l_orderkey"))
+      Generations.writeAndCommit(s, t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"), tab)
+      val dim = t(s, dir, "orders").filter(col("o_custkey") === 5)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val fact = Generations.readPrunedByKeys(s, tab, "l_orderkey",
+        dim.select(col("o_orderkey"))).get
+      require(fact.select(input_file_name()).distinct().count() < 32,
+        "dim-derived key set must prune the key-clustered fact scan")
+      fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -288,6 +316,15 @@ object GovernanceQueries extends QueryPack {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n_items
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // raw-table replay of the dynamically pruned join
+    "lake_dfp_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_custkey = 5
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -75,6 +75,11 @@ object FileStats {
   final case class Le(col: String, v: Any) extends Pred
   final case class Eq(col: String, v: Any) extends Pred
   final case class Between(col: String, lo: Any, hi: Any) extends Pred
+  /** Membership in a small literal set (dynamic file pruning: the set is
+    * a filtered dimension's join keys). A file is kept when ANY value
+    * falls inside its [min, max] — still conservative, never exact.
+    */
+  final case class In(col: String, vs: Seq[Any]) extends Pred
 
   /** Epoch micros of a session-TZ(UTC) wall-clock literal — the "long"
     * domain literal for TIMESTAMP columns.
@@ -356,6 +361,9 @@ object FileStats {
           case Between(_, lo, hi) =>
             cmpTo(st.kind, st.max, lo).forall(_ >= 0) &&
               cmpTo(st.kind, st.min, hi).forall(_ <= 0)
+          case In(_, vs) => vs.isEmpty || vs.exists(v =>
+            cmpTo(st.kind, st.max, v).forall(_ >= 0) &&
+              cmpTo(st.kind, st.min, v).forall(_ <= 0))
         }
       }
     }

@@ -415,6 +415,44 @@ object Generations {
         .parquet(kept.map(_.toString): _*)
     }
 
+  /** DYNAMIC file pruning (Delta's DFP analog): restrict the fact scan
+    * to files whose `keyCol` stats can intersect the join keys of an
+    * (already filtered) DIMENSION frame — the predicate isn't known
+    * until the dim side is evaluated, so it is derived here at plan
+    * time: one bounded aggregate over `dimKeys`' FIRST column collects
+    * min/max plus, when the dim has at most `maxKeys` distinct keys,
+    * the exact key set (tighter: a file whose [min,max] straddles a gap
+    * between keys still prunes). The dim side is aggregated, never the
+    * fact side; nulls never join and are dropped. The caller still
+    * performs the real join on the result.
+    */
+  def readPrunedByKeys(spark: SparkSession, table: String, keyCol: String,
+      dimKeys: DataFrame, maxKeys: Int = 1024): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, countDistinct, max, min}
+    val k = dimKeys.columns.head
+    def lit(v: Any): Any = v match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case x => x
+    }
+    val head = dimKeys.select(col(k)).na.drop()
+      .agg(min(col(k)), max(col(k)), countDistinct(col(k))).head()
+    if (head.isNullAt(0)) // empty dim: nothing can join
+      return prunePlan(spark, table, Nil).map { _ =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          readLog(spark, table).get.schema)
+      }
+    val range = FileStats.Between(keyCol, lit(head.get(0)), lit(head.get(1)))
+    val preds =
+      if (head.getLong(2) <= maxKeys)
+        Seq(range, FileStats.In(keyCol, dimKeys.select(col(k)).na.drop()
+          .distinct().collect().map(r => lit(r.get(0))).toSeq))
+      else Seq(range)
+    readPruned(spark, table, preds)
+  }
+
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
       t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,
       expectedBase: Option[Long], maxRetries: Int,

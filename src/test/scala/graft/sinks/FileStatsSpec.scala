@@ -193,6 +193,39 @@ class FileStatsSpec extends SparkSpec {
     assert(got === 144L)
   }
 
+  test("dynamic file pruning from a filtered dimension's keys") {
+    val t = mkTable()
+    Generations.setStatsCols(spark, t, Seq("k"))
+    Generations.writeAndCommit(spark, clustered(), t)
+    val full = Generations.readLog(spark, t).get
+    // two keys in one file's range: one file kept, join values equal
+    val dim = Seq(42L, 57L).toDF("key")
+    val pruned = Generations.readPrunedByKeys(spark, t, "k", dim).get
+    val a = pruned.join(dim, pruned("k") === dim("key"))
+      .select("k").as[Long].collect().sorted
+    val b = full.join(dim, full("k") === dim("key"))
+      .select("k").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq && a.length === 2)
+    assert(pruned.select(input_file_name()).distinct().count() === 1L,
+      "two nearby keys must plan a single file")
+    // keys straddling a GAP: the exact In set skips the middle files
+    // the min/max range alone would admit
+    val gap = Seq(50L, 350L).toDF("key")
+    val gapPruned = Generations.readPrunedByKeys(spark, t, "k", gap).get
+    assert(gapPruned.select(input_file_name()).distinct().count() === 2L,
+      "the In set must skip the straddled middle files")
+    // a dim past maxKeys falls back to the range only (conservative)
+    val wide = spark.range(400).select(col("id").as("key"))
+    val widePruned = Generations.readPrunedByKeys(spark, t, "k", wide,
+      maxKeys = 10).get
+    assert(widePruned.count() === full.count())
+    // an empty (fully filtered) dim prunes everything, schema kept
+    val none = Generations.readPrunedByKeys(spark, t, "k",
+      dim.filter(col("key") < 0)).get
+    assert(none.count() === 0L &&
+      none.schema.fieldNames.toSeq === full.schema.fieldNames.toSeq)
+  }
+
   test("randomized conservativeness: pruned+filter == full+filter") {
     val t = mkTable()
     Generations.setStatsCols(spark, t, Seq("k", "v"))

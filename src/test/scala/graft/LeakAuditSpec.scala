@@ -32,7 +32,8 @@ class LeakAuditSpec extends AnyFunSuite {
   private val companyRoots = Set("com", "io", "net", "ai", "software",
     "co", "cloud", "dev", "build", "corp")
   private val orgAllowed = Seq("org.apache.spark", "org.apache.hadoop",
-    "org.apache.logging", "org.scalatest", "org.scalacheck")
+    "org.apache.logging", "org.apache.parquet", // parquet-mr ships in Spark's jars (FileStats footer reads)
+    "org.scalatest", "org.scalacheck")
 
   test("imports resolve only against public allowlisted roots") {
     val offenders = scalaFiles.flatMap { p =>

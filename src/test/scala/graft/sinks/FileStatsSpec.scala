@@ -226,6 +226,32 @@ class FileStatsSpec extends SparkSpec {
       none.schema.fieldNames.toSeq === full.schema.fieldNames.toSeq)
   }
 
+  test("maintenance folds re-collect stats: pruning works post-squash") {
+    val t = mkTable()
+    Generations.setStatsCols(spark, t, Seq("k"))
+    (0 to 3).foreach { i =>
+      Generations.appendCommitted(spark,
+        (i * 100L until (i + 1) * 100L).toDF("k").coalesce(1), t,
+        s"batch=$i")
+    }
+    // the fold rides writeAndCommit, so the squashed generation gets
+    // fresh stats with zero per-site code — and clusterBy folds restore
+    // per-file locality for the pruner
+    Generations.maintain(spark, t, Generations.MaintenancePolicy(
+      squashAfterCommits = 2, targetBytes = 4096))
+    val cs = Generations.logCommits(spark, t)
+    assert(cs.size === 1, "maintain must fold the span")
+    assert(FileStats.read(fs(t), new Path(t), cs.head.gen).isDefined,
+      "the folded generation must carry stats")
+    val (kept, total) = Generations.prunePlan(spark, t,
+      Seq(Between("k", 0L, 10L))).get
+    assert(kept.size < total || total == 1,
+      s"post-fold pruning must still bite (kept ${kept.size}/$total)")
+    val got = Generations.readPruned(spark, t, Seq(Between("k", 0L, 10L)))
+      .get.filter(col("k") <= 10).as[Long].collect().sorted
+    assert(got.toSeq === (0L to 10L))
+  }
+
   test("randomized conservativeness: pruned+filter == full+filter") {
     val t = mkTable()
     Generations.setStatsCols(spark, t, Seq("k", "v"))

@@ -49,6 +49,11 @@ object IvfIndex {
       dir: String, numFiles: Int = 4): Unit = {
     val cents = Similarity.refinedCentroids(embeddings, nCells)
     Generations.writeAndCommit(spark, cents, centroidsTable(dir))
+    // declare cell as a data-skipping column BEFORE the first commit:
+    // every postings write from here on (base build, upsert deltas,
+    // optimize folds) carries per-file cell min/max, which
+    // [[topKVecPruned]] plans its file list from
+    Generations.setStatsCols(spark, postingsTable(dir), Seq("cell"))
     Generations.writeAndCommit(spark,
       Layout.zOrdered(Similarity.assignCellsTo(embeddings, cents),
         Seq("cell"), numFiles),
@@ -128,6 +133,42 @@ object IvfIndex {
     import spark.implicits._
     search(spark, dir, Seq(queryVec).toDF("q_emb"), k, nProbe,
       excludeId = None)
+  }
+
+  /** [[topKVec]] with FILE-LEVEL postings skipping: the centroid
+    * ranking collapses to a driver-side sort over ≤ nCells rows (the
+    * serving pattern — the codebook is the small side by construction),
+    * and the probed cell list then plans the postings scan from the
+    * committed per-file cell stats ([[Generations.readPrunedByKeys]]):
+    * once postings are cell-clustered ([[build]]/[[optimize]]), only
+    * ~nProbe/nCells of the FILES are opened — the in-plan `topKVec`
+    * filter prunes rows but still reads every footer, which at
+    * object-store postings is the serving-latency floor. Un-optimized
+    * upsert deltas have wide cell ranges and conservatively keep their
+    * files; an optimize fold restores the skip (stats re-collect
+    * automatically). Result ≡ [[topKVec]] (IvfIndexSpec).
+    */
+  def topKVecPruned(spark: SparkSession, dir: String, queryVec: Seq[Float],
+      k: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cents = centroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index at $dir — build first"))
+    val q = Seq(queryVec).toDF("q_emb")
+    val probed = cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell")).as[Long].collect()
+    val post = Generations.readPrunedByKeys(spark, postingsTable(dir),
+      "cell", probed.toSeq.toDF("cell")).getOrElse(
+        throw new IllegalStateException(s"no postings at $dir"))
+    post.filter(col("cell").isin(probed: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cell"),
+        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Batched multi-query search against the PERSISTED index — the

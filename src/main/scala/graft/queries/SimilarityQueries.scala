@@ -275,6 +275,30 @@ object SimilarityQueries extends QueryPack {
         TOP_K, nProbe = 2, excludeSelf = true)
     }),
 
+    // Stats-pruned index SERVING (r16): the persisted index's postings
+    // scan planned from committed per-file cell stats — the probed
+    // 2-of-16 cells open only their own files (REQUIRED below; build
+    // declares the stats, the 8 cluster-sorted files make <8 structural
+    // at any SF), where the in-plan filter reads every footer. The
+    // oracle replays quantizer + probe + scoring over the full corpus,
+    // so the hash compare proves the file-skipped serving path loses
+    // nothing. The query vector is the indexed QUERY_ID row served as
+    // an external vector, so its own copy ranks first at cosine 1.0.
+    "sim_index_pruned_topk" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.sinks.Scratch.dir(s, "graft-ivfidx")
+      val idx = s"$base/idx"
+      val e = emb(s, dir)
+      graft.operators.IvfIndex.build(s, e, N_CELLS, idx, numFiles = 8)
+      val qv = e.filter(col("vec_id") === QUERY_ID)
+        .select(col("embedding")).as[Seq[Float]].collect().head
+      val res = graft.operators.IvfIndex.topKVecPruned(s, idx, qv,
+        TOP_K, nProbe = 2)
+      require(res.select(input_file_name()).distinct().count() < 8,
+        "pruned serving must skip postings files")
+      res
+    }),
+
     // k-NN label classification (semi-supervised labeling / label-noise
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
@@ -992,6 +1016,20 @@ object SimilarityQueries extends QueryPack {
          |  QUALIFY row_number() OVER (PARTITION BY p.query_id
          |    ORDER BY round(${cosSql("a.de", "p.qe")}, 6) DESC, a.vec_id) <= $TOP_K)
          |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
+
+    // the pruned serving path scores the SAME probed cells as
+    // sim_ivf_nprobe_topk but serves the query as an external vector —
+    // no self-exclusion, so its indexed copy leads at cosine 1.0
+    "sim_index_pruned_topk" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
+         |probed AS (
+         |  SELECT cell FROM cents, q
+         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
+         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |FROM assigned a JOIN probed p ON a.cell = p.cell, q
+         |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH $embsCte

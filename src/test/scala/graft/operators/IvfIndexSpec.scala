@@ -48,6 +48,33 @@ class IvfIndexSpec extends SparkSpec {
     assert(got.tail.map(_.getLong(0)).toSeq === byId)
   }
 
+  test("topKVecPruned ≡ topKVec, reading only the probed cells' files") {
+    import spark.implicits._
+    val dir = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, dir, numFiles = 8)
+    val v0 = embs.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].collect().head
+    val full = IvfIndex.topKVec(spark, dir, v0, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val pruned = IvfIndex.topKVecPruned(spark, dir, v0, k = 10, nProbe = 2)
+    assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      === full)
+    // file-level evidence: the pruned serving scan opens a strict
+    // subset of the cell-clustered postings files (2 probed cells over
+    // 8 cluster-sorted files)
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened < 8, s"pruned scan must skip postings files ($opened/8)")
+    // upsert deltas (wide cell range, statless clustering) stay
+    // conservative: results still identical after an append
+    IvfIndex.upsert(spark, dir, embs.filter(col("vec_id") >= 450L)
+      .withColumn("vec_id", col("vec_id") + 1000L), "b=1")
+    val afterUp = IvfIndex.topKVecPruned(spark, dir, v0, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    val afterUpFull = IvfIndex.topKVec(spark, dir, v0, k = 10, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterUp === afterUpFull)
+  }
+
   test("upsert assigns only the new batch; replay is a no-op") {
     import spark.implicits._
     val dir = mkDir()

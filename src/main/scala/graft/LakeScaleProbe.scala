@@ -124,6 +124,31 @@ object LakeScaleProbe {
         f"colocated $tColoc%.2f s (${Bucketed.exchangeCount(coloc)} " +
         f"exchanges),x${tPlain / tColoc}%.1f,values_equal=$jSame")
       require(jSame, "co-located join diverged from plain join")
+
+      // ------------------------------------------ pruned IVF serving
+      // the ANN serving path: in-plan probe filter (opens every
+      // postings footer) vs the stats-planned file list — per-query
+      // serving latency, the metric an online index lives and dies by
+      val embs = Tables.load(spark, sfDir, "embeddings")
+      val nVecs = embs.count()
+      val nCells = math.max(16, math.round(math.sqrt(nVecs.toDouble)).toInt)
+      val idx = s"$root/ivf"
+      val (tBuild, _) = time(1)(graft.operators.IvfIndex.build(
+        spark, embs, nCells, idx, numFiles = math.max(8, nCells / 8)))
+      println(f"INFO,ivf,$nVecs vectors,$nCells cells,build $tBuild%.1f s")
+      import spark.implicits._
+      val qv = embs.filter(col("vec_id") === 7L)
+        .select(col("embedding")).as[Seq[Float]].collect().head
+      val (tFullServe, rF) = time(reps)(graft.operators.IvfIndex
+        .topKVec(spark, idx, qv, k = 10, nProbe = 4).collect())
+      val (tPrunedServe, rP) = time(reps)(graft.operators.IvfIndex
+        .topKVecPruned(spark, idx, qv, k = 10, nProbe = 4).collect())
+      val sSame = rF.map(r => (r.getLong(0), r.getDouble(2))).sameElements(
+        rP.map(r => (r.getLong(0), r.getDouble(2))))
+      println(f"RESULT,ivf_serving,inplan $tFullServe%.2f s," +
+        f"pruned $tPrunedServe%.2f s,x${tFullServe / tPrunedServe}%.1f," +
+        f"values_equal=$sSame")
+      require(sSame, "pruned serving diverged from in-plan serving")
       println("LAKE PROBE DONE")
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

@@ -252,6 +252,38 @@ class FileStatsSpec extends SparkSpec {
     assert(got.toSeq === (0L to 10L))
   }
 
+  test("stats persistence roundtrips adversarial strings exactly") {
+    val t = mkTable()
+    val f = fs(t)
+    f.mkdirs(new Path(t))
+    // min/max carrying every separator the format uses: spaces,
+    // newlines, tabs, unicode, URL-escape metacharacters, empty-ish
+    val entries = Seq(
+      FileStats.FileEntry("part-00000-x.parquet", 7, Map(
+        "s" -> FileStats.ColStats("string", 0,
+          java.net.URLEncoder.encode("a b\tc\nd", "UTF-8"),
+          java.net.URLEncoder.encode("z%20+&=日本語", "UTF-8")),
+        "k" -> FileStats.ColStats("long", 2, "-9", "42"),
+        "v" -> FileStats.ColStats("none", 7, "", ""))),
+      FileStats.FileEntry("part-00001 y.parquet", 0, Map(
+        "u" -> FileStats.ColStats("unk", -1, "", ""))))
+    FileStats.write(f, new Path(t), "g00000001-test", entries)
+    val back = FileStats.read(f, new Path(t), "g00000001-test").get
+    assert(back.toSet === entries.toSet)
+    // and the decoded string bounds compare correctly after the trip
+    val e = back.find(_.file == "part-00000-x.parquet").get
+    assert(FileStats.mightMatch(e, FileStats.Eq("s", "mmm")))
+    assert(!FileStats.mightMatch(e, FileStats.Eq("s", "ÿÿ")))
+    // a torn/corrupt stats file reads as None (keep everything)
+    val p = FileStats.statsPath(new Path(t), "g00000002-torn")
+    val out = f.create(p, false)
+    out.write("part-x 3 k long".getBytes("UTF-8")); out.close()
+    // short lines are skipped; a file of only short lines = no entries,
+    // which the pruner treats as stats-absent for those files
+    assert(FileStats.read(f, new Path(t), "g00000002-torn")
+      .forall(_.isEmpty))
+  }
+
   test("randomized conservativeness: pruned+filter == full+filter") {
     val t = mkTable()
     Generations.setStatsCols(spark, t, Seq("k", "v"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
-import graft.sinks.{Generations, Layout}
+import graft.sinks.{FileStats, Generations, Layout}
 
 /** Persistent IVF index — the ANN layout [[Similarity.ivfTopKProbe]]
   * computes in-plan, made a durable artifact so the quantizer trains
@@ -151,17 +151,10 @@ object IvfIndex {
   def topKVecPruned(spark: SparkSession, dir: String, queryVec: Seq[Float],
       k: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val cents = centroids(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no index at $dir — build first"))
     val q = Seq(queryVec).toDF("q_emb")
-    val probed = cents.crossJoin(broadcast(q))
-      .select(col("cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
-      .orderBy(col("q_sim").desc, col("cell"))
-      .limit(nProbe)
-      .select(col("cell")).as[Long].collect()
+    val probed = probeCells(spark, dir, queryVec, nProbe)
     val post = Generations.readPrunedByKeys(spark, postingsTable(dir),
-      "cell", probed.toSeq.toDF("cell")).getOrElse(
+      "cell", probed.toDF("cell")).getOrElse(
         throw new IllegalStateException(s"no postings at $dir"))
     post.filter(col("cell").isin(probed: _*))
       .crossJoin(broadcast(q))
@@ -170,6 +163,66 @@ object IvfIndex {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The nProbe cells a query vector probes: the centroid ranking of
+    * [[topKVecPruned]], a driver-side sort over ≤ nCells rows (the
+    * codebook is bounded-small by construction — the serving pattern).
+    */
+  def probeCells(spark: SparkSession, dir: String, queryVec: Seq[Float],
+      nProbe: Int): Seq[Long] = {
+    import spark.implicits._
+    val cents = centroids(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no index at $dir — build first"))
+    val q = Seq(queryVec).toDF("q_emb")
+    cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell")).as[Long].collect().toSeq
+  }
+
+  /** (kept, total) postings FILES the committed cell stats admit for a
+    * probed cell set — the measurable skip contract of
+    * [[topKVecPruned]]. Assertions belong HERE, on the prune plan: a
+    * distinct-input_file_name count over the post-filter result is
+    * vacuous (the cell filter already restricts rows to the probed
+    * cells, so it passes even when every file was kept).
+    */
+  def prunedPostingsPlan(spark: SparkSession, dir: String,
+      cells: Seq[Long]): (Int, Int) = {
+    require(cells.nonEmpty, "no probed cells")
+    val preds = Seq(FileStats.Between("cell", cells.min, cells.max),
+      FileStats.In("cell", cells))
+    val (kept, total) = Generations.prunePlan(spark, postingsTable(dir),
+      preds).getOrElse(throw new IllegalStateException(s"no postings at $dir"))
+    (kept.length, total)
+  }
+
+  /** The serving dial: stats-pruned scan only when the committed
+    * postings span enough files for file skipping to pay — below
+    * ~page-cache index sizes the driver-side stats planning costs more
+    * than the full in-plan scan it saves (measured at 2k vectors,
+    * SCALING.md r16), and with few files there is little to skip.
+    * Threshold: pruned when files > minFilesPerProbe × nProbe.
+    */
+  def usePrunedServing(spark: SparkSession, dir: String, nProbe: Int,
+      minFilesPerProbe: Int = 2): Boolean = {
+    val (_, total) = Generations.prunePlan(spark, postingsTable(dir), Nil)
+      .getOrElse(throw new IllegalStateException(s"no postings at $dir"))
+    total > minFilesPerProbe * nProbe
+  }
+
+  /** ONE external-vector serving entrypoint: [[topKVecPruned]] when the
+    * index is large enough for file skipping to win, [[topKVec]] below
+    * that ([[usePrunedServing]] is the dial; IvfIndexSpec asserts the
+    * choice at both scales and value-equality either way).
+    */
+  def serveTopKVec(spark: SparkSession, dir: String, queryVec: Seq[Float],
+      k: Int, nProbe: Int, minFilesPerProbe: Int = 2): DataFrame =
+    if (usePrunedServing(spark, dir, nProbe, minFilesPerProbe))
+      topKVecPruned(spark, dir, queryVec, k, nProbe)
+    else topKVec(spark, dir, queryVec, k, nProbe)
 
   /** Batched multi-query search against the PERSISTED index — the
     * retrieval-eval shape ([[search]] for one query is N driver-looped

@@ -292,11 +292,16 @@ object SimilarityQueries extends QueryPack {
       graft.operators.IvfIndex.build(s, e, N_CELLS, idx, numFiles = 8)
       val qv = e.filter(col("vec_id") === QUERY_ID)
         .select(col("embedding")).as[Seq[Float]].collect().head
-      val res = graft.operators.IvfIndex.topKVecPruned(s, idx, qv,
-        TOP_K, nProbe = 2)
-      require(res.select(input_file_name()).distinct().count() < 8,
-        "pruned serving must skip postings files")
-      res
+      // the skip REQUIRE reads the PRUNE PLAN, not the post-filter
+      // result (whose distinct-file count is already restricted to the
+      // probed cells even on an unpruned scan): 2 probed cells over 8
+      // cluster-sorted files keep a strict subset at any SF
+      val cells = graft.operators.IvfIndex.probeCells(s, idx, qv, nProbe = 2)
+      val (kept, total) =
+        graft.operators.IvfIndex.prunedPostingsPlan(s, idx, cells)
+      require(kept < total,
+        s"pruned serving plan must skip postings files ($kept/$total)")
+      graft.operators.IvfIndex.topKVecPruned(s, idx, qv, TOP_K, nProbe = 2)
     }),
 
     // k-NN label classification (semi-supervised labeling / label-noise

@@ -59,11 +59,14 @@ class IvfIndexSpec extends SparkSpec {
     val pruned = IvfIndex.topKVecPruned(spark, dir, v0, k = 10, nProbe = 2)
     assert(pruned.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
       === full)
-    // file-level evidence: the pruned serving scan opens a strict
-    // subset of the cell-clustered postings files (2 probed cells over
-    // 8 cluster-sorted files)
-    val opened = pruned.select(input_file_name()).distinct().count()
-    assert(opened < 8, s"pruned scan must skip postings files ($opened/8)")
+    // file-level evidence READ FROM THE PRUNE PLAN (a distinct-file
+    // count over the post-filter result is vacuous — the cell filter
+    // restricts rows to the probed cells even on an unpruned scan):
+    // 2 probed cells over 8 cluster-sorted files keep a strict subset
+    val cells = IvfIndex.probeCells(spark, dir, v0, nProbe = 2)
+    val (kept, total) = IvfIndex.prunedPostingsPlan(spark, dir, cells)
+    assert(total === 8 && kept < total,
+      s"pruned serving plan must skip postings files ($kept/$total)")
     // upsert deltas (wide cell range, statless clustering) stay
     // conservative: results still identical after an append
     IvfIndex.upsert(spark, dir, embs.filter(col("vec_id") >= 450L)
@@ -73,6 +76,30 @@ class IvfIndexSpec extends SparkSpec {
     val afterUpFull = IvfIndex.topKVec(spark, dir, v0, k = 10, nProbe = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(afterUp === afterUpFull)
+  }
+
+  test("serveTopKVec auto-dials pruned vs in-plan by postings file count") {
+    import spark.implicits._
+    val v0 = embs.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].collect().head
+    // SMALL index (4 files ≤ 2×nProbe): driver-side stats planning
+    // exceeds the saved scan (measured at 2k vectors, SCALING.md r16)
+    // — the dial picks the in-plan scan
+    val small = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, small, numFiles = 4)
+    assert(!IvfIndex.usePrunedServing(spark, small, nProbe = 2))
+    // LARGE-enough index (8 files > 2×nProbe): the dial picks the
+    // stats-pruned scan
+    val big = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, big, numFiles = 8)
+    assert(IvfIndex.usePrunedServing(spark, big, nProbe = 2))
+    // one entrypoint, same answer at both scales
+    val expect = IvfIndex.topKVec(spark, big, v0, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(IvfIndex.serveTopKVec(spark, small, v0, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq === expect)
+    assert(IvfIndex.serveTopKVec(spark, big, v0, k = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq === expect)
   }
 
   test("upsert assigns only the new batch; replay is a no-op") {

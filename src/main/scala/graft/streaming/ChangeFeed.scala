@@ -316,30 +316,58 @@ object ChangeFeed {
     * `=cdcv=<head>` tag, and the expectedBase CAS rejects concurrent
     * maintainers.
     */
+  /** INTERVAL-generalized session assignment — the shared core of
+    * [[maintainSessionsOnceLog]] and
+    * [[StreamingIvm.foldSessionLog]]'s bounded-retention fold. A log
+    * row is either a raw event (`tsCol` only — reads as the degenerate
+    * interval [ts, ts] carrying 1 event) or a folded CLOSED session
+    * (`tsCol` = start, `_end`, `_n` — one row standing for a whole
+    * session's events). The gap test runs start-to-previous-END, so a
+    * summary row sessionizes exactly like the events it replaced:
+    * within one user the intervals are disjoint by construction (a
+    * fold only collapses maximal closed sessions, and admission keeps
+    * every later event > end + gap), so `lag(_end)` IS the running
+    * session boundary. Emits the input columns + `_end`, `_n`, `_seq`
+    * (per-user session ordinal).
+    */
+  private[streaming] def sessionizeIntervals(events: DataFrame,
+      userCol: String, tsCol: String, gapMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spanned = {
+      val e = if (events.columns.contains("_end")) events
+        else events.withColumn("_end", col(tsCol))
+      val n = if (e.columns.contains("_n")) e
+        else e.withColumn("_n", lit(1L))
+      n.withColumn("_end", coalesce(col("_end"), col(tsCol)))
+        .withColumn("_n", coalesce(col("_n"), lit(1L)))
+    }
+    val byUser = Window.partitionBy(userCol).orderBy(tsCol, "_end")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    spanned
+      .withColumn("_prev", lag(col("_end"), 1).over(byUser))
+      .withColumn("_new", (col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapMicros)
+        .cast("int"))
+      .withColumn("_seq", sum(col("_new")).over(cum))
+      .drop("_prev", "_new")
+  }
+
   def maintainSessionsOnceLog(spark: SparkSession, source: String,
       mvTable: String, userCol: String, tsCol: String,
       gapMicros: Long): Option[Generations.Commit] = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     // ordering within equal timestamps is non-deterministic but the
     // result is invariant: a 0-µs gap never opens a session, and
     // min/max/count don't see row order
-    def sessionize(events: DataFrame): DataFrame = {
-      val byUser = Window.partitionBy(userCol).orderBy(tsCol)
-      val cum = byUser.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      events
-        .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
-        .withColumn("_new", (col("_prev").isNull ||
-          unix_micros(col(tsCol)) - unix_micros(col("_prev")) > gapMicros)
-          .cast("int"))
-        .withColumn("_seq", sum(col("_new")).over(cum))
+    def sessionize(events: DataFrame): DataFrame =
+      sessionizeIntervals(events, userCol, tsCol, gapMicros)
         .groupBy(col(userCol), col("_seq"))
         .agg(min(col(tsCol)).as("session_start"),
-          max(col(tsCol)).as("session_end"),
-          count(lit(1)).as("n_events"))
+          max(col("_end")).as("session_end"),
+          sum(col("_n")).as("n_events"))
         .drop("_seq")
-    }
     val st = logSpanState(spark, source, mvTable).getOrElse(return None)
     val next =
       if (!st.pureDelta) sessionize(st.contentAtHead(spark, source))

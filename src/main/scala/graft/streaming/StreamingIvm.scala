@@ -222,6 +222,7 @@ object StreamingIvm {
       batchId: Long, logTable: String, mvTable: String,
       tsCol: String = "ts", userCol: String = "user_id",
       gap: String = "30 minutes", lateness: String = "2 hours",
+      foldAfterCommits: Int = 0,
       failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     val mark = highMark(spark, logTable)
     val logged = admit(batch, mark, tsCol, lateness)
@@ -235,8 +236,73 @@ object StreamingIvm {
       advanceMark(spark, logTable, mark, logged, tsCol)
       failpoint("after-mark")
     } finally logged.unpersist()
-    ChangeFeed.maintainSessionsOnceLog(spark, logTable, mvTable, userCol,
-      tsCol, intervalMicros(gap))
+    val c = ChangeFeed.maintainSessionsOnceLog(spark, logTable, mvTable,
+      userCol, tsCol, intervalMicros(gap))
+    // bounded-retention dial: once the log span exceeds the policy
+    // width, collapse the frozen prefix (AFTER the view advanced — the
+    // fold is a snapshot, so the next tick's recompute sees the same
+    // content either way)
+    if (foldAfterCommits > 0 &&
+        Generations.logCommits(spark, logTable).size > foldAfterCommits)
+      foldSessionLog(spark, logTable, tsCol, userCol, gap, lateness)
+    c
+  }
+
+  /** HORIZON FOLD for the session-window event log — bounded retention
+    * for the one EX5×IVM shape whose state of record is raw events
+    * (sums fold by addition, KMV by k-min union; sessions cannot fold
+    * pointwise, but their PAST can). A session is CLOSED once
+    * `session_end < mark − lateness − gap`: every future admissible
+    * event has `ts ≥ mark − lateness > end + gap` (marks only
+    * advance), so nothing can ever join, split, or extend it. The fold
+    * rewrites the log as ONE summary row per closed session
+    * (`tsCol` = start, `_end`, `_n` — additive schema evolution; raw
+    * appends keep writing bare events that read as [ts, ts]×1) plus
+    * the open sessions' raw rows verbatim, committed as a SNAPSHOT
+    * under the usual expectedBase CAS (a concurrent append
+    * aborts-and-redoes the fold) with replay witnesses carried.
+    * [[ChangeFeed.sessionizeIntervals]]' start-to-previous-end gap
+    * test makes the folded log sessionize-EQUAL to the unfolded one —
+    * including late arrivals inside the horizon that merge open
+    * sessions (StreamingIvmFoldSpec) — so maintenance after a fold is
+    * unchanged, and the log the next 100 TB day appends to holds
+    * O(closed sessions + live events), not the full event history.
+    */
+  def foldSessionLog(spark: SparkSession, logTable: String,
+      tsCol: String = "ts", userCol: String = "user_id",
+      gap: String = "30 minutes", lateness: String = "2 hours",
+      maxRetries: Int = 5): Option[Generations.Commit] = {
+    val mark = highMark(spark, logTable).getOrElse(return None)
+    val horizon = mark - intervalMicros(lateness) - intervalMicros(gap)
+    var attempt = 0
+    while (true) {
+      val base = Generations.latest(spark, logTable).map(_.version)
+        .getOrElse(return None)
+      val log = Generations.readLog(spark, logTable).getOrElse(return None)
+      val assigned = ChangeFeed.sessionizeIntervals(log, userCol, tsCol,
+        intervalMicros(gap))
+      // a session is closed iff its LAST interval ends before the
+      // horizon (max over the session, computed per (user, _seq))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(userCol, "_seq")
+      val flagged = assigned.withColumn("_closed",
+        max(unix_micros(col("_end"))).over(w) < horizon)
+      val closed = flagged.filter(col("_closed"))
+        .groupBy(col(userCol), col("_seq"))
+        .agg(min(col(tsCol)).as(tsCol), max(col("_end")).as("_end"),
+          sum(col("_n")).as("_n"))
+        .select(col(userCol), col(tsCol), col("_end"), col("_n"))
+      val open = flagged.filter(!col("_closed"))
+        .select(col(userCol), col(tsCol), col("_end"), col("_n"))
+      val folded = closed.unionByName(open)
+      try return Some(Generations.writeAndCommit(spark, folded, logTable,
+        expectedBase = Some(base)))
+      catch {
+        case _: Generations.CommitConflictException
+          if attempt < maxRetries - 1 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One micro-batch of a maintained per-window KMV DISTINCT-COUNT

@@ -37,6 +37,10 @@ import graft.operators.Iterate.MaterializeOps
   *    respect 0 < jaccard ≤ 1, common ≥ the floor.
   *  - kNN recall: the measured-recall contract (exact |S|·N brute force
   *    vs graph neighbours) holds its floor at this scale too.
+  *  - Blocking recall: the semantic-dedup √N cell dial's pair recall at
+  *    this scale's operating point holds its crater-guard floor (the
+  *    gate SFs measure the boundary-pair regime; this is the near-dup
+  *    regime the dial actually serves).
   *
   * `runMain graft.GraphInvariants [sfDir]` (default `var/sf10`) — one
   * kNN-edge build at the production √N dial, reused by every check;
@@ -179,6 +183,22 @@ object GraphInvariants {
       .head()
     report("knn_recall_floor", rec.getBoolean(2),
       s"mean_recall=${rec.getDouble(1)} over ${rec.getLong(0)} anchors")
+
+    // 9. Blocking-recall floor AT THE OPERATING POINT (r16 verdict
+    // task #7): the semantic-dedup √N cell dial's pair recall at this
+    // scale's C, asserted instead of transcribed — same parameters as
+    // the gate query sim_dedup_blocking_recall (threshold 0.45,
+    // 2048-anchor sample). r16 measured 0.9111 at sf10's C=448 (the
+    // replica-synthesized corpus IS the near-dup regime); 0.6 is the
+    // crater guard a future dial change must not fall through. At gate
+    // SFs (no true near-dups, boundary-pair regime) the floor is the
+    // in-gate 0.07 / RecallFloorSpec 0.2 instead — this check runs
+    // where those cannot.
+    val br = graft.operators.Similarity.blockingPairRecall(
+      emb, nCells = dial, threshold = 0.45, minPairRecall = 0.6).head()
+    report("blocking_recall_sf10", br.getBoolean(2),
+      s"pair_recall=${br.getDouble(1)} over ${br.getLong(0)} " +
+        s"true pairs at C=$dial")
 
     spark.stop()
     if (failed > 0) {

@@ -159,9 +159,15 @@ object GovernanceQueries extends QueryPack {
       val joined = Bucketed.colocatedJoin(s, to, tl, "o_orderkey")
       require(Bucketed.exchangeCount(joined) == 0,
         "bucketed join must plan zero exchanges")
+      // decimal revenue (BASELINE.md rule): a double sum over a
+      // 60M-row join differs in the last cents digit between plans
+      // (LakeScaleProbe, SCALING.md) — decimal is order-independent
       joined.groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,2)").cast("string").as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     }),
 
@@ -186,10 +192,96 @@ object GovernanceQueries extends QueryPack {
         dim.select(col("o_orderkey"))).get
       require(fact.select(input_file_name()).distinct().count() < 32,
         "dim-derived key set must prune the key-clustered fact scan")
+      // decimal revenue: same house rule as lake_bucketed_join
       fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-          2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,2)").cast("string").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // BUCKETED LAYOUT composed INTO the Generations protocol (r16 gap:
+    // sinks/Bucketed was session-catalog-only — no snapshot isolation,
+    // no time travel, no folds; Generations tables couldn't co-locate).
+    // Here ONE mutable table of record (the reference's catalog role,
+    // data_downloader.py:40-48) is written bucket-clustered by EVERY
+    // commit, takes an APPEND commit, and the registered span still
+    // joins with ZERO exchanges — REQUIRED below. Values replay the
+    // raw join in the oracle.
+    "lake_gen_bucketed_join" -> ((s, dir) => {
+      import graft.sinks.{Bucketed, Generations, Scratch}
+      val base = Scratch.dir(s, "graft-genbkt")
+      val (ft, dt) = (s"$base/fact", s"$base/dim")
+      Generations.setBucketing(s, ft, "o_orderkey", 8)
+      Generations.setBucketing(s, dt, "o_orderkey", 8)
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_discount"))
+      Generations.writeAndCommit(s, li.filter(col("o_orderkey") % 10 =!= 0), ft)
+      Generations.appendCommitted(s,
+        li.filter(col("o_orderkey") % 10 === 0), ft, "batch=1")
+      Generations.writeAndCommit(s, t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority")), dt)
+      val sfx = java.util.UUID.randomUUID.toString.take(8)
+      val f = Bucketed.readGenerations(s, ft, s"lake_gb_f_$sfx")
+      val d = Bucketed.readGenerations(s, dt, s"lake_gb_d_$sfx")
+      val joined = f.join(d.hint("merge"), "o_orderkey")
+      require(Bucketed.exchangeCount(joined) == 0,
+        "the Generations-bucketed join must plan zero exchanges " +
+          "across the append commit")
+      joined.groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,2)").cast("string").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // BLOOM-tier dynamic pruning (sinks/BloomStats.scala — Delta's
+    // bloom-index posture at high key cardinality): the dim key set is
+    // two clumps at OPPOSITE ends of the fact's clustered key range, so
+    // the min/max range tier keeps every file, and maxKeys=16 forces
+    // the plan past the exact-key tier (the >1024-NDV regime where r16
+    // degraded to a bare range) — only the committed per-file blooms
+    // can rule out the middle files, and the REQUIRE proves they do.
+    // The oracle replays the raw join; equality proves the bloom tier
+    // dropped no matching rows (no false negatives, definitionally).
+    "lake_bloom_dfp_join" -> ((s, dir) => {
+      import graft.sinks.{Generations, Scratch}
+      val base = Scratch.dir(s, "graft-bloomdfp")
+      val tab = s"$base/lineitem_by_okey"
+      Generations.setStatsCols(s, tab, Seq("l_orderkey"))
+      // fpp is per-PROBE: two 5%-of-keyspace clumps probe ~10% of the
+      // orders, so 1e-6 holds the per-file false-keep odds ≈ K·fpp
+      // well under 1 at every gate SF
+      Generations.setBloomCols(s, tab, Seq("l_orderkey"), fpp = 1e-6)
+      Generations.writeAndCommit(s, t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(32, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"), tab)
+      val maxKey = t(s, dir, "orders")
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (maxKey / 20, maxKey - maxKey / 20)
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderkey") <= lo || col("o_orderkey") >= hi)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val (kept, total) = Generations.prunePlanByKeys(s, tab, "l_orderkey",
+        dim.select(col("o_orderkey")), maxKeys = 16).get
+      require(kept.size * 2 < total,
+        s"bloom tier must prune the middle of the clustered fact " +
+          s"(kept ${kept.size}/$total)")
+      val fact = Generations.readFiles(s, tab, kept)
+      fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(BigDecimal(1)).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)")))
+          .cast("decimal(38,2)").cast("string").as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     })
   )
@@ -313,7 +405,9 @@ object GovernanceQueries extends QueryPack {
     // bucketed layout changed the plan, not the values
     "lake_bucketed_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
         |  count(*) AS n_items
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -321,10 +415,38 @@ object GovernanceQueries extends QueryPack {
     // raw-table replay of the dynamically pruned join
     "lake_dfp_join" ->
       """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
         |  count(*) AS n_items
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |WHERE o.o_custkey = 5
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // raw-table replay of the Generations-bucketed co-located join
+    // (fact = full lineitem via the two commits, so the join is total)
+    "lake_gen_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // raw-table replay of the bloom-pruned join (the two-clump dim)
+    "lake_bloom_dfp_join" ->
+      """WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+        |SELECT o_orderpriority,
+        |  CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders o
+        |CROSS JOIN m
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey <= m.mx // 20
+        |   OR o.o_orderkey >= m.mx - m.mx // 20
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -1,0 +1,254 @@
+package graft.sinks
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-FILE Bloom filters for [[Generations]] tables — the third
+  * data-skipping tier, between the min/max range tier ([[FileStats]])
+  * and keep-everything.
+  *
+  * Why it exists: [[Generations.readPrunedByKeys]] (dynamic file
+  * pruning) degrades to a bare min/max range once the dimension's key
+  * set exceeds `maxKeys` — useless when a high-cardinality sparse key
+  * set straddles the fact's clustered range (every file's [min, max]
+  * intersects SOME key even though almost none actually matches). A
+  * commit-time Bloom filter per (file, column) answers "could this
+  * file contain ANY of the probe keys" with no false negatives, so a
+  * bloom miss PRUNES the file and a hit (true or false-positive) keeps
+  * it — conservative by construction, like every tier here. This is
+  * the Delta Lake bloom-index posture at high join-key cardinality.
+  *
+  * Mechanics:
+  *  - BUILD ([[build]]): one distributed pass over the freshly written
+  *    generation's DATA (stats come free from footers, blooms cannot —
+  *    the cost is O(new data), proportional to the write itself, the
+  *    same posture as Delta's bloom index). Each (file, column) gets
+  *    one [[BloomFilter]] sized by the file's footer row count (an
+  *    upper bound of its NDV) at the table's declared `fpp`, capped at
+  *    [[MaxItems]] — an over-full bloom only raises its false-positive
+  *    rate, never produces a false negative, so saturation degrades to
+  *    keep-more, not wrong results.
+  *  - STORE ([[write]]): one immutable binary sidecar `_bloom/<gen>`
+  *    per generation, published atomically (temp + create-only) like
+  *    `_stats/<gen>`; [[read]] treats absence/corruption as "no
+  *    blooms" (keep everything).
+  *  - PROBE ([[mightContain]]): the probe value is normalized EXACTLY
+  *    like [[build]]'s put — integers widen to long, DATE → epoch-day,
+  *    TIMESTAMP → micros, strings hash as UTF-8 — so membership is
+  *    well-defined across the write/read boundary. Unsupported literal
+  *    domains answer true (keep).
+  *
+  * Only [[supportedType]] columns carry blooms: a column type whose
+  * values we cannot normalize must not get a filter at all (a bloom
+  * missing some of a file's values would produce FALSE NEGATIVES — the
+  * one unforgivable failure for a pruning structure). Doubles are
+  * deliberately unsupported: equality probes on floats are not a real
+  * workload and NaN/-0.0 normalization is a trap.
+  *
+  * Probe-side survival math (the knob the caller owns): a file with
+  * none of the K probe keys survives with p = 1 − (1 − fpp)^K, so fpp
+  * must be chosen against the EXPECTED PROBE CARDINALITY, not per-key
+  * comfort — fpp 0.01 keeps ~everything at K = 1000 probes. The
+  * default 1e-4 (~19 bits/value) holds to K ≈ 100; declare 1e-6
+  * (~29 bits) for K ≈ 10k-scale dynamic pruning.
+  */
+object BloomStats {
+
+  private val Magic = 0x47424c31 // "GBL1"
+
+  /** Hard cap on a single bloom's sizing input: beyond this the filter
+    * saturates toward keep (never wrong), and the sidecar stays
+    * bounded (~34 MB at 1e-6 before the cap).
+    */
+  val MaxItems: Long = 8L * 1000 * 1000
+
+  def bloomDir(table: Path): Path = new Path(table, "_bloom")
+  def bloomPath(table: Path, gen: String): Path =
+    new Path(bloomDir(table), gen)
+
+  /** Column types whose values normalize losslessly into the bloom
+    * domain. Anything else records NO bloom (never a partial one).
+    */
+  def supportedType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def putValue(bf: BloomFilter, v: Any): Unit = v match {
+    case l: java.lang.Long => bf.putLong(l)
+    case i: java.lang.Integer => bf.putLong(i.toLong)
+    case s: java.lang.Short => bf.putLong(s.toLong)
+    case b: java.lang.Byte => bf.putLong(b.toLong)
+    case s: String => bf.putString(s)
+    case d: java.sql.Date => bf.putLong(d.toLocalDate.toEpochDay)
+    case t: java.sql.Timestamp =>
+      bf.putLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case _ => throw new IllegalArgumentException(
+      s"unbloomable value class ${v.getClass} — supportedType must gate this")
+  }
+
+  /** Membership probe under the same normalization as the build side.
+    * Unknown literal domains keep the file (true).
+    */
+  def mightContain(bf: BloomFilter, v: Any): Boolean = v match {
+    case l: java.lang.Long => bf.mightContainLong(l)
+    case i: java.lang.Integer => bf.mightContainLong(i.toLong)
+    case s: java.lang.Short => bf.mightContainLong(s.toLong)
+    case b: java.lang.Byte => bf.mightContainLong(b.toLong)
+    case s: String => bf.mightContainString(s)
+    case d: java.sql.Date => bf.mightContainLong(d.toLocalDate.toEpochDay)
+    case t: java.sql.Timestamp =>
+      bf.mightContainLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+    case _ => true
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+
+  /** One distributed pass over the generation's data: a bloom per
+    * (file, supported declared column), partial blooms merged by key
+    * (same sizing per file ⇒ mergeable). The driver collect is bounded
+    * by THIS COMMIT's file count × column count — the same bound as
+    * footer stats, never a table-wide walk.
+    */
+  /** Fault-injection seam (BloomStatsSpec): blooms are optional — a
+    * build failure must degrade the commit to "no sidecar", not abort.
+    */
+  @volatile private[sinks] var buildFailpoint: () => Unit = () => ()
+
+  def build(spark: SparkSession, genDir: Path, cols: Seq[String],
+      rowsPerFile: Map[String, Long], fpp: Double)
+      : Seq[(String, String, BloomFilter)] = {
+    buildFailpoint()
+    val df = spark.read.parquet(genDir.toString)
+    val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
+      supportedType(df.schema(c).dataType))
+    if (present.isEmpty) return Nil
+    val sel = df.select(input_file_name() +: present.map(col): _*)
+    val bcRows = spark.sparkContext.broadcast(rowsPerFile)
+    val nCols = present.length
+    val colNames = present.toArray
+    val theFpp = fpp
+    val partial = sel.rdd.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, String), BloomFilter]
+      it.foreach { r =>
+        val f = fileNameOf(r.getString(0))
+        var i = 1
+        while (i <= nCols) {
+          if (!r.isNullAt(i)) {
+            val bf = acc.getOrElseUpdate((f, colNames(i - 1)),
+              BloomFilter.create(
+                math.min(math.max(bcRows.value.getOrElse(f, 1L), 1L),
+                  MaxItems), theFpp))
+            putValue(bf, r.get(i))
+          }
+          i += 1
+        }
+      }
+      acc.iterator
+    }
+    val merged = partial.reduceByKey(_ mergeInPlace _).collect()
+    bcRows.unpersist()
+    merged.map { case ((f, c), bf) => (f, c, bf) }.toSeq
+  }
+
+  private def fileNameOf(uri: String): String = {
+    val i = uri.lastIndexOf('/')
+    if (i < 0) uri else uri.substring(i + 1)
+  }
+
+  /** Persist one generation's blooms atomically (temp + create-only),
+    * mirroring `_stats`: readers observe the complete sidecar or none.
+    */
+  def write(fs: FileSystem, table: Path, gen: String,
+      entries: Seq[(String, String, BloomFilter)]): Unit = {
+    if (entries.isEmpty) return
+    val bd = bloomDir(table)
+    fs.mkdirs(bd)
+    val tmp = new Path(bd,
+      s".$gen.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(tmp, false)))
+    try {
+      out.writeInt(Magic)
+      out.writeInt(entries.length)
+      entries.foreach { case (f, c, bf) =>
+        out.writeUTF(f)
+        out.writeUTF(c)
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        val b = bos.toByteArray
+        out.writeInt(b.length)
+        out.write(b)
+      }
+    } finally out.close()
+    if (!Pointers.publishNew(fs, tmp, bloomPath(table, gen)))
+      fs.delete(tmp, false) // someone already published identical blooms
+  }
+
+  /** The generation's serialized blooms by (file, column), or None when
+    * absent/corrupt — callers treat None (and any missing entry) as
+    * "keep everything". Bytes stay serialized so the caller can ship
+    * them in a broadcast and deserialize executor-side.
+    */
+  def read(fs: FileSystem, table: Path,
+      gen: String): Option[Map[(String, String), Array[Byte]]] = {
+    val p = bloomPath(table, gen)
+    if (!fs.exists(p)) return None
+    try {
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(fs.open(p)))
+      try {
+        if (in.readInt() != Magic) return None
+        val n = in.readInt()
+        if (n < 0 || n > 1000000) return None
+        val m = Map.newBuilder[(String, String), Array[Byte]]
+        var i = 0
+        while (i < n) {
+          val f = in.readUTF()
+          val c = in.readUTF()
+          val len = in.readInt()
+          if (len < 0) return None
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          m += ((f, c) -> b)
+          i += 1
+        }
+        Some(m.result())
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Delete the bloom sidecar of a generation (gc hook). */
+  def delete(fs: FileSystem, table: Path, gen: String): Unit = {
+    val p = bloomPath(table, gen)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Bloom sidecars with no surviving generation directory (gc debris),
+    * plus stale in-flight `.tmp` files — same sweep contract as
+    * [[FileStats.orphans]]/[[FileStats.tmpDebris]].
+    */
+  def orphans(fs: FileSystem, table: Path, liveGens: Set[String]): Seq[Path] = {
+    val bd = bloomDir(table)
+    if (!fs.exists(bd)) Nil
+    else fs.listStatus(bd).map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !liveGens.contains(p.getName))
+      .toSeq
+  }
+
+  def tmpDebris(fs: FileSystem, table: Path): Seq[Path] = {
+    val bd = bloomDir(table)
+    if (!fs.exists(bd)) Nil
+    else fs.listStatus(bd).map(_.getPath)
+      .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
+      .toSeq
+  }
+}

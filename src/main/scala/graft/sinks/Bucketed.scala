@@ -49,6 +49,56 @@ object Bucketed {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right).hint("merge"), key)
 
+  /** Register `name` as an ephemeral catalog VIEW of a bucket-clustered
+    * [[Generations]] table's LIVE span: a partitioned + `CLUSTERED BY`
+    * catalog table whose `_gen` partitions each point at one committed
+    * generation directory (`ALTER TABLE … ADD PARTITION … LOCATION`),
+    * so the planner trusts the layout — the bucketed scan merges each
+    * bucket's files ACROSS generations into one co-located partition
+    * and a key-equality join plans zero exchanges even after append
+    * commits (BucketedGenerationsSpec pins it; the lake_gen_bucketed_join
+    * gate REQUIREs it).
+    *
+    * This is how "mutable table of record" and "exchange-free joinable"
+    * become ONE table: the Generations commit log keeps snapshot
+    * isolation, replay witnesses, time travel, stats skipping and
+    * maintenance folds; the registration is a pure-metadata projection
+    * of the committed span into the session catalog (re-run it per
+    * session or after a commit — partitions registered here ARE the
+    * snapshot, so a concurrent commit never moves a registered reader).
+    * Catalog metadata is session-scoped and disposable; the table of
+    * record is the directory + commit log, exactly as before.
+    */
+  def registerGenerations(spark: SparkSession, table: String,
+      name: String): Unit = {
+    val (key, n) = Generations.getBucketing(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table has no declared bucketing — setBucketing first"))
+    val commits = Generations.logCommits(spark, table)
+    require(commits.nonEmpty, s"$table has no committed content")
+    val schema = Generations.readLog(spark, table).get.schema
+    require(schema.fieldNames.contains(key),
+      s"bucket key '$key' missing from $table's live schema")
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(
+      s"CREATE TABLE `$name` (${schema.toDDL}, _gen STRING) USING parquet " +
+        s"PARTITIONED BY (_gen) CLUSTERED BY (`$key`) SORTED BY (`$key`) " +
+        s"INTO $n BUCKETS LOCATION '$table'")
+    commits.foreach { c =>
+      spark.sql(s"ALTER TABLE `$name` ADD PARTITION (_gen='${c.gen}') " +
+        s"LOCATION '${Generations.genPath(table, c)}'")
+    }
+  }
+
+  /** The registered live span as a frame (bucketed scan, `_gen`
+    * dropped): [[registerGenerations]] + read, the one-call form.
+    */
+  def readGenerations(spark: SparkSession, table: String,
+      name: String): DataFrame = {
+    registerGenerations(spark, table, name)
+    spark.table(name).drop("_gen")
+  }
+
   /** Exchanges the plan would execute — 0 for a co-located join. Read
     * from `executedPlan` (exchanges are inserted by EnsureRequirements
     * at preparation; `sparkPlan` predates them and always shows zero),

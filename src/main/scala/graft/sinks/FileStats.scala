@@ -225,6 +225,12 @@ object FileStats {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** Fault-injection seam (FileStatsSpec): called once per footer read
+    * so a spec can make collection fail and prove the COMMIT survives —
+    * stats are optional, a footer failure degrades to no stats file.
+    */
+  @volatile private[sinks] var collectFailpoint: Path => Unit = _ => ()
+
   /** Footer-only stats of every parquet data file under `genDir`. */
   def collect(conf: Configuration, fs: FileSystem, genDir: Path,
       cols: Seq[String]): Seq[FileEntry] = {
@@ -237,10 +243,26 @@ object FileStats {
     val pool = Executors.newFixedThreadPool(math.min(8, files.length))
     try {
       val futs = files.map(p => pool.submit(new Callable[FileEntry] {
-        def call(): FileEntry = statFile(conf, p, colSet)
+        def call(): FileEntry = { collectFailpoint(p); statFile(conf, p, colSet) }
       }))
       futs.map(_.get(600, TimeUnit.SECONDS)).toSeq
-    } finally pool.shutdown()
+    } finally pool.shutdownNow() // interrupt stragglers on failure; no-op on success
+  }
+
+  /** Per-file footer row counts under `genDir` (metadata-only; bloom
+    * sizing uses a file's row count as the NDV upper bound).
+    */
+  def rowCounts(conf: Configuration, fs: FileSystem,
+      genDir: Path): Map[String, Long] = {
+    val files = fs.listStatus(genDir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    files.map { p =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try p.getName -> r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.toMap
   }
 
   // ------------------------------------------------------------ persistence
@@ -313,6 +335,19 @@ object FileStats {
     if (!fs.exists(sd)) Nil
     else fs.listStatus(sd).map(_.getPath)
       .filter(p => !p.getName.startsWith(".") && !liveGens.contains(p.getName))
+      .toSeq
+  }
+
+  /** In-flight stats temp files (`.<gen>.<uuid>.tmp`) — a crash between
+    * tmp create and publish leaks one forever otherwise ([[orphans]]
+    * skips dot-prefixed names by design). gc sweeps these under the
+    * same age gate as orphan stats files.
+    */
+  def tmpDebris(fs: FileSystem, table: Path): Seq[Path] = {
+    val sd = statsDir(table)
+    if (!fs.exists(sd)) Nil
+    else fs.listStatus(sd).map(_.getPath)
+      .filter(p => p.getName.startsWith(".") && p.getName.endsWith(".tmp"))
       .toSeq
   }
 

@@ -367,6 +367,71 @@ object Generations {
       .flatMap(_.linesIterator).filter(_.nonEmpty)
   }
 
+  /** Declare a BUCKET-CLUSTERED layout for the table (the co-located
+    * join primitive, composed INTO the commit protocol): every commit
+    * from here on — appends, merges, squash/compaction folds — writes
+    * its generation hash-clustered by `key` into `n` bucket files
+    * (Spark's `bucketBy` naming), so the layout survives the table's
+    * whole mutation lifecycle, and [[Bucketed.readGenerations]] can
+    * register any committed span as a catalog table whose key-equality
+    * joins plan ZERO exchanges. The shuffle is paid once per commit,
+    * at write time, never again at read. Declare BEFORE the first
+    * commit; the bucket key is a layout CONTRACT — a later commit
+    * missing the column fails rather than silently breaking the layout.
+    */
+  def setBucketing(spark: SparkSession, table: String, key: String,
+      n: Int): Unit = {
+    require(key.nonEmpty && !key.contains("\n") && !key.contains(" "),
+      s"bucket key must be space/newline-free: '$key'")
+    require(n > 0, s"bucket count must be positive: $n")
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.replace(fs, t, "_bucketing", s"$key $n")
+  }
+
+  /** The table's declared bucket layout, if any. */
+  def getBucketing(spark: SparkSession, table: String): Option[(String, Int)] = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.read(fs, t, "_bucketing").flatMap { txt =>
+      txt.trim.split(" ") match {
+        case Array(k, n) => Some((k, n.toInt))
+        case _ => None
+      }
+    }
+  }
+
+  /** Declare per-file BLOOM columns (the third skipping tier — see
+    * [[BloomStats]]): every commit from here on scans its OWN new data
+    * once to build a bloom per (file, column), and
+    * [[readPrunedByKeys]] consults them between the min/max range tier
+    * and keep-everything. `fpp` is per-PROBE: a file with none of the K
+    * probe keys survives with 1 − (1 − fpp)^K, so size fpp against the
+    * expected probe cardinality (1e-6 for ~10k-key dynamic pruning).
+    */
+  def setBloomCols(spark: SparkSession, table: String, cols: Seq[String],
+      fpp: Double = 1e-4): Unit = {
+    cols.foreach(c => require(c.nonEmpty && !c.contains("\n") &&
+      !c.contains(" "), s"bloom column must be space/newline-free: '$c'"))
+    require(fpp > 0 && fpp < 0.5, s"fpp out of range: $fpp")
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.replace(fs, t, "_bloomcols", (fpp.toString +: cols).mkString("\n"))
+  }
+
+  /** The table's declared bloom columns and fpp (empty when none). */
+  def getBloomCols(spark: SparkSession, table: String): (Seq[String], Double) = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.read(fs, t, "_bloomcols") match {
+      case None => (Nil, 0.0)
+      case Some(txt) =>
+        val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+        if (lines.isEmpty) (Nil, 0.0)
+        else (lines.tail, lines.head.toDouble)
+    }
+  }
+
   /** Per-commit file-pruning report for `preds` over the live content
     * ([[logCommits]] span): (kept parquet paths, total files). A
     * generation without stats keeps all its files — pruning is always
@@ -407,13 +472,23 @@ object Generations {
     */
   def readPruned(spark: SparkSession, table: String,
       preds: Seq[FileStats.Pred]): Option[DataFrame] =
-    prunePlan(spark, table, preds).map { case (kept, _) =>
-      if (kept.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          readLog(spark, table).get.schema)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(kept.map(_.toString): _*)
-    }
+    prunePlan(spark, table, preds).map(p => readFiles(spark, table, p._1))
+
+  /** Read an explicit kept-file list under the LIVE table schema — not
+    * whatever the kept files happen to merge to: pruning must be a
+    * transparent optimization, and when additive-evolution columns live
+    * only in pruned-away generations a mergeSchema read would come back
+    * narrower than readLog (absent columns read as null, same as the
+    * full scan).
+    */
+  def readFiles(spark: SparkSession, table: String,
+      kept: Seq[Path]): DataFrame = {
+    val schema = readLog(spark, table).get.schema
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(kept.map(_.toString): _*)
+  }
 
   /** DYNAMIC file pruning (Delta's DFP analog): restrict the fact scan
     * to files whose `keyCol` stats can intersect the join keys of an
@@ -427,7 +502,29 @@ object Generations {
     * performs the real join on the result.
     */
   def readPrunedByKeys(spark: SparkSession, table: String, keyCol: String,
-      dimKeys: DataFrame, maxKeys: Int = 1024): Option[DataFrame] = {
+      dimKeys: DataFrame, maxKeys: Int = 1024): Option[DataFrame] =
+    prunePlanByKeys(spark, table, keyCol, dimKeys, maxKeys)
+      .map(p => readFiles(spark, table, p._1))
+
+  /** The file-pruning plan of [[readPrunedByKeys]] — (kept, total) —
+    * exposed so callers can assert/report the skip without re-deriving
+    * it from the scanned result (a post-filter distinct-file count is
+    * restricted by the filter itself and proves nothing). Tiers, most
+    * selective information first, each strictly conservative:
+    *  1. min/max range of the dim keys vs per-file stats;
+    *  2. when the dim has ≤ `maxKeys` distinct keys (bounded driver
+    *     collect): the exact key set vs per-file [min, max] — a file
+    *     straddling a GAP between keys still prunes;
+    *  3. per-file BLOOM membership ([[BloomStats]], when declared):
+    *     driver-side probes for a collected key set, a distributed
+    *     broadcast-bloom probe when the key set is too large to
+    *     collect — THE tier that still prunes when a high-cardinality
+    *     sparse key set straddles every file's range. The probe-side
+    *     aggregate is bounded by the candidate FILE count, never the
+    *     key count.
+    */
+  def prunePlanByKeys(spark: SparkSession, table: String, keyCol: String,
+      dimKeys: DataFrame, maxKeys: Int = 1024): Option[(Seq[Path], Int)] = {
     import org.apache.spark.sql.functions.{col, countDistinct, max, min}
     val k = dimKeys.columns.head
     def lit(v: Any): Any = v match {
@@ -439,18 +536,80 @@ object Generations {
     val head = dimKeys.select(col(k)).na.drop()
       .agg(min(col(k)), max(col(k)), countDistinct(col(k))).head()
     if (head.isNullAt(0)) // empty dim: nothing can join
-      return prunePlan(spark, table, Nil).map { _ =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          readLog(spark, table).get.schema)
+      return prunePlan(spark, table, Nil).map { case (_, total) =>
+        (Seq.empty[Path], total)
       }
     val range = FileStats.Between(keyCol, lit(head.get(0)), lit(head.get(1)))
-    val preds =
+    val exact: Option[Seq[Any]] =
       if (head.getLong(2) <= maxKeys)
-        Seq(range, FileStats.In(keyCol, dimKeys.select(col(k)).na.drop()
-          .distinct().collect().map(r => lit(r.get(0))).toSeq))
-      else Seq(range)
-    readPruned(spark, table, preds)
+        Some(dimKeys.select(col(k)).na.drop()
+          .distinct().collect().map(r => lit(r.get(0))).toSeq)
+      else None
+    val preds = Seq(range) ++ exact.map(FileStats.In(keyCol, _))
+    prunePlan(spark, table, preds).map { case (kept, total) =>
+      (bloomRefine(spark, table, keyCol, kept, exact, dimKeys), total)
+    }
+  }
+
+  /** Bloom tier of [[prunePlanByKeys]]: drop candidate files whose
+    * committed bloom contains NONE of the probe keys. Files without a
+    * bloom (older generations, undeclared column, corrupt sidecar) are
+    * always kept. With a collected key set the probe runs driver-side;
+    * otherwise the (bounded: candidate files × bloom bytes) blooms
+    * broadcast and the keys probe them distributed, aggregating only
+    * the hit FILE set.
+    */
+  private def bloomRefine(spark: SparkSession, table: String,
+      keyCol: String, kept: Seq[Path], exact: Option[Seq[Any]],
+      dimKeys: DataFrame): Seq[Path] = {
+    import org.apache.spark.sql.functions.col
+    if (kept.isEmpty) return kept
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    if (getBloomCols(spark, table)._1.isEmpty) return kept
+    // serialized blooms for the candidate files' generations only
+    val blooms: Map[String, Array[Byte]] = kept.groupBy(_.getParent.getName)
+      .flatMap { case (gen, paths) =>
+        BloomStats.read(fs, t, gen) match {
+          case None => Nil
+          case Some(m) => paths.flatMap(p =>
+            m.get((p.getName, keyCol)).map(b => p.toString -> b))
+        }
+      }
+    if (blooms.isEmpty) return kept
+    exact match {
+      case Some(keys) =>
+        kept.filter { p =>
+          blooms.get(p.toString) match {
+            case None => true
+            case Some(bytes) =>
+              val bf = BloomStats.deserialize(bytes)
+              keys.exists(BloomStats.mightContain(bf, _))
+          }
+        }
+      case None =>
+        val k = dimKeys.columns.head
+        val bc = spark.sparkContext.broadcast(blooms.toSeq)
+        val hit =
+          try dimKeys.select(col(k)).na.drop().distinct().rdd
+            .mapPartitions { it =>
+              val bfs = bc.value.map { case (f, b) =>
+                f -> BloomStats.deserialize(b) }
+              val hits = scala.collection.mutable.HashSet.empty[String]
+              it.foreach { r =>
+                if (hits.size < bfs.length) { // all hit: stop probing
+                  val v = r.get(0)
+                  bfs.foreach { case (f, bf) =>
+                    if (!hits.contains(f) && BloomStats.mightContain(bf, v))
+                      hits += f
+                  }
+                }
+              }
+              hits.iterator
+            }.distinct().collect().toSet
+          finally bc.unpersist()
+        kept.filter(p => !blooms.contains(p.toString) || hit(p.toString))
+    }
   }
 
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
@@ -483,9 +642,31 @@ object Generations {
       org.apache.spark.sql.types.TimestampType)
     val prevTs = if (needsMicros) Some(spark.conf.get(tsKey)) else None
     if (needsMicros) spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.observe(obs, count(lit(1)).as("rows"), checkMetrics: _*)
-      .write.options(options).parquet(genDir.toString)
-    finally prevTs.foreach(spark.conf.set(tsKey, _))
+    val observed = df.observe(obs, count(lit(1)).as("rows"), checkMetrics: _*)
+    val bucketing = getBucketing(spark, table)
+    bucketing.foreach { case (key, _) =>
+      require(df.schema.fieldNames.contains(key),
+        s"table $table is bucket-clustered by '$key' but this commit's " +
+          "frame lacks the column — the layout is a contract, not a hint")
+    }
+    try bucketing match {
+      case Some((key, n)) =>
+        // bucket-clustered generation, into the STANDARD gen dir: a
+        // temp external saveAsTable is the only API that writes Spark's
+        // bucket-id file naming; dropping it keeps the files (external)
+        // and the commit protocol proceeds unchanged. repartition(n,
+        // key) aligns tasks with buckets (same murmur3 pmod), so each
+        // bucket is exactly one file per commit.
+        val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        observed
+          .repartition(n, org.apache.spark.sql.functions.col(key))
+          .write.options(options).format("parquet")
+          .option("path", genDir.toString)
+          .bucketBy(n, key).sortBy(key).saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$tmp`")
+      case None =>
+        observed.write.options(options).parquet(genDir.toString)
+    } finally prevTs.foreach(spark.conf.set(tsKey, _))
     val rows = obs.get("rows").asInstanceOf[Long]
     val violations = checks.zipWithIndex.map { case ((name, _), i) =>
       name -> Option(obs.get(s"viol_$i")).map(_.asInstanceOf[Long])
@@ -504,10 +685,26 @@ object Generations {
     // generation's files, persisted before the pointer publish so a
     // published commit always carries its stats (a crash in between
     // leaves an orphan stats file — ordinary gc debris). Declared
-    // columns absent from this frame's schema record nothing.
+    // columns absent from this frame's schema record nothing. Stats are
+    // an OPTIONAL optimization: a footer-read failure here must not
+    // fail an otherwise-complete commit — degrade to publishing no
+    // stats for this generation (readers keep everything, the same
+    // posture the read path takes for absent/corrupt stats).
     if (statsCols.nonEmpty)
-      FileStats.write(fs, t, gen, FileStats.collect(
+      try FileStats.write(fs, t, gen, FileStats.collect(
         spark.sparkContext.hadoopConfiguration, fs, genDir, statsCols))
+      catch { case scala.util.control.NonFatal(_) => () }
+    // per-file bloom sidecar (the third skipping tier, BloomStats):
+    // one pass over THIS generation's data, sized by footer row counts;
+    // optional like stats — a failure degrades to no blooms, readers
+    // keep everything
+    val (bloomCols, bloomFpp) = getBloomCols(spark, table)
+    val bloomable = bloomCols.filter(df.schema.fieldNames.contains)
+    if (bloomable.nonEmpty)
+      try BloomStats.write(fs, t, gen, BloomStats.build(spark, genDir,
+        bloomable, FileStats.rowCounts(
+          spark.sparkContext.hadoopConfiguration, fs, genDir), bloomFpp))
+      catch { case scala.util.control.NonFatal(_) => () }
     val cd = commitsDir(t)
     fs.mkdirs(cd)
     var version = baseVersion + 1
@@ -999,6 +1196,7 @@ object Generations {
           markers.get(name).foreach(m => fs.delete(m.getPath, false))
           fs.delete(s.getPath, true)
           FileStats.delete(fs, t, name)
+          BloomStats.delete(fs, t, name)
           genDeletes += 1
         }
       }
@@ -1023,6 +1221,18 @@ object Generations {
       if (fs.getFileStatus(p).getModificationTime < ageCut)
         fs.delete(p, false)
     }
+    // stale in-flight stats temp files (crash between tmp create and
+    // publish): dot-prefixed, so invisible to orphans(); same age gate
+    FileStats.tmpDebris(fs, t).foreach { p =>
+      if (fs.getFileStatus(p).getModificationTime < ageCut)
+        fs.delete(p, false)
+    }
+    // bloom sidecars follow the exact same lifecycle as stats files
+    (BloomStats.orphans(fs, t, liveGenNames) ++ BloomStats.tmpDebris(fs, t))
+      .foreach { p =>
+        if (fs.getFileStatus(p).getModificationTime < ageCut)
+          fs.delete(p, false)
+      }
     (drop.length + stale.length, genDeletes)
   }
 }

@@ -1,0 +1,118 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The bucketed layout composed INTO the Generations protocol: one
+  * table is both MUTABLE (snapshot-isolated commits, replay witnesses,
+  * maintenance folds, stats skipping) and EXCHANGE-FREE JOINABLE (every
+  * commit writes bucket-clustered; a registered span plans co-located
+  * joins) — the r16 gap where `Bucketed` lived outside the protocol and
+  * a user had to choose between the two halves of the 100 TB read
+  * problem.
+  */
+class BucketedGenerationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDir(name: String): String =
+    Files.createTempDirectory("graft-bktgen").resolve(name).toString
+
+  private def uniq(p: String): String =
+    p + java.util.UUID.randomUUID.toString.take(8)
+
+  private def fact() = spark.range(2000)
+    .select(col("id").as("k"), (col("id") % 97).as("v"))
+
+  test("co-located join stays exchange-free ACROSS an append commit") {
+    val ft = mkDir("fact"); val dt = mkDir("dim")
+    Generations.setBucketing(spark, ft, "k", 8)
+    Generations.setBucketing(spark, dt, "k", 8)
+    Generations.writeAndCommit(spark, fact().filter(col("k") % 10 =!= 0), ft)
+    Generations.appendCommitted(spark,
+      fact().filter(col("k") % 10 === 0), ft, "batch=1")
+    Generations.writeAndCommit(spark, spark.range(2000)
+      .select(col("id").as("k"), concat(lit("p"), col("id") % 5).as("p")), dt)
+    val f = Bucketed.readGenerations(spark, ft, uniq("bg_f"))
+    val d = Bucketed.readGenerations(spark, dt, uniq("bg_d"))
+    val j = f.join(d.hint("merge"), "k")
+    assert(Bucketed.exchangeCount(j) === 0,
+      "the join across a 2-generation span must plan zero exchanges")
+    // values: identical to the plain log read's join
+    val expect = Generations.readLog(spark, ft).get
+      .join(Generations.readLog(spark, dt).get, "k")
+      .agg(count(lit(1)), sum(col("v"))).head()
+    assert(j.agg(count(lit(1)), sum(col("v"))).head() === expect)
+    assert(expect.getLong(0) === 2000L)
+  }
+
+  test("registration IS the snapshot: a later commit never moves a registered reader") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.writeAndCommit(spark, fact(), t)
+    val name = uniq("bg_snap")
+    val before = Bucketed.readGenerations(spark, t, name)
+    Generations.appendCommitted(spark,
+      spark.range(2000, 2500).select(col("id").as("k"),
+        (col("id") % 97).as("v")), t, "batch=9")
+    assert(before.count() === 2000L,
+      "registered partitions pin the span at registration time")
+    // re-registration picks up the append
+    assert(Bucketed.readGenerations(spark, t, uniq("bg_snap2"))
+      .count() === 2500L)
+  }
+
+  test("maintenance folds preserve the layout: squash, re-register, still 0 exchanges") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 8)
+    Generations.writeAndCommit(spark, fact().filter(col("k") < 1000), t)
+    Generations.appendCommitted(spark,
+      fact().filter(col("k") >= 1000), t, "batch=1")
+    Generations.squash(spark, t)
+    assert(Generations.logCommits(spark, t).size === 1,
+      "squash folded the span")
+    val f = Bucketed.readGenerations(spark, t, uniq("bg_sq"))
+    val j = f.join(f.hint("merge"), "k")
+    assert(Bucketed.exchangeCount(j) === 0,
+      "the squashed generation is still bucket-clustered")
+    assert(f.count() === 2000L)
+    // exactly n files in the folded generation: one per bucket
+    val gen = Generations.logCommits(spark, t).head
+    val genDir = new java.io.File(Generations.genPath(t, gen))
+    assert(genDir.list().count(_.startsWith("part-")) === 8)
+  }
+
+  test("stats skipping composes with the bucketed layout on one table") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.setStatsCols(spark, t, Seq("v"))
+    // v correlates with k%97 — use a v-clustered frame so stats bite:
+    // here just check the machinery end-to-end (stats exist, pruned
+    // read + real filter ≡ full + real filter)
+    Generations.writeAndCommit(spark, fact(), t)
+    val gen = Generations.logCommits(spark, t).head.gen
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(FileStats.read(fsys, new org.apache.hadoop.fs.Path(t), gen)
+      .nonEmpty, "bucketed generations still carry commit-time stats")
+    val pruned = Generations.readPruned(spark, t,
+      Seq(FileStats.Between("v", 0L, 9L))).get
+      .filter(col("v").between(0, 9)).count()
+    val full = Generations.readLog(spark, t).get
+      .filter(col("v").between(0, 9)).count()
+    assert(pruned === full)
+  }
+
+  test("the bucket key is a contract: a commit without it fails loudly") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.writeAndCommit(spark, fact(), t)
+    val e = intercept[IllegalArgumentException] {
+      Generations.appendCommitted(spark,
+        Seq((1L, "x")).toDF("other", "s"), t, "batch=1")
+    }
+    assert(e.getMessage.contains("bucket-clustered"))
+  }
+}

@@ -172,6 +172,59 @@ class FileStatsSpec extends SparkSpec {
     f.setTimes(orphan, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
     Generations.gc(spark, t, keep = 2)
     assert(!f.exists(orphan), "stale orphan stats are gc debris")
+    // a crash between stats-tmp create and publish leaks a dot-prefixed
+    // .tmp that orphans() skips by design — gc sweeps it once stale
+    val tmp = new Path(new Path(t, "_stats"), ".g99999999-dead.abcd1234.tmp")
+    f.create(tmp, false).close()
+    f.setTimes(tmp, System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    Generations.gc(spark, t, keep = 2)
+    assert(!f.exists(tmp), "stale in-flight stats tmp is gc debris")
+  }
+
+  test("a stats-collection failure degrades the commit, never aborts it") {
+    val t = mkTable()
+    Generations.setStatsCols(spark, t, Seq("k"))
+    FileStats.collectFailpoint =
+      _ => throw new java.io.IOException("injected footer failure")
+    val c = try Generations.writeAndCommit(spark, clustered(), t)
+    finally FileStats.collectFailpoint = _ => ()
+    // the commit published despite the stats failure...
+    assert(c.rows === 400L)
+    assert(Generations.read(spark, t).get.count() === 400L)
+    // ...with no stats file for the generation, so pruning keeps all
+    assert(FileStats.read(fs(t), new Path(t), c.gen).isEmpty)
+    val (kept, total) = Generations.prunePlan(spark, t,
+      Seq(Between("k", 0L, 9L))).get
+    assert(total === 4 && kept.size === 4,
+      "absent stats must keep every file")
+    // the NEXT commit's stats collection works again
+    val c2 = Generations.writeAndCommit(spark, clustered(), t)
+    assert(FileStats.read(fs(t), new Path(t), c2.gen).nonEmpty)
+  }
+
+  test("pruning preserves the live schema under additive evolution") {
+    val t = mkTable()
+    Generations.setStatsCols(spark, t, Seq("k"))
+    Generations.appendCommitted(spark,
+      spark.range(10).select(col("id").as("k")), t, "batch=0")
+    // the evolved column exists ONLY in the second generation; a k<5
+    // prune keeps only gen-1 files, but the pruned frame must still
+    // present the LIVE union schema (lang reads as null), exactly like
+    // the unpruned readLog — pruning is a transparent optimization
+    Generations.appendCommitted(spark,
+      spark.range(100, 110).select(col("id").as("k"), lit("en").as("lang")),
+      t, "batch=1")
+    val full = Generations.readLog(spark, t).get
+    val pruned = Generations.readPruned(spark, t, Seq(Le("k", 5L))).get
+    assert(pruned.schema === full.schema,
+      "pruned scan must present the live table schema")
+    val got = pruned.filter(col("k") <= 5)
+      .select(col("k"), col("lang")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === (0L to 5L).map(k => (k, None)).toSet)
+    // and the all-pruned branch agrees (already did pre-fix)
+    val none = Generations.readPruned(spark, t, Seq(Le("k", -1L))).get
+    assert(none.schema === full.schema && none.count() === 0L)
   }
 
   test("z-order layout + 2-D box predicate prunes multiplicatively") {

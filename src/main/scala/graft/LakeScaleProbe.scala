@@ -21,6 +21,14 @@ import graft.sinks.{Bucketed, FileStats, Generations}
   *    join, printing each plan's exchange count. The bucketed write is
   *    timed too — the once-paid cost the per-run saving amortizes.
   *
+  *  - BLOOM DFP (r17): the >maxKeys dynamic-pruning regime — a
+  *    two-clump high-cardinality dim key set whose [min, max] spans
+  *    every file of the clustered fact; reports range-tier vs
+  *    bloom-tier kept files and the join wall-clock ratio.
+  *  - GENERATIONS-BUCKETED JOIN (r17): the co-located layout composed
+  *    into the commit protocol — a 2-commit (base + append) registered
+  *    span must still plan ZERO exchanges and match the plain join.
+  *
   * `runMain graft.LakeScaleProbe [sfDir] [reps]` (default var/sf10, 3).
   * Probe tables live under `<sfDir>/_lakeprobe` and are deleted at the
   * end (the probe is re-runnable, not a fixture).
@@ -149,6 +157,84 @@ object LakeScaleProbe {
         f"pruned $tPrunedServe%.2f s,x${tFullServe / tPrunedServe}%.1f," +
         f"values_equal=$sSame")
       require(sSame, "pruned serving diverged from in-plan serving")
+
+      // ------------------------------------------------ bloom-tier DFP
+      // the >maxKeys regime the range tier cannot touch: a dim key set
+      // of two clumps at OPPOSITE ends of the clustered fact keyspace —
+      // [min, max] spans every file, the exact-key tier is past the
+      // collect bound, only the committed per-file blooms prune. fpp is
+      // per-probe: a file with none of the K keys survives ≈ K·fpp, so
+      // 1e-6 holds ~15k-key probes ≈1.5%; larger K ⇒ declare smaller
+      // fpp (bits/elem ∝ −ln fpp).
+      val liTab = s"$root/items_by_okey"
+      Generations.setStatsCols(spark, liTab, Seq("l_orderkey"))
+      Generations.setBloomCols(spark, liTab, Seq("l_orderkey"), fpp = 1e-6)
+      val liKeyed = Tables.load(spark, sfDir, "lineitem").select(
+        col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val (tBloomWrite, _) = time(1) {
+        Generations.writeAndCommit(spark, liKeyed
+          .repartitionByRange(32, col("l_orderkey"))
+          .sortWithinPartitions("l_orderkey"), liTab)
+      }
+      val mx = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (cLo, cHi) = (mx / 200, mx - mx / 200)
+      val dimB = orders
+        .filter(col("o_orderkey") <= cLo || col("o_orderkey") >= cHi)
+      val dimKeys = dimB.select(col("o_orderkey"))
+      val nProbeKeys = dimKeys.distinct().count()
+      println(f"INFO,bloom_dfp,write+blooms $tBloomWrite%.1f s," +
+        f"$nProbeKeys probe keys (two 0.5%% clumps)")
+      def dfpAgg(fact: DataFrame): Array[org.apache.spark.sql.Row] =
+        fact.join(dimB, fact("l_orderkey") === dimB("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,6)")).as("rev"), count(lit(1)).as("n"))
+          .orderBy("o_orderpriority").collect()
+      // range-only plan (what the >maxKeys regime got before the tier)
+      val rangeOnly = Seq(FileStats.Between("l_orderkey", 1L, mx))
+      val (keptR, totalR) = Generations.prunePlan(spark, liTab, rangeOnly).get
+      val (keptB, totalB) = Generations.prunePlanByKeys(spark, liTab,
+        "l_orderkey", dimKeys, maxKeys = 16).get
+      println(f"RESULT,bloom_dfp_files,range keeps ${keptR.size}/$totalR," +
+        f"bloom keeps ${keptB.size}/$totalB")
+      val (tRangeJ, rRangeJ) = time(reps)(dfpAgg(
+        Generations.readPruned(spark, liTab, rangeOnly).get))
+      val (tBloomJ, rBloomJ) = time(reps)(dfpAgg(
+        Generations.readPrunedByKeys(spark, liTab, "l_orderkey",
+          dimKeys, maxKeys = 16).get))
+      val bSame = rRangeJ.sameElements(rBloomJ)
+      println(f"RESULT,bloom_dfp_join,range-only $tRangeJ%.2f s," +
+        f"bloom $tBloomJ%.2f s,x${tRangeJ / tBloomJ}%.1f,values_equal=$bSame")
+      require(bSame, "bloom-pruned join diverged from range-only join")
+      require(keptB.size * 2 < totalB, "bloom tier failed to prune")
+
+      // --------------------------- Generations-composed bucketed join
+      // the same co-located join as the bucketed section, but the
+      // layout lives INSIDE the commit protocol: two commits (base +
+      // append), registered span, zero exchanges — one mutable table of
+      // record that is also exchange-free joinable
+      val (gfTab, gdTab) = (s"$root/genb_fact", s"$root/genb_dim")
+      Generations.setBucketing(spark, gfTab, "o_orderkey", buckets)
+      Generations.setBucketing(spark, gdTab, "o_orderkey", buckets)
+      val (tGWrite, _) = time(1) {
+        Generations.writeAndCommit(spark,
+          items.filter(col("o_orderkey") % 10 =!= 0), gfTab)
+        Generations.appendCommitted(spark,
+          items.filter(col("o_orderkey") % 10 === 0), gfTab, "batch=1")
+        Generations.writeAndCommit(spark, orders, gdTab)
+      }
+      println(f"INFO,gen_bucketed,$buckets buckets,commits write $tGWrite%.1f s")
+      val gjF = Bucketed.readGenerations(spark, gfTab, s"lp_genb_f_$sfx")
+      val gjD = Bucketed.readGenerations(spark, gdTab, s"lp_genb_d_$sfx")
+      val gj = gjF.join(gjD.hint("merge"), "o_orderkey")
+      val gEx = Bucketed.exchangeCount(gj)
+      val (tGenJ, rGenJ) = time(reps)(joinAgg(gj))
+      val gSame = rGenJ.sameElements(rPlain)
+      println(f"RESULT,gen_bucketed_join,plain $tPlain%.2f s," +
+        f"generations-colocated $tGenJ%.2f s ($gEx exchanges over a " +
+        f"2-commit span),x${tPlain / tGenJ}%.1f,values_equal=$gSame")
+      require(gEx == 0, "generations-bucketed join planned exchanges")
+      require(gSame, "generations-bucketed join diverged from plain join")
       println("LAKE PROBE DONE")
     } finally {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)

@@ -111,6 +111,31 @@ object BloomStats {
   def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 
+  /** One-slot per-JVM cache of a probe's deserialized blooms, keyed by
+    * broadcast id: without it every PARTITION of the probe job pays the
+    * full (files × MB) deserialization (measured rep-dominant at the
+    * sf1 probe — GBs of re-parsing for a job whose hashing is
+    * milliseconds). One slot bounds the memory to a single probe's
+    * filters per executor; a racing replace just re-deserializes.
+    */
+  @volatile private var probeSlot: (Long, Map[String, BloomFilter]) =
+    (-1L, Map.empty)
+  private val probeLock = new Object
+  private[sinks] def probeCache(id: Long,
+      bytes: Seq[(String, Array[Byte])]): Map[String, BloomFilter] = {
+    val s = probeSlot
+    if (s._1 == id) s._2
+    else probeLock.synchronized { // double-checked: one task pays per id
+      val s2 = probeSlot
+      if (s2._1 == id) s2._2
+      else {
+        val m = bytes.map { case (f, b) => f -> deserialize(b) }.toMap
+        probeSlot = (id, m)
+        m
+      }
+    }
+  }
+
   /** One distributed pass over the generation's data: a bloom per
     * (file, supported declared column), partial blooms merged by key
     * (same sizing per file ⇒ mergeable). The driver collect is bounded

@@ -590,11 +590,11 @@ object Generations {
       case None =>
         val k = dimKeys.columns.head
         val bc = spark.sparkContext.broadcast(blooms.toSeq)
+        val bcId = bc.id
         val hit =
           try dimKeys.select(col(k)).na.drop().distinct().rdd
             .mapPartitions { it =>
-              val bfs = bc.value.map { case (f, b) =>
-                f -> BloomStats.deserialize(b) }
+              val bfs = BloomStats.probeCache(bcId, bc.value).toSeq
               val hits = scala.collection.mutable.HashSet.empty[String]
               it.foreach { r =>
                 if (hits.size < bfs.length) { // all hit: stop probing
@@ -661,7 +661,10 @@ object Generations {
         observed
           .repartition(n, org.apache.spark.sql.functions.col(key))
           .write.options(options).format("parquet")
-          .option("path", genDir.toString)
+          // qualified URI: the catalog resolves a RELATIVE path against
+          // the warehouse dir, silently writing the generation somewhere
+          // else (r17 sf1 probe caught this on var/-relative tables)
+          .option("path", fs.makeQualified(genDir).toString)
           .bucketBy(n, key).sortBy(key).saveAsTable(tmp)
         spark.sql(s"DROP TABLE `$tmp`")
       case None =>
@@ -1043,6 +1046,14 @@ object Generations {
     val made = Seq.newBuilder[Long]
     if (span > policy.squashAfterCommits) {
       if (policy.clusterBy.nonEmpty) {
+        // a bucket-clustered table's write path hash-repartitions every
+        // generation, which would silently override the z-order fold's
+        // range clustering — the two layouts are exclusive by design
+        require(getBucketing(spark, table).isEmpty,
+          s"$table declares bucketing; a clusterBy maintenance policy " +
+            "would be silently overridden by the bucketed write — " +
+            "declare ONE layout (bucketing for join co-location, " +
+            "z-order for multi-column range skipping)")
         val z = Layout.optimizeZOrder(spark, table, policy.clusterBy,
           policy.targetBytes, policy.bitsPerCol)
         z.foreach(c => made += c.version)

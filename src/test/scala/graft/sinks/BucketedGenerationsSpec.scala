@@ -105,6 +105,27 @@ class BucketedGenerationsSpec extends SparkSpec {
     assert(pruned === full)
   }
 
+  test("time travel registers a historical span, still exchange-free") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    val c1 = Generations.writeAndCommit(spark,
+      fact().filter(col("k") < 1000), t)
+    Generations.appendCommitted(spark,
+      fact().filter(col("k") >= 1000), t, "batch=1")
+    // as-of v1: only the first commit's rows, and the historical span
+    // joins exchange-free like the live one
+    val h = Bucketed.readGenerationsAt(spark, t, uniq("bg_tt"), c1.version)
+    assert(h.count() === 1000L)
+    val j = h.join(h.hint("merge"), "k")
+    assert(Bucketed.exchangeCount(j) === 0)
+    // plain snapshot-read paths are untouched by the layout
+    assert(Generations.readAt(spark, t, c1.version).get.count() === 1000L)
+    // unknown version fails loudly
+    intercept[IllegalArgumentException] {
+      Bucketed.readGenerationsAt(spark, t, uniq("bg_tt2"), 99L)
+    }
+  }
+
   test("the bucket key is a contract: a commit without it fails loudly") {
     val t = mkDir("t")
     Generations.setBucketing(spark, t, "k", 4)

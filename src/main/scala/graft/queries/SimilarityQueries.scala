@@ -304,6 +304,25 @@ object SimilarityQueries extends QueryPack {
       graft.operators.IvfIndex.topKVecPruned(s, idx, qv, TOP_K, nProbe = 2)
     }),
 
+    // ONE serving entrypoint (r17): serveTopKVec auto-dials stats-pruned
+    // vs in-plan scanning by committed postings file count — here 8
+    // cluster-sorted files > 2×nProbe, so the dial must pick the pruned
+    // path (REQUIRED: the oracle then gates exactly what a serving user
+    // gets, dial included). Below the threshold the same entrypoint
+    // serves in-plan (IvfIndexSpec pins the choice at both scales).
+    "sim_index_serve_topk" -> ((s, dir) => {
+      import s.implicits._
+      val base = graft.sinks.Scratch.dir(s, "graft-ivfserve")
+      val idx = s"$base/idx"
+      val e = emb(s, dir)
+      graft.operators.IvfIndex.build(s, e, N_CELLS, idx, numFiles = 8)
+      val qv = e.filter(col("vec_id") === QUERY_ID)
+        .select(col("embedding")).as[Seq[Float]].collect().head
+      require(graft.operators.IvfIndex.usePrunedServing(s, idx, nProbe = 2),
+        "8 committed postings files must dial to the pruned path")
+      graft.operators.IvfIndex.serveTopKVec(s, idx, qv, TOP_K, nProbe = 2)
+    }),
+
     // k-NN label classification (semi-supervised labeling / label-noise
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
@@ -1026,6 +1045,19 @@ object SimilarityQueries extends QueryPack {
     // sim_ivf_nprobe_topk but serves the query as an external vector —
     // no self-exclusion, so its indexed copy leads at cosine 1.0
     "sim_index_pruned_topk" ->
+      s"""WITH $embsCte,
+         |${assignedCtes()},
+         |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
+         |probed AS (
+         |  SELECT cell FROM cents, q
+         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
+         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |FROM assigned a JOIN probed p ON a.cell = p.cell, q
+         |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
+
+    // the auto-dialed entrypoint serves the same math as the pruned
+    // path it dials to at this index size
+    "sim_index_serve_topk" ->
       s"""WITH $embsCte,
          |${assignedCtes()},
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),

@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, input_file_name}
 import org.apache.spark.sql.types._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -155,8 +155,27 @@ object BloomStats {
     val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
       supportedType(df.schema(c).dataType))
     if (present.isEmpty) return Nil
-    val sel = df.select(input_file_name() +: present.map(col): _*)
-    val bcRows = spark.sparkContext.broadcast(rowsPerFile)
+    val sel = df.select(input_file_name().as("_f") +: present.map(col): _*)
+    // size by measured per-file NDV, not row count: a 4-rows-per-key
+    // fact sized by rows carries 4× the bits for the same fpp (the r17
+    // sf10 probe's 6.8 MB/file). approx_count_distinct under-estimating
+    // only over-fills the filter — higher effective fpp, never a false
+    // negative — so 1.3× headroom is enough; row count stays the cap.
+    val ndv: Map[(String, String), Long] = {
+      val aggs = present.map(c => approx_count_distinct(col(c)).as(c))
+      sel.groupBy(col("_f")).agg(aggs.head, aggs.tail: _*).collect()
+        .flatMap { r =>
+          val f = fileNameOf(r.getString(0))
+          present.zipWithIndex.map { case (c, i) =>
+            (f, c) -> (if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1))
+          }
+        }.toMap
+    }
+    val sizing: Map[(String, String), Long] = ndv.map { case (k, d) =>
+      val rows = math.max(rowsPerFile.getOrElse(k._1, 1L), 1L)
+      k -> math.min(math.min(math.max(d * 13L / 10L, 64L), rows), MaxItems)
+    }
+    val bcSize = spark.sparkContext.broadcast(sizing)
     val nCols = present.length
     val colNames = present.toArray
     val theFpp = fpp
@@ -168,10 +187,9 @@ object BloomStats {
         var i = 1
         while (i <= nCols) {
           if (!r.isNullAt(i)) {
-            val bf = acc.getOrElseUpdate((f, colNames(i - 1)),
-              BloomFilter.create(
-                math.min(math.max(bcRows.value.getOrElse(f, 1L), 1L),
-                  MaxItems), theFpp))
+            val key = (f, colNames(i - 1))
+            val bf = acc.getOrElseUpdate(key,
+              BloomFilter.create(bcSize.value.getOrElse(key, 64L), theFpp))
             putValue(bf, r.get(i))
           }
           i += 1
@@ -180,7 +198,7 @@ object BloomStats {
       acc.iterator
     }
     val merged = partial.reduceByKey(_ mergeInPlace _).collect()
-    bcRows.unpersist()
+    bcSize.unpersist()
     merged.map { case ((f, c), bf) => (f, c, bf) }.toSeq
   }
 
@@ -218,6 +236,21 @@ object BloomStats {
       fs.delete(tmp, false) // someone already published identical blooms
   }
 
+  /** Driver-side cache of parsed sidecars, keyed by absolute sidecar
+    * path: a generation's blooms are IMMUTABLE once published (temp +
+    * create-only), so replanning the same probe — the serving pattern —
+    * must not re-read megabytes of sidecar per plan (the r17 sf10 probe
+    * measured the re-read as the dominant per-plan cost). Bounded LRU;
+    * a gc'd generation's entry is simply never asked for again.
+    */
+  private val readCache =
+    new java.util.LinkedHashMap[String, Map[(String, String), Array[Byte]]](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[(String, String), Array[Byte]]])
+          : Boolean = size() > 8
+    }
+
   /** The generation's serialized blooms by (file, column), or None when
     * absent/corrupt — callers treat None (and any missing entry) as
     * "keep everything". Bytes stay serialized so the caller can ship
@@ -226,7 +259,16 @@ object BloomStats {
   def read(fs: FileSystem, table: Path,
       gen: String): Option[Map[(String, String), Array[Byte]]] = {
     val p = bloomPath(table, gen)
-    if (!fs.exists(p)) return None
+    // cache key carries (len, mtime): published sidecars are immutable
+    // by protocol, but a mutated/corrupted file must re-read (and fall
+    // through to the keep-all None), never serve a stale parse
+    val st = try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val ck = s"$p@${st.getLen}@${st.getModificationTime}"
+    readCache.synchronized {
+      val hit = readCache.get(ck)
+      if (hit != null) return Some(hit)
+    }
     try {
       val in = new DataInputStream(
         new java.io.BufferedInputStream(fs.open(p)))
@@ -246,7 +288,9 @@ object BloomStats {
           m += ((f, c) -> b)
           i += 1
         }
-        Some(m.result())
+        val parsed = m.result()
+        readCache.synchronized { readCache.put(ck, parsed) }
+        Some(parsed)
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }

@@ -381,12 +381,13 @@ object StreamingIvm {
       checkpoint: String,
       tsCol: String = "ts", userCol: String = "user_id",
       gap: String = "30 minutes",
-      lateness: String = "2 hours"): StreamingQuery =
+      lateness: String = "2 hours",
+      foldAfterCommits: Int = 0): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         ingestSessionBatch(batch.sparkSession, batch.toDF(), id, logTable,
-          mvTable, tsCol, userCol, gap, lateness)
+          mvTable, tsCol, userCol, gap, lateness, foldAfterCommits)
         ()
       }
       .start()

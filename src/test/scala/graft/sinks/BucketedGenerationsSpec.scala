@@ -126,6 +126,68 @@ class BucketedGenerationsSpec extends SparkSpec {
     }
   }
 
+  test("mergeAndCommit (upserts + deletes) preserves the bucketed layout") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.writeAndCommit(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), t)
+    Generations.mergeAndCommit(spark, t,
+      Seq((2L, "B", false), (3L, "c", true), (4L, "d", false))
+        .toDF("k", "v", "_deleted"), Seq("k"))
+    val f = Bucketed.readGenerations(spark, t, uniq("bg_m"))
+    assert(f.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "a"), (2L, "B"), (4L, "d")))
+    val j = f.join(f.hint("merge"), "k")
+    assert(Bucketed.exchangeCount(j) === 0,
+      "the merged generation is still bucket-clustered")
+  }
+
+  test("ALL lakehouse layers compose on one table: buckets + stats + blooms through a squash") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.setStatsCols(spark, t, Seq("k"))
+    Generations.setBloomCols(spark, t, Seq("k"), fpp = 1e-6)
+    // two commits of EVEN keys (every odd probe straddles ranges)
+    val evens = spark.range(400)
+      .select((col("id") * 2).as("k"), (col("id") % 7).as("v"))
+    Generations.writeAndCommit(spark, evens.filter(col("k") < 400), t)
+    Generations.appendCommitted(spark, evens.filter(col("k") >= 400), t,
+      "batch=1")
+    def checkAll(label: String): Unit = {
+      // bucketed: registered span joins exchange-free
+      val f = Bucketed.readGenerations(spark, t, uniq("bg_all"))
+      assert(Bucketed.exchangeCount(f.join(f.hint("merge"), "k")) === 0,
+        s"$label: co-located join")
+      assert(f.count() === 400L, s"$label: content")
+      // stats: on a HASH layout per-file ranges are wide so the range
+      // tier prunes little-to-nothing (range skipping needs range
+      // clustering) — the committed law is conservativeness, not a
+      // file count: pruned scan + real filter ≡ full scan + real filter
+      val rangePreds = Seq(FileStats.Between("k", 0L, 9L))
+      assert(Generations.readPruned(spark, t, rangePreds).get
+        .filter(col("k").between(0, 9)).count() ===
+        Generations.readLog(spark, t).get
+          .filter(col("k").between(0, 9)).count(), s"$label: range law")
+      // blooms STILL prune what ranges cannot: absent odd keys
+      val (keptB, _) = Generations.prunePlanByKeys(spark, t, "k",
+        Seq(301L, 403L, 505L).toDF("k")).get
+      assert(keptB.isEmpty, s"$label: blooms prune absent keys even on " +
+        "a hash-clustered layout")
+      // and a PRESENT key keeps only its bucket's files
+      val (keptP, totalP) = Generations.prunePlanByKeys(spark, t, "k",
+        Seq(42L).toDF("k")).get
+      assert(keptP.size < totalP, s"$label: present-key bloom probe")
+      assert(Generations.readPrunedByKeys(spark, t, "k",
+        Seq(42L).toDF("k")).get.filter(col("k") === 42L).count() === 1L,
+        s"$label: pruned read finds the key")
+    }
+    checkAll("pre-squash")
+    // the maintenance fold must preserve ALL THREE layers
+    Generations.squash(spark, t)
+    assert(Generations.logCommits(spark, t).size === 1)
+    checkAll("post-squash")
+  }
+
   test("the bucket key is a contract: a commit without it fails loudly") {
     val t = mkDir("t")
     Generations.setBucketing(spark, t, "k", 4)

@@ -105,6 +105,9 @@ object Bucketed {
     val schema = Generations.readLog(spark, table).get.schema
     require(schema.fieldNames.contains(key),
       s"bucket key '$key' missing from $table's live schema")
+    require(!schema.fieldNames.contains("_gen"),
+      s"$table has a data column named _gen — it collides with the " +
+        "registration's generation partition column")
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // qualified URIs throughout: the catalog resolves relative paths
     // against the warehouse dir, not the session CWD

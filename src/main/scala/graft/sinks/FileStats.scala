@@ -292,12 +292,31 @@ object FileStats {
       fs.delete(tmp, false) // someone already published identical stats
   }
 
+  /** Driver-side cache of parsed stats files keyed by (path, len,
+    * mtime) — published stats are immutable, and a serving pattern
+    * replans the same pruning repeatedly; same contract as
+    * [[BloomStats]]' sidecar cache (a mutated file re-reads, a gc'd
+    * generation is never asked for again). Bounded LRU.
+    */
+  private val readCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean =
+        size() > 16
+    }
+
   /** The generation's stats, or None when absent/unreadable — callers
     * must treat None (and any file not listed) as "keep everything".
     */
   def read(fs: FileSystem, table: Path, gen: String): Option[Seq[FileEntry]] = {
     val p = statsPath(table, gen)
-    if (!fs.exists(p)) return None
+    val st = try fs.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val ck = s"$p@${st.getLen}@${st.getModificationTime}"
+    readCache.synchronized {
+      val hit = readCache.get(ck)
+      if (hit != null) return Some(hit)
+    }
     try {
       val in = fs.open(p)
       val txt = try {
@@ -318,8 +337,10 @@ object FileStats {
           e._2(dec(p7(2))) = ColStats(p7(3), p7(4).toLong, p7(5), p7(6))
         }
       }
-      Some(byFile.toSeq.map { case (f, (rows, cols)) =>
-        FileEntry(f, rows, cols.toMap) })
+      val parsed = byFile.toSeq.map { case (f, (rows, cols)) =>
+        FileEntry(f, rows, cols.toMap) }
+      readCache.synchronized { readCache.put(ck, parsed) }
+      Some(parsed)
     } catch { case _: Exception => None }
   }
 

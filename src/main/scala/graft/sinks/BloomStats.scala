@@ -155,7 +155,10 @@ object BloomStats {
     val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
       supportedType(df.schema(c).dataType))
     if (present.isEmpty) return Nil
-    val sel = df.select(input_file_name().as("_f") +: present.map(col): _*)
+    // collision-proof name for the synthetic file column (a data column
+    // named "_f" would make the groupBy ambiguous)
+    val fc = "_graft_bloom_file"
+    val sel = df.select(input_file_name().as(fc) +: present.map(col): _*)
     // size by measured per-file NDV, not row count: a 4-rows-per-key
     // fact sized by rows carries 4× the bits for the same fpp (the r17
     // sf10 probe's 6.8 MB/file). approx_count_distinct under-estimating
@@ -163,7 +166,7 @@ object BloomStats {
     // negative — so 1.3× headroom is enough; row count stays the cap.
     val ndv: Map[(String, String), Long] = {
       val aggs = present.map(c => approx_count_distinct(col(c)).as(c))
-      sel.groupBy(col("_f")).agg(aggs.head, aggs.tail: _*).collect()
+      sel.groupBy(col(fc)).agg(aggs.head, aggs.tail: _*).collect()
         .flatMap { r =>
           val f = fileNameOf(r.getString(0))
           present.zipWithIndex.map { case (c, i) =>

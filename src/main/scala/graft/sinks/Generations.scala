@@ -658,7 +658,7 @@ object Generations {
         // key) aligns tasks with buckets (same murmur3 pmod), so each
         // bucket is exactly one file per commit.
         val tmp = s"graft_bktw_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        observed
+        try observed
           .repartition(n, org.apache.spark.sql.functions.col(key))
           .write.options(options).format("parquet")
           // qualified URI: the catalog resolves a RELATIVE path against
@@ -666,7 +666,9 @@ object Generations {
           // else (r17 sf1 probe caught this on var/-relative tables)
           .option("path", fs.makeQualified(genDir).toString)
           .bucketBy(n, key).sortBy(key).saveAsTable(tmp)
-        spark.sql(s"DROP TABLE `$tmp`")
+        finally // external: metadata-only either way; files stay put
+          try spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+          catch { case scala.util.control.NonFatal(_) => () }
       case None =>
         observed.write.options(options).parquet(genDir.toString)
     } finally prevTs.foreach(spark.conf.set(tsKey, _))

@@ -109,6 +109,22 @@ object IvfIndex {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Index lifecycle dial (the OPTIMIZE auto-trigger): fold the
+    * accumulated upsert deltas back into one cell-clustered generation
+    * once the committed postings span exceeds `maxSpanCommits` — every
+    * un-optimized delta has a wide cell range and conservatively keeps
+    * its files, so a delta pile-up steadily dilutes the file-level skip
+    * [[topKVecPruned]] plans from; a bounded span is also bounded
+    * commit-listing metadata. No-op (None) while the span is within
+    * bounds; otherwise the usual optimistic [[optimize]] + gc.
+    */
+  def maintain(spark: SparkSession, dir: String, maxSpanCommits: Int = 8,
+      numFiles: Int = 4): Option[Generations.Commit] =
+    if (Generations.logCommits(spark,
+        postingsTable(dir)).size > maxSpanCommits)
+      optimize(spark, dir, numFiles)
+    else None
+
   /** Multi-probe top-k against the PERSISTED index: rank the stored
     * centroids by the query vector (bounded broadcast), read only the
     * nProbe probed cells of the postings (pruned scan), score, top-k.

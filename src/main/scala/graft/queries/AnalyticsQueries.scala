@@ -974,6 +974,33 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("user_id", "session_start")
     }),
 
+    // EX5 × IVM, TOP-K form (r17, seventh shape): per-hour top-3 users
+    // by summed value, maintained over the same 3-batch watermark-
+    // replayed arrival (StreamingIvm.ingestTopKBatch →
+    // maintainTopKOnceLog). Top-k is NOT abelian — a late event can
+    // EVICT a carried entity from its window's ranking and the evicted
+    // row leaves no trace in the view — so the maintenance re-ranks
+    // exactly the delta-dirty WINDOWS from the log and carries the
+    // rest (the sessions dirty-group law, with the window as the
+    // group). Ranking is on the DECIMAL sum (order-independent), ties
+    // broken by user id; the oracle replays admission then ranks the
+    // admitted union fresh: maintained ≡ recomputed.
+    "mv_stream_topk_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvtopk")
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        graft.streaming.StreamingIvm.ingestTopKBatch(s,
+          ev.filter(col("event_id") % 3 === b), b, log, mv, k = 3)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("user_id"), col("rank"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("bucket", "rank")
+    }),
+
     // EX5 × IVM, SKETCH form: a per-hour KMV distinct-user sketch
     // maintained over the same 3-batch watermark-replayed arrival —
     // the FOLDABLE-state shape (StreamingIvm.ingestKmvBatch →
@@ -2756,6 +2783,37 @@ object AnalyticsQueries extends QueryPack {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM admitted GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    // top-k law: rank the watermark-admitted union fresh per hour on
+    // the DECIMAL per-user sum (ties by user id) — maintained ≡
+    // recomputed, k = 3
+    "mv_stream_topk_users" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |per AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, user_id,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS sv, count(*) AS n
+        |  FROM admitted GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket
+        |    ORDER BY sv DESC, user_id) AS rank FROM per)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  user_id, rank, n, CAST(sv AS DOUBLE) AS sum_value
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY bucket, rank""".stripMargin,
 
     // join law: watermark-admitted fact union ⋈ POST-update dimension —
     // revenue accumulated under a user's OLD nation that failed to move

@@ -383,6 +383,42 @@ object ChangeFeed {
       tag = s"=cdcv=${st.head}", expectedBase = Some(st.mvBase)))
   }
 
+  /** Advance a maintained per-group TOP-K view over an APPEND-ONLY
+    * event log — the seventh EX5×IVM shape. Top-k is NOT an abelian
+    * aggregate: a delta row can EVICT a carried row, and the evicted
+    * row cannot be reconstructed from the view alone (it left with no
+    * trace), so like sessions the smallest closed re-aggregation unit
+    * is the GROUP — each tick re-ranks, from the log at head, exactly
+    * the groups the delta touches, and carries every other group's
+    * rows untouched ([[carryAndUnion]]). Per-tick cost: delta scan
+    * (dirty groups) + a log scan semi-joined to the dirty groups + one
+    * anti join on the view — O(dirty groups' history), never a full
+    * recompute while the window is a pure delta.
+    *
+    * `rankOf` builds the per-group ranked view from log rows (it must
+    * emit `groupKeys` plus the ranked view columns — typically a
+    * per-(group, entity) aggregate, a `row_number` window, and a
+    * `rank <= k` filter).
+    */
+  def maintainTopKOnceLog(spark: SparkSession, source: String,
+      mvTable: String, groupKeys: Seq[String])
+      (rankOf: DataFrame => DataFrame): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.col
+    val st = logSpanState(spark, source, mvTable).getOrElse(return None)
+    val next =
+      if (!st.pureDelta) rankOf(st.contentAtHead(spark, source))
+      else {
+        val dirty = st.deltaWindow(spark, source)
+          .select(groupKeys.map(col): _*).distinct()
+        val mv = Generations.read(spark, mvTable).getOrElse(return None)
+        val redone = rankOf(st.contentAtHead(spark, source)
+          .join(dirty, groupKeys, "left_semi"))
+        carryAndUnion(mv, dirty, groupKeys, redone)
+      }
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv=${st.head}", expectedBase = Some(st.mvBase)))
+  }
+
   /** Advance a maintained KMV distinct-count sketch view over an
     * APPEND-ONLY hash log — the FOLDABLE-state EX5×IVM shape, the
     * algebraic opposite of [[maintainSessionsOnceLog]]: KMV state (each

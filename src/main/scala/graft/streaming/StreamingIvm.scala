@@ -305,6 +305,51 @@ object StreamingIvm {
     throw new IllegalStateException("unreachable")
   }
 
+  /** One micro-batch of a maintained per-window TOP-K-ENTITIES view —
+    * the same committed-mark admission + witnessed append as
+    * [[ingestBatch]] (log rows: `bucket`, `entityCol`, `_v` decimal),
+    * then [[ChangeFeed.maintainTopKOnceLog]] re-ranks exactly the
+    * WINDOWS the delta touches (top-k is not abelian: one late event
+    * can evict a carried entity from its window's ranking, so the
+    * window is the closed re-aggregation unit, the way sessions close
+    * over users). View: (`bucket`, entityCol, `sum_value` decimal-exact
+    * state, `n`, `rank` 1..k, ties broken by entity id) — the trending
+    * per-hour top-users shape.
+    */
+  def ingestTopKBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      logTable: String, mvTable: String,
+      tsCol: String = "ts", entityCol: String = "user_id",
+      sumCol: String = "value", bucketWidth: String = "1 hour",
+      lateness: String = "2 hours", k: Int = 3,
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
+    val mark = highMark(spark, logTable)
+    val logged = admit(batch, mark, tsCol, lateness).select(
+      window(col(tsCol), bucketWidth).getField("start").as("bucket"),
+      col(entityCol), col(sumCol).cast("decimal(18,4)").as("_v"),
+      col(tsCol).as("_ts"))
+    logged.persist()
+    try if (!logged.isEmpty) {
+      failpoint("before-append")
+      Generations.appendCommitted(spark, logged.drop("_ts"), logTable,
+        s"batch=$batchId")
+      failpoint("after-append")
+      advanceMark(spark, logTable, mark, logged, "_ts")
+      failpoint("after-mark")
+    } finally logged.unpersist()
+    ChangeFeed.maintainTopKOnceLog(spark, logTable, mvTable,
+      Seq("bucket")) { log =>
+      // rank on the DECIMAL sum (order-independent across plans and
+      // engines), entity id as the deterministic tiebreak
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"))
+        .orderBy(col("sum_value").desc, col(entityCol).asc)
+      log.groupBy(col("bucket"), col(entityCol))
+        .agg(sum(col("_v")).as("sum_value"), count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+  }
+
   /** One micro-batch of a maintained per-window KMV DISTINCT-COUNT
     * sketch view — the same committed-mark admission + witnessed append
     * as [[ingestBatch]], then [[ChangeFeed.maintainKmvOnceLog]] merges
@@ -371,6 +416,22 @@ object StreamingIvm {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         ingestKmvBatch(batch.sparkSession, batch.toDF(), id, logTable,
           mvTable, tsCol, keyCol, bucketWidth, lateness, k)
+        ()
+      }
+      .start()
+
+  /** [[start]] for the per-window top-k view: `readStream` →
+    * `foreachBatch` → [[ingestTopKBatch]]. */
+  def startTopK(events: DataFrame, logTable: String, mvTable: String,
+      checkpoint: String,
+      tsCol: String = "ts", entityCol: String = "user_id",
+      sumCol: String = "value", bucketWidth: String = "1 hour",
+      lateness: String = "2 hours", k: Int = 3): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        ingestTopKBatch(batch.sparkSession, batch.toDF(), id, logTable,
+          mvTable, tsCol, entityCol, sumCol, bucketWidth, lateness, k)
         ()
       }
       .start()

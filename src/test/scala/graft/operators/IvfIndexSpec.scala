@@ -102,6 +102,37 @@ class IvfIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq === expect)
   }
 
+  test("maintain auto-folds the upsert pile-up once the span exceeds the dial") {
+    import spark.implicits._
+    val dir = mkDir()
+    IvfIndex.build(spark, embs.filter(col("vec_id") < 400), nCells = 16,
+      dir, numFiles = 8)
+    val v0 = embs.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].collect().head
+    // two deltas: span = 3 commits, within the dial → maintain no-ops
+    IvfIndex.upsert(spark, dir, embs.filter(col("vec_id").between(400, 449)),
+      "b=1")
+    IvfIndex.upsert(spark, dir, embs.filter(col("vec_id").between(450, 499)),
+      "b=2")
+    assert(IvfIndex.maintain(spark, dir, maxSpanCommits = 3).isEmpty)
+    val before = IvfIndex.topKVec(spark, dir, v0, k = 10, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // a third delta pushes the span past the dial → the fold runs,
+    // restores a single cell-clustered generation, preserves results
+    IvfIndex.upsert(spark, dir, embs.filter(col("vec_id") === 7L)
+      .withColumn("vec_id", col("vec_id") + 5000L), "b=3")
+    assert(IvfIndex.maintain(spark, dir, maxSpanCommits = 3,
+      numFiles = 8).nonEmpty)
+    assert(graft.sinks.Generations.logCommits(spark,
+      IvfIndex.postingsTable(dir)).size === 1)
+    // the folded index serves the same corpus: the b=3 twin of vec 7
+    // joins at cosine 1.0, so the top-11 minus the twin is exactly the
+    // pre-fold top-10
+    val after = IvfIndex.topKVec(spark, dir, v0, k = 11, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after.filter(_._1 != 5007L) === before)
+  }
+
   test("upsert assigns only the new batch; replay is a no-op") {
     import spark.implicits._
     val dir = mkDir()

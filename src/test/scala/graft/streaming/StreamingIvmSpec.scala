@@ -159,6 +159,42 @@ class StreamingIvmSpec extends SparkSpec {
     assert(sessions().size === 2)
   }
 
+  test("top-k view: a late event EVICTS a carried entity from its " +
+      "window; untouched windows carry; replay no-ops") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    def evT(rows: (Long, Timestamp, Long, Double)*) =
+      rows.toDF("event_id", "ts", "user_id", "value")
+    def tick(b: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamingIvm.ingestTopKBatch(spark, b, id, log, mv, k = 2)
+    def state(): Set[(Timestamp, Long, Int, Long, Double)] =
+      Generations.read(spark, mv).get
+        .select(col("bucket"), col("user_id"), col("rank"), col("n"),
+          col("sum_value").cast("double"))
+        .as[(Timestamp, Long, Int, Long, Double)].collect().toSet
+    // batch 0 — hour 10: users 1(5.0) 2(3.0) 3(1.0); hour 12: user 9
+    // (advances the mark to 12:00, so hour-10 lates stay admissible)
+    assert(tick(evT((1, ts(10), 1L, 5.0), (2, ts(10, 5), 2L, 3.0),
+      (3, ts(10, 10), 3L, 1.0), (4, ts(12), 9L, 1.0)), 0L).nonEmpty)
+    assert(state() === Set(
+      (ts(10), 1L, 1, 1L, 5.0), (ts(10), 2L, 2, 1L, 3.0),
+      (ts(12), 9L, 1, 1L, 1.0)))
+    // batch 1 — a LATE hour-10 event lifts user 3 to 5.0: ties user 1
+    // (id tiebreak keeps 1 first) and EVICTS user 2 from the top-2;
+    // hour 12 is untouched and must carry verbatim
+    assert(tick(evT((5, ts(10, 20), 3L, 4.0)), 1L).nonEmpty)
+    val afterLate = Set(
+      (ts(10), 1L, 1, 1L, 5.0), (ts(10), 3L, 2, 2L, 5.0),
+      (ts(12), 9L, 1, 1L, 1.0))
+    assert(state() === afterLate,
+      "late event must evict the carried rank-2 entity")
+    // replayed micro-batch: witnessed append no-ops, view unchanged
+    assert(tick(evT((5, ts(10, 20), 3L, 4.0)), 1L).isEmpty)
+    assert(state() === afterLate)
+    // a too-late row (beyond mark − lateness) is dropped
+    assert(tick(evT((6, ts(9), 1L, 100.0)), 2L).isEmpty)
+    assert(state() === afterLate)
+  }
+
   test("session view survives a log squash: the non-pure-delta tick " +
       "recomputes instead of double-counting the fold") {
     val log = mkDir("log"); val mv = mkDir("mv")

@@ -59,7 +59,7 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object BloomStats {
 
-  private val Magic = 0x47424c31 // "GBL1"
+  private val Magic = 0x47424c32 // "GBL2" (v2: per-entry domain tag)
 
   /** Hard cap on a single bloom's sizing input: beyond this the filter
     * saturates toward keep (never wrong), and the sidecar stays
@@ -93,23 +93,46 @@ object BloomStats {
       s"unbloomable value class ${v.getClass} — supportedType must gate this")
   }
 
-  /** Membership probe under the same normalization as the build side.
-    * Unknown literal domains keep the file (true).
+  /** The hash domain of a probe value: "L" (everything long-normalized)
+    * or "S" (strings); null for unprobeable values.
     */
-  def mightContain(bf: BloomFilter, v: Any): Boolean = v match {
-    case l: java.lang.Long => bf.mightContainLong(l)
-    case i: java.lang.Integer => bf.mightContainLong(i.toLong)
-    case s: java.lang.Short => bf.mightContainLong(s.toLong)
-    case b: java.lang.Byte => bf.mightContainLong(b.toLong)
-    case s: String => bf.mightContainString(s)
-    case d: java.sql.Date => bf.mightContainLong(d.toLocalDate.toEpochDay)
-    case t: java.sql.Timestamp =>
-      bf.mightContainLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
-    case _ => true
+  private def domainOf(v: Any): String = v match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte | _: java.sql.Date | _: java.sql.Timestamp => "L"
+    case _: String => "S"
+    case _ => null
   }
 
-  def deserialize(bytes: Array[Byte]): BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  /** A probe entry: the filter plus the domain its values were hashed
+    * in. A probe value from the OTHER domain must KEEP the file —
+    * `putString("42")` and `mightContainLong(42)` hash differently, so
+    * a cross-domain probe (a sloppily typed join key) would otherwise
+    * manufacture a FALSE NEGATIVE, the one failure a pruning structure
+    * must never have.
+    */
+  final case class DomainBloom(domain: String, bf: BloomFilter)
+
+  /** Membership probe under the same normalization as the build side.
+    * Unknown literal domains and cross-domain probes keep the file.
+    */
+  def mightContain(db: DomainBloom, v: Any): Boolean = {
+    val d = domainOf(v)
+    if (d == null || d != db.domain) return true
+    v match {
+      case l: java.lang.Long => db.bf.mightContainLong(l)
+      case i: java.lang.Integer => db.bf.mightContainLong(i.toLong)
+      case s: java.lang.Short => db.bf.mightContainLong(s.toLong)
+      case b: java.lang.Byte => db.bf.mightContainLong(b.toLong)
+      case s: String => db.bf.mightContainString(s)
+      case dt: java.sql.Date => db.bf.mightContainLong(dt.toLocalDate.toEpochDay)
+      case t: java.sql.Timestamp =>
+        db.bf.mightContainLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case _ => true
+    }
+  }
+
+  def deserialize(domain: String, bytes: Array[Byte]): DomainBloom =
+    DomainBloom(domain, BloomFilter.readFrom(new ByteArrayInputStream(bytes)))
 
   /** One-slot per-JVM cache of a probe's deserialized blooms, keyed by
     * broadcast id: without it every PARTITION of the probe job pays the
@@ -118,18 +141,18 @@ object BloomStats {
     * milliseconds). One slot bounds the memory to a single probe's
     * filters per executor; a racing replace just re-deserializes.
     */
-  @volatile private var probeSlot: (Long, Map[String, BloomFilter]) =
+  @volatile private var probeSlot: (Long, Map[String, DomainBloom]) =
     (-1L, Map.empty)
   private val probeLock = new Object
   private[sinks] def probeCache(id: Long,
-      bytes: Seq[(String, Array[Byte])]): Map[String, BloomFilter] = {
+      bytes: Seq[(String, (String, Array[Byte]))]): Map[String, DomainBloom] = {
     val s = probeSlot
     if (s._1 == id) s._2
     else probeLock.synchronized { // double-checked: one task pays per id
       val s2 = probeSlot
       if (s2._1 == id) s2._2
       else {
-        val m = bytes.map { case (f, b) => f -> deserialize(b) }.toMap
+        val m = bytes.map { case (f, (d, b)) => f -> deserialize(d, b) }.toMap
         probeSlot = (id, m)
         m
       }
@@ -149,7 +172,7 @@ object BloomStats {
 
   def build(spark: SparkSession, genDir: Path, cols: Seq[String],
       rowsPerFile: Map[String, Long], fpp: Double)
-      : Seq[(String, String, BloomFilter)] = {
+      : Seq[(String, String, DomainBloom)] = {
     buildFailpoint()
     val df = spark.read.parquet(genDir.toString)
     val present = cols.filter(c => df.schema.fieldNames.contains(c) &&
@@ -202,7 +225,12 @@ object BloomStats {
     }
     val merged = partial.reduceByKey(_ mergeInPlace _).collect()
     bcSize.unpersist()
-    merged.map { case ((f, c), bf) => (f, c, bf) }.toSeq
+    val domains = present.map(c => c -> (df.schema(c).dataType match {
+      case StringType => "S"
+      case _ => "L"
+    })).toMap
+    merged.map { case ((f, c), bf) =>
+      (f, c, DomainBloom(domains(c), bf)) }.toSeq
   }
 
   private def fileNameOf(uri: String): String = {
@@ -214,7 +242,7 @@ object BloomStats {
     * mirroring `_stats`: readers observe the complete sidecar or none.
     */
   def write(fs: FileSystem, table: Path, gen: String,
-      entries: Seq[(String, String, BloomFilter)]): Unit = {
+      entries: Seq[(String, String, DomainBloom)]): Unit = {
     if (entries.isEmpty) return
     val bd = bloomDir(table)
     fs.mkdirs(bd)
@@ -225,11 +253,12 @@ object BloomStats {
     try {
       out.writeInt(Magic)
       out.writeInt(entries.length)
-      entries.foreach { case (f, c, bf) =>
+      entries.foreach { case (f, c, db) =>
         out.writeUTF(f)
         out.writeUTF(c)
+        out.writeUTF(db.domain)
         val bos = new ByteArrayOutputStream()
-        bf.writeTo(bos)
+        db.bf.writeTo(bos)
         val b = bos.toByteArray
         out.writeInt(b.length)
         out.write(b)
@@ -247,20 +276,20 @@ object BloomStats {
     * a gc'd generation's entry is simply never asked for again.
     */
   private val readCache =
-    new java.util.LinkedHashMap[String, Map[(String, String), Array[Byte]]](
+    new java.util.LinkedHashMap[String, Map[(String, String), (String, Array[Byte])]](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Map[(String, String), Array[Byte]]])
+          e: java.util.Map.Entry[String, Map[(String, String), (String, Array[Byte])]])
           : Boolean = size() > 8
     }
 
-  /** The generation's serialized blooms by (file, column), or None when
-    * absent/corrupt — callers treat None (and any missing entry) as
-    * "keep everything". Bytes stay serialized so the caller can ship
-    * them in a broadcast and deserialize executor-side.
+  /** The generation's (domain, serialized bloom) by (file, column), or
+    * None when absent/corrupt — callers treat None (and any missing
+    * entry) as "keep everything". Bytes stay serialized so the caller
+    * can ship them in a broadcast and deserialize executor-side.
     */
   def read(fs: FileSystem, table: Path,
-      gen: String): Option[Map[(String, String), Array[Byte]]] = {
+      gen: String): Option[Map[(String, String), (String, Array[Byte])]] = {
     val p = bloomPath(table, gen)
     // cache key carries (len, mtime): published sidecars are immutable
     // by protocol, but a mutated/corrupted file must re-read (and fall
@@ -279,16 +308,17 @@ object BloomStats {
         if (in.readInt() != Magic) return None
         val n = in.readInt()
         if (n < 0 || n > 1000000) return None
-        val m = Map.newBuilder[(String, String), Array[Byte]]
+        val m = Map.newBuilder[(String, String), (String, Array[Byte])]
         var i = 0
         while (i < n) {
           val f = in.readUTF()
           val c = in.readUTF()
+          val d = in.readUTF()
           val len = in.readInt()
           if (len < 0) return None
           val b = new Array[Byte](len)
           in.readFully(b)
-          m += ((f, c) -> b)
+          m += ((f, c) -> ((d, b)))
           i += 1
         }
         val parsed = m.result()

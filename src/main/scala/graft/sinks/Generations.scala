@@ -567,24 +567,25 @@ object Generations {
     val t = new Path(table)
     val fs = fsOf(spark, t)
     if (getBloomCols(spark, table)._1.isEmpty) return kept
-    // serialized blooms for the candidate files' generations only
-    val blooms: Map[String, Array[Byte]] = kept.groupBy(_.getParent.getName)
-      .flatMap { case (gen, paths) =>
-        BloomStats.read(fs, t, gen) match {
-          case None => Nil
-          case Some(m) => paths.flatMap(p =>
-            m.get((p.getName, keyCol)).map(b => p.toString -> b))
+    // serialized (domain, bloom) for the candidate files' gens only
+    val blooms: Map[String, (String, Array[Byte])] =
+      kept.groupBy(_.getParent.getName)
+        .flatMap { case (gen, paths) =>
+          BloomStats.read(fs, t, gen) match {
+            case None => Nil
+            case Some(m) => paths.flatMap(p =>
+              m.get((p.getName, keyCol)).map(b => p.toString -> b))
+          }
         }
-      }
     if (blooms.isEmpty) return kept
     exact match {
       case Some(keys) =>
         kept.filter { p =>
           blooms.get(p.toString) match {
             case None => true
-            case Some(bytes) =>
-              val bf = BloomStats.deserialize(bytes)
-              keys.exists(BloomStats.mightContain(bf, _))
+            case Some((d, bytes)) =>
+              val db = BloomStats.deserialize(d, bytes)
+              keys.exists(BloomStats.mightContain(db, _))
           }
         }
       case None =>

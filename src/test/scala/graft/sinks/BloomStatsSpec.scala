@@ -114,6 +114,23 @@ class BloomStatsSpec extends SparkSpec {
       s"string bloom must prune absent-but-straddled keys (${kept.size}/$total)")
   }
 
+  test("cross-domain probes keep files (no false negatives from sloppy key types)") {
+    val t = mkTable()
+    commitEvens(t) // LONG-domain blooms over k = 0,2,…,798
+    // STRING probe values: putString("42") and mightContainLong(42)
+    // hash differently — a naive probe would read PRESENT longs as
+    // absent and prune matching files. The domain tag keeps them all.
+    val strKeys = Seq("42", "100", "301").toDF("k")
+    val (kept, total) = Generations.prunePlanByKeys(spark, t, "k", strKeys).get
+    assert(total === 4 && kept.size === 4,
+      s"string probes against long-domain blooms must keep every file " +
+        s"(${kept.size}/$total)")
+    // same-domain probes still prune as before
+    val (keptL, _) = Generations.prunePlanByKeys(spark, t, "k",
+      Seq(301L, 403L).toDF("k")).get
+    assert(keptL.isEmpty)
+  }
+
   test("bloom sidecars follow the generation lifecycle (gc)") {
     val t = mkTable()
     Generations.setBloomCols(spark, t, Seq("v"), fpp = 1e-4)

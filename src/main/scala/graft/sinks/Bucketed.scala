@@ -76,6 +76,11 @@ object Bucketed {
     */
   def registerGenerations(spark: SparkSession, table: String,
       name: String, atVersion: Option[Long] = None): Unit = {
+    // the name is interpolated into DDL below and the registration
+    // DROPs it first: restrict to a bare identifier (no backticks, no
+    // dots — this API owns the default database only)
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"registration name must be a bare [A-Za-z0-9_]+ identifier: '$name'")
     val (key, n) = Generations.getBucketing(spark, table).getOrElse(
       throw new IllegalStateException(
         s"$table has no declared bucketing — setBucketing first"))
@@ -108,15 +113,28 @@ object Bucketed {
     require(!schema.fieldNames.contains("_gen"),
       s"$table has a data column named _gen — it collides with the " +
         "registration's generation partition column")
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // qualified URIs throughout: the catalog resolves relative paths
     // against the warehouse dir, not the session CWD
     val tPath = new org.apache.hadoop.fs.Path(table)
     val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(tPath)
+    // re-registration replaces OUR OWN projection (same location); a
+    // pre-existing catalog table rooted elsewhere is someone else's —
+    // dropping a MANAGED table would delete its data, so refuse.
+    if (spark.catalog.tableExists(name)) {
+      val existing = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))
+      require(new org.apache.hadoop.fs.Path(existing.location).toString
+          == qualified.toString,
+        s"catalog already has a table '$name' at ${existing.location}, " +
+          s"not a registration of $table — pick another name rather " +
+          "than dropping it")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(
       s"CREATE TABLE `$name` (${schema.toDDL}, _gen STRING) USING parquet " +
         s"PARTITIONED BY (_gen) CLUSTERED BY (`$key`) SORTED BY (`$key`) " +
-        s"INTO $n BUCKETS LOCATION '${fs.makeQualified(tPath)}'")
+        s"INTO $n BUCKETS LOCATION '$qualified'")
     commits.foreach { c =>
       val gp = fs.makeQualified(
         new org.apache.hadoop.fs.Path(Generations.genPath(table, c)))

@@ -376,27 +376,55 @@ object Generations {
     * register any committed span as a catalog table whose key-equality
     * joins plan ZERO exchanges. The shuffle is paid once per commit,
     * at write time, never again at read. Declare BEFORE the first
-    * commit; the bucket key is a layout CONTRACT — a later commit
-    * missing the column fails rather than silently breaking the layout.
+    * commit; the bucket key is a layout CONTRACT, and this method
+    * ENFORCES it: re-declaring the same layout is an idempotent no-op,
+    * but declaring any layout on a table that already has commits is
+    * refused — those generations were written under a different (or
+    * no) clustering, and [[Bucketed.registerGenerations]] would hand
+    * the planner trusted bucket ids the files don't satisfy (silently
+    * dropped join matches). To adopt or change a layout on a populated
+    * table, rewrite its content into a fresh table declared up front.
     */
   def setBucketing(spark: SparkSession, table: String, key: String,
       n: Int): Unit = {
-    require(key.nonEmpty && !key.contains("\n") && !key.contains(" "),
-      s"bucket key must be space/newline-free: '$key'")
+    require(key.nonEmpty && !key.contains("\n") && !key.contains(" ") &&
+      !key.contains("`"),
+      s"bucket key must be a space/newline/backtick-free column name: '$key'")
     require(n > 0, s"bucket count must be positive: $n")
     val t = new Path(table)
     val fs = fsOf(spark, t)
+    val declared = getBucketing(spark, table)
+    if (declared.contains((key, n))) return // idempotent re-declare
+    if (commits(spark, table).nonEmpty) {
+      val was = declared.map { case (k0, n0) => s"under layout ($k0, $n0)" }
+        .getOrElse("unbucketed")
+      throw new IllegalStateException(
+        s"$table already has commits written $was — cannot declare " +
+          s"($key, $n) now; declare bucketing BEFORE the first commit, " +
+          "or rewrite the content into a fresh table declared up front")
+    }
+    // no data written yet: changing the declaration is harmless
     Pointers.replace(fs, t, "_bucketing", s"$key $n")
   }
 
-  /** The table's declared bucket layout, if any. */
+  /** The table's declared bucket layout, if any. A malformed pointer
+    * throws (naming the file) instead of reading as "undeclared": the
+    * layout is a correctness contract — degrading would make the next
+    * commit silently write unbucketed under a declared clustering.
+    */
   def getBucketing(spark: SparkSession, table: String): Option[(String, Int)] = {
     val t = new Path(table)
     val fs = fsOf(spark, t)
-    Pointers.read(fs, t, "_bucketing").flatMap { txt =>
+    Pointers.read(fs, t, "_bucketing").map { txt =>
+      def bad: Nothing = throw new IllegalStateException(
+        s"corrupt _bucketing pointer under $table (content: '$txt', " +
+          "expected '<key> <buckets>') — restore or remove the pointer " +
+          "file before committing")
       txt.trim.split(" ") match {
-        case Array(k, n) => Some((k, n.toInt))
-        case _ => None
+        case Array(k, n) =>
+          try (k, n.toInt)
+          catch { case _: NumberFormatException => bad }
+        case _ => bad
       }
     }
   }
@@ -419,7 +447,12 @@ object Generations {
     Pointers.replace(fs, t, "_bloomcols", (fpp.toString +: cols).mkString("\n"))
   }
 
-  /** The table's declared bloom columns and fpp (empty when none). */
+  /** The table's declared bloom columns and fpp (empty when none). A
+    * malformed pointer reads as UNDECLARED rather than throwing from
+    * inside every subsequent commit: blooms are a conservative
+    * optimization (no bloom ⇒ keep the file), so degrading is safe —
+    * the same posture as the stats/bloom sidecar read paths.
+    */
   def getBloomCols(spark: SparkSession, table: String): (Seq[String], Double) = {
     val t = new Path(table)
     val fs = fsOf(spark, t)
@@ -427,8 +460,11 @@ object Generations {
       case None => (Nil, 0.0)
       case Some(txt) =>
         val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-        if (lines.isEmpty) (Nil, 0.0)
-        else (lines.tail, lines.head.toDouble)
+        lines.headOption
+          .flatMap(h => scala.util.Try(h.toDouble).toOption)
+          .filter(f => f > 0 && f < 0.5)
+          .map(f => (lines.tail, f))
+          .getOrElse((Nil, 0.0))
     }
   }
 

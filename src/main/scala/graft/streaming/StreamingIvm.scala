@@ -258,7 +258,10 @@ object StreamingIvm {
     * rewrites the log as ONE summary row per closed session
     * (`tsCol` = start, `_end`, `_n` — additive schema evolution; raw
     * appends keep writing bare events that read as [ts, ts]×1) plus
-    * the open sessions' raw rows verbatim, committed as a SNAPSHOT
+    * the open sessions' raw rows verbatim — every non-session log
+    * column rides through on open rows and is NULL on summary rows,
+    * so other views maintained over the same log keep their inputs
+    * for everything still inside the horizon — committed as a SNAPSHOT
     * under the usual expectedBase CAS (a concurrent append
     * aborts-and-redoes the fold) with replay witnesses carried.
     * [[ChangeFeed.sessionizeIntervals]]' start-to-previous-end gap
@@ -287,13 +290,22 @@ object StreamingIvm {
         .partitionBy(userCol, "_seq")
       val flagged = assigned.withColumn("_closed",
         max(unix_micros(col("_end"))).over(w) < horizon)
+      // every NON-session log column rides through on open rows
+      // verbatim (other views maintained over the same log keep their
+      // inputs); summary rows null them — a summary stands for many
+      // events, so no single payload value is correct there
+      val sessionCols = Set(userCol, tsCol, "_end", "_n")
+      val extras = log.schema.fields.filterNot(f =>
+        sessionCols.contains(f.name))
+      val keyCols = Seq(col(userCol), col(tsCol), col("_end"), col("_n"))
       val closed = flagged.filter(col("_closed"))
         .groupBy(col(userCol), col("_seq"))
         .agg(min(col(tsCol)).as(tsCol), max(col("_end")).as("_end"),
           sum(col("_n")).as("_n"))
-        .select(col(userCol), col(tsCol), col("_end"), col("_n"))
+        .select(keyCols ++
+          extras.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
       val open = flagged.filter(!col("_closed"))
-        .select(col(userCol), col(tsCol), col("_end"), col("_n"))
+        .select(keyCols ++ extras.map(f => col(f.name)): _*)
       val folded = closed.unionByName(open)
       try return Some(Generations.writeAndCommit(spark, folded, logTable,
         expectedBase = Some(base)))

@@ -188,6 +188,84 @@ class BucketedGenerationsSpec extends SparkSpec {
     checkAll("post-squash")
   }
 
+  test("layout declaration is GUARDED: free before data, frozen after") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    // before any commit: changing the declaration is harmless
+    Generations.setBucketing(spark, t, "k", 8)
+    assert(Generations.getBucketing(spark, t) === Some(("k", 8)))
+    Generations.writeAndCommit(spark, fact(), t)
+    // idempotent re-declare of the SAME layout stays a no-op
+    Generations.setBucketing(spark, t, "k", 8)
+    // a DIFFERENT layout after commits refuses: registered scans would
+    // trust bucket ids the committed files don't satisfy
+    val e = intercept[IllegalStateException] {
+      Generations.setBucketing(spark, t, "k", 16)
+    }
+    assert(e.getMessage.contains("rewrite"))
+    intercept[IllegalStateException] {
+      Generations.setBucketing(spark, t, "v", 8)
+    }
+    assert(Generations.getBucketing(spark, t) === Some(("k", 8)))
+  }
+
+  test("declaring a layout over existing UNBUCKETED commits refuses") {
+    val t = mkDir("t")
+    Generations.writeAndCommit(spark, fact(), t)
+    val e = intercept[IllegalStateException] {
+      Generations.setBucketing(spark, t, "k", 4)
+    }
+    assert(e.getMessage.contains("unbucketed"))
+    assert(Generations.getBucketing(spark, t).isEmpty)
+  }
+
+  test("a corrupt _bucketing pointer fails loudly, naming the pointer") {
+    val t = mkDir("t")
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Pointers.replace(fs, p, "_bucketing", "k notanumber")
+    val e = intercept[IllegalStateException] {
+      Generations.getBucketing(spark, t)
+    }
+    assert(e.getMessage.contains("_bucketing"))
+    Pointers.replace(fs, p, "_bucketing", "onetoken")
+    intercept[IllegalStateException] { Generations.getBucketing(spark, t) }
+  }
+
+  test("a corrupt _bloomcols pointer degrades to undeclared (blooms are optional)") {
+    val t = mkDir("t")
+    val p = new org.apache.hadoop.fs.Path(t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Pointers.replace(fs, p, "_bloomcols", "notadouble\nk")
+    assert(Generations.getBloomCols(spark, t) === ((Nil, 0.0)))
+    // commits proceed without blooms (conservative: no bloom ⇒ keep)
+    Generations.writeAndCommit(spark, fact(), t)
+    assert(Generations.readLog(spark, t).get.count() === 2000L)
+  }
+
+  test("registration never clobbers a foreign table; names are identifiers") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.writeAndCommit(spark, fact(), t)
+    intercept[IllegalArgumentException] {
+      Bucketed.registerGenerations(spark, t, "bad`name")
+    }
+    // a pre-existing catalog table rooted elsewhere is someone else's;
+    // dropping a MANAGED table would delete its data
+    val other = uniq("bg_foreign")
+    spark.range(3).write.saveAsTable(other)
+    val e = intercept[IllegalArgumentException] {
+      Bucketed.registerGenerations(spark, t, other)
+    }
+    assert(e.getMessage.contains("pick another name"))
+    assert(spark.table(other).count() === 3L, "the foreign table survives")
+    // re-registering OUR OWN projection (same location) still replaces
+    val name = uniq("bg_own")
+    Bucketed.registerGenerations(spark, t, name)
+    Bucketed.registerGenerations(spark, t, name)
+    assert(spark.table(name).drop("_gen").count() === 2000L)
+  }
+
   test("the bucket key is a contract: a commit without it fails loudly") {
     val t = mkDir("t")
     Generations.setBucketing(spark, t, "k", 4)

@@ -88,6 +88,34 @@ class StreamingIvmFoldSpec extends SparkSpec {
     assert(sessions(mvF) === sessions(mvU))
   }
 
+  test("non-session log columns ride through the fold on open rows") {
+    val log = mkDir("log"); val mv = mkDir("mv")
+    // session ticks write bare (user, ts); another producer sharing the
+    // log appends rows WITH a payload column (additive evolution)
+    StreamingIvm.ingestSessionBatch(spark, evS(
+      (1, ts(0), 1L), (2, ts(0, 10), 1L), (4, ts(0, 5), 2L)), 0L, log, mv)
+    Generations.appendCommitted(spark,
+      Seq((1L, ts(10), "a"), (2L, ts(10, 5), "b"))
+        .toDF("user_id", "ts", "payload"), log, "batch=side")
+    // mark → 10:30, horizon 08:00: the early sessions close, the
+    // payload-bearing rows stay open
+    StreamingIvm.ingestSessionBatch(spark, evS((9, ts(10, 30), 3L)),
+      1L, log, mv)
+    assert(StreamingIvm.foldSessionLog(spark, log).nonEmpty)
+    val folded = Generations.readLog(spark, log).get
+    assert(folded.columns.toSet ===
+      Set("payload", "ts", "user_id", "_end", "_n"),
+      "the fold preserves the full log schema, not just session columns")
+    // open (live) raw rows keep their payload verbatim — other views
+    // maintained over the same log still see their inputs
+    assert(folded.filter(col("payload").isNotNull)
+      .select(col("payload")).as[String].collect().toSet === Set("a", "b"))
+    // summaries stand for many events (payload NULL), plus the open
+    // u3 row that never had one: 2 + 1
+    assert(folded.filter(col("payload").isNull).count() === 3L)
+    assert(folded.count() === 5L)
+  }
+
   test("auto-fold dial bounds the log while the view stays exact") {
     val log = mkDir("log"); val mv = mkDir("mv")
     val logU = mkDir("logU"); val mvU = mkDir("mvU")

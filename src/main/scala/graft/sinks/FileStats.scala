@@ -305,10 +305,33 @@ object FileStats {
         size() > 16
     }
 
+  /** One sidecar line → (file, rows, col, stats), or None when
+    * malformed (skipped, like the inline parser always did). Exposed so
+    * [[Generations.checkpointMeta]] can parse sidecars DISTRIBUTED —
+    * the driver-side [[read]] path and the meta checkpoint must agree
+    * on the format by construction.
+    */
+  def parseLine(l: String): Option[(String, Long, String, ColStats)] = {
+    val p7 = l.split(" ", 7)
+    if (p7.length != 7) None
+    else scala.util.Try((dec(p7(0)), p7(1).toLong, dec(p7(2)),
+      ColStats(p7(3), p7(4).toLong, p7(5), p7(6)))).toOption
+  }
+
+  /** Driver-side [[read]] invocations on the CURRENT thread —
+    * instrumentation for the distributed-metadata-planning contract (a
+    * meta-planned prune must parse ZERO sidecars on the driver;
+    * MetaPlanSpec asserts it). Thread-local so concurrent suites
+    * sharing the JVM can't perturb each other's delta.
+    */
+  val readCalls: ThreadLocal[Long] =
+    ThreadLocal.withInitial(() => 0L)
+
   /** The generation's stats, or None when absent/unreadable — callers
     * must treat None (and any file not listed) as "keep everything".
     */
   def read(fs: FileSystem, table: Path, gen: String): Option[Seq[FileEntry]] = {
+    readCalls.set(readCalls.get + 1)
     val p = statsPath(table, gen)
     val st = try fs.getFileStatus(p)
       catch { case _: java.io.FileNotFoundException => return None }
@@ -329,12 +352,10 @@ object FileStats {
       val byFile = scala.collection.mutable.LinkedHashMap
         .empty[String, (Long, scala.collection.mutable.Map[String, ColStats])]
       txt.linesIterator.filter(_.nonEmpty).foreach { l =>
-        val p7 = l.split(" ", 7)
-        if (p7.length == 7) {
-          val f = dec(p7(0))
+        parseLine(l).foreach { case (f, rows, c, st) =>
           val e = byFile.getOrElseUpdate(f,
-            (p7(1).toLong, scala.collection.mutable.Map.empty))
-          e._2(dec(p7(2))) = ColStats(p7(3), p7(4).toLong, p7(5), p7(6))
+            (rows, scala.collection.mutable.Map.empty))
+          e._2(c) = st
         }
       }
       val parsed = byFile.toSeq.map { case (f, (rows, cols)) =>

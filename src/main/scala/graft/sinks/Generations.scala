@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, when}
 
 /** Pointer-file ("generation") commit protocol for snapshot-replaced
   * tables — the object-store-safe alternative to rename-swapping a
@@ -468,10 +468,140 @@ object Generations {
     }
   }
 
+  // ------------------------------------------------ metadata checkpoint
+  // The Delta-checkpoint analog for PLANNING, not data: prunePlan's
+  // driver loop is O(total files) — fs.listStatus per generation plus a
+  // sidecar parse per plan — which is the classic metastore bottleneck
+  // at the 100 TB design point (10⁵-10⁶ files). checkpointMeta folds the
+  // _stats sidecars AND the file inventory of the live span into ONE
+  // committed parquet table under `_meta/<id>/`, and prunePlan then
+  // evaluates the skipping predicates as a DISTRIBUTED filter over it:
+  // driver work becomes O(commits + KEPT files) — the kept list must
+  // exist on the driver regardless, since it is the scan's file list.
+  // Commits newer than the checkpoint plan through the old driver path
+  // (bounded by commits-since-checkpoint); tables below the dial
+  // threshold skip the Spark job entirely (small-table fast path, the
+  // IvfIndex.serveTopKVec auto-dial pattern).
+
+  private def metaDir(table: Path) = new Path(table, "_meta")
+
+  /** Session-conf dial: distributed meta planning engages at this many
+    * checkpointed files; below it the driver path wins (no job setup).
+    */
+  val MetaDialMinFilesKey = "graft.meta.minFiles"
+  private val MetaDialMinFilesDefault = 512L
+
+  /** A published metadata checkpoint: parquet under `_meta/<id>/` with
+    * one row per (gen, file, col) stats entry plus one `__file__`
+    * inventory sentinel per data file (so a file whose schema carries
+    * none of the declared stats columns is still planned — kept).
+    */
+  final case class MetaCheckpoint(id: String, nFiles: Long,
+      gens: Set[String])
+
+  /** The current checkpoint, or None when absent/corrupt (corrupt
+    * degrades to the driver path — planning is never REQUIRED to use
+    * the checkpoint, only allowed to).
+    */
+  def readMetaCheckpoint(spark: SparkSession,
+      table: String): Option[MetaCheckpoint] = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.read(fs, t, "_metaptr").flatMap { txt =>
+      val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+      lines.headOption.map(_.split(" ")) match {
+        case Some(Array(id, n)) if n.forall(_.isDigit) && id.nonEmpty =>
+          Some(MetaCheckpoint(id, n.toLong, lines.tail.toSet))
+        case _ => None
+      }
+    }
+  }
+
+  /** Fold the live span's `_stats` sidecars + file inventory into a new
+    * metadata checkpoint (maintenance-time; [[maintain]] calls it when
+    * stats columns are declared). The sidecar rows are parsed
+    * DISTRIBUTED (spark.read.text over the sidecar files — at 10⁶
+    * files that is the bulk of the bytes); the inventory sentinels come
+    * from one maintenance-time listing per generation, which is the
+    * amortized checkpoint cost Delta pays too. Returns None when the
+    * table has no committed content.
+    */
+  def checkpointMeta(spark: SparkSession,
+      table: String): Option[MetaCheckpoint] = {
+    import spark.implicits._
+    val cs = logCommits(spark, table)
+    if (cs.isEmpty) return None
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    val id = java.util.UUID.randomUUID.toString.take(12)
+    // inventory sentinels: the complete per-gen data-file listing — a
+    // present sidecar may legitimately miss files (a frame lacking every
+    // declared column writes no lines), so coverage comes from the
+    // listing, never the sidecar
+    val inv = cs.flatMap { c =>
+      val gd = new Path(genPath(table, c))
+      fs.listStatus(gd).filter(s => s.isFile &&
+        s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+        .map(s => (c.gen, s.getPath.getName, -1L, "__file__", "file",
+          -1L, "", ""))
+    }
+    val withStats = cs.filter(c => fs.exists(FileStats.statsPath(t, c.gen)))
+    val statRows =
+      if (withStats.isEmpty)
+        spark.emptyDataset[(String, String, Long, String, String, Long,
+          String, String)]
+      else
+        spark.read.textFile(withStats.map(c =>
+            FileStats.statsPath(t, c.gen).toString): _*)
+          .select(org.apache.spark.sql.functions.input_file_name()
+            .as("src"), col("value"))
+          .as[(String, String)]
+          .flatMap { case (src, line) =>
+            val gen = src.substring(src.lastIndexOf('/') + 1)
+            FileStats.parseLine(line).map { case (f, rows, c, st) =>
+              (gen, f, rows, c, st.kind, st.nullCount, st.min, st.max)
+            }
+          }
+    val dir = fs.makeQualified(new Path(metaDir(t), id))
+    statRows.union(inv.toDS())
+      .toDF("gen", "file", "rows", "col", "kind", "nulls", "mn", "mx")
+      .write.mode("overwrite").parquet(dir.toString)
+    val ptr = (s"$id ${inv.size}" +: cs.map(_.gen)).mkString("\n")
+    Pointers.replace(fs, t, "_metaptr", ptr)
+    Some(MetaCheckpoint(id, inv.size.toLong, cs.map(_.gen).toSet))
+  }
+
+  /** Remove checkpoint dirs superseded by the current pointer (gc
+    * hook; age-gated by the caller's grace the same way gen orphans
+    * are — a concurrent planner may still be reading a just-replaced
+    * checkpoint inside its plan call).
+    */
+  private[sinks] def metaOrphans(fs: FileSystem, table: Path): Seq[Path] = {
+    val md = metaDir(table)
+    if (!fs.exists(md)) return Nil
+    val current = Pointers.read(fs, table, "_metaptr")
+      .flatMap(_.linesIterator.toSeq.headOption.map(_.split(" ")(0)))
+    fs.listStatus(md).map(_.getPath)
+      .filterNot(p => current.contains(p.getName)).toSeq
+  }
+
+  /** Driver listStatus calls made by [[prunePlan]]'s per-generation
+    * fallback on the CURRENT thread — instrumentation for the
+    * distributed-planning contract (a fully meta-covered plan must make
+    * ZERO; MetaPlanSpec asserts). Thread-local, like
+    * [[FileStats.readCalls]].
+    */
+  val planListCalls: ThreadLocal[Long] =
+    ThreadLocal.withInitial(() => 0L)
+
   /** Per-commit file-pruning report for `preds` over the live content
     * ([[logCommits]] span): (kept parquet paths, total files). A
     * generation without stats keeps all its files — pruning is always
-    * conservative, never required.
+    * conservative, never required. Generations covered by a metadata
+    * checkpoint past the dial threshold are planned as a distributed
+    * filter over the checkpoint (O(commits + kept) driver work); the
+    * uncheckpointed tail and small tables use the driver loop.
     */
   def prunePlan(spark: SparkSession, table: String,
       preds: Seq[FileStats.Pred]): Option[(Seq[Path], Int)] = {
@@ -479,10 +609,20 @@ object Generations {
     if (cs.isEmpty) return None
     val t = new Path(table)
     val fs = fsOf(spark, t)
+    val minFiles = spark.conf.getOption(MetaDialMinFilesKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(MetaDialMinFilesDefault)
+    val meta = readMetaCheckpoint(spark, table)
+      .filter(_.nFiles >= minFiles)
+    val (covered, uncovered) = meta match {
+      case Some(m) => cs.partition(c => m.gens.contains(c.gen))
+      case None => (Seq.empty[Commit], cs)
+    }
     var total = 0
     val kept = Seq.newBuilder[Path]
-    cs.foreach { c =>
+    def driverPlan(span: Seq[Commit]): Unit = span.foreach { c =>
       val gd = new Path(genPath(table, c))
+      planListCalls.set(planListCalls.get + 1)
       val files = fs.listStatus(gd).filter(s => s.isFile &&
         s.getPath.getName.startsWith("part-") &&
         s.getPath.getName.endsWith(".parquet")).map(_.getPath)
@@ -498,7 +638,65 @@ object Generations {
           }
       }
     }
+    if (covered.nonEmpty) {
+      // any checkpoint read failure degrades to the driver path —
+      // the checkpoint is an optimization, never load-bearing
+      try {
+        val (kc, tc) = metaPrune(spark, table, meta.get, covered, preds)
+        kept ++= kc; total += tc
+        driverPlan(uncovered)
+      } catch {
+        case _: Exception => total = 0; kept.clear(); driverPlan(cs)
+      }
+    } else driverPlan(uncovered)
     Some((kept.result(), total))
+  }
+
+  /** The distributed half of [[prunePlan]]: evaluate `preds` over the
+    * checkpointed (gen, file, col) stats rows of `covered`, returning
+    * (kept paths, total files). Only the stats rows of the PREDICATE
+    * columns plus the inventory sentinels are read (column-pruned,
+    * predicate-pushed parquet scan); the collect is bounded by the
+    * kept-file count — the scan list the driver must hold anyway.
+    */
+  private def metaPrune(spark: SparkSession, table: String,
+      m: MetaCheckpoint, covered: Seq[Commit],
+      preds: Seq[FileStats.Pred]): (Seq[Path], Int) = {
+    import spark.implicits._
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    val dir = fs.makeQualified(new Path(metaDir(t), m.id)).toString
+    val liveGens = covered.map(_.gen)
+    val predCols = preds.map(_.col).distinct
+    val rows = spark.read.parquet(dir)
+      .filter(col("gen").isin(liveGens: _*) &&
+        col("col").isin("__file__" +: predCols: _*))
+      .select(col("gen"), col("file"), col("col"), col("kind"),
+        col("nulls"), col("mn"), col("mx"))
+      .as[(String, String, String, String, Long, String, String)]
+    val p = preds
+    val verdicts = rows
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (gf: (String, String),
+          it: Iterator[(String, String, String, String, Long, String,
+            String)]) =>
+        val colStats = it.collect {
+          case (_, _, c, k, n, mn, mx) if c != "__file__" =>
+            c -> FileStats.ColStats(k, n, mn, mx)
+        }.toMap
+        (gf._1, gf._2, FileStats.mightMatchAll(
+          FileStats.FileEntry(gf._2, 0L, colStats), p))
+      }
+      .persist()
+    try {
+      val totalC = verdicts.count()
+      val keptGF = verdicts.filter(_._3)
+        .map { case (g, f, _) => (g, f) }.collect()
+      val genDir = covered.map(c => c.gen -> genPath(table, c)).toMap
+      val keptPaths = keptGF.toSeq.sortBy(identity)
+        .map { case (g, f) => fs.makeQualified(new Path(genDir(g), f)) }
+      (keptPaths, totalC.toInt)
+    } finally verdicts.unpersist()
   }
 
   /** [[readLog]] restricted to the files whose committed stats admit
@@ -1120,6 +1318,11 @@ object Generations {
     }
     val (cf, gd) = gc(spark, table, keep = policy.keep,
       orphanGraceMs = policy.orphanGraceMs, protect = protect)
+    // refresh the metadata checkpoint over the post-fold span so the
+    // next prunePlan plans distributed from day one (stats-declaring
+    // tables only — others have nothing to checkpoint)
+    if (getStatsCols(spark, table).nonEmpty)
+      checkpointMeta(spark, table)
     MaintenanceReport(folded, compacted, before,
       commits(spark, table).size, cf, gd, made.result())
   }
@@ -1283,6 +1486,13 @@ object Generations {
         if (fs.getFileStatus(p).getModificationTime < ageCut)
           fs.delete(p, false)
       }
+    // superseded metadata checkpoints: same age gate — a planner that
+    // read the pointer just before a refresh may still be scanning the
+    // old checkpoint inside its plan call
+    metaOrphans(fs, t).foreach { p =>
+      if (fs.getFileStatus(p).getModificationTime < ageCut)
+        fs.delete(p, true)
+    }
     (drop.length + stale.length, genDeletes)
   }
 }

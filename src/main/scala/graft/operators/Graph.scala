@@ -114,7 +114,7 @@ object Graph {
       .select(coalesce(col("n_overlap"), lit(0L)).cast("double")
         .divide(lit(k)).as("recall"))
       .agg(count(lit(1)).as("n_anchors"),
-        round(avg(col("recall")), 4).as("mean_recall"))
+        (floor(avg(col("recall")) * 1e4 + 0.5) / 1e4).as("mean_recall"))
       .select(col("n_anchors"), col("mean_recall"),
         (col("mean_recall") >= minMeanRecall).as("recall_ok"))
   }
@@ -231,7 +231,10 @@ object Graph {
       // engine-side mass-conservation checks; default no-op costs nothing
       onIteration(i, ranks)
     }
-    ranks.select(col("v"), round(col("r") * n, 6).as("rank_norm"))
+    // floor-snap, never round(): r is an iterated double sum, so the
+    // snap must be the same IEEE ops in every engine (BASELINE.md)
+    ranks.select(col("v"),
+      (floor(col("r") * n * 1e6 + 0.5) / 1e6).as("rank_norm"))
   }
 
   /** Personalized PageRank: teleport mass returns to a SEED set instead
@@ -291,7 +294,9 @@ object Graph {
       if (i % 3 == 0 && i < iters) ranks = ranks.materialized
       onIteration(i, ranks) // diagnostic seam, as in pageRank
     }
-    ranks.select(col("v"), round(col("r") * nNodes.toDouble, 6).as("ppr_norm"))
+    // floor-snap, never round() — same rule as pageRank's rank_norm
+    ranks.select(col("v"),
+      (floor(col("r") * nNodes.toDouble * 1e6 + 0.5) / 1e6).as("ppr_norm"))
   }
 
   /** Multi-source BFS hop distance: hops(v) = length of the shortest

@@ -19,10 +19,14 @@ import graft.operators.Iterate.MaterializeOps
 object Incremental {
 
   /** Per-key mergeable aggregate state: (keys…, sum_v, cnt_v, min_v,
-    * max_v) over `valueCol`. */
+    * max_v) over `valueCol`. The sum state is DECIMAL: merge-of-partials
+    * must equal recompute EXACTLY (the IVM law this operator exists
+    * for), and a double sum's last ulps depend on summation order —
+    * decimal addition is associative/commutative for real, not just
+    * approximately (BASELINE.md hash rule). */
   def aggState(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     df.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(valueCol)).as("sum_v"),
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("sum_v"),
         count(col(valueCol)).as("cnt_v"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
@@ -38,10 +42,12 @@ object Incremental {
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 
-  /** Read-time finalization: derived averages on top of the state. */
+  /** Read-time finalization: derived averages on top of the state —
+    * the exact decimal sum converted once, divided in double (both
+    * deterministic), never round() over a plan-dependent double. */
   def finalize(state: DataFrame): DataFrame =
     state.withColumn("avg_v",
-      round(col("sum_v") / col("cnt_v"), 6).as("avg_v"))
+      (col("sum_v").cast("double") / col("cnt_v")).as("avg_v"))
 
   /** CDC-driven maintenance: apply a change feed to an aggregate view by
     * RETRACTION — the Flink "retract aggregate" / Materialize delta-join

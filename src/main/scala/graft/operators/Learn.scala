@@ -189,8 +189,10 @@ object Learn {
         least(floor(col("p") * nBins).cast("long"), lit(nBins - 1L)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("p")), 6).as("avg_p"),
-        round(avg(col("y").cast("double")), 6).as("frac_pos"))
+        // avg of doubles floor-snaps (BASELINE.md); frac_pos is a ratio
+        // of exact integer sums — deterministic without snapping
+        (floor(avg(col("p")) * 1e6 + 0.5) / 1e6).as("avg_p"),
+        (sum(col("y")).cast("double") / count(col("y"))).as("frac_pos"))
       .orderBy("bin")
 
   /** Covariance matrix of an `array<float>` embedding column as a COO

@@ -26,7 +26,7 @@ object Profile {
         countDistinct(col(c)).as(s"${c}__ndv"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        round(avg(col(c)), 6).as(s"${c}__avg"))
+        (floor(avg(col(c)) * 1e6 + 0.5) / 1e6).as(s"${c}__avg"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = columns.map { c =>

@@ -62,7 +62,9 @@ object Search {
       .withColumn("score", idf * col("tf") * (k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("score")), 6).as("bm25"))
+      // floor-snap (never round() on a double sum): same IEEE ops in
+      // every engine, so the snapped score can't hash-split (BASELINE.md)
+      .agg((floor(sum(col("score")) * 1e6 + 0.5) / 1e6).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
@@ -163,7 +165,7 @@ object Search {
       .withColumn("score", idf * col("tf") * (k1 + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("score")), 6).as("bm25"),
+      .agg((floor(sum(col("score")) * 1e6 + 0.5) / 1e6).as("bm25"),
         count(lit(1)).as("n_match"))
       .join(broadcast(nTerms), "query_id")
       .withColumn("rel", col("n_match") === col("n_terms"))

@@ -142,7 +142,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub_j", "code"))
       .groupBy(col("vec_id"))
-      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .agg((floor(sum(col("d2")) * 1e6 + 0.5) / 1e6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -186,7 +186,7 @@ object Similarity {
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub_j", "code"))
       .groupBy(col("vec_id"), col("cell"))
-      .agg(round(sum(col("d2")), 6).as("adc_dist"))
+      .agg((floor(sum(col("d2")) * 1e6 + 0.5) / 1e6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -450,7 +450,10 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), centroid(col("embedding")).as("centroid"))
       .select(col("cell"), col("n"), posexplode(col("centroid")).as(Seq("dim", "v")))
-      .select(col("cell"), col("n"), col("dim"), round(col("v"), 6).as("v"))
+      // v is a mean of doubles (order-dependent ulps) — floor-snap,
+      // never round() (BASELINE.md hash rule)
+      .select(col("cell"), col("n"), col("dim"),
+        (floor(col("v") * 1e6 + 0.5) / 1e6).as("v"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
@@ -532,7 +535,8 @@ object Similarity {
         (col("nrm") * col("a_nrm")), 6) >= threshold)
       .select((col("cell") === col("a_cell")).cast("double").as("hit"))
       .agg(count(lit(1)).as("n_true_pairs"),
-        coalesce(round(avg(col("hit")), 4), lit(1.0)).as("pair_recall"))
+        coalesce(floor(avg(col("hit")) * 1e4 + 0.5) / 1e4, lit(1.0))
+          .as("pair_recall"))
       .select(col("n_true_pairs"), col("pair_recall"),
         (col("pair_recall") >= minPairRecall).as("recall_ok"))
   }
@@ -716,7 +720,7 @@ object Similarity {
       .select(coalesce(col("n_overlap"), lit(0L)).cast("double")
         .divide(lit(k)).as("recall"))
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(col("recall")), 4).as("mean_recall"))
+        (floor(avg(col("recall")) * 1e4 + 0.5) / 1e4).as("mean_recall"))
       .select(col("n_queries"), col("mean_recall"),
         (col("mean_recall") >= minMeanRecall).as("recall_ok"))
   }
@@ -791,7 +795,7 @@ object Similarity {
           .divide(lit(k)).as("recall"))
       .groupBy(col("n_probe"))
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(col("recall")), 4).as("mean_recall"))
+        (floor(avg(col("recall")) * 1e4 + 0.5) / 1e4).as("mean_recall"))
       .orderBy("n_probe")
   }
 
@@ -848,7 +852,7 @@ object Similarity {
           .divide(lit(k)).as("recall"))
       .groupBy(col("n_dims"))
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(col("recall")), 4).as("mean_recall"))
+        (floor(avg(col("recall")) * 1e4 + 0.5) / 1e4).as("mean_recall"))
       .orderBy("n_dims")
   }
 

@@ -81,7 +81,8 @@ object TextAnalysis {
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(log(col("cnt") / col("n_total"))), 6).as("avg_logprob"))
+        (floor(avg(log(col("cnt") / col("n_total"))) * 1e6 + 0.5) / 1e6)
+          .as("avg_logprob"))
   }
 
   /** Per-source corpus datacard — the summary table a curation pipeline
@@ -104,7 +105,8 @@ object TextAnalysis {
         countDistinct(col("content_md5")).as("n_unique"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        round(avg(col("n_chars")), 6).as("avg_chars"))
+        (sum(col("n_chars")).cast("double") / count(col("n_chars")))
+          .as("avg_chars"))
       .withColumn("dup_rate",
         round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
 
@@ -133,8 +135,8 @@ object TextAnalysis {
       .join(preCnt, "prefix")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log(col("bi_cnt").cast("double") / col("pre_cnt"))), 6)
-          .as("avg_logprob"))
+        (floor(avg(log(col("bi_cnt").cast("double") / col("pre_cnt")))
+          * 1e6 + 0.5) / 1e6).as("avg_logprob"))
   }
 
   /** Trigram stupid-backoff LM score + perplexity per document — the
@@ -206,10 +208,10 @@ object TextAnalysis {
       .withColumn("lns", log(score))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_occ")).as("n_trigrams"),
-        round(sum(col("lns") * col("n_occ")) / sum(col("n_occ")), 6)
-          .as("avg_logscore"),
-        round(exp(-sum(col("lns") * col("n_occ")) / sum(col("n_occ"))), 6)
-          .as("ppl"))
+        (floor(sum(col("lns") * col("n_occ")) / sum(col("n_occ"))
+          * 1e6 + 0.5) / 1e6).as("avg_logscore"),
+        (floor(exp(-sum(col("lns") * col("n_occ")) / sum(col("n_occ")))
+          * 1e6 + 0.5) / 1e6).as("ppl"))
   }
 
   /** Perplexity admission gate over [[trigramBackoffScore]] — the
@@ -226,7 +228,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("ppl") <= maxPpl, 1L).otherwise(0L)).as("n_kept"),
-        round(avg(col("ppl")), 6).as("mean_ppl"))
+        (floor(avg(col("ppl")) * 1e6 + 0.5) / 1e6).as("mean_ppl"))
       .withColumn("keep_share",
         round(col("n_kept").cast("double") / col("n_docs"), 6))
   }
@@ -269,7 +271,7 @@ object TextAnalysis {
       .join(broadcast(ratios), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
-        round(avg(col("logratio")), 6).as("dsir_weight"))
+        (floor(avg(col("logratio")) * 1e6 + 0.5) / 1e6).as("dsir_weight"))
   }
 
   /** Per-source distributional drift monitor: KL(source ‖ corpus) over

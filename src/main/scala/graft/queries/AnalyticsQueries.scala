@@ -17,13 +17,48 @@ import graft.operators.AsOf
   *    hints where the dim is bounded by schema, AQE otherwise;
   *  - aggregations rely on Catalyst partial+final hash agg (map-side
   *    combine), so shuffle volume is |groups|, not |rows|;
-  *  - double-typed aggregates are rounded in BOTH engines to absorb
-  *    summation-order float drift.
+  *  - money/value aggregates SUM IN DECIMAL and emit double (exact,
+  *    summation-order-independent — see the canonicalization helpers
+  *    below); round() over a double aggregate is banned pack-wide
+  *    (tools/check.py lint, BASELINE.md hash rule).
   */
 object AnalyticsQueries extends QueryPack {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
+
+  // HASH-SAFE aggregate canonicalization (BASELINE.md: "floor-snapped …
+  // never round()"): a double sum's last ulps are summation-order-
+  // dependent, so every gate aggregate over money/value doubles SUMS IN
+  // DECIMAL (exact, order-independent) and emits DOUBLE — decimal→double
+  // is the same correctly-rounded value in both engines at gate
+  // magnitudes. Money sums reduce to cents scale first (the
+  // agg_revenue_decimal_exact template minus its string cast). Oracle
+  // mirrors use round(sum(decimal), 2) before the DECIMAL(38,2) cast
+  // because DuckDB's decimal scale-reduction cast TRUNCATES (see the
+  // decimal-exact oracle's comment); round() on an EXACT decimal is the
+  // engine-agreed half-away operation, not the banned double round.
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private val oneDec = lit(BigDecimal(1)).cast("decimal(18,4)")
+  /** the TPC-H discounted-revenue term, in exact decimal */
+  private def revTerm =
+    dec4(col("l_extendedprice")) * (oneDec - dec4(col("l_discount")))
+  /** exact money sum over a decimal term, emitted as double at cents */
+  private def moneySum(e: org.apache.spark.sql.Column) =
+    sum(e).cast("decimal(38,2)").cast("double")
+  /** exact value sum (scale-4), emitted as double */
+  private def valSum(c: org.apache.spark.sql.Column) =
+    sum(dec4(c)).cast("double")
+  /** exact mean: decimal sum converted once, divided in double */
+  private def decAvg(c: org.apache.spark.sql.Column) =
+    sum(dec4(c)).cast("double") / count(c)
+  /** oracle-side mirror of [[moneySum]] */
+  private def moneySumSql(inner: String): String =
+    s"CAST(CAST(round(sum($inner), 2) AS DECIMAL(38,2)) AS DOUBLE)"
+  private def dec4Sql(c: String): String = s"CAST($c AS DECIMAL(18,4))"
+  /** oracle-side mirror of [[revTerm]] inside [[moneySumSql]] */
+  private val revSql: String = moneySumSql(
+    s"${dec4Sql("l_extendedprice")} * (CAST(1 AS DECIMAL(18,4)) - ${dec4Sql("l_discount")})")
 
   /** The deterministic CDC changeset over orders shared by the MERGE and
     * change-feed queries: urgent orders' status updated, every 97th key
@@ -1043,8 +1078,8 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Incremental.finalize(
           graft.operators.Incremental.merge(base, delta, keys))
         .select(col("l_returnflag"),
-          round(col("sum_v"), 2).as("sum_v"), col("cnt_v"),
-          col("min_v"), col("max_v"), col("avg_v"))
+          col("sum_v").cast("decimal(38,2)").cast("double").as("sum_v"),
+          col("cnt_v"), col("min_v"), col("max_v"), col("avg_v"))
         .orderBy("l_returnflag")
     }),
 
@@ -1054,11 +1089,11 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          moneySum(dec4(col("l_quantity"))).as("sum_qty"),
+          moneySum(dec4(col("l_extendedprice"))).as("sum_base_price"),
+          moneySum(revTerm).as("sum_disc_price"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          decAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -1069,8 +1104,8 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
-          count(lit(1)).as("n_items"))),
+        .agg(moneySum(dec4(col("l_extendedprice")) * dec4(col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))),
 
     // EX2: exact distinct aggregation.
     "agg_distinct_custs" -> ((s, dir) =>
@@ -1091,8 +1126,7 @@ object AnalyticsQueries extends QueryPack {
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(moneySum(revTerm).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
 
@@ -1151,7 +1185,7 @@ object AnalyticsQueries extends QueryPack {
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(moneySum(revTerm).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -1195,7 +1229,7 @@ object AnalyticsQueries extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          round(sum(col("value")).over(w), 4).as("running_value"))
+          sum(dec4(col("value"))).over(w).cast("double").as("running_value"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -1204,7 +1238,7 @@ object AnalyticsQueries extends QueryPack {
     "time_tumbling_hourly" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .agg(count(lit(1)).as("n"), valSum(col("value")).as("sum_value"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("bucket", "event_type")),
@@ -1386,7 +1420,8 @@ object AnalyticsQueries extends QueryPack {
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .groupBy(col("event_type"))
-        .agg(round(avg(col("k")), 4).as("avg_k"), max(col("k")).as("max_k"))
+        .agg((sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+          max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
     // Skew-safe aggregation: two-phase salted sum per user (identical
@@ -1396,7 +1431,9 @@ object AnalyticsQueries extends QueryPack {
       graft.operators.Skew.saltedSumCount(
           t(s, dir, "events"), key = "user_id", valueCol = "value",
           saltFrom = "event_id")
-        .select(col("user_id"), round(col("sum_value"), 2).as("sum_value"), col("n"))
+        .select(col("user_id"),
+          col("sum_value").cast("decimal(38,2)").cast("double").as("sum_value"),
+          col("n"))
         .orderBy("user_id")),
 
     // Grouping sets: rollup subtotals (beyond the survey's minimum —
@@ -1405,7 +1442,7 @@ object AnalyticsQueries extends QueryPack {
     "agg_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), moneySum(dec4(col("l_quantity"))).as("sum_qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
           col("n"), col("sum_qty"))
@@ -1434,7 +1471,7 @@ object AnalyticsQueries extends QueryPack {
     "agg_cube" -> ((s, dir) =>
       t(s, dir, "orders")
         .cube(col("o_orderpriority"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .agg(count(lit(1)).as("n"), moneySum(dec4(col("o_totalprice"))).as("sum_price"))
         .select(coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
           col("n"), col("sum_price"))
@@ -1458,8 +1495,8 @@ object AnalyticsQueries extends QueryPack {
         .agg((avg(col("l_quantity")) * 0.2).as("qty_gate"))
       lsel.join(gate, col("l_partkey") === col("g_partkey"))
         .filter(col("l_quantity") < col("qty_gate"))
-        .agg(coalesce(round(sum(col("l_extendedprice")) / 7.0, 2), lit(0.0)).as("avg_yearly"),
-          count(lit(1)).as("n_items"))
+        .agg(coalesce(moneySum(dec4(col("l_extendedprice"))) / 7.0, lit(0.0))
+          .as("avg_yearly"), count(lit(1)).as("n_items"))
     }),
 
     // EX4e: RANGE-frame window — trailing 1-hour per-user event stats
@@ -1471,7 +1508,7 @@ object AnalyticsQueries extends QueryPack {
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_hour"),
-          round(sum(col("value")).over(w), 4).as("sum_hour"))
+          sum(dec4(col("value"))).over(w).cast("double").as("sum_hour"))
         .orderBy("event_id")
     }),
 
@@ -1488,26 +1525,27 @@ object AnalyticsQueries extends QueryPack {
         .join(t(s, dir, "orders").select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .agg(count(lit(1)).as("n_custs"), moneySum(dec4(col("c_acctbal"))).as("total_bal"))
         .orderBy("c_nationkey")
     }),
 
     // TPC-H Q15-shape: supplier(s) achieving the maximum period revenue —
-    // argmax over an aggregate. Revenue is rounded BEFORE the max/equality
-    // compare so float summation order can't split the argmax across
-    // engines; the 1-row max broadcasts back onto the aggregate.
+    // argmax over an aggregate. Revenue stays DECIMAL through the
+    // max/equality compare (exact — float summation order can't split
+    // the argmax across engines); the 1-row max broadcasts back onto
+    // the aggregate, and the winner converts to double only on output.
     "join_top_supplier_revenue" -> ((s, dir) => {
       val rev = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1996-04-01"))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_rev"))
-      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+        .agg(sum(revTerm).cast("decimal(38,2)").as("total_rev_d"))
+      val mx = rev.agg(max(col("total_rev_d")).as("max_rev"))
       rev.crossJoin(broadcast(mx))
-        .filter(col("total_rev") === col("max_rev"))
+        .filter(col("total_rev_d") === col("max_rev"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev_d").cast("double").as("total_rev"))
         .orderBy("s_suppkey")
     }),
 
@@ -1584,8 +1622,7 @@ object AnalyticsQueries extends QueryPack {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(moneySum(revTerm).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name")
     }),
 
@@ -1629,8 +1666,7 @@ object AnalyticsQueries extends QueryPack {
       val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
       li.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(moneySum(revTerm).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("p_brand"))
         .limit(10)
     }),
@@ -1644,7 +1680,7 @@ object AnalyticsQueries extends QueryPack {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
       val big = li.groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .agg(sum(dec4(col("l_quantity"))).cast("double").as("total_qty"))
         .filter(col("total_qty") > 150)
       o.join(big, col("o_orderkey") === col("l_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
@@ -1678,7 +1714,7 @@ object AnalyticsQueries extends QueryPack {
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(moneySum(revTerm).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
@@ -2751,7 +2787,7 @@ object AnalyticsQueries extends QueryPack {
            |  count(DISTINCT $c) AS ndv,
            |  CAST(min($c) AS DOUBLE) AS min_v,
            |  CAST(max($c) AS DOUBLE) AS max_v,
-           |  round(avg($c), 6) AS avg_v FROM lineitem""".stripMargin
+           |  floor(avg($c) * 1e6 + 0.5) / 1e6 AS avg_v FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
     },
 
@@ -2973,40 +3009,46 @@ object AnalyticsQueries extends QueryPack {
         |FROM mins ORDER BY bucket""".stripMargin,
 
     "mv_incremental_pricing" ->
-      """SELECT l_returnflag,
-        |  round(sum(l_extendedprice), 2) AS sum_v,
+      s"""SELECT l_returnflag,
+        |  ${moneySumSql(dec4Sql("l_extendedprice"))} AS sum_v,
         |  count(l_extendedprice) AS cnt_v,
         |  min(l_extendedprice) AS min_v,
         |  max(l_extendedprice) AS max_v,
-        |  round(sum(l_extendedprice) / count(l_extendedprice), 6) AS avg_v
+        |  CAST(sum(${dec4Sql("l_extendedprice")}) AS DOUBLE)
+        |    / count(l_extendedprice) AS avg_v
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "agg_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${moneySumSql(dec4Sql("l_quantity"))} AS sum_qty,
+        |  ${moneySumSql(dec4Sql("l_extendedprice"))} AS sum_base_price,
+        |  $revSql AS sum_disc_price,
+        |  CAST(sum(${dec4Sql("l_quantity")}) AS DOUBLE)
+        |    / count(l_quantity) AS avg_qty,
+        |  CAST(sum(${dec4Sql("l_discount")}) AS DOUBLE)
+        |    / count(l_discount) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_salted_user_value" ->
-      """SELECT user_id, round(sum(value), 2) AS sum_value, count(*) AS n
+      s"""SELECT user_id, ${moneySumSql(dec4Sql("value"))} AS sum_value,
+        |  count(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "agg_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
-        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |  count(*) AS n, ${moneySumSql(dec4Sql("l_quantity"))} AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "agg_filtered_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      s"""SELECT ${moneySumSql(
+            s"${dec4Sql("l_extendedprice")} * ${dec4Sql("l_discount")}")}
+        |    AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -3027,8 +3069,8 @@ object AnalyticsQueries extends QueryPack {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_revenue_by_nation" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name,
+        |  $revSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -3043,12 +3085,13 @@ object AnalyticsQueries extends QueryPack {
         |FROM events_us GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_small_qty_revenue" ->
-      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 15),
+      s"""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23' AND p_size <= 15),
         |lsel AS (SELECT l_partkey, l_quantity, l_extendedprice
         |  FROM lineitem JOIN p ON l_partkey = p_partkey),
         |gate AS (SELECT l_partkey AS g_partkey, avg(l_quantity) * 0.2 AS qty_gate
         |  FROM lsel GROUP BY l_partkey)
-        |SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly,
+        |SELECT coalesce(${moneySumSql(dec4Sql("l_extendedprice"))} / 7.0,
+        |    0.0) AS avg_yearly,
         |  count(*) AS n_items
         |FROM lsel JOIN gate ON l_partkey = g_partkey
         |WHERE l_quantity < qty_gate""".stripMargin,
@@ -3068,31 +3111,33 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY o_orderpriority, quartile""".stripMargin,
 
     "join_rich_inactive_customers" ->
-      """SELECT c_nationkey, count(*) AS n_custs,
-        |  round(sum(c_acctbal), 2) AS total_bal
+      s"""SELECT c_nationkey, count(*) AS n_custs,
+        |  ${moneySumSql(dec4Sql("c_acctbal"))} AS total_bal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "join_top_supplier_revenue" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |    CAST(round(sum(${dec4Sql("l_extendedprice")} *
+        |      (CAST(1 AS DECIMAL(18,4)) - ${dec4Sql("l_discount")})), 2)
+        |      AS DECIMAL(38,2)) AS total_rev_d
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_rev
+        |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_rev
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |WHERE total_rev_d = (SELECT max(total_rev_d) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
 
     "window_trailing_hour" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT event_id, user_id,
         |  count(*) OVER w AS n_hour,
-        |  round(sum(value) OVER w, 4) AS sum_hour
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_hour
         |FROM events_us
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -3116,8 +3161,8 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY c_custkey""".stripMargin,
 
     "join_shipping_priority" ->
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  $revSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -3148,14 +3193,17 @@ object AnalyticsQueries extends QueryPack {
     "window_running_value" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT user_id, event_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value
         |FROM events_us ORDER BY user_id, event_id""".stripMargin,
 
     "time_tumbling_hourly" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events_us GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
 
     "time_sliding_windows" ->
@@ -3283,14 +3331,15 @@ object AnalyticsQueries extends QueryPack {
 
     "json_props_extract" ->
       """SELECT event_type,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+        |    / count(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
         |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_cube" ->
-      """SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      s"""SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |  coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |  count(*) AS n, ${moneySumSql(dec4Sql("o_totalprice"))} AS sum_price
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
 
@@ -3318,8 +3367,8 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "join_revenue_by_region" ->
-      """SELECT r_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT r_name,
+        |  $revSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -3350,8 +3399,8 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "join_part_brand_revenue" ->
-      """SELECT p_brand,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT p_brand,
+        |  $revSql AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
@@ -3361,16 +3410,18 @@ object AnalyticsQueries extends QueryPack {
       """SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, total_qty
         |FROM orders
-        |JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |JOIN (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
         |      FROM lineitem GROUP BY l_orderkey
-        |      HAVING round(sum(l_quantity), 2) > 150) ON o_orderkey = l_orderkey
+        |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150)
+        |  ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "join_volume_shipping" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  $revSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -107,7 +107,7 @@ object GovernanceQueries extends QueryPack {
           col("ts") < lit("2024-01-13 00:00:00"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy("event_type")
     }),
@@ -134,8 +134,52 @@ object GovernanceQueries extends QueryPack {
           col("value").between(5.0, 60.0))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("sum_value"))
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // DISTRIBUTED metadata planning (r17 VERDICT #1 — the Delta
+    // checkpoint analog): the _stats sidecars + file inventory of a
+    // multi-commit span fold into ONE committed parquet checkpoint
+    // (Generations.checkpointMeta), and prunePlan evaluates the range
+    // predicate as a distributed filter over it — REQUIRED below: the
+    // plan makes ZERO per-generation driver listings (the O(total
+    // files) metastore bottleneck at 10⁵-10⁶ files), yet still skips
+    // files. The oracle replays the same filter over the raw table, so
+    // the hash compare proves the distributed plan lost no rows.
+    "lake_meta_planned_scan" -> ((s, dir) => {
+      import graft.sinks.{FileStats, Generations, Scratch}
+      val base = Scratch.dir(s, "graft-lakemeta")
+      val tab = s"$base/events_by_ts"
+      Generations.setStatsCols(s, tab, Seq("ts"))
+      val ev = t(s, dir, "events")
+      (0 to 2).foreach { i =>
+        val part = ev.filter(col("event_id") % 3 === i)
+          .repartitionByRange(6, col("ts")).sortWithinPartitions("ts")
+        if (i == 0) Generations.writeAndCommit(s, part, tab)
+        else Generations.appendCommitted(s, part, tab, s"batch=$i")
+      }
+      Generations.checkpointMeta(s, tab)
+      s.conf.set(Generations.MetaDialMinFilesKey, "0")
+      try {
+        val preds = Seq(FileStats.Between("ts",
+          FileStats.tsMicros("2024-01-10T00:00:00"),
+          FileStats.tsMicros("2024-01-13T00:00:00")))
+        val before = Generations.planListCalls.get
+        val (kept, total) = Generations.prunePlan(s, tab, preds).get
+        require(Generations.planListCalls.get == before,
+          "a fully checkpointed plan must make no per-gen driver listing")
+        require(kept.size < total,
+          s"meta-planned range scan must skip files (kept ${kept.size}/$total)")
+        Generations.readPruned(s, tab, preds).get
+          .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
+            col("ts") < lit("2024-01-13 00:00:00"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,4)")).cast("double")
+              .as("sum_value"))
+          .orderBy("event_type")
+      } finally s.conf.unset(Generations.MetaDialMinFilesKey)
     }),
 
     // CO-LOCATED JOIN (sinks/Bucketed.scala): both join sides persisted
@@ -374,12 +418,12 @@ object GovernanceQueries extends QueryPack {
         |    count(*) AS n_rows
         |  FROM assigned GROUP BY layout, file)
         |SELECT layout, count(*) AS n_files,
-        |  round(avg(span_x), 6) AS avg_span_x,
-        |  round(avg(span_y), 6) AS avg_span_y,
-        |  round(CAST(sum(span_x) AS DOUBLE) / 256, 6) AS est_files_x,
-        |  round(CAST(sum(span_y) AS DOUBLE) / 256, 6) AS est_files_y,
-        |  round(CAST(max(n_rows) AS DOUBLE)
-        |    / (CAST(sum(n_rows) AS DOUBLE) / count(*)), 6) AS row_skew
+        |  CAST(sum(span_x) AS DOUBLE) / count(*) AS avg_span_x,
+        |  CAST(sum(span_y) AS DOUBLE) / count(*) AS avg_span_y,
+        |  CAST(sum(span_x) AS DOUBLE) / 256 AS est_files_x,
+        |  CAST(sum(span_y) AS DOUBLE) / 256 AS est_files_y,
+        |  CAST(max(n_rows) AS DOUBLE)
+        |    / (CAST(sum(n_rows) AS DOUBLE) / count(*)) AS row_skew
         |FROM per_file GROUP BY layout ORDER BY layout""".stripMargin,
 
     // full-scan replay of the pruned range scan: equality proves the
@@ -387,8 +431,19 @@ object GovernanceQueries extends QueryPack {
     "lake_skipping_scan" ->
       """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
+        |FROM ev
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // full-scan replay: equality proves the DISTRIBUTED metadata plan
+    // (checkpoint-pruned file set) dropped no matching rows
+    "lake_meta_planned_scan" ->
+      """WITH ev AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM ev
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
@@ -396,7 +451,7 @@ object GovernanceQueries extends QueryPack {
 
     "lake_zorder_skipping" ->
       """SELECT event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 2 AND 9 AND value BETWEEN 5.0 AND 60.0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -283,8 +283,8 @@ object LearnQueries extends QueryPack {
          |$logRegPredCtes
          |SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
          |  count(*) AS n,
-         |  round(avg(p), 6) AS avg_p,
-         |  round(avg(y), 6) AS frac_pos
+         |  floor(avg(p) * 1e6 + 0.5) / 1e6 AS avg_p,
+         |  CAST(sum(y) AS DOUBLE) / count(y) AS frac_pos
          |FROM pp JOIN lab USING (doc_id)
          |GROUP BY 1 ORDER BY bin""".stripMargin,
 

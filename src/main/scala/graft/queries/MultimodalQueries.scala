@@ -145,7 +145,8 @@ object MultimodalQueries extends QueryPack {
         .mapPartitions(_.map(id => (id, Multimodal.fixturePng(id))))
         .toDF("media_id", "bytes")
       Multimodal.imageLumaGrid(pngs, g = 4).toDF()
-        .select(col("media_id"), col("cell"), round(col("luma"), 6).as("luma"))
+        .select(col("media_id"), col("cell"),
+          (floor(col("luma") * 1e6 + 0.5) / 1e6).as("luma"))
         .orderBy("media_id", "cell")
     }),
 
@@ -364,7 +365,7 @@ object MultimodalQueries extends QueryPack {
         |  FROM (SELECT media_id, w, h, x, y,
         |          (pk * 7 + x * 31 + y * 17) % 256 AS v FROM px))
         |SELECT media_id, cell,
-        |  round(sum(lum)::DOUBLE / count(*), 6) AS luma
+        |  floor(sum(lum)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS luma
         |FROM lm GROUP BY media_id, cell
         |ORDER BY media_id, cell""".stripMargin,
 

@@ -98,8 +98,9 @@ object SearchQueries extends QueryPack {
        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
        |  FROM (
        |    SELECT p.doc_id,
-       |      round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-       |        * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+       |      floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |        * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+       |        * 1e6 + 0.5) / 1e6 AS bm25
        |    FROM q${qid}posts p JOIN q${qid}dfreq USING (term)
        |    JOIN lens USING (doc_id) CROSS JOIN stats
        |    GROUP BY p.doc_id ORDER BY bm25 DESC, doc_id LIMIT $EVAL_K)),
@@ -149,8 +150,9 @@ object SearchQueries extends QueryPack {
          |  GROUP BY doc_id, term),
          |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY term)
          |SELECT p.doc_id,
-         |  round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-         |    * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         |  floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |    * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+         |    * 1e6 + 0.5) / 1e6 AS bm25
          |FROM posts p
          |JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
          |GROUP BY p.doc_id
@@ -236,8 +238,9 @@ object SearchQueries extends QueryPack {
          |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM posts GROUP BY term),
          |bmtop AS (
          |  SELECT p.doc_id,
-         |    round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-         |      * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+         |    floor(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         |      * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+         |      * 1e6 + 0.5) / 1e6 AS bm25
          |  FROM posts p
          |  JOIN dfreq USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
          |  GROUP BY p.doc_id

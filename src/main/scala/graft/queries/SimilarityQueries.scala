@@ -405,7 +405,8 @@ object SimilarityQueries extends QueryPack {
         .groupBy(col("label"))
         .agg(centroid(col("embedding")).as("centroid"))
         .select(col("label"), posexplode(col("centroid")).as(Seq("dim", "v")))
-        .select(col("label"), col("dim"), round(col("v"), 6).as("v"))
+        .select(col("label"), col("dim"),
+          (floor(col("v") * 1e6 + 0.5) / 1e6).as("v"))
         .orderBy("label", "dim")
     })
   )
@@ -612,7 +613,7 @@ object SimilarityQueries extends QueryPack {
        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dg),
        |r0 AS (SELECT src AS v, 1.0 / (SELECT n FROM nn) AS r FROM dg),
        |$iterCtes
-       |SELECT v AS vec_id, round(r * (SELECT n FROM nn), 6) AS rank_norm
+       |SELECT v AS vec_id, floor(r * (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS rank_norm
        |FROM r5 ORDER BY v""".stripMargin
   }
 
@@ -642,7 +643,7 @@ object SimilarityQueries extends QueryPack {
        |s0 AS (SELECT v, flag / (SELECT ns FROM ns) AS s FROM sd),
        |p0 AS (SELECT v, s AS r FROM s0),
        |$iterCtes
-       |SELECT v AS vec_id, round(r * (SELECT n FROM nn), 6) AS ppr_norm
+       |SELECT v AS vec_id, floor(r * (SELECT n FROM nn) * 1e6 + 0.5) / 1e6 AS ppr_norm
        |FROM p5 ORDER BY v""".stripMargin
   }
 
@@ -823,7 +824,7 @@ object SimilarityQueries extends QueryPack {
          |rec AS (SELECT q.q_id,
          |    coalesce(ov.n_overlap, 0)::DOUBLE / $TOP_K AS recall
          |  FROM q LEFT JOIN ov USING (q_id))
-         |SELECT count(*) AS n_queries, round(avg(recall), 4) AS mean_recall,
+         |SELECT count(*) AS n_queries, floor(avg(recall) * 1e4 + 0.5) / 1e4 AS mean_recall,
          |  true AS recall_ok
          |FROM rec""".stripMargin,
 
@@ -840,8 +841,8 @@ object SimilarityQueries extends QueryPack {
          |  WHERE a.vec_id < 2048
          |    AND round(${cosSql("x.de", "a.de")}, 6) >= 0.45)
          |SELECT count(*) AS n_true_pairs,
-         |  coalesce(round(avg(CASE WHEN a_cell = x_cell THEN 1.0
-         |    ELSE 0.0 END), 4), 1.0) AS pair_recall,
+         |  coalesce(floor(avg(CASE WHEN a_cell = x_cell THEN 1.0
+         |    ELSE 0.0 END) * 1e4 + 0.5) / 1e4, 1.0) AS pair_recall,
          |  true AS recall_ok
          |FROM tp""".stripMargin,
 
@@ -863,7 +864,7 @@ object SimilarityQueries extends QueryPack {
          |rec AS (SELECT q.q_id,
          |    coalesce(ov.n_overlap, 0)::DOUBLE / 4 AS recall
          |  FROM q LEFT JOIN ov USING (q_id))
-         |SELECT count(*) AS n_anchors, round(avg(recall), 4) AS mean_recall,
+         |SELECT count(*) AS n_anchors, floor(avg(recall) * 1e4 + 0.5) / 1e4 AS mean_recall,
          |  true AS recall_ok
          |FROM rec""".stripMargin,
 
@@ -901,7 +902,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM grid g LEFT JOIN ov o
          |    ON o.q_id = g.q_id AND o.n_probe = g.n_probe)
          |SELECT n_probe, count(*) AS n_queries,
-         |  round(avg(recall), 4) AS mean_recall
+         |  floor(avg(recall) * 1e4 + 0.5) / 1e4 AS mean_recall
          |FROM rec GROUP BY n_probe ORDER BY n_probe""".stripMargin,
 
     "sim_dim_recall_curve" ->
@@ -934,7 +935,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM grid g LEFT JOIN ov o
          |    ON o.q_id = g.q_id AND o.n_dims = g.n_dims)
          |SELECT n_dims, count(*) AS n_queries,
-         |  round(avg(recall), 4) AS mean_recall
+         |  floor(avg(recall) * 1e4 + 0.5) / 1e4 AS mean_recall
          |FROM rec GROUP BY n_dims ORDER BY n_dims""".stripMargin,
 
     // Per-dim cell means rebuilt into an ordered list, cosine to each
@@ -1100,7 +1101,7 @@ object SimilarityQueries extends QueryPack {
          |flat AS (
          |  SELECT cell, generate_subscripts(de, 1) - 1 AS dim, unnest(de) AS e
          |  FROM assigned)
-         |SELECT cell, count(*) AS n, dim, round(avg(e), 6) AS v
+         |SELECT cell, count(*) AS n, dim, floor(avg(e) * 1e6 + 0.5) / 1e6 AS v
          |FROM flat GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
 
     "sim_label_centroids" ->
@@ -1108,7 +1109,7 @@ object SimilarityQueries extends QueryPack {
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS e
         |  FROM embeddings)
-        |SELECT label, dim, round(avg(e), 6) AS v
+        |SELECT label, dim, floor(avg(e) * 1e6 + 0.5) / 1e6 AS v
         |FROM flat GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "sim_knn_classify" ->
@@ -1144,7 +1145,7 @@ object SimilarityQueries extends QueryPack {
          |      - 2 * list_dot_product(qs.sv, c.cv), 6) AS d2
          |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) qs
          |    USING (sub_j))
-         |SELECT b.vec_id, a.cell, round(sum(l.d2), 6) AS adc_dist
+         |SELECT b.vec_id, a.cell, floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc_dist
          |FROM best b JOIN assigned a USING (vec_id)
          |  JOIN probed p ON a.cell = p.cell
          |  JOIN lut l USING (sub_j, code)
@@ -1186,7 +1187,7 @@ object SimilarityQueries extends QueryPack {
          |      - 2 * list_dot_product(q.sv, c.cv), 6) AS d2
          |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) q
          |    USING (sub_j))
-         |SELECT b.vec_id, round(sum(l.d2), 6) AS adc_dist
+         |SELECT b.vec_id, floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc_dist
          |FROM best b JOIN lut l USING (sub_j, code)
          |WHERE b.vec_id <> $QUERY_ID
          |GROUP BY b.vec_id

@@ -25,7 +25,8 @@ object TextQueries extends QueryPack {
       docs(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 4).as("avg_chars"))
+          (sum(col("n_chars")).cast("double") / count(col("n_chars")))
+            .as("avg_chars"))
         .orderBy("lang")),
 
     // Heuristic language-ID (marker stopwords + CJK detection).
@@ -469,8 +470,8 @@ object TextQueries extends QueryPack {
        |  LEFT JOIN uni u3 ON p[3] = u3.term
        |  CROSS JOIN tot),
        |scored AS (SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_trigrams,
-       |  round(sum(ln(s) * n_occ) / sum(n_occ), 6) AS avg_logscore,
-       |  round(exp(-sum(ln(s) * n_occ) / sum(n_occ)), 6) AS ppl
+       |  floor(sum(ln(s) * n_occ) / sum(n_occ) * 1e6 + 0.5) / 1e6 AS avg_logscore,
+       |  floor(exp(-sum(ln(s) * n_occ) / sum(n_occ)) * 1e6 + 0.5) / 1e6 AS ppl
        |FROM j GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -484,7 +485,7 @@ object TextQueries extends QueryPack {
       s"""$trigramScoredSql
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |  round(avg(s.ppl), 6) AS mean_ppl,
+         |  floor(avg(s.ppl) * 1e6 + 0.5) / 1e6 AS mean_ppl,
          |  round(CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS keep_share
          |FROM scored s JOIN documents d USING (doc_id)
@@ -497,7 +498,7 @@ object TextQueries extends QueryPack {
          |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM freq)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  round(avg(ln(cnt / n_total)), 6) AS avg_logprob
+         |  floor(avg(ln(cnt / n_total)) * 1e6 + 0.5) / 1e6 AS avg_logprob
          |FROM toks JOIN freq USING (term) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -518,7 +519,7 @@ object TextQueries extends QueryPack {
          |  count(DISTINCT md5(text)) AS n_unique,
          |  min(n_chars) AS min_chars,
          |  max(n_chars) AS max_chars,
-         |  round(avg(n_chars), 6) AS avg_chars,
+         |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
          |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -617,7 +618,7 @@ object TextQueries extends QueryPack {
          |bc AS (SELECT bigram, count(*) AS bi_cnt FROM bip GROUP BY bigram),
          |pc AS (SELECT prefix, count(*) AS pre_cnt FROM bip GROUP BY prefix)
          |SELECT doc_id, count(*) AS n_bigrams,
-         |  round(avg(ln(CAST(bi_cnt AS DOUBLE) / pre_cnt)), 6) AS avg_logprob
+         |  floor(avg(ln(CAST(bi_cnt AS DOUBLE) / pre_cnt)) * 1e6 + 0.5) / 1e6 AS avg_logprob
          |FROM bip JOIN bc USING (bigram) JOIN pc USING (prefix)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -653,7 +654,7 @@ object TextQueries extends QueryPack {
     "text_importance_weights" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, count(*) AS n_feats,
-         |  round(avg(logratio), 6) AS dsir_weight
+         |  floor(avg(logratio) * 1e6 + 0.5) / 1e6 AS dsir_weight
          |FROM feats JOIN ratios USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
@@ -663,7 +664,7 @@ object TextQueries extends QueryPack {
     "curate_selected" ->
       s"""WITH $dsirCtes,
          |wts AS (
-         |  SELECT doc_id, round(avg(logratio), 6) AS dsir_weight
+         |  SELECT doc_id, floor(avg(logratio) * 1e6 + 0.5) / 1e6 AS dsir_weight
          |  FROM feats JOIN ratios USING (bucket) GROUP BY doc_id),
          |tiered AS (
          |  SELECT w.doc_id,
@@ -710,7 +711,7 @@ object TextQueries extends QueryPack {
         |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_lang_breakdown" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_lang_id" -> langIdSql,

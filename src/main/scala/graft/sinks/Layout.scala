@@ -97,15 +97,17 @@ object Layout {
       .agg((max(col("bx")) - min(col("bx")) + 1).as("span_x"),
         (max(col("by")) - min(col("by")) + 1).as("span_y"),
         count(lit(1)).as("n_rows"))
+    // all inputs are integer sums/counts (exact at any plan order), so
+    // the derived ratios are deterministic doubles — no snapping needed
     perFile
       .groupBy(col("layout"))
       .agg(count(lit(1)).as("n_files"),
-        round(avg(col("span_x")), 6).as("avg_span_x"),
-        round(avg(col("span_y")), 6).as("avg_span_y"),
-        round(sum(col("span_x")).cast("double") / domain, 6).as("est_files_x"),
-        round(sum(col("span_y")).cast("double") / domain, 6).as("est_files_y"),
-        round(max(col("n_rows")).cast("double") /
-          (sum(col("n_rows")).cast("double") / count(lit(1))), 6).as("row_skew"))
+        (sum(col("span_x")).cast("double") / count(lit(1))).as("avg_span_x"),
+        (sum(col("span_y")).cast("double") / count(lit(1))).as("avg_span_y"),
+        (sum(col("span_x")).cast("double") / domain).as("est_files_x"),
+        (sum(col("span_y")).cast("double") / domain).as("est_files_y"),
+        (max(col("n_rows")).cast("double") /
+          (sum(col("n_rows")).cast("double") / count(lit(1)))).as("row_skew"))
       .orderBy("layout")
   }
 

@@ -5,7 +5,32 @@ each oracle in DuckDB over the same parquet tables and value-compare.
 
 Usage: python3 tools/check.py [sfdir] [--skip-verify] [query ...]
 """
-import json, math, sys, subprocess, os
+import json, math, sys, subprocess, os, re, glob
+
+# ---- round()-over-double-aggregate lint (BASELINE.md hash rule) ----
+# A double sum/avg is summation-order-dependent in its last ulps, so
+# round() over one is only DATA-DEPENDENTLY green (r11 sf1 probe: cents
+# flips on 11-digit totals). The sanctioned forms are decimal sums
+# (exact, order-independent — a DECIMAL-cast input is exempt below,
+# since round() on an exact decimal is the engine-agreed half-away op)
+# and floor-snap over derived floats. Scans every main source so the
+# convention can't drift back in (r17 VERDICT item #2).
+_viol = []
+for _f in glob.glob('/root/repo/src/main/scala/graft/**/*.scala',
+                    recursive=True):
+    _txt = open(_f).read()
+    for _m in re.finditer(r'round\(\s*(sum|avg)\s*\(', _txt):
+        _win = _txt[_m.start():_m.start() + 160]
+        if 'DECIMAL' in _win or 'decimal' in _win:
+            continue
+        _ln = _txt[:_m.start()].count('\n') + 1
+        _viol.append(f'{_f}:{_ln}: {_win.splitlines()[0]}')
+if _viol:
+    print('FAIL lint: round() over a double aggregate is hash-unsafe '
+          '(BASELINE.md) — sum in decimal or floor-snap instead:')
+    for _v in _viol:
+        print('  ', _v)
+    sys.exit(1)
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith('-') else '/root/testdata/sf0.01'
 # dump dir keyed by SF: two gates at different SFs must never share dumps

@@ -253,11 +253,23 @@ object IvfIndex {
     * [[topK]]); external query batches pass false.
     */
   def topKBatch(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, nProbe: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nProbe: Int, excludeSelf: Boolean = false,
+      minFilesPerProbe: Int = 2): DataFrame = {
     val cents = centroids(spark, dir).getOrElse(
       throw new IllegalStateException(s"no index at $dir — build first"))
-    val post = postings(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no postings at $dir"))
+    // the same dial as [[serveTopKVec]], composed with the batch shape:
+    // past the threshold the postings scan is FILE-pruned by the union
+    // of the batch's probed cells (a conservative superset of every
+    // cell the batch join touches — [[Similarity.batchProbedCells]]),
+    // so a large committed index opens ~|probed cells|/nCells of its
+    // files once for the WHOLE batch; below it the in-plan scan wins.
+    val post =
+      if (usePrunedServing(spark, dir, nProbe, minFilesPerProbe))
+        Generations.readPrunedByKeys(spark, postingsTable(dir), "cell",
+          Similarity.batchProbedCells(cents, queries, nProbe))
+          .getOrElse(throw new IllegalStateException(s"no postings at $dir"))
+      else postings(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no postings at $dir"))
     Similarity.ivfBatchTopK(post, cents, queries, k, nProbe, excludeSelf)
   }
 

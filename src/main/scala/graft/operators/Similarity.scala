@@ -388,6 +388,27 @@ object Similarity {
     * union of |Q| [[ivfTopKProbe]] runs — IvfIndexSpec pins that law
     * against the persisted index via [[IvfIndex.topKBatch]].
     */
+  /** The DISTINCT cells a query batch probes — ivfBatchTopK's
+    * probe-selection stage alone, exposed as the dynamic-file-pruning
+    * key frame for the batched serving path ([[IvfIndex.topKBatch]]):
+    * the union of per-query probe sets is a conservative superset of
+    * every cell the batch join touches, so restricting the postings
+    * scan to files whose committed cell stats admit it never drops a
+    * candidate. Stays a FRAME (never collected) — the bounded-collect
+    * and bloom tiers inside readPrunedByKeys handle cardinality.
+    */
+  def batchProbedCells(cents: DataFrame, queries: DataFrame,
+      nProbe: Int): DataFrame = {
+    val centRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_sim").desc, col("cell"))
+    queries.select(col("query_id"), col("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("q_sim", round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6))
+      .withColumn("_rn", row_number().over(centRank))
+      .filter(col("_rn") <= nProbe)
+      .select(col("cell")).distinct()
+  }
+
   def ivfBatchTopK(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
       k: Int, nProbe: Int, excludeSelf: Boolean): DataFrame = {
     val centRank = Window.partitionBy(col("query_id"))

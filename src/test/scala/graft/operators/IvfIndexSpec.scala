@@ -189,6 +189,40 @@ class IvfIndexSpec extends SparkSpec {
       s"expected exactly one postings scan, got $postingsScans")
   }
 
+  test("topKBatch auto-dials: a large index file-prunes the batch scan") {
+    import spark.implicits._
+    val big = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, big, numFiles = 8)
+    assert(IvfIndex.usePrunedServing(spark, big, nProbe = 2))
+    val ids = Seq(0L, 11L, 23L)
+    val queries = embs.filter(col("vec_id").isin(ids.map(Long.box): _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // the union of the batch's probed cells keeps a strict file subset
+    // (plan-level evidence, same discipline as the single-vector test)
+    val cents = IvfIndex.centroids(spark, big).get
+    val cells = Similarity.batchProbedCells(cents, queries, nProbe = 2)
+      .as[Long].collect().toSeq
+    val (kept, total) = IvfIndex.prunedPostingsPlan(spark, big, cells)
+    assert(total === 8 && kept < total,
+      s"the batched prune plan must skip postings files ($kept/$total)")
+    // dialed batch ≡ the in-plan batch
+    val expect = Similarity.ivfBatchTopK(IvfIndex.postings(spark, big).get,
+        cents, queries, k = 10, nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    val got = IvfIndex.topKBatch(spark, big, queries, k = 10, nProbe = 2,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(got === expect)
+    // below the dial the batch stays on the in-plan scan, same answer
+    val small = mkDir()
+    IvfIndex.build(spark, embs, nCells = 16, small, numFiles = 4)
+    assert(!IvfIndex.usePrunedServing(spark, small, nProbe = 2))
+    val gotSmall = IvfIndex.topKBatch(spark, small, queries, k = 10,
+        nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(gotSmall === expect)
+  }
+
   test("optimize folds deltas, preserves results, restores cell pruning") {
     val dir = mkDir()
     val base = embs.filter(col("vec_id") % 10 =!= 9)

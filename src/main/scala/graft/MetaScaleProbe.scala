@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{FileStats, Generations}
+
+/** Offline probe for the distributed-metadata-planning claim (r17
+  * VERDICT #1): build a Generations table with ~10k committed parquet
+  * files, then plan the same range prune (a) through the classic driver
+  * loop and (b) through the committed metadata checkpoint, reporting
+  * wall times, the driver-work counters (per-gen listStatus + sidecar
+  * parses — the O(total files) component), and plan equality. Wall
+  * times are host-weather; the COUNTERS are the structural evidence
+  * (SCALING.md discipline).
+  *
+  * Usage: runMain graft.MetaScaleProbe [workDir] [nCommits] [filesPer]
+  *        (default 40 commits x 256 files = 10240 files)
+  */
+object MetaScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val work = if (args.length > 0) args(0) else "var/metaprobe"
+    val nCommits = if (args.length > 1) args(1).toInt else 40
+    val filesPer = if (args.length > 2) args(2).toInt else 256
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosAsLongKey, "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tab = s"$work/t${System.nanoTime()}"
+    Generations.setStatsCols(spark, tab, Seq("k"))
+    val t0 = System.nanoTime()
+    (0 until nCommits).foreach { i =>
+      val lo = i.toLong * 100000L
+      val df = spark.range(lo, lo + 100000L)
+        .select(col("id").as("k"), (col("id") % 97).as("v"))
+        .repartitionByRange(filesPer, col("k")).sortWithinPartitions("k")
+      if (i == 0) Generations.writeAndCommit(spark, df, tab)
+      else Generations.appendCommitted(spark, df, tab, s"batch=$i")
+    }
+    val buildS = (System.nanoTime() - t0) / 1e9
+    val preds = Seq(FileStats.Between("k", 1000000L, 1005000L))
+
+    def measure(label: String): (Double, Long, Long, Seq[String], Int) = {
+      val l0 = Generations.planListCalls.get
+      val r0 = FileStats.readCalls.get
+      val s = System.nanoTime()
+      val (kept, total) = Generations.prunePlan(spark, tab, preds).get
+      val w = (System.nanoTime() - s) / 1e9
+      (w, Generations.planListCalls.get - l0, FileStats.readCalls.get - r0,
+        kept.map(_.toString).sorted, total)
+    }
+
+    spark.conf.set(Generations.MetaDialMinFilesKey, Long.MaxValue.toString)
+    val (wDrv, lDrv, rDrv, keptDrv, totDrv) = measure("driver")
+    val c0 = System.nanoTime()
+    val ck = Generations.checkpointMeta(spark, tab).get
+    val ckS = (System.nanoTime() - c0) / 1e9
+    spark.conf.set(Generations.MetaDialMinFilesKey, "0")
+    // twice: first pays the parquet-footer read of the checkpoint,
+    // second shows the steady serving pattern
+    val (wMeta1, lM1, rM1, keptM1, totM1) = measure("meta-cold")
+    val (wMeta2, lM2, rM2, _, _) = measure("meta-warm")
+    val equal = keptDrv == keptM1 && totDrv == totM1
+    println(
+      s"""{"metric":"meta_plan_probe","files":$totDrv,"commits":$nCommits,""" +
+      s""""build_s":${f"$buildS%.1f"},"checkpoint_s":${f"$ckS%.1f"},""" +
+      s""""driver_plan_s":${f"$wDrv%.3f"},"driver_listings":$lDrv,"driver_sidecar_parses":$rDrv,""" +
+      s""""meta_plan_cold_s":${f"$wMeta1%.3f"},"meta_plan_warm_s":${f"$wMeta2%.3f"},""" +
+      s""""meta_listings":${lM1 + lM2},"meta_sidecar_parses":${rM1 + rM2},""" +
+      s""""kept":${keptM1.size},"plans_equal":$equal}""")
+    require(equal, "meta plan must equal the driver plan")
+    require(lM1 + lM2 == 0 && rM1 + rM2 == 0,
+      "meta plan must do zero per-file driver work")
+    spark.stop()
+  }
+}

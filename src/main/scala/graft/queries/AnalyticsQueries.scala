@@ -1036,6 +1036,33 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("bucket", "rank")
     }),
 
+    // EX5 × IVM, STREAM ⋈ STREAM form (the eighth shape, r17 VERDICT
+    // #5): clicks ⋈ purchases on user_id — TWO append-only event logs,
+    // each under its own committed event-time mark (late rows drop per
+    // side), the view advanced by the insert-only delta join
+    // ΔA⋈B_head ∪ A_pre⋈ΔB under the =cdcv2= pair watermark
+    // (StreamingIvm.ingestStreamJoinBatch →
+    // ChangeFeed.maintainStreamJoinOnceLogs). The oracle replays BOTH
+    // admission cascades independently, then joins the admitted sets —
+    // equality proves maintained ≡ recomputed across a two-sided
+    // watermark history.
+    "mv_stream_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvss")
+      val la = s"$base/clicks"; val lb = s"$base/purch"
+      val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        val slice = ev.filter(col("event_id") % 3 === b)
+        graft.streaming.StreamingIvm.ingestStreamJoinBatch(s,
+          slice.filter(col("event_type") === "click"),
+          slice.filter(col("event_type") === "purchase"), b, la, lb, mv)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(col("user_id"), col("n_pairs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // EX5 × IVM, SKETCH form: a per-hour KMV distinct-user sketch
     // maintained over the same 3-batch watermark-replayed arrival —
     // the FOLDABLE-state shape (StreamingIvm.ingestKmvBatch →
@@ -1163,9 +1190,14 @@ object AnalyticsQueries extends QueryPack {
     // verify exactly — result is EXACTLY candidates ANTI JOIN existing
     // (false positives cost a lookup, never a wrong drop), so the plain
     // anti-join SQL is its oracle.
+    // The guarded set is URGENT orders so survivors EXIST at every gate
+    // SF (r17 VERDICT #3 — the all-orders form returned 0 rows and the
+    // hash gate proved nothing).
     "bloom_customers_no_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey").cast("string").as("c_key"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").cast("string").as("c_key"))
       graft.operators.Dedup.bloomDupGuard(
           c.withColumn("c_key", col("c_custkey").cast("string")),
           o, keyCol = "c_key", expectedKeys = 200000L)
@@ -1388,17 +1420,27 @@ object AnalyticsQueries extends QueryPack {
 
     // EX9: set ops — users who clicked but never purchased (EXCEPT), and
     // via left_anti (D1's completed dup-guard shape) for the same result.
+    // NON-EMPTY at every gate SF (r17 VERDICT #3): clickers minus
+    // BIG-TICKET purchasers — against all purchases every clicker
+    // matched and the hash gate was vacuous.
     "setop_click_no_purchase" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       ev.filter(col("event_type") === "click").select(col("user_id"))
-        .except(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .except(ev.filter(col("event_type") === "purchase" &&
+          col("value") > 90).select(col("user_id")))
         .orderBy("user_id")
     }),
 
     // D1 (latent dup-guard, completed): anti-join — customers with no orders.
+    // D1 dup-guard form. The guarded set is URGENT orders so the result
+    // is NON-EMPTY at every gate SF (r17 VERDICT #3: against all-orders
+    // every customer matched, so the hash gate was vacuous — an
+    // anti-join that wrongly returned empty would still compare green).
     "anti_customers_no_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
@@ -1522,7 +1564,12 @@ object AnalyticsQueries extends QueryPack {
         .agg(avg(col("c_acctbal")).as("thr"))
       c.crossJoin(broadcast(thr))
         .filter(col("c_acctbal") > col("thr"))
-        .join(t(s, dir, "orders").select(col("o_custkey")),
+        // "inactive" = no URGENT order — survivors exist at every gate
+        // SF (r17 VERDICT #3: against all orders the result was empty
+        // and the hash gate vacuous)
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_custs"), moneySum(dec4(col("c_acctbal"))).as("total_bal"))
@@ -2854,6 +2901,47 @@ object AnalyticsQueries extends QueryPack {
     // join law: watermark-admitted fact union ⋈ POST-update dimension —
     // revenue accumulated under a user's OLD nation that failed to move
     // with the key-moving dim update value-fails
+    // both admission cascades replayed independently (each stream's
+    // mark advances only on ITS admitted rows), then the plain join of
+    // the admitted sets
+    "mv_stream_stream_join" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |ca0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'click' AND event_id % 3 = 0),
+        |cw0 AS (SELECT max(ts) AS wm FROM ca0),
+        |ca1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM cw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |cw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM cw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM ca1), TIMESTAMP '1900-01-01')) AS wm),
+        |ca2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM cw1) - INTERVAL 2 HOUR),
+        |clicks AS (SELECT * FROM ca0 UNION ALL SELECT * FROM ca1
+        |  UNION ALL SELECT * FROM ca2),
+        |pa0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 0),
+        |pw0 AS (SELECT max(ts) AS wm FROM pa0),
+        |pa1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM pw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |pw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM pw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM pa1), TIMESTAMP '1900-01-01')) AS wm),
+        |pa2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM pw1) - INTERVAL 2 HOUR),
+        |purch AS (SELECT * FROM pa0 UNION ALL SELECT * FROM pa1
+        |  UNION ALL SELECT * FROM pa2)
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
     "mv_stream_join_nation_value" ->
       """WITH events_us AS (
         |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
@@ -3115,7 +3203,8 @@ object AnalyticsQueries extends QueryPack {
         |  ${moneySumSql(dec4Sql("c_acctbal"))} AS total_bal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "join_top_supplier_revenue" ->
@@ -3157,7 +3246,8 @@ object AnalyticsQueries extends QueryPack {
 
     "bloom_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "join_shipping_priority" ->
@@ -3315,12 +3405,14 @@ object AnalyticsQueries extends QueryPack {
     "setop_click_no_purchase" ->
       """SELECT user_id FROM events WHERE event_type = 'click'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |SELECT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 90
         |ORDER BY user_id""".stripMargin,
 
     "anti_customers_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
 
     "semi_customers_urgent" ->

@@ -955,6 +955,81 @@ object ChangeFeed {
       tag = s"=cdcv2=$headF-$headD", expectedBase = Some(mvBase)))
   }
 
+  /** The EIGHTH streaming-IVM shape (r17 VERDICT #5): a maintained
+    * aggregate over TWO append-only event logs joined to each other —
+    * stream ⋈ stream (events ⋈ events self-enrichment), each side
+    * growing under its own committed event-time mark. Both change feeds
+    * are the unapplied delta commits read as inserts (the log
+    * observation of [[maintainAggOnceLog]], twice over), and the
+    * insert-only delta join
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B_head ∪ A_pre ⋈ ΔB
+    *
+    * advances agg(A ⋈ B) exactly — ΔA⋈ΔB is counted once, inside the
+    * first term (B_head = B_pre ∪ ΔB), and both terms shuffle a
+    * delta-sized side against one base scan, never a full re-join.
+    * Exactly-once through the SAME `=cdcv2=<vA>-<vB>` pair watermark +
+    * expectedBase CAS as the log ⋈ dim shape (including its
+    * stale-listing bail); either pre-state failing the contiguity check
+    * (bootstrap, a fold inside the unapplied window, a gc gap)
+    * degrades to the always-correct recompute `aggOf(A_head, B_head)`.
+    */
+  def maintainStreamJoinOnceLogs(spark: SparkSession, logA: String,
+      logB: String, joinKeys: Seq[String], mvTable: String,
+      mvKeys: Seq[String], sumCols: Map[String, String], countCol: String)
+      (aggOf: (DataFrame, DataFrame) => DataFrame)
+      : Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.lit
+    val spanA = Generations.logCommits(spark, logA)
+    val spanB = Generations.logCommits(spark, logB)
+    val headA = spanA.lastOption.map(_.version).getOrElse(0L)
+    val headB = spanB.lastOption.map(_.version).getOrElse(0L)
+    if (headA == 0L || headB == 0L) return None
+    val (appA, appB) = appliedVersions2(spark, mvTable)
+    if (appA >= headA && appB >= headB) return None
+    // stale-listing bail — same race as maintainJoinAggOnceLogAt: a
+    // concurrent tick that advanced the view past either sampled head
+    // makes this tick's listings pre-date that commit; proceeding would
+    // regress the pair watermark and double-apply next tick
+    if (appA > headA || appB > headB) return None
+    val mvBase = Generations.latest(spark, mvTable)
+      .map(_.version).getOrElse(0L)
+    def contentOf(log: String, span: Seq[Generations.Commit]): DataFrame =
+      spark.read.option("mergeSchema", "true")
+        .parquet(span.map(Generations.genPath(log, _)): _*)
+    def insertsOf(df: DataFrame): DataFrame =
+      df.select(lit("insert").as("_change_type") +:
+        df.columns.toSeq.map(df.col): _*)
+    val winA = spanA.filter(c => c.version > appA && c.version <= headA)
+    val winB = spanB.filter(c => c.version > appB && c.version <= headB)
+    def preOk(span: Seq[Generations.Commit], app: Long, head: Long,
+        win: Seq[Generations.Commit]): Boolean =
+      app > 0L && span.nonEmpty && span.head.version <= app &&
+        win.forall(!Generations.isSnapshotCommit(_)) &&
+        win.map(_.version).toSet == (app + 1 to head).toSet
+    val incremental: Option[DataFrame] =
+      if (!preOk(spanA, appA, headA, winA) ||
+          !preOk(spanB, appB, headB, winB)) None
+      else Generations.read(spark, mvTable).map { mv =>
+        val preA = contentOf(logA, spanA.filter(_.version <= appA))
+        val bHead = contentOf(logB, spanB)
+        val pairs = Seq(
+          if (winA.isEmpty) None
+          else Some(contentOf(logA, winA).join(bHead, joinKeys)),
+          if (winB.isEmpty) None
+          else Some(preA.join(contentOf(logB, winB), joinKeys))
+        ).flatten
+        // at least one window is non-empty here: both-at-head returned
+        // above, and preOk required contiguity up to each head
+        val feed = insertsOf(pairs.reduce(_ unionByName _))
+        Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
+      }
+    val next = incremental.getOrElse(
+      aggOf(contentOf(logA, spanA), contentOf(logB, spanB)))
+    Some(Generations.writeAndCommit(spark, next, mvTable,
+      tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
+  }
+
   /** Source delta and maintained view in ONE atomic catalog commit —
     * the composition of [[maintainAggOnce]]'s incremental maintenance
     * with [[graft.sinks.Catalog.transact]]'s cross-table atomicity.

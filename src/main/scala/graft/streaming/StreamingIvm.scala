@@ -204,6 +204,48 @@ object StreamingIvm {
     }
   }
 
+  /** One micro-batch of the maintained STREAM ⋈ STREAM join view — the
+    * EIGHTH EX5×IVM shape (r17 VERDICT #5): two event feeds (e.g.
+    * clicks ⋈ purchases — events ⋈ events self-enrichment), EACH under
+    * its own committed event-time high-mark admission and witnessed
+    * append (late rows drop independently per side), then
+    * [[ChangeFeed.maintainStreamJoinOnceLogs]] advances agg(A ⋈ B)
+    * from both unapplied windows with the insert-only delta join —
+    * never a full re-join. View: (`joinKey`, `sum_value` = Σ pairs'
+    * B-side value in decimal state, `n_pairs`).
+    */
+  def ingestStreamJoinBatch(spark: SparkSession, batchA: DataFrame,
+      batchB: DataFrame, batchId: Long, logA: String, logB: String,
+      mvTable: String, tsCol: String = "ts", joinKey: String = "user_id",
+      sumCol: String = "value", lateness: String = "2 hours",
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
+    def side(batch: DataFrame, log: String, vName: String,
+        fp: String): Unit = {
+      val mark = highMark(spark, log)
+      val logged = admit(batch, mark, tsCol, lateness).select(
+        col(joinKey), col(sumCol).cast("decimal(18,4)").as(vName),
+        col(tsCol).as("_ts"))
+      logged.persist()
+      try if (!logged.isEmpty) {
+        failpoint(s"before-append-$fp")
+        Generations.appendCommitted(spark, logged.drop("_ts"), log,
+          s"batch=$batchId")
+        failpoint(s"after-append-$fp")
+        advanceMark(spark, log, mark, logged, "_ts")
+        failpoint(s"after-mark-$fp")
+      } finally logged.unpersist()
+    }
+    side(batchA, logA, "_va", "a")
+    side(batchB, logB, "_vb", "b")
+    ChangeFeed.maintainStreamJoinOnceLogs(spark, logA, logB, Seq(joinKey),
+      mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs") {
+      (a, b) =>
+        a.join(b, Seq(joinKey))
+          .groupBy(col(joinKey))
+          .agg(sum(col("_vb")).as("sum_value"), count(lit(1)).as("n_pairs"))
+    }
+  }
+
   /** One micro-batch of a maintained gap-based SESSION-WINDOW view —
     * the same committed-mark admission + witnessed append as
     * [[ingestBatch]], then dirty-user re-sessionization

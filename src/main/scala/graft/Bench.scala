@@ -74,6 +74,14 @@ object Bench {
     }
     // Give the main sweep the same chance at a quiet host (bounded).
     awaitQuietHost(quietTarget)
+    // CALIBRATOR BRACKET (r17 VERDICT #6): one fixed query timed
+    // immediately before and after the sweep, reported next to its
+    // committed baseline — an embedded host-speed reference, so even a
+    // non-quiet driver artifact carries the evidence to separate
+    // "slower code" from "slower host" (this host's documented 6-8×
+    // intra-hour oscillation) without a separate isolated run.
+    val calibratorQ = "agg_pricing_summary"
+    val calBefore = timeQuery(SparkEntry.queries(calibratorQ), 3)
     val loadBefore = loadavg()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -116,6 +124,7 @@ object Bench {
         case (first, re) => math.min(first, re)
       }
     }
+    val calAfter = timeQuery(SparkEntry.queries(calibratorQ), 3)
     val loadAfter = loadavg()
     val failedQueries = results.filter(_._2 < 0).map(_._1)
     // Two lines: the full per-query map first, then a compact total-only
@@ -140,8 +149,12 @@ object Bench {
     val rerunsJson = rerunSamples.toSeq.sorted.map { case (n, (a, b)) =>
       s"\"" + n + "\":[" + ms(a) + "," + ms(b) + "]"
     }.mkString("{", ",", "}")
+    val calJson =
+      s"""{"query":"$calibratorQ","before_s":${ms(calBefore)},""" +
+      s""""after_s":${ms(calAfter)},""" +
+      s""""baseline_s":${ms(baselineMap.getOrElse(calibratorQ, -1.0))}}"""
     val report =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failJson,"reruns":$rerunsJson,"rerun_quiet_host":$quietRerun,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failJson,"reruns":$rerunsJson,"rerun_quiet_host":$quietRerun,"calibrator":$calJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
     println(report)
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_failed":${failedQueries.size}}""")
     // Full per-query map also goes to a file: the driver's bounded tail

@@ -94,13 +94,36 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for MULTI-JVM smoke runs
+    // (e.g. local-cluster[2,16,4096]): executors are then real separate
+    // JVMs, so single-process assumptions — per-JVM caches, driver-
+    // colocated scratch, localCheckpoint durability — get exercised by
+    // the same oracle gate. Executor JVMs need the app classes and the
+    // JDK17 module opens on their own command line (the sbt fork's
+    // javaOptions only reach the driver).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosAsLongKey, "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraJavaOptions", opens)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated filter for local iteration (driver sets no
     // filter and dumps everything), mirroring Bench. A blank value means

@@ -1063,6 +1063,31 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // EX5 × IVM, TIME-BAND form (the ninth shape): maintained streaming
+    // ATTRIBUTION — clicks within each purchase's 4-hour window, i.e.
+    // the stream⋈stream join under a band predicate, RangeJoin-binned
+    // so each maintenance tick shuffles on (user, hour-bin) instead of
+    // per-user cross products (StreamingIvm.ingestAttributionBatch).
+    // The oracle replays both admission cascades then the plain band
+    // join — maintained ≡ recomputed for a non-equi pair-builder.
+    "mv_stream_attrib_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvattr")
+      val lc = s"$base/clicks"; val lp = s"$base/purch"
+      val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        val slice = ev.filter(col("event_id") % 3 === b)
+        graft.streaming.StreamingIvm.ingestAttributionBatch(s,
+          slice.filter(col("event_type") === "click"),
+          slice.filter(col("event_type") === "purchase"), b, lc, lp, mv,
+          window = "4 hours")
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(col("user_id"), col("n_pairs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // EX5 × IVM, SKETCH form: a per-hour KMV distinct-user sketch
     // maintained over the same 3-batch watermark-replayed arrival —
     // the FOLDABLE-state shape (StreamingIvm.ingestKmvBatch →
@@ -2940,6 +2965,47 @@ object AnalyticsQueries extends QueryPack {
         |SELECT c.user_id, count(*) AS n_pairs,
         |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // same two admission cascades, then the BAND join: clicks inside
+    // [p.ts, p.ts + 1h], summing the CLICK value
+    "mv_stream_attrib_join" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |ca0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'click' AND event_id % 3 = 0),
+        |cw0 AS (SELECT max(ts) AS wm FROM ca0),
+        |ca1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM cw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |cw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM cw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM ca1), TIMESTAMP '1900-01-01')) AS wm),
+        |ca2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM cw1) - INTERVAL 2 HOUR),
+        |clicks AS (SELECT * FROM ca0 UNION ALL SELECT * FROM ca1
+        |  UNION ALL SELECT * FROM ca2),
+        |pa0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 0),
+        |pw0 AS (SELECT max(ts) AS wm FROM pa0),
+        |pa1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM pw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |pw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM pw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM pa1), TIMESTAMP '1900-01-01')) AS wm),
+        |pa2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM pw1) - INTERVAL 2 HOUR),
+        |purch AS (SELECT * FROM pa0 UNION ALL SELECT * FROM pa1
+        |  UNION ALL SELECT * FROM pa2)
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 4 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     "mv_stream_join_nation_value" ->

@@ -143,6 +143,32 @@ object Bucketed {
     }
   }
 
+  /** Re-project every session-catalog registration of `table` onto its
+    * CURRENT live span — the post-maintenance refresh (r17 carried
+    * item). A registration pins the generation set at registration
+    * time; after a squash/compaction + gc the pinned dirs may be gone
+    * and a long-lived session's scans fail loudly, forcing a
+    * failure-then-reregister round trip. This finds the registrations
+    * by LOCATION (the one thing this API sets on the tables it
+    * creates) and re-runs [[registerGenerations]] for each. Returns
+    * the refreshed names; call it right after
+    * [[Generations.maintain]].
+    */
+  def refreshRegistrations(spark: SparkSession, table: String): Seq[String] = {
+    val tPath = new org.apache.hadoop.fs.Path(table)
+    val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(tPath).toString
+    val catalog = spark.sessionState.catalog
+    val names = catalog.listTables("default").flatMap { ident =>
+      val meta = catalog.getTableMetadata(ident)
+      val loc = scala.util.Try(
+        new org.apache.hadoop.fs.Path(meta.location).toString).toOption
+      if (loc.contains(qualified)) Some(ident.table) else None
+    }
+    names.foreach(registerGenerations(spark, table, _))
+    names
+  }
+
   /** The registered live span as a frame (bucketed scan, `_gen`
     * dropped): [[registerGenerations]] + read, the one-call form.
     */

@@ -974,10 +974,20 @@ object ChangeFeed {
     * (bootstrap, a fold inside the unapplied window, a gc gap)
     * degrades to the always-correct recompute `aggOf(A_head, B_head)`.
     */
+  /** The pair-builder is ANY function BILINEAR over unions —
+    * pairsOf(x ∪ y, B) ≡ pairsOf(x, B) ∪ pairsOf(y, B) and symmetrically
+    * on the right (every join is) — so beyond the plain equi-join this
+    * carries the TIME-BAND attribution shape
+    * ([[StreamingIvm.ingestAttributionBatch]]: clicks inside a
+    * purchase's window, RangeJoin-binned so the delta join never builds
+    * per-key cross products). `aggOfPairs` aggregates a pair frame; the
+    * recompute path is aggOfPairs(pairsOf(A_head, B_head)).
+    */
   def maintainStreamJoinOnceLogs(spark: SparkSession, logA: String,
-      logB: String, joinKeys: Seq[String], mvTable: String,
+      logB: String, mvTable: String,
       mvKeys: Seq[String], sumCols: Map[String, String], countCol: String)
-      (aggOf: (DataFrame, DataFrame) => DataFrame)
+      (pairsOf: (DataFrame, DataFrame) => DataFrame)
+      (aggOfPairs: DataFrame => DataFrame)
       : Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.lit
     val spanA = Generations.logCommits(spark, logA)
@@ -1015,9 +1025,9 @@ object ChangeFeed {
         val bHead = contentOf(logB, spanB)
         val pairs = Seq(
           if (winA.isEmpty) None
-          else Some(contentOf(logA, winA).join(bHead, joinKeys)),
+          else Some(pairsOf(contentOf(logA, winA), bHead)),
           if (winB.isEmpty) None
-          else Some(preA.join(contentOf(logB, winB), joinKeys))
+          else Some(pairsOf(preA, contentOf(logB, winB)))
         ).flatten
         // at least one window is non-empty here: both-at-head returned
         // above, and preOk required contiguity up to each head
@@ -1025,7 +1035,7 @@ object ChangeFeed {
         Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
       }
     val next = incremental.getOrElse(
-      aggOf(contentOf(logA, spanA), contentOf(logB, spanB)))
+      aggOfPairs(pairsOf(contentOf(logA, spanA), contentOf(logB, spanB))))
     Some(Generations.writeAndCommit(spark, next, mvTable,
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }

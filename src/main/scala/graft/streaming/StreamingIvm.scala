@@ -237,12 +237,67 @@ object StreamingIvm {
     }
     side(batchA, logA, "_va", "a")
     side(batchB, logB, "_vb", "b")
-    ChangeFeed.maintainStreamJoinOnceLogs(spark, logA, logB, Seq(joinKey),
-      mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs") {
-      (a, b) =>
-        a.join(b, Seq(joinKey))
-          .groupBy(col(joinKey))
-          .agg(sum(col("_vb")).as("sum_value"), count(lit(1)).as("n_pairs"))
+    ChangeFeed.maintainStreamJoinOnceLogs(spark, logA, logB,
+      mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs")(
+      (a, b) => a.join(b, Seq(joinKey))) { pairs =>
+      pairs.groupBy(col(joinKey))
+        .agg(sum(col("_vb")).as("sum_value"), count(lit(1)).as("n_pairs"))
+    }
+  }
+
+  /** The NINTH EX5×IVM shape: maintained streaming ATTRIBUTION — a
+    * stream ⋈ stream join under a TIME-BAND predicate (each purchase
+    * opens a `window`-wide attribution interval; clicks by the same
+    * user inside it attribute), the streaming twin of the batch
+    * `range_click_attribution` query. Same two-sided admission +
+    * witnessed appends as [[ingestStreamJoinBatch]] (both logs keep the
+    * event time — the band needs it), and the SAME pair-watermark
+    * maintenance: the pair-builder is bilinear over unions, so the
+    * insert-only delta join law holds for band joins verbatim. The
+    * pairs are built by [[graft.operators.RangeJoin.pointInInterval]] —
+    * both sides bin to ≈window-wide time buckets so each delta term
+    * shuffles on (user, bin) and never builds per-user cross products
+    * (the quadratic naive plan). View: (`userCol`, `sum_value` = Σ
+    * attributed click value in decimal state, `n_pairs`).
+    */
+  def ingestAttributionBatch(spark: SparkSession, clicks: DataFrame,
+      purchases: DataFrame, batchId: Long, logC: String, logP: String,
+      mvTable: String, tsCol: String = "ts", userCol: String = "user_id",
+      valueCol: String = "value", window: String = "1 hour",
+      lateness: String = "2 hours",
+      failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
+    val winUs = intervalMicros(window)
+    def side(batch: DataFrame, log: String, vName: String,
+        fp: String): Unit = {
+      val mark = highMark(spark, log)
+      val logged = admit(batch, mark, tsCol, lateness).select(
+        col(userCol), col(tsCol),
+        col(valueCol).cast("decimal(18,4)").as(vName))
+      logged.persist()
+      try if (!logged.isEmpty) {
+        failpoint(s"before-append-$fp")
+        Generations.appendCommitted(spark, logged, log, s"batch=$batchId")
+        failpoint(s"after-append-$fp")
+        advanceMark(spark, log, mark, logged, tsCol)
+        failpoint(s"after-mark-$fp")
+      } finally logged.unpersist()
+    }
+    side(clicks, logC, "_va", "a")
+    side(purchases, logP, "_vb", "b")
+    def pairsOf(c: DataFrame, p: DataFrame): DataFrame = {
+      val intervals = p.select(col(userCol), col(tsCol).as("_ps"),
+        timestamp_micros(unix_micros(col(tsCol)) + winUs).as("_pe"))
+      graft.operators.RangeJoin.pointInInterval(
+        c.select(col(userCol), col(tsCol), col("_va")), intervals,
+        userCol, tsCol, "_ps", "_pe",
+        binSeconds = math.max(1L, winUs / 1000000L),
+        strictStart = false, inclusiveEnd = true)
+    }
+    ChangeFeed.maintainStreamJoinOnceLogs(spark, logC, logP,
+      mvTable, Seq(userCol), Map("sum_value" -> "_va"), "n_pairs")(
+      pairsOf) { pairs =>
+      pairs.groupBy(col(userCol))
+        .agg(sum(col("_va")).as("sum_value"), count(lit(1)).as("n_pairs"))
     }
   }
 

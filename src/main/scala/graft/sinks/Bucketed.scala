@@ -121,7 +121,13 @@ object Bucketed {
     // re-registration replaces OUR OWN projection (same location); a
     // pre-existing catalog table rooted elsewhere is someone else's —
     // dropping a MANAGED table would delete its data, so refuse.
-    if (spark.catalog.tableExists(name)) {
+    // Session-catalog tableExists, NOT spark.catalog.tableExists: the
+    // latter also matches a TEMP VIEW of the same name, for which
+    // getTableMetadata then throws NoSuchTableException — a confusing
+    // crash instead of the intended guidance (a temp view never shadows
+    // a CREATE TABLE, so it is simply not our concern here).
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))) {
       val existing = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(name))
       require(new org.apache.hadoop.fs.Path(existing.location).toString

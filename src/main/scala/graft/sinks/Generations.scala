@@ -639,14 +639,24 @@ object Generations {
       }
     }
     if (covered.nonEmpty) {
-      // any checkpoint read failure degrades to the driver path —
-      // the checkpoint is an optimization, never load-bearing
+      // any checkpoint read failure degrades to the driver path — the
+      // checkpoint is an optimization, never load-bearing. NonFatal
+      // only (an InterruptedException/OOM must propagate, not silently
+      // re-plan), and WARN with the checkpoint id: a persistently
+      // corrupt checkpoint would otherwise disable distributed planning
+      // on every call with no signal, masking real planner bugs.
       try {
         val (kc, tc) = metaPrune(spark, table, meta.get, covered, preds)
         kept ++= kc; total += tc
         driverPlan(uncovered)
       } catch {
-        case _: Exception => total = 0; kept.clear(); driverPlan(cs)
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"metadata checkpoint ${meta.get.id} of $table failed to " +
+              s"plan (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+              "degrading to the O(files) driver loop; re-run " +
+              "maintain/checkpointMeta to replace the checkpoint")
+          total = 0; kept.clear(); driverPlan(cs)
       }
     } else driverPlan(uncovered)
     Some((kept.result(), total))

@@ -15,16 +15,36 @@ import json, math, sys, subprocess, os, re, glob
 # since round() on an exact decimal is the engine-agreed half-away op)
 # and floor-snap over derived floats. Scans every main source so the
 # convention can't drift back in (r17 VERDICT item #2).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def _arg_span(txt, name_end):
+    """The round()'s own parenthesized argument text (balanced parens),
+    so the decimal exemption can only fire on a DECIMAL cast that is
+    actually an INPUT to the round — not one that merely appears nearby
+    (a comment, or a cast applied to the rounded result)."""
+    i = txt.index('(', name_end)
+    depth, j = 0, i
+    while j < len(txt):
+        if txt[j] == '(':
+            depth += 1
+        elif txt[j] == ')':
+            depth -= 1
+            if depth == 0:
+                return txt[i:j + 1]
+        j += 1
+    return txt[i:i + 200]
+
 _viol = []
-for _f in glob.glob('/root/repo/src/main/scala/graft/**/*.scala',
+for _f in glob.glob(os.path.join(_REPO, 'src/main/scala/graft/**/*.scala'),
                     recursive=True):
     _txt = open(_f).read()
     for _m in re.finditer(r'round\(\s*(sum|avg)\s*\(', _txt):
-        _win = _txt[_m.start():_m.start() + 160]
-        if 'DECIMAL' in _win or 'decimal' in _win:
+        _arg = _arg_span(_txt, _m.start() + len('round'))
+        if 'DECIMAL' in _arg or 'decimal' in _arg:
             continue
         _ln = _txt[:_m.start()].count('\n') + 1
-        _viol.append(f'{_f}:{_ln}: {_win.splitlines()[0]}')
+        _viol.append(f'{_f}:{_ln}: ' + _txt[_m.start():_m.start() + 80]
+                     .splitlines()[0])
 if _viol:
     print('FAIL lint: round() over a double aggregate is hash-unsafe '
           '(BASELINE.md) — sum in decimal or floor-snap instead:')

@@ -75,6 +75,76 @@ object MetaScaleProbe {
     require(equal, "meta plan must equal the driver plan")
     require(lM1 + lM2 == 0 && rM1 + rM2 == 0,
       "meta plan must do zero per-file driver work")
+
+    // ---- BLOOM tier (r18 VERDICT #1): checkpointed blooms must plan
+    // with ZERO driver sidecar parses, on both probe paths, and the
+    // kept set must equal the driver path's. Smaller build (blooms are
+    // built at commit — one distributed pass per commit) but the same
+    // structural counters.
+    val bCommits = math.max(4, nCommits / 4)
+    val bFiles = math.max(8, filesPer / 4)
+    val btab = s"$work/b${System.nanoTime()}"
+    // fpp auto-dial: declare the EXPECTED PROBE CARDINALITY (the 2000-
+    // key broadcast probe below) instead of a per-key fpp
+    Generations.setBloomColsForProbes(spark, btab, Seq("k"),
+      expectedProbes = 2000L)
+    val bFpp = Generations.getBloomCols(spark, btab)._2
+    val b0 = System.nanoTime()
+    (0 until bCommits).foreach { i =>
+      // sparse keys (stride 1000): every file's [min,max] straddles any
+      // probe range, so ONLY the bloom tier can prune
+      val lo = i.toLong * 1000000L
+      val df = spark.range(lo / 1000L, lo / 1000L + 10000L)
+        .select((col("id") * 1000L).as("k"), (col("id") % 97).as("v"))
+        .repartition(bFiles)
+      if (i == 0) Generations.writeAndCommit(spark, df, btab)
+      else Generations.appendCommitted(spark, df, btab, s"batch=$i")
+    }
+    val bBuildS = (System.nanoTime() - b0) / 1e9
+    val bc0 = System.nanoTime()
+    Generations.checkpointMeta(spark, btab).get
+    val bCkS = (System.nanoTime() - bc0) / 1e9
+    // probe keys that DON'T exist (off-stride): blooms prune everything
+    import spark.implicits._
+    val dimExact = (0 until 64).map(i => i * 7919L + 13L).toDF("k")
+    val dimBig = (0 until 2000).map(i => i * 7919L + 13L).toDF("k")
+    def measureKeys(dim: org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long, Seq[String], Int) = {
+      val l0 = Generations.planListCalls.get
+      val r0 = graft.sinks.BloomStats.readCalls.get
+      val s = System.nanoTime()
+      val (kept, total) =
+        Generations.prunePlanByKeys(spark, btab, "k", dim).get
+      val w = (System.nanoTime() - s) / 1e9
+      (w, Generations.planListCalls.get - l0,
+        graft.sinks.BloomStats.readCalls.get - r0,
+        kept.map(_.toString).sorted, total)
+    }
+    spark.conf.set(Generations.MetaDialMinFilesKey, Long.MaxValue.toString)
+    val (wBd, _, rBd, keptBd, totBd) = measureKeys(dimExact)
+    val (wBbd, _, rBbd, keptBbd, _) = measureKeys(dimBig)
+    spark.conf.set(Generations.MetaDialMinFilesKey, "0")
+    val (wBm, lBm, rBm, keptBm, totBm) = measureKeys(dimExact)
+    val (wBbm, lBbm, rBbm, keptBbm, _) = measureKeys(dimBig)
+    val bEqual = keptBd == keptBm && totBd == totBm && keptBbd == keptBbm
+    println(
+      s"""{"metric":"meta_bloom_probe","files":$totBd,"commits":$bCommits,""" +
+      s""""fpp_dialed":$bFpp,"build_s":${f"$bBuildS%.1f"},""" +
+      s""""checkpoint_s":${f"$bCkS%.1f"},""" +
+      s""""driver_exact_s":${f"$wBd%.3f"},"driver_bloom_parses":${rBd + rBbd},""" +
+      s""""driver_bcast_s":${f"$wBbd%.3f"},""" +
+      s""""meta_exact_s":${f"$wBm%.3f"},"meta_bcast_s":${f"$wBbm%.3f"},""" +
+      s""""meta_listings":${lBm + lBbm},"meta_bloom_parses":${rBm + rBbm},""" +
+      s""""kept_exact":${keptBm.size},"kept_bcast":${keptBbm.size},""" +
+      s""""total":$totBm,"plans_equal":$bEqual}""")
+    require(bEqual, "bloom meta plan must equal the driver plan")
+    require(rBm + rBbm == 0 && lBm + lBbm == 0,
+      "checkpointed bloom refine must parse no sidecar on the driver")
+    // off-stride keys prune ~everything; the dialed fpp admits ~0.16%
+    // false-positive survival per file on the 64-key probe (that is the
+    // declared miss budget, deterministic per build — not flake)
+    require(keptBm.size <= totBm / 16,
+      s"off-stride probe keys must bloom-prune (kept ${keptBm.size}/$totBm)")
     spark.stop()
   }
 }

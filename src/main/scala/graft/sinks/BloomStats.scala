@@ -55,7 +55,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * must be chosen against the EXPECTED PROBE CARDINALITY, not per-key
   * comfort — fpp 0.01 keeps ~everything at K = 1000 probes. The
   * default 1e-4 (~19 bits/value) holds to K ≈ 100; declare 1e-6
-  * (~29 bits) for K ≈ 10k-scale dynamic pruning.
+  * (~29 bits) for K ≈ 10k-scale dynamic pruning — or declare the
+  * cardinality itself ([[Generations.setBloomColsForProbes]]) and let
+  * the dial derive fpp. [[build]] additionally enforces a minimum bit
+  * count so Spark's double-hashing false-positive FLOOR (≈ 2/numBits,
+  * independent of nominal fpp — see the sizing comment) never silently
+  * voids the declared rate on small files.
   */
 object BloomStats {
 
@@ -197,9 +202,26 @@ object BloomStats {
           }
         }.toMap
     }
+    // IMPLEMENTATION FLOOR (measured, r19): Spark's BloomFilterImpl
+    // combines positions as h1 + i·h2 mod numBits, and the degenerate
+    // h2 strata (h2 ≡ 0 mod m, small gcd(h2, m)) give every filter an
+    // effective false-positive floor ≈ c/numBits with c ≈ 2 REGARDLESS
+    // of the nominal fpp — a 156-item filter at nominal 2.5e-5 measured
+    // 5.2e-4 (21×) on random keys. Small files would silently void any
+    // dialed fpp ([[Generations.fppForProbes]]), so sizing enforces a
+    // minimum BIT count numBits ≥ FloorC/fpp (floor ≤ fpp/2 at c ≤ 2),
+    // expressed through the items parameter (items = bits·ln²2/−ln fpp).
+    // Large files size past the floor naturally — at the 100 TB design
+    // point (10⁵+ NDV/file) this costs nothing; for small files it is
+    // the honest price of the declared fpp (20 KB/file at 2.5e-5).
+    val FloorC = 4.0
+    val floorItems = math.ceil(
+      (FloorC / fpp) * 0.4804530139182014 / -math.log(fpp)).toLong
     val sizing: Map[(String, String), Long] = ndv.map { case (k, d) =>
       val rows = math.max(rowsPerFile.getOrElse(k._1, 1L), 1L)
-      k -> math.min(math.min(math.max(d * 13L / 10L, 64L), rows), MaxItems)
+      k -> math.min(
+        math.max(math.min(math.max(d * 13L / 10L, 64L), rows), floorItems),
+        MaxItems)
     }
     val bcSize = spark.sparkContext.broadcast(sizing)
     val nCols = present.length
@@ -283,6 +305,43 @@ object BloomStats {
           : Boolean = size() > 8
     }
 
+  /** Driver-side whole-sidecar parses performed by [[read]] on the
+    * CURRENT thread — instrumentation for the distributed-planning
+    * contract (a fully checkpoint-covered bloom refine must make ZERO;
+    * MetaScaleProbe asserts), mirroring [[FileStats.readCalls]] /
+    * [[Generations.planListCalls]].
+    */
+  val readCalls: ThreadLocal[Long] = ThreadLocal.withInitial(() => 0L)
+
+  /** Parse one serialized sidecar's bytes (the stream format [[write]]
+    * produces) into (domain, serialized bloom) by (file, column); None
+    * on any corruption. Shared by the driver path ([[read]]) and the
+    * DISTRIBUTED checkpoint fold ([[Generations.checkpointMeta]] reads
+    * sidecars as binaryFile rows and parses them executor-side).
+    */
+  def parseBytes(bytes: Array[Byte])
+      : Option[Map[(String, String), (String, Array[Byte])]] =
+    try {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      if (in.readInt() != Magic) return None
+      val n = in.readInt()
+      if (n < 0 || n > 1000000) return None
+      val m = Map.newBuilder[(String, String), (String, Array[Byte])]
+      var i = 0
+      while (i < n) {
+        val f = in.readUTF()
+        val c = in.readUTF()
+        val d = in.readUTF()
+        val len = in.readInt()
+        if (len < 0) return None
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        m += ((f, c) -> ((d, b)))
+        i += 1
+      }
+      Some(m.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The generation's (domain, serialized bloom) by (file, column), or
     * None when absent/corrupt — callers treat None (and any missing
     * entry) as "keep everything". Bytes stay serialized so the caller
@@ -301,30 +360,22 @@ object BloomStats {
       val hit = readCache.get(ck)
       if (hit != null) return Some(hit)
     }
+    readCalls.set(readCalls.get + 1)
     try {
-      val in = new DataInputStream(
-        new java.io.BufferedInputStream(fs.open(p)))
-      try {
-        if (in.readInt() != Magic) return None
-        val n = in.readInt()
-        if (n < 0 || n > 1000000) return None
-        val m = Map.newBuilder[(String, String), (String, Array[Byte])]
-        var i = 0
-        while (i < n) {
-          val f = in.readUTF()
-          val c = in.readUTF()
-          val d = in.readUTF()
-          val len = in.readInt()
-          if (len < 0) return None
-          val b = new Array[Byte](len)
-          in.readFully(b)
-          m += ((f, c) -> ((d, b)))
-          i += 1
-        }
-        val parsed = m.result()
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val bos = new ByteArrayOutputStream(
+            math.min(st.getLen, Int.MaxValue.toLong).toInt.max(64))
+          val buf = new Array[Byte](64 * 1024)
+          var r = in.read(buf)
+          while (r >= 0) { bos.write(buf, 0, r); r = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      parseBytes(bytes).map { parsed =>
         readCache.synchronized { readCache.put(ck, parsed) }
-        Some(parsed)
-      } finally in.close()
+        parsed
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -447,6 +447,57 @@ object Generations {
     Pointers.replace(fs, t, "_bloomcols", (fpp.toString +: cols).mkString("\n"))
   }
 
+  /** The fpp that holds a no-match file's probe-set survival to
+    * `missRate` at K expected probe keys: survival = 1 − (1 − fpp)^K ≈
+    * K·fpp for small fpp, so fpp = missRate / K — clamped to [1e-7,
+    * 1e-2] (below 1e-7 the filter bytes outgrow their skip value; above
+    * 1e-2 even a single-key probe barely prunes).
+    */
+  def fppForProbes(expectedProbes: Long, missRate: Double = 0.05): Double = {
+    require(expectedProbes > 0,
+      s"expected probe cardinality must be positive: $expectedProbes")
+    require(missRate > 0 && missRate < 0.5,
+      s"miss rate out of range: $missRate")
+    math.max(1e-7, math.min(1e-2, missRate / expectedProbes))
+  }
+
+  /** [[setBloomCols]] with fpp DERIVED from the workload's expected
+    * probe cardinality instead of declared per-key: the survival math
+    * is per-PROBE-SET (a file with none of the K keys survives with
+    * 1 − (1 − fpp)^K), so a high-cardinality dynamic-pruning workload
+    * that declares a comfortable-looking per-key fpp silently degrades
+    * the tier to keep-everything — at fpp 1e-2 and K = 1000, every
+    * no-match file still survives with p ≈ 1. Declaring the INTENT
+    * (how many keys a typical [[readPrunedByKeys]] dim side probes)
+    * makes the write path size the filters so a no-match file is kept
+    * with at most `missRate`. The cardinality rides the `_bloomcols`
+    * pointer beside the derived fpp (old pointers parse unchanged).
+    */
+  def setBloomColsForProbes(spark: SparkSession, table: String,
+      cols: Seq[String], expectedProbes: Long,
+      missRate: Double = 0.05): Unit = {
+    cols.foreach(c => require(c.nonEmpty && !c.contains("\n") &&
+      !c.contains(" "), s"bloom column must be space/newline-free: '$c'"))
+    val fpp = fppForProbes(expectedProbes, missRate)
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.replace(fs, t, "_bloomcols",
+      (s"$fpp $expectedProbes" +: cols).mkString("\n"))
+  }
+
+  /** The declared expected probe cardinality ([[setBloomColsForProbes]]),
+    * or None for per-key fpp declarations.
+    */
+  def getBloomProbes(spark: SparkSession, table: String): Option[Long] = {
+    val t = new Path(table)
+    val fs = fsOf(spark, t)
+    Pointers.read(fs, t, "_bloomcols")
+      .flatMap(_.linesIterator.filter(_.nonEmpty).toSeq.headOption)
+      .map(_.trim.split(" "))
+      .filter(_.length == 2)
+      .flatMap(a => scala.util.Try(a(1).toLong).toOption)
+  }
+
   /** The table's declared bloom columns and fpp (empty when none). A
     * malformed pointer reads as UNDECLARED rather than throwing from
     * inside every subsequent commit: blooms are a conservative
@@ -460,7 +511,9 @@ object Generations {
       case None => (Nil, 0.0)
       case Some(txt) =>
         val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-        lines.headOption
+        // header is "<fpp>" or "<fpp> <expectedProbes>" (the probe
+        // cardinality of setBloomColsForProbes rides beside the fpp)
+        lines.headOption.map(_.trim.split(" ").head)
           .flatMap(h => scala.util.Try(h.toDouble).toOption)
           .filter(f => f > 0 && f < 0.5)
           .map(f => (lines.tail, f))
@@ -484,6 +537,12 @@ object Generations {
   // IvfIndex.serveTopKVec auto-dial pattern).
 
   private def metaDir(table: Path) = new Path(table, "_meta")
+
+  /** `kind` sentinel of a checkpointed BLOOM row (serialized filter in
+    * the binary `bloom` column, hash domain in `mn`) — the stats-side
+    * planner ([[metaPrune]]) must never mistake one for a min/max entry.
+    */
+  private val BloomRowKind = "__bloom__"
 
   /** Session-conf dial: distributed meta planning engages at this many
     * checkpointed files; below it the driver path wins (no job setup).
@@ -563,9 +622,39 @@ object Generations {
               (gen, f, rows, c, st.kind, st.nullCount, st.min, st.max)
             }
           }
+    // bloom sidecars fold in beside the stats rows (one BloomRowKind row
+    // per (gen, file, column), domain in `mn`, serialized filter in the
+    // binary `bloom` column) so [[bloomRefine]] can plan the bloom tier
+    // from ONE column-pruned checkpoint scan — the sidecar bytes, like
+    // the stats lines, are read and parsed DISTRIBUTED (binaryFile scan,
+    // executor-side parse); at 10⁶ files they are the bulk of the
+    // checkpoint's bytes and the driver never holds them.
+    val withBlooms = cs.filter(c =>
+      fs.exists(BloomStats.bloomPath(t, c.gen)))
+    val bloomRows =
+      if (withBlooms.isEmpty)
+        spark.emptyDataset[(String, String, Long, String, String, Long,
+          String, String, Array[Byte])]
+      else
+        spark.read.format("binaryFile")
+          .load(withBlooms.map(c =>
+            BloomStats.bloomPath(t, c.gen).toString): _*)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (src, bytes) =>
+            val gen = src.substring(src.lastIndexOf('/') + 1)
+            BloomStats.parseBytes(bytes).iterator.flatMap(_.iterator)
+              .map { case ((f, c), (d, b)) =>
+                (gen, f, -1L, c, BloomRowKind, -1L, d, "", b)
+              }
+          }
     val dir = fs.makeQualified(new Path(metaDir(t), id))
     statRows.union(inv.toDS())
-      .toDF("gen", "file", "rows", "col", "kind", "nulls", "mn", "mx")
+      .map { case (g, f, r, c, k, n, mn, mx) =>
+        (g, f, r, c, k, n, mn, mx, null: Array[Byte]) }
+      .union(bloomRows)
+      .toDF("gen", "file", "rows", "col", "kind", "nulls", "mn", "mx",
+        "bloom")
       .write.mode("overwrite").parquet(dir.toString)
     val ptr = (s"$id ${inv.size}" +: cs.map(_.gen)).mkString("\n")
     Pointers.replace(fs, t, "_metaptr", ptr)
@@ -662,6 +751,33 @@ object Generations {
     Some((kept.result(), total))
   }
 
+  /** How many live gens an `isin` literal list may carry before the
+    * checkpoint scans switch to a pushed RANGE predicate plus a
+    * broadcast semi-join: at a 100 TB table with years of small commits
+    * (10⁴+ live gens) the literal list bloats analysis/codegen
+    * O(commits) per plan. Gen names are `g%08d-<uuid>` — zero-padded,
+    * so string order IS version order and the [min, max] range predicate
+    * pushes to the parquet scan; the semi-join restores exactness (a
+    * checkpointed gen INSIDE the range may have been folded/gc'd out of
+    * the live span since).
+    */
+  private val GenIsinMax = 256
+
+  /** Restrict checkpoint rows to the live generations — `isin` for
+    * small spans, pushed range + broadcast semi-join beyond
+    * [[GenIsinMax]].
+    */
+  private[sinks] def filterLiveGens(rows: DataFrame,
+      liveGens: Seq[String]): DataFrame =
+    if (liveGens.size <= GenIsinMax)
+      rows.filter(col("gen").isin(liveGens: _*))
+    else {
+      import rows.sparkSession.implicits._
+      rows.filter(col("gen") >= liveGens.min && col("gen") <= liveGens.max)
+        .join(org.apache.spark.sql.functions.broadcast(
+          liveGens.toDF("gen")), Seq("gen"), "left_semi")
+    }
+
   /** The distributed half of [[prunePlan]]: evaluate `preds` over the
     * checkpointed (gen, file, col) stats rows of `covered`, returning
     * (kept paths, total files). Only the stats rows of the PREDICATE
@@ -678,9 +794,9 @@ object Generations {
     val dir = fs.makeQualified(new Path(metaDir(t), m.id)).toString
     val liveGens = covered.map(_.gen)
     val predCols = preds.map(_.col).distinct
-    val rows = spark.read.parquet(dir)
-      .filter(col("gen").isin(liveGens: _*) &&
-        col("col").isin("__file__" +: predCols: _*))
+    val rows = filterLiveGens(spark.read.parquet(dir)
+      .filter(col("col").isin("__file__" +: predCols: _*) &&
+        col("kind") =!= BloomRowKind), liveGens)
       .select(col("gen"), col("file"), col("col"), col("kind"),
         col("nulls"), col("mn"), col("mx"))
       .as[(String, String, String, String, Long, String, String)]
@@ -797,11 +913,20 @@ object Generations {
 
   /** Bloom tier of [[prunePlanByKeys]]: drop candidate files whose
     * committed bloom contains NONE of the probe keys. Files without a
-    * bloom (older generations, undeclared column, corrupt sidecar) are
-    * always kept. With a collected key set the probe runs driver-side;
-    * otherwise the (bounded: candidate files × bloom bytes) blooms
-    * broadcast and the keys probe them distributed, aggregating only
-    * the hit FILE set.
+    * bloom (older generations, undeclared column, corrupt sidecar,
+    * pre-bloom checkpoint) are always kept.
+    *
+    * Candidates covered by the current metadata checkpoint read their
+    * blooms from its `__bloom__` rows — a column-pruned, kept-file-
+    * bounded DISTRIBUTED scan, never a per-gen driver parse of the
+    * whole `_bloom` sidecar (the O(total-files)→O(kept) metadata story,
+    * same as [[metaPrune]]); with a collected key set the probe itself
+    * runs inside that scan, so the driver holds only (file, verdict)
+    * pairs and never a bloom's bytes. The uncheckpointed tail (commits
+    * since the last maintenance) driver-parses its sidecars as before —
+    * bounded by commits-since-checkpoint. With no collected key set the
+    * (bounded: candidate files × bloom bytes) blooms broadcast and the
+    * keys probe them distributed, aggregating only the hit FILE set.
     */
   private def bloomRefine(spark: SparkSession, table: String,
       keyCol: String, kept: Seq[Path], exact: Option[Seq[Any]],
@@ -811,9 +936,44 @@ object Generations {
     val t = new Path(table)
     val fs = fsOf(spark, t)
     if (getBloomCols(spark, table)._1.isEmpty) return kept
-    // serialized (domain, bloom) for the candidate files' gens only
+    val byGen: Map[String, Seq[Path]] = kept.groupBy(_.getParent.getName)
+    // checkpointed bloom rows for the kept candidates, as a frame
+    // bounded by the kept (gen, file) keys; None when no current
+    // checkpoint at the dial carries blooms (degrade = driver path,
+    // the checkpoint is never load-bearing)
+    val minFiles = spark.conf.getOption(MetaDialMinFilesKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(MetaDialMinFilesDefault)
+    val ckptRows: Option[(Set[String], DataFrame)] =
+      readMetaCheckpoint(spark, table).filter(_.nFiles >= minFiles)
+        .flatMap { m =>
+          try {
+            val dir = fs.makeQualified(new Path(metaDir(t), m.id)).toString
+            val df = spark.read.parquet(dir)
+            val gens = byGen.keys.filter(m.gens.contains).toSeq
+            if (gens.isEmpty || !df.schema.fieldNames.contains("bloom"))
+              None
+            else {
+              import spark.implicits._
+              val keptKeys = gens.flatMap(g => byGen(g).map(p =>
+                (g, p.getName)))
+              val rows = filterLiveGens(
+                df.filter(col("kind") === BloomRowKind &&
+                  col("col") === keyCol), gens)
+                .join(org.apache.spark.sql.functions.broadcast(
+                  keptKeys.toDF("gen", "file")), Seq("gen", "file"),
+                  "left_semi")
+                .select(col("gen"), col("file"), col("mn"), col("bloom"))
+              Some((gens.toSet, rows))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+    val ckptGens: Set[String] = ckptRows.map(_._1).getOrElse(Set.empty)
+    val genDir: Map[String, Path] =
+      byGen.map { case (g, ps) => g -> ps.head.getParent }
+    // serialized (domain, bloom) for the UNCOVERED tail's candidates
     val blooms: Map[String, (String, Array[Byte])] =
-      kept.groupBy(_.getParent.getName)
+      byGen.filterNot { case (g, _) => ckptGens.contains(g) }
         .flatMap { case (gen, paths) =>
           BloomStats.read(fs, t, gen) match {
             case None => Nil
@@ -821,11 +981,30 @@ object Generations {
               m.get((p.getName, keyCol)).map(b => p.toString -> b))
           }
         }
-    if (blooms.isEmpty) return kept
+    if (blooms.isEmpty && ckptRows.isEmpty) return kept
     exact match {
       case Some(keys) =>
+        val ckptVerdicts: Map[(String, String), Boolean] = ckptRows match {
+          case None => Map.empty
+          case Some((_, rows)) =>
+            import spark.implicits._
+            val ks = keys
+            try rows.as[(String, String, String, Array[Byte])]
+              .map { case (g, f, d, b) =>
+                val db = BloomStats.deserialize(d, b)
+                (g, f, ks.exists(BloomStats.mightContain(db, _)))
+              }.collect()
+              .map { case (g, f, v) => (g, f) -> v }.toMap
+            catch { // corrupt checkpoint entry: keep (never load-bearing)
+              case scala.util.control.NonFatal(_) =>
+                Map.empty[(String, String), Boolean]
+            }
+        }
         kept.filter { p =>
-          blooms.get(p.toString) match {
+          val g = p.getParent.getName
+          if (ckptGens.contains(g))
+            ckptVerdicts.getOrElse((g, p.getName), true)
+          else blooms.get(p.toString) match {
             case None => true
             case Some((d, bytes)) =>
               val db = BloomStats.deserialize(d, bytes)
@@ -833,6 +1012,36 @@ object Generations {
           }
         }
       case None =>
+        // the broadcast ships every candidate's bloom regardless of
+        // provenance: checkpoint rows collect serialized (bounded by
+        // kept files — the same bytes the broadcast must hold anyway)
+        val ckptBlooms: Map[String, (String, Array[Byte])] =
+          ckptRows match {
+            case None => Map.empty
+            case Some((_, rows)) =>
+              try rows.collect().map { r =>
+                new Path(genDir(r.getString(0)), r.getString(1)).toString ->
+                  ((r.getString(2), r.getAs[Array[Byte]](3)))
+              }.toMap
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  Map.empty[String, (String, Array[Byte])]
+              }
+          }
+        val allBlooms = blooms ++ ckptBlooms
+        if (allBlooms.isEmpty) return kept
+        probeBroadcast(spark, kept, allBlooms, dimKeys)
+    }
+  }
+
+  /** The big-key-set bloom probe of [[bloomRefine]]: blooms broadcast,
+    * keys probe them distributed, only the hit FILE set aggregates.
+    */
+  private def probeBroadcast(spark: SparkSession, kept: Seq[Path],
+      blooms: Map[String, (String, Array[Byte])],
+      dimKeys: DataFrame): Seq[Path] = {
+    import org.apache.spark.sql.functions.col
+    locally {
         val k = dimKeys.columns.head
         val bc = spark.sparkContext.broadcast(blooms.toSeq)
         val bcId = bc.id
@@ -1329,12 +1538,14 @@ object Generations {
     val (cf, gd) = gc(spark, table, keep = policy.keep,
       orphanGraceMs = policy.orphanGraceMs, protect = protect)
     // refresh the metadata checkpoint over the post-fold span so the
-    // next prunePlan plans distributed from day one (stats-declaring
-    // tables only — others have nothing to checkpoint). Non-fatal like
-    // every stats-side path: a failed refresh (e.g. a sidecar swept by
-    // a concurrent gc mid-read) leaves the old checkpoint or none, and
-    // planning degrades to the driver loop either way.
-    if (getStatsCols(spark, table).nonEmpty)
+    // next prunePlan plans distributed from day one (stats- or bloom-
+    // declaring tables only — others have nothing to checkpoint).
+    // Non-fatal like every stats-side path: a failed refresh (e.g. a
+    // sidecar swept by a concurrent gc mid-read) leaves the old
+    // checkpoint or none, and planning degrades to the driver loop
+    // either way.
+    if (getStatsCols(spark, table).nonEmpty ||
+        getBloomCols(spark, table)._1.nonEmpty)
       try checkpointMeta(spark, table)
       catch { case scala.util.control.NonFatal(_) => () }
     MaintenanceReport(folded, compacted, before,

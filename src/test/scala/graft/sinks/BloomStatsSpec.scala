@@ -157,6 +157,44 @@ class BloomStatsSpec extends SparkSpec {
       "stale bloom orphans and tmp debris are gc'd")
   }
 
+  test("fpp auto-dial: expected probe cardinality drives the declared fpp") {
+    // survival math: 1 − (1 − fpp)^K ≤ miss ⇒ fpp = miss/K (clamped)
+    assert(Generations.fppForProbes(1000L) === 5e-5)
+    assert(Generations.fppForProbes(10L, missRate = 0.01) === 1e-3)
+    assert(Generations.fppForProbes(1L) === 1e-2, "clamped high")
+    assert(Generations.fppForProbes(1000000000L) === 1e-7, "clamped low")
+    intercept[IllegalArgumentException] {
+      Generations.fppForProbes(0L)
+    }
+    // the declaration writes the DERIVED fpp plus the cardinality, and
+    // both read back (old per-key pointers still parse: no cardinality)
+    val t = mkTable()
+    Generations.setBloomColsForProbes(spark, t, Seq("k"),
+      expectedProbes = 10000L)
+    assert(Generations.getBloomCols(spark, t) === ((Seq("k"), 5e-6)))
+    assert(Generations.getBloomProbes(spark, t) === Some(10000L))
+    val tOld = mkTable()
+    Generations.setBloomCols(spark, tOld, Seq("k"), fpp = 1e-4)
+    assert(Generations.getBloomCols(spark, tOld) === ((Seq("k"), 1e-4)))
+    assert(Generations.getBloomProbes(spark, tOld) === None)
+    // the WRITE honors it: the 5e-6 sidecar carries ~2.4x the bits of a
+    // 1e-2 one for the same data (bits/value = -ln(fpp)/ln²2)
+    Generations.writeAndCommit(spark, evens(), t)
+    val tLoose = mkTable()
+    Generations.setBloomColsForProbes(spark, tLoose, Seq("k"),
+      expectedProbes = 1L) // dials to the 1e-2 clamp
+    Generations.writeAndCommit(spark, evens(), tLoose)
+    def sidecarLen(table: String): Long = {
+      val p = new Path(table)
+      val gen = Generations.latest(spark, table).get.gen
+      fs(table).getFileStatus(BloomStats.bloomPath(p, gen)).getLen
+    }
+    val tight = sidecarLen(t)
+    val loose = sidecarLen(tLoose)
+    assert(tight > loose * 3 / 2,
+      s"dialed fpp must size the filters ($tight vs $loose bytes)")
+  }
+
   test("a bloom-build failure degrades the commit (no sidecar, tiers 1-2 still prune)") {
     val t = mkTable()
     Generations.setStatsCols(spark, t, Seq("k"))

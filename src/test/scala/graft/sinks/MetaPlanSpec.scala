@@ -152,6 +152,107 @@ class MetaPlanSpec extends SparkSpec {
     assert((kept.size, total) === ((4, 4)))
   }
 
+  test("checkpointed blooms refine with ZERO driver sidecar parses") {
+    val t = mkDir("b")
+    // bloom-only table (no stats cols): sparse stride-1000 keys, so the
+    // range tier never prunes and ONLY the bloom tier can
+    Generations.setBloomCols(spark, t, Seq("k"), fpp = 1e-5)
+    (0 until 3).foreach { i =>
+      val df = spark.range(i * 1000L, i * 1000L + 1000L)
+        .select((col("id") * 1000L).as("k"), (col("id") % 7).as("v"))
+        .repartition(4)
+      if (i == 0) Generations.writeAndCommit(spark, df, t)
+      else Generations.appendCommitted(spark, df, t, s"batch=$i")
+    }
+    Generations.checkpointMeta(spark, t).get
+    import spark.implicits._
+    val missKeys = Seq(13L, 7919L * 3 + 13L, 104729L + 13L).toDF("k")
+    val hitKeys = Seq(1000L, 2000L, 999000L).toDF("k")
+    def probe(dim: org.apache.spark.sql.DataFrame,
+        dial: String): (Seq[String], Int, Long) = {
+      spark.conf.set(Generations.MetaDialMinFilesKey, dial)
+      val r0 = BloomStats.readCalls.get
+      val (kept, total) =
+        Generations.prunePlanByKeys(spark, t, "k", dim).get
+      spark.conf.unset(Generations.MetaDialMinFilesKey)
+      (kept.map(_.toString).sorted, total,
+        BloomStats.readCalls.get - r0)
+    }
+    // off-stride keys: bloom prunes everything, zero driver parses on
+    // the meta path, and the plan equals the driver path's exactly
+    val (keptM, totM, parsesM) = probe(missKeys, "0")
+    val (keptD, totD, parsesD) = probe(missKeys, Long.MaxValue.toString)
+    assert(parsesM === 0L,
+      "checkpoint-covered bloom refine must not driver-parse sidecars")
+    assert(parsesD > 0L, "control: the driver path parses sidecars")
+    assert((keptM, totM) === ((keptD, totD)))
+    assert(keptM.isEmpty, s"3 off-stride keys at fpp 1e-5 must prune all")
+    // on-stride keys: both paths keep the (identical) hit files, and
+    // the pruned read still returns every matching row
+    val (keptM2, _, parsesM2) = probe(hitKeys, "0")
+    val (keptD2, _, _) = probe(hitKeys, Long.MaxValue.toString)
+    assert(parsesM2 === 0L)
+    assert(keptM2 === keptD2)
+    assert(keptM2.nonEmpty)
+    spark.conf.set(Generations.MetaDialMinFilesKey, "0")
+    val got = Generations.readPrunedByKeys(spark, t, "k", hitKeys).get
+      .join(hitKeys, Seq("k")).count()
+    spark.conf.unset(Generations.MetaDialMinFilesKey)
+    assert(got === 3L)
+    // a commit AFTER the checkpoint: its gen driver-parses (the bounded
+    // tail), covered gens stay distributed
+    Generations.appendCommitted(spark,
+      spark.range(5000, 5100).select((col("id") * 1000L).as("k"),
+        (col("id") % 7).as("v")).repartition(2), t, "batch=tail")
+    val (keptM3, _, parsesM3) = probe(missKeys, "0")
+    val (keptD3, _, _) = probe(missKeys, Long.MaxValue.toString)
+    assert(parsesM3 === 1L, "exactly the tail gen's sidecar parses")
+    assert(keptM3 === keptD3)
+  }
+
+  test("bloom rows never pollute the stats planner") {
+    // a table with BOTH tiers on the same column: metaPrune must plan
+    // min/max from the stats rows only (a __bloom__ row misread as
+    // ColStats would corrupt the verdict), and the two plans agree
+    val t = mkDir("sb")
+    Generations.setStatsCols(spark, t, Seq("k"))
+    Generations.setBloomCols(spark, t, Seq("k"))
+    (0 until 3).foreach { i =>
+      val lo = i * 1000
+      val df = spark.range(lo, lo + 1000)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      if (i == 0) Generations.writeAndCommit(spark, df, t)
+      else Generations.appendCommitted(spark, df, t, s"batch=$i")
+    }
+    Generations.checkpointMeta(spark, t)
+    val (mp, dp) = planBoth(t, Seq(FileStats.Between("k", 500L, 700L)))
+    assert(mp === dp)
+    assert(mp._1.nonEmpty && mp._1.size < mp._2)
+  }
+
+  test("a 5k-gen live span filters without an O(gens) literal list") {
+    import spark.implicits._
+    val gens = (1 to 6000).map(i => f"g$i%08d-aaaaaaaa")
+    // live = a gappy 5k subset INSIDE the range (folded/gc'd gens must
+    // not leak through a pure range predicate)
+    val live = gens.zipWithIndex.collect {
+      case (g, i) if i % 6 != 5 => g }
+    val rows = gens.toDF("gen").withColumn("file", lit("f"))
+    val filtered = Generations.filterLiveGens(rows, live)
+    assert(filtered.select("gen").as[String].collect().toSet ===
+      live.toSet, "filter must be EXACT, not just the [min,max] range")
+    // plan shape: a broadcast LEFT-SEMI join, not a 5000-literal In
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join plan:\n$plan")
+    assert(!plan.contains(live(4000)),
+      "live gens must not appear as plan literals")
+    // small spans keep the pushed-down isin fast path
+    val small = Generations.filterLiveGens(rows, live.take(10))
+    assert(small.count() === 10L)
+    assert(!small.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+  }
+
   test("maintain refreshes the checkpoint; gc sweeps superseded ones") {
     val t = build(nCommits = 4, filesPer = 2)
     val first = Generations.checkpointMeta(spark, t).get

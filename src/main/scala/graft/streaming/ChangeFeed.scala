@@ -983,6 +983,128 @@ object ChangeFeed {
     * per-key cross products). `aggOfPairs` aggregates a pair frame; the
     * recompute path is aggOfPairs(pairsOf(A_head, B_head)).
     */
+  /** Reserved marker column of FOLDED-AWAY summary rows inside a
+    * stream⋈stream log ([[foldStreamJoinLogOnce]]): true on rows that
+    * carry a pre-aggregated contribution of pairs no longer derivable
+    * from raw rows, absent/false/null on raw event rows. Raw appends
+    * never write it; the pair-builder never sees rows marked with it.
+    */
+  val GsumCol = "_gsum"
+
+  /** The raw (pair-formable) rows of a possibly-folded log. */
+  private def rawOf(df: DataFrame): DataFrame =
+    if (df.columns.contains(GsumCol)) {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      df.filter(coalesce(col(GsumCol), lit(false)) === false)
+    } else df
+
+  /** The folded summary rows of a log, projected to the view schema
+    * (None when the log was never folded).
+    */
+  private def sumsOf(df: DataFrame, mvKeys: Seq[String],
+      sumNames: Seq[String], countCol: String): Option[DataFrame] =
+    if (!df.columns.contains(GsumCol)) None
+    else {
+      import org.apache.spark.sql.functions.col
+      Some(df.filter(col(GsumCol) === true)
+        .select((mvKeys ++ sumNames :+ countCol).map(col): _*))
+    }
+
+  /** Merge folded summaries into a recomputed aggregate: union on the
+    * view columns, re-sum, and cast back to the recompute's types (sums
+    * are decimal STATE by the pack's hash-safety convention, so the
+    * re-sum is exact and order-independent; `sum()` widening is undone
+    * by the final cast).
+    */
+  private def mergeAggs(agg: DataFrame, sums: Seq[DataFrame],
+      mvKeys: Seq[String], sumNames: Seq[String],
+      countCol: String): DataFrame = {
+    if (sums.isEmpty) return agg
+    import org.apache.spark.sql.functions.{col, sum}
+    val names = mvKeys ++ sumNames :+ countCol
+    val aligned = sums.map(s => s.select(names.map(n =>
+      col(n).cast(agg.schema(n).dataType).as(n)): _*))
+    val u = (agg.select(names.map(col): _*) +: aligned)
+      .reduce(_ unionByName _)
+    val valueCols = sumNames :+ countCol
+    val merged = u.groupBy(mvKeys.map(col): _*)
+      .agg(sum(col(valueCols.head)).as(valueCols.head),
+        valueCols.tail.map(n => sum(col(n)).as(n)): _*)
+    merged.select(names.map(n =>
+      col(n).cast(agg.schema(n).dataType).as(n)): _*)
+  }
+
+  /** BAND-HORIZON FOLD of ONE side of a maintained stream⋈stream view's
+    * log pair (r18 VERDICT #2) — [[graft.streaming.StreamingIvm
+    * .foldSessionLog]]'s pattern applied to [[maintainStreamJoinOnceLogs]]:
+    * without it every tick's delta join re-scans the FULL retained logs
+    * (the one per-tick growth term), so at 100 TB retention the log IS
+    * the bottleneck even though each shuffle is delta-sized.
+    *
+    * CONTRACT (the caller's to prove, from its admission marks): a
+    * `foldLog` row with `tsCol < horizonMicros` can NEVER form a pair
+    * with any FUTURE delta row of the other log. For the time-band
+    * attribution shape the horizons follow from the committed marks
+    * (see [[StreamingIvm.foldAttributionLogs]]); a pure equi join has
+    * no such horizon unless the caller DECLARES a key-pairing TTL — an
+    * undeclared equi shape must retain its logs in full (the documented
+    * retention contract of [[StreamingIvm.ingestStreamJoinBatch]]).
+    *
+    * Mechanics: rows past the horizon leave the log; the pairs they can
+    * no longer re-derive — dead × (other log's CURRENT raw rows) — are
+    * pre-aggregated and kept as [[GsumCol]]-marked summary rows in the
+    * SAME snapshot commit (one atomic CAS per log, so a crash between
+    * the two sides' folds leaves every log individually consistent:
+    * each fold summarizes against the other side's CURRENT raw content,
+    * and pair coverage is exact in either fold order). The recompute
+    * path re-derives agg(pairs of retained raws) ⊕ summaries — equal to
+    * the unfolded aggregate by construction ([[StreamStreamJoinSpec]]'s
+    * folded ≡ raw property) — while the incremental path is untouched
+    * (delta pairs never involve folded rows, by the horizon contract).
+    * Post-fold, the log the next 100 TB day appends to holds O(rows
+    * inside the horizon + view keys), not the full event history.
+    *
+    * Returns None when nothing is past the horizon (no commit) or the
+    * log is empty.
+    */
+  def foldStreamJoinLogOnce(spark: SparkSession, foldLog: String,
+      otherLog: String, foldIsLeft: Boolean, horizonMicros: Long,
+      tsCol: String, mvKeys: Seq[String], sumNames: Seq[String],
+      countCol: String, maxRetries: Int = 5)
+      (pairsOf: (DataFrame, DataFrame) => DataFrame)
+      (aggOfPairs: DataFrame => DataFrame): Option[Generations.Commit] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, unix_micros}
+    var attempt = 0
+    while (true) {
+      val base = Generations.latest(spark, foldLog).map(_.version)
+        .getOrElse(return None)
+      val content = Generations.readLog(spark, foldLog)
+        .getOrElse(return None)
+      val raw = rawOf(content)
+      val dead = raw.filter(unix_micros(col(tsCol)) < horizonMicros)
+      if (dead.isEmpty) return None
+      // null-ts rows (no event time) are never foldable: keep
+      val keep = raw.filter(
+        coalesce(unix_micros(col(tsCol)) >= horizonMicros, lit(true)))
+      val otherRaw = rawOf(Generations.readLog(spark, otherLog)
+        .getOrElse(return None))
+      val lost = aggOfPairs(
+        if (foldIsLeft) pairsOf(dead, otherRaw)
+        else pairsOf(otherRaw, dead))
+      val oldSums = sumsOf(content, mvKeys, sumNames, countCol)
+      val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
+        countCol).withColumn(GsumCol, lit(true))
+      val folded = keep.unionByName(summaries, allowMissingColumns = true)
+      try return Some(Generations.writeAndCommit(spark, folded, foldLog,
+        tag = s"=sjfold=$horizonMicros", expectedBase = Some(base)))
+      catch {
+        case _: Generations.CommitConflictException
+          if attempt < maxRetries - 1 => attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   def maintainStreamJoinOnceLogs(spark: SparkSession, logA: String,
       logB: String, mvTable: String,
       mvKeys: Seq[String], sumCols: Map[String, String], countCol: String)
@@ -1021,8 +1143,11 @@ object ChangeFeed {
       if (!preOk(spanA, appA, headA, winA) ||
           !preOk(spanB, appB, headB, winB)) None
       else Generations.read(spark, mvTable).map { mv =>
-        val preA = contentOf(logA, spanA.filter(_.version <= appA))
-        val bHead = contentOf(logB, spanB)
+        // pre-sides strip folded summary rows (they are already in the
+        // view; only raw rows pair) — windows are pure delta appends,
+        // a fold is snapshot-kind and forces the recompute branch
+        val preA = rawOf(contentOf(logA, spanA.filter(_.version <= appA)))
+        val bHead = rawOf(contentOf(logB, spanB))
         val pairs = Seq(
           if (winA.isEmpty) None
           else Some(pairsOf(contentOf(logA, winA), bHead)),
@@ -1034,8 +1159,18 @@ object ChangeFeed {
         val feed = insertsOf(pairs.reduce(_ unionByName _))
         Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
       }
-    val next = incremental.getOrElse(
-      aggOfPairs(pairsOf(contentOf(logA, spanA), contentOf(logB, spanB))))
+    val next = incremental.getOrElse {
+      // recompute = agg over the pairs still derivable from raw rows,
+      // plus both logs' folded summaries (exactly the pairs a fold
+      // removed the raw material for) — folded ≡ raw by construction
+      val cA = contentOf(logA, spanA)
+      val cB = contentOf(logB, spanB)
+      val sumNames = sumCols.keys.toSeq
+      mergeAggs(aggOfPairs(pairsOf(rawOf(cA), rawOf(cB))),
+        (sumsOf(cA, mvKeys, sumNames, countCol) ++
+          sumsOf(cB, mvKeys, sumNames, countCol)).toSeq,
+        mvKeys, sumNames, countCol)
+    }
     Some(Generations.writeAndCommit(spark, next, mvTable,
       tag = s"=cdcv2=$headA-$headB", expectedBase = Some(mvBase)))
   }

@@ -213,6 +213,19 @@ object StreamingIvm {
     * from both unapplied windows with the insert-only delta join —
     * never a full re-join. View: (`joinKey`, `sum_value` = Σ pairs'
     * B-side value in decimal state, `n_pairs`).
+    *
+    * RETENTION CONTRACT: a pure equi join has NO event-time pairing
+    * horizon — a year-old A row pairs with today's B row of the same
+    * key — so both logs are retained IN FULL and per-tick cost grows
+    * with history. This is inherent to the unrestricted-equi semantics,
+    * not a missing fold: bounding retention requires the caller to
+    * DECLARE a pairing horizon, either by using the time-band shape
+    * ([[ingestAttributionBatch]], whose logs fold — band = the declared
+    * TTL) or by running [[ChangeFeed.foldStreamJoinLogOnce]] with a
+    * horizon the caller proves from its own domain (e.g. "keys never
+    * recur after 30 days"). Declaring none means choosing full
+    * retention, the same trade Spark's own stream-stream join makes
+    * when no watermark range condition is given (state grows forever).
     */
   def ingestStreamJoinBatch(spark: SparkSession, batchA: DataFrame,
       batchB: DataFrame, batchId: Long, logA: String, logB: String,
@@ -264,7 +277,7 @@ object StreamingIvm {
       purchases: DataFrame, batchId: Long, logC: String, logP: String,
       mvTable: String, tsCol: String = "ts", userCol: String = "user_id",
       valueCol: String = "value", window: String = "1 hour",
-      lateness: String = "2 hours",
+      lateness: String = "2 hours", foldAfterCommits: Int = 0,
       failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     val winUs = intervalMicros(window)
     def side(batch: DataFrame, log: String, vName: String,
@@ -284,21 +297,80 @@ object StreamingIvm {
     }
     side(clicks, logC, "_va", "a")
     side(purchases, logP, "_vb", "b")
-    def pairsOf(c: DataFrame, p: DataFrame): DataFrame = {
-      val intervals = p.select(col(userCol), col(tsCol).as("_ps"),
-        timestamp_micros(unix_micros(col(tsCol)) + winUs).as("_pe"))
-      graft.operators.RangeJoin.pointInInterval(
-        c.select(col(userCol), col(tsCol), col("_va")), intervals,
-        userCol, tsCol, "_ps", "_pe",
-        binSeconds = math.max(1L, winUs / 1000000L),
-        strictStart = false, inclusiveEnd = true)
-    }
-    ChangeFeed.maintainStreamJoinOnceLogs(spark, logC, logP,
+    val c = ChangeFeed.maintainStreamJoinOnceLogs(spark, logC, logP,
       mvTable, Seq(userCol), Map("sum_value" -> "_va"), "n_pairs")(
-      pairsOf) { pairs =>
-      pairs.groupBy(col(userCol))
-        .agg(sum(col("_va")).as("sum_value"), count(lit(1)).as("n_pairs"))
-    }
+      attributionPairsOf(userCol, tsCol, winUs))(
+      attributionAggOf(userCol))
+    // bounded-retention dial ([[ingestSessionBatch]]'s): once either
+    // log's span exceeds the policy width, fold rows past the band
+    // horizon (AFTER the view advanced — the next tick recomputes from
+    // retained raws ⊕ summaries, which is content-equal)
+    if (foldAfterCommits > 0 &&
+        (Generations.logCommits(spark, logC).size > foldAfterCommits ||
+          Generations.logCommits(spark, logP).size > foldAfterCommits))
+      foldAttributionLogs(spark, logC, logP, tsCol, userCol, window,
+        lateness)
+    c
+  }
+
+  /** The attribution shape's pair-builder (shared by the maintenance
+    * tick and the fold): clicks inside [purchase ts, ts + window] of
+    * the same user, RangeJoin-binned on (user, time-bin) so no per-user
+    * cross product ever builds.
+    */
+  private def attributionPairsOf(userCol: String, tsCol: String,
+      winUs: Long): (DataFrame, DataFrame) => DataFrame = { (c, p) =>
+    val intervals = p.select(col(userCol), col(tsCol).as("_ps"),
+      timestamp_micros(unix_micros(col(tsCol)) + winUs).as("_pe"))
+    graft.operators.RangeJoin.pointInInterval(
+      c.select(col(userCol), col(tsCol), col("_va")), intervals,
+      userCol, tsCol, "_ps", "_pe",
+      binSeconds = math.max(1L, winUs / 1000000L),
+      strictStart = false, inclusiveEnd = true)
+  }
+
+  private def attributionAggOf(userCol: String)
+      : DataFrame => DataFrame = { pairs =>
+    pairs.groupBy(col(userCol))
+      .agg(sum(col("_va")).as("sum_value"), count(lit(1)).as("n_pairs"))
+  }
+
+  /** BAND-HORIZON FOLD of the attribution shape's two logs (r18
+    * VERDICT #2) — the horizons follow from the committed admission
+    * marks, so each side is provably dead for all future pairing:
+    *
+    *  - a CLICK with ts < markP − lateness can never attribute to a
+    *    future purchase (admitted purchases have ts ≥ markP − lateness
+    *    and a pair needs click.ts ≥ purchase.ts);
+    *  - a PURCHASE with ts < markC − lateness − window can never claim
+    *    a future click (admitted clicks have ts ≥ markC − lateness and
+    *    a pair needs purchase.ts ≥ click.ts − window).
+    *
+    * Each side folds in ONE atomic snapshot commit that carries the
+    * dropped rows' pair contribution as summary rows
+    * ([[ChangeFeed.foldStreamJoinLogOnce]]); the two commits are
+    * independently consistent, so there is no cross-log crash window.
+    * Per-tick maintenance cost after folding is O(delta ⋈ horizon),
+    * flat in the log's age (StreamFoldProbe).
+    */
+  def foldAttributionLogs(spark: SparkSession, logC: String, logP: String,
+      tsCol: String = "ts", userCol: String = "user_id",
+      window: String = "1 hour", lateness: String = "2 hours")
+      : (Option[Generations.Commit], Option[Generations.Commit]) = {
+    val winUs = intervalMicros(window)
+    val latUs = intervalMicros(lateness)
+    val markC = highMark(spark, logC)
+    val markP = highMark(spark, logP)
+    if (markC.isEmpty || markP.isEmpty) return (None, None)
+    val pairs = attributionPairsOf(userCol, tsCol, winUs)
+    val agg = attributionAggOf(userCol)
+    val cFold = ChangeFeed.foldStreamJoinLogOnce(spark, logC, logP,
+      foldIsLeft = true, horizonMicros = markP.get - latUs, tsCol,
+      Seq(userCol), Seq("sum_value"), "n_pairs")(pairs)(agg)
+    val pFold = ChangeFeed.foldStreamJoinLogOnce(spark, logP, logC,
+      foldIsLeft = false, horizonMicros = markC.get - latUs - winUs,
+      tsCol, Seq(userCol), Seq("sum_value"), "n_pairs")(pairs)(agg)
+    (cFold, pFold)
   }
 
   /** One micro-batch of a maintained gap-based SESSION-WINDOW view —

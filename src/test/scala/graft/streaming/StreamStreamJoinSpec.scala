@@ -156,6 +156,96 @@ class StreamStreamJoinSpec extends SparkSpec {
     }
   }
 
+  /** Raw (pair-formable) rows of a possibly-folded log. */
+  private def rawCount(log: String): Long =
+    Generations.readLog(spark, log).map { df =>
+      if (df.columns.contains(ChangeFeed.GsumCol))
+        df.filter(coalesce(col(ChangeFeed.GsumCol), lit(false)) === false)
+          .count()
+      else df.count()
+    }.getOrElse(0L)
+
+  /** An 8-hour attribution history: every tick advances the marks ~1h,
+    * so by the later ticks the early rows are past the band horizon
+    * (mark − lateness − window) and foldable.
+    */
+  private def longHistory: (Seq[Batch], Seq[Batch]) = {
+    val cs = (0 until 8).map { i =>
+      val u = (i % 3 + 1).toLong
+      Seq((u, ts(8 + i, 30), i + 1.0), (3L, ts(8 + i, 45), 0.5)): Batch
+    }
+    val ps = (0 until 8).map { i =>
+      val u = (i % 3 + 1).toLong
+      Seq((u, ts(8 + i), 100.0), (3L, ts(8 + i, 40), 100.0)): Batch
+    }
+    (cs, ps)
+  }
+
+  test("FOLDED ≡ RAW: the band-horizon fold never changes the view") {
+    val (cs, ps) = longHistory
+    // control (no folds) and folding run (ingest dial folds once spans
+    // exceed 2 commits) advance in lockstep; the views must agree at
+    // EVERY tick
+    val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))
+    val (fc, fp, fmv) = (mkDir("fc"), mkDir("fp"), mkDir("fm"))
+    cs.indices.foreach { i =>
+      attribTick(cs(i), ps(i), i.toLong, rc, rp, rmv)
+      StreamingIvm.ingestAttributionBatch(spark, df(cs(i)), df(ps(i)),
+        i.toLong, fc, fp, fmv, foldAfterCommits = 2)
+      assert(state(fmv) === state(rmv), s"view diverged at tick $i")
+    }
+    // the fold actually dropped raw history (bounded retention), and
+    // carried the dropped pairs as summary rows
+    assert(rawCount(fc) < rawCount(rc),
+      s"click log must shrink (${rawCount(fc)} vs ${rawCount(rc)})")
+    assert(rawCount(fp) < rawCount(rp), "purchase log must shrink")
+    val foldedC = Generations.readLog(spark, fc).get
+    assert(foldedC.columns.contains(ChangeFeed.GsumCol))
+    assert(foldedC.filter(col(ChangeFeed.GsumCol) === true).count() > 0L,
+      "dropped pairs live on as summary rows")
+    // and the folded state keeps maintaining: one more tick, still equal
+    val extraC: Batch = Seq((1L, ts(16, 10), 64.0))
+    val extraP: Batch = Seq((1L, ts(16), 100.0))
+    attribTick(extraC, extraP, 8L, rc, rp, rmv)
+    StreamingIvm.ingestAttributionBatch(spark, df(extraC), df(extraP),
+      8L, fc, fp, fmv, foldAfterCommits = 2)
+    assert(state(fmv) === state(rmv))
+  }
+
+  test("a one-sided fold (the cross-log crash window) stays consistent") {
+    val (cs, ps) = longHistory
+    val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))
+    val (fc, fp, fmv) = (mkDir("fc"), mkDir("fp"), mkDir("fm"))
+    cs.indices.foreach { i =>
+      attribTick(cs(i), ps(i), i.toLong, rc, rp, rmv)
+      attribTick(cs(i), ps(i), i.toLong, fc, fp, fmv)
+    }
+    // fold ONLY the click log (as if the process died before the
+    // purchase-side fold): each side's fold is independently exact, so
+    // the next tick's recompute must still equal the control
+    val markP = StreamingIvm.highMark(spark, fp).get
+    val c = ChangeFeed.foldStreamJoinLogOnce(spark, fc, fp,
+      foldIsLeft = true, horizonMicros = markP - 2L * 3600000000L, "ts",
+      Seq("user_id"), Seq("sum_value"), "n_pairs")(
+      (a, b) => {
+        val iv = b.select(col("user_id"), col("ts").as("_ps"),
+          timestamp_micros(unix_micros(col("ts")) + 3600000000L).as("_pe"))
+        graft.operators.RangeJoin.pointInInterval(
+          a.select(col("user_id"), col("ts"), col("_va")), iv,
+          "user_id", "ts", "_ps", "_pe", binSeconds = 3600L,
+          strictStart = false, inclusiveEnd = true)
+      })(pairs => pairs.groupBy(col("user_id"))
+        .agg(sum(col("_va")).as("sum_value"),
+          count(lit(1)).as("n_pairs")))
+    assert(c.nonEmpty, "the 8h history must have foldable clicks")
+    val extraC: Batch = Seq((2L, ts(16, 10), 64.0))
+    val extraP: Batch = Seq((2L, ts(16), 100.0))
+    attribTick(extraC, extraP, 8L, rc, rp, rmv)
+    attribTick(extraC, extraP, 8L, fc, fp, fmv)
+    assert(state(fmv) === state(rmv),
+      "half-applied fold pair must still recompute exactly")
+  }
+
   test("every crash boundary replays to the no-crash run") {
     val as: Seq[Batch] = Seq(
       Seq((1L, ts(8), 1.25), (2L, ts(9), 2.0)),

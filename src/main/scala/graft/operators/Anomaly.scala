@@ -44,7 +44,7 @@ object Anomaly {
     val z = when(col("n") >= 3 && variance > 0.0,
       (v - mean) / sqrt(variance))
     scored.select(col(idCol), col(keyCol),
-      round(z, 6).as("z"), (abs(z) > zThresh).as("is_anomaly"))
+      (floor((z) * 1e6 + 0.5) / 1e6).as("z"), (abs(z) > zThresh).as("is_anomaly"))
   }
 
   /** MAD-based robust outlier flags — the rank-statistics sibling of
@@ -82,12 +82,12 @@ object Anomaly {
     // derived quantity a pure function of identical inputs on both
     // engines; same rule the IVF quantizer uses for its centroids.
     val med = events.groupBy(col(keyCol)).agg(
-      round(expr(s"percentile($valCol, 0.5)"), 6).as("med"),
+      (floor((expr(s"percentile($valCol, 0.5)")) * 1e6 + 0.5) / 1e6).as("med"),
       count(v).as("n"))
     val dev = events.join(med, Seq(keyCol))
       .withColumn("adev", abs(v - col("med")))
     val mad = dev.groupBy(col(keyCol))
-      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .agg((floor((expr("percentile(adev, 0.5)")) * 1e6 + 0.5) / 1e6).as("mad"))
     val rz = when(col("n") >= 3 && col("mad") > 0.0,
       lit(0.6745) * (v - col("med")) / col("mad"))
     dev.join(mad, Seq(keyCol))
@@ -139,7 +139,7 @@ object Anomaly {
       lit(0.0), (a, j) => a + pow(lit(decay), j.cast("double")))
     events.select(col(idCol), col(keyCol), col(valCol), vals.as("vals"))
       .select(col(idCol), col(keyCol), col(valCol),
-        round(wsum / wnorm, 6).as("ewma"))
+        (floor((wsum / wnorm) * 1e6 + 0.5) / 1e6).as("ewma"))
   }
 
   /** Per-group winsorization: clip `valCol` to the group's
@@ -166,11 +166,11 @@ object Anomaly {
     // the strict < / > fence classification between engines (measured
     // at sf1, where duplicated value multisets make that landing certain)
     val bounds = events.groupBy(col(groupCol)).agg(
-      round(expr(s"percentile($valCol, $pLow)"), 6).as("_lo"),
-      round(expr(s"percentile($valCol, $pHigh)"), 6).as("_hi"))
+      (floor((expr(s"percentile($valCol, $pLow)")) * 1e6 + 0.5) / 1e6).as("_lo"),
+      (floor((expr(s"percentile($valCol, $pHigh)")) * 1e6 + 0.5) / 1e6).as("_hi"))
     events.join(bounds, groupCol)
       .select(col(idCol), col(groupCol), v,
-        round(greatest(col("_lo"), least(col("_hi"), v)), 6).as("clipped"),
+        (floor((greatest(col("_lo"), least(col("_hi"), v))) * 1e6 + 0.5) / 1e6).as("clipped"),
         when(v < col("_lo"), lit("low"))
           .when(v > col("_hi"), lit("high"))
           .otherwise(lit("none")).as("fence"))

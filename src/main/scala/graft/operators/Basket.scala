@@ -50,10 +50,10 @@ object Basket {
         col("n_brand").as("n_b"))), "brand_b")
       .crossJoin(broadcast(nOrders))
       .select(col("brand_a"), col("brand_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
-        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
-        round(col("n_ab").cast("double") * col("n_orders") /
-          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+        (floor((col("n_ab").cast("double") / col("n_orders")) * 1e6 + 0.5) / 1e6).as("support"),
+        (floor((col("n_ab").cast("double") / col("n_a")) * 1e6 + 0.5) / 1e6).as("confidence"),
+        (floor((col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b"))) * 1e6 + 0.5) / 1e6).as("lift"))
       .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
       .limit(topK)
   }

@@ -69,7 +69,7 @@ object Dedup {
     candidates.join(sa, "a").join(sb, "b")
       .withColumn("jaccard", when(uni === 0, lit(null)).otherwise(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / uni))
-      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("a"), col("b"), (floor((col("jaccard")) * 1e6 + 0.5) / 1e6).as("jaccard"))
   }
 
   /** MinHash-LSH near-dup pipeline: fused shingle→minhash→band hashing
@@ -149,7 +149,7 @@ object Dedup {
     val est = cands
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), "b")
-      .withColumn("sig_est", round(matches.cast("double") / k, 6))
+      .withColumn("sig_est", (floor((matches.cast("double") / k) * 1e6 + 0.5) / 1e6))
       .filter(col("sig_est") >= threshold)
       .select(col("a"), col("b"), col("sig_est"))
     jaccardVerify(est.select(col("a"), col("b")), shingled)
@@ -175,13 +175,13 @@ object Dedup {
       // never forced broadcasts — AQE may still broadcast small inputs
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
-      .filter(round(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")), 6) >= threshold)
+      .filter((floor((col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter"))) * 1e6 + 0.5) / 1e6) >= threshold)
       .agg(count(lit(1)).as("n_true"))
     truth.crossJoin(broadcast(found))
       .select(col("n_true"), col("n_found"),
         when(col("n_true") === 0, lit(1.0))
-          .otherwise(round(col("n_found").cast("double") / col("n_true"), 4))
+          .otherwise((floor((col("n_found").cast("double") / col("n_true")) * 1e4 + 0.5) / 1e4))
           .as("recall"))
       .withColumn("recall_ok", col("recall") >= minRecall)
   }
@@ -421,8 +421,8 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
       .select(col("a"), col("b"),
-        round(col("inter").cast("double") /
-          least(col("sz_a"), col("sz_b")), 6).as("containment"))
+        (floor((col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b"))) * 1e6 + 0.5) / 1e6).as("containment"))
       .orderBy(col("containment").desc, col("a"), col("b"))
       .limit(topK)
   }

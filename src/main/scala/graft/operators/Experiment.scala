@@ -53,8 +53,8 @@ object Experiment {
         (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
     flat.select(
       col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
-      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
-      round(z, 6).as("z"),
+      (floor((pa) * 1e6 + 0.5) / 1e6).as("rate_a"), (floor((pb) * 1e6 + 0.5) / 1e6).as("rate_b"),
+      (floor((z) * 1e6 + 0.5) / 1e6).as("z"),
       (abs(z) > 1.96).as("significant"))
   }
 }

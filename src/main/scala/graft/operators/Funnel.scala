@@ -40,8 +40,8 @@ object Funnel {
     val counts = perUser.agg(count(lit(1)).as("n_users"),
       steps.indices.map(i => count(col(s"t_$i")).as(s"step_${steps(i)}")): _*)
     val convs = steps.indices.drop(1).map { i =>
-      round(col(s"step_${steps(i)}") /
-        col(s"step_${steps(i - 1)}").cast("double"), 6).as(s"conv_${steps(i)}")
+      (floor((col(s"step_${steps(i)}") /
+        col(s"step_${steps(i - 1)}").cast("double")) * 1e6 + 0.5) / 1e6).as(s"conv_${steps(i)}")
     }
     counts.select(col("n_users") +:
       steps.map(st => col(s"step_$st")) ++: convs: _*)
@@ -76,7 +76,7 @@ object Funnel {
       .withColumn("cohort_size",
         max(when(col("week_offset") === 0, col("n_active"))).over(byCohort))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
-        round(col("n_active") / col("cohort_size").cast("double"), 6)
+        (floor((col("n_active") / col("cohort_size").cast("double")) * 1e6 + 0.5) / 1e6)
           .as("retention"))
   }
 
@@ -102,6 +102,6 @@ object Funnel {
       .agg(count(lit(1)).as("n"))
     val byFrom = Window.partitionBy(col("from_event"))
     pairs.select(col("from_event"), col("to_event"), col("n"),
-      round(col("n") / sum(col("n")).over(byFrom).cast("double"), 6).as("p"))
+      (floor((col("n") / sum(col("n")).over(byFrom).cast("double")) * 1e6 + 0.5) / 1e6).as("p"))
   }
 }

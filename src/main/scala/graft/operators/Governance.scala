@@ -119,7 +119,7 @@ object Governance {
       val metric = col(s"m_$i")
       val rawPass = if (atMost) metric <= threshold else metric >= threshold
       struct(lit(c.name).as("check"), lit(c.column).as("column"),
-        round(metric, 6).as("metric"), lit(threshold).as("threshold"),
+        (floor((metric) * 1e6 + 0.5) / 1e6).as("metric"), lit(threshold).as("threshold"),
         when(col("__n") === 0, lit(false))
           .otherwise(coalesce(rawPass, lit(false))).as("pass"))
     }
@@ -153,8 +153,8 @@ object Governance {
       total.crossJoin(orphans)
         .select(lit(r.relation).as("relation"), col("n_child"),
           col("n_orphans"),
-          round(try_divide(col("n_orphans").cast("double"),
-            col("n_child").cast("double")), 6).as("orphan_rate"))
+          (floor((try_divide(col("n_orphans").cast("double"),
+            col("n_child").cast("double"))) * 1e6 + 0.5) / 1e6).as("orphan_rate"))
     }
     perRel.reduce(_.union(_)).orderBy("relation")
   }
@@ -221,7 +221,7 @@ object Governance {
     df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("cnt"))
       .select(col(groupCol),
-        greatest(lit(0L), round(col("cnt") + noise, 0).cast("long"))
+        greatest(lit(0L), (floor((col("cnt") + noise) * 1e0 + 0.5) / 1e0).cast("long"))
           .as("noisy_count"))
       .orderBy(groupCol)
   }

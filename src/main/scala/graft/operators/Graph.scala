@@ -59,7 +59,7 @@ object Graph {
     val topk = a.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
-        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+        (floor((VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
@@ -97,9 +97,8 @@ object Graph {
       .orderBy(col("cos").desc, col("c_id"))
     val exactTop = cand.crossJoin(broadcast(anchors))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        VectorFns.dot(col("q_emb"), col("c_emb")) /
-          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("cos", (floor((VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))
@@ -398,8 +397,8 @@ object Graph {
       .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
       .select(col("a"), col("b"), col("common"),
-        round(col("common") /
-          (col("deg_a") + col("deg_b") - col("common")), 6).as("jaccard"))
+        (floor((col("common") /
+          (col("deg_a") + col("deg_b") - col("common"))) * 1e6 + 0.5) / 1e6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("common").desc, col("a"), col("b"))
       .limit(topK)
   }
@@ -432,9 +431,9 @@ object Graph {
       .groupBy(col("v")).agg(count(lit(1)).as("t"))
     deg.join(perV, Seq("v"), "left")
       .select(col("v"), coalesce(col("t"), lit(0L)).as("triangles"),
-        round(when(col("deg") > 1,
+        (floor((when(col("deg") > 1,
           lit(2.0) * coalesce(col("t"), lit(0L)) /
-            (col("deg") * (col("deg") - lit(1)))).otherwise(lit(0.0)), 6)
+            (col("deg") * (col("deg") - lit(1)))).otherwise(lit(0.0))) * 1e6 + 0.5) / 1e6)
           .as("clustering_coeff"))
   }
 }

@@ -175,7 +175,7 @@ object IvfIndex {
     post.filter(col("cell").isin(probed: _*))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -192,7 +192,7 @@ object IvfIndex {
     val q = Seq(queryVec).toDF("q_emb")
     cents.crossJoin(broadcast(q))
       .select(col("cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+        (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell")).as[Long].collect().toSeq
@@ -281,7 +281,7 @@ object IvfIndex {
       throw new IllegalStateException(s"no postings at $dir"))
     val probed = cents.crossJoin(broadcast(q))
       .select(col("cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+        (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell"))
@@ -289,7 +289,7 @@ object IvfIndex {
       .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }

@@ -46,8 +46,8 @@ object Learn {
     val slope = when(col("n") >= 2 && dx > 0.0, cov / dx)
     val intercept = (col("sy").cast("double") - slope * col("sx")) / col("n")
     val r2 = when(dx > 0.0 && dy > 0.0, cov * cov / (dx * dy))
-    sums.select(col(groupCol), round(slope, 6).as("slope"),
-      round(intercept, 6).as("intercept"), round(r2, 6).as("r2"),
+    sums.select(col(groupCol), (floor((slope) * 1e6 + 0.5) / 1e6).as("slope"),
+      (floor((intercept) * 1e6 + 0.5) / 1e6).as("intercept"), (floor((r2) * 1e6 + 0.5) / 1e6).as("r2"),
       col("n"))
   }
 
@@ -164,7 +164,7 @@ object Learn {
     feat.join(broadcast(weights), "bucket")
       .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("m"))
       .select(col("doc_id"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("m"))), 6).as("p"))
+        (floor((lit(1.0) / (lit(1.0) + exp(-col("m")))) * 1e6 + 0.5) / 1e6).as("p"))
       .withColumn("pred", when(col("p") >= 0.5, 1L).otherwise(0L))
       .join(lab, "doc_id")
   }
@@ -381,7 +381,7 @@ object Learn {
     hashedCounts(docs, dims, textCol, idCol)
       .join(broadcast(model), "bucket")
       .groupBy(col("doc_id"))
-      .agg(round(max(col("prior")) + sum(col("cnt") * col("w")), 6).as("score"))
+      .agg((floor((max(col("prior")) + sum(col("cnt") * col("w"))) * 1e6 + 0.5) / 1e6).as("score"))
       .withColumn("pred", when(col("score") >= 0.0, 1L).otherwise(0L))
       .join(docs.select(col(idCol).as("doc_id"),
         labelCol.cast("long").as("y")), "doc_id")
@@ -443,10 +443,10 @@ object Learn {
       .otherwise(col("tp") / (col("tp") + col("fn")))
     counted.select(keyCols.map(col) ++ Seq(
       col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
-      round(prec, 6).as("precision"), round(rec, 6).as("recall"),
-      round(when(prec + rec === 0.0, lit(0.0))
-        .otherwise(lit(2.0) * prec * rec / (prec + rec)), 6).as("f1"),
-      round((col("tp") + col("tn")) / col("n"), 6).as("accuracy")): _*)
+      (floor((prec) * 1e6 + 0.5) / 1e6).as("precision"), (floor((rec) * 1e6 + 0.5) / 1e6).as("recall"),
+      (floor((when(prec + rec === 0.0, lit(0.0))
+        .otherwise(lit(2.0) * prec * rec / (prec + rec))) * 1e6 + 0.5) / 1e6).as("f1"),
+      (floor(((col("tp") + col("tn")) / col("n")) * 1e6 + 0.5) / 1e6).as("accuracy")): _*)
   }
 
   /** k-fold cross-validated Naive Bayes: deterministic md5 fold
@@ -515,7 +515,7 @@ object Learn {
     // one scoring pass: each doc scored by ITS fold's complement model
     val preds = fc.join(broadcast(model), Seq("fold", "bucket"))
       .groupBy(col("doc_id"), col("fold"), col("y").cast("long").as("y"))
-      .agg(round(max(col("prior")) + sum(col("cnt") * col("w")), 6).as("score"))
+      .agg((floor((max(col("prior")) + sum(col("cnt") * col("w"))) * 1e6 + 0.5) / 1e6).as("score"))
       .withColumn("pred", when(col("score") >= 0.0, 1L).otherwise(0L))
     confusionFinalize(preds.groupBy(col("fold")).agg(
       count(lit(1)).as("n"),
@@ -539,7 +539,10 @@ object Learn {
     * @return one row: (n_pos, n_neg, auc) — auc null if a class is empty.
     */
   def aucQuantized(preds: DataFrame, decimals: Int = 3): DataFrame = {
-    val s = round(col("score"), decimals)
+    // floor-snap, not round(): the quantizer must match the oracle's
+    // tie-break bit-for-bit (BASELINE.md hash rule)
+    val scale = math.pow(10.0, decimals)
+    val s = floor(col("score") * scale + 0.5) / scale
     val cnt = preds.groupBy(s.as("s"))
       .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
     // bounded frame (see above) — the single-partition window is over
@@ -550,8 +553,8 @@ object Learn {
       .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"),
-        round(when(col("n_pos") > 0 && col("n_neg") > 0,
-          col("u2") / (lit(2.0) * col("n_pos") * col("n_neg"))), 6).as("auc"))
+        (floor((when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")))) * 1e6 + 0.5) / 1e6).as("auc"))
   }
 
   /** Operating-point sweep: confusion metrics of `score ≥ t` for every
@@ -602,10 +605,10 @@ object Learn {
         avg(col("pred_a").cast("double")).as("ra"),
         avg(col("pred_b").cast("double")).as("rb"))
     val pe = col("ra") * col("rb") + (lit(1.0) - col("ra")) * (lit(1.0) - col("rb"))
-    joined.select(col("n"), round(col("po"), 6).as("agree"),
-      round(pe, 6).as("pe"),
-      round(when(pe === 1.0, lit(0.0))
-        .otherwise((col("po") - pe) / (lit(1.0) - pe)), 6).as("kappa"))
+    joined.select(col("n"), (floor((col("po")) * 1e6 + 0.5) / 1e6).as("agree"),
+      (floor((pe) * 1e6 + 0.5) / 1e6).as("pe"),
+      (floor((when(pe === 1.0, lit(0.0))
+        .otherwise((col("po") - pe) / (lit(1.0) - pe))) * 1e6 + 0.5) / 1e6).as("kappa"))
   }
 
   /** Chi-squared feature scoring over the (class × bucket-presence) 2×2
@@ -632,7 +635,7 @@ object Learn {
         sum(lit(1.0) - col("y")).as("b"))
       .crossJoin(broadcast(tot))
       .select(col("bucket"),
-        round(chi2Expr(col("a"), col("b"), col("n1"), col("n0")), 6)
+        (floor((chi2Expr(col("a"), col("b"), col("n1"), col("n0"))) * 1e6 + 0.5) / 1e6)
           .as("chi2"))
   }
 

@@ -70,8 +70,8 @@ object Profile {
       .groupBy(g, col("bucket"), col("mn"), col("mx"))
       .agg(count(lit(1)).as("n"))
       .select(g, col("bucket"),
-        round(col("mn") + col("bucket") * ((col("mx") - col("mn")) / nBuckets), 6).as("lo"),
-        round(col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / nBuckets), 6).as("hi"),
+        (floor((col("mn") + col("bucket") * ((col("mx") - col("mn")) / nBuckets)) * 1e6 + 0.5) / 1e6).as("lo"),
+        (floor((col("mn") + (col("bucket") + 1) * ((col("mx") - col("mn")) / nBuckets)) * 1e6 + 0.5) / 1e6).as("hi"),
         col("n"))
   }
 
@@ -122,7 +122,7 @@ object Profile {
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+        (floor(((pCur - pRef) * log(pCur / pRef)) * 1e6 + 0.5) / 1e6).as("psi_term"))
       .orderBy("bucket")
   }
 }

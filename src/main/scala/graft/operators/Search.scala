@@ -96,10 +96,8 @@ object Search {
       .over(Window.orderBy(col("cosine").desc, col("doc_id"))).as("r_vec"))
     rkw.join(rvec, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("r_kw"), col("r_vec"),
-        round(
-          coalesce(lit(1.0) / (lit(kRrf) + col("r_kw")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)),
-          6).as("rrf"))
+        (floor((coalesce(lit(1.0) / (lit(kRrf) + col("r_kw")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6).as("rrf"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(topK)
   }
@@ -189,10 +187,10 @@ object Search {
       .select(
         col("query_id").cast("int").as("query_id"),
         nRel.as("n_rel"),
-        round(when(nRel > 0, coalesce(col("n_hits"), lit(0.0)) / nRel)
-          .otherwise(0.0), 6).as("recall_at_k"),
-        round(coalesce(lit(1.0) / col("first_rank"), lit(0.0)), 6).as("mrr_at_k"),
-        round(when(nRel > 0, coalesce(col("dcg"), lit(0.0)) / idcg)
-          .otherwise(0.0), 6).as("ndcg_at_k"))
+        (floor((when(nRel > 0, coalesce(col("n_hits"), lit(0.0)) / nRel)
+          .otherwise(0.0)) * 1e6 + 0.5) / 1e6).as("recall_at_k"),
+        (floor((coalesce(lit(1.0) / col("first_rank"), lit(0.0))) * 1e6 + 0.5) / 1e6).as("mrr_at_k"),
+        (floor((when(nRel > 0, coalesce(col("dcg"), lit(0.0)) / idcg)
+          .otherwise(0.0)) * 1e6 + 0.5) / 1e6).as("ndcg_at_k"))
   }
 }

@@ -44,7 +44,7 @@ object Selection {
     */
   def weightedSample(docs: DataFrame, k: Int, weightCol: String,
       idCol: String = "doc_id"): DataFrame = {
-    val key = round(log(hashUniform(col(idCol))) / col(weightCol), 9)
+    val key = (floor((log(hashUniform(col(idCol))) / col(weightCol)) * 1e9 + 0.5) / 1e9)
     docs.filter(col(weightCol) > 0)
       .withColumn("ares_key", key)
       .orderBy(col("ares_key").desc, col(idCol))
@@ -131,7 +131,7 @@ object Selection {
     val shortlist = embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("embedding"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("rel"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("rel"))
       .orderBy(col("rel").desc, col("vec_id"))
       .limit(m)
       .materialized
@@ -142,17 +142,17 @@ object Selection {
       val scored =
         if (i == 1)
           shortlist.select(col("vec_id"),
-            round(col("rel") * lambda, 6).as("mmr_score"))
+            (floor((col("rel") * lambda) * 1e6 + 0.5) / 1e6).as("mmr_score"))
         else {
           val sel = broadcast(pickedDf.select(col("embedding").as("s_emb")))
           shortlist
             .filter(!col("vec_id").isInCollection(picked.map(_._1)))
             .crossJoin(sel)
             .groupBy(col("vec_id"), col("rel"))
-            .agg(max(round(VectorFns.cosine(col("embedding"), col("s_emb")), 6))
+            .agg(max((floor((VectorFns.cosine(col("embedding"), col("s_emb"))) * 1e6 + 0.5) / 1e6))
               .as("max_sim"))
             .select(col("vec_id"),
-              round(col("rel") * lambda - col("max_sim") * (1 - lambda), 6)
+              (floor((col("rel") * lambda - col("max_sim") * (1 - lambda)) * 1e6 + 0.5) / 1e6)
                 .as("mmr_score"))
         }
       val Row(vid: Long, score: Double) = scored
@@ -218,8 +218,8 @@ object Selection {
         col("nrm").as("c_nrm"))
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("sim",
-        round(VectorFns.dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")), 6))
+        (floor((VectorFns.dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("embedding"), col("nrm"), col("cell"), col("sim")),
         struct((-col("sim")).as("neg_sim"), col("cell"))).as("b"))
@@ -301,9 +301,9 @@ object Selection {
         .filter(!col("vec_id").isInCollection(picked.map(_._1)))
         .crossJoin(sel)
         .groupBy(col("vec_id"))
-        .agg(min(round(lit(1.0) -
+        .agg(min((floor((lit(1.0) -
           VectorFns.dot(col("embedding"), col("s_emb")) /
-            (col("nrm") * col("s_nrm")), 6)).as("d"))
+            (col("nrm") * col("s_nrm"))) * 1e6 + 0.5) / 1e6)).as("d"))
         .agg(min_by(struct(col("vec_id"), col("d")),
           struct((-col("d")).as("neg"), col("vec_id"))).as("best"))
         .select(col("best.vec_id"), col("best.d")).head()

@@ -59,7 +59,7 @@ object Similarity {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
     embeddings.select(col("vec_id"), col("label"),
       array(ps.map { p =>
-        round(VectorFns.dot(typedLit(p.map(_.toDouble)), col("embedding")) * scale, 6)
+        (floor((VectorFns.dot(typedLit(p.map(_.toDouble)), col("embedding")) * scale) * 1e6 + 0.5) / 1e6)
       }: _*).as("proj"))
   }
 
@@ -97,8 +97,8 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subDim = dim / m
     def d2(a: Column, b: Column) =
-      round(VectorFns.dot(a, a) + VectorFns.dot(b, b)
-        - lit(2.0) * VectorFns.dot(a, b), 6)
+      (floor((VectorFns.dot(a, a) + VectorFns.dot(b, b)
+        - lit(2.0) * VectorFns.dot(a, b)) * 1e6 + 0.5) / 1e6)
     subvectors(embeddings, m, subDim)
       .join(broadcast(pqCodebooks(embeddings, m, ksub, subDim)), Seq("sub_j"))
       .withColumn("d2", d2(col("sub_vec"), col("cw_vec")))
@@ -135,9 +135,9 @@ object Similarity {
     val lut = pqCodebooks(embeddings, m, ksub, subDim)
       .join(broadcast(q), Seq("sub_j"))
       .select(col("sub_j"), col("code"),
-        round(VectorFns.dot(col("q_vec"), col("q_vec"))
+        (floor((VectorFns.dot(col("q_vec"), col("q_vec"))
           + VectorFns.dot(col("cw_vec"), col("cw_vec"))
-          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec")), 6).as("d2"))
+          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec"))) * 1e6 + 0.5) / 1e6).as("d2"))
     pqEncodeExploded(embeddings, m, ksub, dim)
       .filter(col("vec_id") =!= queryId)
       .join(broadcast(lut), Seq("sub_j", "code"))
@@ -169,7 +169,7 @@ object Similarity {
     val probed = cents
       .crossJoin(broadcast(q))
       .select(col("cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("sim"))
+        (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("sim"))
       .orderBy(col("sim").desc, col("cell")).limit(nProbe)
       .select(col("cell"))
     val qsub = subvectors(embeddings.filter(col("vec_id") === queryId), m, subDim)
@@ -177,9 +177,9 @@ object Similarity {
     val lut = pqCodebooks(embeddings, m, ksub, subDim)
       .join(broadcast(qsub), Seq("sub_j"))
       .select(col("sub_j"), col("code"),
-        round(VectorFns.dot(col("q_vec"), col("q_vec"))
+        (floor((VectorFns.dot(col("q_vec"), col("q_vec"))
           + VectorFns.dot(col("cw_vec"), col("cw_vec"))
-          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec")), 6).as("d2"))
+          - lit(2.0) * VectorFns.dot(col("q_vec"), col("cw_vec"))) * 1e6 + 0.5) / 1e6).as("d2"))
     pqEncodeExploded(embeddings, m, ksub, dim)
       .join(cells.select(col("vec_id"), col("cell")), "vec_id")
       .join(broadcast(probed), "cell")
@@ -201,7 +201,7 @@ object Similarity {
     embeddings.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -215,7 +215,7 @@ object Similarity {
     signed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("sig") === col("q_sig"))
       .select(col("vec_id"), col("sig"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -261,14 +261,14 @@ object Similarity {
       .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("c_emb"))
     for (_ <- 1 to iters) {
       cents = train.crossJoin(broadcast(cents))
-        .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
+        .withColumn("sim", (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6))
         .groupBy(col("vec_id"))
         .agg(min_by(struct(col("embedding"), col("cell")),
           struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
         .select(col("_best.cell").as("cell"), col("_best.embedding").as("embedding"))
         .groupBy(col("cell"))
         .agg(centroid(col("embedding")).as("_c"))
-        .select(col("cell"), transform(col("_c"), x => round(x, 6)).as("c_emb"))
+        .select(col("cell"), transform(col("_c"), x => (floor((x) * 1e6 + 0.5) / 1e6)).as("c_emb"))
     }
     cents.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
       .toDF("cell", "c_emb")
@@ -292,7 +292,7 @@ object Similarity {
       // shuffle carries ~1/nCells the bytes and no per-key sort happens —
       // this feeds every cell-blocked operator, so it is the hottest
       // argmax in the repo.
-      .withColumn("sim", round(VectorFns.cosine(col("embedding"), col("c_emb")), 6))
+      .withColumn("sim", (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("label"), col("embedding"), col("cell")),
         struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
@@ -329,7 +329,7 @@ object Similarity {
     cells.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), col("cell") === col("q_cell"))
       .select(col("vec_id"), col("cell"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -347,7 +347,7 @@ object Similarity {
     val cents = refinedCentroids(embeddings, nCells)
     val probed = cents.crossJoin(broadcast(q))
       .select(col("cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+        (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("q_sim"))
       .orderBy(col("q_sim").desc, col("cell"))
       .limit(nProbe)
       .select(col("cell"))
@@ -356,7 +356,7 @@ object Similarity {
       .join(broadcast(probed), Seq("cell"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("cell"),
-        round(VectorFns.cosine(col("embedding"), col("q_emb")), 6).as("cosine"))
+        (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -403,7 +403,7 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("cell"))
     queries.select(col("query_id"), col("q_emb"))
       .crossJoin(broadcast(cents))
-      .withColumn("q_sim", round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6))
+      .withColumn("q_sim", (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6))
       .withColumn("_rn", row_number().over(centRank))
       .filter(col("_rn") <= nProbe)
       .select(col("cell")).distinct()
@@ -415,7 +415,7 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("cell"))
     val probed = queries.select(col("query_id"), col("q_emb"))
       .crossJoin(broadcast(cents))
-      .withColumn("q_sim", round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6))
+      .withColumn("q_sim", (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6))
       .withColumn("_rn", row_number().over(centRank))
       .filter(col("_rn") <= nProbe)
       .select(col("query_id"), col("cell"), col("q_emb"))
@@ -423,7 +423,7 @@ object Similarity {
     val scored =
       (if (excludeSelf) cand.filter(col("vec_id") =!= col("query_id")) else cand)
         .withColumn("cosine",
-          round(VectorFns.cosine(col("embedding"), col("q_emb")), 6))
+          (floor((VectorFns.cosine(col("embedding"), col("q_emb"))) * 1e6 + 0.5) / 1e6))
     val simRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored
@@ -451,7 +451,7 @@ object Similarity {
       .withColumn("nrm", VectorFns.norm(col("embedding")))
       .withColumn("q8", when(col("nrm") === 0, array().cast("array<int>"))
         .otherwise(transform(col("embedding"),
-          x => round(x.cast("double") / col("nrm") * 127).cast("int"))))
+          x => (floor((x.cast("double") / col("nrm") * 127) + 0.5)).cast("int"))))
       .drop("nrm")
 
   /** One further Lloyd (k-means) refinement step over the committed IVF
@@ -501,8 +501,8 @@ object Similarity {
     // still microseconds of dot products per task
     val pairs = a.join(b, Seq("cell"))
       .filter(col("a") < col("b"))
-      .filter(round(VectorFns.dot(col("e_a"), col("e_b")) /
-        (col("n_a") * col("n_b")), 6) >= threshold)
+      .filter((floor((VectorFns.dot(col("e_a"), col("e_b")) /
+        (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6) >= threshold)
       .select(col("a"), col("b"))
     val dropped = Dedup.connectedComponents(pairs)
       .filter(col("doc_id") =!= col("cluster_rep"))
@@ -552,8 +552,8 @@ object Similarity {
         col("nrm").as("a_nrm"), col("cell").as("a_cell"))
     cells.crossJoin(broadcast(anch))
       .filter(col("vec_id") =!= col("a_id"))
-      .filter(round(VectorFns.dot(col("embedding"), col("a_emb")) /
-        (col("nrm") * col("a_nrm")), 6) >= threshold)
+      .filter((floor((VectorFns.dot(col("embedding"), col("a_emb")) /
+        (col("nrm") * col("a_nrm"))) * 1e6 + 0.5) / 1e6) >= threshold)
       .select((col("cell") === col("a_cell")).cast("double").as("hit"))
       .agg(count(lit(1)).as("n_true_pairs"),
         coalesce(floor(avg(col("hit")) * 1e4 + 0.5) / 1e4, lit(1.0))
@@ -587,7 +587,7 @@ object Similarity {
     a.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
-        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+        (floor((VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("vec_id"), col("label"), col("nn_label"))
@@ -621,7 +621,7 @@ object Similarity {
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val cand = cells.select(col("cell").as("c_cell"), col("vec_id").as("cand_id"),
       col("embedding").as("e_c"), col("nrm").as("n_c"))
-    val cos = round(VectorFns.dot(col("e_a"), col("e_c")) / (col("n_a") * col("n_c")), 6)
+    val cos = (floor((VectorFns.dot(col("e_a"), col("e_c")) / (col("n_a") * col("n_c"))) * 1e6 + 0.5) / 1e6)
     val pos = a.join(cand, col("cell") === col("c_cell"))
       .filter(col("vec_id") =!= col("cand_id"))
       .withColumn("cos", cos)
@@ -668,12 +668,12 @@ object Similarity {
     val cents = cells.groupBy(col("cell")).agg(centroid(col("embedding")).as("c_emb"))
     val scored = cells.join(broadcast(cents), "cell")
       .select(col("vec_id"), col("label"), col("cell"),
-        round(VectorFns.cosine(col("embedding"), col("c_emb")), 6).as("centroid_cos"))
+        (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6).as("centroid_cos"))
     val stats = scored.groupBy(col("cell"))
       .agg(avg(col("centroid_cos")).as("mu"), stddev_pop(col("centroid_cos")).as("sd"))
     scored.join(broadcast(stats), "cell")
       .select(col("vec_id"), col("label"), col("cell"), col("centroid_cos"),
-        when(col("sd") > 0, round((col("centroid_cos") - col("mu")) / col("sd"), 6))
+        when(col("sd") > 0, (floor(((col("centroid_cos") - col("mu")) / col("sd")) * 1e6 + 0.5) / 1e6))
           .otherwise(lit(0.0)).as("cell_z"))
   }
 
@@ -713,7 +713,7 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("pr_cell"))
     val probeRank = cents.crossJoin(broadcast(q))
       .select(col("q_id").as("pr_q"), col("cell").as("pr_cell"),
-        round(VectorFns.cosine(col("c_emb"), col("q_emb")), 6).as("q_sim"))
+        (floor((VectorFns.cosine(col("c_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6).as("q_sim"))
       .withColumn("cell_rank", row_number().over(wq))
       .filter(col("cell_rank") <= nProbe)
       .select(col("pr_q"), col("pr_cell"))
@@ -724,9 +724,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("c_id"))
     def topK(pairs: DataFrame): DataFrame = pairs
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        VectorFns.dot(col("q_emb"), col("c_emb")) /
-          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("cos", (floor((VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))
@@ -778,7 +777,7 @@ object Similarity {
       .orderBy(col("q_sim").desc, col("pr_cell"))
     val probeRank = cents.crossJoin(broadcast(q))
       .withColumn("q_sim",
-        round(VectorFns.cosine(col("cent_emb"), col("q_emb")), 6))
+        (floor((VectorFns.cosine(col("cent_emb"), col("q_emb"))) * 1e6 + 0.5) / 1e6))
       .select(col("q_id").as("pr_q"), col("pr_cell"), col("q_sim"))
       .withColumn("cell_rank", row_number().over(wq))
       .drop("q_sim")
@@ -787,9 +786,8 @@ object Similarity {
         col("nrm").as("c_nrm"), col("cell").as("c_cell"))
       .crossJoin(broadcast(q))
       .filter(col("c_id") =!= col("q_id"))
-      .withColumn("cos", round(
-        VectorFns.dot(col("q_emb"), col("c_emb")) /
-          (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("cos", (floor((VectorFns.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
     val wke = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     val exactTop = pairs.withColumn("rk", row_number().over(wke))
@@ -847,7 +845,7 @@ object Similarity {
     def cosAt(d: Column): Column = {
       val a = slice(col("q_emb"), lit(1), d)
       val b = slice(col("c_emb"), lit(1), d)
-      round(VectorFns.cosine(a, b), 6)
+      (floor((VectorFns.cosine(a, b)) * 1e6 + 0.5) / 1e6)
     }
     val dimsDf = dims.toDF("n_dims")
     val wf = Window.partitionBy(col("q_id"))
@@ -901,7 +899,7 @@ object Similarity {
     a.join(b, Seq("label", "cell"))
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
-        round(VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6))
+        (floor((VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(struct(col("cosine"), (-col("nn_vec_id")).as("neg_id"),
         col("nn_vec_id"))).as("best"))

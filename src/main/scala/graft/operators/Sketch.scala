@@ -191,7 +191,7 @@ object Sketch {
         .select(lit("(all)").as("scope"), col("n_exact")))
     mins.join(exact, "scope")
       .select(col("scope"), col("n_exact"),
-        round(est, 2).as("est_kmv"),
-        round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+        (floor((est) * 1e2 + 0.5) / 1e2).as("est_kmv"),
+        (floor((abs(est - col("n_exact")) / col("n_exact")) * 1e4 + 0.5) / 1e4).as("rel_err"))
   }
 }

@@ -108,7 +108,7 @@ object TextAnalysis {
         (sum(col("n_chars")).cast("double") / count(col("n_chars")))
           .as("avg_chars"))
       .withColumn("dup_rate",
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
+        (floor((lit(1.0) - col("n_unique").cast("double") / col("n_docs")) * 1e6 + 0.5) / 1e6))
 
   /** Bigram conditional log-probability quality proxy — the next step up
     * from [[unigramLogProb]] toward a KenLM-style LM filter: per-document
@@ -230,7 +230,7 @@ object TextAnalysis {
         sum(when(col("ppl") <= maxPpl, 1L).otherwise(0L)).as("n_kept"),
         (floor(avg(col("ppl")) * 1e6 + 0.5) / 1e6).as("mean_ppl"))
       .withColumn("keep_share",
-        round(col("n_kept").cast("double") / col("n_docs"), 6))
+        (floor((col("n_kept").cast("double") / col("n_docs")) * 1e6 + 0.5) / 1e6))
   }
 
   /** DSIR-style data-selection importance weight: per-document mean
@@ -331,8 +331,8 @@ object TextAnalysis {
       .groupBy(col("source"), col("s_total"), col("c_total"))
       .agg(sum(p * log(p / q)).as("kl_sup"), count(lit(1)).as("n_sup"))
       .select(col("source"), col("s_total").cast("long").as("n_tokens"),
-        round(col("kl_sup") +
-          (lit(dims) - col("n_sup")) * p0 * log(p0 / q0), 6).as("kl_divergence"))
+        (floor((col("kl_sup") +
+          (lit(dims) - col("n_sup")) * p0 * log(p0 / q0)) * 1e6 + 0.5) / 1e6).as("kl_divergence"))
   }
 
   /** Sliding-window chunking with overlap — the RAG / context-prep
@@ -427,7 +427,7 @@ object TextAnalysis {
     val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
     docs.withColumn("copies",
-      (floor(w) + when(bucket < round((w - floor(w)) * 100), 1).otherwise(0))
+      (floor(w) + when(bucket < (floor(((w - floor(w)) * 100) + 0.5)), 1).otherwise(0))
         .cast("int"))
   }
 
@@ -449,9 +449,9 @@ object TextAnalysis {
     docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"))
       .select(col(stratumCol), col("n_docs"),
-        round(rawShare, 6).as("raw_share"),
-        round(tempShare, 6).as("temp_share"),
-        round(tempShare / rawShare, 6).as("rate"))
+        (floor((rawShare) * 1e6 + 0.5) / 1e6).as("raw_share"),
+        (floor((tempShare) * 1e6 + 0.5) / 1e6).as("temp_share"),
+        (floor((tempShare / rawShare) * 1e6 + 0.5) / 1e6).as("rate"))
   }
 
   /** The resampled corpus: one output row per copy (copy_idx 1..copies);
@@ -516,17 +516,15 @@ object TextAnalysis {
     docs
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
-        round(stats.getField("sum_len").cast("double") /
-          greatest(nTokens, lit(1)), 4))
-      .withColumn("punct_ratio", round(punct.cast("double") / greatest(nChars, lit(1)), 6))
-      .withColumn("stopword_ratio", round(stop.cast("double") / greatest(nTokens, lit(1)), 6))
-      .withColumn("quality_score", round(
-        when(nTokens === 0, 0.0).otherwise(
+        (floor((stats.getField("sum_len").cast("double") /
+          greatest(nTokens, lit(1))) * 1e4 + 0.5) / 1e4))
+      .withColumn("punct_ratio", (floor((punct.cast("double") / greatest(nChars, lit(1))) * 1e6 + 0.5) / 1e6))
+      .withColumn("stopword_ratio", (floor((stop.cast("double") / greatest(nTokens, lit(1))) * 1e6 + 0.5) / 1e6))
+      .withColumn("quality_score", (floor((when(nTokens === 0, 0.0).otherwise(
           lit(1.0)
             - least(punct.cast("double") / greatest(nChars, lit(1)) * 2.0, lit(0.5))
             - when(nTokens < 10, 0.3).otherwise(0.0)
-            - when(stop.cast("double") / greatest(nTokens, lit(1)) < 0.01, 0.2).otherwise(0.0)),
-        6))
+            - when(stop.cast("double") / greatest(nTokens, lit(1)) < 0.01, 0.2).otherwise(0.0))) * 1e6 + 0.5) / 1e6))
   }
 
   /** Repetition metrics (Gopher-style quality rule): the most frequent
@@ -543,7 +541,7 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"), max(col("cnt")).as("top_gram_n"))
       .withColumn("top_gram_frac",
-        round(col("top_gram_n").cast("double") / col("n_grams"), 6))
+        (floor((col("top_gram_n").cast("double") / col("n_grams")) * 1e6 + 0.5) / 1e6))
 
   /** Token counting: whitespace tokens + BPE-ish sub-word count. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
@@ -665,7 +663,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        (floor((col("n_novel").cast("double") / col("n_grams")) * 1e6 + 0.5) / 1e6).as("novelty"))
   }
 
   /** Cross-document repeated-span report: the `topN` word-`n`-gram spans
@@ -777,13 +775,13 @@ object TextAnalysis {
         (col("myy") - col("my") * col("my")).as("vy"))
       .select(col("n").as("n_terms"),
         when(col("n") >= 2 && col("vx") > 0,
-          round((col("mxy") - col("mx") * col("my")) / col("vx"), 6)).as("slope"),
+          (floor(((col("mxy") - col("mx") * col("my")) / col("vx")) * 1e6 + 0.5) / 1e6)).as("slope"),
         when(col("n") >= 2 && col("vx") > 0,
-          round(col("my") - (col("mxy") - col("mx") * col("my")) /
-            col("vx") * col("mx"), 6)).as("intercept"),
+          (floor((col("my") - (col("mxy") - col("mx") * col("my")) /
+            col("vx") * col("mx")) * 1e6 + 0.5) / 1e6)).as("intercept"),
         when(col("n") >= 2 && col("vx") > 0 && col("vy") > 0,
-          round(pow(col("mxy") - col("mx") * col("my"), 2) /
-            (col("vx") * col("vy")), 6)).as("r2"))
+          (floor((pow(col("mxy") - col("mx") * col("my"), 2) /
+            (col("vx") * col("vy"))) * 1e6 + 0.5) / 1e6)).as("r2"))
   }
 
   /** Heaps-law vocabulary growth: distinct-term first occurrences
@@ -849,7 +847,7 @@ object TextAnalysis {
       .join(tok.select(col("t").as("b"), col("c_t").as("c_b")), "b")
       .crossJoin(broadcast(n))
       .select(col("pair"), col("c_ab"),
-        round(log(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b"))), 6)
+        (floor((log(col("n_docs") * col("c_ab") / (col("c_a") * col("c_b")))) * 1e6 + 0.5) / 1e6)
           .as("pmi"))
       .orderBy(col("pmi").desc, col("pair"))
       .limit(topN)
@@ -884,7 +882,7 @@ object TextAnalysis {
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
-      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("tfidf", (floor((col("tf") * log(col("n_docs") / col("df"))) * 1e6 + 0.5) / 1e6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topPerDoc)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))

@@ -69,7 +69,7 @@ object TimeSeries {
     // (matching the filtered-sums formulation), not an n=0 row
     long.filter(col("n") > 0)
       .select(col(seriesCol), col("lag"),
-        round(r, 6).as("r"), col("n").as("n_pairs"))
+        (floor((r) * 1e6 + 0.5) / 1e6).as("r"), col("n").as("n_pairs"))
   }
 
   /** Hour-of-day seasonal baseline per series, and each event scored
@@ -98,7 +98,7 @@ object TimeSeries {
       (v - mean) / sqrt(variance))
     withHour.join(cells, Seq(seriesCol, "hod"))
       .select(col(idCol), col(seriesCol), col("hod"),
-        round(z, 6).as("seasonal_z"), (abs(z) > zThresh).as("is_anomaly"))
+        (floor((z) * 1e6 + 0.5) / 1e6).as("seasonal_z"), (abs(z) > zThresh).as("is_anomaly"))
   }
 
   /** CUSUM changepoint detection per series (Page 1954): the cumulative
@@ -133,7 +133,7 @@ object TimeSeries {
     // |S| is rounded to 6 places BEFORE ranking so the argmax choice is
     // engine-independent (the knnEdges cosine-ranking convention);
     // ties → earliest position.
-    val acs = round(abs(col("cusum")), 6)
+    val acs = (floor((abs(col("cusum"))) * 1e6 + 0.5) / 1e6)
     val rank = Window.partitionBy(col(seriesCol))
       .orderBy(acs.desc, col("pos").asc)
     withS.withColumn("acs", acs)
@@ -142,8 +142,8 @@ object TimeSeries {
       .select(col(seriesCol), col(idCol).as("cp_event_id"),
         col("pos").cast("long").as("cp_pos"),
         // zero-variance series: no scale to test against → null, never NaN
-        round(when(col("sigma") > 0.0,
-          col("acs") / (col("sigma") * sqrt(col("n")))), 4)
+        (floor((when(col("sigma") > 0.0,
+          col("acs") / (col("sigma") * sqrt(col("n"))))) * 1e4 + 0.5) / 1e4)
           .as("peak_stat"))
   }
 

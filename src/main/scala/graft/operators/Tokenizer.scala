@@ -128,7 +128,7 @@ object Tokenizer {
     val tot = kept.agg(sum(col("cnt")).cast("double").as("total"))
     kept.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
-        round(-log(col("cnt") / col("total")), 6).as("nlp"))
+        (floor((-log(col("cnt") / col("total"))) * 1e6 + 0.5) / 1e6).as("nlp"))
   }
 
   /** Viterbi segmentation of a bounded word list under the
@@ -220,8 +220,7 @@ object Tokenizer {
           .withColumnRenamed("sc", "lc"), Seq("l"))
         .join(syms.withColumnRenamed("sym", "r")
           .withColumnRenamed("sc", "rc"), Seq("r"))
-        .withColumn("score", round(
-          col("pc") / (col("lc").cast("double") * col("rc")), 9))
+        .withColumn("score", (floor((col("pc") / (col("lc").cast("double") * col("rc"))) * 1e9 + 0.5) / 1e9))
       val Row(pair: String, pc: Long, lc: Long, rc: Long, score: Double) =
         scored.agg(min_by(
             struct(col("pair"), col("pc"), col("lc"), col("rc"), col("score")),
@@ -295,7 +294,7 @@ object Tokenizer {
     freq.crossJoin(broadcast(tot))
       .withColumn("cum", sum(col("cnt")).over(byRank))
       .select(col("ch"), col("cnt"),
-        round(col("cum") / col("total"), 6).as("cum_share"),
+        (floor((col("cum") / col("total")) * 1e6 + 0.5) / 1e6).as("cum_share"),
         ((col("cum") - col("cnt")) < col("total") * lit(coverage))
           .as("in_alphabet"))
       .orderBy(col("cnt").desc, col("ch").asc)

@@ -69,6 +69,73 @@ object AnalyticsQueries extends QueryPack {
     * change-feed queries: urgent orders' status updated, every 97th key
     * deleted, every 101st key cloned as an insert under a shifted key.
     */
+  /** The 3-batch maintained streaming-attribution pipeline shared by
+    * `mv_stream_attrib_join` (full retention) and `mv_stream_attrib_fold`
+    * (band-horizon fold dial on) — both gate against the SAME oracle,
+    * since the fold is content-invisible by construction.
+    */
+  private def attribPipeline(s: SparkSession, dir: String,
+      scratch: String, foldAfterCommits: Int): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = graft.sinks.Scratch.dir(s, scratch)
+    val lc = s"$base/clicks"; val lp = s"$base/purch"
+    val mv = s"$base/mv"
+    (0L to 2L).foreach { b =>
+      val slice = ev.filter(col("event_id") % 3 === b)
+      graft.streaming.StreamingIvm.ingestAttributionBatch(s,
+        slice.filter(col("event_type") === "click"),
+        slice.filter(col("event_type") === "purchase"), b, lc, lp, mv,
+        window = "4 hours", foldAfterCommits = foldAfterCommits)
+    }
+    graft.sinks.Generations.read(s, mv).get
+      .select(col("user_id"), col("n_pairs"),
+        col("sum_value").cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** The attribution view's DuckDB oracle — a from-scratch replay of
+    * the two-sided admission (marks per batch) plus the full band join;
+    * shared VERBATIM by the unfolded and folded gate queries.
+    */
+  private val attribOracleSql: String =
+    """WITH events_us AS (
+      |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+      |ca0 AS (SELECT * FROM events_us
+      |  WHERE event_type = 'click' AND event_id % 3 = 0),
+      |cw0 AS (SELECT max(ts) AS wm FROM ca0),
+      |ca1 AS (SELECT e.* FROM events_us e
+      |  WHERE event_type = 'click' AND event_id % 3 = 1
+      |  AND e.ts >= coalesce((SELECT wm FROM cw0) - INTERVAL 2 HOUR,
+      |    TIMESTAMP '1900-01-01')),
+      |cw1 AS (SELECT greatest(
+      |  coalesce((SELECT wm FROM cw0), TIMESTAMP '1900-01-01'),
+      |  coalesce((SELECT max(ts) FROM ca1), TIMESTAMP '1900-01-01')) AS wm),
+      |ca2 AS (SELECT e.* FROM events_us e
+      |  WHERE event_type = 'click' AND event_id % 3 = 2
+      |  AND e.ts >= (SELECT wm FROM cw1) - INTERVAL 2 HOUR),
+      |clicks AS (SELECT * FROM ca0 UNION ALL SELECT * FROM ca1
+      |  UNION ALL SELECT * FROM ca2),
+      |pa0 AS (SELECT * FROM events_us
+      |  WHERE event_type = 'purchase' AND event_id % 3 = 0),
+      |pw0 AS (SELECT max(ts) AS wm FROM pa0),
+      |pa1 AS (SELECT e.* FROM events_us e
+      |  WHERE event_type = 'purchase' AND event_id % 3 = 1
+      |  AND e.ts >= coalesce((SELECT wm FROM pw0) - INTERVAL 2 HOUR,
+      |    TIMESTAMP '1900-01-01')),
+      |pw1 AS (SELECT greatest(
+      |  coalesce((SELECT wm FROM pw0), TIMESTAMP '1900-01-01'),
+      |  coalesce((SELECT max(ts) FROM pa1), TIMESTAMP '1900-01-01')) AS wm),
+      |pa2 AS (SELECT e.* FROM events_us e
+      |  WHERE event_type = 'purchase' AND event_id % 3 = 2
+      |  AND e.ts >= (SELECT wm FROM pw1) - INTERVAL 2 HOUR),
+      |purch AS (SELECT * FROM pa0 UNION ALL SELECT * FROM pa1
+      |  UNION ALL SELECT * FROM pa2)
+      |SELECT c.user_id, count(*) AS n_pairs,
+      |  CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+      |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 4 HOUR
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   private def ordersCdcChangeset(o: DataFrame): DataFrame = {
     val upd = o
       .filter(col("o_orderpriority") === "1-URGENT" &&
@@ -1075,23 +1142,18 @@ object AnalyticsQueries extends QueryPack {
     // per-user cross products (StreamingIvm.ingestAttributionBatch).
     // The oracle replays both admission cascades then the plain band
     // join — maintained ≡ recomputed for a non-equi pair-builder.
-    "mv_stream_attrib_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val base = graft.sinks.Scratch.dir(s, "graft-mvattr")
-      val lc = s"$base/clicks"; val lp = s"$base/purch"
-      val mv = s"$base/mv"
-      (0L to 2L).foreach { b =>
-        val slice = ev.filter(col("event_id") % 3 === b)
-        graft.streaming.StreamingIvm.ingestAttributionBatch(s,
-          slice.filter(col("event_type") === "click"),
-          slice.filter(col("event_type") === "purchase"), b, lc, lp, mv,
-          window = "4 hours")
-      }
-      graft.sinks.Generations.read(s, mv).get
-        .select(col("user_id"), col("n_pairs"),
-          col("sum_value").cast("double").as("sum_value"))
-        .orderBy("user_id")
-    }),
+    "mv_stream_attrib_join" -> ((s, dir) =>
+      attribPipeline(s, dir, "graft-mvattr", foldAfterCommits = 0)),
+
+    // The SAME attribution pipeline with the r19 BAND-HORIZON FOLD dial
+    // on (fold once a log's span exceeds 1 commit): ticks 2+ maintain
+    // over folded logs — dead rows dropped, their pair contribution
+    // carried as _gsum summary rows — and the post-fold tick exercises
+    // the recompute-with-summaries path. The oracle is VERBATIM the
+    // unfolded query's: folded ≡ raw is the gate's claim, checked
+    // against DuckDB's independent full recompute, not just a spec.
+    "mv_stream_attrib_fold" -> ((s, dir) =>
+      attribPipeline(s, dir, "graft-mvattrf", foldAfterCommits = 1)),
 
     // EX5 × IVM, SKETCH form: a per-hour KMV distinct-user sketch
     // maintained over the same 3-batch watermark-replayed arrival —
@@ -1191,8 +1253,8 @@ object AnalyticsQueries extends QueryPack {
     "agg_percentiles" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
-          round(expr("percentile(value, 0.9)"), 6).as("p90"))
+        .agg((floor((expr("percentile(value, 0.5)")) * 1e6 + 0.5) / 1e6).as("p50"),
+          (floor((expr("percentile(value, 0.9)")) * 1e6 + 0.5) / 1e6).as("p90"))
         .orderBy("event_type")),
 
     // Approx quantiles (Greenwald-Khanna sketch): the sketch value is
@@ -1210,8 +1272,8 @@ object AnalyticsQueries extends QueryPack {
           expr("percentile(value, 0.51)").as("hi"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("n"),
-          round(col("lo"), 6).as("p49_exact"),
-          round(col("hi"), 6).as("p51_exact"),
+          (floor((col("lo")) * 1e6 + 0.5) / 1e6).as("p49_exact"),
+          (floor((col("hi")) * 1e6 + 0.5) / 1e6).as("p51_exact"),
           col("ap50").between(col("lo"), col("hi")).as("p50_ok"))
         .orderBy("event_type")),
 
@@ -1270,7 +1332,7 @@ object AnalyticsQueries extends QueryPack {
     // Sort + limit (top-k pushes through TakeOrderedAndProject — no full sort).
     "topk_orders" -> ((s, dir) =>
       t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .select(col("o_orderkey"), col("o_custkey"), (floor((col("o_totalprice")) * 1e2 + 0.5) / 1e2).as("o_totalprice"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)),
 
@@ -1639,8 +1701,8 @@ object AnalyticsQueries extends QueryPack {
           col("o_totalprice"))
         .groupBy(col("o_orderpriority"), col("quartile"))
         .agg(count(lit(1)).as("n"),
-          round(max(col("pr")), 6).as("max_pr"),
-          round(max(col("o_totalprice")), 2).as("max_price"))
+          (floor((max(col("pr"))) * 1e6 + 0.5) / 1e6).as("max_pr"),
+          (floor((max(col("o_totalprice"))) * 1e2 + 0.5) / 1e2).as("max_price"))
         .orderBy("o_orderpriority", "quartile")
     }),
 
@@ -1652,7 +1714,7 @@ object AnalyticsQueries extends QueryPack {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
-          round(col("value") - lag(col("value"), 1).over(w), 4).as("delta"))
+          (floor((col("value") - lag(col("value"), 1).over(w)) * 1e4 + 0.5) / 1e4).as("delta"))
         .filter(col("delta").isNotNull)
         .orderBy("user_id", "event_id")
     }),
@@ -1662,12 +1724,12 @@ object AnalyticsQueries extends QueryPack {
     // the shuffle, no full per-group sort materialization.
     "window_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderpriority")
-        .orderBy(round(col("o_totalprice"), 2).desc, col("o_orderkey"))
+        .orderBy((floor((col("o_totalprice")) * 1e2 + 0.5) / 1e2).desc, col("o_orderkey"))
       t(s, dir, "orders")
         .withColumn("rk", rank().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
-          round(col("o_totalprice"), 2).as("o_totalprice"))
+          (floor((col("o_totalprice")) * 1e2 + 0.5) / 1e2).as("o_totalprice"))
         .orderBy("o_orderpriority", "rk")
     }),
 
@@ -1833,8 +1895,8 @@ object AnalyticsQueries extends QueryPack {
         |    count(*) AS n_active
         |  FROM active JOIN first USING (user_id) GROUP BY 1, 2)
         |SELECT cohort_week, week_offset, n_active,
-        |  round(n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
-        |    OVER (PARTITION BY cohort_week) AS DOUBLE), 6) AS retention
+        |  (floor((n_active / CAST(max(CASE WHEN week_offset = 0 THEN n_active END)
+        |    OVER (PARTITION BY cohort_week) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS retention
         |FROM cells""".stripMargin,
 
     "funnel_transitions" ->
@@ -1846,7 +1908,7 @@ object AnalyticsQueries extends QueryPack {
         |  SELECT event_type AS from_event, to_event, count(*) AS n
         |  FROM nxt WHERE to_event IS NOT NULL GROUP BY 1, 2)
         |SELECT from_event, to_event, n,
-        |  round(n / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE), 6) AS p
+        |  (floor((n / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS p
         |FROM pairs""".stripMargin,
 
     "anomaly_rolling_z" ->
@@ -1865,7 +1927,7 @@ object AnalyticsQueries extends QueryPack {
         |      (value - s / n) / sqrt((ss - s * s / n) / (n - 1))
         |    END AS zraw
         |  FROM sums)
-        |SELECT event_id, user_id, round(zraw, 6) AS z,
+        |SELECT event_id, user_id, (floor((zraw) * 1e6 + 0.5) / 1e6) AS z,
         |  (abs(zraw) > 2.0) AS is_anomaly
         |FROM sc ORDER BY event_id""".stripMargin,
 
@@ -1912,12 +1974,12 @@ object AnalyticsQueries extends QueryPack {
         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vals
         |  FROM events)
         |SELECT event_id, user_id, value,
-        |  round(
+        |  (floor((
         |    list_sum(list_transform(range(1, len(vals) + 1),
         |      i -> vals[i] * pow(0.7, CAST(len(vals) - i AS DOUBLE)))) /
         |    list_sum(list_transform(range(1, len(vals) + 1),
-        |      i -> pow(0.7, CAST(i - 1 AS DOUBLE)))),
-        |    6) AS ewma
+        |      i -> pow(0.7, CAST(i - 1 AS DOUBLE))))
+        |  ) * 1e6 + 0.5) / 1e6) AS ewma
         |FROM ev ORDER BY event_id""".stripMargin,
 
     // quantile_cont replays Spark's exact interpolated percentile
@@ -1927,7 +1989,7 @@ object AnalyticsQueries extends QueryPack {
     // otherwise flips fence booleans (measured at sf1)
     "anomaly_mad_outliers" ->
       """WITH med AS (
-        |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med,
+        |  SELECT user_id, (floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6) AS med,
         |    count(value) AS n
         |  FROM events GROUP BY user_id),
         |dev AS (
@@ -1935,7 +1997,7 @@ object AnalyticsQueries extends QueryPack {
         |    abs(e.value - m.med) AS adev
         |  FROM events e JOIN med m USING (user_id)),
         |mad AS (
-        |  SELECT user_id, round(quantile_cont(adev, 0.5), 6) AS mad
+        |  SELECT user_id, (floor((quantile_cont(adev, 0.5)) * 1e6 + 0.5) / 1e6) AS mad
         |  FROM dev GROUP BY user_id),
         |sc AS (
         |  SELECT d.event_id, d.user_id, d.med, m.mad,
@@ -1971,10 +2033,10 @@ object AnalyticsQueries extends QueryPack {
         |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
         |  FROM per_lag WHERE y IS NOT NULL GROUP BY event_type, lag)
         |SELECT event_type, lag,
-        |  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0.0
+        |  (floor((CASE WHEN n >= 2 AND n * sxx - sx * sx > 0.0
         |      AND n * syy - sy * sy > 0.0 THEN
         |    (n * sxy - sx * sy) /
-        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r,
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1e6 + 0.5) / 1e6) AS r,
         |  n AS n_pairs
         |FROM sums ORDER BY event_type, lag""".stripMargin,
 
@@ -2020,8 +2082,8 @@ object AnalyticsQueries extends QueryPack {
         |    coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
         |  FROM rb FULL OUTER JOIN cb USING (bucket))
         |SELECT bucket, n_ref, n_cur,
-        |  round((greatest(n_cur / nct, 1e-6) - greatest(n_ref / nrt, 1e-6)) *
-        |    ln(greatest(n_cur / nct, 1e-6) / greatest(n_ref / nrt, 1e-6)), 6)
+        |  (floor(((greatest(n_cur / nct, 1e-6) - greatest(n_ref / nrt, 1e-6)) *
+        |    ln(greatest(n_cur / nct, 1e-6) / greatest(n_ref / nrt, 1e-6))) * 1e6 + 0.5) / 1e6)
         |    AS psi_term
         |FROM m, b, nc ORDER BY bucket""".stripMargin,
 
@@ -2038,14 +2100,14 @@ object AnalyticsQueries extends QueryPack {
         |cs AS (
         |  SELECT e.event_id, e.event_type, m.sigma, m.n,
         |    row_number() OVER w AS pos,
-        |    round(abs(sum(e.value - m.mu) OVER
+        |    (floor((abs(sum(e.value - m.mu) OVER
         |      (PARTITION BY e.event_type ORDER BY e.ts, e.event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS acs
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) * 1e6 + 0.5) / 1e6) AS acs
         |  FROM events e JOIN m USING (event_type)
         |  WINDOW w AS (PARTITION BY e.event_type ORDER BY e.ts, e.event_id))
         |SELECT event_type, event_id AS cp_event_id, pos AS cp_pos,
-        |  round(CASE WHEN sigma > 0.0
-        |    THEN acs / (sigma * sqrt(n)) END, 4) AS peak_stat
+        |  (floor((CASE WHEN sigma > 0.0
+        |    THEN acs / (sigma * sqrt(n)) END) * 1e4 + 0.5) / 1e4) AS peak_stat
         |FROM cs
         |QUALIFY row_number() OVER (PARTITION BY event_type
         |  ORDER BY acs DESC, pos) = 1
@@ -2068,7 +2130,7 @@ object AnalyticsQueries extends QueryPack {
         |        sqrt((c.ss - c.s * c.s / c.n) / (c.n - 1))
         |    END AS z
         |  FROM ev e JOIN cells c USING (event_type, hod))
-        |SELECT event_id, event_type, hod, round(z, 6) AS seasonal_z,
+        |SELECT event_id, event_type, hod, (floor((z) * 1e6 + 0.5) / 1e6) AS seasonal_z,
         |  (abs(z) > 3.0) AS is_anomaly
         |FROM sc ORDER BY event_id""".stripMargin,
 
@@ -2118,11 +2180,11 @@ object AnalyticsQueries extends QueryPack {
     // fences snapped to 6 before use, mirroring the operator (sf1 ULP rule)
     "anomaly_winsorize" ->
       """WITH b AS (
-        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS lo,
-        |    round(quantile_cont(value, 0.95), 6) AS hi
+        |  SELECT event_type, (floor((quantile_cont(value, 0.05)) * 1e6 + 0.5) / 1e6) AS lo,
+        |    (floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6) AS hi
         |  FROM events GROUP BY event_type)
         |SELECT e.event_id, e.event_type, e.value,
-        |  round(greatest(b.lo, least(b.hi, e.value)), 6) AS clipped,
+        |  (floor((greatest(b.lo, least(b.hi, e.value))) * 1e6 + 0.5) / 1e6) AS clipped,
         |  CASE WHEN e.value < b.lo THEN 'low'
         |    WHEN e.value > b.hi THEN 'high' ELSE 'none' END AS fence
         |FROM events e JOIN b USING (event_type)
@@ -2149,10 +2211,10 @@ object AnalyticsQueries extends QueryPack {
         |  GROUP BY 1, 2
         |  HAVING count(*) >= 2)
         |SELECT brand_a, brand_b, n_ab,
-        |  round(CAST(n_ab AS DOUBLE) / n_orders, 6) AS support,
-        |  round(CAST(n_ab AS DOUBLE) / ma.n_brand, 6) AS confidence,
-        |  round(CAST(n_ab AS DOUBLE) * n_orders /
-        |    (CAST(ma.n_brand AS DOUBLE) * mb.n_brand), 6) AS lift
+        |  (floor((CAST(n_ab AS DOUBLE) / n_orders) * 1e6 + 0.5) / 1e6) AS support,
+        |  (floor((CAST(n_ab AS DOUBLE) / ma.n_brand) * 1e6 + 0.5) / 1e6) AS confidence,
+        |  (floor((CAST(n_ab AS DOUBLE) * n_orders /
+        |    (CAST(ma.n_brand AS DOUBLE) * mb.n_brand)) * 1e6 + 0.5) / 1e6) AS lift
         |FROM pairs
         |JOIN marg ma ON ma.brand = brand_a
         |JOIN marg mb ON mb.brand = brand_b
@@ -2170,8 +2232,8 @@ object AnalyticsQueries extends QueryPack {
         |    ELSE 0 END AS bucket, mn, mx
         |  FROM events e JOIN b USING (event_type))
         |SELECT event_type, bucket,
-        |  round(mn + bucket * ((mx - mn) / 8), 6) AS lo,
-        |  round(mn + (bucket + 1) * ((mx - mn) / 8), 6) AS hi,
+        |  (floor((mn + bucket * ((mx - mn) / 8)) * 1e6 + 0.5) / 1e6) AS lo,
+        |  (floor((mn + (bucket + 1) * ((mx - mn) / 8)) * 1e6 + 0.5) / 1e6) AS hi,
         |  count(*) AS n
         |FROM cls GROUP BY event_type, bucket, mn, mx
         |ORDER BY event_type, bucket""".stripMargin,
@@ -2837,8 +2899,8 @@ object AnalyticsQueries extends QueryPack {
         |    END AS zraw
         |  FROM g)
         |SELECT n_a, n_b, conv_a, conv_b,
-        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
-        |  round(zraw, 6) AS z, (abs(zraw) > 1.96) AS significant
+        |  (floor((pa) * 1e6 + 0.5) / 1e6) AS rate_a, (floor((pb) * 1e6 + 0.5) / 1e6) AS rate_b,
+        |  (floor((zraw) * 1e6 + 0.5) / 1e6) AS z, (abs(zraw) > 1.96) AS significant
         |FROM h""".stripMargin,
 
     "funnel_view_click_purchase" ->
@@ -2853,8 +2915,8 @@ object AnalyticsQueries extends QueryPack {
         |SELECT count(*) AS n_users,
         |  count(t_0) AS step_view, count(t_1) AS step_click,
         |  count(t_2) AS step_purchase,
-        |  round(count(t_1) / CAST(count(t_0) AS DOUBLE), 6) AS conv_click,
-        |  round(count(t_2) / CAST(count(t_1) AS DOUBLE), 6) AS conv_purchase
+        |  (floor((count(t_1) / CAST(count(t_0) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS conv_click,
+        |  (floor((count(t_2) / CAST(count(t_1) AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS conv_purchase
         |FROM u""".stripMargin,
 
     "profile_lineitem_stats" -> {
@@ -2974,44 +3036,11 @@ object AnalyticsQueries extends QueryPack {
 
     // same two admission cascades, then the BAND join: clicks inside
     // [p.ts, p.ts + 1h], summing the CLICK value
-    "mv_stream_attrib_join" ->
-      """WITH events_us AS (
-        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
-        |ca0 AS (SELECT * FROM events_us
-        |  WHERE event_type = 'click' AND event_id % 3 = 0),
-        |cw0 AS (SELECT max(ts) AS wm FROM ca0),
-        |ca1 AS (SELECT e.* FROM events_us e
-        |  WHERE event_type = 'click' AND event_id % 3 = 1
-        |  AND e.ts >= coalesce((SELECT wm FROM cw0) - INTERVAL 2 HOUR,
-        |    TIMESTAMP '1900-01-01')),
-        |cw1 AS (SELECT greatest(
-        |  coalesce((SELECT wm FROM cw0), TIMESTAMP '1900-01-01'),
-        |  coalesce((SELECT max(ts) FROM ca1), TIMESTAMP '1900-01-01')) AS wm),
-        |ca2 AS (SELECT e.* FROM events_us e
-        |  WHERE event_type = 'click' AND event_id % 3 = 2
-        |  AND e.ts >= (SELECT wm FROM cw1) - INTERVAL 2 HOUR),
-        |clicks AS (SELECT * FROM ca0 UNION ALL SELECT * FROM ca1
-        |  UNION ALL SELECT * FROM ca2),
-        |pa0 AS (SELECT * FROM events_us
-        |  WHERE event_type = 'purchase' AND event_id % 3 = 0),
-        |pw0 AS (SELECT max(ts) AS wm FROM pa0),
-        |pa1 AS (SELECT e.* FROM events_us e
-        |  WHERE event_type = 'purchase' AND event_id % 3 = 1
-        |  AND e.ts >= coalesce((SELECT wm FROM pw0) - INTERVAL 2 HOUR,
-        |    TIMESTAMP '1900-01-01')),
-        |pw1 AS (SELECT greatest(
-        |  coalesce((SELECT wm FROM pw0), TIMESTAMP '1900-01-01'),
-        |  coalesce((SELECT max(ts) FROM pa1), TIMESTAMP '1900-01-01')) AS wm),
-        |pa2 AS (SELECT e.* FROM events_us e
-        |  WHERE event_type = 'purchase' AND event_id % 3 = 2
-        |  AND e.ts >= (SELECT wm FROM pw1) - INTERVAL 2 HOUR),
-        |purch AS (SELECT * FROM pa0 UNION ALL SELECT * FROM pa1
-        |  UNION ALL SELECT * FROM pa2)
-        |SELECT c.user_id, count(*) AS n_pairs,
-        |  CAST(sum(CAST(c.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM clicks c JOIN purch p ON c.user_id = p.user_id
-        |  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 4 HOUR
-        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "mv_stream_attrib_join" -> attribOracleSql,
+
+    // folded ≡ raw at the oracle gate: the fold variant recomputes to
+    // the IDENTICAL answer in DuckDB's from-scratch replay
+    "mv_stream_attrib_fold" -> attribOracleSql,
 
     "mv_stream_join_nation_value" ->
       """WITH events_us AS (
@@ -3239,8 +3268,8 @@ object AnalyticsQueries extends QueryPack {
 
     "agg_percentiles" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
-        |SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
-        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |SELECT event_type, (floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6) AS p50,
+        |  (floor((quantile_cont(value, 0.9)) * 1e6 + 0.5) / 1e6) AS p90
         |FROM events_us GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "join_small_qty_revenue" ->
@@ -3264,8 +3293,8 @@ object AnalyticsQueries extends QueryPack {
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey))
         |SELECT o_orderpriority, quartile, count(*) AS n,
-        |  round(max(pr), 6) AS max_pr,
-        |  round(max(o_totalprice), 2) AS max_price
+        |  (floor((max(pr)) * 1e6 + 0.5) / 1e6) AS max_pr,
+        |  (floor((max(o_totalprice)) * 1e2 + 0.5) / 1e2) AS max_price
         |FROM ranked GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
 
@@ -3310,8 +3339,8 @@ object AnalyticsQueries extends QueryPack {
     // true.
     "agg_approx_quantiles" ->
       """SELECT event_type, count(*) AS n,
-        |  round(quantile_cont(value, 0.49), 6) AS p49_exact,
-        |  round(quantile_cont(value, 0.51), 6) AS p51_exact,
+        |  (floor((quantile_cont(value, 0.49)) * 1e6 + 0.5) / 1e6) AS p49_exact,
+        |  (floor((quantile_cont(value, 0.51)) * 1e6 + 0.5) / 1e6) AS p51_exact,
         |  true AS p50_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -3342,8 +3371,8 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "topk_orders" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-        |FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 10""".stripMargin,
+      """SELECT o_orderkey, o_custkey, (floor((o_totalprice) * 1e2 + 0.5) / 1e2) AS o_totalprice
+        |FROM orders ORDER BY (floor((o_totalprice) * 1e2 + 0.5) / 1e2) DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "window_latest_event" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
@@ -3509,16 +3538,16 @@ object AnalyticsQueries extends QueryPack {
     "window_lag_delta" ->
       """WITH events_us AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |SELECT user_id, event_id,
-        |  round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+        |  (floor((value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 1e4 + 0.5) / 1e4) AS delta
         |FROM events_us
         |QUALIFY delta IS NOT NULL
         |ORDER BY user_id, event_id""".stripMargin,
 
     "window_topk_per_group" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
-        |  SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |  SELECT o_orderpriority, o_orderkey, (floor((o_totalprice) * 1e2 + 0.5) / 1e2) AS o_totalprice,
         |    rank() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rk
+        |      ORDER BY (floor((o_totalprice) * 1e2 + 0.5) / 1e2) DESC, o_orderkey) AS rk
         |  FROM orders)
         |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
 

@@ -75,12 +75,12 @@ object CurationQueries extends QueryPack {
   private def gradedKeptCtes: String =
     s"""graded AS (
        |  SELECT doc_id, lang, text, len(toks) AS n_tokens,
-       |    round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    (floor((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
        |      1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
        |          - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
        |          - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
        |              THEN 0.2 ELSE 0.0 END
-       |      END, 6) AS quality_score
+       |      END) * 1e6 + 0.5) / 1e6) AS quality_score
        |  FROM (
        |    SELECT doc_id, lang, text, $toksSql AS toks,
        |      length(text) AS n_chars_s,

@@ -149,8 +149,8 @@ object DedupQueries extends QueryPack {
         .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), "a")
         .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), "b")
         .select(col("a"), col("b"),
-          round(col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+          (floor((col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter"))) * 1e6 + 0.5) / 1e6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -248,9 +248,9 @@ object DedupQueries extends QueryPack {
       s"""WITH $lshChainCtes,
          |est AS (
          |  SELECT c.a, c.b,
-         |    round(CAST(list_sum(list_transform(range(1, $K + 1),
+         |    (floor((CAST(list_sum(list_transform(range(1, $K + 1),
          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
-         |      AS DOUBLE) / $K, 6) AS sig_est
+         |      AS DOUBLE) / $K) * 1e6 + 0.5) / 1e6) AS sig_est
          |  FROM cands c
          |  JOIN sigs sa ON c.a = sa.doc_id
          |  JOIN sigs sb ON c.b = sb.doc_id)
@@ -275,10 +275,10 @@ object DedupQueries extends QueryPack {
          |      len(x.sh) + len(y.sh)
          |        - len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS uni
          |    FROM dd x JOIN dd y ON x.doc_id < y.doc_id)
-         |  WHERE inter > 0 AND round(CAST(inter AS DOUBLE) / uni, 6) >= 0.5)
+         |  WHERE inter > 0 AND (floor((CAST(inter AS DOUBLE) / uni) * 1e6 + 0.5) / 1e6) >= 0.5)
          |SELECT n_true, n_found,
          |  CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
-         |    ELSE round(n_found::DOUBLE / n_true, 4) END AS recall,
+         |    ELSE (floor((n_found::DOUBLE / n_true) * 1e4 + 0.5) / 1e4) END AS recall,
          |  true AS recall_ok
          |FROM tp CROSS JOIN fnd""".stripMargin
     },
@@ -320,7 +320,7 @@ object DedupQueries extends QueryPack {
          |    least(len(x.sh), len(y.sh)) AS mn
          |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
          |  WHERE x.doc_id < y.doc_id)
-         |SELECT a, b, round(CAST(inter AS DOUBLE) / mn, 6) AS containment
+         |SELECT a, b, (floor((CAST(inter AS DOUBLE) / mn) * 1e6 + 0.5) / 1e6) AS containment
          |FROM pairs
          |WHERE inter > 0
          |ORDER BY containment DESC, a, b LIMIT 20""".stripMargin,
@@ -336,7 +336,7 @@ object DedupQueries extends QueryPack {
          |    len(x.sh) + len(y.sh) - len(list_filter(x.sh, e -> list_contains(y.sh, e))) AS uni
          |  FROM d x JOIN d y ON x.lang = y.lang AND x.source = y.source
          |  WHERE x.doc_id < y.doc_id)
-         |SELECT a, b, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+         |SELECT a, b, (floor((CAST(inter AS DOUBLE) / uni) * 1e6 + 0.5) / 1e6) AS jaccard
          |FROM pairs
          |WHERE inter > 0
          |ORDER BY jaccard DESC, a, b LIMIT 20""".stripMargin,

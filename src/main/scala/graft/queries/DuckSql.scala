@@ -78,8 +78,8 @@ object DuckSql {
        |dsets AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sigs),
        |verified AS (
        |  SELECT c.a, c.b,
-       |    round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
-       |      (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6) AS jaccard
+       |    (floor((CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE) /
+       |      (len(sa.sh) + len(sb.sh) - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))) * 1e6 + 0.5) / 1e6) AS jaccard
        |  FROM cands c JOIN dsets sa ON c.a = sa.doc_id JOIN dsets sb ON c.b = sb.doc_id)""".stripMargin
   }
 

@@ -345,7 +345,7 @@ object GovernanceQueries extends QueryPack {
         |  1.0 - CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE) / count(*) AS m_uk,
         |  CAST(count(DISTINCT l_suppkey) AS DOUBLE) AS m_ndv
         |FROM lineitem)
-        |SELECT "check", "column", round(metric, 6) AS metric, threshold, pass FROM (
+        |SELECT "check", "column", (floor((metric) * 1e6 + 0.5) / 1e6) AS metric, threshold, pass FROM (
         |  SELECT 'not_null' AS "check", 'l_shipdate' AS "column", m_nn AS metric, 0.0 AS threshold, m_nn <= 0.0 AS pass FROM m
         |  UNION ALL SELECT 'in_range', 'l_discount', m_disc, 0.0, m_disc <= 0.0 FROM m
         |  UNION ALL SELECT 'in_range', 'l_quantity', m_qty, 0.0, m_qty <= 0.0 FROM m
@@ -358,7 +358,7 @@ object GovernanceQueries extends QueryPack {
 
     "dq_referential" ->
       """SELECT relation, n_child, n_orphans,
-        |  round(CAST(n_orphans AS DOUBLE) / n_child, 6) AS orphan_rate
+        |  (floor((CAST(n_orphans AS DOUBLE) / n_child) * 1e6 + 0.5) / 1e6) AS orphan_rate
         |FROM (
         |  SELECT 'lineitem->orders' AS relation,
         |    (SELECT count(*) FROM lineitem) AS n_child,
@@ -395,8 +395,8 @@ object GovernanceQueries extends QueryPack {
          |  (('0x' || substr(md5('lap|$NoiseSeed|' || event_type), 1, 8))::UBIGINT::DOUBLE + 0.5)
          |    / 4294967296.0 AS u FROM g)
          |SELECT event_type,
-         |  greatest(0, CAST(round(cnt
-         |    + (-(1.0 / $NoiseEps)) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 0) AS BIGINT))
+         |  greatest(0, CAST((floor((cnt
+         |    + (-(1.0 / $NoiseEps)) * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e0 + 0.5) / 1e0) AS BIGINT))
          |    AS noisy_count
          |FROM n ORDER BY event_type""".stripMargin,
 

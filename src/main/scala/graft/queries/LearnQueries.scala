@@ -31,7 +31,7 @@ object LearnQueries extends QueryPack {
     // classifier after the fixed full-batch GD steps.
     "learn_logreg_weights" -> ((s, dir) =>
       Learn.trainLogReg(docs(s, dir), col("lang") === "en", DIMS, ITERS, LR)
-        .select(col("bucket"), round(col("w"), 6).as("weight"))
+        .select(col("bucket"), (floor((col("w")) * 1e6 + 0.5) / 1e6).as("weight"))
         .orderBy("bucket")),
 
     // Train-set inference under those weights: per-doc probability, hard
@@ -68,8 +68,8 @@ object LearnQueries extends QueryPack {
     // weights (the aggregation-only counterpart of the GD loop).
     "learn_nb_model" -> ((s, dir) =>
       Learn.trainNaiveBayes(docs(s, dir), col("lang") === "en", DIMS)
-        .select(col("bucket"), round(col("w"), 6).as("w"),
-          round(col("prior"), 6).as("prior"))
+        .select(col("bucket"), (floor((col("w")) * 1e6 + 0.5) / 1e6).as("w"),
+          (floor((col("prior")) * 1e6 + 0.5) / 1e6).as("prior"))
         .orderBy("bucket")),
 
     // NB inference: decision score = prior + Σ cnt·w per document.
@@ -199,7 +199,7 @@ object LearnQueries extends QueryPack {
   private def logRegPredCtes: String =
     s"""mp AS (SELECT doc_id, sum(x * w) AS m
        |       FROM feat JOIN w$ITERS USING (bucket) GROUP BY 1),
-       |pp AS (SELECT doc_id, round(1 / (1 + exp(-m)), 6) AS p FROM mp)"""
+       |pp AS (SELECT doc_id, (floor((1 / (1 + exp(-m))) * 1e6 + 0.5) / 1e6) AS p FROM mp)"""
       .stripMargin
 
   /** Naive Bayes body: joined design rows, class-conditional totals, and
@@ -234,7 +234,7 @@ object LearnQueries extends QueryPack {
 
   /** NB hard predictions under the closed-form model (composable tail). */
   private def nbPredCtes: String =
-    s"""sc AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+    s"""sc AS (SELECT doc_id, (floor((max(prior) + sum(cnt * w)) * 1e6 + 0.5) / 1e6) AS score
        |       FROM tf JOIN model USING (bucket) GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -257,16 +257,16 @@ object LearnQueries extends QueryPack {
          |g AS (SELECT lang, n, sx, sy, dx, dy, cov,
          |    CASE WHEN n >= 2 AND dx > 0.0 THEN cov / dx END AS slope
          |  FROM f)
-         |SELECT lang, round(slope, 6) AS slope,
-         |  round((sy::DOUBLE - slope * sx) / n, 6) AS intercept,
-         |  round(CASE WHEN dx > 0.0 AND dy > 0.0
-         |    THEN cov * cov / (dx * dy) END, 6) AS r2,
+         |SELECT lang, (floor((slope) * 1e6 + 0.5) / 1e6) AS slope,
+         |  (floor(((sy::DOUBLE - slope * sx) / n) * 1e6 + 0.5) / 1e6) AS intercept,
+         |  (floor((CASE WHEN dx > 0.0 AND dy > 0.0
+         |    THEN cov * cov / (dx * dy) END) * 1e6 + 0.5) / 1e6) AS r2,
          |  n
          |FROM g ORDER BY lang""".stripMargin,
 
     "learn_logreg_weights" ->
       s"""WITH $logRegCtes
-         |SELECT bucket, round(w, 6) AS weight FROM w$ITERS
+         |SELECT bucket, (floor((w) * 1e6 + 0.5) / 1e6) AS weight FROM w$ITERS
          |ORDER BY bucket""".stripMargin,
 
     "learn_logreg_predict" ->
@@ -290,7 +290,7 @@ object LearnQueries extends QueryPack {
 
     "learn_nb_model" ->
       s"""WITH $nbCtes
-         |SELECT bucket, round(w, 6) AS w, round(prior, 6) AS prior
+         |SELECT bucket, (floor((w) * 1e6 + 0.5) / 1e6) AS w, (floor((prior) * 1e6 + 0.5) / 1e6) AS prior
          |FROM model ORDER BY bucket""".stripMargin,
 
     "learn_nb_predict" ->
@@ -306,7 +306,7 @@ object LearnQueries extends QueryPack {
     "learn_auc" ->
       s"""WITH $nbCtes,
          |$nbPredCtes,
-         |px AS (SELECT round(score, 3) AS s, CAST(y AS BIGINT) AS y
+         |px AS (SELECT (floor((score) * 1e3 + 0.5) / 1e3) AS s, CAST(y AS BIGINT) AS y
          |       FROM sc JOIN lab USING (doc_id)),
          |cnt AS (SELECT s, sum(y) AS np, sum(1 - y) AS nn
          |        FROM px GROUP BY s),
@@ -316,9 +316,9 @@ object LearnQueries extends QueryPack {
          |      AS nn_below
          |  FROM cnt)
          |SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg,
-         |  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |  (floor((CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
          |    sum(np * (2 * nn_below + nn)) /
-         |      (2.0 * sum(np) * sum(nn)) END, 6) AS auc
+         |      (2.0 * sum(np) * sum(nn)) END) * 1e6 + 0.5) / 1e6) AS auc
          |FROM acc""".stripMargin,
 
     "learn_chi2_features" ->
@@ -327,10 +327,10 @@ object LearnQueries extends QueryPack {
          |       FROM fc GROUP BY 1),
          |t2 AS (SELECT sum(y) AS n1, sum(1.0 - y) AS n0 FROM lab)
          |SELECT bucket,
-         |  round(CASE WHEN (n1 - a) + (n0 - b) = 0 THEN 0.0
+         |  (floor((CASE WHEN (n1 - a) + (n0 - b) = 0 THEN 0.0
          |    ELSE ((n1 + n0) * (a * (n0 - b) - b * (n1 - a)) *
          |            (a * (n0 - b) - b * (n1 - a))) /
-         |         ((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0) END, 6)
+         |         ((a + b) * ((n1 - a) + (n0 - b)) * n1 * n0) END) * 1e6 + 0.5) / 1e6)
          |    AS chi2
          |FROM pr CROSS JOIN t2 ORDER BY bucket""".stripMargin,
 
@@ -348,19 +348,19 @@ object LearnQueries extends QueryPack {
          |         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |       FROM px)
          |SELECT n, tp, fp, fn, tn,
-         |  round(CASE WHEN tp + fp = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
-         |  round(CASE WHEN tp + fn = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
-         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |  (floor((CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS precision,
+         |  (floor((CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS recall,
+         |  (floor((CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
          |      (CASE WHEN tp + fn = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
          |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
          |      (tp / CAST(tp + fn AS DOUBLE)) /
          |      ((tp / CAST(tp + fp AS DOUBLE)) +
-         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
-         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |       (tp / CAST(tp + fn AS DOUBLE))) END) * 1e6 + 0.5) / 1e6) AS f1,
+         |  (floor(((tp + tn) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS accuracy
          |FROM cm""".stripMargin,
 
     // five suffixed NB chains (nbBodyOn per fold-complement), each
@@ -376,7 +376,7 @@ object LearnQueries extends QueryPack {
            |${nbBodyOn(s"tft_$f", s"labt_$f", s"_$f")},
            |tfe_$f AS (SELECT tf.* FROM tf JOIN fld USING (doc_id)
            |  WHERE fold = $f),
-           |sce_$f AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+           |sce_$f AS (SELECT doc_id, (floor((max(prior) + sum(cnt * w)) * 1e6 + 0.5) / 1e6) AS score
            |        FROM tfe_$f JOIN model_$f USING (bucket) GROUP BY 1),
            |cm_$f AS (SELECT CAST($f AS BIGINT) AS fold, count(*) AS n,
            |  CAST(sum(CASE WHEN score >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -396,19 +396,19 @@ object LearnQueries extends QueryPack {
          |$foldCtes,
          |cm AS ($cmUnion)
          |SELECT fold, n, tp, fp, fn, tn,
-         |  round(CASE WHEN tp + fp = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
-         |  round(CASE WHEN tp + fn = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
-         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |  (floor((CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS precision,
+         |  (floor((CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS recall,
+         |  (floor((CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
          |      (CASE WHEN tp + fn = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
          |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
          |      (tp / CAST(tp + fn AS DOUBLE)) /
          |      ((tp / CAST(tp + fp AS DOUBLE)) +
-         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
-         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |       (tp / CAST(tp + fn AS DOUBLE))) END) * 1e6 + 0.5) / 1e6) AS f1,
+         |  (floor(((tp + tn) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS accuracy
          |FROM cm ORDER BY fold""".stripMargin
     },
 
@@ -427,7 +427,7 @@ object LearnQueries extends QueryPack {
          |${nbBodyOn("tft", "labt")},
          |tfe AS (SELECT tf.* FROM tf JOIN spl USING (doc_id)
          |  WHERE split = 'eval'),
-         |sce AS (SELECT doc_id, round(max(prior) + sum(cnt * w), 6) AS score
+         |sce AS (SELECT doc_id, (floor((max(prior) + sum(cnt * w)) * 1e6 + 0.5) / 1e6) AS score
          |        FROM tfe JOIN model USING (bucket) GROUP BY 1),
          |px AS (SELECT sce.doc_id,
          |         CASE WHEN score >= 0 THEN 1 ELSE 0 END AS pred,
@@ -440,19 +440,19 @@ object LearnQueries extends QueryPack {
          |         CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |       FROM px)
          |SELECT n, tp, fp, fn, tn,
-         |  round(CASE WHEN tp + fp = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
-         |  round(CASE WHEN tp + fn = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
-         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |  (floor((CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS precision,
+         |  (floor((CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS recall,
+         |  (floor((CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
          |      (CASE WHEN tp + fn = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
          |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
          |      (tp / CAST(tp + fn AS DOUBLE)) /
          |      ((tp / CAST(tp + fp AS DOUBLE)) +
-         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
-         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |       (tp / CAST(tp + fn AS DOUBLE))) END) * 1e6 + 0.5) / 1e6) AS f1,
+         |  (floor(((tp + tn) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS accuracy
          |FROM cm""".stripMargin,
 
     "learn_threshold_sweep" -> {
@@ -473,19 +473,19 @@ object LearnQueries extends QueryPack {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |  FROM px CROSS JOIN th t GROUP BY t.threshold)
          |SELECT threshold, n, tp, fp, fn, tn,
-         |  round(CASE WHEN tp + fp = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fp AS DOUBLE) END, 6) AS precision,
-         |  round(CASE WHEN tp + fn = 0 THEN 0.0
-         |    ELSE tp / CAST(tp + fn AS DOUBLE) END, 6) AS recall,
-         |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
+         |  (floor((CASE WHEN tp + fp = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fp AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS precision,
+         |  (floor((CASE WHEN tp + fn = 0 THEN 0.0
+         |    ELSE tp / CAST(tp + fn AS DOUBLE) END) * 1e6 + 0.5) / 1e6) AS recall,
+         |  (floor((CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fp AS DOUBLE) END) +
          |      (CASE WHEN tp + fn = 0 THEN 0.0
          |      ELSE tp / CAST(tp + fn AS DOUBLE) END) = 0 THEN 0.0
          |    ELSE 2.0 * (tp / CAST(tp + fp AS DOUBLE)) *
          |      (tp / CAST(tp + fn AS DOUBLE)) /
          |      ((tp / CAST(tp + fp AS DOUBLE)) +
-         |       (tp / CAST(tp + fn AS DOUBLE))) END, 6) AS f1,
-         |  round((tp + tn) / CAST(n AS DOUBLE), 6) AS accuracy
+         |       (tp / CAST(tp + fn AS DOUBLE))) END) * 1e6 + 0.5) / 1e6) AS f1,
+         |  (floor(((tp + tn) / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6) AS accuracy
          |FROM cm ORDER BY threshold""".stripMargin
     },
 
@@ -506,11 +506,11 @@ object LearnQueries extends QueryPack {
          |         avg(CAST(pred_a AS DOUBLE)) AS ra,
          |         avg(CAST(pred_b AS DOUBLE)) AS rb
          |       FROM pa JOIN pb2 USING (doc_id))
-         |SELECT n, round(po, 6) AS agree,
-         |  round(ra * rb + (1 - ra) * (1 - rb), 6) AS pe,
-         |  round(CASE WHEN ra * rb + (1 - ra) * (1 - rb) = 1 THEN 0.0
+         |SELECT n, (floor((po) * 1e6 + 0.5) / 1e6) AS agree,
+         |  (floor((ra * rb + (1 - ra) * (1 - rb)) * 1e6 + 0.5) / 1e6) AS pe,
+         |  (floor((CASE WHEN ra * rb + (1 - ra) * (1 - rb) = 1 THEN 0.0
          |    ELSE (po - (ra * rb + (1 - ra) * (1 - rb))) /
-         |         (1 - (ra * rb + (1 - ra) * (1 - rb))) END, 6) AS kappa
+         |         (1 - (ra * rb + (1 - ra) * (1 - rb))) END) * 1e6 + 0.5) / 1e6) AS kappa
          |FROM ag""".stripMargin
   )
 }

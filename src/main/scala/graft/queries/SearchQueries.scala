@@ -129,11 +129,11 @@ object SearchQueries extends QueryPack {
          |  SELECT n.range AS n, sum(CASE WHEN s.i <= n.range THEN s.g END) AS idcg
          |  FROM range(0, ${EVAL_K + 1}) n CROSS JOIN steps s GROUP BY n.range)
          |SELECT query_id, n_rel,
-         |  round(CASE WHEN n_rel > 0 THEN coalesce(n_hits, 0) / n_rel
-         |    ELSE 0 END, 6) AS recall_at_k,
-         |  round(coalesce(1.0 / fr, 0), 6) AS mrr_at_k,
-         |  round(CASE WHEN n_rel > 0 THEN coalesce(dcg, 0) / p.idcg
-         |    ELSE 0 END, 6) AS ndcg_at_k
+         |  (floor((CASE WHEN n_rel > 0 THEN coalesce(n_hits, 0) / n_rel
+         |    ELSE 0 END) * 1e6 + 0.5) / 1e6) AS recall_at_k,
+         |  (floor((coalesce(1.0 / fr, 0)) * 1e6 + 0.5) / 1e6) AS mrr_at_k,
+         |  (floor((CASE WHEN n_rel > 0 THEN coalesce(dcg, 0) / p.idcg
+         |    ELSE 0 END) * 1e6 + 0.5) / 1e6) AS ndcg_at_k
          |FROM ($union) m JOIN prefix p ON p.n = least(m.n_rel, $EVAL_K)
          |ORDER BY query_id""".stripMargin
     },
@@ -219,8 +219,8 @@ object SearchQueries extends QueryPack {
         |    count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
         |  UNION ALL
         |  SELECT '(all)', count(DISTINCT user_id) FROM events)
-        |SELECT scope, n_exact, round(e, 2) AS est_kmv,
-        |  round(abs(e - n_exact) / n_exact, 4) AS rel_err
+        |SELECT scope, n_exact, (floor((e) * 1e2 + 0.5) / 1e2) AS est_kmv,
+        |  (floor((abs(e - n_exact) / n_exact) * 1e4 + 0.5) / 1e4) AS rel_err
         |FROM est JOIN ex USING (scope) ORDER BY scope""".stripMargin,
 
     // Both candidate rankings replayed end-to-end (BM25 chain + cosine
@@ -250,7 +250,7 @@ object SearchQueries extends QueryPack {
          |embs AS (SELECT vec_id, ${DuckSql.vecDouble("embedding")} AS de FROM embeddings),
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = 0),
          |vtop AS (
-         |  SELECT vec_id AS doc_id, round(${DuckSql.cosine("de", "qe")}, 6) AS cosine
+         |  SELECT vec_id AS doc_id, (floor((${DuckSql.cosine("de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |  FROM embs, q WHERE vec_id <> 0
          |  ORDER BY cosine DESC, vec_id LIMIT 50),
          |rv AS (SELECT doc_id,
@@ -259,7 +259,7 @@ object SearchQueries extends QueryPack {
          |  SELECT coalesce(rkw.doc_id, rv.doc_id) AS doc_id, r_kw, r_vec
          |  FROM rkw FULL OUTER JOIN rv ON rkw.doc_id = rv.doc_id)
          |SELECT doc_id, r_kw, r_vec,
-         |  round(coalesce(1.0 / (60 + r_kw), 0) + coalesce(1.0 / (60 + r_vec), 0), 6) AS rrf
+         |  (floor((coalesce(1.0 / (60 + r_kw), 0) + coalesce(1.0 / (60 + r_vec), 0)) * 1e6 + 0.5) / 1e6) AS rrf
          |FROM j ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
     // Same replayable md5-chunk sketch family over both key columns; the

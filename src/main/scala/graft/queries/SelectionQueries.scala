@@ -93,9 +93,9 @@ object SelectionQueries extends QueryPack {
     val picks = (2 to MMR_K).map { i =>
       val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
       s"""p$i AS (
-         |  SELECT s.vec_id, s.emb, round(s.rel * $lam - ms.max_sim * $oneMinus, 6) AS score
+         |  SELECT s.vec_id, s.emb, (floor((s.rel * $lam - ms.max_sim * $oneMinus) * 1e6 + 0.5) / 1e6) AS score
          |  FROM short s JOIN (
-         |    SELECT s2.vec_id, max(round(${cos("s2.emb", "p.emb")}, 6)) AS max_sim
+         |    SELECT s2.vec_id, max((floor((${cos("s2.emb", "p.emb")}) * 1e6 + 0.5) / 1e6)) AS max_sim
          |    FROM short s2, ($prev) p
          |    WHERE s2.vec_id NOT IN (SELECT vec_id FROM ($prev))
          |    GROUP BY s2.vec_id) ms ON s.vec_id = ms.vec_id
@@ -108,11 +108,11 @@ object SelectionQueries extends QueryPack {
        |  SELECT $emb AS emb FROM embeddings WHERE vec_id = $QUERY_ID),
        |cand AS (
        |  SELECT e.vec_id, $emb AS emb,
-       |    round(${cos(s"($emb)", "q.emb")}, 6) AS rel
+       |    (floor((${cos(s"($emb)", "q.emb")}) * 1e6 + 0.5) / 1e6) AS rel
        |  FROM embeddings e, q WHERE e.vec_id <> $QUERY_ID),
        |short AS (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT $MMR_M),
        |p1 AS (
-       |  SELECT vec_id, emb, round(rel * $lam, 6) AS score
+       |  SELECT vec_id, emb, (floor((rel * $lam) * 1e6 + 0.5) / 1e6) AS score
        |  FROM short ORDER BY score DESC, vec_id LIMIT 1),
        |$picks
        |$out
@@ -125,7 +125,7 @@ object SelectionQueries extends QueryPack {
       val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
       s"""p$i AS (
          |  SELECT c.vec_id, c.emb, md.d FROM base c JOIN (
-         |    SELECT c2.vec_id, min(round(1 - ${cos("c2.emb", "p.emb")}, 6)) AS d
+         |    SELECT c2.vec_id, min((floor((1 - ${cos("c2.emb", "p.emb")}) * 1e6 + 0.5) / 1e6)) AS d
          |    FROM base c2, ($prev) p
          |    WHERE c2.vec_id NOT IN (SELECT vec_id FROM ($prev))
          |    GROUP BY c2.vec_id) md ON c.vec_id = md.vec_id
@@ -153,7 +153,7 @@ object SelectionQueries extends QueryPack {
       val prev = (1 until i).map(j => s"SELECT * FROM p$j").mkString(" UNION ALL ")
       s"""p$i AS (
          |  SELECT c.vec_id, c.emb, md.d FROM cand c JOIN (
-         |    SELECT c2.vec_id, min(round(1 - ${cos("c2.emb", "p.emb")}, 6)) AS d
+         |    SELECT c2.vec_id, min((floor((1 - ${cos("c2.emb", "p.emb")}) * 1e6 + 0.5) / 1e6)) AS d
          |    FROM cand c2, ($prev) p
          |    WHERE c2.vec_id NOT IN (SELECT vec_id FROM ($prev))
          |    GROUP BY c2.vec_id) md ON c.vec_id = md.vec_id
@@ -170,7 +170,7 @@ object SelectionQueries extends QueryPack {
        |asg AS (
        |  SELECT vec_id, emb, cell, sim FROM (
        |    SELECT b.vec_id, b.emb, c.cell,
-       |      round(${cos("b.emb", "c.cemb")}, 6) AS sim
+       |      (floor((${cos("b.emb", "c.cemb")}) * 1e6 + 0.5) / 1e6) AS sim
        |    FROM base b CROSS JOIN pc c)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |    ORDER BY sim DESC, cell) = 1),
@@ -199,8 +199,8 @@ object SelectionQueries extends QueryPack {
     "select_weighted_sample" ->
       s"""SELECT doc_id, n_chars, ares_key FROM (
          |  SELECT doc_id, n_chars,
-         |    round(ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
-         |      + 0.5) / 4294967296.0) / n_chars, 9) AS ares_key
+         |    (floor((ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+         |      + 0.5) / 4294967296.0) / n_chars) * 1e9 + 0.5) / 1e9) AS ares_key
          |  FROM documents WHERE n_chars > 0)
          |ORDER BY ares_key DESC, doc_id LIMIT $SAMPLE_K""".stripMargin,
 

@@ -189,8 +189,8 @@ object SimilarityQueries extends QueryPack {
     // corpus pass; every iteration runs on the dim²-row model frame).
     "sim_pca_component" -> ((s, dir) =>
       graft.operators.Learn.pcaTopComponent(emb(s, dir), DIM, iters = PCA_ITERS)
-        .select(col("i").as("dim"), round(col("loading"), 6).as("loading"),
-          round(col("mu"), 6).as("mu"))
+        .select(col("i").as("dim"), (floor((col("loading")) * 1e6 + 0.5) / 1e6).as("loading"),
+          (floor((col("mu")) * 1e6 + 0.5) / 1e6).as("mu"))
         .orderBy("dim")),
 
     // Top-2 components via Hotelling deflation — the multi-component
@@ -199,7 +199,7 @@ object SimilarityQueries extends QueryPack {
       graft.operators.Learn.pcaComponents(emb(s, dir), DIM, k = 2,
           iters = PCA_ITERS)
         .select(col("comp"), col("i").as("dim"),
-          round(col("loading"), 6).as("loading"))
+          (floor((col("loading")) * 1e6 + 0.5) / 1e6).as("loading"))
         .orderBy("comp", "dim")),
 
     // Centered projection of every vector onto that component — the
@@ -208,7 +208,7 @@ object SimilarityQueries extends QueryPack {
       val e = emb(s, dir)
       graft.operators.Learn.pcaProject(e,
           graft.operators.Learn.pcaTopComponent(e, DIM, iters = PCA_ITERS))
-        .select(col("vec_id"), round(col("pc1"), 6).as("pc1"))
+        .select(col("vec_id"), (floor((col("pc1")) * 1e6 + 0.5) / 1e6).as("pc1"))
         .orderBy("vec_id")
     }),
 
@@ -358,7 +358,7 @@ object SimilarityQueries extends QueryPack {
     "sim_normalize_quantize" -> ((s, dir) =>
       Similarity.normalizeQuantize(emb(s, dir))
         .select(col("vec_id"),
-          round(VectorFns.norm(col("embedding")), 6).as("norm"),
+          (floor((VectorFns.norm(col("embedding"))) * 1e6 + 0.5) / 1e6).as("norm"),
           array_join(col("q8"), ",").as("q8"))
         .orderBy("vec_id")),
 
@@ -514,9 +514,9 @@ object SimilarityQueries extends QueryPack {
          |  FROM embs e CROSS JOIN cents$i c
          |  WHERE e.vec_id < $cap AND ($baseWhere)
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1),
+         |    ORDER BY (floor((${cosSql("e.de", "c.c_emb")}) * 1e6 + 0.5) / 1e6) DESC, c.cell) = 1),
          |cents${i + 1} AS (
-         |  SELECT cell, list(round(av, 6) ORDER BY dim) AS c_emb FROM (
+         |  SELECT cell, list((floor((av) * 1e6 + 0.5) / 1e6) ORDER BY dim) AS c_emb FROM (
          |    SELECT cell, d.range AS dim, avg(de[d.range + 1]) AS av
          |    FROM asg$i, range(0, $DIM) d GROUP BY cell, d.range)
          |  GROUP BY cell)""".stripMargin
@@ -530,7 +530,7 @@ object SimilarityQueries extends QueryPack {
        |  FROM embs e CROSS JOIN cents c
        |  WHERE ($assignWhere)
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-       |    ORDER BY round(${cosSql("e.de", "c.c_emb")}, 6) DESC, c.cell) = 1)""".stripMargin
+       |    ORDER BY (floor((${cosSql("e.de", "c.c_emb")}) * 1e6 + 0.5) / 1e6) DESC, c.cell) = 1)""".stripMargin
   }
 
   /** Oracle twin of Similarity.pqEncodeExploded: subvector split →
@@ -542,8 +542,8 @@ object SimilarityQueries extends QueryPack {
        |  FROM embs, range(0, $m) j),
        |cw AS (SELECT vec_id AS code, sub_j, sv AS cv FROM sub WHERE vec_id < $ksub),
        |pqd AS (SELECT s.vec_id, s.sub_j, c.code,
-       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
-       |      - 2 * list_dot_product(s.sv, c.cv), 6) AS d2
+       |    (floor((list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+       |      - 2 * list_dot_product(s.sv, c.cv)) * 1e6 + 0.5) / 1e6) AS d2
        |  FROM sub s JOIN cw c USING (sub_j)),
        |best AS (SELECT vec_id, sub_j, code FROM pqd
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub_j ORDER BY d2, code) = 1)""".stripMargin
@@ -560,7 +560,7 @@ object SimilarityQueries extends QueryPack {
     * the PageRank and label-propagation oracles. */
   private val knnEdgeCtes =
     s"""pr AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
+       |    (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) AS cosine
        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
        |tk AS (SELECT src, dst FROM (
        |    SELECT src, dst, row_number() OVER (PARTITION BY src
@@ -671,7 +671,7 @@ object SimilarityQueries extends QueryPack {
   // each, × 1/√16 (= exactly 0.25 in binary), rounded like the operator.
   private val randomProjSql: String = {
     val elems = Similarity.planes(16, DIM).map { p =>
-      s"round(list_dot_product(de, ${DuckSql.doubleList(p.map(_.toDouble))}) * 0.25, 6)"
+      s"(floor((list_dot_product(de, ${DuckSql.doubleList(p.map(_.toDouble))}) * 0.25) * 1e6 + 0.5) / 1e6)"
     }.mkString(",\n  ")
     s"""WITH $embsCte
        |SELECT vec_id, label, unnest(range(0, 16)) AS dim,
@@ -696,8 +696,8 @@ object SimilarityQueries extends QueryPack {
        |         SELECT b FROM tr UNION ALL
        |         SELECT c FROM tr) GROUP BY 1)
        |SELECT dg.v AS vec_id, coalesce(t, 0) AS triangles,
-       |  round(CASE WHEN deg > 1
-       |    THEN 2.0 * coalesce(t, 0) / (deg * (deg - 1)) ELSE 0.0 END, 6)
+       |  (floor((CASE WHEN deg > 1
+       |    THEN 2.0 * coalesce(t, 0) / (deg * (deg - 1)) ELSE 0.0 END) * 1e6 + 0.5) / 1e6)
        |    AS clustering_coeff
        |FROM dg LEFT JOIN tc ON dg.v = tc.v ORDER BY vec_id""".stripMargin
 
@@ -773,7 +773,7 @@ object SimilarityQueries extends QueryPack {
        |    ON c.a = x.src AND c.b = x.dst
        |  WHERE x.src IS NULL)
        |SELECT n.a, n.b, n.common,
-       |  round(n.common / (da.deg + db.deg - n.common), 6) AS jaccard
+       |  (floor((n.common / (da.deg + db.deg - n.common)) * 1e6 + 0.5) / 1e6) AS jaccard
        |FROM nonadj n
        |JOIN deg da ON da.v = n.a
        |JOIN deg db ON db.v = n.b
@@ -804,12 +804,12 @@ object SimilarityQueries extends QueryPack {
          |pr AS (SELECT q_id, cell FROM (
          |    SELECT q.q_id, c.cell,
          |      row_number() OVER (PARTITION BY q.q_id
-         |        ORDER BY round(${cosSql("c.c_emb", "q.q_de")}, 6) DESC, c.cell)
+         |        ORDER BY (floor((${cosSql("c.c_emb", "q.q_de")}) * 1e6 + 0.5) / 1e6) DESC, c.cell)
          |        AS cell_rank
          |    FROM cents c CROSS JOIN q)
          |  WHERE cell_rank <= $IVF_N_PROBE),
          |pairs AS (SELECT q.q_id, a.vec_id AS c_id, a.cell AS c_cell,
-         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |    (floor((${cosSql("a.de", "q.q_de")}) * 1e6 + 0.5) / 1e6) AS cos
          |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
          |ext AS (SELECT q_id, c_id FROM pairs
          |  QUALIFY row_number() OVER (PARTITION BY q_id
@@ -839,7 +839,7 @@ object SimilarityQueries extends QueryPack {
          |tp AS (SELECT a.cell AS a_cell, x.cell AS x_cell
          |  FROM assigned a JOIN assigned x ON x.vec_id <> a.vec_id
          |  WHERE a.vec_id < 2048
-         |    AND round(${cosSql("x.de", "a.de")}, 6) >= 0.45)
+         |    AND (floor((${cosSql("x.de", "a.de")}) * 1e6 + 0.5) / 1e6) >= 0.45)
          |SELECT count(*) AS n_true_pairs,
          |  coalesce(floor(avg(CASE WHEN a_cell = x_cell THEN 1.0
          |    ELSE 0.0 END) * 1e4 + 0.5) / 1e4, 1.0) AS pair_recall,
@@ -853,7 +853,7 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT vec_id AS q_id, de AS q_de
          |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
          |pairs AS (SELECT q.q_id, a.vec_id AS c_id,
-         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |    (floor((${cosSql("a.de", "q.q_de")}) * 1e6 + 0.5) / 1e6) AS cos
          |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
          |ext AS (SELECT q_id, c_id FROM pairs
          |  QUALIFY row_number() OVER (PARTITION BY q_id
@@ -875,11 +875,11 @@ object SimilarityQueries extends QueryPack {
          |  FROM assigned WHERE vec_id % 25 = 0 AND vec_id < 500),
          |pr AS (SELECT q.q_id, c.cell,
          |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY round(${cosSql("c.c_emb", "q.q_de")}, 6) DESC, c.cell)
+         |      ORDER BY (floor((${cosSql("c.c_emb", "q.q_de")}) * 1e6 + 0.5) / 1e6) DESC, c.cell)
          |      AS cell_rank
          |  FROM cents c CROSS JOIN q),
          |pairs AS (SELECT q.q_id, a.vec_id AS c_id, a.cell AS c_cell,
-         |    round(${cosSql("a.de", "q.q_de")}, 6) AS cos
+         |    (floor((${cosSql("a.de", "q.q_de")}) * 1e6 + 0.5) / 1e6) AS cos
          |  FROM assigned a CROSS JOIN q WHERE a.vec_id <> q.q_id),
          |ext AS (SELECT q_id, c_id FROM pairs
          |  QUALIFY row_number() OVER (PARTITION BY q_id
@@ -913,7 +913,7 @@ object SimilarityQueries extends QueryPack {
          |  FROM embs e CROSS JOIN q WHERE e.vec_id <> q.q_id),
          |ext AS (SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id,
-         |      round(${cosSql("de", "q_de")}, 6) AS cos
+         |      (floor((${cosSql("de", "q_de")}) * 1e6 + 0.5) / 1e6) AS cos
          |    FROM pairs)
          |  QUALIFY row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, c_id) <= $TOP_K),
@@ -921,9 +921,9 @@ object SimilarityQueries extends QueryPack {
          |ppk AS (SELECT q_id, n_dims, c_id FROM (
          |    SELECT p.q_id, n.n_dims, p.c_id,
          |      row_number() OVER (PARTITION BY p.q_id, n.n_dims
-         |        ORDER BY round(${cosSql(
+         |        ORDER BY (floor((${cosSql(
                    "list_slice(p.de, 1, n.n_dims)",
-                   "list_slice(p.q_de, 1, n.n_dims)")}, 6) DESC,
+                   "list_slice(p.q_de, 1, n.n_dims)")}) * 1e6 + 0.5) / 1e6) DESC,
          |        p.c_id) AS rk
          |    FROM pairs p CROSS JOIN nd n)
          |  WHERE rk <= $TOP_K),
@@ -949,27 +949,27 @@ object SimilarityQueries extends QueryPack {
          |cent AS (SELECT cell, list(ae ORDER BY dim) AS ce FROM (
          |    SELECT cell, dim, avg(e) AS ae FROM cm GROUP BY 1, 2) GROUP BY cell),
          |scored AS (SELECT a.vec_id, a.label, a.cell,
-         |    round(${cosSql("a.de", "ce")}, 6) AS centroid_cos
+         |    (floor((${cosSql("a.de", "ce")}) * 1e6 + 0.5) / 1e6) AS centroid_cos
          |  FROM assigned a JOIN cent USING (cell)),
          |st AS (SELECT cell, avg(centroid_cos) AS mu,
          |    stddev_pop(centroid_cos) AS sd FROM scored GROUP BY cell)
          |SELECT vec_id, label, cell, centroid_cos,
-         |  CASE WHEN sd > 0 THEN round((centroid_cos - mu) / sd, 6)
+         |  CASE WHEN sd > 0 THEN (floor(((centroid_cos - mu) / sd) * 1e6 + 0.5) / 1e6)
          |    ELSE 0.0 END AS cell_z
          |FROM scored JOIN st USING (cell) ORDER BY vec_id""".stripMargin,
 
     "sim_pca_components2" ->
       s"""WITH $pca2Ctes
          |SELECT CAST(1 AS BIGINT) AS comp, i AS dim,
-         |  round(loading, 6) AS loading FROM v$PCA_ITERS
+         |  (floor((loading) * 1e6 + 0.5) / 1e6) AS loading FROM v$PCA_ITERS
          |UNION ALL
-         |SELECT CAST(2 AS BIGINT), i, round(loading, 6) FROM b$PCA_ITERS
+         |SELECT CAST(2 AS BIGINT), i, (floor((loading) * 1e6 + 0.5) / 1e6) FROM b$PCA_ITERS
          |ORDER BY comp, dim""".stripMargin,
 
     "sim_pca_component" ->
       s"""WITH $pcaCtes
-         |SELECT v.i AS dim, round(loading, 6) AS loading,
-         |  round(mu, 6) AS mu
+         |SELECT v.i AS dim, (floor((loading) * 1e6 + 0.5) / 1e6) AS loading,
+         |  (floor((mu) * 1e6 + 0.5) / 1e6) AS mu
          |FROM v$PCA_ITERS v JOIN mu ON v.i = mu.i ORDER BY dim""".stripMargin,
 
     "sim_pca_project" ->
@@ -978,14 +978,14 @@ object SimilarityQueries extends QueryPack {
          |       FROM mu JOIN v$PCA_ITERS USING (i)),
          |xd AS (SELECT vec_id, sum(x * loading) AS x_dot
          |       FROM el JOIN v$PCA_ITERS USING (i) GROUP BY 1)
-         |SELECT vec_id, round(x_dot - mu_dot, 6) AS pc1
+         |SELECT vec_id, (floor((x_dot - mu_dot) * 1e6 + 0.5) / 1e6) AS pc1
          |FROM xd CROSS JOIN md ORDER BY vec_id""".stripMargin,
     "sim_random_projection" -> randomProjSql,
 
     "sim_topk_cosine" ->
       s"""WITH $embsCte,
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID)
-         |SELECT vec_id, label, round(${cosSql("de", "qe")}, 6) AS cosine
+         |SELECT vec_id, label, (floor((${cosSql("de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM embs, q WHERE vec_id <> $QUERY_ID
          |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin,
 
@@ -993,7 +993,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $embsCte,
          |signed AS (SELECT vec_id, de, ${sigSql("de")} AS sig FROM embs),
          |q AS (SELECT de AS qe, sig AS q_sig FROM signed WHERE vec_id = $QUERY_ID)
-         |SELECT vec_id, sig, round(${cosSql("de", "qe")}, 6) AS cosine
+         |SELECT vec_id, sig, (floor((${cosSql("de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM signed, q WHERE vec_id <> $QUERY_ID AND sig = q_sig
          |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin,
 
@@ -1001,7 +1001,7 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $embsCte,
          |${assignedCtes()},
          |q AS (SELECT de AS qe, cell AS q_cell FROM assigned WHERE vec_id = $QUERY_ID)
-         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |SELECT a.vec_id, a.cell, (floor((${cosSql("a.de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM assigned a, q WHERE a.vec_id <> $QUERY_ID AND a.cell = q_cell
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
@@ -1011,8 +1011,8 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
          |probed AS (
          |  SELECT cell FROM cents, q
-         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
-         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |  ORDER BY (floor((${cosSql("c_emb", "qe")}) * 1e6 + 0.5) / 1e6) DESC, cell LIMIT 2)
+         |SELECT a.vec_id, a.cell, (floor((${cosSql("a.de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |WHERE a.vec_id <> $QUERY_ID
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
@@ -1032,14 +1032,14 @@ object SimilarityQueries extends QueryPack {
          |  SELECT q.query_id, c.cell, q.qe
          |  FROM cents c CROSS JOIN q
          |  QUALIFY row_number() OVER (PARTITION BY q.query_id
-         |    ORDER BY round(${cosSql("c.c_emb", "q.qe")}, 6) DESC, c.cell) <= 2)
+         |    ORDER BY (floor((${cosSql("c.c_emb", "q.qe")}) * 1e6 + 0.5) / 1e6) DESC, c.cell) <= 2)
          |SELECT query_id, vec_id, cell, cosine FROM (
          |  SELECT p.query_id, a.vec_id, a.cell,
-         |    round(${cosSql("a.de", "p.qe")}, 6) AS cosine
+         |    (floor((${cosSql("a.de", "p.qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |  FROM assigned a JOIN probed p ON a.cell = p.cell
          |  WHERE a.vec_id <> p.query_id
          |  QUALIFY row_number() OVER (PARTITION BY p.query_id
-         |    ORDER BY round(${cosSql("a.de", "p.qe")}, 6) DESC, a.vec_id) <= $TOP_K)
+         |    ORDER BY (floor((${cosSql("a.de", "p.qe")}) * 1e6 + 0.5) / 1e6) DESC, a.vec_id) <= $TOP_K)
          |ORDER BY query_id, cosine DESC, vec_id""".stripMargin,
 
     // the pruned serving path scores the SAME probed cells as
@@ -1051,8 +1051,8 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
          |probed AS (
          |  SELECT cell FROM cents, q
-         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
-         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |  ORDER BY (floor((${cosSql("c_emb", "qe")}) * 1e6 + 0.5) / 1e6) DESC, cell LIMIT 2)
+         |SELECT a.vec_id, a.cell, (floor((${cosSql("a.de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
@@ -1064,17 +1064,17 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
          |probed AS (
          |  SELECT cell FROM cents, q
-         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2)
-         |SELECT a.vec_id, a.cell, round(${cosSql("a.de", "qe")}, 6) AS cosine
+         |  ORDER BY (floor((${cosSql("c_emb", "qe")}) * 1e6 + 0.5) / 1e6) DESC, cell LIMIT 2)
+         |SELECT a.vec_id, a.cell, (floor((${cosSql("a.de", "qe")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM assigned a JOIN probed p ON a.cell = p.cell, q
          |ORDER BY cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin,
 
     "sim_normalize_quantize" ->
       s"""WITH $embsCte
-         |SELECT vec_id, round(sqrt(list_dot_product(de, de)), 6) AS norm,
+         |SELECT vec_id, (floor((sqrt(list_dot_product(de, de))) * 1e6 + 0.5) / 1e6) AS norm,
          |  CASE WHEN list_dot_product(de, de) = 0 THEN ''
          |    ELSE array_to_string(list_transform(de,
-         |      x -> CAST(round(x / sqrt(list_dot_product(de, de)) * 127) AS INTEGER)), ',')
+         |      x -> CAST((floor((x / sqrt(list_dot_product(de, de)) * 127) + 0.5)) AS INTEGER)), ',')
          |  END AS q8
          |FROM embs ORDER BY vec_id""".stripMargin,
 
@@ -1086,7 +1086,7 @@ object SimilarityQueries extends QueryPack {
          |${assignedCtes(graphCellsSql)},
          |verified AS (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
-         |    round(${cosSql("x.de", "y.de")}, 6) AS jaccard
+         |    (floor((${cosSql("x.de", "y.de")}) * 1e6 + 0.5) / 1e6) AS jaccard
          |  FROM assigned x JOIN assigned y
          |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
          |${DuckSql.componentCtes(0.45)}
@@ -1117,7 +1117,7 @@ object SimilarityQueries extends QueryPack {
          |${assignedCtes(graphCellsSql)},
          |pr AS (SELECT a.vec_id, a.label, b.vec_id AS nn_vec_id,
          |    b.label AS nn_label,
-         |    round(${cosSql("a.de", "b.de")}, 6) AS cosine
+         |    (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) AS cosine
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |tk AS (SELECT vec_id, label, nn_label FROM (
@@ -1139,10 +1139,10 @@ object SimilarityQueries extends QueryPack {
          |q AS (SELECT de AS qe FROM embs WHERE vec_id = $QUERY_ID),
          |probed AS (
          |  SELECT cell FROM cents, q
-         |  ORDER BY round(${cosSql("c_emb", "qe")}, 6) DESC, cell LIMIT 2),
+         |  ORDER BY (floor((${cosSql("c_emb", "qe")}) * 1e6 + 0.5) / 1e6) DESC, cell LIMIT 2),
          |lut AS (SELECT c.sub_j, c.code,
-         |    round(list_dot_product(qs.sv, qs.sv) + list_dot_product(c.cv, c.cv)
-         |      - 2 * list_dot_product(qs.sv, c.cv), 6) AS d2
+         |    (floor((list_dot_product(qs.sv, qs.sv) + list_dot_product(c.cv, c.cv)
+         |      - 2 * list_dot_product(qs.sv, c.cv)) * 1e6 + 0.5) / 1e6) AS d2
          |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) qs
          |    USING (sub_j))
          |SELECT b.vec_id, a.cell, floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc_dist
@@ -1157,14 +1157,14 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $embsCte,
          |${assignedCtes(graphCellsSql)},
          |posc AS (SELECT a.vec_id, b.vec_id AS pos_id,
-         |    round(${cosSql("a.de", "b.de")}, 6) AS pos_cos
+         |    (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) AS pos_cos
          |  FROM assigned a JOIN assigned b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |pos AS (SELECT vec_id, pos_id, pos_cos FROM posc
          |  QUALIFY row_number() OVER (PARTITION BY vec_id
          |    ORDER BY pos_cos DESC, pos_id) = 1),
          |negc AS (SELECT a.vec_id, b.vec_id AS neg_id,
-         |    round(${cosSql("a.de", "b.de")}, 6) AS neg_cos,
+         |    (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) AS neg_cos,
          |    md5(CAST(a.vec_id AS VARCHAR) || '|' || CAST(b.vec_id AS VARCHAR)) AS h
          |  FROM assigned a JOIN assigned b
          |    ON b.cell = (a.cell + 1) % $graphCellsSql),
@@ -1183,8 +1183,8 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $embsCte,
          |$pqCtes,
          |lut AS (SELECT c.sub_j, c.code,
-         |    round(list_dot_product(q.sv, q.sv) + list_dot_product(c.cv, c.cv)
-         |      - 2 * list_dot_product(q.sv, c.cv), 6) AS d2
+         |    (floor((list_dot_product(q.sv, q.sv) + list_dot_product(c.cv, c.cv)
+         |      - 2 * list_dot_product(q.sv, c.cv)) * 1e6 + 0.5) / 1e6) AS d2
          |  FROM cw c JOIN (SELECT sub_j, sv FROM sub WHERE vec_id = $QUERY_ID) q
          |    USING (sub_j))
          |SELECT b.vec_id, floor(sum(l.d2) * 1e6 + 0.5) / 1e6 AS adc_dist
@@ -1197,11 +1197,11 @@ object SimilarityQueries extends QueryPack {
       s"""WITH $embsCte,
          |${assignedCtes(nnCellsSql)}
          |SELECT a.vec_id AS vec_id, a.label AS label, b.vec_id AS nn_vec_id,
-         |  round(${cosSql("a.de", "b.de")}, 6) AS cosine
+         |  (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) AS cosine
          |FROM assigned a JOIN assigned b
          |  ON a.label = b.label AND a.cell = b.cell AND a.vec_id <> b.vec_id
          |QUALIFY row_number() OVER (PARTITION BY a.vec_id
-         |  ORDER BY round(${cosSql("a.de", "b.de")}, 6) DESC, b.vec_id) = 1
+         |  ORDER BY (floor((${cosSql("a.de", "b.de")}) * 1e6 + 0.5) / 1e6) DESC, b.vec_id) = 1
          |ORDER BY vec_id""".stripMargin
   )
 }

@@ -183,7 +183,7 @@ object TextQueries extends QueryPack {
         .filter(col("quality_score") >= col("med"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),
-          round(min(col("quality_score")), 6).as("min_kept_score"))
+          (floor((min(col("quality_score"))) * 1e6 + 0.5) / 1e6).as("min_kept_score"))
         .orderBy("lang")
     }),
 
@@ -200,8 +200,8 @@ object TextQueries extends QueryPack {
             TextFns.textShingles(col("text"), 2)).as("features"))
         .filter(size(col("features")) > 0)
         .select(col("doc_id"),
-          round(lit(1.0) / (lit(1.0) +
-            exp(lit(-4.0) * LinearScoreExpr.linearScoreNative(col("features"), 4096))), 6)
+          (floor((lit(1.0) / (lit(1.0) +
+            exp(lit(-4.0) * LinearScoreExpr.linearScoreNative(col("features"), 4096)))) * 1e6 + 0.5) / 1e6)
             .as("quality_prob"))
         .orderBy("doc_id")
     }),
@@ -409,16 +409,16 @@ object TextQueries extends QueryPack {
        |      ('the','a','of','and','to','is','in','it','that','for'))) AS stop
        |  FROM documents)
        |SELECT doc_id, len(toks) AS n_tokens,
-       |  round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-       |    / greatest(len(toks), 1), 4) AS avg_token_len,
-       |  round(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1), 6) AS punct_ratio,
-       |  round(CAST(stop AS DOUBLE) / greatest(len(toks), 1), 6) AS stopword_ratio,
-       |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |  (floor((CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+       |    / greatest(len(toks), 1)) * 1e4 + 0.5) / 1e4) AS avg_token_len,
+       |  (floor((CAST(punct AS DOUBLE) / greatest(n_chars_s, 1)) * 1e6 + 0.5) / 1e6) AS punct_ratio,
+       |  (floor((CAST(stop AS DOUBLE) / greatest(len(toks), 1)) * 1e6 + 0.5) / 1e6) AS stopword_ratio,
+       |  (floor((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
        |    1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
        |        - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
        |        - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
        |            THEN 0.2 ELSE 0.0 END
-       |    END, 6) AS quality_score
+       |    END) * 1e6 + 0.5) / 1e6) AS quality_score
        |FROM t""".stripMargin
 
   /** Oracle twin of LinearScoreExpr: bucket = u32(md5(f)[0..3]) % dims,
@@ -435,7 +435,7 @@ object TextQueries extends QueryPack {
        |      ('0x' || substr(md5('w|' || CAST(('0x' || substr(md5(x), 1, 8))::UBIGINT % 4096 AS VARCHAR)), 1, 8))::UBIGINT
        |        / 4294967296.0 * 2 - 1)) / len(features) AS score
        |  FROM f WHERE len(features) > 0)
-       |SELECT doc_id, round(1.0 / (1.0 + exp(-4.0 * score)), 6) AS quality_prob
+       |SELECT doc_id, (floor((1.0 / (1.0 + exp(-4.0 * score))) * 1e6 + 0.5) / 1e6) AS quality_prob
        |FROM scored ORDER BY doc_id""".stripMargin
 
   /** Oracle twin of TextAnalysis.trigramBackoffScore at alpha=0.4 over
@@ -486,8 +486,8 @@ object TextQueries extends QueryPack {
          |SELECT d.source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  floor(avg(s.ppl) * 1e6 + 0.5) / 1e6 AS mean_ppl,
-         |  round(CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS keep_share
+         |  (floor((CAST(sum(CASE WHEN s.ppl <= $GatePpl THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*)) * 1e6 + 0.5) / 1e6) AS keep_share
          |FROM scored s JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "text_classifier" -> classifierSql,
@@ -505,10 +505,10 @@ object TextQueries extends QueryPack {
     "text_temperature_mix" ->
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
         |SELECT source, n_docs,
-        |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS raw_share,
-        |  round(pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER (), 6) AS temp_share,
-        |  round((pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER ())
-        |    / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()), 6) AS rate
+        |  (floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()) * 1e6 + 0.5) / 1e6) AS raw_share,
+        |  (floor((pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER ()) * 1e6 + 0.5) / 1e6) AS temp_share,
+        |  (floor(((pow(n_docs, 0.3) / sum(pow(n_docs, 0.3)) OVER ())
+        |    / (CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ())) * 1e6 + 0.5) / 1e6) AS rate
         |FROM s ORDER BY source""".stripMargin,
 
     "text_datacard" ->
@@ -520,7 +520,7 @@ object TextQueries extends QueryPack {
          |  min(n_chars) AS min_chars,
          |  max(n_chars) AS max_chars,
          |  CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_chars,
-         |  round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_rate
+         |  (floor((1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6) AS dup_rate
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "text_novelty" ->
@@ -531,8 +531,8 @@ object TextQueries extends QueryPack {
          |SELECT g.doc_id, count(*) AS n_grams,
          |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_novel,
-         |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 6) AS novelty
+         |  (floor((CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*)) * 1e6 + 0.5) / 1e6) AS novelty
          |FROM g JOIN f USING (gram)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
 
@@ -589,11 +589,11 @@ object TextQueries extends QueryPack {
          |    mxx - mx * mx AS vx, myy - my * my AS vy FROM m)
          |SELECT n AS n_terms,
          |  CASE WHEN n >= 2 AND vx > 0
-         |    THEN round((mxy - mx * my) / vx, 6) END AS slope,
+         |    THEN (floor(((mxy - mx * my) / vx) * 1e6 + 0.5) / 1e6) END AS slope,
          |  CASE WHEN n >= 2 AND vx > 0
-         |    THEN round(my - (mxy - mx * my) / vx * mx, 6) END AS intercept,
+         |    THEN (floor((my - (mxy - mx * my) / vx * mx) * 1e6 + 0.5) / 1e6) END AS intercept,
          |  CASE WHEN n >= 2 AND vx > 0 AND vy > 0
-         |    THEN round(pow(mxy - mx * my, 2) / (vx * vy), 6) END AS r2
+         |    THEN (floor((pow(mxy - mx * my, 2) / (vx * vy)) * 1e6 + 0.5) / 1e6) END AS r2
          |FROM v""".stripMargin,
 
     "text_vocab_growth" ->
@@ -646,8 +646,8 @@ object TextQueries extends QueryPack {
          |  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
          |  GROUP BY st.source, s_total, c_total)
          |SELECT source, CAST(s_total AS BIGINT) AS n_tokens,
-         |  round(kl_sup + (1024 - n_sup) * (0.5 / (s_total + 512.0)) *
-         |    ln((0.5 / (s_total + 512.0)) / (0.5 / (c_total + 512.0))), 6)
+         |  (floor((kl_sup + (1024 - n_sup) * (0.5 / (s_total + 512.0)) *
+         |    ln((0.5 / (s_total + 512.0)) / (0.5 / (c_total + 512.0)))) * 1e6 + 0.5) / 1e6)
          |    AS kl_divergence
          |FROM sup ORDER BY source""".stripMargin,
 
@@ -674,7 +674,7 @@ object TextQueries extends QueryPack {
          |  FROM wts w),
          |expanded AS (
          |  SELECT doc_id, tier, bucket,
-         |    CAST(floor(wt) + CASE WHEN bucket < round((wt - floor(wt)) * 100)
+         |    CAST(floor(wt) + CASE WHEN bucket < (floor(((wt - floor(wt)) * 100) + 0.5))
          |      THEN 1 ELSE 0 END AS INTEGER) AS copies
          |  FROM (SELECT *, CASE tier WHEN 'high' THEN 1.5 WHEN 'mid' THEN 1.0
          |    ELSE 0.0 END AS wt FROM tiered))
@@ -760,7 +760,7 @@ object TextQueries extends QueryPack {
          |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
          |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
          |SELECT doc_id, sum(cnt)::BIGINT AS n_grams, max(cnt) AS top_gram_n,
-         |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top_gram_frac
+         |  (floor((CAST(max(cnt) AS DOUBLE) / sum(cnt)) * 1e6 + 0.5) / 1e6) AS top_gram_frac
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
@@ -821,7 +821,7 @@ object TextQueries extends QueryPack {
         |    ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100 AS bucket
         |  FROM documents)
         |SELECT doc_id, lang,
-        |  (floor(wt) + CASE WHEN bucket < round((wt - floor(wt)) * 100) THEN 1 ELSE 0 END)::INTEGER AS copies
+        |  (floor(wt) + CASE WHEN bucket < (floor(((wt - floor(wt)) * 100) + 0.5)) THEN 1 ELSE 0 END)::INTEGER AS copies
         |FROM w ORDER BY doc_id""".stripMargin,
 
     "text_train_split" ->
@@ -844,7 +844,7 @@ object TextQueries extends QueryPack {
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
          |sel AS (
-         |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+         |  SELECT doc_id, term, (floor((tf * ln(n_docs / df)) * 1e6 + 0.5) / 1e6) AS tfidf
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
          |SELECT doc_id, rank, term, tfidf FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -866,7 +866,7 @@ object TextQueries extends QueryPack {
          |      FROM (SELECT unnest(ts) AS t FROM tl) GROUP BY 1),
          |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
          |SELECT pair, c_ab,
-         |  round(ln(n_docs * c_ab / (ca.c_t * cb.c_t)), 6) AS pmi
+         |  (floor((ln(n_docs * c_ab / (ca.c_t * cb.c_t))) * 1e6 + 0.5) / 1e6) AS pmi
          |FROM cab
          |JOIN ct ca ON split_part(pair, ' ', 1) = ca.t
          |JOIN ct cb ON split_part(pair, ' ', 2) = cb.t
@@ -905,17 +905,17 @@ object TextQueries extends QueryPack {
          |  FROM documents),
          |scored AS (
          |  SELECT doc_id, lang,
-         |    round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    (floor((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
          |      1.0 - least(CAST(punct AS DOUBLE) / greatest(n_chars_s, 1) * 2.0, 0.5)
          |          - CASE WHEN len(toks) < 10 THEN 0.3 ELSE 0.0 END
          |          - CASE WHEN CAST(stop AS DOUBLE) / greatest(len(toks), 1) < 0.01
          |              THEN 0.2 ELSE 0.0 END
-         |      END, 6) AS quality_score
+         |      END) * 1e6 + 0.5) / 1e6) AS quality_score
          |  FROM t),
          |med AS (SELECT lang, quantile_cont(quality_score, 0.5) AS med
          |  FROM scored GROUP BY lang)
          |SELECT s.lang, count(*) AS n_kept,
-         |  round(min(s.quality_score), 6) AS min_kept_score
+         |  (floor((min(s.quality_score)) * 1e6 + 0.5) / 1e6) AS min_kept_score
          |FROM scored s JOIN med m ON s.lang = m.lang
          |WHERE s.quality_score >= m.med
          |GROUP BY s.lang ORDER BY s.lang""".stripMargin,

@@ -153,7 +153,7 @@ object TokenizerQueries extends QueryPack {
        |    ORDER BY cnt DESC, piece LIMIT $TOP_PIECES)),
        |ptot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM pkept),
        |pieces AS MATERIALIZED (
-       |  SELECT piece, cnt, round(-ln(cnt / total), 6) AS nlp
+       |  SELECT piece, cnt, (floor((-ln(cnt / total)) * 1e6 + 0.5) / 1e6) AS nlp
        |  FROM pkept CROSS JOIN ptot)""".stripMargin
 
   /** Viterbi DP unrolled one position per CTE: v_j holds each word's
@@ -173,11 +173,11 @@ object TokenizerQueries extends QueryPack {
       s"""v$j AS MATERIALIZED (
          |  SELECT word, cnt, $j AS j, cost, seg FROM (
          |    SELECT a.word, a.cnt,
-         |      round(a.cost + p.nlp, 6) AS cost,
+         |      (floor((a.cost + p.nlp) * 1e6 + 0.5) / 1e6) AS cost,
          |      CASE WHEN a.seg = '' THEN p.piece
          |        ELSE a.seg || ' ' || p.piece END AS seg,
          |      row_number() OVER (PARTITION BY a.word
-         |        ORDER BY round(a.cost + p.nlp, 6), a.j) AS rk
+         |        ORDER BY (floor((a.cost + p.nlp) * 1e6 + 0.5) / 1e6), a.j) AS rk
          |    FROM ($prevUnion) a
          |    JOIN pieces p
          |      ON p.piece = substring(a.word, a.j + 1, $j - a.j)
@@ -209,7 +209,7 @@ object TokenizerQueries extends QueryPack {
          |  GROUP BY sym),
          |wp$r AS (
          |  SELECT pr.pair, pr.pc, sl.c AS lc, sr.c AS rc,
-         |    round(pr.pc / (CAST(sl.c AS DOUBLE) * sr.c), 9) AS score
+         |    (floor((pr.pc / (CAST(sl.c AS DOUBLE) * sr.c)) * 1e9 + 0.5) / 1e9) AS score
          |  FROM (
          |    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM (
          |      SELECT cnt, unnest(list_transform(
@@ -323,7 +323,7 @@ object TokenizerQueries extends QueryPack {
          |rk AS (SELECT ch, cnt,
          |         sum(cnt) OVER (ORDER BY cnt DESC, ch) AS cum
          |       FROM cc)
-         |SELECT ch, cnt, round(cum / total, 6) AS cum_share,
+         |SELECT ch, cnt, (floor((cum / total) * 1e6 + 0.5) / 1e6) AS cum_share,
          |  (cum - cnt) < total * $COVERAGE AS in_alphabet
          |FROM rk CROSS JOIN tot
          |ORDER BY cnt DESC, ch""".stripMargin

@@ -387,7 +387,7 @@ object Monitors {
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
-        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+        (floor(((pCur - pRef) * log(pCur / pRef)) * 1e6 + 0.5) / 1e6).as("psi_term"))
       .orderBy("bucket")
       .write.mode("overwrite").parquet(s"$outDir/psi")
   }

@@ -38,8 +38,22 @@ _viol = []
 for _f in glob.glob(os.path.join(_REPO, 'src/main/scala/graft/**/*.scala'),
                     recursive=True):
     _txt = open(_f).read()
-    for _m in re.finditer(r'round\(\s*(sum|avg)\s*\(', _txt):
-        _arg = _arg_span(_txt, _m.start() + len('round'))
+    # r19 extension: EVERY round( over a non-decimal input is banned,
+    # per-row included — BASELINE.md's rule is that derived floats
+    # floor-snap (floor(x*1e6+0.5)/1e6), "never round(): engines
+    # tie-break differently". Exempt: a DECIMAL-cast input inside the
+    # round's own argument (exact half-away, engine-agreed),
+    # math.round/Math.round (Java floor(x+0.5) — IS the snap), and
+    # comment-line mentions.
+    for _m in re.finditer(r'round\(', _txt):
+        _pre = _txt[max(0, _m.start() - 6):_m.start()]
+        if _pre.endswith('math.') or _pre.endswith('Math.'):
+            continue
+        _line_start = _txt.rfind('\n', 0, _m.start()) + 1
+        _line_pre = _txt[_line_start:_m.start()]
+        if '//' in _line_pre or _line_pre.lstrip().startswith('*'):
+            continue
+        _arg = _arg_span(_txt, _m.start() + len('round') - 1)
         if 'DECIMAL' in _arg or 'decimal' in _arg:
             continue
         _ln = _txt[:_m.start()].count('\n') + 1

@@ -219,43 +219,78 @@ object StreamingIvm {
     * key — so both logs are retained IN FULL and per-tick cost grows
     * with history. This is inherent to the unrestricted-equi semantics,
     * not a missing fold: bounding retention requires the caller to
-    * DECLARE a pairing horizon, either by using the time-band shape
-    * ([[ingestAttributionBatch]], whose logs fold — band = the declared
-    * TTL) or by running [[ChangeFeed.foldStreamJoinLogOnce]] with a
-    * horizon the caller proves from its own domain (e.g. "keys never
-    * recur after 30 days"). Declaring none means choosing full
-    * retention, the same trade Spark's own stream-stream join makes
-    * when no watermark range condition is given (state grows forever).
+    * DECLARE a pairing horizon — pass `pairTtl` + `foldAfterCommits`
+    * to assert "no pair ever forms between rows more than ttl apart in
+    * event time" (a data property the fold trusts; a violating late
+    * pair is silently lost), use the time-band shape
+    * ([[ingestAttributionBatch]], whose window IS its ttl and needs no
+    * assertion), or run [[ChangeFeed.foldStreamJoinLogOnce]] with a
+    * horizon proven from the caller's own domain. Declaring none means
+    * choosing full retention, the same trade Spark's own stream-stream
+    * join makes when no watermark range condition is given (state grows
+    * forever).
     */
   def ingestStreamJoinBatch(spark: SparkSession, batchA: DataFrame,
       batchB: DataFrame, batchId: Long, logA: String, logB: String,
       mvTable: String, tsCol: String = "ts", joinKey: String = "user_id",
       sumCol: String = "value", lateness: String = "2 hours",
+      pairTtl: Option[String] = None, foldAfterCommits: Int = 0,
       failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     def side(batch: DataFrame, log: String, vName: String,
         fp: String): Unit = {
       val mark = highMark(spark, log)
+      // the event time rides in the log per side (_tsa/_tsb — distinct
+      // names so the equi self-join never collides) to make a DECLARED
+      // pairing-TTL fold possible; undeclared-TTL runs simply never
+      // read it back
       val logged = admit(batch, mark, tsCol, lateness).select(
         col(joinKey), col(sumCol).cast("decimal(18,4)").as(vName),
-        col(tsCol).as("_ts"))
+        col(tsCol).as(s"_ts$fp"))
       logged.persist()
       try if (!logged.isEmpty) {
         failpoint(s"before-append-$fp")
-        Generations.appendCommitted(spark, logged.drop("_ts"), log,
-          s"batch=$batchId")
+        Generations.appendCommitted(spark, logged, log, s"batch=$batchId")
         failpoint(s"after-append-$fp")
-        advanceMark(spark, log, mark, logged, "_ts")
+        advanceMark(spark, log, mark, logged, s"_ts$fp")
         failpoint(s"after-mark-$fp")
       } finally logged.unpersist()
     }
     side(batchA, logA, "_va", "a")
     side(batchB, logB, "_vb", "b")
-    ChangeFeed.maintainStreamJoinOnceLogs(spark, logA, logB,
-      mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs")(
-      (a, b) => a.join(b, Seq(joinKey))) { pairs =>
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
+      a.join(b, Seq(joinKey))
+    def aggOf(pairs: DataFrame): DataFrame =
       pairs.groupBy(col(joinKey))
         .agg(sum(col("_vb")).as("sum_value"), count(lit(1)).as("n_pairs"))
+    val c = ChangeFeed.maintainStreamJoinOnceLogs(spark, logA, logB,
+      mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs")(
+      pairsOf)(aggOf)
+    // DECLARED-TTL retention (the documented equi contract, actionable):
+    // the caller asserts no pair ever forms between rows more than
+    // `pairTtl` apart in event time — a DATA property this fold trusts
+    // (a violating late pair would be silently lost). Under it, a row
+    // older than the OTHER side's mark − lateness − ttl can never pair
+    // with any future delta, so both logs fold on that horizon exactly
+    // like the attribution shape (whose window IS its ttl).
+    if (pairTtl.nonEmpty && foldAfterCommits > 0 &&
+        (Generations.logCommits(spark, logA).size > foldAfterCommits ||
+          Generations.logCommits(spark, logB).size > foldAfterCommits)) {
+      val ttlUs = intervalMicros(pairTtl.get)
+      val latUs = intervalMicros(lateness)
+      (highMark(spark, logA), highMark(spark, logB)) match {
+        case (Some(mA), Some(mB)) =>
+          ChangeFeed.foldStreamJoinLogOnce(spark, logA, logB,
+            foldIsLeft = true, horizonMicros = mB - latUs - ttlUs,
+            "_tsa", Seq(joinKey), Seq("sum_value"), "n_pairs")(
+            pairsOf)(aggOf)
+          ChangeFeed.foldStreamJoinLogOnce(spark, logB, logA,
+            foldIsLeft = false, horizonMicros = mA - latUs - ttlUs,
+            "_tsb", Seq(joinKey), Seq("sum_value"), "n_pairs")(
+            pairsOf)(aggOf)
+        case _ => ()
+      }
     }
+    c
   }
 
   /** The NINTH EX5×IVM shape: maintained streaming ATTRIBUTION — a

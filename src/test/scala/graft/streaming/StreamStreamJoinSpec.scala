@@ -212,6 +212,35 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(state(fmv) === state(rmv))
   }
 
+  test("EQUI shape with a DECLARED pair TTL folds without changing the view") {
+    // data honoring the declaration: each key's A and B rows sit within
+    // 30 minutes of each other; keys never recur across hours
+    def aB(i: Int): Batch = Seq(
+      (100L + i, ts(8 + i, 10), i + 1.0), (200L + i, ts(8 + i, 20), 0.5))
+    def bB(i: Int): Batch = Seq(
+      (100L + i, ts(8 + i, 25), 10.0), (200L + i, ts(8 + i, 35), 20.0))
+    val (rc, rp, rmv) = (mkDir("ra"), mkDir("rb"), mkDir("rm"))
+    val (fc, fp, fmv) = (mkDir("fa"), mkDir("fb"), mkDir("fm"))
+    (0 until 8).foreach { i =>
+      StreamingIvm.ingestStreamJoinBatch(spark, df(aB(i)), df(bB(i)),
+        i.toLong, rc, rp, rmv)
+      StreamingIvm.ingestStreamJoinBatch(spark, df(aB(i)), df(bB(i)),
+        i.toLong, fc, fp, fmv, pairTtl = Some("1 hour"),
+        foldAfterCommits = 2)
+      assert(state(fmv) === state(rmv), s"view diverged at tick $i")
+    }
+    assert(rawCount(fc) < rawCount(rc), "declared-TTL fold must shrink A")
+    assert(rawCount(fp) < rawCount(rp), "declared-TTL fold must shrink B")
+    // no-TTL runs never fold, even with the dial set (the contract is
+    // the DECLARATION, not the dial)
+    val (nc, np, nmv) = (mkDir("na"), mkDir("nb"), mkDir("nm"))
+    (0 until 4).foreach { i =>
+      StreamingIvm.ingestStreamJoinBatch(spark, df(aB(i)), df(bB(i)),
+        i.toLong, nc, np, nmv, foldAfterCommits = 2)
+    }
+    assert(rawCount(nc) === 8L, "undeclared TTL keeps full retention")
+  }
+
   test("a one-sided fold (the cross-log crash window) stays consistent") {
     val (cs, ps) = longHistory
     val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))

@@ -628,7 +628,11 @@ object Generations {
     // from ONE column-pruned checkpoint scan — the sidecar bytes, like
     // the stats lines, are read and parsed DISTRIBUTED (binaryFile scan,
     // executor-side parse); at 10⁶ files they are the bulk of the
-    // checkpoint's bytes and the driver never holds them.
+    // checkpoint's bytes and the driver never holds them. Bound: a
+    // generation's WHOLE sidecar is one binaryFile row, so it must fit
+    // in an executor task (commit width × bloom bytes — ~100 MB at 256
+    // files × 500 KB/1e-6-fpp blooms; the MaxItems cap and per-commit
+    // file counts keep it there, and compaction re-sidecars smaller).
     val withBlooms = cs.filter(c =>
       fs.exists(BloomStats.bloomPath(t, c.gen)))
     val bloomRows =

@@ -991,12 +991,29 @@ object ChangeFeed {
     */
   val GsumCol = "_gsum"
 
+  /** Test observability: whether THIS thread's last
+    * [[maintainStreamJoinOnceLogs]] advanced through the incremental
+    * path (true) or the recompute path (false) — the fold-resume specs
+    * pin which path a post-fold tick takes.
+    */
+  val lastMaintainIncremental: ThreadLocal[Boolean] =
+    ThreadLocal.withInitial(() => false)
+
   /** The raw (pair-formable) rows of a possibly-folded log. */
   private def rawOf(df: DataFrame): DataFrame =
     if (df.columns.contains(GsumCol)) {
       import org.apache.spark.sql.functions.{coalesce, col, lit}
       df.filter(coalesce(col(GsumCol), lit(false)) === false)
     } else df
+
+  /** [[rawOf]] plus dropping the summary-machinery columns (the marker
+    * and the view's sum/count names — RESERVED in folded logs), so a
+    * pair-builder that keeps all columns (the equi join) sees the same
+    * schema before and after a fold.
+    */
+  private def rawCols(df: DataFrame, sumNames: Seq[String],
+      countCol: String): DataFrame =
+    rawOf(df).drop((GsumCol +: sumNames :+ countCol): _*)
 
   /** The folded summary rows of a log, projected to the view schema
     * (None when the log was never folded).
@@ -1067,27 +1084,60 @@ object ChangeFeed {
     * Returns None when nothing is past the horizon (no commit) or the
     * log is empty.
     */
+  /** `mvTable` (optional): when given, the fold checks QUIESCENCE — the
+    * view has applied BOTH logs' heads as sampled before the content
+    * reads — and tags a quiescent fold `=sjfoldq=` instead of
+    * `=sjfold=`. Quiescence is what makes the NEXT tick's incremental
+    * resume sound: every summary pair is then already in the view (the
+    * fold only summarizes pairs over content the view has applied), so
+    * the fold snapshot can serve as the pre-side directly. A fold taken
+    * while either side had unapplied commits may summarize pairs the
+    * view has NOT applied — those are only recoverable through the
+    * recompute path, so such folds keep the plain tag and
+    * [[maintainStreamJoinOnceLogs]] recomputes after them. The sampling
+    * order (applied versions FIRST, then spans/content) makes the check
+    * conservative under concurrent appends: anything landing after the
+    * sample fails the equality and degrades the tag, never the result.
+    */
   def foldStreamJoinLogOnce(spark: SparkSession, foldLog: String,
       otherLog: String, foldIsLeft: Boolean, horizonMicros: Long,
       tsCol: String, mvKeys: Seq[String], sumNames: Seq[String],
-      countCol: String, maxRetries: Int = 5)
+      countCol: String, mvTable: Option[String] = None,
+      maxRetries: Int = 5)
       (pairsOf: (DataFrame, DataFrame) => DataFrame)
       (aggOfPairs: DataFrame => DataFrame): Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, unix_micros}
     var attempt = 0
     while (true) {
+      val applied = mvTable.map(appliedVersions2(spark, _))
       val base = Generations.latest(spark, foldLog).map(_.version)
         .getOrElse(return None)
+      val other = Generations.latest(spark, otherLog)
+        .getOrElse(return None)
+      // the other side's head may itself be ONE just-committed
+      // quiescent fold (the paired-folds flow) — content-invisible, so
+      // the view having applied everything BEFORE it still proves every
+      // summary pair is in the view
+      def otherOk(v: Long): Boolean = v == other.version ||
+        (other.tag.startsWith("=sjfoldq=") && v == other.version - 1)
+      val quiescent = applied.exists { case (vA, vB) =>
+        if (foldIsLeft) vA == base && otherOk(vB)
+        else otherOk(vA) && vB == base
+      }
       val content = Generations.readLog(spark, foldLog)
         .getOrElse(return None)
-      val raw = rawOf(content)
+      // raw rows carry ONLY raw columns (the summary-machinery names
+      // are reserved): pair-builders that keep all columns stay
+      // schema-stable across folds, and the re-written keep side does
+      // not accrete null agg columns fold over fold
+      val raw = rawCols(content, sumNames, countCol)
       val dead = raw.filter(unix_micros(col(tsCol)) < horizonMicros)
       if (dead.isEmpty) return None
       // null-ts rows (no event time) are never foldable: keep
       val keep = raw.filter(
         coalesce(unix_micros(col(tsCol)) >= horizonMicros, lit(true)))
-      val otherRaw = rawOf(Generations.readLog(spark, otherLog)
-        .getOrElse(return None))
+      val otherRaw = rawCols(Generations.readLog(spark, otherLog)
+        .getOrElse(return None), sumNames, countCol)
       val lost = aggOfPairs(
         if (foldIsLeft) pairsOf(dead, otherRaw)
         else pairsOf(otherRaw, dead))
@@ -1095,8 +1145,10 @@ object ChangeFeed {
       val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
         countCol).withColumn(GsumCol, lit(true))
       val folded = keep.unionByName(summaries, allowMissingColumns = true)
+      val tag = if (quiescent) s"=sjfoldq=$horizonMicros"
+        else s"=sjfold=$horizonMicros"
       try return Some(Generations.writeAndCommit(spark, folded, foldLog,
-        tag = s"=sjfold=$horizonMicros", expectedBase = Some(base)))
+        tag = tag, expectedBase = Some(base)))
       catch {
         case _: Generations.CommitConflictException
           if attempt < maxRetries - 1 => attempt += 1
@@ -1112,6 +1164,7 @@ object ChangeFeed {
       (aggOfPairs: DataFrame => DataFrame)
       : Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.lit
+    lastMaintainIncremental.set(false)
     val spanA = Generations.logCommits(spark, logA)
     val spanB = Generations.logCommits(spark, logB)
     val headA = spanA.lastOption.map(_.version).getOrElse(0L)
@@ -1132,30 +1185,53 @@ object ChangeFeed {
     def insertsOf(df: DataFrame): DataFrame =
       df.select(lit("insert").as("_change_type") +:
         df.columns.toSeq.map(df.col): _*)
-    val winA = spanA.filter(c => c.version > appA && c.version <= headA)
-    val winB = spanB.filter(c => c.version > appB && c.version <= headB)
-    def preOk(span: Seq[Generations.Commit], app: Long, head: Long,
+    // FOLD-AWARE windows: a QUIESCENT fold snapshot (`=sjfoldq=`, taken
+    // with the view at both heads) sitting at exactly app+1 is a
+    // content-rewrite of precisely the applied state — it contributes
+    // no new pairs (every summary pair is already in the view) and its
+    // raw rows serve as the pre-side verbatim (dropped rows cannot pair
+    // with any post-fold delta, by the fold's horizon contract). The
+    // window then starts AFTER it, so one fold no longer costs a full
+    // recompute tick. Any other snapshot in the window (non-quiescent
+    // fold, squash, compaction) still degrades to recompute.
+    def foldResume(span: Seq[Generations.Commit],
+        app: Long): Option[Generations.Commit] =
+      span.headOption.filter(c => c.version == app + 1 &&
+        c.tag.startsWith("=sjfoldq="))
+    def effApp(span: Seq[Generations.Commit], app: Long): Long =
+      if (foldResume(span, app).nonEmpty) app + 1 else app
+    val effA = effApp(spanA, appA)
+    val effB = effApp(spanB, appB)
+    val winA = spanA.filter(c => c.version > effA && c.version <= headA)
+    val winB = spanB.filter(c => c.version > effB && c.version <= headB)
+    def preOk(span: Seq[Generations.Commit], eff: Long, head: Long,
         win: Seq[Generations.Commit]): Boolean =
-      app > 0L && span.nonEmpty && span.head.version <= app &&
+      eff > 0L && span.nonEmpty && span.head.version <= eff &&
         win.forall(!Generations.isSnapshotCommit(_)) &&
-        win.map(_.version).toSet == (app + 1 to head).toSet
+        win.map(_.version).toSet == (eff + 1 to head).toSet
     val incremental: Option[DataFrame] =
-      if (!preOk(spanA, appA, headA, winA) ||
-          !preOk(spanB, appB, headB, winB)) None
+      if (!preOk(spanA, effA, headA, winA) ||
+          !preOk(spanB, effB, headB, winB)) None
+      else if (winA.isEmpty && winB.isEmpty) {
+        // fold-only tick: the unapplied commits are quiescent folds —
+        // content-invisible — so only the pair watermark advances
+        lastMaintainIncremental.set(true)
+        Generations.read(spark, mvTable)
+      }
       else Generations.read(spark, mvTable).map { mv =>
         // pre-sides strip folded summary rows (they are already in the
-        // view; only raw rows pair) — windows are pure delta appends,
-        // a fold is snapshot-kind and forces the recompute branch
-        val preA = rawOf(contentOf(logA, spanA.filter(_.version <= appA)))
-        val bHead = rawOf(contentOf(logB, spanB))
+        // view; only raw rows pair)
+        val sumNames0 = sumCols.keys.toSeq
+        val preA = rawCols(contentOf(logA,
+          spanA.filter(_.version <= effA)), sumNames0, countCol)
+        val bHead = rawCols(contentOf(logB, spanB), sumNames0, countCol)
         val pairs = Seq(
           if (winA.isEmpty) None
           else Some(pairsOf(contentOf(logA, winA), bHead)),
           if (winB.isEmpty) None
           else Some(pairsOf(preA, contentOf(logB, winB)))
         ).flatten
-        // at least one window is non-empty here: both-at-head returned
-        // above, and preOk required contiguity up to each head
+        lastMaintainIncremental.set(true)
         val feed = insertsOf(pairs.reduce(_ unionByName _))
         Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
       }
@@ -1163,10 +1239,12 @@ object ChangeFeed {
       // recompute = agg over the pairs still derivable from raw rows,
       // plus both logs' folded summaries (exactly the pairs a fold
       // removed the raw material for) — folded ≡ raw by construction
+      lastMaintainIncremental.set(false)
       val cA = contentOf(logA, spanA)
       val cB = contentOf(logB, spanB)
       val sumNames = sumCols.keys.toSeq
-      mergeAggs(aggOfPairs(pairsOf(rawOf(cA), rawOf(cB))),
+      mergeAggs(aggOfPairs(pairsOf(rawCols(cA, sumNames, countCol),
+          rawCols(cB, sumNames, countCol))),
         (sumsOf(cA, mvKeys, sumNames, countCol) ++
           sumsOf(cB, mvKeys, sumNames, countCol)).toSeq,
         mvKeys, sumNames, countCol)

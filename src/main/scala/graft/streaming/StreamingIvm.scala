@@ -281,12 +281,12 @@ object StreamingIvm {
         case (Some(mA), Some(mB)) =>
           ChangeFeed.foldStreamJoinLogOnce(spark, logA, logB,
             foldIsLeft = true, horizonMicros = mB - latUs - ttlUs,
-            "_tsa", Seq(joinKey), Seq("sum_value"), "n_pairs")(
-            pairsOf)(aggOf)
+            "_tsa", Seq(joinKey), Seq("sum_value"), "n_pairs",
+            Some(mvTable))(pairsOf)(aggOf)
           ChangeFeed.foldStreamJoinLogOnce(spark, logB, logA,
             foldIsLeft = false, horizonMicros = mA - latUs - ttlUs,
-            "_tsb", Seq(joinKey), Seq("sum_value"), "n_pairs")(
-            pairsOf)(aggOf)
+            "_tsb", Seq(joinKey), Seq("sum_value"), "n_pairs",
+            Some(mvTable))(pairsOf)(aggOf)
         case _ => ()
       }
     }
@@ -344,7 +344,7 @@ object StreamingIvm {
         (Generations.logCommits(spark, logC).size > foldAfterCommits ||
           Generations.logCommits(spark, logP).size > foldAfterCommits))
       foldAttributionLogs(spark, logC, logP, tsCol, userCol, window,
-        lateness)
+        lateness, mvTable = Some(mvTable))
     c
   }
 
@@ -390,7 +390,8 @@ object StreamingIvm {
     */
   def foldAttributionLogs(spark: SparkSession, logC: String, logP: String,
       tsCol: String = "ts", userCol: String = "user_id",
-      window: String = "1 hour", lateness: String = "2 hours")
+      window: String = "1 hour", lateness: String = "2 hours",
+      mvTable: Option[String] = None)
       : (Option[Generations.Commit], Option[Generations.Commit]) = {
     val winUs = intervalMicros(window)
     val latUs = intervalMicros(lateness)
@@ -401,10 +402,10 @@ object StreamingIvm {
     val agg = attributionAggOf(userCol)
     val cFold = ChangeFeed.foldStreamJoinLogOnce(spark, logC, logP,
       foldIsLeft = true, horizonMicros = markP.get - latUs, tsCol,
-      Seq(userCol), Seq("sum_value"), "n_pairs")(pairs)(agg)
+      Seq(userCol), Seq("sum_value"), "n_pairs", mvTable)(pairs)(agg)
     val pFold = ChangeFeed.foldStreamJoinLogOnce(spark, logP, logC,
       foldIsLeft = false, horizonMicros = markC.get - latUs - winUs,
-      tsCol, Seq(userCol), Seq("sum_value"), "n_pairs")(pairs)(agg)
+      tsCol, Seq(userCol), Seq("sum_value"), "n_pairs", mvTable)(pairs)(agg)
     (cFold, pFold)
   }
 

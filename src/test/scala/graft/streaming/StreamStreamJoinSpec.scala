@@ -203,12 +203,19 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(foldedC.columns.contains(ChangeFeed.GsumCol))
     assert(foldedC.filter(col(ChangeFeed.GsumCol) === true).count() > 0L,
       "dropped pairs live on as summary rows")
-    // and the folded state keeps maintaining: one more tick, still equal
+    // and the folded state keeps maintaining: one more tick, still
+    // equal — AND through the INCREMENTAL path, not a recompute: the
+    // ingest dial folds right after maintenance (view at both heads),
+    // so the fold commit is tagged quiescent (=sjfoldq=) and the next
+    // tick resumes from the fold snapshot as its pre-side instead of
+    // paying a full recompute (r19 fold-resume)
     val extraC: Batch = Seq((1L, ts(16, 10), 64.0))
     val extraP: Batch = Seq((1L, ts(16), 100.0))
     attribTick(extraC, extraP, 8L, rc, rp, rmv)
     StreamingIvm.ingestAttributionBatch(spark, df(extraC), df(extraP),
       8L, fc, fp, fmv, foldAfterCommits = 2)
+    assert(ChangeFeed.lastMaintainIncremental.get,
+      "a tick after a quiescent fold must take the incremental path")
     assert(state(fmv) === state(rmv))
   }
 
@@ -267,10 +274,16 @@ class StreamStreamJoinSpec extends SparkSpec {
         .agg(sum(col("_va")).as("sum_value"),
           count(lit(1)).as("n_pairs")))
     assert(c.nonEmpty, "the 8h history must have foldable clicks")
+    // a fold with NO quiescence proof (no mvTable) carries the plain
+    // =sjfold= tag: the next tick must take the RECOMPUTE path — the
+    // incremental resume is only sound for quiescent folds
+    assert(c.exists(_.tag.startsWith("=sjfold=")), "plain tag expected")
     val extraC: Batch = Seq((2L, ts(16, 10), 64.0))
     val extraP: Batch = Seq((2L, ts(16), 100.0))
     attribTick(extraC, extraP, 8L, rc, rp, rmv)
     attribTick(extraC, extraP, 8L, fc, fp, fmv)
+    assert(!ChangeFeed.lastMaintainIncremental.get,
+      "an unproven fold in the window must force the recompute path")
     assert(state(fmv) === state(rmv),
       "half-applied fold pair must still recompute exactly")
   }

@@ -1142,6 +1142,33 @@ object AnalyticsQueries extends QueryPack {
     // per-user cross products (StreamingIvm.ingestAttributionBatch).
     // The oracle replays both admission cascades then the plain band
     // join — maintained ≡ recomputed for a non-equi pair-builder.
+    // EX5 × IVM, GRID-QUANTILE form (TENTH shape): the maintained state
+    // is a per-hour value-cell HISTOGRAM — ingestBatch with the
+    // quantized cell as a key column, zero new maintenance machinery —
+    // and p50/p95/p99 are a bounded O(cells) reader over it
+    // (StreamingIvm.gridQuantiles). The oracle replays the admission
+    // and mirrors the lower-quantile definition verbatim: exact at grid
+    // resolution, engines cannot disagree on integer-count thresholds.
+    "mv_stream_grid_quantiles" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvquant")
+      val log = s"$base/log"; val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        val slice = ev.filter(col("event_id") % 3 === b)
+          .filter(col("value").isNotNull)
+          .withColumn("_cell", floor(col("value") / 10.0).cast("long"))
+        graft.streaming.StreamingIvm.ingestBatch(s, slice, b, log, mv,
+          keyCols = Seq("_cell"))
+      }
+      graft.streaming.StreamingIvm.gridQuantiles(
+        graft.sinks.Generations.read(s, mv).get, step = 10.0,
+        qs = Map("p50" -> 0.50, "p95" -> 0.95, "p99" -> 0.99))
+        .select(
+          date_format(col("bucket"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+          col("p50"), col("p95"), col("p99"), col("n"))
+        .orderBy("bucket")
+    }),
+
     "mv_stream_attrib_join" -> ((s, dir) =>
       attribPipeline(s, dir, "graft-mvattr", foldAfterCommits = 0)),
 
@@ -3036,6 +3063,40 @@ object AnalyticsQueries extends QueryPack {
 
     // same two admission cascades, then the BAND join: clicks inside
     // [p.ts, p.ts + 1h], summing the CLICK value
+    // grid-quantile law: replay the admission, histogram on the same
+    // cells, and take the SAME lower quantile (smallest cell whose
+    // cumulative count reaches q·total) — maintained ≡ recomputed,
+    // integer-exact at grid resolution
+    "mv_stream_grid_quantiles" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |b0 AS (SELECT * FROM events_us WHERE event_id % 3 = 0),
+        |w0 AS (SELECT max(ts) AS wm FROM b0),
+        |b1 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM w0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |w1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM w0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM b1), TIMESTAMP '1900-01-01')) AS wm),
+        |b2 AS (SELECT e.* FROM events_us e WHERE event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM w1) - INTERVAL 2 HOUR),
+        |admitted AS (
+        |  SELECT * FROM b0 UNION ALL SELECT * FROM b1
+        |  UNION ALL SELECT * FROM b2),
+        |hist AS (SELECT date_trunc('hour', ts) AS bucket,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS cell, count(*) AS n
+        |  FROM admitted WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cum AS (SELECT bucket, cell, n,
+        |    sum(n) OVER (PARTITION BY bucket ORDER BY cell) AS cum,
+        |    sum(n) OVER (PARTITION BY bucket) AS tot
+        |  FROM hist)
+        |SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  min(cell) FILTER (WHERE cum >= 0.50 * tot) * 10.0 AS p50,
+        |  min(cell) FILTER (WHERE cum >= 0.95 * tot) * 10.0 AS p95,
+        |  min(cell) FILTER (WHERE cum >= 0.99 * tot) * 10.0 AS p99,
+        |  CAST(max(tot) AS BIGINT) AS n
+        |FROM cum GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "mv_stream_attrib_join" -> attribOracleSql,
 
     // folded ≡ raw at the oracle gate: the fold variant recomputes to

@@ -34,6 +34,52 @@ class StreamingIvmSpec extends SparkSpec {
       .as[(Timestamp, String, Long, Double)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
 
+  test("grid quantiles: lower-quantile law over a known histogram; " +
+      "maintained histogram ≡ one-shot") {
+    // hand-computed: bucket h8 = cells 0×4, 1×4, 2×2 (tot 10) →
+    // p50 at cum 5 ⇒ cell 1; p90 at cum 9 ⇒ cell 2; p100 ⇒ cell 2.
+    // bucket h9 = cell 7×1 → every quantile is cell 7.
+    val view = Seq(
+      (ts(8), 0L, 4L), (ts(8), 1L, 4L), (ts(8), 2L, 2L),
+      (ts(9), 7L, 1L)).toDF("bucket", "_cell", "n")
+    val got = StreamingIvm.gridQuantiles(view, step = 10.0,
+      qs = Map("p50" -> 0.50, "p90" -> 0.90, "p100" -> 1.0))
+      .select(col("bucket"), col("p50"), col("p90"), col("p100"), col("n"))
+      .as[(Timestamp, Double, Double, Double, Long)].collect().toSet
+    assert(got === Set(
+      (ts(8), 10.0, 20.0, 20.0, 10L),
+      (ts(9), 70.0, 70.0, 70.0, 1L)))
+    // and the MAINTAINED histogram (ingestBatch keyed on the cell, two
+    // ticks with a late-but-admissible row) equals the one-shot
+    // histogram of the admitted union — the tenth shape rides the
+    // existing abelian machinery unchanged
+    val log = mkDir("qlog"); val mv = mkDir("qmv")
+    def batch(rows: Seq[(Long, Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value")
+        .withColumn("_cell", floor(col("value") / 10.0).cast("long"))
+    val b0 = Seq((1L, ts(8, 10), 5.0), (2L, ts(8, 20), 15.0),
+      (3L, ts(9), 25.0))
+    val b1 = Seq((4L, ts(8, 40), 15.0), (5L, ts(10), 95.0))
+    StreamingIvm.ingestBatch(spark, batch(b0), 0L, log, mv,
+      keyCols = Seq("_cell"))
+    StreamingIvm.ingestBatch(spark, batch(b1), 1L, log, mv,
+      keyCols = Seq("_cell"))
+    val maintained = StreamingIvm.gridQuantiles(
+      Generations.read(spark, mv).get, 10.0, Map("p50" -> 0.5))
+      .select(col("bucket"), col("p50"), col("n"))
+      .as[(Timestamp, Double, Long)].collect().toSet
+    val oneShot = StreamingIvm.gridQuantiles(
+      batch(b0 ++ b1).groupBy(
+          window(col("ts"), "1 hour").getField("start").as("bucket"),
+          col("_cell")).agg(count(lit(1)).as("n")),
+      10.0, Map("p50" -> 0.5))
+      .select(col("bucket"), col("p50"), col("n"))
+      .as[(Timestamp, Double, Long)].collect().toSet
+    assert(maintained === oneShot)
+    assert(maintained.exists { case (b, p50, n) =>
+      b == ts(8) && p50 == 10.0 && n == 3L }) // cells 0,1,1 → p50=cell 1
+  }
+
   test("late rows within lateness reopen their bucket; older ones drop") {
     val log = mkDir("log"); val mv = mkDir("mv")
     // batch 0: hours 10 and 12 → high-mark 12:30

@@ -44,19 +44,21 @@ object StreamFoldProbe {
             (col("id") % 3600L) * 1000000L).as("ts"),
           ((col("id") % 100L).cast("double") / 10.0).as("value"))
 
-    def run(fold: Boolean): (Seq[Double], Seq[Long], Map[Long, (Long, java.math.BigDecimal)]) = {
-      val tag = if (fold) "fold" else "raw"
+    def run(dial: Int): (Seq[Double], Seq[Long], Int,
+        Map[Long, (Long, java.math.BigDecimal)]) = {
+      val tag = s"d$dial"
       val lc = s"$work/${tag}_c${System.nanoTime()}"
       val lp = s"$work/${tag}_p${System.nanoTime()}"
       val mv = s"$work/${tag}_m${System.nanoTime()}"
       val times = Seq.newBuilder[Double]
       val rawRows = Seq.newBuilder[Long]
+      var incr = 0
       (0 until ticks).foreach { i =>
         val t0 = System.nanoTime()
         StreamingIvm.ingestAttributionBatch(spark, batch(i, 17L),
-          batch(i, 71L), i.toLong, lc, lp, mv,
-          foldAfterCommits = if (fold) 3 else 0)
+          batch(i, 71L), i.toLong, lc, lp, mv, foldAfterCommits = dial)
         times += (System.nanoTime() - t0) / 1e9
+        if (ChangeFeed.lastMaintainIncremental.get) incr += 1
         val cLog = Generations.readLog(spark, lc).get
         rawRows += (if (cLog.columns.contains(ChangeFeed.GsumCol))
           cLog.filter(coalesce(col(ChangeFeed.GsumCol), lit(false)) ===
@@ -68,15 +70,22 @@ object StreamFoldProbe {
         .collect()
         .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2))))
         .toMap
-      (times.result(), rawRows.result(), st)
+      (times.result(), rawRows.result(), incr, st)
     }
 
-    val (tRaw, rRaw, sRaw) = run(fold = false)
-    val (tFold, rFold, sFold) = run(fold = true)
-    val equal = sRaw.size == sFold.size && sRaw.forall { case (k, v) =>
-      sFold.get(k).exists(w => w._1 == v._1 &&
-        w._2.compareTo(v._2) == 0)
-    }
+    val (tRaw, rRaw, _, sRaw) = run(dial = 0)
+    val (tFold, rFold, iFold, sFold) = run(dial = 3)
+    // fold-per-tick (r19 stacked-fold generalization): many SMALL folds
+    // — each lost-pair aggregation touches only the newly-dead slice —
+    // with EVERY post-warmup tick still on the incremental path (a
+    // stacked quiescent fold no longer costs the next tick a recompute)
+    val (tF1, rF1, iF1, sF1) = run(dial = 1)
+    def eq(a: Map[Long, (Long, java.math.BigDecimal)],
+        b: Map[Long, (Long, java.math.BigDecimal)]): Boolean =
+      a.size == b.size && a.forall { case (k, v) =>
+        b.get(k).exists(w => w._1 == v._1 && w._2.compareTo(v._2) == 0)
+      }
+    val equal = eq(sRaw, sFold) && eq(sRaw, sF1)
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
     def arrL(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     // structural flatness: the folded run's retained raw rows must stop
@@ -87,12 +96,19 @@ object StreamFoldProbe {
     println(
       s"""{"metric":"stream_fold_probe","ticks":$ticks,"rows_per_tick":$rows,""" +
       s""""tick_s_raw":${arr(tRaw)},"tick_s_fold":${arr(tFold)},""" +
+      s""""tick_s_fold1":${arr(tF1)},""" +
       s""""raw_rows_unfolded":${arrL(rRaw)},"raw_rows_folded":${arrL(rFold)},""" +
+      s""""raw_rows_fold1":${arrL(rF1)},""" +
+      s""""incremental_ticks_fold":$iFold,"incremental_ticks_fold1":$iF1,""" +
       s""""final_raw_unfolded":$rawTail,"final_raw_folded":$foldTail,""" +
-      s""""views_equal":$equal}""")
+      s""""final_raw_fold1":${rF1.last},"views_equal":$equal}""")
     require(equal, "folded and unfolded views must be identical")
     require(foldTail.toDouble < rawTail.toDouble / 2.0,
       s"folded retention must be bounded ($foldTail vs $rawTail rows)")
+    require(rF1.last.toDouble < rawTail.toDouble / 2.0,
+      s"fold-per-tick retention must be bounded (${rF1.last} vs $rawTail)")
+    require(iF1 >= ticks - 1,
+      s"fold-per-tick must stay incremental after bootstrap ($iF1/$ticks)")
     spark.stop()
   }
 }

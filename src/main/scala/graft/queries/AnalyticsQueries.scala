@@ -1135,6 +1135,36 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // EX5 × IVM, BANDED-equi form (r19): the stream⋈stream join under
+    // a DECLARED-and-ENFORCED pair TTL — pairs form only between rows
+    // ≤ 4h apart in event time. The band both DEFINES the view
+    // (enforced in the pair-builder, so the result is deterministic on
+    // any data — not trusted-declaration semantics where a violating
+    // pair's fate depends on fold timing) and BOUNDS retention: the
+    // per-tick fold dial drops rows past the other mark − lateness −
+    // ttl, carrying their pair mass as quiescent summary rows that the
+    // next tick resumes from incrementally (stacked-fold chain
+    // quiescence). The oracle replays both admission cascades then the
+    // plain BAND join over ALL admitted rows — equality across the
+    // folds proves folded ≡ raw on the gate data.
+    "mv_stream_join_ttl" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = graft.sinks.Scratch.dir(s, "graft-mvssttl")
+      val la = s"$base/clicks"; val lb = s"$base/purch"
+      val mv = s"$base/mv"
+      (0L to 2L).foreach { b =>
+        val slice = ev.filter(col("event_id") % 3 === b)
+        graft.streaming.StreamingIvm.ingestStreamJoinBatch(s,
+          slice.filter(col("event_type") === "click"),
+          slice.filter(col("event_type") === "purchase"), b, la, lb, mv,
+          pairTtl = Some("4 hours"), foldAfterCommits = 1)
+      }
+      graft.sinks.Generations.read(s, mv).get
+        .select(col("user_id"), col("n_pairs"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id")
+    }),
+
     // EX5 × IVM, TIME-BAND form (the ninth shape): maintained streaming
     // ATTRIBUTION — clicks within each purchase's 4-hour window, i.e.
     // the stream⋈stream join under a band predicate, RangeJoin-binned
@@ -3059,6 +3089,50 @@ object AnalyticsQueries extends QueryPack {
         |SELECT c.user_id, count(*) AS n_pairs,
         |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+
+    // banded-equi law: the same two admission cascades, then the BAND
+    // join (|click.ts − purchase.ts| ≤ 4h, inclusive) over ALL admitted
+    // rows — the maintained run folds per tick, so equality is the
+    // folded ≡ raw proof under ENFORCED-ttl semantics
+    "mv_stream_join_ttl" ->
+      """WITH events_us AS (
+        |  SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events),
+        |ca0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'click' AND event_id % 3 = 0),
+        |cw0 AS (SELECT max(ts) AS wm FROM ca0),
+        |ca1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM cw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |cw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM cw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM ca1), TIMESTAMP '1900-01-01')) AS wm),
+        |ca2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'click' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM cw1) - INTERVAL 2 HOUR),
+        |clicks AS (SELECT * FROM ca0 UNION ALL SELECT * FROM ca1
+        |  UNION ALL SELECT * FROM ca2),
+        |pa0 AS (SELECT * FROM events_us
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 0),
+        |pw0 AS (SELECT max(ts) AS wm FROM pa0),
+        |pa1 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 1
+        |  AND e.ts >= coalesce((SELECT wm FROM pw0) - INTERVAL 2 HOUR,
+        |    TIMESTAMP '1900-01-01')),
+        |pw1 AS (SELECT greatest(
+        |  coalesce((SELECT wm FROM pw0), TIMESTAMP '1900-01-01'),
+        |  coalesce((SELECT max(ts) FROM pa1), TIMESTAMP '1900-01-01')) AS wm),
+        |pa2 AS (SELECT e.* FROM events_us e
+        |  WHERE event_type = 'purchase' AND event_id % 3 = 2
+        |  AND e.ts >= (SELECT wm FROM pw1) - INTERVAL 2 HOUR),
+        |purch AS (SELECT * FROM pa0 UNION ALL SELECT * FROM pa1
+        |  UNION ALL SELECT * FROM pa2)
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM clicks c JOIN purch p ON c.user_id = p.user_id
+        |  AND p.ts BETWEEN c.ts - INTERVAL 4 HOUR
+        |    AND c.ts + INTERVAL 4 HOUR
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
 
     // same two admission cascades, then the BAND join: clicks inside

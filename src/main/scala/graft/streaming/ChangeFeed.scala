@@ -1086,7 +1086,9 @@ object ChangeFeed {
     */
   /** `mvTable` (optional): when given, the fold checks QUIESCENCE — the
     * view has applied BOTH logs' heads as sampled before the content
-    * reads — and tags a quiescent fold `=sjfoldq=` instead of
+    * reads, where commits past the applied marks that are themselves
+    * quiescent folds count as applied (chain quiescence — folds stack)
+    * — and tags a quiescent fold `=sjfoldq=` instead of
     * `=sjfold=`. Quiescence is what makes the NEXT tick's incremental
     * resume sound: every summary pair is then already in the view (the
     * fold only summarizes pairs over content the view has applied), so
@@ -1110,19 +1112,28 @@ object ChangeFeed {
     var attempt = 0
     while (true) {
       val applied = mvTable.map(appliedVersions2(spark, _))
-      val base = Generations.latest(spark, foldLog).map(_.version)
-        .getOrElse(return None)
-      val other = Generations.latest(spark, otherLog)
-        .getOrElse(return None)
-      // the other side's head may itself be ONE just-committed
-      // quiescent fold (the paired-folds flow) — content-invisible, so
-      // the view having applied everything BEFORE it still proves every
-      // summary pair is in the view
-      def otherOk(v: Long): Boolean = v == other.version ||
-        (other.tag.startsWith("=sjfoldq=") && v == other.version - 1)
+      val selfSpan = Generations.logCommits(spark, foldLog)
+      val base = selfSpan.lastOption.map(_.version).getOrElse(return None)
+      val otherSpan = Generations.logCommits(spark, otherLog)
+      if (otherSpan.isEmpty) return None
+      // CHAIN quiescence (r19, generalized from the single-step check):
+      // the view's applied version v is quiescent w.r.t. a log iff
+      // every VISIBLE commit past v is itself a quiescent fold —
+      // content-invisible rewrites of applied state. A span shows at
+      // most ONE snapshot (the head one truncates logCommits), so
+      // commits HIDDEN behind a head `=sjfoldq=` fold are certified by
+      // THAT fold's own proof: its fold-time applied mark was ≤ v (the
+      // pair watermark is monotone), so its chain covers (v, head).
+      // This is what lets folds STACK — fold-per-tick with no
+      // intervening maintenance — without the second fold degrading to
+      // the plain tag and costing the next tick a recompute.
+      def chainOk(span: Seq[Generations.Commit], v: Long): Boolean =
+        span.nonEmpty && v <= span.last.version &&
+          span.filter(_.version > v)
+            .forall(_.tag.startsWith("=sjfoldq="))
       val quiescent = applied.exists { case (vA, vB) =>
-        if (foldIsLeft) vA == base && otherOk(vB)
-        else otherOk(vA) && vB == base
+        if (foldIsLeft) chainOk(selfSpan, vA) && chainOk(otherSpan, vB)
+        else chainOk(otherSpan, vA) && chainOk(selfSpan, vB)
       }
       val content = Generations.readLog(spark, foldLog)
         .getOrElse(return None)
@@ -1186,20 +1197,25 @@ object ChangeFeed {
       df.select(lit("insert").as("_change_type") +:
         df.columns.toSeq.map(df.col): _*)
     // FOLD-AWARE windows: a QUIESCENT fold snapshot (`=sjfoldq=`, taken
-    // with the view at both heads) sitting at exactly app+1 is a
-    // content-rewrite of precisely the applied state — it contributes
-    // no new pairs (every summary pair is already in the view) and its
-    // raw rows serve as the pre-side verbatim (dropped rows cannot pair
-    // with any post-fold delta, by the fold's horizon contract). The
-    // window then starts AFTER it, so one fold no longer costs a full
-    // recompute tick. Any other snapshot in the window (non-quiescent
-    // fold, squash, compaction) still degrades to recompute.
+    // with the view's chain quiescence proven) at ANY version past the
+    // applied mark is a content-rewrite of precisely the applied state
+    // — it contributes no new pairs (every summary pair is already in
+    // the view) and its raw rows serve as the pre-side verbatim
+    // (dropped rows cannot pair with any post-fold delta, by the fold's
+    // horizon contract). STACKED folds hide their predecessors behind
+    // the head snapshot; the head fold's own chain-quiescence proof
+    // certifies the hidden run (its fold-time applied mark was ≤ the
+    // current one — the pair watermark is monotone), so any number of
+    // back-to-back folds resume incrementally. The window then starts
+    // AFTER the head fold. Any other snapshot in the window
+    // (non-quiescent fold, squash, compaction) still degrades to
+    // recompute.
     def foldResume(span: Seq[Generations.Commit],
         app: Long): Option[Generations.Commit] =
-      span.headOption.filter(c => c.version == app + 1 &&
+      span.headOption.filter(c => c.version > app &&
         c.tag.startsWith("=sjfoldq="))
     def effApp(span: Seq[Generations.Commit], app: Long): Long =
-      if (foldResume(span, app).nonEmpty) app + 1 else app
+      foldResume(span, app).map(_.version).getOrElse(app)
     val effA = effApp(spanA, appA)
     val effB = effApp(spanB, appB)
     val winA = spanA.filter(c => c.version > effA && c.version <= headA)

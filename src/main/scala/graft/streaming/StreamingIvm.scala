@@ -220,9 +220,10 @@ object StreamingIvm {
     * with history. This is inherent to the unrestricted-equi semantics,
     * not a missing fold: bounding retention requires the caller to
     * DECLARE a pairing horizon — pass `pairTtl` + `foldAfterCommits`
-    * to assert "no pair ever forms between rows more than ttl apart in
-    * event time" (a data property the fold trusts; a violating late
-    * pair is silently lost), use the time-band shape
+    * to switch the view to BANDED-equi semantics ("pairs form only
+    * between rows ≤ ttl apart in event time" — ENFORCED in the
+    * pair-builder, so the view is deterministic on any data and the
+    * fold exact by construction), use the time-band shape
     * ([[ingestAttributionBatch]], whose window IS its ttl and needs no
     * assertion), or run [[ChangeFeed.foldStreamJoinLogOnce]] with a
     * horizon proven from the caller's own domain. Declaring none means
@@ -257,8 +258,24 @@ object StreamingIvm {
     }
     side(batchA, logA, "_va", "a")
     side(batchB, logB, "_vb", "b")
-    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
-      a.join(b, Seq(joinKey))
+    // A declared `pairTtl` is ENFORCED, not trusted (r19): the
+    // pair-builder carries the symmetric band |tsA − tsB| ≤ ttl in the
+    // join, so a declaration-violating pair is EXCLUDED by definition —
+    // deterministically, on any data — instead of counted-or-lost
+    // depending on whether a fold had already dropped one partner (the
+    // pre-r19 wart: view content depended on fold TIMING for violating
+    // data). This is the same trade Spark's own stream⋈stream join
+    // makes: the watermark range condition bounds state AND semantics
+    // together. The band rides the equi shuffle as a post-join filter
+    // on the two logged event times — same key shuffle, no extra
+    // exchange. pairTtl = None keeps the unrestricted-equi semantics
+    // and full retention.
+    val ttlBandUs = pairTtl.map(intervalMicros)
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame = {
+      val j = a.join(b, Seq(joinKey))
+      ttlBandUs.fold(j)(t => j.filter(
+        abs(unix_micros(col("_tsa")) - unix_micros(col("_tsb"))) <= t))
+    }
     def aggOf(pairs: DataFrame): DataFrame =
       pairs.groupBy(col(joinKey))
         .agg(sum(col("_vb")).as("sum_value"), count(lit(1)).as("n_pairs"))
@@ -266,12 +283,12 @@ object StreamingIvm {
       mvTable, Seq(joinKey), Map("sum_value" -> "_vb"), "n_pairs")(
       pairsOf)(aggOf)
     // DECLARED-TTL retention (the documented equi contract, actionable):
-    // the caller asserts no pair ever forms between rows more than
-    // `pairTtl` apart in event time — a DATA property this fold trusts
-    // (a violating late pair would be silently lost). Under it, a row
-    // older than the OTHER side's mark − lateness − ttl can never pair
-    // with any future delta, so both logs fold on that horizon exactly
-    // like the attribution shape (whose window IS its ttl).
+    // under the enforced band, a row older than the OTHER side's
+    // mark − lateness − ttl can never pair with any future delta, so
+    // both logs fold on that horizon exactly like the attribution shape
+    // (whose window IS its ttl) — and the fold is exact by
+    // CONSTRUCTION on any data, since the same banded pair-builder
+    // decides both the view and the folded summaries.
     if (pairTtl.nonEmpty && foldAfterCommits > 0 &&
         (Generations.logCommits(spark, logA).size > foldAfterCommits ||
           Generations.logCommits(spark, logB).size > foldAfterCommits)) {

@@ -248,6 +248,139 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(rawCount(nc) === 8L, "undeclared TTL keeps full retention")
   }
 
+  test("a declared pair TTL is ENFORCED: violating pairs are excluded " +
+      "deterministically, independent of fold timing") {
+    // u1's A row at 8:00 pairs with B at 8:30 (in the 1h band) but NOT
+    // with the LATE-ARRIVING B at 12:30 (4.5h apart — a declaration
+    // violation, landing at tick 3 AFTER the per-tick fold dial has
+    // already dropped the 8:00 row past its horizon). Pre-r19 the
+    // trusted-declaration semantics made that pair's fate depend on
+    // fold TIMING: counted by a never-folded run, lost by the folding
+    // run. Enforcement makes both runs agree: out by definition.
+    val as: Seq[Batch] = Seq(
+      Seq((1L, ts(8), 1.0)), Seq((2L, ts(10), 2.0)),
+      Seq((2L, ts(12), 3.0)), Seq.empty)
+    val bs: Seq[Batch] = Seq(
+      Seq((1L, ts(8, 30), 10.0)), Seq((2L, ts(10, 15), 20.0)),
+      Seq((2L, ts(12, 40), 80.0)), Seq((1L, ts(12, 30), 40.0)))
+    // run F folds aggressively (per tick); run N never folds — with an
+    // enforced band their views MUST agree, including on the violating
+    // 8:00 ⋈ 12:30 pair (excluded in both)
+    val (fa, fb, fmv) = (mkDir("fa"), mkDir("fb"), mkDir("fm"))
+    val (na, nb, nmv) = (mkDir("na"), mkDir("nb"), mkDir("nm"))
+    as.indices.foreach { i =>
+      StreamingIvm.ingestStreamJoinBatch(spark, df(as(i)), df(bs(i)),
+        i.toLong, fa, fb, fmv, pairTtl = Some("1 hour"),
+        foldAfterCommits = 1)
+      StreamingIvm.ingestStreamJoinBatch(spark, df(as(i)), df(bs(i)),
+        i.toLong, na, nb, nmv, pairTtl = Some("1 hour"))
+      assert(state(fmv) === state(nmv), s"fold timing changed the view at tick $i")
+    }
+    // the in-band pairs and ONLY those: u1 8:00⋈8:30 (10.0); u2
+    // 10:00⋈10:15 (20.0) and 12:00⋈12:40 (80.0); u2 10:00⋈12:40 and
+    // u1 8:00⋈12:30 are out (violations), u2 12:00⋈10:15 is out too
+    assert(state(nmv) === Map(
+      1L -> ((1L, 10.0)), 2L -> ((2L, 20.0 + 80.0))))
+    // and the folding run actually folded (bounded retention)
+    assert(rawCount(fa) < 3L || rawCount(fb) < 4L,
+      "the per-tick fold dial must have dropped some raw history")
+    // an UNDECLARED run on the same data keeps unrestricted-equi
+    // semantics: all four key-matched pairs count
+    val (ua, ub, umv) = (mkDir("ua"), mkDir("ub"), mkDir("um"))
+    as.indices.foreach { i =>
+      StreamingIvm.ingestStreamJoinBatch(spark, df(as(i)), df(bs(i)),
+        i.toLong, ua, ub, umv)
+    }
+    assert(state(umv) === Map(
+      1L -> ((2L, 10.0 + 40.0)), 2L -> ((4L, 2 * (20.0 + 80.0)))))
+  }
+
+  test("STACKED quiescent folds: back-to-back folds stay quiescent and " +
+      "the next tick still resumes incrementally") {
+    val (cs, ps) = longHistory
+    val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))
+    val (fc, fp, fmv) = (mkDir("fc"), mkDir("fp"), mkDir("fm"))
+    cs.indices.foreach { i =>
+      attribTick(cs(i), ps(i), i.toLong, rc, rp, rmv)
+      attribTick(cs(i), ps(i), i.toLong, fc, fp, fmv)
+    }
+    val markC = StreamingIvm.highMark(spark, fc).get
+    val markP = StreamingIvm.highMark(spark, fp).get
+    val hourUs = 3600000000L
+    def foldC(horizon: Long) = ChangeFeed.foldStreamJoinLogOnce(spark,
+      fc, fp, foldIsLeft = true, horizon, "ts",
+      Seq("user_id"), Seq("sum_value"), "n_pairs", Some(fmv))(
+      attribPairs)(attribAgg)
+    def foldP(horizon: Long) = ChangeFeed.foldStreamJoinLogOnce(spark,
+      fp, fc, foldIsLeft = false, horizon, "ts",
+      Seq("user_id"), Seq("sum_value"), "n_pairs", Some(fmv))(
+      attribPairs)(attribAgg)
+    // two C folds at ADVANCING horizons with NO intervening maintenance
+    // — pre-r19 the second degraded to the plain =sjfold= tag (the base
+    // was no longer the applied head) and forced a recompute; chain
+    // quiescence keeps it =sjfoldq=
+    val c1 = foldC(markP - 4L * hourUs)
+    val c2 = foldC(markP - 2L * hourUs)
+    assert(c1.exists(_.tag.startsWith("=sjfoldq=")), s"first C fold: $c1")
+    assert(c2.exists(_.tag.startsWith("=sjfoldq=")),
+      s"STACKED C fold must stay quiescent: $c2")
+    // the P side now sees TWO stacked foldq commits on the other log
+    // (one hidden behind the other's head snapshot) — its own chain
+    // check must certify the hidden run
+    val p1 = foldP(markC - 4L * hourUs)
+    val p2 = foldP(markC - 2L * hourUs - hourUs)
+    assert(p1.exists(_.tag.startsWith("=sjfoldq=")), s"first P fold: $p1")
+    assert(p2.exists(_.tag.startsWith("=sjfoldq=")),
+      s"STACKED P fold must stay quiescent: $p2")
+    // the next tick resumes INCREMENTALLY from the head fold snapshots
+    // — four unapplied fold commits, zero recompute — and still equals
+    // the never-folded control
+    val extraC: Batch = Seq((1L, ts(16, 10), 64.0))
+    val extraP: Batch = Seq((1L, ts(16), 100.0))
+    attribTick(extraC, extraP, 8L, rc, rp, rmv)
+    attribTick(extraC, extraP, 8L, fc, fp, fmv)
+    assert(ChangeFeed.lastMaintainIncremental.get,
+      "a tick after stacked quiescent folds must take the incremental path")
+    assert(state(fmv) === state(rmv))
+  }
+
+  test("fold-per-tick dial (foldAfterCommits = 1): amortized folds track " +
+      "the control at every tick, all post-fold ticks incremental") {
+    val (cs, ps) = longHistory
+    val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))
+    val (fc, fp, fmv) = (mkDir("fc"), mkDir("fp"), mkDir("fm"))
+    cs.indices.foreach { i =>
+      attribTick(cs(i), ps(i), i.toLong, rc, rp, rmv)
+      StreamingIvm.ingestAttributionBatch(spark, df(cs(i)), df(ps(i)),
+        i.toLong, fc, fp, fmv, foldAfterCommits = 1)
+      assert(state(fmv) === state(rmv), s"view diverged at tick $i")
+      // every tick past the first folds right behind maintenance; the
+      // NEXT maintenance must still be incremental (no recompute tax
+      // for folding often — the amortization the dial exists for)
+      if (i > 2) assert(ChangeFeed.lastMaintainIncremental.get,
+        s"tick $i must be incremental under fold-per-tick")
+    }
+    assert(rawCount(fc) < rawCount(rc), "per-tick folds must bound A")
+    assert(rawCount(fp) < rawCount(rp), "per-tick folds must bound B")
+  }
+
+  /** The attribution pair-builder/agg pair, as the manual-fold tests
+    * need them (mirrors [[StreamingIvm]]'s private helpers: 1h band,
+    * binned point-in-interval).
+    */
+  private def attribPairs: (DataFrame, DataFrame) => DataFrame = (a, b) => {
+    val iv = b.select(col("user_id"), col("ts").as("_ps"),
+      timestamp_micros(unix_micros(col("ts")) + 3600000000L).as("_pe"))
+    graft.operators.RangeJoin.pointInInterval(
+      a.select(col("user_id"), col("ts"), col("_va")), iv,
+      "user_id", "ts", "_ps", "_pe", binSeconds = 3600L,
+      strictStart = false, inclusiveEnd = true)
+  }
+
+  private def attribAgg: DataFrame => DataFrame = pairs =>
+    pairs.groupBy(col("user_id"))
+      .agg(sum(col("_va")).as("sum_value"), count(lit(1)).as("n_pairs"))
+
   test("a one-sided fold (the cross-log crash window) stays consistent") {
     val (cs, ps) = longHistory
     val (rc, rp, rmv) = (mkDir("rc"), mkDir("rp"), mkDir("rm"))

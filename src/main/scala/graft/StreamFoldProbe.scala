@@ -56,7 +56,8 @@ object StreamFoldProbe {
       (0 until ticks).foreach { i =>
         val t0 = System.nanoTime()
         StreamingIvm.ingestAttributionBatch(spark, batch(i, 17L),
-          batch(i, 71L), i.toLong, lc, lp, mv, foldAfterCommits = dial)
+          batch(i, 71L), i.toLong, lc, lp, mv, foldAfterCommits = dial,
+          foldMinPrefix = math.max(1, dial))
         times += (System.nanoTime() - t0) / 1e9
         if (ChangeFeed.lastMaintainIncremental.get) incr += 1
         val cLog = Generations.readLog(spark, lc).get

@@ -1223,10 +1223,38 @@ object Generations {
   private def headSnapshot(spark: SparkSession, table: String): Option[Commit] =
     logCommits(spark, table).headOption.filter(isSnapshotCommit)
 
+  /** A SPLICE snapshot (r19): a snapshot-kind commit whose tag ends in
+    * the reserved `~keep=<v>` suffix. Unlike a full snapshot — which
+    * supersedes EVERYTHING before it — a splice supersedes only commits
+    * with version < v: commits in [v, spliceVersion) REMAIN PART OF THE
+    * LIVE SPAN beneath it, untouched. This is what makes a stream-log
+    * fold O(dropped), not O(retained): the fold commit materializes only
+    * its merged summary rows and drops whole dead commits BY REFERENCE,
+    * instead of rewriting every kept row into a new generation (the
+    * Delta remove-action analog, at commit granularity). Invariants the
+    * WRITER must hold (the fold does, by construction): `v` is a version
+    * inside the current live span, and the content of every superseded
+    * commit (< v) is fully represented in the splice's own rows — so
+    * span content stays union-exact. Nested splices compose: a later
+    * splice's keep-from is always ≥ any deeper one's (it can only name
+    * versions still in ITS span), so one floor — the newest splice's —
+    * governs the walk.
+    */
+  def spliceKeepFrom(c: Commit): Option[Long] =
+    if (!isSnapshotCommit(c)) None
+    else c.tag.lastIndexOf("~keep=") match {
+      case -1 => None
+      case i => scala.util.Try(c.tag.substring(i + 6).toLong).toOption
+    }
+
   /** Commits a [[readLog]] union spans: everything from the newest
     * snapshot-kind commit (inclusive) onward — parsed by walking the
     * commit listing BACKWARD from the newest name, so the cost is
-    * O(live span), not O(history).
+    * O(live span), not O(history). A SPLICE snapshot
+    * ([[spliceKeepFrom]]) does not stop the walk: the commits it keeps
+    * (version ≥ its keep-from) are collected beneath it, and the walk
+    * ends below the newest splice's floor or at a full snapshot,
+    * whichever comes first.
     */
   def logCommits(spark: SparkSession, table: String): Seq[Commit] = {
     val cd = commitsDir(new Path(table))
@@ -1234,10 +1262,17 @@ object Generations {
     val names = commitNames(fs, cd)
     val span = scala.collection.mutable.ListBuffer.empty[Commit]
     var i = names.length - 1
+    var floor = Long.MinValue
     while (i >= 0) {
       val c = parseCommit(fs, cd, names(i))
-      c +=: span
-      if (isSnapshotCommit(c)) i = -1 else i -= 1
+      if (floor != Long.MinValue && c.version < floor) i = -1
+      else {
+        c +=: span
+        spliceKeepFrom(c) match {
+          case Some(k) => floor = math.max(floor, k); i -= 1
+          case None => if (isSnapshotCommit(c)) i = -1 else i -= 1
+        }
+      }
     }
     span.toList
   }
@@ -1633,10 +1668,29 @@ object Generations {
     val parsed = names.map(parseCommit(fs, cd, _))
     // a log table's live span must survive any `keep`: a snapshot-kind
     // commit supersedes what precedes it, nothing supersedes what
-    // follows it. An unsquashed log (no snapshot commit at all) is
-    // entirely live.
-    val lastSnapshot = parsed.lastIndexWhere(isSnapshotCommit)
-    val liveFrom = math.max(lastSnapshot, 0)
+    // follows it — EXCEPT a splice snapshot ([[spliceKeepFrom]]), which
+    // keeps the commits at/above its keep-from version live beneath it.
+    // Same backward walk as [[logCommits]]. An unsquashed log (no
+    // snapshot commit at all) is entirely live.
+    val liveFrom = {
+      var from = 0
+      var j = parsed.length - 1
+      var floor = Long.MinValue
+      var walking = true
+      while (j >= 0 && walking) {
+        val c = parsed(j)
+        if (floor != Long.MinValue && c.version < floor) walking = false
+        else {
+          from = j
+          spliceKeepFrom(c) match {
+            case Some(k) => floor = math.max(floor, k)
+            case None => if (isSnapshotCommit(c)) walking = false
+          }
+          j -= 1
+        }
+      }
+      from
+    }
     val protFrom = parsed.indexWhere(c => protect.contains(c.version))
     val cut0 = math.min(math.max(0, names.length - keep), liveFrom)
     val cut = if (protFrom >= 0) math.min(cut0, protFrom) else cut0

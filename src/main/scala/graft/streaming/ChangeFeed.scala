@@ -1101,11 +1101,27 @@ object ChangeFeed {
     * conservative under concurrent appends: anything landing after the
     * sample fails the equality and degrades the tag, never the result.
     */
+  /** `splice` (default true): fold by PREFIX-SPLICE — drop the maximal
+    * leading run of ENTIRELY-dead commits (no raw row at/above the
+    * horizon; summary-only fold commits qualify trivially and merge
+    * forward) by REFERENCE, committing only the merged summary rows
+    * under a `~keep=<firstKeptVersion>` splice tag
+    * ([[Generations.spliceKeepFrom]]). Fold I/O is then O(dropped
+    * prefix + summaries), NOT O(retained): kept commits are never
+    * rewritten — at 100 TB/day retention the difference between a fold
+    * that rewrites the whole horizon and one that writes a few KB.
+    * Rows below the horizon stranded in a not-entirely-dead commit stay
+    * raw until their commit ages out (bounded by lateness + tick
+    * width — admission guarantees a commit's raw span). `splice =
+    * false` keeps the r18 full-rewrite fold: one new snapshot holding
+    * kept raws + summaries, which also drops the stranded boundary rows
+    * (what a compaction would do).
+    */
   def foldStreamJoinLogOnce(spark: SparkSession, foldLog: String,
       otherLog: String, foldIsLeft: Boolean, horizonMicros: Long,
       tsCol: String, mvKeys: Seq[String], sumNames: Seq[String],
       countCol: String, mvTable: Option[String] = None,
-      maxRetries: Int = 5)
+      maxRetries: Int = 5, splice: Boolean = true, minPrefix: Int = 1)
       (pairsOf: (DataFrame, DataFrame) => DataFrame)
       (aggOfPairs: DataFrame => DataFrame): Option[Generations.Commit] = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, unix_micros}
@@ -1135,34 +1151,91 @@ object ChangeFeed {
         if (foldIsLeft) chainOk(selfSpan, vA) && chainOk(otherSpan, vB)
         else chainOk(otherSpan, vA) && chainOk(selfSpan, vB)
       }
-      val content = Generations.readLog(spark, foldLog)
-        .getOrElse(return None)
-      // raw rows carry ONLY raw columns (the summary-machinery names
-      // are reserved): pair-builders that keep all columns stay
-      // schema-stable across folds, and the re-written keep side does
-      // not accrete null agg columns fold over fold
-      val raw = rawCols(content, sumNames, countCol)
-      val dead = raw.filter(unix_micros(col(tsCol)) < horizonMicros)
-      if (dead.isEmpty) return None
-      // null-ts rows (no event time) are never foldable: keep
-      val keep = raw.filter(
-        coalesce(unix_micros(col(tsCol)) >= horizonMicros, lit(true)))
-      val otherRaw = rawCols(Generations.readLog(spark, otherLog)
-        .getOrElse(return None), sumNames, countCol)
-      val lost = aggOfPairs(
-        if (foldIsLeft) pairsOf(dead, otherRaw)
-        else pairsOf(otherRaw, dead))
-      val oldSums = sumsOf(content, mvKeys, sumNames, countCol)
-      val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
-        countCol).withColumn(GsumCol, lit(true))
-      val folded = keep.unionByName(summaries, allowMissingColumns = true)
-      val tag = if (quiescent) s"=sjfoldq=$horizonMicros"
+      val baseTag = if (quiescent) s"=sjfoldq=$horizonMicros"
         else s"=sjfold=$horizonMicros"
-      try return Some(Generations.writeAndCommit(spark, folded, foldLog,
-        tag = tag, expectedBase = Some(base)))
-      catch {
-        case _: Generations.CommitConflictException
-          if attempt < maxRetries - 1 => attempt += 1
+      // null-ts rows (no event time) are never foldable: keep
+      val keepPred = coalesce(
+        unix_micros(col(tsCol)) >= horizonMicros, lit(true))
+      if (splice) {
+        // PREFIX-SPLICE: the maximal leading run of commits with no raw
+        // row surviving the keep predicate — one bounded existence scan
+        // per prefix commit (stops at the first survivor), never a scan
+        // of the kept tail. A summary-only commit (an earlier splice —
+        // its schema has no event-time column at all) is dead
+        // trivially and merges forward.
+        def genDf(c: Generations.Commit): DataFrame =
+          spark.read.option("mergeSchema", "true")
+            .parquet(Generations.genPath(foldLog, c))
+        val deadPrefix = selfSpan.iterator.map { c =>
+          val raw = rawCols(genDf(c), sumNames, countCol)
+          val hasTs = raw.columns.contains(tsCol)
+          val isDead =
+            if (hasTs) raw.filter(keepPred).isEmpty else raw.isEmpty
+          (c, isDead, hasTs)
+        }.takeWhile(_._2).toSeq
+        val prefixLen = deadPrefix.length
+        val anyRaw = deadPrefix.exists(_._3)
+        // nothing dead, or only the one standing summary commit (a
+        // re-splice of it alone would be a churn no-op), or not yet
+        // enough dead mass to be worth the lost-pair aggregation —
+        // `minPrefix` is the fold CADENCE dial: the deadness probes
+        // above are O(prefix) tiny existence scans, but the fold body
+        // reads the other log and joins dead × horizon, so it should
+        // run once per ~minPrefix ticks, not per tick
+        if (prefixLen == 0 || (!anyRaw && prefixLen <= 1) ||
+            prefixLen < minPrefix) return None
+        val content = spark.read.option("mergeSchema", "true").parquet(
+          selfSpan.take(prefixLen)
+            .map(Generations.genPath(foldLog, _)): _*)
+        val oldSums = sumsOf(content, mvKeys, sumNames, countCol)
+        val lost =
+          if (!anyRaw) oldSums.get.limit(0) // consolidation-only fold
+          else {
+            val dead = rawCols(content, sumNames, countCol)
+            val otherRaw = rawCols(Generations.readLog(spark, otherLog)
+              .getOrElse(return None), sumNames, countCol)
+            aggOfPairs(
+              if (foldIsLeft) pairsOf(dead, otherRaw)
+              else pairsOf(otherRaw, dead))
+          }
+        val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
+          countCol).withColumn(GsumCol, lit(true))
+        // whole span dead → a full summary-only snapshot (no keep-from)
+        val tag = baseTag + (if (prefixLen < selfSpan.length)
+          s"~keep=${selfSpan(prefixLen).version}" else "")
+        try return Some(Generations.writeAndCommit(spark, summaries,
+          foldLog, tag = tag, expectedBase = Some(base)))
+        catch {
+          case _: Generations.CommitConflictException
+            if attempt < maxRetries - 1 => attempt += 1
+        }
+      } else {
+        val content = Generations.readLog(spark, foldLog)
+          .getOrElse(return None)
+        // raw rows carry ONLY raw columns (the summary-machinery names
+        // are reserved): pair-builders that keep all columns stay
+        // schema-stable across folds, and the re-written keep side does
+        // not accrete null agg columns fold over fold
+        val raw = rawCols(content, sumNames, countCol)
+        val dead = raw.filter(unix_micros(col(tsCol)) < horizonMicros)
+        if (dead.isEmpty) return None
+        val keep = raw.filter(keepPred)
+        val otherRaw = rawCols(Generations.readLog(spark, otherLog)
+          .getOrElse(return None), sumNames, countCol)
+        val lost = aggOfPairs(
+          if (foldIsLeft) pairsOf(dead, otherRaw)
+          else pairsOf(otherRaw, dead))
+        val oldSums = sumsOf(content, mvKeys, sumNames, countCol)
+        val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
+          countCol).withColumn(GsumCol, lit(true))
+        val folded = keep.unionByName(summaries,
+          allowMissingColumns = true)
+        try return Some(Generations.writeAndCommit(spark, folded, foldLog,
+          tag = baseTag, expectedBase = Some(base)))
+        catch {
+          case _: Generations.CommitConflictException
+            if attempt < maxRetries - 1 => attempt += 1
+        }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1210,10 +1283,22 @@ object ChangeFeed {
     // AFTER the head fold. Any other snapshot in the window
     // (non-quiescent fold, squash, compaction) still degrades to
     // recompute.
+    // the governing snapshot is the NEWEST snapshot-kind commit in the
+    // span — for a splice fold that is mid-span (kept commits sit
+    // beneath it); for a rewrite fold it is the span head; either way
+    // everything at/below it is pre-side content and the window starts
+    // after it
+    // belt-and-braces: every commit between the applied mark and the
+    // governing snapshot must itself be a quiescent fold (the fold's
+    // own chain proof already implies this through watermark
+    // monotonicity; re-checking here costs nothing and keeps a
+    // manually-interleaved squash/append from ever resuming unsoundly)
     def foldResume(span: Seq[Generations.Commit],
         app: Long): Option[Generations.Commit] =
-      span.headOption.filter(c => c.version > app &&
-        c.tag.startsWith("=sjfoldq="))
+      span.filter(Generations.isSnapshotCommit).lastOption
+        .filter(c => c.version > app && c.tag.startsWith("=sjfoldq=") &&
+          span.forall(x => x.version <= app || x.version > c.version ||
+            x.tag.startsWith("=sjfoldq=")))
     def effApp(span: Seq[Generations.Commit], app: Long): Long =
       foldResume(span, app).map(_.version).getOrElse(app)
     val effA = effApp(spanA, appA)

@@ -236,6 +236,7 @@ object StreamingIvm {
       mvTable: String, tsCol: String = "ts", joinKey: String = "user_id",
       sumCol: String = "value", lateness: String = "2 hours",
       pairTtl: Option[String] = None, foldAfterCommits: Int = 0,
+      foldMinPrefix: Int = 1,
       failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     def side(batch: DataFrame, log: String, vName: String,
         fp: String): Unit = {
@@ -299,11 +300,11 @@ object StreamingIvm {
           ChangeFeed.foldStreamJoinLogOnce(spark, logA, logB,
             foldIsLeft = true, horizonMicros = mB - latUs - ttlUs,
             "_tsa", Seq(joinKey), Seq("sum_value"), "n_pairs",
-            Some(mvTable))(pairsOf)(aggOf)
+            Some(mvTable), minPrefix = foldMinPrefix)(pairsOf)(aggOf)
           ChangeFeed.foldStreamJoinLogOnce(spark, logB, logA,
             foldIsLeft = false, horizonMicros = mA - latUs - ttlUs,
             "_tsb", Seq(joinKey), Seq("sum_value"), "n_pairs",
-            Some(mvTable))(pairsOf)(aggOf)
+            Some(mvTable), minPrefix = foldMinPrefix)(pairsOf)(aggOf)
         case _ => ()
       }
     }
@@ -330,6 +331,7 @@ object StreamingIvm {
       mvTable: String, tsCol: String = "ts", userCol: String = "user_id",
       valueCol: String = "value", window: String = "1 hour",
       lateness: String = "2 hours", foldAfterCommits: Int = 0,
+      foldMinPrefix: Int = 1,
       failpoint: String => Unit = _ => ()): Option[Generations.Commit] = {
     val winUs = intervalMicros(window)
     def side(batch: DataFrame, log: String, vName: String,
@@ -361,7 +363,7 @@ object StreamingIvm {
         (Generations.logCommits(spark, logC).size > foldAfterCommits ||
           Generations.logCommits(spark, logP).size > foldAfterCommits))
       foldAttributionLogs(spark, logC, logP, tsCol, userCol, window,
-        lateness, mvTable = Some(mvTable))
+        lateness, mvTable = Some(mvTable), minPrefix = foldMinPrefix)
     c
   }
 
@@ -408,7 +410,7 @@ object StreamingIvm {
   def foldAttributionLogs(spark: SparkSession, logC: String, logP: String,
       tsCol: String = "ts", userCol: String = "user_id",
       window: String = "1 hour", lateness: String = "2 hours",
-      mvTable: Option[String] = None)
+      mvTable: Option[String] = None, minPrefix: Int = 1)
       : (Option[Generations.Commit], Option[Generations.Commit]) = {
     val winUs = intervalMicros(window)
     val latUs = intervalMicros(lateness)
@@ -419,10 +421,12 @@ object StreamingIvm {
     val agg = attributionAggOf(userCol)
     val cFold = ChangeFeed.foldStreamJoinLogOnce(spark, logC, logP,
       foldIsLeft = true, horizonMicros = markP.get - latUs, tsCol,
-      Seq(userCol), Seq("sum_value"), "n_pairs", mvTable)(pairs)(agg)
+      Seq(userCol), Seq("sum_value"), "n_pairs", mvTable,
+      minPrefix = minPrefix)(pairs)(agg)
     val pFold = ChangeFeed.foldStreamJoinLogOnce(spark, logP, logC,
       foldIsLeft = false, horizonMicros = markC.get - latUs - winUs,
-      tsCol, Seq(userCol), Seq("sum_value"), "n_pairs", mvTable)(pairs)(agg)
+      tsCol, Seq(userCol), Seq("sum_value"), "n_pairs", mvTable,
+      minPrefix = minPrefix)(pairs)(agg)
     (cFold, pFold)
   }
 

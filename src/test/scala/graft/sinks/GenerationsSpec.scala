@@ -545,4 +545,59 @@ class GenerationsSpec extends SparkSpec {
     assert(Compact.compactGenerations(spark, t) === ((1, 1)))
     assert(Generations.latest(spark, t).get.version === 2L)
   }
+
+  test("a SPLICE snapshot keeps the commits at/above its keep-from live") {
+    val t = mkTable()
+    (1 to 5).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    // splice v6 supersedes commits 1-2 (their content re-expressed as
+    // one summary row 100 = 1+2... by the writer's contract) and keeps
+    // 3..5 by reference
+    Generations.writeAndCommit(spark, Seq(100).toDF("v"), t,
+      tag = "=fold=x~keep=3")
+    val span = Generations.logCommits(spark, t)
+    assert(span.map(_.version) === Seq(3L, 4L, 5L, 6L),
+      "span = kept commits beneath the splice, plus the splice")
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(3, 4, 5, 100))
+    // appends continue above; span stays union-exact
+    Generations.appendCommitted(spark, Seq(7).toDF("v"), t, "batch=7")
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(3, 4, 5, 7, 100))
+    // a SECOND splice consolidates the first and advances the floor:
+    // keep-from 7 supersedes commits 3..6 — the kept raws AND the first
+    // splice's summary row merge into this one's content — so the span
+    // never accretes old splices
+    Generations.writeAndCommit(spark, Seq(200).toDF("v"), t,
+      tag = "=fold=y~keep=7")
+    assert(Generations.logCommits(spark, t).map(_.version)
+      === Seq(7L, 8L))
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === Array(7, 200))
+    // a FULL snapshot still truncates everything
+    Generations.writeAndCommit(spark, Seq(999).toDF("v"), t)
+    assert(Generations.logCommits(spark, t).map(_.version) === Seq(9L))
+  }
+
+  test("gc never collects the kept commits beneath a live splice") {
+    val t = mkTable()
+    (1 to 5).foreach(i => Generations.appendCommitted(spark,
+      Seq(i).toDF("v"), t, s"batch=$i"))
+    Generations.writeAndCommit(spark, Seq(100).toDF("v"), t,
+      tag = "=fold=x~keep=3")
+    val before = Generations.readLog(spark, t).get.as[Int].collect().sorted
+    // keep=1 is the aggressive dial: without splice awareness it would
+    // cut everything below the newest snapshot — including kept 3..5
+    Generations.gc(spark, t, keep = 1, orphanGraceMs = 0L)
+    assert(Generations.logCommits(spark, t).map(_.version)
+      === Seq(3L, 4L, 5L, 6L), "kept commits must survive gc")
+    assert(Generations.readLog(spark, t).get.as[Int].collect().sorted
+      === before)
+    // while the SUPERSEDED commits (1, 2) and their gens are collected
+    assert(Generations.commits(spark, t).map(_.version)
+      === Seq(3L, 4L, 5L, 6L))
+    // replay of the newest pre-splice batch is still a witnessed no-op
+    assert(Generations.appendCommitted(spark, Seq(5).toDF("v"), t,
+      "batch=5").isEmpty)
+  }
 }

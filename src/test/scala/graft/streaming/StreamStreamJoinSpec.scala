@@ -362,6 +362,20 @@ class StreamStreamJoinSpec extends SparkSpec {
     }
     assert(rawCount(fc) < rawCount(rc), "per-tick folds must bound A")
     assert(rawCount(fp) < rawCount(rp), "per-tick folds must bound B")
+    // structural splice asserts (r19): the standing fold commits are
+    // PREFIX SPLICES — summary-only content, with the kept append
+    // commits live BENEATH them by reference, never rewritten — so each
+    // fold's I/O is O(dropped prefix), not O(retained log)
+    val spanC = Generations.logCommits(spark, fc)
+    val newestSplice = spanC.reverse.find(c => c.tag.contains("~keep="))
+    assert(newestSplice.nonEmpty, s"no splice in ${spanC.map(_.tag)}")
+    assert(spanC.exists(c => c.tag.startsWith("batch=") &&
+      c.version < newestSplice.get.version),
+      "kept append commits must live beneath the splice by reference")
+    val sgen = spark.read.parquet(
+      Generations.genPath(fc, newestSplice.get))
+    assert(sgen.filter(col(ChangeFeed.GsumCol) === true).count()
+      === sgen.count(), "a splice commit holds ONLY summary rows")
   }
 
   /** The attribution pair-builder/agg pair, as the manual-fold tests

@@ -254,23 +254,79 @@ object Similarity {
       iters: Int = LLOYD_ITERS, trainCap: Long = LLOYD_TRAIN_CAP): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroid = udaf(graft.functions.CentroidAgg)
-    val train = embeddings.filter(col("vec_id") < trainCap)
-      .select(col("vec_id"), col("embedding"))
-    var cents = embeddings.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell"), col("embedding").cast("array<double>").as("c_emb"))
-    for (_ <- 1 to iters) {
-      cents = train.crossJoin(broadcast(cents))
-        .withColumn("sim", (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6))
-        .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("embedding"), col("cell")),
-          struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
-        .select(col("_best.cell").as("cell"), col("_best.embedding").as("embedding"))
-        .groupBy(col("cell"))
-        .agg(centroid(col("embedding")).as("_c"))
-        .select(col("cell"), transform(col("_c"), x => (floor((x) * 1e6 + 0.5) / 1e6)).as("c_emb"))
+    // r19 optimization (guide §1.2 "the distributed algorithm" + §5
+    // driver rules): the training sample is BOUNDED BY CONSTRUCTION
+    // (vec_id < trainCap, i.e. ≤4096 rows of dim floats — ~1 MB at dim
+    // 64), so the whole Lloyd refinement is model-sized work. The
+    // previous form ran it as `iters` crossJoin+two-aggregation rounds —
+    // 4+ exchanges, 2 broadcast builds and ~2.5 s of pure scheduling at
+    // ANY scale factor, because the frames involved never exceed the
+    // train cap. Collecting the capped sample once (the same documented
+    // bounded-model collect class as the trained-centroid collect below)
+    // and refining on the driver computes THE SAME doubles: per-element
+    // float→double widening, sequential index-order dot folds, the
+    // floor-snap before every argmax, min_by's (−sim, cell) lexicographic
+    // tie-break via java.lang.Double.compare (Spark's double ordering),
+    // and the member mean in ascending vec_id order — order differences
+    // are absorbed by the same 1e-6 floor-snap the DuckDB oracle already
+    // relies on when it replays the iteration with ITS OWN summation
+    // order. The oracle gate at 3 SFs pins the equivalence.
+    require(nCells <= trainCap,
+      s"seed cells (vec_id < $nCells) must lie inside the train cap $trainCap")
+    val train: Array[(Long, Array[Float])] =
+      embeddings.filter(col("vec_id") < trainCap)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i).toDouble * b(i); i += 1 }
+      acc
     }
-    cents.as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    def dotFF(a: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      acc
+    }
+    def dotDD(a: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }
+      acc
+    }
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    var cents: Seq[(Long, Array[Double])] = train
+      .filter(_._1 < nCells)
+      .map { case (id, e) => (id, e.map(_.toDouble)) }.toSeq
+    for (_ <- 1 to iters) {
+      val cNorm = cents.map { case (_, c) => math.sqrt(dotDD(c)) }
+      // per-cell (component sums, member count), members folded in
+      // ascending vec_id order (train is sorted)
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Long, (Array[Double], Long)]
+      train.foreach { case (_, e) =>
+        val eNorm = math.sqrt(dotFF(e))
+        var bestCell = -1L; var bestNeg = 0.0; var first = true
+        var ci = 0
+        while (ci < cents.length) {
+          val (cell, c) = cents(ci)
+          val neg = -snap(dotFD(e, c) / (eNorm * cNorm(ci)))
+          val cmp = java.lang.Double.compare(neg, bestNeg)
+          if (first || cmp < 0 || (cmp == 0 && cell < bestCell)) {
+            bestCell = cell; bestNeg = neg; first = false
+          }
+          ci += 1
+        }
+        val (acc, n) = sums.getOrElseUpdate(bestCell,
+          (new Array[Double](e.length), 0L))
+        var i = 0
+        while (i < e.length) { acc(i) += e(i).toDouble; i += 1 }
+        sums(bestCell) = (acc, n + 1)
+      }
+      cents = sums.toSeq.sortBy(_._1).map { case (cell, (acc, n)) =>
+        (cell, acc.map(v => snap(v / n)))
+      }
+    }
+    cents.map { case (cell, c) => (cell, c.toSeq) }
       .toDF("cell", "c_emb")
   }
 

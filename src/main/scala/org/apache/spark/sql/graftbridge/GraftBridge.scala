@@ -13,6 +13,12 @@ object GraftBridge {
 
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 
+  /** `TypeCollection` is `private[sql]`; expression input-type lists that
+    * accept several concrete types (e.g. array<float> natively, no
+    * per-row implicit cast) need it. */
+  def typeCollection(ts: AbstractDataType*): AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
+
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)

@@ -60,6 +60,10 @@ object Graph {
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
         (floor((VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6))
+      // project BEFORE the rank exchange (guide §2.3): the window only
+      // needs (vec_id, cosine, nn_vec_id); without this the shuffle and
+      // sort drag both 64-float embeddings per candidate PAIR
+      .select(col("vec_id"), col("nn_vec_id"), col("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
@@ -99,6 +103,7 @@ object Graph {
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cos", (floor((VectorFns.dot(col("q_emb"), col("c_emb")) /
           (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
+      .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))

@@ -337,23 +337,70 @@ object Similarity {
     * the same contract as IVF-Flat. The output is reusable for
     * cell-partitioned storage layout (write.partitionBy("cell")).
     */
+  /** How many centroids the narrow-projection assignment path inlines as
+    * expression literals before falling back to the broadcast join. 64
+    * cells × dim 64 doubles is a few KB of plan — far below codegen
+    * limits — while a corpus-scaled quantizer (nCells ~ √N) takes the
+    * join path exactly as before. */
+  val ASSIGN_INLINE_MAX_CELLS = 64
+
   def assignCellsTo(embeddings: DataFrame, cents: DataFrame): DataFrame = {
-    embeddings
-      .crossJoin(broadcast(cents))
-      // round(6) before the argmax so the oracle's independently-computed
-      // doubles order identically (ties broken by lowest cell id). The
-      // argmax is a min_by over (−sim, cell), NOT a row_number window:
-      // partial aggregation collapses each vector's nCells candidate rows
-      // (each dragging the embedding payload) to ONE map-side, so the
-      // shuffle carries ~1/nCells the bytes and no per-key sort happens —
-      // this feeds every cell-blocked operator, so it is the hottest
-      // argmax in the repo.
-      .withColumn("sim", (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("label"), col("embedding"), col("cell")),
-        struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
-      .select(col("vec_id"), col("_best.label").as("label"),
-        col("_best.embedding").as("embedding"), col("_best.cell").as("cell"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // r19 optimization: when the quantizer frame is already LOCAL (the
+    // refinedCentroids LocalRelation) and small, the per-row argmax is a
+    // pure NARROW projection — sims against centroid literals, argmin by
+    // array_min over (−sim, cell) structs, which is the SAME lexicographic
+    // (incl. NaN) ordering min_by used — so the whole assignment needs no
+    // crossJoin, no broadcast build and no aggregation exchange. Input
+    // vec_ids are unique by table contract (the groupBy previously only
+    // re-asserted that), so row set and values are unchanged. Large or
+    // non-local quantizers (e.g. a persisted index codebook) keep the
+    // broadcast-join + map-side min_by path, which is the right shape
+    // when nCells grows with the corpus.
+    val localCents: Option[Seq[(Long, Seq[Double])]] =
+      if (cents.isLocal) {
+        val rows = cents.as[(Long, Seq[Double])].collect()
+        if (rows.length <= ASSIGN_INLINE_MAX_CELLS) Some(rows.sortBy(_._1).toSeq)
+        else None
+      } else None
+    localCents match {
+      case Some(cs) if cs.nonEmpty =>
+        def sqDot(c: Seq[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < c.length) { acc += c(i) * c(i); i += 1 }
+          acc
+        }
+        val best = array_min(array(cs.map { case (cell, c) =>
+          val cLit = typedLit(c)
+          // same evaluation as VectorFns.cosine(embedding, c_emb) with
+          // the row-constant norms hoisted: dot/(norm(a)*norm(b)), then
+          // the 1e-6 floor-snap, then (−sim, cell) for the argmin
+          val sim = (floor((VectorFns.dot(col("embedding"), cLit) /
+            (col("_nrm_a") * lit(math.sqrt(sqDot(c))))) * 1e6 + 0.5) / 1e6)
+          struct((-sim).as("neg_sim"), lit(cell).as("cell"))
+        }: _*))
+        embeddings
+          .withColumn("_nrm_a", VectorFns.norm(col("embedding")))
+          .withColumn("cell", best.getField("cell"))
+          .select(col("vec_id"), col("label"), col("embedding"), col("cell"))
+      case _ =>
+        embeddings
+          .crossJoin(broadcast(cents))
+          // round(6) before the argmax so the oracle's independently-
+          // computed doubles order identically (ties broken by lowest
+          // cell id). The argmax is a min_by over (−sim, cell), NOT a
+          // row_number window: partial aggregation collapses each
+          // vector's nCells candidate rows (each dragging the embedding
+          // payload) to ONE map-side, so the shuffle carries ~1/nCells
+          // the bytes and no per-key sort happens.
+          .withColumn("sim", (floor((VectorFns.cosine(col("embedding"), col("c_emb"))) * 1e6 + 0.5) / 1e6))
+          .groupBy(col("vec_id"))
+          .agg(min_by(struct(col("label"), col("embedding"), col("cell")),
+            struct((-col("sim")).as("neg_sim"), col("cell"))).as("_best"))
+          .select(col("vec_id"), col("_best.label").as("label"),
+            col("_best.embedding").as("embedding"), col("_best.cell").as("cell"))
+    }
   }
 
   /** [[assignCellsTo]] against the [[refinedCentroids]] quantizer — THE
@@ -483,6 +530,7 @@ object Similarity {
     val simRank = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored
+      .select(col("query_id"), col("vec_id"), col("cell"), col("cosine")) // narrow
       .withColumn("_rn", row_number().over(simRank))
       .filter(col("_rn") <= k)
       .select(col("query_id"), col("vec_id"), col("cell"), col("cosine"))
@@ -644,6 +692,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("nn_vec_id"))
       .withColumn("cosine",
         (floor((VectorFns.dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b"))) * 1e6 + 0.5) / 1e6))
+      // narrow pre-window (guide §2.3): drop both embedding payloads
+      .select(col("vec_id"), col("label"), col("nn_vec_id"),
+        col("nn_label"), col("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .groupBy(col("vec_id"), col("label"), col("nn_label"))
@@ -782,6 +833,7 @@ object Similarity {
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("cos", (floor((VectorFns.dot(col("q_emb"), col("c_emb")) /
           (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
+      .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("c_id"))
@@ -846,7 +898,9 @@ object Similarity {
           (col("q_nrm") * col("c_nrm"))) * 1e6 + 0.5) / 1e6))
     val wke = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
-    val exactTop = pairs.withColumn("rk", row_number().over(wke))
+    val exactTop = pairs
+      .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
+      .withColumn("rk", row_number().over(wke))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
       .materialized // bounded |Q|·k rows, reused per probe level
     val probes = nProbes.toDF("n_probe")
@@ -857,6 +911,7 @@ object Similarity {
         col("q_id") === col("pr_q") && col("c_cell") === col("pr_cell"))
       .crossJoin(broadcast(probes))
       .filter(col("cell_rank") <= col("n_probe"))
+      .select(col("q_id"), col("n_probe"), col("c_id"), col("cos")) // narrow
       .withColumn("rk", row_number().over(wkp))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_probe"), col("c_id"))
@@ -907,6 +962,7 @@ object Similarity {
     val wf = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     val fullTop = pairs.withColumn("cos", cosAt(lit(fullDim)))
+      .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
       .materialized // bounded |Q|·k baseline, reused per dims level
@@ -914,6 +970,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("c_id"))
     val truncTop = pairs.crossJoin(broadcast(dimsDf))
       .withColumn("cos", cosAt(col("n_dims")))
+      .select(col("q_id"), col("n_dims"), col("c_id"), col("cos")) // narrow
       .withColumn("rk", row_number().over(wd))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("n_dims"), col("c_id"))

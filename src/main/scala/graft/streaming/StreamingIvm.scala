@@ -73,12 +73,44 @@ object StreamingIvm {
   private def advanceMark(spark: SparkSession, logTable: String,
       mark: Option[Long], admittedTs: DataFrame, tsCol: String): Unit = {
     val mx = admittedTs.agg(max(unix_micros(col(tsCol)))).head()
-    if (!mx.isNullAt(0)) {
-      val dir = new Path(logTable, "_stream")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val next = math.max(mark.getOrElse(Long.MinValue), mx.getLong(0))
-      Pointers.replace(fs, dir, WmPointer, next.toString)
-    }
+    if (!mx.isNullAt(0))
+      advanceMarkTo(spark, logTable, mark, mx.getLong(0))
+  }
+
+  private def advanceMarkTo(spark: SparkSession, logTable: String,
+      mark: Option[Long], mxMicros: Long): Unit = {
+    val dir = new Path(logTable, "_stream")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = math.max(mark.getOrElse(Long.MinValue), mxMicros)
+    Pointers.replace(fs, dir, WmPointer, next.toString)
+  }
+
+  /** The witnessed-append prologue every ingest tick shares: ONE
+    * aggregate over the persisted admitted frame yields both the
+    * emptiness verdict and the event-time max (r19 — previously a
+    * separate `isEmpty` probe job plus a max job per tick; admission is
+    * deterministic, so semantics are unchanged: rows-but-all-null-ts
+    * still appends without advancing the mark, exactly as before). The
+    * failpoint names are part of the replay-spec contract and are
+    * preserved verbatim via `fpSuffix`.
+    */
+  private def appendAdmitted(spark: SparkSession, admitted: DataFrame,
+      appendDf: => DataFrame, log: String, tsName: String,
+      mark: Option[Long], batchId: Long, failpoint: String => Unit,
+      fpSuffix: String = ""): Unit = {
+    admitted.persist()
+    try {
+      val row = admitted
+        .agg(count(lit(1)), max(unix_micros(col(tsName)))).head()
+      if (row.getLong(0) > 0L) {
+        failpoint(s"before-append$fpSuffix")
+        Generations.appendCommitted(spark, appendDf, log, s"batch=$batchId")
+        failpoint(s"after-append$fpSuffix")
+        if (!row.isNullAt(1))
+          advanceMarkTo(spark, log, mark, row.getLong(1))
+        failpoint(s"after-mark$fpSuffix")
+      }
+    } finally admitted.unpersist()
   }
 
   /** One micro-batch of the maintained windowed aggregate: watermark-
@@ -119,28 +151,21 @@ object StreamingIvm {
     // still cost a commit + a view tick per all-late micro-batch —
     // metadata churn with no information. Admission is deterministic,
     // so a replay re-evaluates to empty and stays a no-op without the
-    // batch witness. Persisted so the isEmpty probe, the log write and
-    // the mark's max aggregate evaluate the admitted plan once, not
-    // three times (r15 ADVICE).
-    bucketed.persist()
-    try if (!bucketed.isEmpty) {
-      // The append may be a WITNESSED no-op (foreachBatch replay after
-      // a crash); the mark advance must NOT be gated on it committing —
-      // a crash between the log append and the pointer write would
-      // otherwise skip the advance forever on replay, and later batches
-      // would admit rows older than mark−lateness relative to the
-      // no-crash run (r15 ADVICE, medium). The pointer write is an
-      // idempotent monotonic max, so re-running it on replay is safe.
-      // `failpoint` is a crash-injection seam: StreamingIvmReplaySpec
-      // kills the tick at each commit boundary and proves the replay
-      // converges to the no-crash run.
-      failpoint("before-append")
-      Generations.appendCommitted(spark, bucketed.drop("_ts"),
-        logTable, s"batch=$batchId")
-      failpoint("after-append")
-      advanceMark(spark, logTable, mark, bucketed, "_ts")
-      failpoint("after-mark")
-    } finally bucketed.unpersist()
+    // batch witness. Persisted (inside appendAdmitted) so the combined
+    // count+max probe and the log write evaluate the admitted plan
+    // once, not twice (r15 ADVICE; r19 merged the probes).
+    // The append may be a WITNESSED no-op (foreachBatch replay after
+    // a crash); the mark advance must NOT be gated on it committing —
+    // a crash between the log append and the pointer write would
+    // otherwise skip the advance forever on replay, and later batches
+    // would admit rows older than mark−lateness relative to the
+    // no-crash run (r15 ADVICE, medium). The pointer write is an
+    // idempotent monotonic max, so re-running it on replay is safe.
+    // `failpoint` is a crash-injection seam: StreamingIvmReplaySpec
+    // kills the tick at each commit boundary and proves the replay
+    // converges to the no-crash run.
+    appendAdmitted(spark, bucketed, bucketed.drop("_ts"), logTable,
+      "_ts", mark, batchId, failpoint)
     // insert-only log ⇒ min/max merge monotonically (no retraction, so
     // the non-retractable-monoid problem never arises; the dirty-group
     // re-aggregation path prunes to nothing at runtime)
@@ -188,15 +213,8 @@ object StreamingIvm {
     // empty-admitted batches append nothing; the mark advance is gated
     // on the ADMITTED frame, never on the append committing — see
     // ingestBatch for the crash-replay argument (r15 ADVICE, medium)
-    logged.persist()
-    try if (!logged.isEmpty) {
-      failpoint("before-append")
-      Generations.appendCommitted(spark, logged.drop("_ts"),
-        logTable, s"batch=$batchId")
-      failpoint("after-append")
-      advanceMark(spark, logTable, mark, logged, "_ts")
-      failpoint("after-mark")
-    } finally logged.unpersist()
+    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+      "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainJoinAggOnceLog(spark, logTable, dimTable, dimKeys,
       joinKeys, mvTable, mvKeys, Map("sum_value" -> "_v"), "n") { (f, d) =>
       f.join(d, joinKeys).groupBy(mvKeys.map(col): _*)
@@ -248,14 +266,8 @@ object StreamingIvm {
       val logged = admit(batch, mark, tsCol, lateness).select(
         col(joinKey), col(sumCol).cast("decimal(18,4)").as(vName),
         col(tsCol).as(s"_ts$fp"))
-      logged.persist()
-      try if (!logged.isEmpty) {
-        failpoint(s"before-append-$fp")
-        Generations.appendCommitted(spark, logged, log, s"batch=$batchId")
-        failpoint(s"after-append-$fp")
-        advanceMark(spark, log, mark, logged, s"_ts$fp")
-        failpoint(s"after-mark-$fp")
-      } finally logged.unpersist()
+      appendAdmitted(spark, logged, logged, log, s"_ts$fp", mark,
+        batchId, failpoint, fpSuffix = s"-$fp")
     }
     side(batchA, logA, "_va", "a")
     side(batchB, logB, "_vb", "b")
@@ -340,14 +352,8 @@ object StreamingIvm {
       val logged = admit(batch, mark, tsCol, lateness).select(
         col(userCol), col(tsCol),
         col(valueCol).cast("decimal(18,4)").as(vName))
-      logged.persist()
-      try if (!logged.isEmpty) {
-        failpoint(s"before-append-$fp")
-        Generations.appendCommitted(spark, logged, log, s"batch=$batchId")
-        failpoint(s"after-append-$fp")
-        advanceMark(spark, log, mark, logged, tsCol)
-        failpoint(s"after-mark-$fp")
-      } finally logged.unpersist()
+      appendAdmitted(spark, logged, logged, log, tsCol, mark,
+        batchId, failpoint, fpSuffix = s"-$fp")
     }
     side(clicks, logC, "_va", "a")
     side(purchases, logP, "_vb", "b")
@@ -489,15 +495,8 @@ object StreamingIvm {
     val mark = highMark(spark, logTable)
     val logged = admit(batch, mark, tsCol, lateness)
       .select(col(userCol), col(tsCol))
-    logged.persist()
-    try if (!logged.isEmpty) {
-      failpoint("before-append")
-      Generations.appendCommitted(spark, logged, logTable,
-        s"batch=$batchId")
-      failpoint("after-append")
-      advanceMark(spark, logTable, mark, logged, tsCol)
-      failpoint("after-mark")
-    } finally logged.unpersist()
+    appendAdmitted(spark, logged, logged, logTable, tsCol, mark,
+      batchId, failpoint)
     val c = ChangeFeed.maintainSessionsOnceLog(spark, logTable, mvTable,
       userCol, tsCol, intervalMicros(gap))
     // bounded-retention dial: once the log span exceeds the policy
@@ -601,15 +600,8 @@ object StreamingIvm {
       window(col(tsCol), bucketWidth).getField("start").as("bucket"),
       col(entityCol), col(sumCol).cast("decimal(18,4)").as("_v"),
       col(tsCol).as("_ts"))
-    logged.persist()
-    try if (!logged.isEmpty) {
-      failpoint("before-append")
-      Generations.appendCommitted(spark, logged.drop("_ts"), logTable,
-        s"batch=$batchId")
-      failpoint("after-append")
-      advanceMark(spark, logTable, mark, logged, "_ts")
-      failpoint("after-mark")
-    } finally logged.unpersist()
+    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+      "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainTopKOnceLog(spark, logTable, mvTable,
       Seq("bucket")) { log =>
       // rank on the DECIMAL sum (order-independent across plans and
@@ -647,15 +639,8 @@ object StreamingIvm {
     val logged = admit(batch, mark, tsCol, lateness).select(
       window(col(tsCol), bucketWidth).getField("start").as("bucket"),
       h.as("_h"), col(tsCol).as("_ts"))
-    logged.persist()
-    try if (!logged.isEmpty) {
-      failpoint("before-append")
-      Generations.appendCommitted(spark, logged.drop("_ts"), logTable,
-        s"batch=$batchId")
-      failpoint("after-append")
-      advanceMark(spark, logTable, mark, logged, "_ts")
-      failpoint("after-mark")
-    } finally logged.unpersist()
+    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+      "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainKmvOnceLog(spark, logTable, mvTable,
       Seq("bucket"), k)
   }

@@ -238,7 +238,7 @@ object Dedup {
     // upstream plan (LSH banded join + Jaccard verify when called from
     // nearDupSurvivors) evaluated once per direction — measured ~2× the
     // whole pair-generation cost on dedup_near_clusters.
-    val p = pairs.select(col("a"), col("b")).materialized
+    val p = pairs.select(col("a"), col("b")).materializedLazy // the count below runs it
     val edgesRaw = p.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
     // Size the iteration frames to the ACTUAL edge count (known after the
@@ -247,7 +247,7 @@ object Dedup {
     // dozens of near-empty tasks per round × per join × per round
     // dominated the loop (~1 s/round at 508 edges / 32 partitions).
     val parts = math.max(1, (p.count() * 2 / 2000000L).toInt)
-    val edges = edgesRaw.repartition(parts, col("dst")).materialized
+    val edges = edgesRaw.repartition(parts, col("dst")).materializedLazy
     // Seed labels with round 1 already applied: comp₀(v) = min({v} ∪
     // neighbors) is exactly what the first loop round computes from the
     // identity seed (its pointer-jump is a no-op there) — but as ONE
@@ -257,7 +257,7 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("src").as("v"), least(col("src"), col("min_nbr")).as("comp"))
-      .repartition(parts, col("v")).materialized
+      .repartition(parts, col("v")).materializedLazy
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -275,7 +275,7 @@ object Dedup {
         .select(col("v"), col("comp").as("old_comp"),
           least(col("comp"), col("jump_comp"),
             coalesce(col("min_nbr"), col("comp"))).as("comp"))
-        .materialized
+        .materializedLazy // the convergence count below runs the cut
       changed = next.filter(col("comp") < col("old_comp")).count()
       labels = next.select(col("v"), col("comp"))
       i += 1

@@ -67,7 +67,7 @@ object Graph {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("vec_id").as("src"), col("nn_vec_id").as("dst"))
-      .materialized
+      .materializedLazy
     topk.unionByName(topk.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
@@ -169,12 +169,17 @@ object Graph {
     * like [[pageRank]].
     */
   def labelPropagation(edges: DataFrame, iters: Int = 4): DataFrame = {
+    // ONE eager cut of the edge list (the count for sizing rides it);
+    // the dst-partitioned copy and the per-round label frames cut
+    // LAZILY — the checkpoint job folds into the round's first consumer
+    // while still deduplicating the double reference (r19; each round's
+    // frame is referenced by the next round's join AND carried forward).
     val eRaw = edges.select(col("src"), col("dst")).materialized
     val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("dst")).materialized
+    val e = eRaw.repartition(parts, col("dst")).materializedLazy
     var labels = e.select(col("src").as("v")).distinct()
       .repartition(parts, col("v"))
-      .withColumn("lbl", col("v")).materialized
+      .withColumn("lbl", col("v")).materializedLazy
     for (_ <- 1 to iters) {
       labels = e
         .join(labels.select(col("v").as("dst"), col("lbl").as("nbr_lbl")), "dst")
@@ -184,16 +189,21 @@ object Graph {
         .agg(min_by(col("nbr_lbl"),
           struct((-col("votes")).as("neg_votes"), col("nbr_lbl"))).as("lbl"))
         .select(col("src").as("v"), col("lbl"))
-        .materialized
+        .materializedLazy
     }
     labels.select(col("v"), col("lbl").as("community"))
   }
 
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
       onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eRaw = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).materialized
+    // cut the incoming edge list FIRST: `edges` is referenced twice
+    // below (degree aggregation + the join), and without the boundary
+    // the caller's whole edge-builder lineage would evaluate per
+    // reference (r19)
+    val e0 = edges.select(col("src"), col("dst")).materialized
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eRaw = e0.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg")).materializedLazy
 
     // ONE aggregation over the edge endpoints yields the node set, the
     // dangling check (a vertex is dangling iff it appears as dst but
@@ -202,8 +212,8 @@ object Graph {
     // edge count (pair graphs are usually minuscule next to the corpus;
     // inheriting spark.sql.shuffle.partitions paid dozens of near-empty
     // tasks per join per round).
-    val verts = eRaw.select(col("src").as("v"), lit(1).as("o"))
-      .unionByName(eRaw.select(col("dst").as("v"), lit(0).as("o")))
+    val verts = e0.select(col("src").as("v"), lit(1).as("o"))
+      .unionByName(e0.select(col("dst").as("v"), lit(0).as("o")))
       .groupBy(col("v"))
       .agg(max(col("o")).as("has_out"), sum(col("o")).as("out_rows"))
       .materialized
@@ -216,9 +226,9 @@ object Graph {
     // One edge-frame reused every iteration: pre-partition on the join key
     // and checkpoint, so the per-iteration join reuses the layout instead
     // of re-shuffling the edges each round.
-    val e = eRaw.repartition(parts, col("src")).materialized
+    val e = eRaw.repartition(parts, col("src")).materializedLazy
     val nodes = verts.select(col("v"))
-      .repartition(parts, col("v")).materialized
+      .repartition(parts, col("v")).materializedLazy
     val n = nNodes.toDouble
 
     var ranks = nodes.withColumn("r", lit(1.0 / n))
@@ -230,7 +240,7 @@ object Graph {
       ranks = nodes.join(contrib, nodes("v") === contrib("dst"), "left")
         .select(col("v"),
           (lit((1 - damping) / n) + lit(damping) * coalesce(col("s"), lit(0.0))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.materialized
+      if (i % 3 == 0 && i < iters) ranks = ranks.materializedLazy
       // diagnostic seam (GraphInvariants): per-iteration rank frame for
       // engine-side mass-conservation checks; default no-op costs nothing
       onIteration(i, ranks)
@@ -260,11 +270,14 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iters: Int = 5, damping: Double = 0.85,
       onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eRaw = edges.join(deg, "src")
-      .select(col("src"), col("dst"), col("outdeg")).materialized
-    val verts = eRaw.select(col("src").as("v"), lit(1).as("o"))
-      .unionByName(eRaw.select(col("dst").as("v"), lit(0).as("o")))
+    // single eager cut of the edge list; derived frames cut lazily —
+    // see pageRank (r19)
+    val e0 = edges.select(col("src"), col("dst")).materialized
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eRaw = e0.join(deg, "src")
+      .select(col("src"), col("dst"), col("outdeg"))
+    val verts = e0.select(col("src").as("v"), lit(1).as("o"))
+      .unionByName(e0.select(col("dst").as("v"), lit(0).as("o")))
       .groupBy(col("v"))
       .agg(max(col("o")).as("has_out"), sum(col("o")).cast("long").as("out_rows"))
       .materialized
@@ -274,7 +287,7 @@ object Graph {
     require(nDangling == 0,
       s"$nDangling dangling node(s) (in-edges but no out-edges) would leak rank mass")
     val parts = math.max(1, (nEdges / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("src")).materialized
+    val e = eRaw.repartition(parts, col("src")).materializedLazy
 
     val base = verts.select(col("v"))
       .join(seeds.select(col("v")).distinct().withColumn("_s", lit(1.0)),
@@ -283,7 +296,7 @@ object Graph {
     val nSeeds = base.agg(sum(col("flag"))).head().getDouble(0)
     require(nSeeds > 0, "seed set must intersect the graph's node set")
     val s = base.select(col("v"), (col("flag") / nSeeds).as("s"))
-      .repartition(parts, col("v")).materialized
+      .repartition(parts, col("v")).materializedLazy
 
     var ranks = s.select(col("v"), col("s").as("r"))
     for (i <- 1 to iters) {
@@ -295,7 +308,7 @@ object Graph {
         .select(s("v"),
           (lit(1 - damping) * col("s") +
             lit(damping) * coalesce(col("cs"), lit(0.0))).as("r"))
-      if (i % 3 == 0 && i < iters) ranks = ranks.materialized
+      if (i % 3 == 0 && i < iters) ranks = ranks.materializedLazy
       onIteration(i, ranks) // diagnostic seam, as in pageRank
     }
     // floor-snap, never round() — same rule as pageRank's rank_norm
@@ -323,9 +336,12 @@ object Graph {
     * not graph-sized ones.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    // one eager cut; derived frames cut lazily (the checkpoint job folds
+    // into each round's first consumer while still deduplicating the
+    // union+join double reference within the round) — see pageRank (r19)
     val eRaw = edges.select(col("src"), col("dst")).materialized
     val parts = math.max(1, (eRaw.count() / 2000000L).toInt)
-    val e = eRaw.repartition(parts, col("src")).materialized
+    val e = eRaw.repartition(parts, col("src")).materializedLazy
     // Node set from BOTH endpoints: on a directed edge list a seed that
     // appears only as a dst must still start at hops=0, or it would be
     // assigned a wrong (>=1) distance when reached from another seed.
@@ -333,13 +349,13 @@ object Graph {
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .join(seeds.select(col("v")).distinct(), Seq("v"), "left_semi")
       .withColumn("hops", lit(0L))
-      .repartition(parts, col("v")).materialized
+      .repartition(parts, col("v")).materializedLazy
     for (_ <- 1 to maxHops) {
       val relax = e.join(dist, e("src") === dist("v"))
         .select(col("dst").as("v"), (col("hops") + lit(1L)).as("hops"))
       dist = dist.unionByName(relax)
         .groupBy(col("v")).agg(min(col("hops")).as("hops"))
-        .materialized
+        .materializedLazy
     }
     dist
   }
@@ -388,7 +404,7 @@ object Graph {
     val raw = edges.select(col("src"), col("dst"))
     val e = raw
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().materialized
+      .distinct().materializedLazy
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     val cn = e.alias("x")
       .join(e.alias("y"),
@@ -409,7 +425,7 @@ object Graph {
   }
 
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).materialized
+    val e = edges.select(col("src"), col("dst")).materializedLazy
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
     // Orientation rank: (deg, id) as a lexicographic struct; symmetric
     // input means keeping rank(src) < rank(dst) rows keeps each

@@ -78,9 +78,16 @@ object Learn {
   def hashedFeatures(docs: DataFrame, dims: Int, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val tf = hashedCounts(docs, dims, textCol, idCol)
-    val nd = tf.groupBy(col("doc_id")).agg(sum(col("cnt")).as("n"))
-    tf.join(nd, "doc_id")
-      .select(col("doc_id"), col("bucket"), (col("cnt") / col("n")).as("x"))
+    // per-doc total as an unbounded window over the doc's rows instead
+    // of a groupBy + self-join (r19): one exchange fewer, and the output
+    // comes out hash-partitioned by doc_id — which the training loop's
+    // per-iteration margin window then reuses without re-shuffling. The
+    // counts are integral doubles, so the summation-order difference is
+    // exact-in-fp and x is bit-identical to the join form.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    tf.select(col("doc_id"), col("bucket"),
+      (col("cnt") / sum(col("cnt")).over(byDoc)).as("x"))
   }
 
   /** Full-batch logistic regression: `iters` gradient-descent steps of

@@ -423,7 +423,7 @@ object Similarity {
   def cellLayout(embeddings: DataFrame, nCells: Int): DataFrame =
     assignCells(embeddings, nCells)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .materialized
+      .materializedLazy
 
   def ivfTopK(embeddings: DataFrame, queryId: Long, k: Int, nCells: Int): DataFrame = {
     val cells = assignCells(embeddings, nCells)
@@ -807,7 +807,7 @@ object Similarity {
     val cents = refinedCentroids(embeddings, nCells)
     val cells = assignCellsTo(embeddings, cents)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .materialized
+      .materializedLazy
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -874,7 +874,7 @@ object Similarity {
     val cents0 = refinedCentroids(embeddings, nCells)
     val cells = assignCellsTo(embeddings, cents0)
       .withColumn("nrm", VectorFns.norm(col("embedding")))
-      .materialized
+      .materializedLazy
     val q = cells.filter(col("vec_id") % queryStride === 0 &&
         col("vec_id") < queryStride * maxQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -902,7 +902,7 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
       .withColumn("rk", row_number().over(wke))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
-      .materialized // bounded |Q|·k rows, reused per probe level
+      .materializedLazy // bounded |Q|·k rows, reused per probe level
     val probes = nProbes.toDF("n_probe")
     val wkp = Window.partitionBy(col("q_id"), col("n_probe"))
       .orderBy(col("cos").desc, col("c_id"))
@@ -965,7 +965,7 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos")) // narrow pre-window
       .withColumn("rk", row_number().over(wf))
       .filter(col("rk") <= k).select(col("q_id"), col("c_id"))
-      .materialized // bounded |Q|·k baseline, reused per dims level
+      .materializedLazy // bounded |Q|·k baseline, reused per dims level
     val wd = Window.partitionBy(col("q_id"), col("n_dims"))
       .orderBy(col("cos").desc, col("c_id"))
     val truncTop = pairs.crossJoin(broadcast(dimsDf))

@@ -19,6 +19,13 @@ object SimilarityQueries extends QueryPack {
     s.read.parquet(s"$dir/embeddings.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  // Raw scan for DRIVER-SIDED uses — size counts (graphCells/nnCells),
+  // seed-id projections, query-vector lookups. These don't feed the
+  // parallel pair work, so paying emb()'s repartition exchange for them
+  // was a per-query job with no consumer (r19; guide §2.4).
+  private def rawEmb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
   private val QUERY_ID = 0L
   // Retrieval-eval batch for the batched index search (arbitrary but
   // deterministic internal vec_ids; spread so they probe distinct cells).
@@ -45,7 +52,7 @@ object SimilarityQueries extends QueryPack {
     // vector still gets a neighbour (the recall dial documented on the
     // operator).
     "sim_nn_within_label" -> ((s, dir) =>
-      Similarity.nearestWithinLabel(emb(s, dir), nCells = nnCells(emb(s, dir)))
+      Similarity.nearestWithinLabel(emb(s, dir), nCells = nnCells(rawEmb(s, dir)))
         .orderBy("vec_id")),
 
     // JL random projection 64→16 dims on the shared deterministic
@@ -67,7 +74,7 @@ object SimilarityQueries extends QueryPack {
     "graph_knn_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))))
+            nCells = graphCells(rawEmb(s, dir))))
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
@@ -93,7 +100,7 @@ object SimilarityQueries extends QueryPack {
       try
         graft.operators.Graph.pageRank(
             graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-              nCells = graphCells(emb(s, dir))))
+              nCells = graphCells(rawEmb(s, dir))))
           .select(col("v").as("vec_id"), col("rank_norm"))
           .orderBy("vec_id")
       finally {
@@ -112,8 +119,8 @@ object SimilarityQueries extends QueryPack {
     "graph_personalized_pagerank" -> ((s, dir) =>
       graft.operators.Graph.personalizedPageRank(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))),
-          seeds = emb(s, dir).select(col("vec_id").as("v"))
+            nCells = graphCells(rawEmb(s, dir))),
+          seeds = rawEmb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 10 === 0))
         .select(col("v").as("vec_id"), col("ppr_norm"))
         .orderBy("vec_id")),
@@ -124,7 +131,7 @@ object SimilarityQueries extends QueryPack {
     "graph_label_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))), iters = 4)
+            nCells = graphCells(rawEmb(s, dir))), iters = 4)
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
 
@@ -135,8 +142,8 @@ object SimilarityQueries extends QueryPack {
     "graph_bfs_hops" -> ((s, dir) =>
       graft.operators.Graph.bfsHops(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))),
-          seeds = emb(s, dir).select(col("vec_id").as("v"))
+            nCells = graphCells(rawEmb(s, dir))),
+          seeds = rawEmb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 25 === 0),
           maxHops = 4)
         .select(col("v").as("vec_id"), col("hops"))
@@ -158,7 +165,7 @@ object SimilarityQueries extends QueryPack {
     // neighbours.
     "graph_knn_recall" -> ((s, dir) =>
       graft.operators.Graph.knnRecall(emb(s, dir), k = 4,
-        nCells = graphCells(emb(s, dir)),
+        nCells = graphCells(rawEmb(s, dir)),
         anchorStride = 25, maxAnchors = 20, minMeanRecall = RECALL_FLOOR)),
 
     // The measured recall/cost curve: mean recall@10 at nProbe = 1/2/4
@@ -218,7 +225,7 @@ object SimilarityQueries extends QueryPack {
     "graph_triangle_coeff" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))))
+            nCells = graphCells(rawEmb(s, dir))))
         .select(col("v").as("vec_id"), col("triangles"), col("clustering_coeff"))
         .orderBy("vec_id")),
 
@@ -229,7 +236,7 @@ object SimilarityQueries extends QueryPack {
     "graph_link_predict" -> ((s, dir) =>
       graft.operators.Graph.linkPredict(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(emb(s, dir))),
+            nCells = graphCells(rawEmb(s, dir))),
           minCommon = 2L, topK = 50)
         .select(col("a"), col("b"), col("common"), col("jaccard"))),
 
@@ -327,7 +334,7 @@ object SimilarityQueries extends QueryPack {
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(emb(s, dir), k = 8,
-        nCells = graphCells(emb(s, dir)))
+        nCells = graphCells(rawEmb(s, dir)))
         .orderBy("vec_id")),
 
     // Product-quantization codes (m=4 subspaces × 16 codewords): the
@@ -351,7 +358,7 @@ object SimilarityQueries extends QueryPack {
     // hash-picked negative from the successor cell, per anchor.
     "sim_triplets" -> ((s, dir) =>
       Similarity.contrastiveTriplets(emb(s, dir),
-        nCells = graphCells(emb(s, dir)))
+        nCells = graphCells(rawEmb(s, dir)))
         .orderBy("anchor_id")),
 
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
@@ -369,7 +376,7 @@ object SimilarityQueries extends QueryPack {
     // drop path deterministically.
     "sim_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir),
-        nCells = graphCells(emb(s, dir)), threshold = 0.45)
+        nCells = graphCells(rawEmb(s, dir)), threshold = 0.45)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
@@ -383,7 +390,7 @@ object SimilarityQueries extends QueryPack {
     // RecallFloorSpec re-asserts it at sf0.1 where C=45.
     "sim_dedup_blocking_recall" -> ((s, dir) =>
       Similarity.blockingPairRecall(emb(s, dir),
-        nCells = graphCells(emb(s, dir)), threshold = 0.45,
+        nCells = graphCells(rawEmb(s, dir)), threshold = 0.45,
         minPairRecall = BLOCKING_RECALL_FLOOR)),
 
     // Semantic-clustering building block: one FURTHER Lloyd (k-means)

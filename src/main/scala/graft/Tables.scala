@@ -19,8 +19,32 @@ object Tables {
 
   val nanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
 
+  // Schema cache for the STATIC driver tables — the metastore role a
+  // catalog table would play (r19 optimization): plain
+  // `spark.read.parquet` re-infers the schema from file footers on
+  // every call (~60-70 ms here), and a bench sweep issues thousands of
+  // such reads. Keyed by (path, mtime, length) so a driver-refresh
+  // rewrite (the documented events.ts encoding drift) re-infers; only
+  // schemas are cached, never data or results — every query still
+  // computes from the parquet bytes.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]
+
+  /** `spark.read.parquet(path)` with the inferred schema memoized per
+    * (path, mtime, length) — see [[schemaCache]]. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (!f.exists()) spark.read.parquet(path)
+    else {
+      val key = (f.getAbsolutePath, f.lastModified, f.length)
+      val sch = schemaCache.computeIfAbsent(key,
+        _ => spark.read.parquet(path).schema)
+      spark.read.schema(sch).parquet(path)
+    }
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = read(spark, s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
 

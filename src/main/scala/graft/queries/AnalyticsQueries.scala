@@ -254,7 +254,7 @@ object AnalyticsQueries extends QueryPack {
     // shape (Spark 4 Dataset.groupingSets; the cube/rollup siblings are
     // agg_cube/agg_rollup).
     "agg_grouping_sets" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val docs = graft.Tables.read(s, s"$dir/documents.parquet")
       docs.groupingSets(
           Seq(Seq(col("lang")), Seq(col("source")), Seq.empty),
           col("lang"), col("source"))

@@ -15,7 +15,7 @@ object DedupQueries extends QueryPack {
   // narrow per-document work parallelizes (at real scale the table is
   // many files and this is a no-op cost).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val K = 16      // minhash signature length

@@ -14,7 +14,7 @@ import graft.operators.Learn
 object LearnQueries extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val DIMS = 64

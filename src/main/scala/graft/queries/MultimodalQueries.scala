@@ -22,7 +22,7 @@ object MultimodalQueries extends QueryPack {
 
   /** Opaque-binary media table synthesized from `documents`. */
   private def media(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .select(col("doc_id").as("media_id"), col("lang"),
         col("text").cast("binary").as("bytes"))

@@ -116,7 +116,7 @@ object ReferenceQueries extends QueryPack {
     // E4: retry/dead-letter split of a synthetic attempts ledger derived
     // from events (attempts = event_id % 7) — dead-lettered tasks.
     "dlq_dead_letters" -> ((s, dir) => {
-      val tasks = s.read.parquet(s"$dir/events.parquet")
+      val tasks = graft.Tables.read(s, s"$dir/events.parquet")
         .select(col("event_id"), (col("event_id") % 7).cast("int").as("attempts"))
       ErrorPath.splitRetryable(tasks, maxAttempts = 5)._2.orderBy("event_id")
     })

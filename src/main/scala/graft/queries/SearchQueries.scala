@@ -12,7 +12,7 @@ import graft.operators.{Search, Sketch}
 object SearchQueries extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val Terms = Seq("spark", "vector", "window")
@@ -64,7 +64,7 @@ object SearchQueries extends QueryPack {
     // reciprocal-rank fusion (k=60), top-15 (operators/Search.scala).
     "search_hybrid_rrf" -> ((s, dir) =>
       Search.hybridRrfTopK(docs(s, dir),
-        s.read.parquet(s"$dir/embeddings.parquet"),
+        graft.Tables.read(s, s"$dir/embeddings.parquet"),
         Terms, queryId = 0L, topK = 15)),
 
     // Retrieval-quality eval: recall@10 / MRR@10 / nDCG@10 of the BM25

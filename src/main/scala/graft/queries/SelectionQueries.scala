@@ -14,11 +14,11 @@ import graft.operators.Iterate.MaterializeOps
 object SelectionQueries extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.read(s, s"$dir/embeddings.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val SAMPLE_K = 25

@@ -16,7 +16,7 @@ object SimilarityQueries extends QueryPack {
   // narrow per-document work parallelizes (at real scale the table is
   // many files and this is a no-op cost).
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.read(s, s"$dir/embeddings.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   // Raw scan for DRIVER-SIDED uses — size counts (graphCells/nnCells),
@@ -24,7 +24,7 @@ object SimilarityQueries extends QueryPack {
   // parallel pair work, so paying emb()'s repartition exchange for them
   // was a per-query job with no consumer (r19; guide §2.4).
   private def rawEmb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Tables.read(s, s"$dir/embeddings.parquet")
 
   private val QUERY_ID = 0L
   // Retrieval-eval batch for the batched index search (arbitrary but

@@ -13,7 +13,7 @@ import graft.operators.Tokenizer
 object TokenizerQueries extends QueryPack {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.Tables.read(s, s"$dir/documents.parquet")
       .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   private val ROUNDS = 3

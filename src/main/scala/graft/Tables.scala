@@ -43,6 +43,37 @@ object Tables {
     }
   }
 
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Long]
+
+  /** Exact row count of a parquet table from file FOOTERS — driver-side
+    * metadata only, no Spark job (the same read `FileStats` does for
+    * data-skipping stats). Memoized like [[schemaCache]]; operator-sizing
+    * counts (graphCells etc.) use this instead of a cluster count().
+    */
+  def parquetRowCount(spark: SparkSession, path: String): Long = {
+    val f = new java.io.File(path)
+    val key = (f.getAbsolutePath, f.lastModified, f.length)
+    countCache.computeIfAbsent(key, { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      var total = 0L
+      files.foreach { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            st.getPath, conf))
+        try total += r.getRecordCount finally r.close()
+      }
+      java.lang.Long.valueOf(total)
+    }).longValue()
+  }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = read(spark, s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df

@@ -52,7 +52,7 @@ object SimilarityQueries extends QueryPack {
     // vector still gets a neighbour (the recall dial documented on the
     // operator).
     "sim_nn_within_label" -> ((s, dir) =>
-      Similarity.nearestWithinLabel(emb(s, dir), nCells = nnCells(rawEmb(s, dir)))
+      Similarity.nearestWithinLabel(emb(s, dir), nCells = nnCells(s, dir))
         .orderBy("vec_id")),
 
     // JL random projection 64→16 dims on the shared deterministic
@@ -74,7 +74,7 @@ object SimilarityQueries extends QueryPack {
     "graph_knn_pagerank" -> ((s, dir) =>
       graft.operators.Graph.pageRank(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))))
+            nCells = graphCells(s, dir)))
         .select(col("v").as("vec_id"), col("rank_norm"))
         .orderBy("vec_id")),
 
@@ -100,7 +100,7 @@ object SimilarityQueries extends QueryPack {
       try
         graft.operators.Graph.pageRank(
             graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-              nCells = graphCells(rawEmb(s, dir))))
+              nCells = graphCells(s, dir)))
           .select(col("v").as("vec_id"), col("rank_norm"))
           .orderBy("vec_id")
       finally {
@@ -119,7 +119,7 @@ object SimilarityQueries extends QueryPack {
     "graph_personalized_pagerank" -> ((s, dir) =>
       graft.operators.Graph.personalizedPageRank(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))),
+            nCells = graphCells(s, dir)),
           seeds = rawEmb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 10 === 0))
         .select(col("v").as("vec_id"), col("ppr_norm"))
@@ -131,7 +131,7 @@ object SimilarityQueries extends QueryPack {
     "graph_label_communities" -> ((s, dir) =>
       graft.operators.Graph.labelPropagation(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))), iters = 4)
+            nCells = graphCells(s, dir)), iters = 4)
         .select(col("v").as("vec_id"), col("community"))
         .orderBy("vec_id")),
 
@@ -142,7 +142,7 @@ object SimilarityQueries extends QueryPack {
     "graph_bfs_hops" -> ((s, dir) =>
       graft.operators.Graph.bfsHops(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))),
+            nCells = graphCells(s, dir)),
           seeds = rawEmb(s, dir).select(col("vec_id").as("v"))
             .filter(col("v") % 25 === 0),
           maxHops = 4)
@@ -165,7 +165,7 @@ object SimilarityQueries extends QueryPack {
     // neighbours.
     "graph_knn_recall" -> ((s, dir) =>
       graft.operators.Graph.knnRecall(emb(s, dir), k = 4,
-        nCells = graphCells(rawEmb(s, dir)),
+        nCells = graphCells(s, dir),
         anchorStride = 25, maxAnchors = 20, minMeanRecall = RECALL_FLOOR)),
 
     // The measured recall/cost curve: mean recall@10 at nProbe = 1/2/4
@@ -225,7 +225,7 @@ object SimilarityQueries extends QueryPack {
     "graph_triangle_coeff" -> ((s, dir) =>
       graft.operators.Graph.triangleStats(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))))
+            nCells = graphCells(s, dir)))
         .select(col("v").as("vec_id"), col("triangles"), col("clustering_coeff"))
         .orderBy("vec_id")),
 
@@ -236,7 +236,7 @@ object SimilarityQueries extends QueryPack {
     "graph_link_predict" -> ((s, dir) =>
       graft.operators.Graph.linkPredict(
           graft.operators.Graph.knnEdges(emb(s, dir), k = 4,
-            nCells = graphCells(rawEmb(s, dir))),
+            nCells = graphCells(s, dir)),
           minCommon = 2L, topK = 50)
         .select(col("a"), col("b"), col("common"), col("jaccard"))),
 
@@ -334,7 +334,7 @@ object SimilarityQueries extends QueryPack {
     // detection): majority vote of the 8 nearest same-cell neighbours.
     "sim_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(emb(s, dir), k = 8,
-        nCells = graphCells(rawEmb(s, dir)))
+        nCells = graphCells(s, dir))
         .orderBy("vec_id")),
 
     // Product-quantization codes (m=4 subspaces × 16 codewords): the
@@ -358,7 +358,7 @@ object SimilarityQueries extends QueryPack {
     // hash-picked negative from the successor cell, per anchor.
     "sim_triplets" -> ((s, dir) =>
       Similarity.contrastiveTriplets(emb(s, dir),
-        nCells = graphCells(rawEmb(s, dir)))
+        nCells = graphCells(s, dir))
         .orderBy("anchor_id")),
 
     // ANN storage preprocessing: L2 norm + symmetric int8 quantization.
@@ -376,7 +376,7 @@ object SimilarityQueries extends QueryPack {
     // drop path deterministically.
     "sim_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(emb(s, dir),
-        nCells = graphCells(rawEmb(s, dir)), threshold = 0.45)
+        nCells = graphCells(s, dir), threshold = 0.45)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")),
 
@@ -390,7 +390,7 @@ object SimilarityQueries extends QueryPack {
     // RecallFloorSpec re-asserts it at sf0.1 where C=45.
     "sim_dedup_blocking_recall" -> ((s, dir) =>
       Similarity.blockingPairRecall(emb(s, dir),
-        nCells = graphCells(rawEmb(s, dir)), threshold = 0.45,
+        nCells = graphCells(s, dir), threshold = 0.45,
         minPairRecall = BLOCKING_RECALL_FLOOR)),
 
     // Semantic-clustering building block: one FURTHER Lloyd (k-means)
@@ -481,8 +481,12 @@ object SimilarityQueries extends QueryPack {
     * fixed C=16 dial: with constant C their assignment and 1/C cell
     * scans are linear in N, and C there is the documented recall knob,
     * not a blow-up. */
-  private def graphCells(e: org.apache.spark.sql.DataFrame): Int =
-    math.max(N_CELLS, math.ceil(math.sqrt(e.count().toDouble)).toInt)
+  private def graphCells(s: SparkSession, dir: String): Int =
+    // row count from parquet footers (Tables.parquetRowCount) — exact,
+    // driver-side metadata, no per-query count job (r19)
+    math.max(N_CELLS, math.ceil(math.sqrt(
+      graft.Tables.parquetRowCount(s, s"$dir/embeddings.parquet")
+        .toDouble)).toInt)
 
   /** Oracle twin of [[graphCells]], as a scalar subquery over embs —
     * sqrt of a perfect square is IEEE-exact, so ceil agrees cross-engine
@@ -495,8 +499,10 @@ object SimilarityQueries extends QueryPack {
     * pair work N·√(N/L) instead of the fixed-width N²/(L·C). Both
     * engines compute the same double (one IEEE division + sqrt + ceil),
     * so the widths agree at every boundary. */
-  private def nnCells(e: org.apache.spark.sql.DataFrame): Int = {
-    val n = e.count().toDouble
+  private def nnCells(s: SparkSession, dir: String): Int = {
+    val n = graft.Tables.parquetRowCount(s,
+      s"$dir/embeddings.parquet").toDouble
+    val e = rawEmb(s, dir)
     // na.drop first: SQL count(DISTINCT label) ignores NULLs while
     // Spark's distinct().count() counts a NULL group — an off-by-one L
     // could shift ceil(√(N/L)) across a boundary vs nnCellsSql (r15

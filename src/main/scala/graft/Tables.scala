@@ -28,41 +28,78 @@ object Tables {
   // schemas are cached, never data or results — every query still
   // computes from the parquet bytes.
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), org.apache.spark.sql.types.StructType]
+    (String, String), org.apache.spark.sql.types.StructType]
+
+  /** Recursive leaf data files of a parquet path via the path's own
+    * Hadoop FileSystem — works for directories, nested (partitioned)
+    * layouts, single files, and non-local URIs alike. Empty when the
+    * path does not exist.
+    */
+  private def leafParquetFiles(spark: SparkSession, path: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Nil
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(p, /* recursive = */ true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !n.startsWith("_"))
+        out += st
+    }
+    out.result()
+  }
+
+  /** Content fingerprint of a parquet path: every leaf data file's
+    * (name, length, mtime) folded into one string. Resolved through the
+    * Hadoop FileSystem (r19 ADVICE: java.io.File reports mtime=0/len=0
+    * for non-local URIs, and a directory's own mtime does not change
+    * when an existing part file is rewritten in place — per-leaf stats
+    * catch both), so an in-place same-length rewrite within one mtime
+    * tick is the only residual blind spot, vs whole classes before.
+    */
+  private def fingerprint(spark: SparkSession, path: String): String = {
+    val files = leafParquetFiles(spark, path)
+    val h = java.security.MessageDigest.getInstance("MD5")
+    files.sortBy(_.getPath.toString).foreach { st =>
+      h.update(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime};"
+        .getBytes("UTF-8"))
+    }
+    s"n=${files.size};" + java.util.Base64.getEncoder.encodeToString(h.digest())
+  }
 
   /** `spark.read.parquet(path)` with the inferred schema memoized per
-    * (path, mtime, length) — see [[schemaCache]]. */
+    * (path, leaf-file fingerprint) — see [[schemaCache]]. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val f = new java.io.File(path)
-    if (!f.exists()) spark.read.parquet(path)
+    val fp = fingerprint(spark, path)
+    if (fp.startsWith("n=0;")) spark.read.parquet(path) // absent/empty: no cache
     else {
-      val key = (f.getAbsolutePath, f.lastModified, f.length)
-      val sch = schemaCache.computeIfAbsent(key,
+      val sch = schemaCache.computeIfAbsent((path, fp),
         _ => spark.read.parquet(path).schema)
       spark.read.schema(sch).parquet(path)
     }
   }
 
   private val countCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Long), java.lang.Long]
+    (String, String), java.lang.Long]
 
   /** Exact row count of a parquet table from file FOOTERS — driver-side
     * metadata only, no Spark job (the same read `FileStats` does for
-    * data-skipping stats). Memoized like [[schemaCache]]; operator-sizing
-    * counts (graphCells etc.) use this instead of a cluster count().
+    * data-skipping stats). Memoized like [[schemaCache]] (same
+    * fingerprinted key); recurses into partitioned/nested layouts and
+    * THROWS when no data file exists (r19 ADVICE: a silent 0 would size
+    * operators to one cell with no diagnostic).
     */
   def parquetRowCount(spark: SparkSession, path: String): Long = {
-    val f = new java.io.File(path)
-    val key = (f.getAbsolutePath, f.lastModified, f.length)
+    val key = (path, fingerprint(spark, path))
     countCache.computeIfAbsent(key, { _ =>
       val conf = spark.sparkContext.hadoopConfiguration
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).filter(s => s.isFile &&
-            s.getPath.getName.endsWith(".parquet"))
-        else Array(fs.getFileStatus(p))
+      val files = leafParquetFiles(spark, path)
+      if (files.isEmpty) throw new IllegalArgumentException(
+        s"parquetRowCount($path): no parquet data files found")
       var total = 0L
       files.foreach { st =>
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(

@@ -358,9 +358,10 @@ object Incremental {
     */
   def deltaJoinLeft(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
-      changeCol: String = "_change_type"): DataFrame =
+      changeCol: String = "_change_type",
+      bPost: Option[DataFrame] = None): DataFrame =
     deltaJoinLeftImpl(aPre, materializeDelta(aChanges),
-      bPre, materializeDelta(bChanges), joinKeys, changeCol)
+      bPre, materializeDelta(bChanges), joinKeys, changeCol, bPost)
 
   /** [[deltaJoinLeft]] body over ALREADY-materialized change feeds —
     * [[deltaJoinFull]] materializes once and reuses them for the
@@ -368,11 +369,19 @@ object Incremental {
     * from checkpointing (= copying) each delta twice. */
   private def deltaJoinLeftImpl(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
-      changeCol: String): DataFrame = {
+      changeCol: String, bPost: Option[DataFrame] = None): DataFrame = {
     require(joinKeys.nonEmpty, "need at least one join key")
     val bNonKey = bPre.columns.toSeq.filterNot(joinKeys.contains)
     val bTypes = bPre.schema.map(f => f.name -> f.dataType).toMap
-    val inner = deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys, changeCol)
+    // the inner term prefers the two-term post-state identity when the
+    // caller has B's post-state in hand (r20 — one join fewer; see
+    // [[deltaJoinPost]])
+    val inner = bPost match {
+      case Some(bp) =>
+        deltaJoinPost(aPre, aChanges, bp, bChanges, joinKeys, changeCol)
+      case None => deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys,
+        changeCol)
+    }
     val nulls = membershipDelta(aPre, aChanges, bPre, bChanges, joinKeys,
       changeCol, keepWhenEmpty = true,
       extendCols = bNonKey.map(c => lit(null).cast(bTypes(c)).as(c)))
@@ -410,13 +419,15 @@ object Incremental {
     * shape, applied symmetrically. */
   def deltaJoinFull(aPre: DataFrame, aChanges: DataFrame,
       bPre: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
-      changeCol: String = "_change_type"): DataFrame = {
+      changeCol: String = "_change_type",
+      bPost: Option[DataFrame] = None): DataFrame = {
     require(joinKeys.nonEmpty, "need at least one join key")
     val aC = materializeDelta(aChanges)
     val bC = materializeDelta(bChanges)
     val aNonKey = aPre.columns.toSeq.filterNot(joinKeys.contains)
     val aTypes = aPre.schema.map(f => f.name -> f.dataType).toMap
-    val left = deltaJoinLeftImpl(aPre, aC, bPre, bC, joinKeys, changeCol)
+    val left = deltaJoinLeftImpl(aPre, aC, bPre, bC, joinKeys, changeCol,
+      bPost)
     val bNulls = membershipDelta(bPre, bC, aPre, aC, joinKeys,
       changeCol, keepWhenEmpty = true,
       extendCols = aNonKey.map(c => lit(null).cast(aTypes(c)).as(c)))
@@ -480,14 +491,19 @@ object Incremental {
       .groupBy(joinKeys.map(col): _*).agg(sum(col("_s")).as("_cnt_d"))
     // materialized once: |ΔA ∪ ΔB|-keys small, but its lineage (the
     // restricted B count + both signed delta scans) is re-planned by
-    // BOTH consumers below (flipped probe + A-churn filter) without it
+    // BOTH consumers below (flipped probe + A-churn filter) without it.
+    // LAZY cut (r20): the eager form was a dedicated Spark job per
+    // membershipDelta call (two per full-outer feed); deferring folds
+    // the materialization into the consuming action's first compute —
+    // RDD identity still dedups the two consumers within that action
+    // (the r19 graph-loop pattern, §1.2 fewer actions).
     val cnt = keysOfInterest
       .join(cntPre, joinKeys, "left").join(dB, joinKeys, "left")
       .select(joinKeys.map(col) :+
         coalesce(col("_cnt_pre"), lit(0L)).as("_cnt_pre") :+
         (coalesce(col("_cnt_pre"), lit(0L)) +
           coalesce(col("_cnt_d"), lit(0L))).as("_cnt_post"): _*)
-      .materialized
+      .materializedLazy
     val memberPost =
       if (keepWhenEmpty) col("_cnt_post") === 0L else col("_cnt_post") > 0L
     // term 1: every A_pre row at a key whose membership flipped
@@ -544,6 +560,51 @@ object Incremental {
     val t3 = sA.join(sB, joinKeys)
       .select(outCols :+ (col("_sa") * col("_sb")).as("_s"): _*)
     t1.unionByName(t2).unionByName(t3)
+      .withColumn(changeCol,
+        when(col("_s") === 1, "insert").otherwise("delete"))
+      .drop("_s")
+  }
+
+  /** [[deltaJoin]] with the B side supplied as its POST-state — the
+    * TWO-term z-set identity (r20, guide §3/§1.2 "the distributed
+    * algorithm"):
+    *
+    * {{{ ΔV = ΔA ⋈ B_post + A_pre ⋈ ΔB }}}
+    *
+    * which is the three-term form folded exactly:
+    * `ΔA⋈B_pre + ΔA⋈ΔB = ΔA⋈(B_pre + ΔB) = ΔA⋈B_post` — valid for
+    * GENERAL signed feeds, not just insert-only (B_post is a plain
+    * multiset, so the joined sign is ΔA's alone; the sign products the
+    * ΔA⋈ΔB term carried are absorbed because a retracted B row is
+    * simply ABSENT from B_post). Callers that already hold the
+    * post-state (every CDC pipeline does — it is the merge result the
+    * feed was diffed against) get one join and one union branch fewer,
+    * and a COMPOSED feed (the N-way chain) is consumed ONCE instead of
+    * being re-planned in two terms. Identical output multiset —
+    * oracle-pinned by the mv_cdc family.
+    */
+  def deltaJoinPost(aPre: DataFrame, aChanges: DataFrame,
+      bPost: DataFrame, bChanges: DataFrame, joinKeys: Seq[String],
+      changeCol: String = "_change_type"): DataFrame = {
+    require(joinKeys.nonEmpty, "need at least one join key")
+    val aCols = aPre.columns.toSeq
+    val bCols = bPost.columns.toSeq
+    val overlap = (aCols.toSet & bCols.toSet) -- joinKeys
+    require(overlap.isEmpty,
+      s"non-key columns must be disjoint across the join, shared: $overlap")
+    def signed(changes: DataFrame, sgn: String): DataFrame =
+      changes.withColumn(sgn,
+        when(col(changeCol).isin("insert", "update_postimage"), 1)
+          .when(col(changeCol).isin("delete", "update_preimage"), -1))
+        .drop(changeCol)
+    val sA = signed(aChanges, "_sa")
+    val sB = signed(bChanges, "_sb")
+    val outCols = (aCols ++ bCols.filterNot(joinKeys.contains)).map(col)
+    val t1 = sA.join(bPost, joinKeys)
+      .select(outCols :+ col("_sa").as("_s"): _*)
+    val t2 = aPre.join(sB, joinKeys)
+      .select(outCols :+ col("_sb").as("_s"): _*)
+    t1.unionByName(t2)
       .withColumn(changeCol,
         when(col("_s") === 1, "insert").otherwise("delete"))
       .drop("_s")

@@ -271,21 +271,26 @@ object Similarity {
     // are absorbed by the same 1e-6 floor-snap the DuckDB oracle already
     // relies on when it replays the iteration with ITS OWN summation
     // order. The oracle gate at 3 SFs pins the equivalence.
-    require(nCells <= trainCap,
-      s"seed cells (vec_id < $nCells) must lie inside the train cap $trainCap")
-    val train: Array[(Long, Array[Float])] =
-      embeddings.filter(col("vec_id") < trainCap)
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // r19 ADVICE hardening: (a) nCells beyond the train cap no longer
+    // throws — the effective cap rises with nCells (seeds must lie in
+    // the sample; the collect stays codebook-sized, ~sqrt(N) rows);
+    // (b) the collect WIDENS to array<double> in the projection
+    // (float→double is exact, so float inputs are bit-identical to the
+    // old Array[Float] path) instead of hard-requiring array<float>.
+    val cap = math.max(trainCap, nCells.toLong)
+    val train: Array[(Long, Array[Double])] =
+      embeddings.filter(col("vec_id") < cap)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
 
-    def dotFD(a: Array[Float], b: Array[Double]): Double = {
+    def dotFD(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
-      while (i < a.length && i < b.length) { acc += a(i).toDouble * b(i); i += 1 }
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
-    def dotFF(a: Array[Float]): Double = {
+    def dotFF(a: Array[Double]): Double = {
       var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      while (i < a.length) { acc += a(i) * a(i); i += 1 }
       acc
     }
     def dotDD(a: Array[Double]): Double = {
@@ -293,11 +298,19 @@ object Similarity {
       while (i < a.length) { acc += a(i) * a(i); i += 1 }
       acc
     }
-    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    // r19 ADVICE: match the ENGINE's floor→long semantics exactly —
+    // floor(NaN) casts to 0 there (a zero-norm vector's NaN cosine
+    // assigns as sim 0.0), and long division can never yield -0.0; the
+    // driver twin must agree or degenerate vectors assign differently.
+    def snap(x: Double): Double = {
+      val f = math.floor(x * 1e6 + 0.5)
+      val v = (if (java.lang.Double.isNaN(f)) 0.0 else f) / 1e6
+      if (v == 0.0) 0.0 else v // -0.0 → 0.0 (engine longs have no -0.0)
+    }
 
     var cents: Seq[(Long, Array[Double])] = train
       .filter(_._1 < nCells)
-      .map { case (id, e) => (id, e.map(_.toDouble)) }.toSeq
+      .map { case (id, e) => (id, e.clone()) }.toSeq
     for (_ <- 1 to iters) {
       val cNorm = cents.map { case (_, c) => math.sqrt(dotDD(c)) }
       // per-cell (component sums, member count), members folded in

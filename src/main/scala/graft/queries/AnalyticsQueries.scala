@@ -512,8 +512,10 @@ object AnalyticsQueries extends QueryPack {
       val oChangesProj = oChanges.select(col("_change_type"),
         col("o_orderkey"), col("o_custkey"),
         col("o_totalprice").cast("decimal(18,4)").as("price"))
-      val feed = graft.operators.Incremental.deltaJoin(
-        proj(oFull), oChangesProj, c2, cChanges, Seq("o_custkey"))
+      // two-term post-state feed (r20): cAfter is already in hand, so
+      // ΔA⋈ΔB folds into ΔA⋈B_post — one join fewer, same multiset
+      val feed = graft.operators.Incremental.deltaJoinPost(
+        proj(oFull), oChangesProj, cAfter, cChanges, Seq("o_custkey"))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("c_nationkey"), Map("revenue" -> "price"), "n_orders")
         // proven-green DOUBLE output profile (internal state decimal-
@@ -595,10 +597,13 @@ object AnalyticsQueries extends QueryPack {
       val nChanges = graft.operators.Merge.diff(n2, nAfter,
         Seq("c_nationkey"), includePreimages = true)
       val abPre = proj(oFull).join(c2, "o_custkey")
-      val feedAB = graft.operators.Incremental.deltaJoin(
-        proj(oFull), oChanges, c2, cChanges, Seq("o_custkey"))
-      val feedABC = graft.operators.Incremental.deltaJoin(
-        abPre, feedAB, n2, nChanges, Seq("c_nationkey"))
+      // two-term post-state feeds (r20): each fold step consumes the
+      // composed feed ONCE (the three-term form re-planned feedAB in
+      // its ΔA⋈B and ΔA⋈ΔB terms) against the post-state dimension
+      val feedAB = graft.operators.Incremental.deltaJoinPost(
+        proj(oFull), oChanges, cAfter, cChanges, Seq("o_custkey"))
+      val feedABC = graft.operators.Incremental.deltaJoinPost(
+        abPre, feedAB, nAfter, nChanges, Seq("c_nationkey"))
       val mv0 = abPre.join(n2, "c_nationkey")
         .groupBy("n_name")
         .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_orders"))
@@ -656,7 +661,8 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("c_nationkey")
         .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_rows"))
       val feed = graft.operators.Incremental.deltaJoinLeft(
-        c2, cChanges, bPre, bChanges, Seq("c_custkey"))
+        c2, cChanges, bPre, bChanges, Seq("c_custkey"),
+        bPost = Some(bAfter))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("c_nationkey"), Map("revenue" -> "price"), "n_rows")
         // proven-green DOUBLE output profile (internal state decimal-
@@ -747,7 +753,8 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("nat")
         .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_rows"))
       val feed = nat(graft.operators.Incremental.deltaJoinFull(
-        c2, cChanges, bPre, bChanges, Seq("c_custkey")))
+        c2, cChanges, bPre, bChanges, Seq("c_custkey"),
+        bPost = Some(bAfter)))
       graft.operators.Incremental.maintainAgg(mv0, feed,
           Seq("nat"), Map("revenue" -> "price"), "n_rows")
         // proven-green DOUBLE output profile (internal state decimal-
@@ -782,8 +789,8 @@ object AnalyticsQueries extends QueryPack {
       val cChanges = graft.operators.Merge.diff(c2, cAfter, Seq("o_custkey"),
         includePreimages = true)
       val view0 = proj(oFull).join(c2, "o_custkey")
-      val feed = graft.operators.Incremental.deltaJoin(
-        proj(oFull), oChanges, c2, cChanges, Seq("o_custkey"))
+      val feed = graft.operators.Incremental.deltaJoinPost(
+        proj(oFull), oChanges, cAfter, cChanges, Seq("o_custkey"))
       graft.operators.Incremental.applyFeed(view0, feed)
         // row-level cancellation runs on the exact decimal price; only
         // the emitted column is floated (proven-green DOUBLE profile —

@@ -173,9 +173,112 @@ object Generations {
   def genPath(table: String, c: Commit): String =
     new Path(dataDir(new Path(table)), c.gen).toString
 
+  // ------------------------------------------------ generation schemas
+  // A generation dir is IMMUTABLE by protocol (uniquely named, written
+  // once, never rewritten — mutations commit NEW generations), so its
+  // inferred parquet schema can be memoized forever on the path alone.
+  // This is the same metastore-role metadata cache as Tables.read (r19):
+  // schemas only, never data or results — every read still pulls the
+  // parquet bytes. Without it, every Generations.read/readLog/span read
+  // re-infers schemas from footers (~60-70 ms per call, and a
+  // mergeSchema union read launches a footer-reading Spark job), which
+  // the multi-tick IVM pipelines pay dozens of times per run.
+  private val genSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]
+
+  /** Inferred schema of one committed generation, memoized per gen dir. */
+  private def genSchema(spark: SparkSession, table: String,
+      c: Commit): org.apache.spark.sql.types.StructType =
+    genSchemaCache.computeIfAbsent(genPath(table, c),
+      p => spark.read.parquet(p).schema)
+
+  /** Driver-side equivalent of a `mergeSchema` union read's inferred
+    * schema for ADDITIVE evolution (the only kind the append gate
+    * admits): fields merge left-to-right in commit order — left order
+    * kept, new fields appended, nullability unioned (parquet-inferred
+    * top-level fields are nullable anyway). None on a same-name type
+    * clash — the caller falls back to Spark's own mergeSchema read,
+    * which resolves the legal numeric promotions this helper does not
+    * attempt.
+    */
+  private def mergeTypes(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x: StructType, y: StructType) => mergeStructs(x, y)
+      case (ArrayType(xe, xn), ArrayType(ye, yn)) =>
+        mergeTypes(xe, ye).map(ArrayType(_, xn || yn))
+      case (MapType(xk, xv, xn), MapType(yk, yv, yn)) =>
+        for { k <- mergeTypes(xk, yk); v <- mergeTypes(xv, yv) }
+          yield MapType(k, v, xn || yn)
+      case _ => None
+    }
+  }
+
+  private def mergeStructs(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    val left: Array[Option[StructField]] = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case None => Some(fa.copy(nullable = true)) // absent in b: nulls
+        case Some(fb) => mergeTypes(fa.dataType, fb.dataType)
+          .map(t => StructField(fa.name, t, fa.nullable || fb.nullable))
+      }
+    }
+    if (left.exists(_.isEmpty)) None
+    else Some(StructType(left.map(_.get) ++
+      b.fields.filterNot(f => aNames.contains(f.name))
+        .map(_.copy(nullable = true))))
+  }
+
+  /** The merged schema of a commit span (what a mergeSchema read over
+    * its generations infers), from cached per-generation schemas. None
+    * when the span is empty or a type clash defeats the driver-side
+    * merge.
+    */
+  private def spanSchema(spark: SparkSession, table: String,
+      cs: Seq[Commit]): Option[org.apache.spark.sql.types.StructType] =
+    if (cs.isEmpty) None
+    else try {
+      cs.map(c => Option(genSchema(spark, table, c)))
+        .reduce((x, y) => for {a <- x; b <- y; m <- mergeStructs(a, b)}
+          yield m)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Union read of a commit span's generations under the merged cached
+    * schema — semantically the `mergeSchema` union read, minus the
+    * per-call footer inference (and its Spark job). Degrades to the
+    * real mergeSchema read when the driver-side merge cannot prove the
+    * span's schemas compose (never load-bearing, like every metadata
+    * cache here).
+    */
+  def readSpan(spark: SparkSession, table: String,
+      cs: Seq[Commit]): DataFrame = {
+    val paths = cs.map(genPath(table, _))
+    spanSchema(spark, table, cs) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+  }
+
+  /** The live log content's schema ([[readLog]]'s), without building a
+    * frame — the append-path schema gate and [[readFiles]] need only
+    * this. None when never committed (or the merge degraded).
+    */
+  def logSchema(spark: SparkSession,
+      table: String): Option[org.apache.spark.sql.types.StructType] =
+    spanSchema(spark, table, logCommits(spark, table))
+
   /** Read the current snapshot as a DataFrame (None: never committed). */
   def read(spark: SparkSession, table: String): Option[DataFrame] =
-    latest(spark, table).map(c => spark.read.parquet(genPath(table, c)))
+    latest(spark, table).map(c => spark.read
+      .schema(genSchema(spark, table, c)).parquet(genPath(table, c)))
 
   /** Time travel: the snapshot as of commit `version` (None if that
     * version was never committed or its generation has been GC'd). What
@@ -187,7 +290,10 @@ object Generations {
     commits(spark, table).find(_.version == version).flatMap { c =>
       val p = new Path(genPath(table, c))
       val fs = fsOf(spark, p)
-      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+      if (fs.exists(p))
+        Some(spark.read.schema(genSchema(spark, table, c))
+          .parquet(p.toString))
+      else None
     }
 
   /** Change data feed between two committed versions (Delta's
@@ -266,8 +372,12 @@ object Generations {
     // snapshot-kind commit rewrites the whole table, so it may reshape
     // the schema freely (Delta's overwriteSchema).
     if (!(tag == "-" || tag.startsWith("="))) {
-      readLog(spark, table).foreach { live =>
-        val liveTypes = live.schema.map(f => f.name -> f.dataType).toMap
+      // schema only — the cached span merge (logSchema) answers this
+      // with zero footer reads after first touch; a degraded merge
+      // falls back to one mergeSchema inference, never skips the gate
+      logSchema(spark, table)
+        .orElse(readLog(spark, table).map(_.schema)).foreach { live =>
+        val liveTypes = live.map(f => f.name -> f.dataType).toMap
         val clashes = df.schema.flatMap { f =>
           liveTypes.get(f.name).filter(_ != f.dataType)
             .map(t0 => s"${f.name}: $t0 -> ${f.dataType}")
@@ -847,7 +957,10 @@ object Generations {
     */
   def readFiles(spark: SparkSession, table: String,
       kept: Seq[Path]): DataFrame = {
-    val schema = readLog(spark, table).get.schema
+    // the merged cached span schema; a degraded merge falls back to one
+    // mergeSchema inference (the pre-r20 cost, never a wrong answer)
+    val schema = logSchema(spark, table)
+      .getOrElse(readLog(spark, table).get.schema)
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1371,8 +1484,7 @@ object Generations {
   def readLog(spark: SparkSession, table: String): Option[DataFrame] = {
     val cs = logCommits(spark, table)
     if (cs.isEmpty) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .parquet(cs.map(genPath(table, _)): _*))
+    else Some(readSpan(spark, table, cs))
   }
 
   /** MERGE INTO: apply a whole-row upsert/delete changeset

@@ -254,12 +254,10 @@ object ChangeFeed {
     /** Log content AT head — the span is the content by construction
       * (it ends at head). */
     def contentAtHead(spark: SparkSession, source: String): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(span.map(Generations.genPath(source, _)): _*)
+      Generations.readSpan(spark, source, span)
     /** The unapplied delta commits' rows (pure-delta path only). */
     def deltaWindow(spark: SparkSession, source: String): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(window.map(Generations.genPath(source, _)): _*)
+      Generations.readSpan(spark, source, window)
   }
 
   private def logSpanState(spark: SparkSession, source: String,
@@ -634,20 +632,25 @@ object ChangeFeed {
         aChanges <- feedOf(sourceA, appA, headA, aKeys, aPre)
         bChanges <- feedOf(sourceB, appB, headB, bKeys, bPre)
       } yield {
+        def headSnap(source: String, head: Long) =
+          Generations.readAt(spark, source, head).getOrElse(
+            throw new IllegalStateException(
+              s"$source v$head (the latest commit) has no readable generation"))
+        // B's post-state is a committed snapshot (time travel at headB)
+        // — the two-term feed identity applies (r20, one join fewer)
+        val bPost = headSnap(sourceB, headB)
         val feed =
           if (leftOuter)
-            Incremental.deltaJoinLeft(aPre, aChanges, bPre, bChanges, joinKeys)
-          else Incremental.deltaJoin(aPre, aChanges, bPre, bChanges, joinKeys)
+            Incremental.deltaJoinLeft(aPre, aChanges, bPre, bChanges,
+              joinKeys, bPost = Some(bPost))
+          else Incremental.deltaJoinPost(aPre, aChanges, bPost, bChanges,
+            joinKeys)
         if (minCols.isEmpty && maxCols.isEmpty)
           Incremental.maintainAgg(mv, feed, mvKeys, sumCols, countCol)
         else {
-          def headSnap(source: String, head: Long) =
-            Generations.readAt(spark, source, head).getOrElse(
-              throw new IllegalStateException(
-                s"$source v$head (the latest commit) has no readable generation"))
           Incremental.maintainAggMinMax(mv, feed,
             postSource = headSnap(sourceA, headA)
-              .join(headSnap(sourceB, headB), joinKeys,
+              .join(bPost, joinKeys,
                 if (leftOuter) "left" else "inner"),
             mvKeys, sumCols, countCol, minCols, maxCols)
         }
@@ -898,8 +901,7 @@ object ChangeFeed {
     val preSpan = span.filter(_.version <= appF)
     // the span IS the fact content at headF (≡ preSpan ∪ window)
     def factAtHead: Option[DataFrame] =
-      Some(spark.read.option("mergeSchema", "true")
-        .parquet(span.map(Generations.genPath(factLog, _)): _*))
+      Some(Generations.readSpan(spark, factLog, span))
     // pre-state reconstructable: the live span STARTS at or below the
     // watermark (the span begins at the last snapshot fold — a fold
     // newer than the watermark has eaten the pre-state) and the window
@@ -918,13 +920,11 @@ object ChangeFeed {
           else Generations.changesBetween(spark, dimTable, appD, headD,
             dimKeys, includePreimages = true)
       } yield {
-        val factPre = spark.read.option("mergeSchema", "true")
-          .parquet(preSpan.map(Generations.genPath(factLog, _)): _*)
+        val factPre = Generations.readSpan(spark, factLog, preSpan)
         val factFeed =
           if (window.isEmpty) emptyFeed(factPre)
           else {
-            val delta = spark.read.option("mergeSchema", "true")
-              .parquet(window.map(Generations.genPath(factLog, _)): _*)
+            val delta = Generations.readSpan(spark, factLog, window)
             delta.select(lit("insert").as("_change_type") +:
               delta.columns.toSeq.map(delta.col): _*)
           }
@@ -1164,8 +1164,7 @@ object ChangeFeed {
         // its schema has no event-time column at all) is dead
         // trivially and merges forward.
         def genDf(c: Generations.Commit): DataFrame =
-          spark.read.option("mergeSchema", "true")
-            .parquet(Generations.genPath(foldLog, c))
+          Generations.readSpan(spark, foldLog, Seq(c))
         val deadPrefix = selfSpan.iterator.map { c =>
           val raw = rawCols(genDf(c), sumNames, countCol)
           val hasTs = raw.columns.contains(tsCol)
@@ -1184,9 +1183,8 @@ object ChangeFeed {
         // run once per ~minPrefix ticks, not per tick
         if (prefixLen == 0 || (!anyRaw && prefixLen <= 1) ||
             prefixLen < minPrefix) return None
-        val content = spark.read.option("mergeSchema", "true").parquet(
-          selfSpan.take(prefixLen)
-            .map(Generations.genPath(foldLog, _)): _*)
+        val content = Generations.readSpan(spark, foldLog,
+          selfSpan.take(prefixLen))
         val oldSums = sumsOf(content, mvKeys, sumNames, countCol)
         val lost =
           if (!anyRaw) oldSums.get.limit(0) // consolidation-only fold
@@ -1264,8 +1262,7 @@ object ChangeFeed {
     val mvBase = Generations.latest(spark, mvTable)
       .map(_.version).getOrElse(0L)
     def contentOf(log: String, span: Seq[Generations.Commit]): DataFrame =
-      spark.read.option("mergeSchema", "true")
-        .parquet(span.map(Generations.genPath(log, _)): _*)
+      Generations.readSpan(spark, log, span)
     def insertsOf(df: DataFrame): DataFrame =
       df.select(lit("insert").as("_change_type") +:
         df.columns.toSeq.map(df.col): _*)

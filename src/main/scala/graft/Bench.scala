@@ -161,18 +161,29 @@ object Bench {
       s"""{"query":"$calibratorQ","before_s":${ms(calBefore)},""" +
       s""""after_s":${ms(calAfter)},""" +
       s""""baseline_s":${ms(baselineMap.getOrElse(calibratorQ, -1.0))}}"""
+    // r20 (VERDICT #9): the FULL report (the line the driver parses —
+    // total + per-query map) is printed LAST, after every auxiliary
+    // line, so a parser that reads the final metric line can't land on
+    // a metadata line instead (r18's driver-side parse came back null
+    // and cost r19 its formal per-query PERF comparison). Auxiliary
+    // fields (failed/reruns/calibrator/loadavg) ride a separate
+    // preceding line to keep the parsed line lean; the same full report
+    // still lands in target/bench_full.json.
     val report =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failJson,"reruns":$rerunsJson,"rerun_quiet_host":$quietRerun,"calibrator":$calJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
-    println(report)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_failed":${failedQueries.size}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failJson,"n_failed":${failedQueries.size}}"""
+    val auxReport =
+      s"""{"metric":"bench_aux","value":$total,"unit":"sec","sf":"$sfDir","failed":$failJson,"reruns":$rerunsJson,"rerun_quiet_host":$quietRerun,"calibrator":$calJson,"loadavg_before":"$loadBefore","loadavg_after":"$loadAfter"}"""
+    println(auxReport)
     // Full per-query map also goes to a file: the driver's bounded tail
     // capture truncates the stdout map from the front (r5 lost the first
     // ~84 queries), so the on-disk artifact is the complete record.
     try {
       val out = java.nio.file.Paths.get("target", "bench_full.json")
       java.nio.file.Files.createDirectories(out.getParent)
+      // the on-disk artifact keeps EVERYTHING: report line + aux line
       java.nio.file.Files.write(out,
-        report.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (report + "\n" + auxReport)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // Regression gate: diff this run against the committed previous-round
     // per-query map (bench_baseline.json, refreshed each round from
@@ -249,6 +260,8 @@ object Bench {
         java.nio.file.Paths.get("target", "skew_probe.json"),
         js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    // the driver-contract line, LAST on stdout (see report above)
+    println(report)
     spark.stop()
   }
 }

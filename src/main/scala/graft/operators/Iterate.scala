@@ -37,7 +37,19 @@ object Iterate {
     * SparkContext has none set (convenience for config-only setups). */
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Build-phase plan recorder (r20, VERDICT #6 evidence contract):
+    * when set, every frame about to be CUT through [[materialize]] is
+    * first handed to the recorder — PlanDump's --build mode uses this
+    * to dump the plans that hide behind checkpoint cuts (a returned
+    * frame's explain shows only the post-cut scan, so the optimized
+    * build-phase subtrees were invisible in r19's committed artifacts).
+    * Diagnostic-only: None (the default) costs one volatile read per
+    * cut; never set outside PlanDump.
+    */
+  @volatile var planRecorder: Option[DataFrame => Unit] = None
+
   def materialize(df: DataFrame, eager: Boolean = true): DataFrame = {
+    planRecorder.foreach(_(df))
     val spark = df.sparkSession
     if (!spark.conf.get(DurableKey, "false").toBoolean)
       df.localCheckpoint(eager)
@@ -48,7 +60,13 @@ object Iterate {
           throw new IllegalStateException(
             s"$DurableKey=true needs a checkpoint dir: call " +
               s"sparkContext.setCheckpointDir or set $DirKey")))
-      df.checkpoint(eager)
+      // ALWAYS eager on the reliable path (r19 ADVICE): a lazy reliable
+      // checkpoint re-computes the frame in a separate job after the
+      // first action, so with nondeterministic float aggregation order
+      // the triggering action could observe different doubles than
+      // later readers of the checkpoint files. The lazy dial is a
+      // scheduling optimization for localCheckpoint only.
+      df.checkpoint(eager = true)
     }
   }
 

@@ -110,7 +110,19 @@ object Learn {
     */
   def trainLogRegWeights(docs: DataFrame, labelCol: Column, dims: Int = 64,
       iters: Int = 3, lr: Double = 0.5, textCol: String = "text",
-      idCol: String = "doc_id"): Array[Double] = {
+      idCol: String = "doc_id"): Array[Double] =
+    logRegFit(docs, labelCol, dims, iters, lr, textCol, idCol)._1
+
+  /** [[trainLogRegWeights]] body, ALSO returning the materialized
+    * labelled design matrix (doc_id, bucket, x, y) it trained on — the
+    * train-then-predict compositions ([[trainPredictLogReg]]) reuse the
+    * checkpointed frame instead of re-deriving tokenize+hash+window for
+    * inference (r20, guide §5/§1.2: the design matrix was computed twice
+    * per predict-shaped query).
+    */
+  private def logRegFit(docs: DataFrame, labelCol: Column, dims: Int,
+      iters: Int, lr: Double, textCol: String,
+      idCol: String): (Array[Double], DataFrame) = {
     require(dims >= 1 && iters >= 0, s"need dims >= 1, iters >= 0")
     // Design matrix pre-joined with its labels ONCE; every iteration then
     // reads only this checkpointed frame (no per-step parquet re-scan).
@@ -121,13 +133,19 @@ object Learn {
     val n = fl.select(countDistinct(col("doc_id"))).head().getLong(0).toDouble
     val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val w = new Array[Double](dims)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val wLit = array(w.toIndexedSeq.map(lit): _*)
       // One pass: the margin is an unbounded-frame window sum over the
       // doc's rows (co-partitioned with the rows the gradient needs, so
       // no join), the gradient a partial-aggregable per-bucket sum.
-      val margin = sum(col("x") *
-        element_at(wLit, col("bucket").cast("int") + 1)).over(byDoc)
+      // Iteration 1's margin is EXACTLY 0 (weights seeded 0: every term
+      // is x·0, summing to +0.0 in fp) — skip the window evaluation
+      // outright (r20, §4: the sort+window over the whole design matrix
+      // bought nothing on the first pass).
+      val margin =
+        if (it == 1) lit(0.0)
+        else sum(col("x") *
+          element_at(wLit, col("bucket").cast("int") + 1)).over(byDoc)
       val g = fl
         .withColumn("err",
           lit(1.0) / (lit(1.0) + exp(-margin)) - col("y"))
@@ -138,7 +156,36 @@ object Learn {
       var b = 0
       while (b < dims) { w(b) = w(b) - lr * gArr(b) / n; b += 1 }
     }
-    w
+    (w, fl)
+  }
+
+  /** Train + predict FUSED over one materialized design matrix: output
+    * ≡ `predictLogReg(docs, trainLogReg(docs, …), …)` — same (doc_id,
+    * p, pred, y) rows — but inference reads the checkpointed design
+    * matrix the training loop already built (the margin re-uses its
+    * doc_id partitioning: zero extra exchanges) instead of re-running
+    * tokenize → hash-count → per-doc window over the corpus, and the
+    * dims-bounded weight join becomes the same in-expression
+    * `element_at` lookup the trainer uses. The label rides the frame:
+    * `y` is constant per doc_id by construction (one doc = one label),
+    * so `first(y)` in the per-doc aggregate is deterministic.
+    */
+  def trainPredictLogReg(docs: DataFrame, labelCol: Column, dims: Int = 64,
+      iters: Int = 3, lr: Double = 0.5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (w, fl) = logRegFit(docs, labelCol, dims, iters, lr, textCol, idCol)
+    val wLit = array(w.toIndexedSeq.map(lit): _*)
+    fl.groupBy(col("doc_id"))
+      .agg(sum(col("x") *
+        element_at(wLit, col("bucket").cast("int") + 1)).as("m"),
+        first(col("y")).as("_y"))
+      .select(col("doc_id"),
+        (floor((lit(1.0) / (lit(1.0) + exp(-col("m")))) * 1e6 + 0.5) / 1e6)
+          .as("p"),
+        col("_y"))
+      .withColumn("pred", when(col("p") >= 0.5, 1L).otherwise(0L))
+      .select(col("doc_id"), col("p"), col("pred"),
+        col("_y").cast("long").as("y"))
   }
 
   /** Full-batch logistic regression as a (bucket, w) frame — see

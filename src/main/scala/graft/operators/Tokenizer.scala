@@ -17,7 +17,8 @@ import graft.operators.Iterate.MaterializeOps
   * round is then (1) a partial-aggregable pair-count groupBy over the
   * vocab, (2) a single-row argmax action, (3) a narrow string rewrite of
   * the symbol sequences — driver-looped like PageRank's power
-  * iterations, with a localCheckpoint per round to truncate lineage.
+  * iterations, with a localCheckpoint every [[MergeCutEvery]] rounds to
+  * truncate lineage.
   */
 object Tokenizer {
 
@@ -29,6 +30,15 @@ object Tokenizer {
     * with no lookaround regex (which DuckDB's RE2 oracle could not run).
     */
   private val SEP = "  "
+
+  /** Merge rounds between lineage cuts (r20): rounds chain their symbol
+    * rewrites as nested replace() projections over the last cut frame —
+    * one Spark job per round instead of two. Eight nested narrow string
+    * rewrites over the zipf-bounded vocab are cheaper than a checkpoint
+    * write+read each round; the periodic cut keeps 10k-round trainings
+    * plan-bounded.
+    */
+  private val MergeCutEvery = 8
 
   /** Adjacent symbol pairs of a double-space-joined sequence, each pair
     * itself double-space-joined. Words of one symbol yield no pairs.
@@ -59,6 +69,14 @@ object Tokenizer {
     var seqs = wc.select(col("cnt"),
       array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
       .materialized
+    // r20 (guide §1.2 fewer actions): a merge round no longer cuts the
+    // re-written sequences — each round's pick scans the ONE
+    // materialized vocab frame with the applied merges CHAINED as
+    // nested replace() (Catalyst collapses the projections; replace on
+    // a short symbol string is narrow, vocab-bounded work), halving the
+    // loop's Spark jobs (2/round → 1/round). Lineage is re-cut every
+    // [[MergeCutEvery]] rounds so long trainings stay plan-bounded.
+    var sinceCut = 0
 
     val picks = (1 to rounds).map { r =>
       val Row(pair: String, cnt: Long) = seqs
@@ -69,7 +87,9 @@ object Tokenizer {
         .select(col("best.pair"), col("best.c")).head()
       val merged = pair.replace(SEP, "")
       seqs = seqs.select(col("cnt"),
-        replace(col("s"), lit(pair), lit(merged)).as("s")).materialized
+        replace(col("s"), lit(pair), lit(merged)).as("s"))
+      sinceCut += 1
+      if (sinceCut >= MergeCutEvery) { seqs = seqs.materialized; sinceCut = 0 }
       (r, pair.replace(SEP, " "), merged, cnt)
     }
 
@@ -203,6 +223,8 @@ object Tokenizer {
     var seqs = wc.select(col("cnt"),
       array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
       .materialized
+    // merges chain as nested replace() between cuts — see [[bpeMerges]]
+    var sinceCut = 0
 
     val picks = (1 to rounds).map { r =>
       val syms = seqs
@@ -229,7 +251,9 @@ object Tokenizer {
             col("best.rc"), col("best.score")).head()
       val merged = pair.replace(SEP, "")
       seqs = seqs.select(col("cnt"),
-        replace(col("s"), lit(pair), lit(merged)).as("s")).materialized
+        replace(col("s"), lit(pair), lit(merged)).as("s"))
+      sinceCut += 1
+      if (sinceCut >= MergeCutEvery) { seqs = seqs.materialized; sinceCut = 0 }
       (r, pair.replace(SEP, " "), merged, pc, lc, rc, score)
     }
 

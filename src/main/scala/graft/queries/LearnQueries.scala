@@ -36,22 +36,20 @@ object LearnQueries extends QueryPack {
 
     // Train-set inference under those weights: per-doc probability, hard
     // prediction, true label — train → deploy in one lazy composite.
-    "learn_logreg_predict" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val w = Learn.trainLogReg(d, col("lang") === "en", DIMS, ITERS, LR)
-      Learn.predictLogReg(d, w, col("lang") === "en", DIMS)
-        .orderBy("doc_id")
-    }),
+    "learn_logreg_predict" -> ((s, dir) =>
+      // fused train+predict (r20): inference reuses the training loop's
+      // materialized design matrix — output ≡ predictLogReg∘trainLogReg
+      Learn.trainPredictLogReg(docs(s, dir), col("lang") === "en",
+          DIMS, ITERS, LR)
+        .orderBy("doc_id")),
 
     // Reliability table over those train-set predictions: mean predicted
     // probability vs empirical positive rate per probability bin — the
     // calibration check before scores become sampling weights.
-    "learn_calibration" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val w = Learn.trainLogReg(d, col("lang") === "en", DIMS, ITERS, LR)
+    "learn_calibration" -> ((s, dir) =>
       Learn.calibrationTable(
-        Learn.predictLogReg(d, w, col("lang") === "en", DIMS), nBins = 10)
-    }),
+        Learn.trainPredictLogReg(docs(s, dir), col("lang") === "en",
+          DIMS, ITERS, LR), nBins = 10)),
 
     // Closed-form per-segment OLS: token count regressed on character
     // count per language — slope ≈ chars-per-token⁻¹, the trend fit a
@@ -143,9 +141,8 @@ object LearnQueries extends QueryPack {
     // classifiers' hard labels (trained on the same corpus).
     "learn_model_agreement" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lr = Learn.predictLogReg(d,
-        Learn.trainLogReg(d, col("lang") === "en", DIMS, ITERS, LR),
-        col("lang") === "en", DIMS)
+      val lr = Learn.trainPredictLogReg(d, col("lang") === "en",
+        DIMS, ITERS, LR)
       val nb = Learn.predictNaiveBayes(d,
         Learn.trainNaiveBayes(d, col("lang") === "en", DIMS),
         col("lang") === "en", DIMS)

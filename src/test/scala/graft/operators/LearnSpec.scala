@@ -41,6 +41,19 @@ class LearnSpec extends SparkSpec {
       s"loss must decrease each step: $losses") }
   }
 
+  test("trainPredictLogReg ≡ predictLogReg ∘ trainLogReg (fused reuse)") {
+    val d = toy
+    val unfused = Learn.predictLogReg(d,
+        Learn.trainLogReg(d, col("y") === 1, dims = 32, iters = 3, lr = 0.5),
+        col("y") === 1, dims = 32)
+      .orderBy("doc_id").as[(Long, Double, Long, Long)].collect()
+    val fused = Learn.trainPredictLogReg(d, col("y") === 1,
+        dims = 32, iters = 3, lr = 0.5)
+      .orderBy("doc_id").as[(Long, Double, Long, Long)].collect()
+    assert(fused.sameElements(unfused),
+      s"fused=${fused.toSeq} unfused=${unfused.toSeq}")
+  }
+
   test("zero iterations returns the zero vector; weights are deterministic") {
     val d = toy
     val w0 = Learn.trainLogReg(d, col("y") === 1, dims = 16, iters = 0)

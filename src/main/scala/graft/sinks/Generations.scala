@@ -133,16 +133,29 @@ object Generations {
     */
   val commitFileReads = new AtomicLong(0)
 
-  private def parseCommit(fs: FileSystem, cd: Path, name: String): Commit = {
-    commitFileReads.incrementAndGet()
-    val in = fs.open(new Path(cd, name))
-    val line = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().next() finally in.close()
-    val parts = line.trim.split(" ")
-    Commit(parts(0).toLong, parts(1), parts(2).toLong,
-      if (parts.length > 3) parts(3) else "-",
-      if (parts.length > 4) parts.drop(4).toSeq else Nil)
-  }
+  // Parsed commit files, memoized FOREVER per path (r20, guide §6 —
+  // the catalog role): a commit file is CREATE-ONLY by protocol
+  // ([[Pointers.publishNew]] never overwrites; gc may delete, which
+  // only removes the name from listings), so its parse can never go
+  // stale. Every span walk (logCommits / latest / carryTags /
+  // appendWitnessed) re-opened the same one-line files — O(span) small
+  // reads per walk, several walks per commit. Metadata only, like
+  // every cache in this module.
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Commit]
+
+  private def parseCommit(fs: FileSystem, cd: Path, name: String): Commit =
+    commitCache.computeIfAbsent(
+      fs.makeQualified(new Path(cd, name)).toString, { _ =>
+        commitFileReads.incrementAndGet()
+        val in = fs.open(new Path(cd, name))
+        val line = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next() finally in.close()
+        val parts = line.trim.split(" ")
+        Commit(parts(0).toLong, parts(1), parts(2).toLong,
+          if (parts.length > 3) parts(3) else "-",
+          if (parts.length > 4) parts.drop(4).toSeq else Nil)
+      })
 
   private def commitNames(fs: FileSystem, cd: Path): Array[String] =
     if (!fs.exists(cd)) Array.empty
@@ -361,7 +374,35 @@ object Generations {
   def writeAndCommit(spark: SparkSession, df: DataFrame,
       table: String, tag: String = "-",
       expectedBase: Option[Long] = None, maxRetries: Int = 20,
-      options: Map[String, String] = Map.empty): Commit = {
+      options: Map[String, String] = Map.empty): Commit =
+    writeAndCommitImpl(spark, df, table, tag, expectedBase, maxRetries,
+      options, abortIfEmpty = false, preCommit = () => ()).get
+
+  /** [[writeAndCommit]] that PUBLISHES NOTHING when the frame turns out
+    * empty (r20, guide §1.2 fewer actions): the emptiness verdict rides
+    * the write's own `observe` scan instead of a separate probe job, so
+    * a witnessed-append tick is ONE action. An empty frame's generation
+    * dir is deleted unpublished (invisible by protocol — same debris
+    * class as a crash mid-write) and None returns. `preCommit` fires
+    * after the data write proves non-empty and BEFORE anything becomes
+    * visible (stats/bloom sidecars, pointer publish) — the
+    * crash-injection seam StreamingIvm's replay contract needs: a kill
+    * there leaves only unpublished debris, exactly like the pre-fusion
+    * "before-append" point.
+    */
+  def writeAndCommitSkipEmpty(spark: SparkSession, df: DataFrame,
+      table: String, tag: String = "-",
+      expectedBase: Option[Long] = None, maxRetries: Int = 20,
+      options: Map[String, String] = Map.empty,
+      preCommit: () => Unit = () => ()): Option[Commit] =
+    writeAndCommitImpl(spark, df, table, tag, expectedBase, maxRetries,
+      options, abortIfEmpty = true, preCommit)
+
+  private def writeAndCommitImpl(spark: SparkSession, df: DataFrame,
+      table: String, tag: String,
+      expectedBase: Option[Long], maxRetries: Int,
+      options: Map[String, String], abortIfEmpty: Boolean,
+      preCommit: () => Unit): Option[Commit] = {
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
     val t = new Path(table)
     val fs = fsOf(spark, t)
@@ -407,7 +448,7 @@ object Generations {
     val toucher = startMarkerToucher(fs, marker)
     try {
       writeAndCommitInner(spark, df, t, fs, gen, genDir, tag, expectedBase,
-        maxRetries, options, baseVersion)
+        maxRetries, options, baseVersion, abortIfEmpty, preCommit)
     } finally {
       toucher.interrupt()
       fs.delete(marker, false)
@@ -1186,7 +1227,8 @@ object Generations {
   private def writeAndCommitInner(spark: SparkSession, df: DataFrame,
       t: Path, fs: FileSystem, gen: String, genDir: Path, tag: String,
       expectedBase: Option[Long], maxRetries: Int,
-      options: Map[String, String], baseVersion: Long): Commit = {
+      options: Map[String, String], baseVersion: Long,
+      abortIfEmpty: Boolean, preCommit: () => Unit): Option[Commit] = {
     val table = t.toString
     val obs = Observation("gen_rows_" + java.util.UUID.randomUUID.toString.take(8))
     val checks = getChecks(spark, table)
@@ -1257,6 +1299,16 @@ object Generations {
           violations.map { case (n, c) => s"$n ($c rows)" }.mkString(", "),
         violations)
     }
+    // empty-frame abort (writeAndCommitSkipEmpty): nothing was ever
+    // visible — delete the unpublished generation, publish no sidecars,
+    // no pointer (same never-publish posture as a CHECK violation)
+    if (abortIfEmpty && rows == 0L) {
+      fs.delete(genDir, true)
+      return None
+    }
+    // crash-injection seam: the generation's data is written (still
+    // invisible) and everything from here on publishes
+    preCommit()
     // data-skipping stats: footer-only collection over the NEW
     // generation's files, persisted before the pointer publish so a
     // published commit always carries its stats (a crash in between
@@ -1304,7 +1356,7 @@ object Generations {
       try out.write(line.getBytes("UTF-8")) finally out.close()
       val finalP = new Path(cd, commitName(version))
       if (Pointers.publishNew(fs, tmp, finalP))
-        return Commit(version, gen, rows, tag, carried)
+        return Some(Commit(version, gen, rows, tag, carried))
       fs.delete(tmp, false)
       // collision: someone else published this version first
       attempt += 1
@@ -1421,6 +1473,17 @@ object Generations {
     */
   def appendCommitted(spark: SparkSession, df: DataFrame, table: String,
       tag: String): Option[Commit] = {
+    if (appendWitnessed(spark, table, tag)) None
+    else Some(writeAndCommit(spark, df, table, tag))
+  }
+
+  /** True when an [[appendCommitted]]-style tag is already proven
+    * durable by the live span or the head snapshot's carried witness —
+    * the idempotence verdict, exposed so fused append paths
+    * (StreamingIvm's witnessed tick) can take it without committing.
+    */
+  def appendWitnessed(spark: SparkSession, table: String,
+      tag: String): Boolean = {
     require(tag != "-" && !tag.startsWith("="),
       s"reserved (snapshot-kind) tag: '$tag'")
     require(!tag.contains(" ") && tag.nonEmpty, s"tag must be space-free: '$tag'")
@@ -1447,8 +1510,7 @@ object Generations {
       else if (supersedes(c.tag)) { seen = true; done = true }
       else i -= 1
     }
-    if (seen) None
-    else Some(writeAndCommit(spark, df, table, tag))
+    seen
   }
 
   /** The newest committed numeric id for a writer prefix: the max

@@ -1158,18 +1158,54 @@ object ChangeFeed {
         unix_micros(col(tsCol)) >= horizonMicros, lit(true))
       if (splice) {
         // PREFIX-SPLICE: the maximal leading run of commits with no raw
-        // row surviving the keep predicate — one bounded existence scan
-        // per prefix commit (stops at the first survivor), never a scan
-        // of the kept tail. A summary-only commit (an earlier splice —
-        // its schema has no event-time column at all) is dead
-        // trivially and merges forward.
+        // row surviving the keep predicate. Deadness is decided DRIVER-
+        // SIDE wherever commit metadata suffices (r20, guide §1.2/§6 —
+        // the probes were one Spark existence-scan job per prefix commit
+        // per tick): a `~so` splice commit is summary-only by
+        // construction (zero raw rows — trivially dead), a zero-row
+        // commit is trivially dead, and a raw-only commit's verdict
+        // falls out of its committed per-file ts stats (nullCount=0 ∧
+        // max<horizon ⇔ dead; a null-ts or ≥horizon row ⇔ alive — the
+        // SAME read data-skipping plans from). Only commits the
+        // metadata can't classify (mixed raw+summary content, absent/
+        // unusable stats) pay the bounded existence scan, which stops
+        // at the first survivor and never scans the kept tail.
         def genDf(c: Generations.Commit): DataFrame =
           Generations.readSpan(spark, foldLog, Seq(c))
+        val foldPath = new org.apache.hadoop.fs.Path(foldLog)
+        val foldFs = foldPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def statsVerdict(c: Generations.Commit,
+            schemaCols: Set[String]): Option[Boolean] = {
+          if (c.tag.contains("~so")) return Some(true)
+          if (c.rows == 0L) return Some(true)
+          if (schemaCols.contains(GsumCol)) return None // mixed content
+          if (!schemaCols.contains(tsCol)) return Some(false) // raw, kept
+          graft.sinks.FileStats.read(foldFs, foldPath, c.gen) match {
+            case Some(entries) if entries.nonEmpty =>
+              val per = entries.map { e =>
+                if (e.rows == 0L) Some(true)
+                else e.cols.get(tsCol) match {
+                  case Some(s) if s.kind == "none" => Some(false) // null ts kept
+                  case Some(s) if s.nullCount > 0L => Some(false)
+                  case Some(s) if s.kind == "long" && s.nullCount == 0L =>
+                    Some(s.max.toLong < horizonMicros)
+                  case _ => None
+                }
+              }
+              if (per.exists(_.contains(false))) Some(false)
+              else if (per.forall(_.contains(true))) Some(true)
+              else None
+            case _ => None
+          }
+        }
         val deadPrefix = selfSpan.iterator.map { c =>
-          val raw = rawCols(genDf(c), sumNames, countCol)
+          val df = genDf(c)
+          val raw = rawCols(df, sumNames, countCol)
           val hasTs = raw.columns.contains(tsCol)
-          val isDead =
+          val isDead = statsVerdict(c, df.columns.toSet).getOrElse {
             if (hasTs) raw.filter(keepPred).isEmpty else raw.isEmpty
+          }
           (c, isDead, hasTs)
         }.takeWhile(_._2).toSeq
         val prefixLen = deadPrefix.length
@@ -1198,8 +1234,12 @@ object ChangeFeed {
           }
         val summaries = mergeAggs(lost, oldSums.toSeq, mvKeys, sumNames,
           countCol).withColumn(GsumCol, lit(true))
-        // whole span dead → a full summary-only snapshot (no keep-from)
-        val tag = baseTag + (if (prefixLen < selfSpan.length)
+        // whole span dead → a full summary-only snapshot (no keep-from).
+        // `~so` (summary-only) marks that this commit's content is 100%
+        // _gsum rows BY CONSTRUCTION — the next tick's deadness walk
+        // classifies it driver-side with no probe job (r20). It rides
+        // BEFORE ~keep (spliceKeepFrom parses the tag's tail).
+        val tag = baseTag + "~so" + (if (prefixLen < selfSpan.length)
           s"~keep=${selfSpan(prefixLen).version}" else "")
         try return Some(Generations.writeAndCommit(spark, summaries,
           foldLog, tag = tag, expectedBase = Some(base)))

@@ -85,32 +85,61 @@ object StreamingIvm {
     Pointers.replace(fs, dir, WmPointer, next.toString)
   }
 
-  /** The witnessed-append prologue every ingest tick shares: ONE
-    * aggregate over the persisted admitted frame yields both the
-    * emptiness verdict and the event-time max (r19 — previously a
-    * separate `isEmpty` probe job plus a max job per tick; admission is
-    * deterministic, so semantics are unchanged: rows-but-all-null-ts
-    * still appends without advancing the mark, exactly as before). The
-    * failpoint names are part of the replay-spec contract and are
-    * preserved verbatim via `fpSuffix`.
+  /** The witnessed-append prologue every ingest tick shares: the
+    * emptiness verdict AND the event-time max ride the LOG WRITE's own
+    * `observe` scan (r20 — r19 had merged the two probe jobs into one;
+    * this folds that one into the write itself, so a tick's append is
+    * ONE Spark action and the admitted frame is evaluated exactly once,
+    * with no persist). An empty admitted frame publishes nothing
+    * ([[Generations.writeAndCommitSkipEmpty]] deletes the unpublished
+    * generation — invisible by protocol, and admission is deterministic
+    * so a replay re-evaluates to empty and stays a no-op). Semantics
+    * unchanged: rows-but-all-null-ts still appends without advancing
+    * the mark. The failpoint names and their PER-TICK FIRING SEQUENCE
+    * are the replay-spec contract and are preserved verbatim:
+    * `before-append` fires only on non-empty ticks, before anything is
+    * visible (the data files exist but are unpublished — the same
+    * on-disk state as a crash mid-write, which the protocol already
+    * treats as gc debris).
     */
   private def appendAdmitted(spark: SparkSession, admitted: DataFrame,
-      appendDf: => DataFrame, log: String, tsName: String,
+      project: DataFrame => DataFrame, log: String, tsName: String,
       mark: Option[Long], batchId: Long, failpoint: String => Unit,
       fpSuffix: String = ""): Unit = {
-    admitted.persist()
-    try {
+    val tag = s"batch=$batchId"
+    if (Generations.appendWitnessed(spark, log, tag)) {
+      // REPLAY of an already-committed batch (crash between the append
+      // and a later pointer, or a re-delivered foreachBatch id): the
+      // append is a witnessed no-op, but the mark advance must still
+      // run — it is gated on the ADMITTED frame, never on the append
+      // committing (r15 ADVICE: a crash between append and pointer
+      // write must not skip the advance forever). The exceptional path
+      // pays the probe job the hot path fused away.
       val row = admitted
         .agg(count(lit(1)), max(unix_micros(col(tsName)))).head()
       if (row.getLong(0) > 0L) {
         failpoint(s"before-append$fpSuffix")
-        Generations.appendCommitted(spark, appendDf, log, s"batch=$batchId")
         failpoint(s"after-append$fpSuffix")
         if (!row.isNullAt(1))
           advanceMarkTo(spark, log, mark, row.getLong(1))
         failpoint(s"after-mark$fpSuffix")
       }
-    } finally admitted.unpersist()
+    } else {
+      val obs = org.apache.spark.sql.Observation(
+        "adm_" + java.util.UUID.randomUUID.toString.take(8))
+      val observed = project(admitted.observe(obs,
+        count(lit(1)).as("n"), max(unix_micros(col(tsName))).as("mx")))
+      val committed = Generations.writeAndCommitSkipEmpty(spark, observed,
+        log, tag,
+        preCommit = () => failpoint(s"before-append$fpSuffix"))
+      if (committed.isDefined) {
+        failpoint(s"after-append$fpSuffix")
+        val mx = obs.get("mx")
+        if (mx != null)
+          advanceMarkTo(spark, log, mark, mx.asInstanceOf[Long])
+        failpoint(s"after-mark$fpSuffix")
+      }
+    }
   }
 
   /** One micro-batch of the maintained windowed aggregate: watermark-
@@ -164,7 +193,7 @@ object StreamingIvm {
     // `failpoint` is a crash-injection seam: StreamingIvmReplaySpec
     // kills the tick at each commit boundary and proves the replay
     // converges to the no-crash run.
-    appendAdmitted(spark, bucketed, bucketed.drop("_ts"), logTable,
+    appendAdmitted(spark, bucketed, _.drop("_ts"), logTable,
       "_ts", mark, batchId, failpoint)
     // insert-only log ⇒ min/max merge monotonically (no retraction, so
     // the non-retractable-monoid problem never arises; the dirty-group
@@ -213,7 +242,7 @@ object StreamingIvm {
     // empty-admitted batches append nothing; the mark advance is gated
     // on the ADMITTED frame, never on the append committing — see
     // ingestBatch for the crash-replay argument (r15 ADVICE, medium)
-    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+    appendAdmitted(spark, logged, _.drop("_ts"), logTable,
       "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainJoinAggOnceLog(spark, logTable, dimTable, dimKeys,
       joinKeys, mvTable, mvKeys, Map("sum_value" -> "_v"), "n") { (f, d) =>
@@ -259,6 +288,13 @@ object StreamingIvm {
     def side(batch: DataFrame, log: String, vName: String,
         fp: String): Unit = {
       val mark = highMark(spark, log)
+      // a DECLARED pairing ttl folds this log on the band horizon —
+      // declare per-file stats on its event-time column once, so every
+      // commit carries the min/max/nullCount the fold's deadness walk
+      // reads driver-side (r20; the commit pays one footer pass)
+      if (pairTtl.nonEmpty && foldAfterCommits > 0 &&
+          Generations.getStatsCols(spark, log).isEmpty)
+        Generations.setStatsCols(spark, log, Seq(s"_ts$fp"))
       // the event time rides in the log per side (_tsa/_tsb — distinct
       // names so the equi self-join never collides) to make a DECLARED
       // pairing-TTL fold possible; undeclared-TTL runs simply never
@@ -266,7 +302,7 @@ object StreamingIvm {
       val logged = admit(batch, mark, tsCol, lateness).select(
         col(joinKey), col(sumCol).cast("decimal(18,4)").as(vName),
         col(tsCol).as(s"_ts$fp"))
-      appendAdmitted(spark, logged, logged, log, s"_ts$fp", mark,
+      appendAdmitted(spark, logged, identity, log, s"_ts$fp", mark,
         batchId, failpoint, fpSuffix = s"-$fp")
     }
     side(batchA, logA, "_va", "a")
@@ -349,10 +385,15 @@ object StreamingIvm {
     def side(batch: DataFrame, log: String, vName: String,
         fp: String): Unit = {
       val mark = highMark(spark, log)
+      // the attribution window IS this log's fold ttl — declare event-
+      // time stats once so fold deadness reads commit metadata (r20)
+      if (foldAfterCommits > 0 &&
+          Generations.getStatsCols(spark, log).isEmpty)
+        Generations.setStatsCols(spark, log, Seq(tsCol))
       val logged = admit(batch, mark, tsCol, lateness).select(
         col(userCol), col(tsCol),
         col(valueCol).cast("decimal(18,4)").as(vName))
-      appendAdmitted(spark, logged, logged, log, tsCol, mark,
+      appendAdmitted(spark, logged, identity, log, tsCol, mark,
         batchId, failpoint, fpSuffix = s"-$fp")
     }
     side(clicks, logC, "_va", "a")
@@ -495,7 +536,7 @@ object StreamingIvm {
     val mark = highMark(spark, logTable)
     val logged = admit(batch, mark, tsCol, lateness)
       .select(col(userCol), col(tsCol))
-    appendAdmitted(spark, logged, logged, logTable, tsCol, mark,
+    appendAdmitted(spark, logged, identity, logTable, tsCol, mark,
       batchId, failpoint)
     val c = ChangeFeed.maintainSessionsOnceLog(spark, logTable, mvTable,
       userCol, tsCol, intervalMicros(gap))
@@ -600,7 +641,7 @@ object StreamingIvm {
       window(col(tsCol), bucketWidth).getField("start").as("bucket"),
       col(entityCol), col(sumCol).cast("decimal(18,4)").as("_v"),
       col(tsCol).as("_ts"))
-    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+    appendAdmitted(spark, logged, _.drop("_ts"), logTable,
       "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainTopKOnceLog(spark, logTable, mvTable,
       Seq("bucket")) { log =>
@@ -639,7 +680,7 @@ object StreamingIvm {
     val logged = admit(batch, mark, tsCol, lateness).select(
       window(col(tsCol), bucketWidth).getField("start").as("bucket"),
       h.as("_h"), col(tsCol).as("_ts"))
-    appendAdmitted(spark, logged, logged.drop("_ts"), logTable,
+    appendAdmitted(spark, logged, _.drop("_ts"), logTable,
       "_ts", mark, batchId, failpoint)
     ChangeFeed.maintainKmvOnceLog(spark, logTable, mvTable,
       Seq("bucket"), k)

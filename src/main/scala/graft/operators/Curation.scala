@@ -36,7 +36,12 @@ object Curation {
       trainPct: Int = 90, materializeStages: Boolean = true): DataFrame = {
     val graded = qualityGate(docs, minTokens, minQuality)
     val exact = Dedup.exact(graded)
-    val exactKept = if (materializeStages) exact.materialized else exact
+    // SPREAD cut (r20, guide §2.2): the exact-dedup groupBy's output is
+    // byte-small at gate SFs, so AQE coalesces it to 1-2 partitions and
+    // the checkpoint pins that width — every downstream shingle/minhash
+    // stage (CPU-heavy, references this frame four times) then ran
+    // near-serial. materializedSpread re-widens only when collapsed.
+    val exactKept = if (materializeStages) exact.materializedSpread else exact
     // Shingle ONCE per surviving doc: the near-dup stage references the
     // shingled frame four times (banded self-join a/b + Jaccard verify
     // a/b); without this boundary each reference re-tokenizes the corpus.

@@ -70,11 +70,34 @@ object Iterate {
     }
   }
 
+  /** [[materialize]] that RESPREADS a collapsed cut (r20, guide §2.2):
+    * AQE's byte-floor coalescing rightly shrinks a small shuffle output
+    * to one or two partitions, but a checkpoint PINS that width — every
+    * downstream stage over the cut (CPU-heavy shingle/minhash scans,
+    * broadcast-build sides) then runs 1-2 tasks no matter how many
+    * cores idle. When the checkpointed frame landed on fewer partitions
+    * than the session's parallelism, re-cut it through one repartition
+    * — the data is small by construction (AQE only coalesces below the
+    * advisory byte target), so the extra exchange+cut is milliseconds;
+    * at scale the condition is false and this IS [[materialize]]. A
+    * runtime dial, not a local-mode constant: the trigger compares the
+    * actual post-AQE width against the session's own parallelism.
+    */
+  def materializeSpread(df: DataFrame): DataFrame = {
+    val cut = materialize(df)
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val have = cut.rdd.getNumPartitions
+    if (have > 0 && have < p) materialize(cut.repartition(p)) else cut
+  }
+
   /** `df.materialized` ≡ eager lineage cut; `df.materializedLazy`
-    * defers the job to the first action (plans that may be discarded).
+    * defers the job to the first action (plans that may be discarded);
+    * `df.materializedSpread` re-widens a cut AQE collapsed below the
+    * session's parallelism (CPU-heavy consumers).
     */
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = materialize(df)
     def materializedLazy: DataFrame = materialize(df, eager = false)
+    def materializedSpread: DataFrame = materializeSpread(df)
   }
 }

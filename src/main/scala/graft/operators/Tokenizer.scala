@@ -62,8 +62,12 @@ object Tokenizer {
     * round. Ties break to the lexicographically smallest pair, making
     * the merge sequence a pure function of the corpus.
     */
-  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text"): DataFrame = {
-    val wc = wordCounts(docs, textCol)
+  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text",
+      wc0: Option[DataFrame] = None): DataFrame = {
+    // wc0 (r20): a caller that ALSO needs the word-count table (the
+    // segment queries decode the top-k words) passes its materialized
+    // copy, so the corpus is tokenized once per query, not once per use
+    val wc = wc0.getOrElse(wordCounts(docs, textCol))
     // Char-level initial symbol sequence. Spark's split(-1 limit) keeps a
     // trailing empty string — filter it (DuckDB's string_split does not).
     var seqs = wc.select(col("cnt"),
@@ -131,8 +135,8 @@ object Tokenizer {
     */
   def unigramPieces(docs: DataFrame, maxPieceLen: Int = 4,
       topPieces: Int = 40, maxWordLen: Int = 64,
-      textCol: String = "text"): DataFrame = {
-    val wc = wordCounts(docs, textCol)
+      textCol: String = "text", wc0: Option[DataFrame] = None): DataFrame = {
+    val wc = wc0.getOrElse(wordCounts(docs, textCol)) // see bpeMerges.wc0
     val subs = wc.select(col("cnt"), explode(
       flatten(transform(
         sequence(lit(0), least(length(col("word")), lit(maxWordLen)) - 1),
@@ -218,8 +222,8 @@ object Tokenizer {
     *    score).
     */
   def wordpieceMerges(docs: DataFrame, rounds: Int,
-      textCol: String = "text"): DataFrame = {
-    val wc = wordCounts(docs, textCol)
+      textCol: String = "text", wc0: Option[DataFrame] = None): DataFrame = {
+    val wc = wc0.getOrElse(wordCounts(docs, textCol)) // see bpeMerges.wc0
     var seqs = wc.select(col("cnt"),
       array_join(filter(split(col("word"), ""), s => length(s) > 0), SEP).as("s"))
       .materialized

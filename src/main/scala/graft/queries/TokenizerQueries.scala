@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Tokenizer
+import graft.operators.Iterate.MaterializeOps
 
 /** BPE tokenizer-induction registrations. The oracle unrolls the merge
   * rounds CTE-by-CTE (like the PageRank/label-propagation oracles),
@@ -29,9 +30,12 @@ object TokenizerQueries extends QueryPack {
     // inference half over the learned vocabulary.
     "tok_bpe_segment" -> ((s, dir) => {
       val d = docs(s, dir)
-      val merges = Tokenizer.bpeMerges(d, ROUNDS)
+      // one corpus tokenization per query (r20): the word-count table
+      // is cut once and feeds BOTH the merge trainer and the top-k list
+      val wc = Tokenizer.wordCounts(d).materialized
+      val merges = Tokenizer.bpeMerges(d, ROUNDS, wc0 = Some(wc))
         .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
-      val top = Tokenizer.wordCounts(d)
+      val top = wc
         .orderBy(col("cnt").desc, col("word")).limit(SEG_TOP)
       Tokenizer.bpeSegment(top, merges)
         .select(col("word"), col("cnt"), col("segmented"))
@@ -63,12 +67,13 @@ object TokenizerQueries extends QueryPack {
     // position-step per CTE.
     "tok_wordpiece_segment" -> ((s, dir) => {
       val d = docs(s, dir)
+      val wc = Tokenizer.wordCounts(d).materialized // one tokenization
       // Model artifacts: merged-piece set (<= ROUNDS entries) and the
       // bounded top-word list — the unigramSegment precedent.
-      val merged = Tokenizer.wordpieceMerges(d, ROUNDS)
+      val merged = Tokenizer.wordpieceMerges(d, ROUNDS, wc0 = Some(wc))
         .collect().map(_.getString(2)).toSet
       val maxLen = if (merged.isEmpty) 1 else merged.map(_.length).max
-      val top = Tokenizer.wordCounts(d)
+      val top = wc
         .filter(length(col("word")) <= VIT_MAX_LEN)
         .orderBy(col("cnt").desc, col("word")).limit(SEG_TOP)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -83,9 +88,11 @@ object TokenizerQueries extends QueryPack {
     // ties -> smallest split. The oracle unrolls the DP per position.
     "tok_unigram_segment" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pieces = Tokenizer.unigramPieces(d, PIECE_LEN, TOP_PIECES)
+      val wc = Tokenizer.wordCounts(d).materialized // one tokenization
+      val pieces = Tokenizer.unigramPieces(d, PIECE_LEN, TOP_PIECES,
+          wc0 = Some(wc))
         .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-      val top = Tokenizer.wordCounts(d)
+      val top = wc
         .filter(length(col("word")) <= VIT_MAX_LEN)
         .orderBy(col("cnt").desc, col("word")).limit(SEG_TOP)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

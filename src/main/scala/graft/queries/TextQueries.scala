@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextAnalysis
+import graft.operators.Iterate.MaterializeOps
 
 /** Text-analysis registrations (EX8 + north-star text ops) over the
   * `documents` table: language breakdown, heuristic lang-ID, quality
@@ -175,8 +176,12 @@ object TextQueries extends QueryPack {
     // per-lang percentile window would sort 100 TB inside ≤ |langs|
     // partitions).
     "text_quality_median_gate" -> ((s, dir) => {
+      // cut ONCE (r20): the median build side and the gate probe both
+      // consume this frame — uncut, the plan scanned the corpus and ran
+      // the quality CPU twice (2 parquet scans in the before plan)
       val scored = TextAnalysis.qualityMetrics(docs(s, dir))
         .select(col("doc_id"), col("lang"), col("quality_score"))
+        .materialized
       val med = scored.groupBy(col("lang"))
         .agg(expr("percentile(quality_score, 0.5)").as("med"))
       scored.join(broadcast(med), "lang")

@@ -33,6 +33,11 @@ object MetaScaleProbe {
     val tab = s"$work/t${System.nanoTime()}"
     Generations.setStatsCols(spark, tab, Seq("k"))
     val t0 = System.nanoTime()
+    // commit-path fs-op counter (r20): every append walks the commit log
+    // several times (witness check, latest, carried tags); with the
+    // create-only parse cache each commit FILE is opened once ever, so
+    // the build's total opens are O(nCommits), not O(nCommits²)
+    val cfr0 = Generations.commitFileReads.get
     (0 until nCommits).foreach { i =>
       val lo = i.toLong * 100000L
       val df = spark.range(lo, lo + 100000L)
@@ -42,6 +47,7 @@ object MetaScaleProbe {
       else Generations.appendCommitted(spark, df, tab, s"batch=$i")
     }
     val buildS = (System.nanoTime() - t0) / 1e9
+    val cfrBuild = Generations.commitFileReads.get - cfr0
     val preds = Seq(FileStats.Between("k", 1000000L, 1005000L))
 
     def measure(label: String): (Double, Long, Long, Seq[String], Int) = {
@@ -67,7 +73,8 @@ object MetaScaleProbe {
     val equal = keptDrv == keptM1 && totDrv == totM1
     println(
       s"""{"metric":"meta_plan_probe","files":$totDrv,"commits":$nCommits,""" +
-      s""""build_s":${f"$buildS%.1f"},"checkpoint_s":${f"$ckS%.1f"},""" +
+      s""""build_s":${f"$buildS%.1f"},"commit_file_reads_build":$cfrBuild,""" +
+      s""""checkpoint_s":${f"$ckS%.1f"},""" +
       s""""driver_plan_s":${f"$wDrv%.3f"},"driver_listings":$lDrv,"driver_sidecar_parses":$rDrv,""" +
       s""""meta_plan_cold_s":${f"$wMeta1%.3f"},"meta_plan_warm_s":${f"$wMeta2%.3f"},""" +
       s""""meta_listings":${lM1 + lM2},"meta_sidecar_parses":${rM1 + rM2},""" +
